@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM-data-pipeline conformance queries (SURVEY.md §7E): text analysis,
+  * deduplication, similarity search, multimodal plumbing.
+  *
+  * Oracle notes: similarity scores go through integer quantization
+  * ([[graft.functions.quantizedCosine]]) or int-count ratios so both
+  * engines produce bitwise-identical doubles. Hash-family-specific
+  * operators (MinHash signatures, SimHash fingerprints, LSH buckets)
+  * either get a brute-force oracle over the same threshold (where recall
+  * is effectively 1) or a rows-only check plus ScalaTest verification.
+  */
+object TextQueries {
+
+  /** Shared DuckDB fragment: word-bigram shingle set per document. */
+  private val duckShingles =
+    """SELECT doc_id, source, list_distinct(list_transform(
+         range(1, greatest(len(w)-1, 1)+1),
+         i -> concat_ws(' ', w[i], w[i+1]))) AS sh
+       FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+             FROM documents)"""
+
+  // -------------------------------------------------------- text analysis
+
+  val q_text_token_stats = QuerySpec(
+    "q_text_token_stats", Seq("E-text"),
+    (s, d) => TextOps.tokenStats(Engine.table(s, d, "documents"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, length(text) AS len_chars,
+                   len(string_split(text, ' ')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[a-z0-9]+')) AS word_cnt,
+                   len(list_distinct(regexp_extract_all(text, '[a-z0-9]+')))
+                     AS uniq_word_cnt
+            FROM documents ORDER BY doc_id"""))
+
+  val q_text_quality = QuerySpec(
+    "q_text_quality", Seq("E-text"),
+    (s, d) => TextOps.qualityScore(Engine.table(s, d, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, word_cnt, stop_cnt, punct_cnt,
+                    stop_cnt::DOUBLE / sw::DOUBLE AS stop_ratio,
+                    uniq_cnt::DOUBLE / sw::DOUBLE AS diversity,
+                    (word_cnt >= 5 AND stop_cnt::DOUBLE / sw::DOUBLE > 0.01)
+                      AS passes_quality
+             FROM (SELECT doc_id,
+                     len(regexp_extract_all(text, '[a-z0-9]+')) AS word_cnt,
+                     len(list_distinct(regexp_extract_all(text, '[a-z0-9]+')))
+                       AS uniq_cnt,
+                     len(regexp_extract_all(text,
+                       '\\b(the|a|an|of|to|and|in|is|it|that|for)\\b'))
+                       AS stop_cnt,
+                     len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt,
+                     greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1)
+                       AS sw
+                   FROM documents) x
+             ORDER BY doc_id"""))
+
+  val q_text_langid = QuerySpec(
+    "q_text_langid", Seq("E-text"),
+    (s, d) => TextOps.langId(Engine.table(s, d, "documents"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, word_cnt, stop_cnt, non_ascii_cnt,
+                   CASE WHEN non_ascii_cnt > 0 THEN 'other'
+                        WHEN stop_cnt::DOUBLE / greatest(word_cnt,1)::DOUBLE
+                             > 0.02 THEN 'en'
+                        ELSE 'unknown' END AS pred_lang
+            FROM (SELECT doc_id,
+                    len(regexp_extract_all(text, '[a-z0-9]+')) AS word_cnt,
+                    len(regexp_extract_all(text,
+                      '\b(the|a|an|of|to|and|in|is|it|that|for)\b'))
+                      AS stop_cnt,
+                    len(regexp_extract_all(text, '[^\x00-\x7F]'))
+                      AS non_ascii_cnt
+                  FROM documents) x
+            ORDER BY doc_id"""))
+
+  val q_text_fingerprint = QuerySpec(
+    "q_text_fingerprint", Seq("E-text"),
+    (s, d) => TextOps.fingerprint(Engine.table(s, d, "documents"))
+      .select("doc_id", "fp").orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(text) AS fp FROM documents
+            ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- dedup
+
+  val q_dedup_exact = QuerySpec(
+    "q_dedup_exact", Seq("E-dedup"),
+    (s, d) => Dedup.exactDupGroups(Engine.table(s, d, "documents"))
+      .orderBy("fp"),
+    Some("""SELECT md5(text) AS fp, COUNT(*) AS n_copies,
+                   MIN(doc_id) AS keep_id
+            FROM documents GROUP BY 1 ORDER BY fp"""))
+
+  /** MinHash+LSH near-dup pairs at j>=0.8; with 16 bands × 2 rows the
+    * candidate-recall at the threshold is 1-(1-0.8^2)^16 ≈ 1-3e-8, so
+    * the exact brute-force oracle matches. */
+  val q_dedup_minhash_lsh = QuerySpec(
+    "q_dedup_minhash_lsh", Seq("E-dedup"),
+    (s, d) => Dedup.minHashLshPairs(Engine.table(s, d, "documents"),
+        numHashes = 32, bands = 16, threshold = 0.8)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH s AS ($duckShingles)
+             SELECT id_a, id_b, jaccard FROM (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
+                        AS jaccard
+               FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+             WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
+
+  /** Blocked n-gram Jaccard (exact within a blocking key). */
+  val q_dedup_ngram_block = QuerySpec(
+    "q_dedup_ngram_block", Seq("E-dedup"),
+    (s, d) => Dedup.ngramJaccardPairs(Engine.table(s, d, "documents"),
+        blockCol = "source", threshold = 0.5)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH s AS ($duckShingles)
+             SELECT id_a, id_b, jaccard FROM (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
+                        AS jaccard
+               FROM s a JOIN s b
+                 ON a.source = b.source AND a.doc_id < b.doc_id) p
+             WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
+
+  /** SimHash near-dups — fingerprint family is engine-specific, so the
+    * driver records a rows-only check; ScalaTest pins the semantics. */
+  val q_dedup_simhash = QuerySpec(
+    "q_dedup_simhash", Seq("E-dedup"),
+    (s, d) => Dedup.simHashPairs(Engine.table(s, d, "documents"),
+        maxHamming = 8)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  /** Embedding-cosine near-dups via hyperplane LSH (approximate). */
+  val q_dedup_embedding = QuerySpec(
+    "q_dedup_embedding", Seq("E-dedup"),
+    (s, d) => Dedup.embeddingNearDupPairs(Engine.table(s, d, "embeddings"),
+        threshold = 0.9)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  // ----------------------------------------------------------- similarity
+
+  /** Brute-force cosine top-k vs the vec_id=0 query vector, on quantized
+    * vectors so scores are bitwise identical to the oracle. */
+  val q_embed_topk_bruteforce = QuerySpec(
+    "q_embed_topk_bruteforce", Seq("E-sim"),
+    (s, d) => {
+      val emb = Engine.table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          quantizedCosine(col("embedding"), col("qv")).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH qz AS (SELECT vec_id,
+                 list_transform(embedding,
+                   x -> round(x::DOUBLE * 1000)::BIGINT) AS q
+               FROM embeddings)
+            SELECT e.vec_id,
+                   CASE WHEN sqrt(na::DOUBLE)*sqrt(nb::DOUBLE) = 0 THEN 0.0
+                        ELSE dot::DOUBLE /
+                             (sqrt(na::DOUBLE)*sqrt(nb::DOUBLE)) END AS cos
+            FROM (SELECT e.vec_id,
+                    list_sum(list_transform(range(1, len(e.q)+1),
+                      i -> e.q[i] * q0.q[i]))::BIGINT AS dot,
+                    list_sum(list_transform(e.q, x -> x*x))::BIGINT AS na,
+                    list_sum(list_transform(q0.q, x -> x*x))::BIGINT AS nb
+                  FROM qz e, (SELECT q FROM qz WHERE vec_id=0) q0
+                  WHERE e.vec_id <> 0) e
+            ORDER BY cos DESC, vec_id LIMIT 10"""))
+
+  /** LSH kNN self-join (approximate) — recall vs brute force is pinned
+    * in ScalaTest, not the oracle. */
+  val q_embed_knn_lsh = QuerySpec(
+    "q_embed_knn_lsh", Seq("E-sim"),
+    (s, d) => Similarity.lshKnnJoin(Engine.table(s, d, "embeddings"), k = 5)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  /** IVF-style pruned top-k (approximate scale path). */
+  val q_embed_ivf_topk = QuerySpec(
+    "q_embed_ivf_topk", Seq("E-sim"),
+    (s, d) => {
+      val emb = Engine.table(s, d, "embeddings")
+      val row = emb.filter(col("vec_id") === 0).head()
+      val q = row.getSeq[Float](row.fieldIndex("embedding"))
+        .map(_.toDouble).toSeq
+      Similarity.ivfTopK(emb, q, k = 10)
+    },
+    None)
+
+  // ----------------------------------------------------------- multimodal
+
+  /** Binary media plumbing: payload bytes → per-partition stub decode →
+    * fixed-width features. feature_l1 (histogram mass) == payload byte
+    * count, which the oracle checks independently. */
+  val q_multimodal_features = QuerySpec(
+    "q_multimodal_features", Seq("E-mm"),
+    (s, d) => {
+      val media = Multimodal.asMediaTable(
+        Engine.table(s, d, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+          aggregate(col("feature"), lit(0.0),
+            (acc, x) => acc + x.cast("double")).cast("long").as("feature_l1"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   octet_length(encode(text))::BIGINT AS feature_l1
+            FROM documents ORDER BY media_id"""))
+
+  val all: Seq[QuerySpec] = Seq(
+    q_text_token_stats, q_text_quality, q_text_langid, q_text_fingerprint,
+    q_dedup_exact, q_dedup_minhash_lsh, q_dedup_ngram_block,
+    q_dedup_simhash, q_dedup_embedding,
+    q_embed_topk_bruteforce, q_embed_knn_lsh, q_embed_ivf_topk,
+    q_multimodal_features)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column-level helpers shared across operators and queries.
+  *
+  * Money/measure arithmetic goes through exact DECIMAL accumulation and is
+  * only converted back to DOUBLE at the end: double summation order varies
+  * with partitioning, so a distributed double-sum is nondeterministic at
+  * scale, while decimal sums are exact and reproducible on any cluster
+  * size — and bitwise-comparable against an external oracle.
+  */
+package object functions {
+
+  /** Exact 2-dp decimal view of a double measure (for sums). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact 4-dp decimal view (for products like price*(1-discount)). */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Deterministic double result of an exact decimal sum. */
+  def dsum2(c: Column): Column = sum(dec2(c)).cast("double")
+  def dsum4(c: Column): Column = sum(dec4(c)).cast("double")
+
+  /** Deterministic average: exact decimal sum cast to double, then one
+    * double division — bitwise-reproducible (unlike a double sum). */
+  def davg2(c: Column): Column =
+    sum(dec2(c)).cast("double") / count(c)
+
+  /** Dot product of two float-array embeddings, accumulated in double.
+    * Sequential left fold — deterministic regardless of partitioning. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm squared of a float-array embedding, in double. */
+  def normSq(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity between two embeddings; 0.0 for zero vectors. */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = sqrt(normSq(a)) * sqrt(normSq(b))
+    when(denom === 0.0, 0.0).otherwise(dotProduct(a, b) / denom)
+  }
+
+  /** Integer-quantized embedding (×1000, rounded): dot products and
+    * norms over longs are EXACT, so similarity scores are bitwise
+    * reproducible on any partitioning/engine — the property float sums
+    * lack. Quantization error at 3 decimals is far below any useful
+    * near-dup threshold. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Cosine similarity over quantized vectors (deterministic). */
+  def quantizedCosine(a: Column, b: Column): Column = {
+    val qa = quantize(a)
+    val qb = quantize(b)
+    val dot = aggregate(zip_with(qa, qb, (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val na = aggregate(transform(qa, x => x * x), lit(0L), (acc, x) => acc + x)
+    val nb = aggregate(transform(qb, x => x * x), lit(0L), (acc, x) => acc + x)
+    val denom = sqrt(na.cast("double")) * sqrt(nb.cast("double"))
+    when(denom === 0.0, 0.0).otherwise(dot.cast("double") / denom)
+  }
+
+  /** Whitespace token count (cheap, codegen'd). */
+  def wsTokenCount(text: Column): Column =
+    size(split(text, " "))
+
+  /** Word tokens: lowercase alphanumeric runs (BPE-ish pre-tokenizer). */
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))
+
+  /** Count of English stopword occurrences (language/quality signal).
+    * Pattern kept RE2-compatible so the DuckDB oracle can share it. */
+  val stopwordPattern = "\\b(the|a|an|of|to|and|in|is|it|that|for)\\b"
+
+  def stopwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(stopwordPattern), lit(0)))
+
+  /** Character k-shingles of a string as a distinct array. */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k))))
+}

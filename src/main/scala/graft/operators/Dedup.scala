@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Deduplication operators for LLM training-data pipelines
+  * (SURVEY.md §7E). Scale notes per operator:
+  *
+  *  - exact: one shuffle on a 16-byte fingerprint — the minimal-width
+  *    shuffle key for a 100 TB corpus.
+  *  - MinHash/LSH: candidate generation is a self-join on (band, hash)
+  *    buckets, i.e. an equi-join Catalyst shuffles on the bucket key;
+  *    only bucket-mates are ever paired, never the full cross product.
+  *  - SimHash: 8-byte fingerprint, banded into 4×16-bit keys → same
+  *    bucket-join shape; Hamming verification is an integer popcount.
+  *  - n-gram Jaccard / embedding cosine are VERIFIERS applied to
+  *    candidate pairs, not all-pairs operations.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first (min `idCol`) row per identical text.
+    * GroupBy on the md5 fingerprint, not the text, so the shuffle moves
+    * 16-byte keys instead of documents. */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup groups: fingerprint → group size + kept id (survey form). */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** Word-level k-shingles (n-grams joined by a space), distinct. */
+  def wordShingles(text: Column, k: Int = 2): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ",
+        (0 until k).map(off => element_at(toks, i + off)): _*)))
+  }
+
+  /** MinHash signature: `numHashes` seeded 32-bit min-hashes over the
+    * shingle set, as one pure expression (no explode, no shuffle). */
+  def minHashSignature(shingleCol: Column, numHashes: Int = 32): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingleCol, s => hash(s, seed))))
+
+  /** MinHash+LSH near-dup candidate pairs: signature → `bands` band
+    * hashes → explode to (band, bandHash) → self-join on the bucket →
+    * verified with exact Jaccard over the shingles. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold. */
+  def minHashLshPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleSize: Int = 2,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val base = docs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    val banded = base.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val a = banded.select(col("band"), col("bh"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bh"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs n-gram Jaccard within an explicit blocking key (e.g.
+    * `source`): the exact-verification path when a natural partition
+    * exists. Returns (id_a, id_b, jaccard) above threshold. */
+  def ngramJaccardPairs(docs: DataFrame, blockCol: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleSize: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("sh"))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, banded into 4×16-bit
+    * keys (any pair within Hamming distance 3 shares ≥1 intact band),
+    * verified by popcount of the XOR. */
+  def simHashPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+      SimHash64.simhash64(wordTokens(col(textCol))).as("fp"))
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val a = banded.select(col("band"), col("bh"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("bh"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine similarity above threshold among
+    * candidates sharing a random-hyperplane LSH bucket. */
+  def embeddingNearDupPairs(embeddings: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      dim: Int = 64, planes: Int = 12,
+      threshold: Double = 0.95): DataFrame = {
+    val sig = Similarity.hyperplaneSignature(col(vecCol), dim, planes)
+    val base = embeddings.select(col(idCol).as("id"),
+      col(vecCol).as("v"), sig.as("bucket"))
+    val a = base.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = base.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSimilarity(col("v_a"), col("v_b")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational helpers that encode the reference's documented manual
+  * rewrites as reusable library operators (SURVEY.md §2.3/§2.4/§2.7).
+  *
+  * On a real cluster AQE subsumes most of the skew machinery
+  * (reference docs/sql调优.md:173-250) — these helpers exist because the
+  * reference documents them as user-level patterns and because AQE does
+  * not cover null-key flooding (J7) or deliberate pre-aggregation (A9)
+  * in every shape.
+  */
+object Relational {
+
+  /** J7 (reference docs/sql调优.md:42-51): null-safe skew-salted left
+    * join. Rows whose key is null would all hash to one reducer in a
+    * plain shuffle join; salting them with a random key that cannot
+    * exist on the build side spreads them across partitions while
+    * preserving left-join semantics (null keys never match anyway).
+    */
+  def nullSaltedLeftJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column): DataFrame = {
+    val salted = when(leftKey.isNull,
+      concat(lit("graft_null_"), (rand(42) * 1e9).cast("long").cast("string"))
+    ).otherwise(leftKey.cast("string"))
+    left.withColumn("__salt_key", salted)
+      .join(right.withColumn("__rk", rightKey.cast("string")),
+        col("__salt_key") === col("__rk"), "left")
+      .drop("__salt_key", "__rk")
+  }
+
+  /** A9 (reference docs/sql调优.md:173-186): two-phase salted
+    * aggregation — local agg on (randPrefix, key), then strip the prefix
+    * and agg again. Spark's partial aggregation already does this
+    * map-side; the helper exists for hot single keys where even the
+    * partial-agg hash map on one partition is the bottleneck.
+    * `aggs` must be re-aggregable (sum/count/min/max).
+    */
+  def saltedSumAgg(
+      df: DataFrame, keys: Seq[String], sumCol: Column,
+      buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", (rand(42) * buckets).cast("int"))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(sumCol).as("__partial"))
+    salted.groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("agg_val"))
+  }
+
+  /** J9 (reference docs/sql调优.md:59-71): one-column-matches-two-columns
+    * join fused into a single shuffle — UNION ALL the two key projections
+    * (tagged), then one join, instead of two joins + union.
+    */
+  def unionFusedJoin(
+      fact: DataFrame, keyA: String, keyB: String,
+      dim: DataFrame, dimKey: String): DataFrame = {
+    val a = fact.withColumn("__k", col(keyA)).withColumn("__side", lit(keyA))
+    val b = fact.withColumn("__k", col(keyB)).withColumn("__side", lit(keyB))
+    a.unionByName(b).join(dim, col("__k") === col(dimKey))
+  }
+
+  /** J10/J11 (reference docs/sql调优.md:202-250): skew split join.
+    * Hot keys (above `hotThreshold` rows) are salted 0..n-1 with the dim
+    * side exploded ×n; the long tail joins normally; results unioned.
+    * On Spark this is usually AQE's job — kept as the documented manual
+    * recipe, result-equivalent to a plain inner join.
+    */
+  def skewSplitJoin(
+      fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      hotThreshold: Long = 100000, saltBuckets: Int = 16): DataFrame = {
+    val hotKeys = fact.groupBy(factKey).count()
+      .filter(col("count") >= hotThreshold).select(factKey)
+    val hotSet = broadcast(hotKeys)
+    val hotFact = fact.join(hotSet, Seq(factKey), "left_semi")
+      .withColumn("__salt", (rand(42) * saltBuckets).cast("int"))
+    val coldFact = fact.join(hotSet, Seq(factKey), "left_anti")
+    val explodedDim = dim.join(hotSet.withColumnRenamed(factKey, dimKey),
+        Seq(dimKey), "left_semi")
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    val hotJoined = hotFact.join(explodedDim,
+      hotFact(factKey) === explodedDim(dimKey) &&
+        hotFact("__salt") === explodedDim("__salt"))
+      .drop("__salt")
+    val coldJoined = coldFact.join(dim, col(factKey) === col(dimKey))
+    hotJoined.unionByName(coldJoined)
+  }
+
+  /** U5 (reference docs/sql规范.md:20-24): dedup keeping the first row
+    * per key under `order` — the warehouse "delete duplicates keeping
+    * min ROWID" idiom, expressed as a window filter. */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String],
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** O5/A12: top-k per group without a global sort — rank inside each
+    * group partition, filter, then a tiny final sort. */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+  }
+}
