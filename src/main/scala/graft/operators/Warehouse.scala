@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-construction operators: layered catalog, partitioned
+  * storage, updatable-table semantics (SURVEY.md §1.1, §2.1).
+  *
+  * The reference's warehouse is ODS→DWD→DWS→ADS layers of dt-partitioned
+  * Hive tables (reference docs/实时数仓.md:57-73, docs/HiveSQL.md:42-63)
+  * plus Kudu for the one thing append-only storage lacks: updates
+  * (reference docs/kudu.md:19). Here: parquet + dynamic partition
+  * overwrite gives the same upsert granularity (partition-level MERGE),
+  * which is how accumulating snapshots and SCD2 dims behave at 100 TB —
+  * rewrite only the partitions that changed, never the table.
+  */
+object Warehouse {
+
+  val layers: Seq[String] = Seq("ods", "dwd", "dws", "ads")
+
+  /** Create the layer databases (idempotent). */
+  def createLayers(spark: SparkSession): Unit =
+    layers.foreach(l => spark.sql(s"CREATE DATABASE IF NOT EXISTS $l"))
+
+  /** S3/S5: write a dt-partitioned table; `dynamic` overwrite replaces
+    * only the partitions present in `df` (Hive dynamic-partition-insert
+    * semantics, reference docs/HiveSQL.md:60-63). */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String],
+      overwriteDynamic: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      if (overwriteDynamic) "dynamic" else "static")
+    df.write
+      .mode(if (overwriteDynamic) SaveMode.Overwrite else SaveMode.Append)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
+
+  /** S4: CTAS into the session catalog. */
+  def ctas(spark: SparkSession, table: String, query: String): Unit =
+    spark.sql(s"CREATE TABLE $table USING parquet AS $query")
+
+  /** Accumulating-snapshot upsert (reference docs/数据模型.md:21-25):
+    * new measurements for existing keys replace old rows. Partition-
+    * level merge: only partitions carrying updates are rewritten.
+    * `versionCol` decides the winner (latest wins). */
+  def upsertByKey(existing: DataFrame, updates: DataFrame,
+      keys: Seq[String], versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(desc(versionCol))
+    existing.unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** SCD2 merge (reference docs/数据模型.md:41-46): close out changed
+    * rows (set `valid_to`), append new versions open-ended. Pure
+    * dataframe transform — caller persists with `writePartitioned`. */
+  def scd2Merge(dim: DataFrame, changes: DataFrame, key: String,
+      attrCols: Seq[String], effectiveDate: String): DataFrame = {
+    val openEnd = lit("9999-12-31")
+    val ch = changes.select(
+      (col(key) +: attrCols.map(col)) :+ col(effectiveDate).as("__eff"): _*)
+    val current = dim.filter(col("valid_to") === openEnd)
+    val history = dim.filter(col("valid_to") =!= openEnd)
+    val joined = current.as("c").join(ch.as("u"), Seq(key), "left")
+    val changed = attrCols.map(a =>
+      col(s"u.${a}") =!= col(s"c.${a}")).reduce(_ || _)
+    val unchanged = joined.filter(col("__eff").isNull || !changed)
+      .select(current.columns.map(c => col(s"c.$c")): _*)
+    val closed = joined.filter(col("__eff").isNotNull && changed)
+      .select((current.columns.map {
+        case "valid_to" => col("__eff").as("valid_to")
+        case c => col(s"c.$c")
+      }): _*)
+    val opened = joined.filter(col("__eff").isNotNull && changed)
+      .select((current.columns.map {
+        case "valid_from" => col("__eff").as("valid_from")
+        case "valid_to" => openEnd.as("valid_to")
+        case c if attrCols.contains(c) => col(s"u.$c").as(c)
+        case c => col(s"c.$c")
+      }): _*)
+    history.unionByName(unchanged).unionByName(closed).unionByName(opened)
+  }
+
+  /** S9/T6: small-file compaction — rewrite a parquet directory into
+    * ~`targetFileMB`-sized files. Only files present at listing time are
+    * compacted (in-flight stream files keep landing untouched,
+    * reference docs/实时数仓.md:99-101). Returns (filesBefore, filesAfter). */
+  def compactSmallFiles(spark: SparkSession, dir: String,
+      targetFileMB: Int = 128): (Long, Long) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path)
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, (totalBytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val snapshot = files.map(_.getPath.toString)
+    val df = spark.read.parquet(snapshot: _*)
+    val tmp = dir.stripSuffix("/") + "__compact_tmp"
+    df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap: remove compacted inputs, move new files in
+    snapshot.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(path, f.getPath.getName))
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val after = fs.listStatus(path)
+      .count(f => f.getPath.getName.endsWith(".parquet"))
+    (files.length.toLong, after.toLong)
+  }
+
+  /** Narrow→wide tag-table pivot (reference docs/画像开发方案.md:28). */
+  def narrowToWide(narrow: DataFrame, idCol: String, tagNameCol: String,
+      tagValueCol: String, tags: Seq[String]): DataFrame =
+    narrow.groupBy(idCol).pivot(tagNameCol, tags)
+      .agg(first(col(tagValueCol)))
+
+  /** Wide→narrow (unpivot via stack). */
+  def wideToNarrow(wide: DataFrame, idCol: String,
+      tagCols: Seq[String]): DataFrame = {
+    val stackExpr = tagCols.map(c => s"'$c', cast(`$c` as string)")
+      .mkString(", ")
+    wide.selectExpr(idCol,
+      s"stack(${tagCols.size}, $stackExpr) as (tag_name, tag_value)")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** §5.2 plan-shape tests (the reference's EXPLAIN-review practice,
+  * docs/explain.md): assert that pushdown / pruning / broadcast /
+  * codegen decisions actually happen — these are the properties that
+  * make the plans survive a 100 TB scale-up. */
+class PlanShapeSpec extends SparkSuite {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters are pushed to the parquet scan (P3/S2)") {
+    val plan = Queries.q_filter_range.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull(l_quantity)") ||
+      plan.contains("GreaterThan(l_quantity"), s"quantity filter not pushed:\n$plan")
+  }
+
+  test("column pruning reaches the scan: 2-col projection reads 2 cols (P1)") {
+    val df = Engine.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more than the projection:\n$scan")
+  }
+
+  test("small dim side broadcasts (J4), fact side does not shuffle") {
+    val plan = executedPlan(Queries.q_broadcast_join.run(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("catalyst auto-broadcasts small dims without a hint (J1)") {
+    val li = Engine.table(spark, sf, "lineitem")
+    val p = Engine.table(spark, sf, "part")
+    val plan = executedPlan(
+      li.join(p, col("l_partkey") === col("p_partkey")).groupBy("p_brand")
+        .agg(count(lit(1))))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("aggregation is partial+final (A1) inside whole-stage codegen") {
+    // pre-AQE sparkPlan shows both aggregates (AQE's final rendering
+    // elides materialized query-stage subtrees)
+    val plan = Queries.q_pricing_summary.run(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final agg:\n$plan")
+    // "*(n)" is the compact render of WholeStageCodegen stage n
+    val exec = executedPlan(Queries.q_pricing_summary.run(spark, sf))
+    assert(exec.contains("*(1)"), exec)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort (O5)") {
+    val plan = Queries.q_topk.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("semi/anti joins plan as LeftSemi/LeftAnti (J5/J6)") {
+    val semi = executedPlan(Queries.q_semi_join.run(spark, sf))
+    val anti = executedPlan(Queries.q_anti_join.run(spark, sf))
+    assert(semi.contains("LeftSemi"), semi)
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("AQE coalesces shuffle partitions (docs/sql调优.md:157-163)") {
+    val df = Engine.table(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(count(lit(1)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") || plan.contains("coalesced"),
+      s"AQE did not optimize the exchange:\n$plan")
+  }
+
+  test("scalar text pipeline stays in one codegen stage (no exchanges)") {
+    val df = graft.operators.TextOps.qualityScore(
+      Engine.table(spark, sf, "documents"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"pure projection must not shuffle:\n$plan")
+  }
+
+  test("multimodal feature extraction has no exchange (map-only at scale)") {
+    val media = Multimodal.asMediaTable(
+      Engine.table(spark, sf, "documents"), "doc_id", "text")
+    val plan = Multimodal.extractFeatures(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode must be map-only:\n$plan")
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators.Relational
+
+/** §5.2 rewrite-equivalence tests: each documented manual rewrite
+  * (reference docs/sql调优.md, docs/HiveSQL.md:111-157) must be
+  * result-identical to its naive form. */
+class RewriteEquivalenceSpec extends SparkSuite {
+
+  test("salted aggregation == plain group-by (docs/sql调优.md:173-186)") {
+    val li = Engine.table(spark, sf, "lineitem")
+    val salted = Relational.saltedSumAgg(li, Seq("l_returnflag"),
+        dec2(col("l_quantity")), buckets = 8)
+      .select(col("l_returnflag"), col("agg_val").cast("double"))
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum(dec2(col("l_quantity"))).cast("double"))
+    assertSameRows(salted, plain)
+  }
+
+  test("skew-split join == plain join (docs/sql调优.md:202-250)") {
+    val li = Engine.table(spark, sf, "lineitem")
+      .select("l_partkey", "l_quantity")
+    val p = Engine.table(spark, sf, "part").select("p_partkey", "p_brand")
+    val split = Relational.skewSplitJoin(li, "l_partkey", p, "p_partkey",
+        hotThreshold = 10, saltBuckets = 3)
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+    val plain = li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+    assertSameRows(split, plain)
+  }
+
+  test("union-fused join == two joins unioned (docs/sql调优.md:59-71)") {
+    val li = Engine.table(spark, sf, "lineitem")
+    val p = Engine.table(spark, sf, "part").select("p_partkey", "p_brand")
+    val fused = Relational.unionFusedJoin(li, "l_partkey", "l_suppkey",
+        p, "p_partkey")
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+    val twoJoins = li.join(p, col("l_partkey") === col("p_partkey"))
+      .select("p_brand")
+      .unionByName(
+        li.join(p, col("l_suppkey") === col("p_partkey")).select("p_brand"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+    assertSameRows(fused, twoJoins)
+  }
+
+  test("null-salted left join == plain left join (docs/sql调优.md:42-51)") {
+    val e = Engine.table(spark, sf, "events")
+      .select(col("event_type"), nullif(col("user_id"), lit(0)).as("uid"))
+    val c = Engine.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val salted = Relational.nullSaltedLeftJoin(e, c,
+        col("uid"), col("c_custkey"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("c_name")).as("m"))
+    val plain = e.join(c, col("uid") === col("c_custkey"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("c_name")).as("m"))
+    assertSameRows(salted, plain)
+  }
+
+  test("window query == group-by+join decomposition (docs/HiveSQL.md:111-157)") {
+    val a = Queries.q_window_count_sum.run(spark, sf)
+      .select("event_id", "n_day", "v_day")
+    val b = Queries.q_window_decomposed.run(spark, sf)
+    assertSameRows(a, b)
+  }
+
+  test("dedup-keep-first keeps exactly min-order row per key (docs/sql规范.md:20-24)") {
+    val e = Engine.table(spark, sf, "events")
+    val got = Relational.dedupKeepFirst(e, Seq("user_id", "event_type"),
+      Seq(col("ts"), col("event_id")))
+    val perKey = got.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1)
+    assert(perKey.isEmpty, "a key kept more than one row")
+    val expectFirst = e.groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"))).as("s"))
+      .select(col("user_id"), col("event_type"), col("s.event_id"))
+    assertSameRows(got.select("user_id", "event_type", "event_id"),
+      expectFirst)
+  }
+}

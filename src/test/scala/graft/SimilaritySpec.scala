@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators.Similarity
+
+/** ANN operators: brute force is ground truth; LSH/IVF recall is pinned
+  * against it. */
+class SimilaritySpec extends SparkSuite {
+
+  private lazy val emb = Engine.table(spark, sf, "embeddings")
+
+  private lazy val queryVec: Seq[Double] = {
+    val row = emb.filter(col("vec_id") === 7).head()
+    row.getSeq[Float](row.fieldIndex("embedding")).map(_.toDouble).toSeq
+  }
+
+  test("bruteForceTopK: self is rank 1 with cos ~ 1") {
+    val top = Similarity.bruteForceTopK(emb, queryVec, k = 5).collect()
+    assert(top.head.getLong(0) == 7L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val scores = top.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse), "not sorted desc")
+  }
+
+  /** Planted clustered fixture: 10 tight clusters of 20 vectors — the
+    * testdata embeddings are isotropic-random (no cosine structure), so
+    * approximate-index recall is only meaningful on clustered data. */
+  private lazy val clustered = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(10, 64)(rng.nextGaussian())
+    (0 until 200).map { i =>
+      val c = centers(i % 10)
+      val v = c.map(x => (x + rng.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v, i % 10)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("ivfTopK recall@10 >= 0.8 vs brute force on clustered data") {
+    val row = clustered.filter(col("vec_id") === 0).head()
+    val q = row.getSeq[Float](1).map(_.toDouble).toSeq
+    val truth = Similarity.bruteForceTopK(clustered, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfTopK(clustered, q, k = 10,
+        planes = 6, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+  }
+
+  test("lshKnnJoin finds same-cluster neighbors on clustered data") {
+    val knn = Similarity.lshKnnJoin(clustered, k = 3, planes = 8, probes = 2)
+    val labels = clustered.select(col("vec_id"), col("label"))
+    val joined = knn
+      .join(labels.withColumnRenamed("vec_id", "id_a")
+        .withColumnRenamed("label", "label_a"), Seq("id_a"))
+      .join(labels.withColumnRenamed("vec_id", "id_b")
+        .withColumnRenamed("label", "label_b"), Seq("id_b"))
+    val agree = joined.filter(col("label_a") === col("label_b")).count()
+    val total = joined.count()
+    assert(total > 0)
+    assert(agree.toDouble / total > 0.9,
+      s"label agreement ${agree.toDouble / total}; chance is 0.1")
+  }
+
+  test("quantizedCosine matches double cosine within quantization error") {
+    val two = emb.filter(col("vec_id").isin(3, 4))
+      .agg(collect_list(col("embedding")).as("vs"))
+      .select(element_at(col("vs"), 1).as("a"), element_at(col("vs"), 2).as("b"))
+    val got = two.select(
+      quantizedCosine(col("a"), col("b")).as("q"),
+      cosineSimilarity(col("a"), col("b")).as("c")).head()
+    assert(math.abs(got.getDouble(0) - got.getDouble(1)) < 1e-3)
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide session, lazy). */
+object SparkSuite {
+  lazy val spark: SparkSession = Engine.session(master = "local[4]",
+    shufflePartitions = 4)
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSuite.spark
+  def sf: String = SparkSuite.sf
+
+  /** Order-insensitive DataFrame equality on collected rows. */
+  def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    val ca = a.collect().map(_.toString).sorted
+    val cb = b.collect().map(_.toString).sorted
+    assert(ca.length == cb.length,
+      s"row counts differ: ${ca.length} vs ${cb.length}")
+    ca.zip(cb).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"row $i differs:\n  a=$x\n  b=$y")
+    }
+  }
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}

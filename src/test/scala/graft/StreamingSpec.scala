@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured-Streaming semantics from SURVEY.md §2.9, driven through
+  * MemoryStream (same IncrementalExecution as Kafka in production). */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("T3: tumbling window with allowed lateness admits late-but-in-grace rows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = StreamOps.tumblingWindowAgg(in.toDF(), "ts",
+      "1 minute", "10 seconds", Seq("event_type"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("t3_out").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:10"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:00:50"), 2, "click", 2.0))
+      q.processAllAvailable()
+      // late row, 5s inside the grace period (watermark = 10:00:40)
+      in.addData(Ev(t("2024-01-01 10:00:45"), 3, "click", 3.0))
+      q.processAllAvailable()
+      // window closes only once the watermark passes 10:01:00
+      in.addData(Ev(t("2024-01-01 10:02:00"), 4, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("t3_out").collect()
+      assert(rows.length == 1, s"exactly the closed window: ${rows.toSeq}")
+      assert(rows(0).getAs[Long]("cnt") == 3,
+        "late-but-within-grace row must land in its window")
+      assert(rows(0).getAs[Double]("total") == 6.0)
+    } finally q.stop()
+  }
+
+  test("T3b: rows later than the grace period are dropped") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = StreamOps.tumblingWindowAgg(in.toDF(), "ts",
+      "1 minute", "10 seconds", Seq("event_type"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("t3b_out").start()
+    try {
+      in.addData(Ev(t("2024-01-01 10:00:10"), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-01-01 10:05:00"), 2, "click", 2.0))
+      q.processAllAvailable()
+      // 10:00 window already closed by watermark 10:04:50 -> too late
+      in.addData(Ev(t("2024-01-01 10:00:20"), 3, "click", 9.0))
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-01-01 10:10:00"), 4, "click", 4.0))
+      q.processAllAvailable()
+      val w0 = spark.table("t3b_out")
+        .filter(col("window.start") === t("2024-01-01 10:00:00")).collect()
+      assert(w0.length == 1 && w0(0).getAs[Long]("cnt") == 1,
+        "too-late row must be dropped from the closed window")
+    } finally q.stop()
+  }
+
+  test("T5: drift filter keeps business-date rows from widened partitions") {
+    val rows = Seq(
+      ("2024-01-01", t("2024-01-01 23:59:58")), // correct partition
+      ("2024-01-02", t("2024-01-01 23:59:59")), // drifted to next dt
+      ("2024-01-01", t("2024-01-02 00:00:01")), // drifted backwards
+      ("2024-01-02", t("2024-01-02 10:00:00"))) // other day
+      .toDF("dt", "ts")
+    val got = StreamOps.driftFilter(rows, "dt", "ts", "2024-01-01")
+      .select("ts").collect().map(_.getTimestamp(0)).toSet
+    assert(got == Set(t("2024-01-01 23:59:58"), t("2024-01-01 23:59:59")))
+  }
+
+  test("T7: streaming user tags aggregate per user-hour") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.streamingUserTags(in.toDF())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("t7_out").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:05:00"), 1, "purchase", 10.0),
+        Ev(t("2024-01-01 10:10:00"), 1, "click", 0.0),
+        Ev(t("2024-01-01 10:20:00"), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      val r = spark.table("t7_out").filter($"user_id" === 1).collect().last
+      assert(r.getAs[Long]("events_1h") == 3)
+      assert(r.getAs[Long]("buys_1h") == 2)
+      assert(r.getAs[Double]("amt_1h") == 15.0)
+    } finally q.stop()
+  }
+
+  test("T1/T6/S8: parquet sink with side-sink fan-out per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dir = tmpDir("stream_sink")
+    val side = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamOps.startParquetSink(in.toDF(), s"$dir/data",
+      s"$dir/ckpt", sideSinks = Seq(b => side.addAndGet(b.count())))
+    try {
+      in.addData(Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0))
+      in.addData(Ev(t("2024-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/data").count() == 2)
+      assert(side.get() == 2, "side sink must see every micro-batch row")
+    } finally q.stop()
+  }
+
+  test("T8: kappa replay rebuilds the result table from scratch") {
+    val srcDir = tmpDir("kappa_src")
+    val outDir = tmpDir("kappa_out") + "/final"
+    val events = Seq(
+      Ev(t("2024-01-01 10:00:00"), 1, "purchase", 10.0),
+      Ev(t("2024-01-01 11:00:00"), 2, "click", 0.0),
+      Ev(t("2024-01-01 12:00:00"), 1, "purchase", 7.0))
+    events.toDF().write.mode("overwrite").parquet(srcDir)
+    val source = spark.readStream
+      .schema(events.toDF().schema).parquet(srcDir)
+    StreamOps.kappaReplay(spark, source,
+      df => df.filter(col("event_type") === "purchase"),
+      outDir, tmpDir("kappa_staging") + "/s", tmpDir("kappa_ckpt") + "/c")
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 2)
+    assert(out.agg(sum("value")).head().getDouble(0) == 17.0)
+  }
+
+  test("T9: differential validator flags only out-of-tolerance keys") {
+    val batch = Seq(("a", 10.0), ("b", 5.0), ("c", 1.0)).toDF("k", "m")
+    val stream = Seq(("a", 10.0), ("b", 5.5), ("d", 2.0)).toDF("k", "m")
+    val bad = StreamOps.differentialValidate(batch, stream,
+        Seq("k"), "m", tolerance = 0.1)
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(bad == Set("b", "c", "d"))
+  }
+}

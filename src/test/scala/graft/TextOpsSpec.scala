@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash64
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat on the mat. it is a cat!"),
+    (1L, "zzz qqq xyz"),
+    (2L, ""))
+    .toDF("doc_id", "text")
+
+  test("tokenStats counts chars / ws tokens / words / uniques") {
+    val r = TextOps.tokenStats(docs).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 36)            // len_chars
+    assert(r(0).getLong(2) == 10)            // ws tokens
+    assert(r(0).getLong(3) == 10)            // word tokens
+    assert(r(0).getLong(4) == 8)             // unique: the,cat,sat,on,mat,it,is,a
+    assert(r(2).getLong(3) == 0)             // empty text -> 0 words
+  }
+
+  test("qualityScore: stopword-rich text passes, junk fails") {
+    val r = TextOps.qualityScore(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("passes_quality"))
+    assert(!r(1).getAs[Boolean]("passes_quality"))
+    assert(r(0).getAs[Long]("punct_cnt") == 2)
+    assert(r(0).getAs[Double]("stop_ratio") > 0.3)
+  }
+
+  test("langId: english detected via stopwords, junk unknown") {
+    val r = TextOps.langId(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("pred_lang") == "en")
+    assert(r(1).getAs[String]("pred_lang") == "unknown")
+  }
+
+  test("langId: non-ascii text routed to other") {
+    val zh = Seq((0L, "这是一个中文文档 的 测试")).toDF("doc_id", "text")
+    assert(TextOps.langId(zh).head().getAs[String]("pred_lang") == "other")
+  }
+
+  test("fingerprint is md5 and stable") {
+    val fp = TextOps.fingerprint(docs).filter($"doc_id" === 0)
+      .select("fp").head().getString(0)
+    assert(fp == java.security.MessageDigest.getInstance("MD5")
+      .digest("the cat sat on the mat. it is a cat!".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+  }
+
+  test("SimHash64: deterministic, order-insensitive-ish, discriminative") {
+    val df = Seq(
+      (0L, Seq("alpha", "beta", "gamma", "delta")),
+      (1L, Seq("alpha", "beta", "gamma", "delta")),
+      (2L, Seq("alpha", "beta", "gamma", "epsilon")),
+      (3L, Seq("nothing", "shared", "with", "others", "at", "all")))
+      .toDF("id", "toks")
+      .select(col("id"), SimHash64.simhash64(col("toks")).as("h"))
+    val h = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(1L), "same tokens must produce same simhash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(2L)) < ham(h(0L), h(3L)),
+      "near tokens should be closer than unrelated tokens")
+  }
+
+  test("SimHash64 survives codegen and interpreted paths identically") {
+    val df = Seq(Tuple1(Seq("a", "b", "c"))).toDF("toks")
+    val viaExpr = df.select(SimHash64.simhash64(col("toks"))).head().getLong(0)
+    val direct = {
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      SimHash64.simhash(ArrayData.toArrayData(
+        Array("a", "b", "c").map(UTF8String.fromString)))
+    }
+    assert(viaExpr == direct)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Warehouse
+
+class WarehouseSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("writePartitioned + dynamic overwrite replaces only touched partitions") {
+    val dir = tmpDir("wh_dyn")
+    val day1 = Seq(("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"))
+      .toDF("dt", "id", "v")
+    Warehouse.writePartitioned(day1, dir, Seq("dt"))
+    // overwrite only dt=2024-01-02
+    val day2 = Seq(("2024-01-02", 9, "z")).toDF("dt", "id", "v")
+    Warehouse.writePartitioned(day2, dir, Seq("dt"), overwriteDynamic = true)
+    // partition values come back type-inferred (DATE) -> compare as text
+    val out = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Any]("dt").toString, r.getAs[Int]("id"))).toSet
+    assert(out == Set(("2024-01-01", 1), ("2024-01-02", 9)))
+  }
+
+  test("upsertByKey: latest version wins, new keys appended") {
+    val existing = Seq((1L, "old", 1L), (2L, "keep", 1L)).toDF("k", "v", "ver")
+    val updates = Seq((1L, "new", 2L), (3L, "ins", 1L)).toDF("k", "v", "ver")
+    val out = Warehouse.upsertByKey(existing, updates, Seq("k"), "ver")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "new", 2L -> "keep", 3L -> "ins"))
+  }
+
+  test("scd2Merge closes changed rows and opens new versions") {
+    val dim = Seq(
+      (1L, "addr_a", "2024-01-01", "9999-12-31"),
+      (2L, "addr_b", "2024-01-01", "9999-12-31"))
+      .toDF("k", "addr", "valid_from", "valid_to")
+    val changes = Seq((1L, "addr_a2", "2024-02-01")).toDF("k", "addr", "eff")
+    val out = Warehouse.scd2Merge(dim, changes, "k", Seq("addr"), "eff")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, "addr_a", "2024-01-01", "2024-02-01"),
+      (1L, "addr_a2", "2024-02-01", "9999-12-31"),
+      (2L, "addr_b", "2024-01-01", "9999-12-31")))
+  }
+
+  test("compactSmallFiles merges many small files, preserves rows") {
+    val dir = tmpDir("wh_compact")
+    val df = spark.range(1000).toDF("id")
+    df.repartition(20).write.mode("overwrite").parquet(dir)
+    val (before, after) = Warehouse.compactSmallFiles(spark, dir)
+    assert(before == 20 && after == 1, s"$before -> $after")
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
+  test("narrow<->wide tag pivot roundtrips") {
+    val narrow = Seq(
+      ("u1", "vip", "true"), ("u1", "score", "7"), ("u2", "vip", "false"))
+      .toDF("uid", "tag_name", "tag_value")
+    val wide = Warehouse.narrowToWide(narrow, "uid", "tag_name",
+      "tag_value", Seq("vip", "score"))
+    assert(wide.filter($"uid" === "u1").head().getString(1) == "true")
+    val back = Warehouse.wideToNarrow(wide, "uid", Seq("vip", "score"))
+      .filter(col("tag_value").isNotNull)
+    assert(back.count() == 3)
+  }
+
+  test("ctas + layer databases") {
+    Warehouse.createLayers(spark)
+    Engine.registerAll(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS dws.part_summary")
+    Warehouse.ctas(spark, "dws.part_summary",
+      "SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand")
+    assert(spark.table("dws.part_summary").count() > 0)
+    spark.sql("DROP TABLE dws.part_summary")
+  }
+}
