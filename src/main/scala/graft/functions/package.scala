@@ -71,16 +71,19 @@ package object functions {
   def wsTokenCount(text: Column): Column =
     size(split(text, " "))
 
-  /** Word tokens: lowercase alphanumeric runs (BPE-ish pre-tokenizer). */
+  /** Word tokens: alphanumeric runs after lowercasing (BPE-ish
+    * pre-tokenizer). Lowercasing first means "The cat" tokenizes to
+    * `the, cat`, so capitalized English scores like lowercase English. */
   def wordTokens(text: Column): Column =
-    regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
   /** Count of English stopword occurrences (language/quality signal).
-    * Pattern kept RE2-compatible so the DuckDB oracle can share it. */
+    * Pattern kept RE2-compatible so the DuckDB oracle can share it;
+    * applied to lowercased text so capitalized forms count. */
   val stopwordPattern = "\\b(the|a|an|of|to|and|in|is|it|that|for)\\b"
 
   def stopwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(stopwordPattern), lit(0)))
+    size(regexp_extract_all(lower(text), lit(stopwordPattern), lit(0)))
 
   /** Character k-shingles of a string as a distinct array. */
   def shingles(text: Column, k: Int): Column =

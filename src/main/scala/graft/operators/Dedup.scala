@@ -51,51 +51,82 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       seed => array_min(transform(shingleCol, s => hash(s, seed))))
 
-  /** MinHash+LSH near-dup candidate pairs: signature → `bands` band
-    * hashes → explode to (band, bandHash) → self-join on the bucket →
-    * verified with exact Jaccard over the shingles. Returns
-    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold. */
+  /** Exact Jaccard between two shingle arrays. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Join candidate (id_a, id_b) pairs back to the shingle table — once
+    * per side — and keep pairs at/above the Jaccard threshold. Exactly
+    * one verification per candidate pair; the shingle arrays never enter
+    * the candidate-generation shuffle. */
+  private def verifyPairs(cand: DataFrame, shingleTable: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(shingleTable.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(shingleTable.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** MinHash+LSH near-dup pairs: signature → band hashes → self-join on
+    * (band, bandHash) carrying ONLY (id, band, bandHash) — the shingle
+    * arrays stay out of the banded shuffle — then `distinct` collapses
+    * multi-band hits BEFORE verification, so exact Jaccard runs once per
+    * candidate pair. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold. */
   def minHashLshPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleSize: Int = 2,
       numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val base = docs.select(col(idCol).as("id"),
+    val shingleTable = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("sh"))
+    val banded = shingleTable
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
-    val banded = base.select(col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val a = banded.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-          .as("jaccard"))
-      .distinct()
-      .filter(col("jaccard") >= threshold)
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyPairs(cand, shingleTable, threshold)
   }
 
-  /** All-pairs n-gram Jaccard within an explicit blocking key (e.g.
-    * `source`): the exact-verification path when a natural partition
-    * exists. Returns (id_a, id_b, jaccard) above threshold. */
+  /** Exact n-gram Jaccard pairs within an explicit blocking key via
+    * PREFIX FILTERING (Bayardo et al., WWW 2007 "Scaling Up All Pairs
+    * Similarity Search"): order each document's shingles by ascending
+    * document frequency (rarest first); a pair with Jaccard >= t must
+    * share >= ceil(t*|A|) shingles, so the first |A|-ceil(t*|A|)+1
+    * shingles of each side must intersect. Candidates = pairs sharing a
+    * prefix shingle (+ block key) — 100% recall, so results are
+    * identical to the all-pairs form, but the join buckets are rare
+    * shingles instead of whole blocks: no O(block²) pair explosion, and
+    * a hot block at 100 TB stays near-linear. */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String,
       textCol: String = "text", idCol: String = "doc_id",
       shingleSize: Int = 2, threshold: Double = 0.5): DataFrame = {
     val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("sh"))
-    val a = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val toks = base.select(col("blk"), col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("tok"))
+    val freq = toks.groupBy("blk", "tok").agg(count(lit(1)).as("df"))
+    val prefixLen = col("sz") - ceil(col("sz") * threshold) + 1
+    val prefix = toks.join(freq, Seq("blk", "tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("blk", "id").orderBy(col("df"), col("tok"))))
+      .filter(col("rn") <= prefixLen)
+      .select("blk", "tok", "id")
+    val cand = prefix.withColumnRenamed("id", "id_a")
+      .join(prefix.withColumnRenamed("id", "id_b"), Seq("blk", "tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyPairs(cand, base.select(col("id"), col("sh")), threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints, banded into 4×16-bit
@@ -131,10 +162,10 @@ object Dedup {
       col(vecCol).as("v"), sig.as("bucket"))
     val a = base.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = base.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    // one bucket per vector → a pair meets at most once; no distinct
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineSimilarity(col("v_a"), col("v_b")).as("cos"))
-      .distinct()
       .filter(col("cos") >= threshold)
   }
 }

@@ -19,22 +19,13 @@ object Similarity {
 
   /** Random-hyperplane LSH signature (Charikar 2002): sign bits of the
     * dot product with `planes` deterministic pseudo-random hyperplanes.
-    * The planes derive from a seeded splitmix-style generator so every
-    * executor evaluates the identical expression — no driver-broadcast
-    * state needed. */
+    * Native codegen Expression ([[graft.functions.HyperplaneLSH]]) — the
+    * plane matrix is a single reference object, so generated code stays
+    * O(1) in the embedding dimension (works at dim=1024+) instead of
+    * unrolling planes*dim arithmetic terms into the task binary. */
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int,
-      seed: Long = 42L): Column = {
-    val rng = new scala.util.Random(seed)
-    val hyper: Array[Array[Double]] =
-      Array.fill(planes, dim)(rng.nextGaussian())
-    val bits = (0 until planes).map { p =>
-      val dot = (0 until dim).map { j =>
-        element_at(vec, j + 1).cast("double") * lit(hyper(p)(j))
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+      seed: Long = 42L): Column =
+    graft.functions.HyperplaneLSH.hyperplaneLsh(vec, dim, planes, seed)
 
   /** Brute-force cosine top-k against one query vector: map + global
     * top-k (TakeOrderedAndProject — no full sort, no shuffle of data,
@@ -74,33 +65,71 @@ object Similarity {
       .filter(col("rn") <= k).drop("rn")
   }
 
-  /** IVF-style search: coarse-partition vectors by LSH bucket, compute
-    * bucket centroids once, then search only the `nprobe` centroids
-    * closest to the query. At 100 TB the centroid table is tiny
-    * (broadcast) and the scan prunes to nprobe/nbuckets of the data —
-    * this is the scale path, with brute-force as the exact baseline. */
-  def ivfTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
-      dim: Int = 64, planes: Int = 8, nprobe: Int = 8,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val q = lit(query.toArray)
+  /** IVF index build: assign every vector an LSH coarse bucket and
+    * compute per-bucket centroids, PERSISTED as two parquet tables
+    * (`<indexDir>/vectors`, partitioned by bucket, and
+    * `<indexDir>/centroids`). Build once per corpus; at 100 TB this is
+    * the one full scan, after which every probe reads only
+    * nprobe/nbuckets of the data via partition pruning on `bucket`.
+    * Element-wise centroid mean via `aggregate`/`zip_with` over the
+    * vector column — O(1) expression size in `dim`, unlike a per-
+    * dimension agg list. */
+  def ivfBuildIndex(embeddings: DataFrame, indexDir: String,
+      dim: Int = 64, planes: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     val bucketed = embeddings.select(col(idCol), col(vecCol),
       hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
-    val dimAggs = (1 to dim).map(i =>
-      avg(element_at(col("vd"), i)).as(s"c$i"))
-    val centroids = bucketed
+    bucketed.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/vectors")
+    // centroid = per-(bucket, dimension) mean: posexplode rows so the
+    // mean is a partially-aggregated groupBy (map-side combine shrinks
+    // the shuffle to buckets*dim rows per partition) — never an
+    // in-memory materialization of a whole bucket
+    val spark = embeddings.sparkSession
+    spark.read.parquet(s"$indexDir/vectors")
       .select(col("bucket"),
-        transform(col(vecCol), x => x.cast("double")).as("vd"))
+        posexplode(transform(col(vecCol), _.cast("double"))))
+      .groupBy("bucket", "pos").agg(avg("col").as("m"))
       .groupBy("bucket")
-      .agg(dimAggs.head, dimAggs.tail: _*)
-      .select(col("bucket"),
-        array((1 to dim).map(i => col(s"c$i")): _*).as("centroid"))
-    // nearest nprobe buckets to the query
-    val near = centroids
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** IVF probe: read the persisted index, pick the `nprobe` buckets whose
+    * centroids are nearest the query (centroid table is tiny → driver-
+    * side top-nprobe then a broadcast semi-join that PRUNES the bucket-
+    * partitioned vector table), brute-force only inside those buckets.
+    * No part of the index is recomputed at query time. */
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      query: Seq[Double], k: Int, nprobe: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = lit(query.toArray)
+    val near = spark.read.parquet(s"$indexDir/centroids")
       .select(col("bucket"), cosineSimilarity(col("centroid"), q).as("c"))
-      .orderBy(desc("c")).limit(nprobe).select("bucket")
-    bucketed.join(broadcast(near), Seq("bucket"))
+      .orderBy(desc("c"), asc("bucket")).limit(nprobe).select("bucket")
+    // partition-column values read back type-inferred (INT when small)
+    val buckets = near.collect().map(_.get(0))
+    spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("bucket").isin(buckets: _*)) // partition-pruned scan
       .select(col(idCol), cosineSimilarity(col(vecCol), q).as("cos"))
       .orderBy(desc("cos"), asc(idCol))
       .limit(k)
+  }
+
+  /** Convenience build-if-absent + probe (fixture/test path). */
+  def ivfTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+      dim: Int = 64, planes: Int = 8, nprobe: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      indexDir: String = null): DataFrame = {
+    val spark = embeddings.sparkSession
+    // no explicit indexDir → fresh temp dir (always rebuild); reuse
+    // across probes requires opting in with a stable path
+    val dir = Option(indexDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ivf").toString)
+    if (!new java.io.File(s"$dir/centroids").exists())
+      ivfBuildIndex(embeddings, dir, dim, planes, vecCol, idCol)
+    ivfProbe(spark, dir, query, k, nprobe, vecCol, idCol)
   }
 }

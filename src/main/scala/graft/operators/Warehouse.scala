@@ -55,8 +55,11 @@ object Warehouse {
   }
 
   /** SCD2 merge (reference docs/数据模型.md:41-46): close out changed
-    * rows (set `valid_to`), append new versions open-ended. Pure
-    * dataframe transform — caller persists with `writePartitioned`. */
+    * rows (set `valid_to`), append new versions open-ended; change rows
+    * whose key has never been seen become brand-new open rows (anti-join
+    * append — a left join from `current` alone would silently drop new
+    * dimension members). Pure dataframe transform — caller persists with
+    * `writePartitioned`. */
   def scd2Merge(dim: DataFrame, changes: DataFrame, key: String,
       attrCols: Seq[String], effectiveDate: String): DataFrame = {
     val openEnd = lit("9999-12-31")
@@ -64,6 +67,18 @@ object Warehouse {
       (col(key) +: attrCols.map(col)) :+ col(effectiveDate).as("__eff"): _*)
     val current = dim.filter(col("valid_to") === openEnd)
     val history = dim.filter(col("valid_to") =!= openEnd)
+    // keys present in the change set but absent from the dim entirely:
+    // fresh open rows (non-attr columns the changes can't supply → null
+    // cast to the dim's type)
+    val dimTypes = dim.schema.map(f => f.name -> f.dataType).toMap
+    val fresh = ch.join(dim.select(key).distinct(), Seq(key), "left_anti")
+      .select(dim.columns.map {
+        case c if c == key => col(key)
+        case "valid_from" => col("__eff").as("valid_from")
+        case "valid_to" => openEnd.as("valid_to")
+        case c if attrCols.contains(c) => col(c)
+        case c => lit(null).cast(dimTypes(c)).as(c)
+      }.toSeq: _*)
     val joined = current.as("c").join(ch.as("u"), Seq(key), "left")
     val changed = attrCols.map(a =>
       col(s"u.${a}") =!= col(s"c.${a}")).reduce(_ || _)
@@ -82,6 +97,7 @@ object Warehouse {
         case c => col(s"c.$c")
       }): _*)
     history.unionByName(unchanged).unionByName(closed).unionByName(opened)
+      .unionByName(fresh)
   }
 
   /** S9/T6: small-file compaction — rewrite a parquet directory into

@@ -43,6 +43,20 @@ class WarehouseSpec extends SparkSuite {
       (2L, "addr_b", "2024-01-01", "9999-12-31")))
   }
 
+  test("scd2Merge appends brand-new keys as fresh open rows") {
+    val dim = Seq((1L, "addr_a", "2024-01-01", "9999-12-31"))
+      .toDF("k", "addr", "valid_from", "valid_to")
+    val changes = Seq((1L, "addr_a2", "2024-02-01"), (9L, "addr_new", "2024-02-01"))
+      .toDF("k", "addr", "eff")
+    val out = Warehouse.scd2Merge(dim, changes, "k", Seq("addr"), "eff")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, "addr_a", "2024-01-01", "2024-02-01"),
+      (1L, "addr_a2", "2024-02-01", "9999-12-31"),
+      (9L, "addr_new", "2024-02-01", "9999-12-31")))
+  }
+
   test("compactSmallFiles merges many small files, preserves rows") {
     val dir = tmpDir("wh_compact")
     val df = spark.range(1000).toDF("id")
