@@ -705,7 +705,8 @@ object Queries {
     q_profile_stats, q_profile_rule_tags, q_profile_pivot,
     q_sample_hot_keys)
 
-  def all: Seq[QuerySpec] = relational ++ TextQueries.all
+  def all: Seq[QuerySpec] =
+    relational ++ RefConformance.all ++ TextQueries.all
 
   def byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

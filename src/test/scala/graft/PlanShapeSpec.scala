@@ -71,6 +71,31 @@ class PlanShapeSpec extends SparkSuite {
     assert(anti.contains("LeftAnti"), anti)
   }
 
+  test("dt range on a partitioned table prunes partitions (S2)") {
+    RefConformance.ensure(spark, sf)
+    val df = spark.sql("""SELECT count(*) AS n FROM dwb.fact_event_info
+                          WHERE dt >= '2019-03-01' AND dt <= '2019-03-03'""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    // the scan must touch only the 3 selected dt partitions (of 5)
+    val scanned = spark.sql("""SELECT * FROM dwb.fact_event_info
+                               WHERE dt >= '2019-03-01' AND dt <= '2019-03-03'""")
+      .inputFiles
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(f => f.contains("dt=2019-03-01") ||
+      f.contains("dt=2019-03-02") || f.contains("dt=2019-03-03")),
+      s"unpruned files: ${scanned.filterNot(_.contains("dt=2019-03-0")).take(3).mkString(",")}")
+  }
+
+  test("verbatim window query's dt range uses PartitionFilters (S2/W1-W4)") {
+    RefConformance.ensure(spark, sf)
+    val df = Queries.byName("q_ref_window_verbatim").run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(df.inputFiles.forall(f => !f.contains("dt=2019-03-04") &&
+      !f.contains("dt=2019-03-05")), "partitions outside range scanned")
+  }
+
   test("AQE coalesces shuffle partitions (docs/sql调优.md:157-163)") {
     val df = Engine.table(spark, sf, "lineitem")
       .groupBy("l_returnflag").agg(count(lit(1)))
