@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.operators.Warehouse
+
+/** Conformance queries closing the remaining SURVEY.md §2 surface:
+  * approximate distinct (A11), the count-distinct materialization
+  * pattern (A15), ordinal ORDER BY (O2), DISTRIBUTE BY (O3), the
+  * `spark.udf.register` scalar-UDF surface (X1), an `Aggregator`-based
+  * UDAF (X2), correlated scalar subqueries through spark.sql (P11), and
+  * csv/json lake ingestion (S6).
+  */
+object ExtQueries {
+
+  private def sql(s: SparkSession, d: String, q: String) = {
+    Engine.registerAll(s, d)
+    s.sql(q)
+  }
+
+  /** A11: approx_count_distinct (HLL++) vs exact — the oracle checks the
+    * exact side; the approx side is asserted in-engine to land within
+    * 10% (HLL++ at default rsd is near-exact at these cardinalities).
+    * This is the Druid-style approximate dedup the reference contrasts
+    * with exact count(distinct) (docs/olap.md:46). */
+  val q_approx_distinct = QuerySpec(
+    "q_approx_distinct", Seq("A11"),
+    (s, d) => Engine.table(s, d, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("uu_exact"),
+        approx_count_distinct(col("user_id")).as("uu_approx"))
+      .select(col("event_type"), col("uu_exact"),
+        (abs(col("uu_approx") - col("uu_exact")) <=
+          col("uu_exact") * 0.1).as("approx_within_10pct"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS uu_exact,
+                   TRUE AS approx_within_10pct
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** A15: count-distinct materialization (docs/sql调优.md:93-113) —
+    * hoist the distinct set into a temp table once, then every
+    * downstream branch aggregates the (much smaller) temp table. The
+    * oracle computes the same result directly from the base table,
+    * proving the hoist is result-identical. */
+  val q_cd_materialize = QuerySpec(
+    "q_cd_materialize", Seq("A15", "S4", "U1"),
+    (s, d) => {
+      Engine.registerAll(s, d)
+      s.sql("CREATE DATABASE IF NOT EXISTS tmp")
+      Warehouse.dropManaged(s, "tmp.cd_uu")
+      s.sql("""CREATE TABLE tmp.cd_uu USING parquet AS
+               SELECT DISTINCT event_type, user_id FROM events""")
+      s.sql("""SELECT event_type, COUNT(user_id) AS uu FROM tmp.cd_uu
+               GROUP BY event_type
+               UNION ALL
+               SELECT 'all' AS event_type, COUNT(DISTINCT user_id) AS uu
+               FROM tmp.cd_uu
+               ORDER BY event_type""")
+    },
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS uu FROM events
+            GROUP BY event_type
+            UNION ALL
+            SELECT 'all' AS event_type, COUNT(DISTINCT user_id) AS uu
+            FROM events
+            ORDER BY event_type"""))
+
+  /** O2: ordinal GROUP BY / ORDER BY through spark.sql
+    * (docs/sql规范.md:72). */
+  val q_ordinal_sort = QuerySpec(
+    "q_ordinal_sort", Seq("O2"),
+    (s, d) => sql(s, d,
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 2 DESC, 1"),
+    Some("SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 2 DESC, 1"))
+
+  /** O3: DISTRIBUTE BY — partition-only repartition on a column
+    * (docs/explain.md:108); result-identical to the plain query, the
+    * hash exchange is asserted in PlanShapeSpec. */
+  val q_distribute_by = QuerySpec(
+    "q_distribute_by", Seq("O3"),
+    (s, d) => sql(s, d,
+      """SELECT user_id, count(*) AS n FROM
+         (SELECT user_id FROM events DISTRIBUTE BY user_id)
+         GROUP BY user_id ORDER BY user_id"""),
+    Some("""SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY user_id"""))
+
+  /** X1: the `spark.udf.register` user surface (docs/实时数仓.md:42) —
+    * a scalar Scala UDF invoked from SQL text; oracle replicates the
+    * logic as a CASE expression. (Perf-critical built-ins stay native
+    * Expressions; this exercises the user extension point.) */
+  val q_udf_register = QuerySpec(
+    "q_udf_register", Seq("X1"),
+    (s, d) => {
+      Engine.registerAll(s, d)
+      s.udf.register("tok_bucket", (t: String) => {
+        val n = if (t == null) 0 else t.split(" ").length
+        if (n < 30) "short" else if (n < 80) "mid" else "long"
+      })
+      s.sql("""SELECT tok_bucket(text) AS bucket, count(*) AS n
+               FROM documents GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""SELECT CASE WHEN len(string_split(text, ' ')) < 30 THEN 'short'
+                        WHEN len(string_split(text, ' ')) < 80 THEN 'mid'
+                        ELSE 'long' END AS bucket, count(*) AS n
+            FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** X2's Aggregator: sum of squares over longs — exact integer
+    * arithmetic so the result is bitwise-stable on any partitioning. */
+  private object SumSqAgg extends Aggregator[Long, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: Long): Long = b + a * a
+    def merge(b1: Long, b2: Long): Long = b1 + b2
+    def finish(r: Long): Long = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** X2: UDAF via `Aggregator` + `udaf()` registered for SQL
+    * (docs/画像开发方案.md:21-22: custom logic over aggregated
+    * quantities). */
+  val q_udaf_sumsq = QuerySpec(
+    "q_udaf_sumsq", Seq("X2"),
+    (s, d) => {
+      Engine.registerAll(s, d)
+      s.udf.register("sum_sq", udaf(SumSqAgg, Encoders.scalaLong))
+      s.sql("""SELECT event_type,
+                      sum_sq(CAST(round(value * 100) AS BIGINT)) AS ssq
+               FROM events GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""SELECT event_type,
+                   SUM(CAST(round(value * 100) AS BIGINT) *
+                       CAST(round(value * 100) AS BIGINT)) AS ssq
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** P11: literal correlated scalar subquery in WHERE through spark.sql
+    * (docs/sql规范.md:22-24 family). Integer count → deterministic. */
+  val q_correlated_scalar = QuerySpec(
+    "q_correlated_scalar", Seq("P11"),
+    (s, d) => sql(s, d,
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE 5 < (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey"""),
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE 5 < (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** S6: CSV lake ingestion — write the dim as CSV (headers, quoting),
+    * read it back with an explicit schema (schema-on-write for the
+    * warehouse per docs/数据湖.md:28-31), compare to the parquet truth. */
+  val q_csv_roundtrip = QuerySpec(
+    "q_csv_roundtrip", Seq("S6"),
+    (s, d) => {
+      val n = Engine.table(s, d, "nation")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      n.write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.option("header", "true").schema(n.schema).csv(dir)
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT * FROM nation ORDER BY n_nationkey"))
+
+  /** S6: JSON lake ingestion roundtrip. */
+  val q_json_roundtrip = QuerySpec(
+    "q_json_roundtrip", Seq("S6", "F11"),
+    (s, d) => {
+      val n = Engine.table(s, d, "nation")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      n.write.mode("overwrite").json(dir)
+      s.read.schema(n.schema).json(dir).orderBy("n_nationkey")
+    },
+    Some("SELECT * FROM nation ORDER BY n_nationkey"))
+
+  val all: Seq[QuerySpec] = Seq(
+    q_approx_distinct, q_cd_materialize, q_ordinal_sort, q_distribute_by,
+    q_udf_register, q_udaf_sumsq, q_correlated_scalar,
+    q_csv_roundtrip, q_json_roundtrip)
+}

@@ -57,17 +57,8 @@ object RefConformance {
     s"${System.getProperty("java.io.tmpdir")}/graft_ref_${name}_" +
       sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
-  /** Drop a managed table AND its warehouse directory — a stale dir from
-    * an earlier JVM (fresh derby metastore, surviving spark-warehouse)
-    * otherwise fails saveAsTable with LOCATION_ALREADY_EXISTS. */
-  private def dropManaged(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val Array(db, t) = table.split("\\.")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(s"$wh/$db.db/$t"))
-  }
+  private def dropManaged(spark: SparkSession, table: String): Unit =
+    operators.Warehouse.dropManaged(spark, table)
 
   /** Build the dwb fixtures once per (session, sfDir). */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {

@@ -41,6 +41,18 @@ object Warehouse {
   def ctas(spark: SparkSession, table: String, query: String): Unit =
     spark.sql(s"CREATE TABLE $table USING parquet AS $query")
 
+  /** Drop a managed table AND its warehouse directory — a stale dir
+    * from an earlier JVM (fresh derby metastore, surviving
+    * spark-warehouse) otherwise fails saveAsTable/CTAS with
+    * LOCATION_ALREADY_EXISTS. */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val Array(db, t) = table.split("\\.")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$wh/$db.db/$t"))
+  }
+
   /** Accumulating-snapshot upsert (reference docs/数据模型.md:21-25):
     * new measurements for existing keys replace old rows. Partition-
     * level merge: only partitions carrying updates are rewritten.

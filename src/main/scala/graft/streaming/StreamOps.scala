@@ -32,6 +32,15 @@ object StreamOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
   }
 
+  /** J13: stream-dim lookup join — enrich streaming facts from a small
+    * static dimension (the reference keeps dims in an HBase KV store,
+    * docs/实时数仓.md:79; Spark's native equivalent is a stream-static
+    * BROADCAST join, re-resolved per micro-batch so dim updates are
+    * picked up without restarting the query). */
+  def dimEnrich(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** T5: late-data drift filter. The streaming compactor can land
     * midnight-straddling rows in the wrong dt partition; DWD re-reads a
     * widened partition range and re-filters on BUSINESS time

@@ -96,6 +96,14 @@ class PlanShapeSpec extends SparkSuite {
       !f.contains("dt=2019-03-05")), "partitions outside range scanned")
   }
 
+  test("DISTRIBUTE BY hash-partitions on the named column (O3)") {
+    Engine.registerAll(spark, sf)
+    val df = spark.sql("SELECT user_id FROM events DISTRIBUTE BY user_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"expected a hash exchange on user_id:\n$plan")
+  }
+
   test("AQE coalesces shuffle partitions (docs/sql调优.md:157-163)") {
     val df = Engine.table(spark, sf, "lineitem")
       .groupBy("l_returnflag").agg(count(lit(1)))

@@ -129,6 +129,46 @@ class StreamingSpec extends SparkSuite {
     assert(out.agg(sum("value")).head().getDouble(0) == 17.0)
   }
 
+  test("J13: stream-static broadcast dim join enriches facts per batch") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "segment")
+    val q = StreamOps.dimEnrich(in.toDF(), dim, "user_id", "uid")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("j13_out").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:00:01"), 2, "view", 2.0),
+        Ev(t("2024-01-01 10:00:02"), 9, "click", 3.0)) // no dim row
+      q.processAllAvailable()
+      val got = spark.table("j13_out")
+        .select("user_id", "segment").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "gold", 2L -> "silver", 9L -> null))
+    } finally q.stop()
+  }
+
+  test("T2: SQL text + registered UDF run on a stream view") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    spark.udf.register("spec_double_it", (x: Double) => x * 2)
+    in.toDF().createOrReplaceTempView("t2_stream")
+    val q = spark
+      .sql("""SELECT user_id, spec_double_it(value) AS v2 FROM t2_stream
+              WHERE event_type = 'click'""")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t2_out").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.5),
+        Ev(t("2024-01-01 10:00:01"), 2, "view", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("t2_out").collect()
+      assert(rows.length == 1 && rows(0).getDouble(1) == 3.0)
+    } finally q.stop()
+  }
+
   test("T9: differential validator flags only out-of-tolerance keys") {
     val batch = Seq(("a", 10.0), ("b", 5.0), ("c", 1.0)).toDF("k", "m")
     val stream = Seq(("a", 10.0), ("b", 5.5), ("d", 2.0)).toDF("k", "m")
