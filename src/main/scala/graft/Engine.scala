@@ -51,7 +51,8 @@ object Engine {
     // rollup/cube after a join trips the ambiguous-self-join guard (the
     // Expand node duplicates grouping attributes); our self-joins all
     // rename columns first, so the guard only produces false positives.
-    spark.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+    // (failAmbiguousSelfJoin left at default: rollup queries alias their
+    // grouping columns, so the guard no longer false-positives)
     spark
   }
 

@@ -95,13 +95,15 @@ object TextQueries {
                    MIN(doc_id) AS keep_id
             FROM documents GROUP BY 1 ORDER BY fp"""))
 
-  /** MinHash+LSH near-dup pairs at j>=0.8; with 16 bands × 2 rows the
-    * candidate-recall at the threshold is 1-(1-0.8^2)^16 ≈ 1-3e-8, so
-    * the exact brute-force oracle matches. */
+  /** MinHash+LSH near-dup pairs at j>=0.8; with 16 bands × 3 rows the
+    * candidate-recall at the threshold is 1-(1-0.8^3)^16 ≈ 1-2e-5 (so
+    * the exact brute-force oracle matches), while a random pair at
+    * j≈0.05 has only ~0.2% candidate probability — r=3 keeps the
+    * false-candidate volume ~10× below r=2. */
   val q_dedup_minhash_lsh = QuerySpec(
     "q_dedup_minhash_lsh", Seq("E-dedup"),
     (s, d) => Dedup.minHashLshPairs(Engine.table(s, d, "documents"),
-        numHashes = 32, bands = 16, threshold = 0.8)
+        numHashes = 48, bands = 16, threshold = 0.8)
       .orderBy("id_a", "id_b"),
     Some(s"""WITH s AS ($duckShingles)
              SELECT id_a, id_b, jaccard FROM (

@@ -36,20 +36,19 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
-  /** Word-level k-shingles (n-grams joined by a space), distinct. */
-  def wordShingles(text: Column, k: Int = 2): Column = {
-    val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-      i => concat_ws(" ",
-        (0 until k).map(off => element_at(toks, i + off)): _*)))
-  }
+  /** Word-level k-shingles (n-grams joined by a space), distinct — a
+    * native single-pass Expression ([[graft.functions.WordShingles]])
+    * so the split-token child is evaluated once per row, not once per
+    * shingle position. */
+  def wordShingles(text: Column, k: Int = 2): Column =
+    graft.functions.WordShingles.wordShingles(split(text, " "), k)
 
   /** MinHash signature: `numHashes` seeded 32-bit min-hashes over the
-    * shingle set, as one pure expression (no explode, no shuffle). */
+    * shingle set — a native single-pass Expression
+    * ([[graft.functions.MinHashSig]]); no explode, no shuffle, and the
+    * shingle child is evaluated exactly once per row. */
   def minHashSignature(shingleCol: Column, numHashes: Int = 32): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleCol, s => hash(s, seed))))
+    graft.functions.MinHashSig.minhashSig(shingleCol, numHashes)
 
   /** Exact Jaccard between two shingle arrays. */
   private def jaccard(a: Column, b: Column): Column =
@@ -60,9 +59,18 @@ object Dedup {
     * per side — and keep pairs at/above the Jaccard threshold. Exactly
     * one verification per candidate pair; the shingle arrays never enter
     * the candidate-generation shuffle. */
+  /** `cand` may contain duplicate (id_a, id_b) rows — deduped here AFTER
+    * an explicit-width repartition: candidate pairs are tiny in BYTES,
+    * so AQE would coalesce their exchange to 1-2 partitions and
+    * serialize the CPU-heavy set-intersection verify; a user-numbered
+    * repartition is preserved by AQE and also satisfies the dedup agg's
+    * required distribution (no extra exchange). */
   private def verifyPairs(cand: DataFrame, shingleTable: DataFrame,
       threshold: Double): DataFrame =
     cand
+      .repartition(cand.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .join(shingleTable.select(col("id").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
       .join(shingleTable.select(col("id").as("id_b"), col("sh").as("sh_b")),
@@ -94,7 +102,7 @@ object Dedup {
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
     verifyPairs(cand, shingleTable, threshold)
   }
 
@@ -115,17 +123,40 @@ object Dedup {
       wordShingles(col(textCol), shingleSize).as("sh"))
     val toks = base.select(col("blk"), col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("tok"))
-    val freq = toks.groupBy("blk", "tok").agg(count(lit(1)).as("df"))
     val prefixLen = col("sz") - ceil(col("sz") * threshold) + 1
-    val prefix = toks.join(freq, Seq("blk", "tok"))
+    // document frequency as a window count (one shuffle, no join), then
+    // keep each document's rarest-first prefix
+    val prefix = toks
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("blk", "tok")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("blk", "id").orderBy(col("df"), col("tok"))))
       .filter(col("rn") <= prefixLen)
-      .select("blk", "tok", "id")
-    val cand = prefix.withColumnRenamed("id", "id_a")
-      .join(prefix.withColumnRenamed("id", "id_b"), Seq("blk", "tok"))
+      .select("blk", "tok", "id", "sz", "rn")
+      // explicit-width repartition: the prefix is small in bytes, and
+      // AQE's size-based coalescing would otherwise run the (CPU-bound)
+      // pair expansion below on a single partition
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("blk"), col("tok"))
+    val a = prefix.select(col("blk"), col("tok"),
+      col("id").as("id_a"), col("sz").as("sz_a"), col("rn").as("p_a"))
+    val b = prefix.select(col("blk"), col("tok"),
+      col("id").as("id_b"), col("sz").as("sz_b"), col("rn").as("p_b"))
+    // J>=t needs overlap o >= t/(1+t)*(|A|+|B|) (PPJoin, Xiao et al.
+    // WWW 2008); both pruning filters below are necessary conditions,
+    // so candidate recall stays 100%:
+    //  - size filter: t*max(|A|,|B|) <= min(|A|,|B|)
+    //  - position filter: tokens after the shared prefix position can
+    //    contribute at most min(|A|-p_a, |B|-p_b)+1 overlap
+    val oMin = ceil((col("sz_a") + col("sz_b")) *
+      (threshold / (1 + threshold)))
+    val cand = a.join(b, Seq("blk", "tok"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        ceil(greatest(col("sz_a"), col("sz_b")) * threshold))
+      .filter(least(col("sz_a") - col("p_a"), col("sz_b") - col("p_b")) +
+        1 >= oMin)
+      .select("id_a", "id_b")
     verifyPairs(cand, base.select(col("id"), col("sh")), threshold)
   }
 
