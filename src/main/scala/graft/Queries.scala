@@ -706,7 +706,8 @@ object Queries {
     q_sample_hot_keys)
 
   def all: Seq[QuerySpec] =
-    relational ++ RefConformance.all ++ ExtQueries.all ++ TextQueries.all
+    relational ++ RefConformance.all ++ ExtQueries.all ++
+      TpchQueries.all ++ TextQueries.all
 
   def byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** TPC-H stretch conformance suite (SURVEY.md §5.3: the reference names
+  * TPC-H as the ROLAP yardstick, docs/olap.md:58) — classic query shapes
+  * adapted to the driver's reduced TPC-H-ish schema (TESTDATA.md), run
+  * as SQL TEXT through `spark.sql` so parser + analyzer + optimizer are
+  * exercised end to end, with the IDENTICAL text as the DuckDB oracle.
+  *
+  * Determinism rules (same as Queries.scala): every SUM over a double
+  * measure accumulates in DECIMAL and is cast back to DOUBLE at the
+  * end; every query carries a total-order ORDER BY.
+  */
+object TpchQueries {
+
+  private def both(name: String, ops: Seq[String], text: String) =
+    QuerySpec(name, ops,
+      (s: SparkSession, d: String) => {
+        Engine.registerAll(s, d); s.sql(text): DataFrame
+      },
+      Some(text))
+
+  /** Q1 pricing summary with the full measure set (charge, averages). */
+  val q_tpch_q1 = both("q_tpch_q1", Seq("A1", "A6", "A7", "P4"), """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus""")
+
+  /** Q3 shipping priority (sans o_shippriority, absent from testdata). */
+  val q_tpch_q3 = both("q_tpch_q3", Seq("J1", "J2", "A1", "O5"), """
+    SELECT l_orderkey,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1997-03-15' AND l_shipdate > DATE '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10""")
+
+  /** Q5 local supplier volume: 6-way join pruned by region + year. */
+  val q_tpch_q5 = both("q_tpch_q5", Seq("J1", "J2", "A1", "P4"), """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name""")
+
+  /** Q6 forecasting revenue change: single-scan predicate + agg. */
+  val q_tpch_q6 = both("q_tpch_q6", Seq("P3", "P4", "A6"), """
+    SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+
+  /** Q10 returned-item reporting (columns present in testdata). */
+  val q_tpch_q10 = both("q_tpch_q10", Seq("J1", "J3", "A1", "O5"), """
+    SELECT c_custkey, c_name,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20""")
+
+  /** Q12-shape: priority-class conditional counts per line status
+    * (testdata has no l_shipmode/commit/receipt dates). */
+  val q_tpch_q12 = both("q_tpch_q12", Seq("A4", "P9"), """
+    SELECT l_linestatus,
+      SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+               THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus""")
+
+  /** Q14 promotion effect: conditional revenue share, decimal-exact
+    * sums divided once in double. */
+  val q_tpch_q14 = both("q_tpch_q14", Seq("A4", "J1", "P5"), """
+    SELECT CAST(100.0 *
+        CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+      AS DOUBLE) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'""")
+
+  /** Q18 large-volume customer: IN-subquery with HAVING over an agg. */
+  val q_tpch_q18 = both("q_tpch_q18", Seq("P6", "A8", "J2", "O5"), """
+    SELECT c_name, c_custkey, o_orderkey,
+      CAST(o_orderdate AS DATE) AS o_orderdate,
+      CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100""")
+
+  val all: Seq[QuerySpec] = Seq(
+    q_tpch_q1, q_tpch_q3, q_tpch_q5, q_tpch_q6, q_tpch_q10,
+    q_tpch_q12, q_tpch_q14, q_tpch_q18)
+}

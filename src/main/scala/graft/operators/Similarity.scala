@@ -41,25 +41,40 @@ object Similarity {
 
   /** Self kNN-join via LSH buckets: every vector gets its top-k most
     * similar bucket-mates. Multi-probe = OR of `probes` signatures with
-    * different seeds raises recall. */
+    * different seeds raises recall.
+    *
+    * Shape for 100 TB: the bucket self-join carries ONLY (probe, bucket,
+    * id) — never the embeddings — candidate pairs are deduped across
+    * probes, then the vectors join back once per side for a single
+    * cosine evaluation per pair (same candidates-then-verify shape as
+    * the dedup operators). */
   def lshKnnJoin(embeddings: DataFrame, k: Int, dim: Int = 64,
       planes: Int = 10, probes: Int = 2,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     val probed = (0 until probes).map { p =>
-      embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      embeddings.select(col(idCol).as("id"),
         hyperplaneSignature(col(vecCol), dim, planes, seed = 42L + p)
           .as("bucket"))
         .withColumn("probe", lit(p))
     }.reduce(_ unionByName _)
-    val a = probed.select(col("probe"), col("bucket"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val b = probed.select(col("probe"), col("bucket"),
-      col("id").as("id_b"), col("v").as("v_b"))
+    val a = probed.select(col("probe"), col("bucket"), col("id").as("id_a"))
+    val b = probed.select(col("probe"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("probe", "bucket"))
       .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      // explicit-width repartition (see Dedup.verifyPairs): pair rows
+      // are tiny in bytes, and AQE's size-based coalescing would run
+      // the cosine verify nearly single-threaded
+      .repartition(par, col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")),
+        Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineSimilarity(col("v_a"), col("v_b")).as("cos"))
-      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
     val w = Window.partitionBy("id_a").orderBy(desc("cos"), asc("id_b"))
     pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")

@@ -64,6 +64,27 @@ class SimilaritySpec extends SparkSuite {
       s"label agreement ${agree.toDouble / total}; chance is 0.1")
   }
 
+  test("hyperplane signature stays codegen-compact at dim=1024") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val big = (0 until 50).map { i =>
+      (i.toLong, Array.fill(1024)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    // the old unrolled form emitted planes*dim expression terms and blew
+    // the codegen method limit around this dimension; the native
+    // Expression is O(1) in dim — this must run, and deterministically
+    val sig = big.select(col("vec_id"),
+      Similarity.hyperplaneSignature(col("embedding"), 1024, 16).as("s"))
+    val once = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(once == again)
+    assert(once.values.toSet.size > 1, "signatures must discriminate")
+    // and a full knn-join at dim=1024 completes
+    val knn = Similarity.lshKnnJoin(big, k = 3, dim = 1024,
+      planes = 8, probes = 2)
+    assert(knn.count() > 0)
+  }
+
   test("quantizedCosine matches double cosine within quantization error") {
     val two = emb.filter(col("vec_id").isin(3, 4))
       .agg(collect_list(col("embedding")).as("vs"))
