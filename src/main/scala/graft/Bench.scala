@@ -61,8 +61,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // note: timings force FULL-result evaluation (xxhash over all
+    // columns). Round-1 numbers timed count(), which let Catalyst prune
+    // windows/projections — so r1 per-query values under-measure those
+    // queries and are not directly comparable (VERDICT r1, item 7).
+    val note = "full-result-hash timing; r1 used count() which pruned " +
+      "computed columns - window/text queries not comparable to r1"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"$note"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), json + "\n")
     println(json)
