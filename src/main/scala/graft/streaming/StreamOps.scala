@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming operators for the real-time warehouse
   * (SURVEY.md §2.9, reference docs/实时数仓.md).
@@ -15,6 +16,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * streaming DataFrame (Kafka in production, MemoryStream/file in tests
   * — same IncrementalExecution either way).
   */
+case class TagEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+case class StreakState(streak: Int)
+case class UserStreak(user_id: Long, streak: Int)
+
 object StreamOps {
 
   /** T3: tumbling-window aggregation with allowed lateness. The
@@ -31,6 +36,45 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
   }
+
+  /** S7: Kafka source (reference docs/实时数仓.md:86,95-97). The
+    * `format("kafka")` line needs the spark-sql-kafka connector on the
+    * classpath (present on a production cluster, absent in this
+    * sandbox); everything downstream is connector-agnostic and tested
+    * through [[decodeKafkaEnvelope]] + MemoryStream (identical
+    * IncrementalExecution). */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Decode the Kafka record envelope (key/value binary + topic,
+    * partition, offset, timestamp) into typed event columns: value is
+    * JSON, partition-local order is preserved by carrying
+    * (partition, offset) through (docs/实时数仓.md:95-97 relies on
+    * exactly that ordering guarantee). Works on any DataFrame with the
+    * Kafka schema — streaming or batch replay. */
+  def decodeKafkaEnvelope(records: DataFrame, valueSchema: StructType): DataFrame =
+    records.select(
+      col("key").cast("string").as("msg_key"),
+      col("partition"), col("offset"),
+      col("timestamp").as("kafka_ts"),
+      from_json(col("value").cast("string"), valueSchema).as("v"))
+      .select(col("msg_key"), col("partition"), col("offset"),
+        col("kafka_ts"), col("v.*"))
+
+  /** S8: JDBC side sink for [[startParquetSink]]'s fan-out — the
+    * reference mirrors streams into MySQL/app DBs
+    * (docs/画像开发方案.md:5). Plain `DataFrame => Unit`, one
+    * transactional append per micro-batch. */
+  def jdbcSideSink(url: String, table: String,
+      props: java.util.Properties = new java.util.Properties)
+      : DataFrame => Unit =
+    batch => batch.write.mode("append").jdbc(url, table, props)
 
   /** J13: stream-dim lookup join — enrich streaming facts from a small
     * static dimension (the reference keeps dims in an HBase KV store,
@@ -63,6 +107,28 @@ object StreamOps {
         count(when(col("event_type") === "purchase", 1)).as("buys_1h"),
         sum(when(col("event_type") === "purchase",
           col("value").cast("decimal(18,2)"))).cast("double").as("amt_1h"))
+
+  /** T7 (custom state): per-user consecutive-purchase streak via
+    * `mapGroupsWithState` — the rule-window tag case the reference's
+    * 流式标签 need when a plain windowed agg can't express the rule
+    * (docs/画像简介.md:11, SURVEY §2.9 T7). State is one int per user;
+    * events within a batch are applied in event-time order (cross-batch
+    * order comes from the Kafka partition guarantee, T4). */
+  def purchaseStreaks(events: org.apache.spark.sql.Dataset[TagEvent])
+      : org.apache.spark.sql.Dataset[UserStreak] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[StreakState, UserStreak](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid, evs, state) =>
+          var s = state.getOption.map(_.streak).getOrElse(0)
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            if (e.event_type == "purchase") s += 1 else s = 0
+          }
+          state.update(StreakState(s))
+          UserStreak(uid, s)
+      }
+  }
 
   /** T1/T6: run a streaming DataFrame into a parquet sink dir with a
     * checkpoint, micro-batch trigger. foreachBatch hosts multi-sink

@@ -113,6 +113,51 @@ class PlanShapeSpec extends SparkSuite {
       s"AQE did not optimize the exchange:\n$plan")
   }
 
+  test("AQE splits a skewed join partition (docs/sql调优.md:202-250)") {
+    import spark.implicits._
+    // one hot key carrying ~all rows; thresholds lowered so the skew
+    // machinery triggers at test scale
+    withSQLConf(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val skewed = spark.range(200000)
+        .select(when($"id" % 100 === 0, $"id").otherwise(lit(7L)).as("k"),
+          concat(lit("payload_payload_payload_"), $"id").as("pay"))
+      val dim = spark.range(2000).select($"id".as("k"), lit("d").as("dv"))
+      val joined = skewed.join(dim, Seq("k"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    }
+  }
+
+  test("IVF probe scans only the probed bucket partitions") {
+    val emb = Engine.table(spark, sf, "embeddings")
+    val dir = tmpDir("ivf_plan")
+    graft.operators.Similarity.ivfBuildIndex(emb, dir)
+    val row = emb.filter(col("vec_id") === 0).head()
+    val q = row.getSeq[Float](row.fieldIndex("embedding"))
+      .map(_.toDouble).toSeq
+    val probe = graft.operators.Similarity.ivfProbe(spark, dir, q,
+      k = 10, nprobe = 4)
+    probe.collect()
+    val allParts = spark.read.parquet(s"$dir/vectors")
+      .select("bucket").distinct().count()
+    // runtime scan metrics: only the probed buckets' partitions read
+    // (inputFiles reflects the pre-pruning index for path reads)
+    val scans = probe.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata("Location").contains("vectors") => f
+    }
+    assert(scans.nonEmpty)
+    val scannedParts = scans.map(_.metrics("numPartitions").value).sum
+    assert(scannedParts <= 4 && scannedParts < allParts,
+      s"probe scanned $scannedParts of $allParts bucket partitions")
+  }
+
   test("scalar text pipeline stays in one codegen stage (no exchanges)") {
     val df = graft.operators.TextOps.qualityScore(
       Engine.table(spark, sf, "documents"))

@@ -169,6 +169,67 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("S7: kafka envelope decode yields typed columns + partition order keys") {
+    import org.apache.spark.sql.types._
+    // a batch frame shaped exactly like the kafka connector's output
+    val records = Seq(
+      ("k1".getBytes, """{"user_id":1,"event_type":"click"}""".getBytes,
+        "events", 0, 7L, t("2024-01-01 10:00:00")),
+      (null.asInstanceOf[Array[Byte]],
+        """{"user_id":2,"event_type":"view"}""".getBytes,
+        "events", 1, 3L, t("2024-01-01 10:00:01")))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val out = StreamOps.decodeKafkaEnvelope(records, schema)
+      .orderBy("offset").collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSeq == Seq(2L, 1L))
+    assert(out(1).getAs[String]("msg_key") == "k1")
+    assert(out(0).getAs[Int]("partition") == 1 &&
+      out(0).getAs[Long]("offset") == 3L)
+  }
+
+  test("S8: JDBC side sink lands micro-batches in a real database (derby)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dir = tmpDir("jdbc_sink")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val q = StreamOps.startParquetSink(in.toDF(), s"$dir/data", s"$dir/ckpt",
+      sideSinks = Seq(StreamOps.jdbcSideSink(url, "mirror")))
+    try {
+      in.addData(Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      val back = spark.read.jdbc(url, "mirror", new java.util.Properties)
+      assert(back.count() == 2)
+      assert(back.select("event_type").collect().map(_.getString(0)).toSet ==
+        Set("click", "view"))
+    } finally q.stop()
+  }
+
+  test("T7b: mapGroupsWithState purchase streak resets on non-purchase") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val typed = StreamOps.purchaseStreaks(
+      in.toDF().selectExpr("user_id", "event_type", "ts")
+        .as[graft.streaming.TagEvent])
+    val q = typed.writeStream.outputMode("update")
+      .format("memory").queryName("t7b_out").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "purchase", 1.0),
+        Ev(t("2024-01-01 10:01:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("t7b_out").filter($"user_id" === 1)
+        .collect().last.getAs[Int]("streak") == 2)
+      in.addData(Ev(t("2024-01-01 10:02:00"), 1, "click", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("t7b_out").filter($"user_id" === 1)
+        .collect().last.getAs[Int]("streak") == 0,
+        "non-purchase must reset the streak")
+    } finally q.stop()
+  }
+
   test("T9: differential validator flags only out-of-tolerance keys") {
     val batch = Seq(("a", 10.0), ("b", 5.0), ("c", 1.0)).toDF("k", "m")
     val stream = Seq(("a", 10.0), ("b", 5.5), ("d", 2.0)).toDF("k", "m")
