@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+/** Engine extension point (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  *
+  * Registers [[ApproxDistinctRewrite]]: the Druid-style speed/accuracy
+  * tradeoff the reference contrasts with exact distinct counting
+  * (reference docs/olap.md:46 — Druid "不能精准去重" but answers fast).
+  * Opt-in per session/query via `spark.graft.approxDistinct.enabled`;
+  * off by default so conformance semantics stay exact.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+}
+
+/** Rewrite exact `count(DISTINCT x)` aggregates to HyperLogLog++ when
+  * `spark.graft.approxDistinct.enabled=true`.
+  *
+  * Why a Rule and not a library function: the reference's MOLAP layer
+  * applies this tradeoff to EXISTING queries at engine level — the
+  * query text stays `count(distinct ...)`, the engine chooses the
+  * sketch. HLL++ needs no Expand of the input rows (exact distinct
+  * multiplies rows per distinct column through Expand) and merges as a
+  * fixed-size sketch, so at 100 TB the shuffle carries KB-sized sketch
+  * buffers instead of every distinct value.
+  *
+  * The rewritten AggregateExpression keeps the original resultId, so
+  * downstream attribute references stay valid (both functions return
+  * LONG).
+  */
+object ApproxDistinctRewrite extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    SQLConf.get
+      .getConfString("spark.graft.approxDistinct.enabled", "false")
+      .toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transform {
+      case agg: Aggregate =>
+        agg.transformExpressions {
+          case ae @ AggregateExpression(
+              Count(Seq(child)), _, true, None, _) =>
+            ae.copy(
+              aggregateFunction = HyperLogLogPlusPlus(child),
+              isDistinct = false)
+        }
+    }
+}

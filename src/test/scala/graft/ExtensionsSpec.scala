@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SparkSessionExtensions surface: [[graft.plans.ApproxDistinctRewrite]]
+  * swaps exact count(distinct) for HLL++ when the session opts in —
+  * same query text, engine-chosen sketch (the Druid tradeoff,
+  * reference docs/olap.md:46). */
+class ExtensionsSpec extends SparkSuite {
+
+  test("approx-distinct rule rewrites count(distinct) to HLL++ when enabled") {
+    val events = Engine.table(spark, sf, "events")
+    def q = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("uu"))
+
+    val exact = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactPlan = q.queryExecution.optimizedPlan.toString
+    assert(!exactPlan.contains("approx_count_distinct"), exactPlan)
+
+    withSQLConf("spark.graft.approxDistinct.enabled" -> "true") {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct"),
+        s"rule did not rewrite:\n$plan")
+      // no Expand: the sketch needs no per-distinct row multiplication
+      assert(!q.queryExecution.executedPlan.toString.contains("Expand"))
+      val approx = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (k, v) =>
+        val a = approx(k)
+        assert(math.abs(a - v) <= math.max(1, v * 0.1),
+          s"$k: approx $a vs exact $v")
+      }
+    }
+  }
+
+  test("rule leaves plain count() and disabled sessions untouched") {
+    val events = Engine.table(spark, sf, "events")
+    val q = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+    withSQLConf("spark.graft.approxDistinct.enabled" -> "true") {
+      assert(!q.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"))
+    }
+  }
+}
