@@ -66,6 +66,28 @@ object Warehouse {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Partition-level MERGE into a partitioned parquet table: the
+    * updatable-storage capability plain parquet lacks (Kudu's role in
+    * the reference, docs/kudu.md:19; accumulating snapshots,
+    * docs/数据模型.md:25). Only partitions PRESENT IN THE UPDATE SET
+    * are read, merged via [[upsertByKey]], and dynamically overwritten —
+    * at 100 TB a day's corrections rewrite a day's partitions, never
+    * the table. */
+  def mergeIntoPartitioned(spark: SparkSession, path: String,
+      updates: DataFrame, keys: Seq[String], versionCol: String,
+      partCol: String): Unit = {
+    val parts = updates.select(partCol).distinct().collect()
+      .map(_.get(0).toString)
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).cast("string").isin(parts: _*))
+      // partition values read back type-inferred from the path; align
+      // to the update frame's declared schema before the union
+      .select(updates.columns.map(c =>
+        col(c).cast(updates.schema(c).dataType)): _*)
+    val merged = upsertByKey(existing, updates, keys, versionCol)
+    writePartitioned(merged, path, Seq(partCol), overwriteDynamic = true)
+  }
+
   /** SCD2 merge (reference docs/数据模型.md:41-46): close out changed
     * rows (set `valid_to`), append new versions open-ended; change rows
     * whose key has never been seen become brand-new open rows (anti-join
@@ -115,11 +137,20 @@ object Warehouse {
   /** S9/T6: small-file compaction — rewrite a parquet directory into
     * ~`targetFileMB`-sized files. Only files present at listing time are
     * compacted (in-flight stream files keep landing untouched,
-    * reference docs/实时数仓.md:99-101). Returns (filesBefore, filesAfter). */
+    * reference docs/实时数仓.md:99-101). Returns (filesBefore, filesAfter).
+    *
+    * Crash safety: the compacted output is fully written to a side dir
+    * FIRST, then a manifest recording the swap (inputs to delete, tmp
+    * dir to move in) lands in the target dir, and only then does the
+    * swap run. A crash mid-swap leaves the manifest; the next
+    * [[recoverCompaction]] (called here on entry) rolls the swap
+    * FORWARD idempotently — no state loses data, because inputs are
+    * only deleted after the manifest records their replacement. */
   def compactSmallFiles(spark: SparkSession, dir: String,
       targetFileMB: Int = 128): (Long, Long) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, dir)
     val files = fs.listStatus(path)
       .filter(f => f.getPath.getName.endsWith(".parquet"))
     val totalBytes = files.map(_.getLen).sum
@@ -127,19 +158,58 @@ object Warehouse {
     val snapshot = files.map(_.getPath.toString)
     val df = spark.read.parquet(snapshot: _*)
     val tmp = dir.stripSuffix("/") + "__compact_tmp"
-    df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap: remove compacted inputs, move new files in
-    snapshot.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
-    fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach { f =>
-        fs.rename(f.getPath,
-          new org.apache.hadoop.fs.Path(path, f.getPath.getName))
-      }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(tmp)
+    writeManifest(fs, path, tmp, snapshot)
+    completeSwap(fs, path, tmp, snapshot)
     val after = fs.listStatus(path)
       .count(f => f.getPath.getName.endsWith(".parquet"))
     (files.length.toLong, after.toLong)
+  }
+
+  private val manifestName = "_graft_compaction_manifest"
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, tmp: String,
+      inputs: Seq[String]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(target, manifestName), true)
+    try out.write((tmp + "\n" + inputs.mkString("\n")).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Execute (or re-execute) the swap a manifest describes: delete the
+    * replaced inputs, move the tmp outputs in, drop manifest + tmp.
+    * Every step is idempotent (delete of a gone file and move of an
+    * already-moved file are no-ops), so it is safe after a crash at
+    * any point past manifest creation. */
+  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, tmp: String,
+      inputs: Seq[String]): Unit = {
+    inputs.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(tmpPath))
+      fs.listStatus(tmpPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(f => fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(target, f.getPath.getName)))
+    fs.delete(tmpPath, true)
+    fs.delete(new org.apache.hadoop.fs.Path(target, manifestName), false)
+  }
+
+  /** Roll forward an interrupted compaction swap, if any. */
+  def recoverCompaction(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(path, manifestName)
+    if (!fs.exists(mf)) return false
+    val in = fs.open(mf)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    completeSwap(fs, path, lines.head, lines.tail.toSeq)
+    true
   }
 
   /** Narrow→wide tag-table pivot (reference docs/画像开发方案.md:28). */

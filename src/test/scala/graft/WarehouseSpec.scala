@@ -57,6 +57,31 @@ class WarehouseSpec extends SparkSuite {
       (9L, "addr_new", "2024-02-01", "9999-12-31")))
   }
 
+  test("mergeIntoPartitioned rewrites only partitions carrying updates") {
+    val dir = tmpDir("wh_merge")
+    val base = Seq(
+      (1L, "a", 1L, "2024-01-01"), (2L, "b", 1L, "2024-01-01"),
+      (3L, "c", 1L, "2024-01-02"), (4L, "d", 1L, "2024-01-03"))
+      .toDF("k", "v", "ver", "dt")
+    Warehouse.writePartitioned(base, dir, Seq("dt"))
+    val untouched = new java.io.File(s"$dir/dt=2024-01-03")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    // update key 1, insert key 9 — both land in dt=2024-01-01
+    val updates = Seq((1L, "a2", 2L, "2024-01-01"), (9L, "new", 1L, "2024-01-01"))
+      .toDF("k", "v", "ver", "dt")
+    Warehouse.mergeIntoPartitioned(spark, dir, updates,
+      Seq("k"), "ver", "dt")
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c", 4L -> "d", 9L -> "new"))
+    // the dt=2024-01-03 partition was not rewritten
+    val after = new java.io.File(s"$dir/dt=2024-01-03")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(after == untouched, "untouched partition must keep its files")
+  }
+
   test("compactSmallFiles merges many small files, preserves rows") {
     val dir = tmpDir("wh_compact")
     val df = spark.range(1000).toDF("id")
@@ -64,6 +89,28 @@ class WarehouseSpec extends SparkSuite {
     val (before, after) = Warehouse.compactSmallFiles(spark, dir)
     assert(before == 20 && after == 1, s"$before -> $after")
     assert(spark.read.parquet(dir).count() == 1000)
+  }
+
+  test("recoverCompaction rolls an interrupted swap forward without data loss") {
+    val dir = tmpDir("wh_recover")
+    spark.range(100).toDF("id").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val inputs = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    // simulate a crash AFTER manifest write, BEFORE any swap step:
+    // compacted output sits in tmp, manifest present, inputs untouched
+    val tmp = dir + "__compact_tmp"
+    spark.read.parquet(inputs: _*).repartition(1)
+      .write.mode("overwrite").parquet(tmp)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_graft_compaction_manifest"),
+      (tmp + "\n" + inputs.mkString("\n")).getBytes("UTF-8"))
+    assert(Warehouse.recoverCompaction(spark, dir))
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(!new java.io.File(dir, "_graft_compaction_manifest").exists)
+    assert(!Warehouse.recoverCompaction(spark, dir), "no manifest -> no-op")
   }
 
   test("narrow<->wide tag pivot roundtrips") {
