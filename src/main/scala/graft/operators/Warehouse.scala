@@ -66,6 +66,21 @@ object Warehouse {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Write a table BUCKETED (and sorted) by its join key: two tables
+    * bucketed the same way co-locate their keys, so a later join needs
+    * NO shuffle on either side — at 100 TB this turns the nightly
+    * fact-dim join from two full-table exchanges into a local merge
+    * (the "reduce join is a shuffle you can pre-pay" move; reference
+    * docs/sql调优.md:194 names the shuffle as the cost center). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit = {
+    dropManaged(df.sparkSession, table)
+    df.write
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
   /** Partition-level MERGE into a partitioned parquet table: the
     * updatable-storage capability plain parquet lacks (Kudu's role in
     * the reference, docs/kudu.md:19; accumulating snapshots,

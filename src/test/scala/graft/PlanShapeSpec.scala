@@ -113,6 +113,27 @@ class PlanShapeSpec extends SparkSuite {
       s"AQE did not optimize the exchange:\n$plan")
   }
 
+  test("bucketed tables join with NO exchange on either side") {
+    import graft.operators.Warehouse
+    Warehouse.createLayers(spark)
+    Warehouse.writeBucketed(
+      Engine.table(spark, sf, "lineitem").select("l_orderkey", "l_quantity"),
+      "dws.li_bucketed", "l_orderkey", 4)
+    Warehouse.writeBucketed(
+      Engine.table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        .withColumnRenamed("o_orderkey", "l_orderkey"),
+      "dws.ord_bucketed", "l_orderkey", 4)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table("dws.li_bucketed")
+        .join(spark.table("dws.ord_bucketed"), Seq("l_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+    }
+  }
+
   test("AQE splits a skewed join partition (docs/sql调优.md:202-250)") {
     import spark.implicits._
     // one hot key carrying ~all rows; thresholds lowered so the skew
