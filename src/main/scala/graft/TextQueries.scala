@@ -139,6 +139,16 @@ object TextQueries {
       .orderBy("id_a", "id_b"),
     None)
 
+  /** Partial-overlap pairs via winnowed rolling-hash fingerprints —
+    * hash family is engine-specific (rows-only check; semantics pinned
+    * in TextOpsSpec incl. the winnowing shared-run guarantee). */
+  val q_dedup_winnow = QuerySpec(
+    "q_dedup_winnow", Seq("E-dedup", "E-text"),
+    (s, d) => Dedup.partialOverlapPairs(Engine.table(s, d, "documents"),
+        minShared = 3)
+      .orderBy("id_a", "id_b"),
+    None)
+
   /** Embedding-cosine near-dups via hyperplane LSH (approximate). */
   val q_dedup_embedding = QuerySpec(
     "q_dedup_embedding", Seq("E-dedup"),
@@ -229,7 +239,7 @@ object TextQueries {
   val all: Seq[QuerySpec] = Seq(
     q_text_token_stats, q_text_quality, q_text_langid, q_text_fingerprint,
     q_dedup_exact, q_dedup_minhash_lsh, q_dedup_ngram_block,
-    q_dedup_simhash, q_dedup_embedding,
+    q_dedup_simhash, q_dedup_winnow, q_dedup_embedding,
     q_embed_topk_bruteforce, q_embed_knn_lsh, q_embed_ivf_topk,
     q_multimodal_features)
 }

@@ -160,6 +160,27 @@ object Dedup {
     verifyPairs(cand, base.select(col("id"), col("sh")), threshold)
   }
 
+  /** Partial-overlap pairs via winnowed fingerprints: documents sharing
+    * at least `minShared` winnow fingerprints (≈ sharing that many
+    * distinct character runs of length >= w+k-1). Candidate shape is
+    * the same fingerprint-bucket join as every other dedup op — the
+    * join key is an 8-byte hash, never text. Catches copy-paste /
+    * boilerplate overlap that whole-document sketches dilute away. */
+  def partialOverlapPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 8, w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val fps = docs.select(col(idCol).as("id"),
+      explode(graft.functions.Winnow.winnow(col(textCol), k, w)).as("fp"))
+    val a = fps.select(col("fp"), col("id").as("id_a"))
+    val b = fps.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .repartition(par, col("id_a"), col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints, banded into 4×16-bit
     * keys (any pair within Hamming distance 3 shares ≥1 intact band),
     * verified by popcount of the XOR. */

@@ -71,4 +71,14 @@ object TextOps {
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), md5(col(textCol)).as("fp"),
       unhex(md5(col(textCol))).as("fp_bin"))
+
+  /** Winnowed rolling-hash fingerprints ([[graft.functions.Winnow]]):
+    * any shared character run of length >= w+k-1 between two documents
+    * yields a shared fingerprint — the PARTIAL-overlap signal md5
+    * (exact only) and MinHash/SimHash (whole-document similarity)
+    * can't give. Map-only projection. */
+  def winnowFingerprints(docs: DataFrame, textCol: String = "text",
+      k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.Winnow.winnow(col(textCol), k, w).as("fps"))
 }

@@ -41,6 +41,44 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.langId(zh).head().getAs[String]("pred_lang") == "other")
   }
 
+  test("winnow: shared chunk guarantees a shared fingerprint; disjoint texts share none") {
+    import spark.implicits._
+    val chunk = "the quick brown fox jumps over the lazy dog repeatedly"
+    val docs = Seq(
+      (1L, s"AAAA unrelated prefix text $chunk and some suffix here"),
+      (2L, s"completely different opening. $chunk ZZZZ tail content"),
+      (3L, "nothing in common with the others at all, plain filler"))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.TextOps.winnowFingerprints(docs)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee: a shared run of >= w+k-1 chars (here ~50)
+    // must produce at least one common fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared chunk must be detected")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint documents must not collide")
+    // determinism
+    val again = graft.operators.TextOps.winnowFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps == again)
+  }
+
+  test("partialOverlapPairs finds the copy-paste pair only") {
+    import spark.implicits._
+    val chunk = "copied boilerplate segment that appears in two documents verbatim"
+    // doc 3 shares no 8-char run with the others (k=8 grams are the
+    // fingerprint unit, so any shared common word would count — as it
+    // should for real boilerplate detection)
+    val docs = Seq(
+      (1L, s"first original content. $chunk end one"),
+      (2L, s"second with other words. $chunk end two"),
+      (3L, "zyx wvu tsr qpo nml kji hgf edc ba9 87 65 43 21 0z yx wv"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.partialOverlapPairs(docs, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("fingerprint is md5 and stable") {
     val fp = TextOps.fingerprint(docs).filter($"doc_id" === 0)
       .select("fp").head().getString(0)
