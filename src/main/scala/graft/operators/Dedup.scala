@@ -168,10 +168,17 @@ object Dedup {
     * boilerplate overlap that whole-document sketches dilute away. */
   def partialOverlapPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 8, w: Int = 4,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2, maxDf: Int = 50): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val fps = docs.select(col(idCol).as("id"),
       explode(graft.functions.Winnow.winnow(col(textCol), k, w)).as("fp"))
+      // stop-fingerprint cap: a fingerprint present in more than maxDf
+      // documents is corpus boilerplate, not copy evidence, and its
+      // bucket would pair O(df²) — drop it (the standard move in
+      // fingerprint-index dedup; a bucket this hot carries no signal)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf)
+      .select("id", "fp")
     val a = fps.select(col("fp"), col("id").as("id_a"))
     val b = fps.select(col("fp"), col("id").as("id_b"))
     a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
