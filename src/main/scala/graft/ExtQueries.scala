@@ -172,8 +172,28 @@ object ExtQueries {
     },
     Some("SELECT * FROM nation ORDER BY n_nationkey"))
 
+  /** A12 generalized via the custom whole-operator plan
+    * ([[graft.plans.TopKPerGroup]]): top-3 latest events per user with
+    * a bounded heap instead of a full window sort. Oracle expresses the
+    * same result as the row_number form. */
+  val q_topk_per_group = QuerySpec(
+    "q_topk_per_group", Seq("A12", "O5", "W6"),
+    (s, d) => graft.plans.TopKPerGroup.topKPerGroup(
+        Engine.table(s, d, "events")
+          .select("event_id", "user_id", "ts", "event_type"),
+        keys = Seq(col("user_id")),
+        order = Seq(col("ts").desc, col("event_id").desc), k = 3)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("user_id", "event_id"),
+    Some("""SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) x
+            WHERE rn <= 3 ORDER BY user_id, event_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
-    q_csv_roundtrip, q_json_roundtrip)
+    q_csv_roundtrip, q_json_roundtrip, q_topk_per_group)
 }

@@ -8,15 +8,21 @@ import org.apache.spark.sql.internal.SQLConf
 
 /** Engine extension point (`spark.sql.extensions=graft.plans.GraftExtensions`).
   *
-  * Registers [[ApproxDistinctRewrite]]: the Druid-style speed/accuracy
-  * tradeoff the reference contrasts with exact distinct counting
-  * (reference docs/olap.md:46 — Druid "不能精准去重" but answers fast).
-  * Opt-in per session/query via `spark.graft.approxDistinct.enabled`;
-  * off by default so conformance semantics stay exact.
+  * Registers:
+  *  - [[ApproxDistinctRewrite]]: the Druid-style speed/accuracy
+  *    tradeoff the reference contrasts with exact distinct counting
+  *    (reference docs/olap.md:46 — Druid "不能精准去重" but answers
+  *    fast). Opt-in per session/query via
+  *    `spark.graft.approxDistinct.enabled`; off by default so
+  *    conformance semantics stay exact.
+  *  - [[TopKPerGroupStrategy]]: plans the [[TopKPerGroup]] custom
+  *    logical operator (bounded-heap top-k per group, no sort).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+  }
 }
 
 /** Rewrite exact `count(DISTINCT x)` aggregates to HyperLogLog++ when

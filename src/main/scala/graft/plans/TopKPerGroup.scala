@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Whole-operator custom plan: top-k rows per group (A12 generalized —
+  * "the top 3 events per user" style queries).
+  *
+  * Why a custom operator instead of `row_number().over(...)` + filter:
+  * the Window form SORTS EVERY GROUP COMPLETELY (full `Sort` of each
+  * partition, spillable, O(n log n) per group) and only then discards
+  * all but k rows. This operator keeps a bounded k-element heap per
+  * group — O(n log k) comparisons, memory bounded by groups×k rows per
+  * partition, no sort node at all. At 100 TB with k=10 and millions of
+  * rows per group, the difference is the whole sort.
+  *
+  * Mechanics (the (c) path from the build brief): a marker
+  * [[TopKPerGroup]] logical node, planned by [[TopKPerGroupStrategy]]
+  * (registered through `graft.plans.GraftExtensions`) into
+  * [[TopKPerGroupExec]], whose `requiredChildDistribution` lets
+  * EnsureRequirements insert the one hash shuffle on the group keys.
+  */
+case class TopKPerGroup(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0)
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): TopKPerGroup = copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(keys, order, k, child) =>
+      TopKPerGroupExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** One hash exchange on the group keys; NO required ordering — the
+    * heap replaces the sort. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowOrd = RowOrdering.create(sortOrder, childOutput)
+      // max-heap on the sort order: the head is the WORST retained row,
+      // evicted when a better row arrives and the heap is full
+      val heaps = new java.util.HashMap[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](
+            limit + 1, rowOrd.reversed())
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < limit) {
+          heap.add(row.copy())
+        } else if (rowOrd.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+      val it = heaps.values().iterator()
+      while (it.hasNext) {
+        val heap = it.next()
+        val rows = new Array[InternalRow](heap.size)
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // best-first
+        out ++= rows
+      }
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): TopKPerGroupExec = copy(child = newChild)
+}
+
+object TopKPerGroup {
+
+  /** Library entry: top `k` rows of `df` per `keys` group under
+    * `order` (best = first in the order). */
+  def topKPerGroup(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    // sessions built without spark.sql.extensions (e.g. an embedding
+    // application's own session) still get the strategy, idempotently
+    val exp = df.sparkSession.experimental
+    if (!exp.extraStrategies.contains(TopKPerGroupStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKPerGroupStrategy
+    val plan = Bridge.logicalPlan(df)
+    // resolve the user Columns by borrowing the standard analysis of a
+    // Project / Sort over the same (already analyzed, id-stable) child
+    val keyExprs = Bridge.logicalPlan(df.select(keys: _*)) match {
+      case p: Project => p.projectList.map {
+        case a: Alias => a.child
+        case e => e
+      }
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    val sortOrder = Bridge.logicalPlan(
+        df.sortWithinPartitions(order: _*)) match {
+      case s: Sort => s.order
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    Bridge.ofRows(df.sparkSession, TopKPerGroup(
+      keyExprs, sortOrder, k, plan))
+  }
+}

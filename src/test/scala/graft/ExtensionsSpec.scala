@@ -32,6 +32,31 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("TopKPerGroup custom operator equals the window row_number form") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Engine.table(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "event_type")
+    val custom = graft.plans.TopKPerGroup.topKPerGroup(e,
+      Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc), k = 3)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assertSameRows(custom, viaWindow)
+  }
+
+  test("TopKPerGroup plans with one exchange and NO sort") {
+    val e = Engine.table(spark, sf, "events")
+      .select("event_id", "user_id", "ts")
+    val custom = graft.plans.TopKPerGroup.topKPerGroup(e,
+      Seq(col("user_id")), Seq(col("ts").desc), k = 2)
+    custom.collect()
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup "), plan)
+    assert(!plan.contains("Sort "), s"heap operator must not sort:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+  }
+
   test("rule leaves plain count() and disabled sessions untouched") {
     val events = Engine.table(spark, sf, "events")
     val q = events.groupBy("event_type").agg(count(lit(1)).as("n"))
