@@ -37,20 +37,31 @@ case class TopKPerGroup(keys: Seq[Expression], order: Seq[SortOrder],
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(keys, order, k, child) =>
-      TopKPerGroupExec(keys, order, k, planLater(child)) :: Nil
+      // partial→final, exactly like partial aggregation: the map-side
+      // heap reduces what the exchange carries from n rows to
+      // groups×k rows per input partition (global top-k per group ==
+      // top-k of the union of per-partition top-ks)
+      TopKPerGroupExec(keys, order, k, partial = false,
+        TopKPerGroupExec(keys, order, k, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** One hash exchange on the group keys; NO required ordering — the
-    * heap replaces the sort. */
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+
+  /** Final pass: one hash exchange on the group keys (NO required
+    * ordering — the heap replaces the sort). Partial pass: runs
+    * wherever the data already is. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys

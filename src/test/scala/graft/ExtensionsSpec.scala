@@ -52,9 +52,15 @@ class ExtensionsSpec extends SparkSuite {
       Seq(col("user_id")), Seq(col("ts").desc), k = 2)
     custom.collect()
     val plan = custom.queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerGroup "), plan)
+    // partial heap BELOW the exchange (map-side shuffle reduction),
+    // final heap above it, and no Sort anywhere
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+    assert(plan.indexOf("TopKPerGroupFinal") <
+      plan.indexOf("hashpartitioning(user_id"), plan)
+    assert(plan.indexOf("hashpartitioning(user_id") <
+      plan.indexOf("TopKPerGroupPartial"), plan)
     assert(!plan.contains("Sort "), s"heap operator must not sort:\n$plan")
-    assert(plan.contains("hashpartitioning(user_id"), plan)
   }
 
   test("rule leaves plain count() and disabled sessions untouched") {
