@@ -192,8 +192,42 @@ object ExtQueries {
               FROM events) x
             WHERE rn <= 3 ORDER BY user_id, event_id"""))
 
+  /** As-of (point-in-time) join: every event picks the user's most
+    * recent purchase value at or before it. Spark side is the composed
+    * window form ([[graft.operators.Relational.asofJoinBackward]] — one
+    * shuffle, no range probe); DuckDB's native ASOF LEFT JOIN is the
+    * oracle. Right side deduped per (user, ts) so tie-breaking is
+    * well-defined in both engines. */
+  val q_asof_join = QuerySpec(
+    "q_asof_join", Seq("J-asof", "W1", "U5"),
+    (s, d) => {
+      val e = Engine.table(s, d, "events")
+      val l = e.select("event_id", "user_id", "ts")
+      val r = graft.operators.Relational.dedupKeepFirst(
+          e.filter(col("event_type") === "purchase"),
+          Seq("user_id", "ts"), Seq(col("event_id")))
+        .select(col("user_id"), col("ts"),
+          col("value").as("last_purchase_value"))
+      graft.operators.Relational.asofJoinBackward(
+          l, r, "user_id", "ts", "ts", Seq("last_purchase_value"))
+        .select("event_id", "user_id", "last_purchase_value")
+        .orderBy("event_id")
+    },
+    Some("""WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                       FROM events),
+                 r AS (SELECT user_id, ts, value AS last_purchase_value FROM
+                         (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                                 row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                                                    ORDER BY event_id) AS rn
+                          FROM events WHERE event_type = 'purchase')
+                       WHERE rn = 1)
+            SELECT l.event_id, l.user_id, r.last_purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
-    q_csv_roundtrip, q_json_roundtrip, q_topk_per_group)
+    q_csv_roundtrip, q_json_roundtrip, q_topk_per_group, q_asof_join)
 }

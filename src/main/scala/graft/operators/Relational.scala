@@ -100,11 +100,48 @@ object Relational {
   }
 
   /** O5/A12: top-k per group without a global sort — rank inside each
-    * group partition, filter, then a tiny final sort. */
+    * group partition, filter, then a tiny final sort. (See also the
+    * whole-operator form [[graft.plans.TopKPerGroup]], which replaces
+    * the window sort with bounded heaps.)*/
   def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column],
       k: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
+  }
+
+  /** As-of join (backward): each left row picks the latest right row
+    * with `rightTs <= leftTs` for the same key — the point-in-time
+    * lookup of feature stores and market data. Composed from existing
+    * operators (brief preference (a)): tag both sides, UNION, one
+    * window pass carrying the last right payload forward in time order,
+    * keep left rows. ONE shuffle on (key), no join node, no per-row
+    * range probe — at 100 TB this is a single sorted pass per key,
+    * versus a range join's quadratic bucket risk.
+    *
+    * `payload` = right columns to carry (null when no right row is at
+    * or before the left timestamp). Ties on ts: the right row at the
+    * exact timestamp wins (sorted before the left row via the tag). */
+  def asofJoinBackward(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val lTag = left.select(
+      (col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+        left.columns.map(c => col(c)) ++:
+        payload.map(p => lit(null).cast(
+          right.schema(p).dataType).as(s"__p_$p"))): _*)
+    val rTag = right.select(
+      (col(key).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        left.columns.map(c => lit(null).cast(
+          left.schema(c).dataType).as(c)) ++:
+        payload.map(p => col(p).as(s"__p_$p"))): _*)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lTag.unionByName(rTag)
+      .select((col("__side") +: left.columns.map(col) ++:
+        payload.map(p =>
+          last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p))): _*)
+    carried.filter(col("__side") === 1).drop("__side")
   }
 }

@@ -80,4 +80,28 @@ class RewriteEquivalenceSpec extends SparkSuite {
     assertSameRows(got.select("user_id", "event_type", "event_id"),
       expectFirst)
   }
+
+  test("asofJoinBackward: latest right at-or-before each left row, null before first") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "u1", t("2024-01-01 09:00:00")), // before any snapshot -> null
+      (2L, "u1", t("2024-01-01 10:00:00")), // exact tie -> that snapshot
+      (3L, "u1", t("2024-01-01 11:30:00")), // between -> 10:00 snapshot
+      (4L, "u1", t("2024-01-01 13:00:00")), // after last -> 12:00 snapshot
+      (5L, "u2", t("2024-01-01 12:00:00"))) // other key, no snapshots
+      .toDF("event_id", "uid", "ts")
+    val right = Seq(
+      ("u1", t("2024-01-01 10:00:00"), 100.0),
+      ("u1", t("2024-01-01 12:00:00"), 200.0))
+      .toDF("uid", "ts", "snap")
+    val got = graft.operators.Relational.asofJoinBackward(
+        left, right, "uid", "ts", "ts", Seq("snap"))
+      .select("event_id", "snap").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got == Map(1L -> null, 2L -> 100.0, 3L -> 100.0,
+      4L -> 200.0, 5L -> null))
+  }
 }
