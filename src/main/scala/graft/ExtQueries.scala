@@ -226,8 +226,41 @@ object ExtQueries {
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.event_id"""))
 
+  /** Range join via bucketization
+    * ([[graft.operators.Relational.bucketedRangeJoin]]): lineitem
+    * prices against order-derived price bands. The oracle is the naive
+    * BETWEEN join — results must be identical; only the PLAN differs
+    * (equi-join on buckets vs nested loop). */
+  val q_range_join = QuerySpec(
+    "q_range_join", Seq("J-range", "X3"),
+    (s, d) => {
+      val points = Engine.table(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(50)) === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      val bands = Engine.table(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(500)) === 0)
+        .select(col("o_orderkey").as("band_id"),
+          col("o_totalprice").as("lo"),
+          (col("o_totalprice") + 20000.0).as("hi"))
+      graft.operators.Relational.bucketedRangeJoin(
+          points, "l_extendedprice", bands, "lo", "hi",
+          bucketWidth = 20000.0)
+        .select("l_orderkey", "l_linenumber", "band_id")
+        .orderBy("l_orderkey", "l_linenumber", "band_id")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, band_id
+            FROM (SELECT l_orderkey, l_linenumber, l_extendedprice
+                  FROM lineitem WHERE mod(l_orderkey, 50) = 0) p
+            JOIN (SELECT o_orderkey AS band_id, o_totalprice AS lo,
+                         o_totalprice + 20000.0 AS hi
+                  FROM orders WHERE mod(o_orderkey, 500) = 0) b
+              ON p.l_extendedprice BETWEEN b.lo AND b.hi
+            ORDER BY l_orderkey, l_linenumber, band_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
-    q_csv_roundtrip, q_json_roundtrip, q_topk_per_group, q_asof_join)
+    q_csv_roundtrip, q_json_roundtrip, q_topk_per_group, q_asof_join,
+    q_range_join)
 }

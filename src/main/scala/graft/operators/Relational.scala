@@ -144,4 +144,29 @@ object Relational {
           last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p))): _*)
     carried.filter(col("__side") === 1).drop("__side")
   }
+
+  /** Range (interval-containment) join: pair each point with every
+    * interval containing it. Spark plans a plain
+    * `p BETWEEN lo AND hi` join as BroadcastNestedLoop/cartesian —
+    * quadratic at scale. Bucketizing turns it into an EQUI-join: each
+    * interval explodes to the fixed-width buckets it covers, points
+    * hash to their bucket, the join key is the bucket, and the exact
+    * predicate filters within the bucket. Each (point, interval) pair
+    * meets exactly once (the point's bucket), so no dedup is needed.
+    * Pick `bucketWidth` near the typical interval span: explode factor
+    * ≈ span/width + 1, join fan-in per bucket ≈ intervals overlapping
+    * that width. */
+  def bucketedRangeJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    val p = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    p.join(iv, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
 }
