@@ -48,6 +48,48 @@ object Multimodal {
     hist
   }
 
+  /** Frame sampling for video-like payloads: every `everyNth` frame of
+    * the payload, one output ROW per sampled frame (flatMap shape — the
+    * row-multiplying half of multimodal plumbing that a generator/
+    * mapInPandas would do). STUB framing: payload treated as
+    * concatenated fixed-`frameBytes` frames; a real demuxer replaces
+    * `frameAt` only. */
+  def sampleFrames(media: DataFrame, frameBytes: Int,
+      everyNth: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    media.select("media_id", "payload").flatMap { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      if (payload == null) Iterator.empty
+      else {
+        val n = payload.length / frameBytes
+        (0 until n by everyNth).iterator.map { i =>
+          Row(r.getLong(0), i,
+            java.util.Arrays.copyOfRange(payload,
+              i * frameBytes, (i + 1) * frameBytes))
+        }
+      }
+    }(enc)
+  }
+
+  /** Resize stub: keep every `factor`-th byte of a frame/payload (a
+    * real implementation bilinear-resamples decoded pixels; the
+    * operator shape — map-only, fixed reduction factor, binary in/out —
+    * is identical). */
+  def resizePayload(media: DataFrame, factor: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    val resize = udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else bytes.zipWithIndex.collect {
+        case (b, i) if i % factor == 0 => b
+      }
+    }
+    media.withColumn(payloadCol, resize(col(payloadCol)))
+  }
+
   /** Feature extraction over media batches: mapPartitions so a real
     * decoder could amortize codec init per partition (the Scala analogue
     * of mapInPandas batch shape). Output keeps the id + a fixed-width

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Relational, Similarity, TextOps}
+
+/** Degenerate-input robustness: empty tables, null/empty text, single
+  * rows. A library operator must return an empty/valid result, never
+  * throw — at 100 TB some partition WILL be empty or degenerate. */
+class EdgeCaseSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emptyDocs =
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+  private lazy val weirdDocs = Seq(
+    (1L, "", "a"),
+    (2L, null.asInstanceOf[String], "a"),
+    (3L, "x", "a"),
+    (4L, "solo", "b")).toDF("doc_id", "text", "source")
+
+  test("dedup operators on an empty table return empty") {
+    assert(Dedup.exactDupGroups(emptyDocs).count() == 0)
+    assert(Dedup.minHashLshPairs(emptyDocs).count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "source").count() == 0)
+    assert(Dedup.simHashPairs(emptyDocs).count() == 0)
+    assert(Dedup.partialOverlapPairs(emptyDocs).count() == 0)
+  }
+
+  test("dedup operators tolerate null/empty/single-char text") {
+    assert(Dedup.exactDupGroups(weirdDocs).count() == 4) // null+""+x+solo
+    Dedup.minHashLshPairs(weirdDocs, threshold = 0.9).collect()
+    Dedup.ngramJaccardPairs(weirdDocs, "source", threshold = 0.9).collect()
+    Dedup.partialOverlapPairs(weirdDocs).collect()
+  }
+
+  test("text operators keep null rows without throwing") {
+    val stats = TextOps.tokenStats(weirdDocs).collect()
+    assert(stats.length == 4)
+    TextOps.qualityScore(weirdDocs).collect()
+    TextOps.langId(weirdDocs).collect()
+    TextOps.winnowFingerprints(weirdDocs).collect()
+  }
+
+  test("similarity on empty embeddings returns empty") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(empty, Seq(1.0, 0.0), 5).count() == 0)
+    assert(Similarity.lshKnnJoin(empty, k = 3, dim = 2).count() == 0)
+  }
+
+  test("asof/range joins on empty sides behave") {
+    val l = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "k", "ts")
+    val rEmpty = Seq.empty[(String, java.sql.Timestamp, Double)]
+      .toDF("k", "ts", "v")
+    val out = Relational.asofJoinBackward(l, rEmpty, "k", "ts", "ts", Seq("v"))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("v")))
+    val pts = Seq((1L, 5.0)).toDF("id", "p")
+    val ivEmpty = Seq.empty[(Long, Double, Double)].toDF("b", "lo", "hi")
+    assert(Relational.bucketedRangeJoin(pts, "p", ivEmpty, "lo", "hi", 10.0)
+      .count() == 0)
+  }
+}

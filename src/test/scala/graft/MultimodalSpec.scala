@@ -31,6 +31,28 @@ class MultimodalSpec extends SparkSuite {
     assert(byId(3L) == ((7.0f, 7)))
   }
 
+  test("sampleFrames emits every Nth fixed-size frame, skips null payloads") {
+    val media = Seq(
+      (1L, (0 until 40).map(_.toByte).toArray),        // 10 frames of 4
+      (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, everyNth = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq))
+    assert(frames.map(f => (f._1, f._2)).toSet ==
+      Set((1L, 0), (1L, 3), (1L, 6), (1L, 9)))
+    assert(frames.find(f => f._2 == 3).get._3 == Seq[Byte](12, 13, 14, 15))
+  }
+
+  test("resizePayload reduces bytes by the factor, map-only plan") {
+    val media = Seq((1L, (0 until 16).map(_.toByte).toArray))
+      .toDF("media_id", "payload")
+    val resized = Multimodal.resizePayload(media, factor = 4)
+    assert(resized.head().getAs[Array[Byte]](1).toSeq ==
+      Seq[Byte](0, 4, 8, 12))
+    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("stubDecode is deterministic in payload bytes") {
     val a = Multimodal.stubDecode("same bytes".getBytes)
     val b = Multimodal.stubDecode("same bytes".getBytes)
