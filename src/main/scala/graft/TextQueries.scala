@@ -207,11 +207,13 @@ object TextQueries {
       val row = emb.filter(col("vec_id") === 0).head()
       val q = row.getSeq[Float](row.fieldIndex("embedding"))
         .map(_.toDouble).toSeq
-      // index persisted per scale factor: built on first use, reused by
-      // every later probe (and by repeat bench runs)
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+      // k-means-trained index persisted per scale factor: built on
+      // first use, probe-only afterwards (and across bench runs)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfkm_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
-      Similarity.ivfTopK(emb, q, k = 10, indexDir = dir)
+      if (!new java.io.File(s"$dir/centroids").exists())
+        Similarity.ivfBuildIndexKMeans(emb, dir)
+      Similarity.ivfProbe(s, dir, q, k = 10)
     },
     None)
 

@@ -112,6 +112,81 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** IVF index build with K-MEANS coarse quantization (the standard IVF
+    * construction): Lloyd iterations on a (deterministic) training
+    * sample of unit-normalized vectors — so L2 argmin == cosine argmax
+    * — then one full-data assignment pass, persisted exactly like
+    * [[ivfBuildIndex]] (`vectors/` partitioned by bucket + `centroids/`)
+    * so [[ivfProbe]] works unchanged. At 100 TB: train on the sample
+    * (one scan of sampleFraction), assign with a broadcast centroid
+    * table (one scan, map-only + write), never an all-pairs step. */
+  def ivfBuildIndexKMeans(embeddings: DataFrame, indexDir: String,
+      nCentroids: Int = 32, iters: Int = 3, sampleFraction: Double = 1.0,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val spark = embeddings.sparkSession
+    val vecs = embeddings.select(col(idCol).as("id"),
+      col(vecCol).as("v"),
+      normalized(col(vecCol)).as("nv"))
+    val train = (if (sampleFraction < 1.0)
+      vecs.filter(pmod(xxhash64(col("id")), lit(1000)) <
+        lit((sampleFraction * 1000).toLong))
+    else vecs).select("id", "nv")
+
+    // deterministic init: the nCentroids training vectors with the
+    // smallest id-hash (a seeded random draw both runs agree on)
+    var centroids = train
+      .orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
+      .select(col("nv").as("centroid"))
+      .withColumn("bucket",
+        row_number().over(Window.orderBy(monotonically_increasing_id()))
+          .cast("long") - 1)
+      .select("bucket", "centroid").cache()
+    centroids.count()
+
+    for (_ <- 1 to iters) {
+      val assigned = assignNearest(train, centroids)
+      val next = assigned
+        .select(col("bucket"), posexplode(col("nv")))
+        .groupBy("bucket", "pos").agg(avg("col").as("m"))
+        .groupBy("bucket")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .cache()
+      next.count()
+      centroids.unpersist()
+      centroids = next
+    }
+
+    assignNearest(vecs.select(col("id"), col("v"), col("nv")), centroids)
+      .select(col("id").as(idCol), col("v").as(vecCol), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/vectors")
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    centroids.unpersist()
+    ()
+  }
+
+  /** Argmax-cosine assignment: broadcast the (tiny) centroid table,
+    * min-by over the per-centroid similarity via one aggregation —
+    * map-only + a groupBy on the vector id. */
+  private def assignNearest(vecs: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val joined = vecs.crossJoin(broadcast(centroids))
+      .withColumn("sim", dotProduct(col("nv"), col("centroid")))
+    joined
+      .groupBy(vecs.columns.map(col): _*)
+      .agg(max_by(col("bucket"), col("sim")).as("bucket"))
+  }
+
+  /** Unit-normalized double view of a vector (zero vectors pass
+    * through unscaled). */
+  private def normalized(vec: Column): Column = {
+    val n = sqrt(normSq(vec))
+    transform(vec, x =>
+      when(n === 0.0, x.cast("double")).otherwise(x.cast("double") / n))
+  }
+
   /** IVF probe: read the persisted index, pick the `nprobe` buckets whose
     * centroids are nearest the query (centroid table is tiny → driver-
     * side top-nprobe then a broadcast semi-join that PRUNES the bucket-

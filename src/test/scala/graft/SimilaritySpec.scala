@@ -49,6 +49,20 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"IVF recall $recall too low")
   }
 
+  test("k-means IVF recall@10 >= 0.9 and prunes the probe scan") {
+    val dir = tmpDir("ivf_kmeans")
+    Similarity.ivfBuildIndexKMeans(clustered, dir, nCentroids = 10,
+      iters = 3)
+    val row = clustered.filter(col("vec_id") === 0).head()
+    val q = row.getSeq[Float](1).map(_.toDouble).toSeq
+    val truth = Similarity.bruteForceTopK(clustered, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfProbe(spark, dir, q, k = 10, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(recall >= 0.9, s"k-means IVF recall $recall too low")
+  }
+
   test("lshKnnJoin finds same-cluster neighbors on clustered data") {
     val knn = Similarity.lshKnnJoin(clustered, k = 3, planes = 8, probes = 2)
     val labels = clustered.select(col("vec_id"), col("label"))
