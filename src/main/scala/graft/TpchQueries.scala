@@ -126,7 +126,79 @@ object TpchQueries {
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100""")
 
+  /** Q7 volume shipping: nation pair flows, year-bucketed. */
+  val q_tpch_q7 = both("q_tpch_q7", Seq("J2", "A1", "F9"), """
+    SELECT supp_nation, cust_nation, l_year,
+      CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+          OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+        AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year""")
+
+  /** Q8 market share: conditional share of a nation in a region. */
+  val q_tpch_q8 = both("q_tpch_q8", Seq("J2", "A4", "P9"), """
+    SELECT o_year,
+      CAST(
+        CAST(SUM(CASE WHEN nation = 'NATION_9'
+                      THEN CAST(volume AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+      AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        AND p_type LIKE 'ECONOMY%'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year""")
+
+  /** Q15 top supplier: supplier(s) hitting max revenue via a CTE used
+    * twice (the view form of the spec). */
+  val q_tpch_q15 = both("q_tpch_q15", Seq("A1", "P11", "A6"), """
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+          AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue0
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey""")
+
+  /** Q17 small-quantity-order revenue: correlated avg subquery. */
+  val q_tpch_q17 = both("q_tpch_q17", Seq("P11", "A6", "J1"), """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+      AND p_size < 15
+      AND l_quantity < (
+        SELECT 0.5 * AVG(l_quantity) FROM lineitem
+        WHERE l_partkey = p_partkey)""")
+
   val all: Seq[QuerySpec] = Seq(
-    q_tpch_q1, q_tpch_q3, q_tpch_q5, q_tpch_q6, q_tpch_q10,
-    q_tpch_q12, q_tpch_q14, q_tpch_q18)
+    q_tpch_q1, q_tpch_q3, q_tpch_q5, q_tpch_q6, q_tpch_q7, q_tpch_q8,
+    q_tpch_q10, q_tpch_q12, q_tpch_q14, q_tpch_q15, q_tpch_q17,
+    q_tpch_q18)
 }
