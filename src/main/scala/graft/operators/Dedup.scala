@@ -211,18 +211,33 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine similarity above threshold among
-    * candidates sharing a random-hyperplane LSH bucket. */
+    * candidates sharing ANY of `probes` independent hyperplane-LSH
+    * buckets (multi-probe banding — a single 12-plane signature catches
+    * only ~57% of pairs even at cos 0.99; four independent signatures
+    * lift recall to ~97%). Candidates-then-verify shape: the bucket
+    * join carries ids only, pairs dedupe across probes, vectors join
+    * back once per side for one cosine per pair. */
   def embeddingNearDupPairs(embeddings: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      dim: Int = 64, planes: Int = 12,
+      dim: Int = 64, planes: Int = 12, probes: Int = 4,
       threshold: Double = 0.95): DataFrame = {
-    val sig = Similarity.hyperplaneSignature(col(vecCol), dim, planes)
-    val base = embeddings.select(col(idCol).as("id"),
-      col(vecCol).as("v"), sig.as("bucket"))
-    val a = base.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = base.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    // one bucket per vector → a pair meets at most once; no distinct
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val probed = (0 until probes).map { p =>
+      embeddings.select(col(idCol).as("id"),
+        Similarity.hyperplaneSignature(col(vecCol), dim, planes,
+          seed = 42L + p).as("bucket"))
+        .withColumn("probe", lit(p))
+    }.reduce(_ unionByName _)
+    val a = probed.select(col("probe"), col("bucket"), col("id").as("id_a"))
+    val b = probed.select(col("probe"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("probe", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .repartition(par, col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineSimilarity(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
