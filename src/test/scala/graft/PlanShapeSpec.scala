@@ -96,6 +96,34 @@ class PlanShapeSpec extends SparkSuite {
       !f.contains("dt=2019-03-05")), "partitions outside range scanned")
   }
 
+  test("dynamic partition pruning fires on a star join's dt dimension") {
+    RefConformance.ensure(spark, sf)
+    import spark.implicits._
+    // dim carries dt values; the filter on the dim prunes fact
+    // partitions at RUNTIME via a DPP subquery in the scan. The dim
+    // must be a real scan (a literal frame constant-folds to a
+    // LocalRelation and the DPP rule sees no selective filter).
+    val dimDir = tmpDir("dpp_dim")
+    Seq(("2019-03-02", "keep"), ("2019-03-04", "keep2"))
+      .toDF("dt", "tag").write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("dpp_dim")
+    withSQLConf(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "100000") {
+      val df = spark.sql("""
+        SELECT count(*) AS n FROM dwb.fact_event_info f
+        JOIN dpp_dim d ON f.dt = d.dt
+        WHERE d.tag = 'keep'""")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") ||
+        plan.contains("DynamicPruning") ||
+        plan.contains("SubqueryBroadcast"),
+        s"expected a dynamic partition pruning filter in the scan:\n$plan")
+      df.collect()
+    }
+  }
+
   test("DISTRIBUTE BY hash-partitions on the named column (O3)") {
     Engine.registerAll(spark, sf)
     val df = spark.sql("SELECT user_id FROM events DISTRIBUTE BY user_id")
