@@ -193,20 +193,26 @@ object Dedup {
     * verified by popcount of the XOR. */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val fp = docs.select(col(idCol).as("id"),
       SimHash64.simhash64(wordTokens(col(textCol))).as("fp"))
-    val banded = fp.select(col("id"), col("fp"),
+    val banded = fp.select(col("id"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val a = banded.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = banded.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("fp").as("fp_b"))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
+    // candidates-then-verify (same shape as the other dedup ops): band
+    // join carries ids only, pairs dedupe across bands at explicit
+    // width, then ONE popcount per pair after joining fingerprints back
     a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .repartition(par, col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(fp.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+      .join(fp.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
