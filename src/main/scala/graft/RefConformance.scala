@@ -354,7 +354,52 @@ object RefConformance {
       join t3 on t2.dt=t3.dt and t2.event=t3.event and t2.udid=t3.udid
       order by t3.aid"""))
 
+  // --------------- skew expansion join (docs/sql调优.md:215-224)
+
+  /** The `num`-table expansion join, verbatim modulo a projected column
+    * list (a bare `select *` emits duplicate `uid` columns, which the
+    * driver's name-sorted hash compare cannot disambiguate) and the
+    * trailing ORDER BY. The users side is inflated ×30 by the
+    * condition-free join with `num`, and `mod(login_time,30)+1` routes
+    * each log row to exactly one replica — the documented manual
+    * skew-spread (J10/J11). */
+  val q_ref_expansion_join = QuerySpec(
+    "q_ref_expansion_join", Seq("J10", "J11", "F5", "J3"),
+    (s, d) => {
+      Engine.configure(s)
+      val e = Engine.table(s, d, "events")
+      e.select(col("user_id").as("uid"),
+        col("ts").cast("long").as("login_time"), col("event_id"))
+        .createOrReplaceTempView("log")
+      Engine.table(s, d, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("uid"))
+        .createOrReplaceTempView("users")
+      s.range(1, 31).toDF("number").createOrReplaceTempView("num")
+      s.sql("""
+        select a.uid, a.login_time, a.event_id, b.number from log a
+        left join
+        (
+            select uid, number from users d
+            join num e
+        ) b
+        on a.uid = b.uid
+        and mod(a.login_time, 30)+1 = b.number
+        order by a.event_id""")
+    },
+    Some("""WITH log AS (SELECT user_id AS uid,
+                 CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS login_time,
+                 event_id FROM events),
+              users AS (SELECT c_custkey AS uid FROM customer
+                        WHERE c_custkey < 100),
+              num AS (SELECT CAST(range AS BIGINT) AS number
+                      FROM range(1, 31))
+        select a.uid, a.login_time, a.event_id, b.number from log a
+        left join (select uid, number from users d, num e) b
+        on a.uid = b.uid and mod(a.login_time, 30)+1 = b.number
+        order by a.event_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_ref_rollup_verbatim, q_ref_count_parity, q_ref_window_verbatim,
-    q_ref_decomposed_verbatim)
+    q_ref_decomposed_verbatim, q_ref_expansion_join)
 }
