@@ -399,7 +399,61 @@ object RefConformance {
         on a.uid = b.uid and mod(a.login_time, 30)+1 = b.number
         order by a.event_id"""))
 
+  // ------------- union-fused one-column-to-two join (docs/sql调优.md:63-70)
+
+  /** "一个字段关联两列值": both candidate key columns UNION ALL'd into
+    * one keyed relation so the fact is read once and joined once —
+    * verbatim modulo an explicit projection (bare `select *` emits two
+    * `price_id` columns) and the trailing ORDER BY. */
+  val q_ref_union_fused = QuerySpec(
+    "q_ref_union_fused", Seq("J9", "U1"),
+    (s, d) => {
+      Engine.configure(s)
+      // subsetted fixtures: the fused join fans out ~|part|/20 rows per
+      // log row, so cap both sides to keep the result bounded at any SF
+      Engine.table(s, d, "events")
+        .filter(pmod(col("event_id"), lit(100)) === 0)
+        .select(col("event_id"),
+          concat(lit("p"), pmod(col("event_id"), lit(40)).cast("string"))
+            .as("price_id"))
+        .createOrReplaceTempView("log")
+      Engine.table(s, d, "part")
+        .filter(col("p_partkey") < 400)
+        .select(
+          concat(lit("p"), pmod(col("p_partkey"), lit(40)).cast("string"))
+            .as("price_id"),
+          concat(lit("p"), pmod(col("p_partkey") + 7, lit(40)).cast("string"))
+            .as("money_id"))
+        .createOrReplaceTempView("fact_produce_sale_detail")
+      s.sql("""
+        select a.event_id, a.price_id from log a
+        inner join
+        (
+           select price_id as price_id from fact_produce_sale_detail
+           union all
+           select money_id as price_id from fact_produce_sale_detail
+        ) b
+        on a.price_id = b.price_id
+        order by a.event_id, a.price_id""")
+    },
+    Some("""WITH log AS (SELECT event_id,
+                 'p' || CAST(mod(event_id, 40) AS VARCHAR) AS price_id
+               FROM events WHERE mod(event_id, 100) = 0),
+              fact_produce_sale_detail AS (SELECT
+                 'p' || CAST(mod(p_partkey, 40) AS VARCHAR) AS price_id,
+                 'p' || CAST(mod(p_partkey + 7, 40) AS VARCHAR) AS money_id
+               FROM part WHERE p_partkey < 400)
+        select a.event_id, a.price_id from log a
+        inner join
+        (
+           select price_id as price_id from fact_produce_sale_detail
+           union all
+           select money_id as price_id from fact_produce_sale_detail
+        ) b
+        on a.price_id = b.price_id
+        order by a.event_id, a.price_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_ref_rollup_verbatim, q_ref_count_parity, q_ref_window_verbatim,
-    q_ref_decomposed_verbatim, q_ref_expansion_join)
+    q_ref_decomposed_verbatim, q_ref_expansion_join, q_ref_union_fused)
 }

@@ -207,6 +207,21 @@ class PlanShapeSpec extends SparkSuite {
       s"probe scanned $scannedParts of $allParts bucket partitions")
   }
 
+  test("redundant inner group-by is eliminated (docs/sql调优.md:73-91)") {
+    Engine.registerAll(spark, sf)
+    // the reference's case 4: a subquery group-by under an identical
+    // outer group-by is dropped by the optimizer (one aggregation, not
+    // two) — unless the subquery aggregates (count distinct etc.)
+    val df = spark.sql("""
+      SELECT l_returnflag, l_linestatus FROM (
+        SELECT l_returnflag, l_linestatus FROM lineitem
+        GROUP BY l_returnflag, l_linestatus)
+      GROUP BY l_returnflag, l_linestatus""")
+    val aggs = "Aggregate".r
+      .findAllIn(df.queryExecution.optimizedPlan.toString).size
+    assert(aggs == 1, s"expected one Aggregate after elimination, got $aggs")
+  }
+
   test("scalar text pipeline stays in one codegen stage (no exchanges)") {
     val df = graft.operators.TextOps.qualityScore(
       Engine.table(spark, sf, "documents"))
