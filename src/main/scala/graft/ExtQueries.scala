@@ -258,9 +258,28 @@ object ExtQueries {
               ON p.l_extendedprice BETWEEN b.lo AND b.hi
             ORDER BY l_orderkey, l_linenumber, band_id"""))
 
+  /** The mega-WHERE rewrite (docs/sql调优.md:118-124): a huge OR/IN
+    * predicate becomes a broadcast semi-join against a small values
+    * table — the filter values travel as data, not as a
+    * deeply-nested predicate operator tree. Oracle expresses the same
+    * selection as the literal IN list. */
+  val q_bigwhere_join = QuerySpec(
+    "q_bigwhere_join", Seq("P6", "J5", "J4"),
+    (s, d) => {
+      import s.implicits._
+      val keys = (0 until 200).map(_ * 7L).toDF("k")
+      Engine.table(s, d, "events")
+        .join(broadcast(keys), col("user_id") === col("k"), "left_semi")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy("user_id")
+    },
+    Some(s"""SELECT user_id, COUNT(*) AS n FROM events
+             WHERE user_id IN (${(0 until 200).map(_ * 7L).mkString(",")})
+             GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
     q_csv_roundtrip, q_json_roundtrip, q_topk_per_group, q_asof_join,
-    q_range_join)
+    q_range_join, q_bigwhere_join)
 }
