@@ -207,6 +207,28 @@ class PlanShapeSpec extends SparkSuite {
       s"probe scanned $scannedParts of $allParts bucket partitions")
   }
 
+  test("runtime bloom filter reduces the probe side of a selective join") {
+    // Spark 4's runtime-filter injection: the filtered build side
+    // broadcasts a bloom filter that pre-prunes the probe scan — the
+    // engine-level version of the reference's 'filter before join'
+    // pushdown guidance; thresholds lowered to fire at test scale
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = Engine.table(spark, sf, "lineitem")
+      val o = Engine.table(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") ||
+        plan.contains("might_contain"),
+        s"runtime bloom filter not injected:\n${plan.take(1500)}")
+    }
+  }
+
   test("redundant inner group-by is eliminated (docs/sql调优.md:73-91)") {
     Engine.registerAll(spark, sf)
     // the reference's case 4: a subquery group-by under an identical
