@@ -230,6 +230,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("T9b: batch and stream paths agree on the same events data (end to end)") {
+    // the reference's core validation practice (docs/实时数仓.md:118-124):
+    // identical logic over the batch table and a replay of the same
+    // data as a stream must diff to empty
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = Engine.table(spark, sfDir, "events")
+    def logic(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("m"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("amt"))
+    val batchAgg = logic(batch)
+    // replay the same parquet as a stream, complete mode (the file
+    // source wants a directory — stage the file into one)
+    val stage = tmpDir("t9b_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$stage/events.parquet"))
+    val streamIn = spark.readStream.schema(
+        spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(stage)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = logic(streamIn).writeStream
+      .outputMode("complete").format("memory").queryName("t9b_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("t9b_out")
+      val badM = StreamOps.differentialValidate(
+        batchAgg.select(col("event_type"), col("m")),
+        streamed.select(col("event_type"), col("m")),
+        Seq("event_type"), "m")
+      val badAmt = StreamOps.differentialValidate(
+        batchAgg.select(col("event_type"), col("amt")),
+        streamed.select(col("event_type"), col("amt")),
+        Seq("event_type"), "amt")
+      assert(badM.count() == 0 && badAmt.count() == 0,
+        "batch and stream paths must produce identical aggregates")
+    } finally q.stop()
+  }
+
   test("T9: differential validator flags only out-of-tolerance keys") {
     val batch = Seq(("a", 10.0), ("b", 5.0), ("c", 1.0)).toDF("k", "m")
     val stream = Seq(("a", 10.0), ("b", 5.5), ("d", 2.0)).toDF("k", "m")
