@@ -63,6 +63,19 @@ class ExtensionsSpec extends SparkSuite {
     assert(!plan.contains("Sort "), s"heap operator must not sort:\n$plan")
   }
 
+  test("TopKPerGroup: groups smaller than k emit all rows; k=1 picks the best") {
+    import spark.implicits._
+    val df = Seq((1L, 10), (1L, 30), (1L, 20), (2L, 5)).toDF("g", "v")
+    val top2 = graft.plans.TopKPerGroup.topKPerGroup(df,
+      Seq(col("g")), Seq(col("v").desc), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(top2 == Set((1L, 30), (1L, 20), (2L, 5)))
+    val top1 = graft.plans.TopKPerGroup.topKPerGroup(df,
+      Seq(col("g")), Seq(col("v").asc), k = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(top1 == Set((1L, 10), (2L, 5)))
+  }
+
   test("rule leaves plain count() and disabled sessions untouched") {
     val events = Engine.table(spark, sf, "events")
     val q = events.groupBy("event_type").agg(count(lit(1)).as("n"))

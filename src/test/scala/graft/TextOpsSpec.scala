@@ -79,6 +79,22 @@ class TextOpsSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("partialOverlapPairs: corpus-wide boilerplate is capped out by maxDf") {
+    import spark.implicits._
+    val boiler = "standard legal disclaimer attached to every document in the corpus"
+    val docs = (1L to 8L).map(i =>
+      (i, s"unique${i}a unique${i}b unique${i}c $boiler")).toDF("doc_id", "text")
+    // every pair shares ONLY the boilerplate run; with maxDf below the
+    // corpus size those fingerprints are dropped -> no pairs
+    val pairs = graft.operators.Dedup.partialOverlapPairs(docs,
+      minShared = 1, maxDf = 4)
+    assert(pairs.count() == 0,
+      "boilerplate shared by >maxDf docs must not generate pairs")
+    // raising the cap re-admits them
+    assert(graft.operators.Dedup.partialOverlapPairs(docs,
+      minShared = 1, maxDf = 100).count() > 0)
+  }
+
   test("fingerprint is md5 and stable") {
     val fp = TextOps.fingerprint(docs).filter($"doc_id" === 0)
       .select("fp").head().getString(0)
