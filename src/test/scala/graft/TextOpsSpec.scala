@@ -84,15 +84,16 @@ class TextOpsSpec extends SparkSuite {
     val boiler = "standard legal disclaimer attached to every document in the corpus"
     val docs = (1L to 8L).map(i =>
       (i, s"unique${i}a unique${i}b unique${i}c $boiler")).toDF("doc_id", "text")
-    // every pair shares ONLY the boilerplate run; with maxDf below the
-    // corpus size those fingerprints are dropped -> no pairs
-    val pairs = graft.operators.Dedup.partialOverlapPairs(docs,
-      minShared = 1, maxDf = 4)
-    assert(pairs.count() == 0,
-      "boilerplate shared by >maxDf docs must not generate pairs")
-    // raising the cap re-admits them
+    // the boilerplate's INTERIOR winnow minima are identical across all
+    // 8 docs (df=8 > maxDf → dropped); only a handful of
+    // boundary-context fingerprints survive, so the all-pairs clique
+    // (28 pairs) collapses and minShared=2 removes the rest entirely
     assert(graft.operators.Dedup.partialOverlapPairs(docs,
-      minShared = 1, maxDf = 100).count() > 0)
+      minShared = 2, maxDf = 4).count() == 0,
+      "boilerplate-only overlap must be capped out")
+    val uncapped = graft.operators.Dedup.partialOverlapPairs(docs,
+      minShared = 2, maxDf = 100).count()
+    assert(uncapped == 28, s"without the cap the full clique appears: $uncapped")
   }
 
   test("fingerprint is md5 and stable") {
