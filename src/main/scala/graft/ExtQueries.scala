@@ -129,8 +129,8 @@ object ExtQueries {
                FROM events GROUP BY event_type ORDER BY event_type""")
     },
     Some("""SELECT event_type,
-                   SUM(CAST(round(value * 100) AS BIGINT) *
-                       CAST(round(value * 100) AS BIGINT)) AS ssq
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT) *
+                            CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssq
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** P11: literal correlated scalar subquery in WHERE through spark.sql

@@ -260,7 +260,7 @@ object RefConformance {
             first_value(time_local) over(partition by udid, event order by time_local) as first_time,
             last_value(time_local) over(partition by udid, event order by time_local) as last_time,
             count(time_local) over(partition by udid, event, dt) as event_count_per_day,
-            sum(duration) over(partition by udid, event, dt) as event_duration_each_day
+            CAST(sum(duration) over(partition by udid, event, dt) AS BIGINT) as event_duration_each_day
       from fact_event_info
       where event in ('app_start', 'app_exit', 'effective_play', 'share_succ', 'like', 'unlike', 'like_comment', 'unlike_comment', 'comment_success')
       and dt >= '2019-03-01' and dt <= '2019-03-03'
@@ -340,7 +340,8 @@ object RefConformance {
                     max(time_local) AS last_time, event
              FROM filt GROUP BY udid, event),
       t2 AS (SELECT udid, count(time_local) AS event_count_per_day,
-                    sum(duration) AS event_duration_each_day, dt, event
+                    CAST(sum(duration) AS BIGINT) AS event_duration_each_day,
+                    dt, event
              FROM filt GROUP BY udid, dt, event),
       t3 AS (SELECT aid, imei, idfa, udid, duration, time_local, hour,
                     source, dt, event FROM filt)

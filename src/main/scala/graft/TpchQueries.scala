@@ -87,10 +87,10 @@ object TpchQueries {
     * (testdata has no l_shipmode/commit/receipt dates). */
   val q_tpch_q12 = both("q_tpch_q12", Seq("A4", "P9"), """
     SELECT l_linestatus,
-      SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
-               THEN 1 ELSE 0 END) AS high_line_count,
-      SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
-               THEN 1 ELSE 0 END) AS low_line_count
+      CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey
       AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
