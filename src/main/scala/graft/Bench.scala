@@ -62,20 +62,32 @@ object Bench {
       catch { case _: Throwable => () }
       n -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // note: timings force FULL-result evaluation (xxhash over all
-    // columns). Round-1 numbers timed count(), which let Catalyst prune
-    // windows/projections — so r1 per-query values under-measure those
-    // queries and are not directly comparable (VERDICT r1, item 7).
-    val note = "full-result-hash timing; r1 used count() which pruned " +
-      "computed columns - window/text queries not comparable to r1"
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"$note"}"""
+    // The driver keeps only the last ~2000 chars of stdout and parses
+    // the JSON line out of that tail (r1/r2 BENCH both came back
+    // `parsed:null` because the line overflowed it). Keep the stdout
+    // line compact: strip the shared "q_" prefix, round to 2 decimals,
+    // no note. The full-precision variant goes to bench_result.json.
+    def fmt(v: Double, p: Int): String = s"%.${p}f".format(v)
+    def line(p: Int, short: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + (if (short) k.stripPrefix("q_") else k) + "\":" + fmt(v, p)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(results.map(_._2).sum, p)},"unit":"sec","queries":$qs,"sf":${"\"" + sfDir + "\""}}"""
+    }
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_result.json"), json + "\n")
-    println(json)
+      java.nio.file.Paths.get("bench_result.json"), line(4, short = false) + "\n")
+    // ~1850 chars is the budget: 2000-char tail minus sbt's trailing
+    // "[success] Total time" line. Degrade precision before overflowing.
+    val out = Seq(line(2, short = true), line(1, short = true))
+      .find(_.length <= 1850)
+      .getOrElse {
+        val top = results.sortBy(-_._2).take(40)
+        val qs = top.map { case (k, v) =>
+          "\"" + k.stripPrefix("q_") + "\":" + fmt(v, 1)
+        }.mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":${"\"" + sfDir + "\""}}"""
+      }
+    println(out)
     spark.stop()
   }
 }
