@@ -21,8 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * binary carries only the (tiny) matrix.
   */
 case class HyperplaneLSH(child: Expression, dim: Int, planes: Int,
-    seed: Long) extends UnaryExpression {
+    seed: Long) extends UnaryExpression with InputTypeCheck {
   require(planes > 0 && planes <= 64, "planes must fit a 64-bit signature")
+
+  override protected def expectedInputType: String =
+    "array<float> or array<double>"
+  override protected def acceptsInputType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+    case _ => false
+  }
 
   override def dataType: DataType = LongType
 

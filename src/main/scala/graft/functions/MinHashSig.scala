@@ -23,8 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    whole-stage codegen.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with InputTypeCheck {
   require(numHashes > 0)
+
+  override protected def expectedInputType: String = "array<string>"
+  override protected def acceptsInputType(dt: DataType): Boolean = dt match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+    case _ => false
+  }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

@@ -18,10 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen's pipeline — at 100 TB this runs as a pure
   * map-side scan with no serialization boundary.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
-  // input contract: child is ArrayType(StringType); call sites are
-  // library-internal (wordTokens et al.) so no ExpectsInputTypes needed
-  // (its AbstractDataType is private[sql]).
+case class SimHash64(child: Expression) extends UnaryExpression
+    with InputTypeCheck {
+  override protected def expectedInputType: String = "array<string>"
+  override protected def acceptsInputType(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, _) => true
+    case _ => false
+  }
+
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =

@@ -18,8 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * near-dup sketches (MinHash/SimHash) can't do. Map-only projection,
   * native kernel, O(len) per row. */
 case class Winnow(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with InputTypeCheck {
   require(k >= 2 && w >= 1)
+
+  override protected def expectedInputType: String = "string"
+  override protected def acceptsInputType(dt: DataType): Boolean =
+    dt == org.apache.spark.sql.types.StringType
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -18,8 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * (computed) token-array child per element once CollapseProject
   * inlines it, turning shingling O(tokens²) per row. */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with InputTypeCheck {
   require(k >= 1)
+
+  override protected def expectedInputType: String = "array<string>"
+  override protected def acceptsInputType(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

@@ -121,27 +121,35 @@ object Relational {
     *
     * `payload` = right columns to carry (null when no right row is at
     * or before the left timestamp). Ties on ts: the right row at the
-    * exact timestamp wins (sorted before the left row via the tag). */
+    * exact timestamp wins (sorted before the left row via the tag).
+    *
+    * The carried value is a single struct wrapping ALL payload columns,
+    * not per-column `last(ignoreNulls)`: the struct is non-null whenever
+    * a right ROW exists, so the latest matched row wins even when its
+    * payload value is genuinely NULL (native ASOF JOIN semantics — a
+    * per-column carry would skip the null and resurrect an older row's
+    * value). One window agg instead of |payload|, too. */
   def asofJoinBackward(left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
       payload: Seq[String]): DataFrame = {
+    val pvType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p).copy(name = p)))
     val lTag = left.select(
       (col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
         left.columns.map(c => col(c)) ++:
-        payload.map(p => lit(null).cast(
-          right.schema(p).dataType).as(s"__p_$p"))): _*)
+        Seq(lit(null).cast(pvType).as("__pv"))): _*)
     val rTag = right.select(
       (col(key).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
         left.columns.map(c => lit(null).cast(
           left.schema(c).dataType).as(c)) ++:
-        payload.map(p => col(p).as(s"__p_$p"))): _*)
+        Seq(struct(payload.map(p => col(p).as(p)): _*).as("__pv"))): _*)
     val w = Window.partitionBy("__k")
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTag.unionByName(rTag)
+      .withColumn("__last", last(col("__pv"), ignoreNulls = true).over(w))
       .select((col("__side") +: left.columns.map(col) ++:
-        payload.map(p =>
-          last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p))): _*)
+        payload.map(p => col(s"__last.$p").as(p))): _*)
     carried.filter(col("__side") === 1).drop("__side")
   }
 

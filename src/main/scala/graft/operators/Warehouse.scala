@@ -48,9 +48,17 @@ object Warehouse {
   def dropManaged(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val Array(db, t) = table.split("\\.")
+    // 1-part (current db), 2-part (db.t), and 3-part (catalog.db.t)
+    // identifiers all resolve; the `default` db maps to the warehouse
+    // root, named dbs to `<db>.db/`.
+    val parts = table.split("\\.")
+    val (db, t) = parts.length match {
+      case 1 => (spark.catalog.currentDatabase, parts(0))
+      case _ => (parts(parts.length - 2), parts.last)
+    }
+    val dbDir = if (db == "default") wh else s"$wh/$db.db"
     org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(s"$wh/$db.db/$t"))
+      new java.io.File(s"$dbDir/$t"))
   }
 
   /** Accumulating-snapshot upsert (reference docs/数据模型.md:21-25):
@@ -116,11 +124,13 @@ object Warehouse {
       (col(key) +: attrCols.map(col)) :+ col(effectiveDate).as("__eff"): _*)
     val current = dim.filter(col("valid_to") === openEnd)
     val history = dim.filter(col("valid_to") =!= openEnd)
-    // keys present in the change set but absent from the dim entirely:
-    // fresh open rows (non-attr columns the changes can't supply → null
-    // cast to the dim's type)
+    // keys with no OPEN row (brand-new, or present only as closed
+    // history — e.g. a dim that retired the key): fresh open rows
+    // (non-attr columns the changes can't supply → null cast to the
+    // dim's type). Anti-joining against `current` rather than the whole
+    // dim is what catches the history-only case.
     val dimTypes = dim.schema.map(f => f.name -> f.dataType).toMap
-    val fresh = ch.join(dim.select(key).distinct(), Seq(key), "left_anti")
+    val fresh = ch.join(current.select(key).distinct(), Seq(key), "left_anti")
       .select(dim.columns.map {
         case c if c == key => col(key)
         case "valid_from" => col("__eff").as("valid_from")
@@ -183,14 +193,22 @@ object Warehouse {
   }
 
   private val manifestName = "_graft_compaction_manifest"
+  private val manifestEnd = "#END:"
 
+  /** The manifest is the swap's commit record, so its creation must be
+    * all-or-nothing: write to a temp name, then rename into place
+    * (atomic on HDFS and local fs). A trailing `#END:<n_inputs>` line
+    * lets recovery prove the record is complete even if a non-atomic
+    * store tears the write. */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path, tmp: String,
       inputs: Seq[String]): Unit = {
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(target, manifestName), true)
-    try out.write((tmp + "\n" + inputs.mkString("\n")).getBytes("UTF-8"))
+    val mfTmp = new org.apache.hadoop.fs.Path(target, manifestName + ".tmp")
+    val out = fs.create(mfTmp, true)
+    try out.write((tmp + "\n" + inputs.mkString("\n") +
+      s"\n$manifestEnd${inputs.size}\n").getBytes("UTF-8"))
     finally out.close()
+    fs.rename(mfTmp, new org.apache.hadoop.fs.Path(target, manifestName))
   }
 
   /** Execute (or re-execute) the swap a manifest describes: delete the
@@ -213,17 +231,37 @@ object Warehouse {
     fs.delete(new org.apache.hadoop.fs.Path(target, manifestName), false)
   }
 
-  /** Roll forward an interrupted compaction swap, if any. */
+  /** Roll forward an interrupted compaction swap, if any.
+    *
+    * A manifest missing its `#END:<n>` terminator (or whose input count
+    * disagrees) is a torn write — the swap never committed, and acting
+    * on a truncated input list would delete files without installing
+    * their replacement. Treat it as "swap not started": drop the bad
+    * manifest (and any leftover manifest temp / output tmp dir), keep
+    * every input. Returns true only when a committed swap was rolled
+    * forward. */
   def recoverCompaction(spark: SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, manifestName + ".tmp"),
+      false)
     val mf = new org.apache.hadoop.fs.Path(path, manifestName)
     if (!fs.exists(mf)) return false
     val in = fs.open(mf)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty)
-    completeSwap(fs, path, lines.head, lines.tail.toSeq)
+    val valid = lines.length >= 2 &&
+      lines.last.startsWith(manifestEnd) &&
+      lines.last.stripPrefix(manifestEnd).toIntOption
+        .contains(lines.length - 2)
+    if (!valid) {
+      fs.delete(mf, false)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        dir.stripSuffix("/") + "__compact_tmp"), true)
+      return false
+    }
+    completeSwap(fs, path, lines.head, lines.slice(1, lines.length - 1).toSeq)
     true
   }
 

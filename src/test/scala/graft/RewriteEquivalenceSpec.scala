@@ -104,4 +104,22 @@ class RewriteEquivalenceSpec extends SparkSuite {
     assert(got == Map(1L -> null, 2L -> 100.0, 3L -> 100.0,
       4L -> 200.0, 5L -> null))
   }
+
+  test("asofJoinBackward: a matched right row with NULL payload wins " +
+      "(not resurrected from an older row)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, "u1", t("2024-01-01 13:00:00")))
+      .toDF("event_id", "uid", "ts")
+    val right = Seq(
+      ("u1", t("2024-01-01 10:00:00"), Some(100.0)),
+      ("u1", t("2024-01-01 12:00:00"), None)) // latest match, null value
+      .toDF("uid", "ts", "snap")
+    val got = graft.operators.Relational.asofJoinBackward(
+        left, right, "uid", "ts", "ts", Seq("snap")).collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(got(0).fieldIndex("snap")),
+      "native ASOF semantics: the matched row's NULL, not the older 100.0")
+  }
 }

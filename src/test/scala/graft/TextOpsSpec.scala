@@ -13,6 +13,29 @@ class TextOpsSpec extends SparkSuite {
     (2L, ""))
     .toDF("doc_id", "text")
 
+  test("native kernels reject mistyped input at analysis time") {
+    import graft.functions.{Winnow, SimHash64, MinHashSig, WordShingles,
+      HyperplaneLSH}
+    val ids = spark.range(3).toDF("id") // bigint column
+    def analysisFails(mk: => org.apache.spark.sql.DataFrame,
+        frag: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        mk.queryExecution.analyzed
+      }
+      assert(e.getMessage.toLowerCase.contains(frag),
+        s"message should name the expected type: ${e.getMessage}")
+    }
+    analysisFails(ids.select(Winnow.winnow(col("id"))), "string")
+    analysisFails(ids.select(SimHash64.simhash64(col("id"))),
+      "array<string>")
+    analysisFails(ids.select(MinHashSig.minhashSig(col("id"), 16)),
+      "array<string>")
+    analysisFails(ids.select(WordShingles.wordShingles(col("id"), 3)),
+      "array<string>")
+    analysisFails(ids.select(
+      HyperplaneLSH.hyperplaneLsh(col("id"), 8, 16, 42L)), "array<float>")
+  }
+
   test("tokenStats counts chars / ws tokens / words / uniques") {
     val r = TextOps.tokenStats(docs).orderBy("doc_id").collect()
     assert(r(0).getLong(1) == 36)            // len_chars

@@ -104,13 +104,70 @@ class WarehouseSpec extends SparkSuite {
       .write.mode("overwrite").parquet(tmp)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_graft_compaction_manifest"),
-      (tmp + "\n" + inputs.mkString("\n")).getBytes("UTF-8"))
+      (tmp + "\n" + inputs.mkString("\n") +
+        s"\n#END:${inputs.size}\n").getBytes("UTF-8"))
     assert(Warehouse.recoverCompaction(spark, dir))
     assert(spark.read.parquet(dir).count() == 100)
     assert(new java.io.File(dir).listFiles()
       .count(_.getName.endsWith(".parquet")) == 1)
     assert(!new java.io.File(dir, "_graft_compaction_manifest").exists)
     assert(!Warehouse.recoverCompaction(spark, dir), "no manifest -> no-op")
+  }
+
+  test("recoverCompaction treats a torn manifest as swap-not-started") {
+    val dir = tmpDir("wh_torn")
+    spark.range(100).toDF("id").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val inputs = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val tmp = dir + "__compact_tmp"
+    spark.range(50).toDF("id").repartition(1)
+      .write.mode("overwrite").parquet(tmp)
+    // crash mid-manifest-write: no #END terminator, truncated input list
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_graft_compaction_manifest"),
+      (tmp + "\n" + inputs.head).getBytes("UTF-8"))
+    assert(!Warehouse.recoverCompaction(spark, dir),
+      "torn manifest must not count as a committed swap")
+    // inputs intact, bad manifest + orphan tmp cleaned up
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 4)
+    assert(!new java.io.File(dir, "_graft_compaction_manifest").exists)
+    assert(!new java.io.File(tmp).exists)
+    // empty manifest (crash at create): same treatment, and compaction
+    // itself still works afterwards (not bricked)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_graft_compaction_manifest"),
+      Array.empty[Byte])
+    assert(!Warehouse.recoverCompaction(spark, dir))
+    val (before, after) = Warehouse.compactSmallFiles(spark, dir)
+    assert(before == 4 && after == 1)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("scd2Merge reopens keys present only as closed history") {
+    // key 2 was retired (no open row); a change must create a fresh
+    // open row, not be silently dropped
+    val dim = Seq(
+      (1L, "addr_a", "2024-01-01", "9999-12-31"),
+      (2L, "addr_old", "2023-01-01", "2023-06-01"))
+      .toDF("k", "addr", "valid_from", "valid_to")
+    val changes = Seq((2L, "addr_back", "2024-03-01")).toDF("k", "addr", "eff")
+    val out = Warehouse.scd2Merge(dim, changes, "k", Seq("addr"), "eff")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, "addr_a", "2024-01-01", "9999-12-31"),
+      (2L, "addr_old", "2023-01-01", "2023-06-01"),
+      (2L, "addr_back", "2024-03-01", "9999-12-31")))
+  }
+
+  test("dropManaged handles 1-, 2-, and 3-part table identifiers") {
+    // none of these exist — the call must resolve and no-op, not throw
+    Warehouse.dropManaged(spark, "graft_no_such_table")
+    Warehouse.dropManaged(spark, "default.graft_no_such_table")
+    Warehouse.dropManaged(spark, "spark_catalog.default.graft_no_such_table")
   }
 
   test("narrow<->wide tag pivot roundtrips") {
