@@ -149,12 +149,25 @@ object TextQueries {
       .orderBy("id_a", "id_b"),
     None)
 
-  /** Embedding-cosine near-dups via hyperplane LSH (approximate). */
+  /** Embedding-cosine near-dups via hyperplane LSH (approximate).
+    *
+    * The synthetic embeddings have no genuine near-dup pairs (max
+    * pairwise cosine ≈ 0.46 at sf0.01), so the raw table would always
+    * return 0 rows — proving nothing. Plant deterministic near-dups
+    * derived from the same testdata: vec_id < 50 reappears as
+    * vec_id+100000 with a small constant offset per component (cosine
+    * ≈ 0.999), and the operator must surface those pairs. */
   val q_dedup_embedding = QuerySpec(
     "q_dedup_embedding", Seq("E-dedup"),
-    (s, d) => Dedup.embeddingNearDupPairs(Engine.table(s, d, "embeddings"),
-        threshold = 0.9)
-      .orderBy("id_a", "id_b"),
+    (s, d) => {
+      val emb = Engine.table(s, d, "embeddings")
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.005f)).as("embedding"),
+          col("label"))
+      Dedup.embeddingNearDupPairs(emb.unionByName(planted), threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    },
     None)
 
   // ----------------------------------------------------------- similarity
