@@ -197,8 +197,141 @@ object TpchQueries {
         SELECT 0.5 * AVG(l_quantity) FROM lineitem
         WHERE l_partkey = p_partkey)""")
 
+  /** Q4 order-priority checking: EXISTS decorrelated to a semi-join
+    * (l_returnflag='R' stands in for the missing commit/receipt dates). */
+  val q_tpch_q4 = both("q_tpch_q4", Seq("P10", "J5", "A1"), """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (SELECT * FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority""")
+
+  /** Q9 product-type profit by nation and year (no partsupp in the
+    * testdata: supply cost modeled off p_retailprice). */
+  val q_tpch_q9 = both("q_tpch_q9", Seq("J2", "A1", "F9", "P5"), """
+    SELECT nation, o_year,
+      CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice*(1-l_discount) - 0.01*p_retailprice*l_quantity
+               AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC""")
+
+  /** Q13 customer order-count distribution: outer join with an ON-side
+    * filter, then a count-of-counts double aggregation. */
+  val q_tpch_q13 = both("q_tpch_q13", Seq("J3", "A1", "A2"), """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC""")
+
+  /** Q16 parts/supplier relationship: NOT IN anti-join + distinct-count
+    * per group (lineitem stands in for partsupp). */
+  val q_tpch_q16 = both("q_tpch_q16", Seq("P6", "J6", "A3"), """
+    SELECT p_brand, p_type, p_size,
+      COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+
+  /** Q19 discounted revenue: OR-of-ANDs where the optimizer must still
+    * extract the common equi-join key out of the disjunction. */
+  val q_tpch_q19 = both("q_tpch_q19", Seq("P7", "J1", "A6"), """
+    SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE (p_partkey = l_partkey AND p_brand = 'Brand#3'
+        AND l_quantity >= 1 AND l_quantity <= 11
+        AND p_size BETWEEN 1 AND 5)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#12'
+        AND l_quantity >= 10 AND l_quantity <= 20
+        AND p_size BETWEEN 1 AND 10)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+        AND l_quantity >= 20 AND l_quantity <= 30
+        AND p_size BETWEEN 1 AND 15)""")
+
+  /** Q20 potential part promotion: nested IN subqueries with a HAVING
+    * threshold (lineitem stands in for partsupp availability). */
+  val q_tpch_q20 = both("q_tpch_q20", Seq("P6", "J5", "A8"), """
+    SELECT s_name, s_suppkey
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    ORDER BY s_name, s_suppkey""")
+
+  /** Q21 suppliers who alone returned goods on finished multi-supplier
+    * orders: EXISTS + NOT EXISTS correlated on the same fact table. */
+  val q_tpch_q21 = both("q_tpch_q21", Seq("P10", "J5", "J6", "A1"), """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT * FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT * FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100""")
+
+  /** Q22 global sales opportunity: substring-derived country code,
+    * scalar-subquery threshold (DECIMAL-exact sum / count, so the
+    * double compare is bitwise identical on both sides), NOT EXISTS
+    * (against urgent orders — every testdata customer has SOME order,
+    * which would make the spec's exact predicate vacuously empty). */
+  val q_tpch_q22 = both("q_tpch_q22", Seq("P11", "P10", "A6", "F2"), """
+    SELECT cntrycode, COUNT(*) AS numcust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+      FROM customer
+      WHERE substring(c_name, 17, 2) IN ('00','01','02','03','04','05','06')
+        AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM customer
+          WHERE c_acctbal > 0.00
+            AND substring(c_name, 17, 2)
+                IN ('00','01','02','03','04','05','06'))
+    ) custsale
+    WHERE NOT EXISTS (SELECT * FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY cntrycode
+    ORDER BY cntrycode""")
+
   val all: Seq[QuerySpec] = Seq(
-    q_tpch_q1, q_tpch_q3, q_tpch_q5, q_tpch_q6, q_tpch_q7, q_tpch_q8,
-    q_tpch_q10, q_tpch_q12, q_tpch_q14, q_tpch_q15, q_tpch_q17,
-    q_tpch_q18)
+    q_tpch_q1, q_tpch_q3, q_tpch_q4, q_tpch_q5, q_tpch_q6, q_tpch_q7,
+    q_tpch_q8, q_tpch_q9, q_tpch_q10, q_tpch_q12, q_tpch_q13, q_tpch_q14,
+    q_tpch_q15, q_tpch_q16, q_tpch_q17, q_tpch_q18, q_tpch_q19,
+    q_tpch_q20, q_tpch_q21, q_tpch_q22)
 }
