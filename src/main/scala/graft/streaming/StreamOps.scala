@@ -19,6 +19,9 @@ import org.apache.spark.sql.types.StructType
 case class TagEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
 case class StreakState(streak: Int)
 case class UserStreak(user_id: Long, streak: Int)
+case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)
+case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Int)
 
 object StreamOps {
 
@@ -127,6 +130,77 @@ object StreamOps {
           }
           state.update(StreakState(s))
           UserStreak(uid, s)
+      }
+  }
+
+  /** Session-window aggregation (beyond the reference's tumbling-only
+    * surface, SURVEY §2.9 note): Spark-native `session_window` merges
+    * events separated by less than `gap` into one window per key; the
+    * watermark both admits bounded lateness and lets sessions CLOSE
+    * (a session emits only when the watermark passes last-event + gap).
+    * State per open session is O(1) — this is the 100 TB-safe shape for
+    * "visits" style rollups. Works identically on batch frames. */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, gap: String,
+      lateness: String, keyCols: Seq[String]): DataFrame = {
+    val keys = session_window(col(tsCol), gap) +: keyCols.map(col)
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+  }
+
+  /** Custom sessionization via `flatMapGroupsWithState` with an
+    * EVENT-TIME timeout: per-user open-session state (start, last seen,
+    * count), a closed `UserSession` emitted when the gap expires. The
+    * arbitrary-state escape hatch for session logic `session_window`
+    * can't express (e.g. emit-on-close only, custom close rules) —
+    * SURVEY §2.9 T7's "mapGroupsWithState if rule windows needed",
+    * upgraded to the flatMap + timeout form so state is dropped the
+    * moment a session closes (bounded state, T10). */
+  def userSessionsCustom(events: org.apache.spark.sql.Dataset[TagEvent],
+      gapMs: Long): org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[TagEvent],
+            state: GroupState[SessionState]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            // gap expired: close and emit the session, drop its state
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(uid,
+              new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.nEvents))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[UserSession]
+            var s = state.getOption.orNull
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              s match {
+                case null =>
+                  s = SessionState(ms, ms, 1)
+                case cur if ms - cur.lastMs < gapMs =>
+                  s = cur.copy(lastMs = ms, nEvents = cur.nEvents + 1)
+                case cur => // in-batch gap: close the old session now
+                  closed ::= UserSession(uid,
+                    new java.sql.Timestamp(cur.startMs),
+                    new java.sql.Timestamp(cur.lastMs), cur.nEvents)
+                  s = SessionState(ms, ms, 1)
+              }
+            }
+            if (s != null) {
+              state.update(s)
+              // wake up when the watermark passes last-event + gap
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
       }
   }
 

@@ -230,6 +230,72 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("session_window: gapped events split into sessions that close on watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = StreamOps.sessionWindowAgg(in.toDF(), "ts",
+      "30 seconds", "5 seconds", Seq("user_id"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // two bursts for user 1 separated by > gap, one burst for user 2
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:00:10"), 1, "click", 2.0),
+        Ev(t("2024-01-01 10:02:00"), 1, "click", 4.0),
+        Ev(t("2024-01-01 10:00:05"), 2, "click", 8.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close everything
+      in.addData(Ev(t("2024-01-01 10:10:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select($"user_id", $"session_window.start", $"cnt", $"total")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        (1L, "2024-01-01 10:00:00.0", 2L, 3.0), // burst 1 merged
+        (1L, "2024-01-01 10:02:00.0", 1L, 4.0), // burst 2 separate
+        (2L, "2024-01-01 10:00:05.0", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions on event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sessions = StreamOps.userSessionsCustom(
+      in.toDF().selectExpr("user_id", "event_type", "ts")
+        .as[graft.streaming.TagEvent], gapMs = 30000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_custom_out").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:00:10"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_custom_out").count() == 0,
+        "session still open - nothing emitted yet")
+      // watermark moves past 10:00:10 + 30s -> timeout fires, session closes
+      in.addData(Ev(t("2024-01-01 10:05:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-01-01 10:10:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_custom_out")
+        .filter($"user_id" === 1).collect()
+      assert(closed.length == 1, s"one closed session: ${closed.toSeq}")
+      assert(closed(0).getAs[Int]("n_events") == 2)
+      assert(closed(0).getAs[Timestamp]("session_start") == t("2024-01-01 10:00:00"))
+      assert(closed(0).getAs[Timestamp]("session_end") == t("2024-01-01 10:00:10"))
+      // an in-batch gap splits into two sessions, older one emitted inline
+      in.addData(
+        Ev(t("2024-01-01 10:20:00"), 5, "click", 1.0),
+        Ev(t("2024-01-01 10:22:00"), 5, "click", 1.0))
+      q.processAllAvailable()
+      val u5 = spark.table("sess_custom_out").filter($"user_id" === 5).collect()
+      assert(u5.length == 1 && u5(0).getAs[Int]("n_events") == 1,
+        "in-batch gap closes the first session immediately")
+    } finally q.stop()
+  }
+
   test("T9b: batch and stream paths agree on the same events data (end to end)") {
     // the reference's core validation practice (docs/实时数仓.md:118-124):
     // identical logic over the batch table and a replay of the same
