@@ -162,6 +162,50 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("CBO + table stats reorder a join chain to the selective dim first " +
+      "(docs/sql规范.md:5-6)") {
+    import graft.operators.Warehouse
+    // fact(6k) syntactically joins mid(6k, 1:1 on k) BEFORE tiny
+    // (5 rows, selective on k2). With stats + CBO the optimizer must
+    // reorder to fact⋈tiny first — the reference states join order
+    // matters; CBO is the engine-side automation of that advice.
+    Seq("cbo_fact", "cbo_mid", "cbo_tiny").foreach(t =>
+      Warehouse.dropManaged(spark, s"dws.$t"))
+    Warehouse.createLayers(spark)
+    import spark.implicits._
+    spark.range(6000).select($"id".as("f_k"), ($"id" % 100).as("f_k2"))
+      .write.saveAsTable("dws.cbo_fact")
+    spark.range(6000).select($"id".as("m_k"), lit("m").as("m_v"))
+      .write.saveAsTable("dws.cbo_mid")
+    spark.range(5).select($"id".as("t_k2"), lit("t").as("t_v"))
+      .write.saveAsTable("dws.cbo_tiny")
+    Seq("cbo_fact", "cbo_mid", "cbo_tiny").foreach(t => spark.sql(
+      s"ANALYZE TABLE dws.$t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    val sql = """SELECT * FROM dws.cbo_fact f
+                 JOIN dws.cbo_mid m ON f.f_k = m.m_k
+                 JOIN dws.cbo_tiny t ON f.f_k2 = t.t_k2"""
+    def bottomJoinLeafCols(): String = {
+      val joins = spark.sql(sql).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      joins.last.collectLeaves()
+        .flatMap(_.output.map(_.name)).mkString(",")
+    }
+    withSQLConf("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      val leaves = bottomJoinLeafCols()
+      assert(leaves.contains("t_k2") && !leaves.contains("m_k"),
+        s"CBO should join the tiny selective dim first, got: $leaves")
+    }
+    // negative control: without CBO the syntactic order stands, proving
+    // the reorder above came from the stats-based optimizer
+    withSQLConf("spark.sql.cbo.enabled" -> "false") {
+      val leaves = bottomJoinLeafCols()
+      assert(leaves.contains("m_k") && !leaves.contains("t_k2"),
+        s"without CBO the syntactic join order should stand, got: $leaves")
+    }
+  }
+
   test("AQE splits a skewed join partition (docs/sql调优.md:202-250)") {
     import spark.implicits._
     // one hot key carrying ~all rows; thresholds lowered so the skew
