@@ -38,6 +38,45 @@ object ExtQueries {
                    TRUE AS approx_within_10pct
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Exact percentile/median (OLAP staple alongside A11's sketch):
+    * Spark's `percentile` and DuckDB's `quantile_cont` both use
+    * linear interpolation at p*(n-1), and l_quantity is integral, so
+    * the values agree bitwise. */
+  val q_percentile = QuerySpec(
+    "q_percentile", Seq("A6", "A11"),
+    (s, d) => sql(s, d,
+      """SELECT l_returnflag,
+                percentile(l_quantity, 0.5) AS med_qty,
+                percentile(l_quantity, 0.9) AS p90_qty,
+                percentile(l_extendedprice, 0.25) AS p25_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    Some("""SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS med_qty,
+                   quantile_cont(l_quantity, 0.9) AS p90_qty,
+                   quantile_cont(l_extendedprice, 0.25) AS p25_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Approximate percentile (t-digest-style sketch, the scale path for
+    * quantiles over 100 TB): oracle pins the exact side; the approx
+    * side is asserted in-engine within 1%% of exact (same pattern as
+    * A11's approx distinct). */
+  val q_approx_percentile = QuerySpec(
+    "q_approx_percentile", Seq("A11"),
+    (s, d) => Engine.table(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("med_exact"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("med_approx"))
+      .select(col("l_returnflag"), col("med_exact"),
+        (abs(col("med_approx") - col("med_exact")) <=
+          greatest(col("med_exact") * 0.01, lit(0.5)))
+          .as("approx_within_1pct"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS med_exact,
+                   TRUE AS approx_within_1pct
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** A15: count-distinct materialization (docs/sql调优.md:93-113) —
     * hoist the distinct set into a temp table once, then every
     * downstream branch aggregates the (much smaller) temp table. The
@@ -278,7 +317,8 @@ object ExtQueries {
              GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[QuerySpec] = Seq(
-    q_approx_distinct, q_cd_materialize, q_ordinal_sort, q_distribute_by,
+    q_approx_distinct, q_percentile, q_approx_percentile,
+    q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
     q_csv_roundtrip, q_json_roundtrip, q_topk_per_group, q_asof_join,
     q_range_join, q_bigwhere_join)
