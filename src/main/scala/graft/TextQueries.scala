@@ -78,6 +78,33 @@ object TextQueries {
                   FROM documents) x
             ORDER BY doc_id"""))
 
+  /** The composed cleaning pipeline (quality gate → lang filter →
+    * exact dedup keep-first) — one oracle-checked query proving the
+    * stage composition, not just each stage alone. */
+  val q_corpus_clean = QuerySpec(
+    "q_corpus_clean", Seq("E-text", "E-dedup"),
+    (s, d) => TextOps.cleanCorpus(Engine.table(s, d, "documents"))
+      .select("doc_id", "source", "n_chars").orderBy("doc_id"),
+    Some("""WITH f AS (
+              SELECT doc_id, source, n_chars, text,
+                len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wc,
+                len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|of|to|and|in|is|it|that|for)\b')) AS sc,
+                len(regexp_extract_all(text, '[^\x00-\x7F]')) AS na
+              FROM documents),
+            k AS (
+              SELECT doc_id, source, n_chars, text FROM f
+              WHERE wc >= 5
+                AND sc::DOUBLE / greatest(wc,1)::DOUBLE > 0.01
+                AND na = 0
+                AND sc::DOUBLE / greatest(wc,1)::DOUBLE > 0.02)
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+              FROM k) t
+            WHERE rn = 1 ORDER BY doc_id"""))
+
   val q_text_fingerprint = QuerySpec(
     "q_text_fingerprint", Seq("E-text"),
     (s, d) => TextOps.fingerprint(Engine.table(s, d, "documents"))
@@ -230,6 +257,24 @@ object TextQueries {
     },
     None)
 
+  /** Batched IVF probe: top-k for a 10-query batch in one distributed
+    * plan (no per-query driver round-trip) against the same persisted
+    * index as q_embed_ivf_topk. */
+  val q_embed_ivf_batch = QuerySpec(
+    "q_embed_ivf_batch", Seq("E-sim"),
+    (s, d) => {
+      val emb = Engine.table(s, d, "embeddings")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfkm_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(s"$dir/centroids").exists())
+        Similarity.ivfBuildIndexKMeans(emb, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfProbeBatch(s, dir, queries, k = 5)
+        .orderBy(col("qid"), desc("cos"), asc("vec_id"))
+    },
+    None)
+
   // ----------------------------------------------------------- multimodal
 
   /** Binary media plumbing: payload bytes → per-partition stub decode →
@@ -253,8 +298,9 @@ object TextQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_text_token_stats, q_text_quality, q_text_langid, q_text_fingerprint,
+    q_corpus_clean,
     q_dedup_exact, q_dedup_minhash_lsh, q_dedup_ngram_block,
     q_dedup_simhash, q_dedup_winnow, q_dedup_embedding,
     q_embed_topk_bruteforce, q_embed_knn_lsh, q_embed_ivf_topk,
-    q_multimodal_features)
+    q_embed_ivf_batch, q_multimodal_features)
 }

@@ -208,6 +208,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF probe: ANN top-k for a whole DataFrame of query
+    * vectors in ONE distributed plan — the shape a training pipeline
+    * actually runs (dedupe a new batch against the corpus, retrieval
+    * for millions of prompts), where per-query driver round-trips
+    * ([[ivfProbe]]) would be the bottleneck.
+    *
+    * Plan shape for 100 TB: queries × centroids is a broadcast
+    * cross-join (centroids are tiny) reduced to `nprobe` buckets per
+    * query by the [[graft.plans.TopKPerGroup]] whole-operator plan
+    * (partial heaps, one exchange on qid, no sort); the (qid, bucket)
+    * pair set — |queries| × nprobe rows, no vectors — then
+    * BROADCAST-joins the bucket-partitioned vector table, whose scan is
+    * partition-PRUNED to the union of probed buckets, so the big side
+    * never shuffles; per-(query, vector) cosine is a map; final top-k
+    * per query is TopKPerGroup again. */
+  def ivfProbeBatch(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int, nprobe: Int = 8,
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val qs = queries.select(col(qidCol).as("qid"),
+      transform(col(qvecCol), _.cast("double")).as("qv"))
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val probed = graft.plans.TopKPerGroup.topKPerGroup(
+      qs.crossJoin(broadcast(cents))
+        .select(col("qid"), col("qv"), col("bucket"),
+          cosineSimilarity(col("centroid"), col("qv")).as("c")),
+      keys = Seq(col("qid")),
+      order = Seq(desc("c"), asc("bucket")),
+      k = nprobe).select("qid", "qv", "bucket")
+    // prune the partitioned vector scan to the union of probed buckets
+    // (bounded by 2^planes / nCentroids, so the collect is tiny)
+    val buckets = probed.select("bucket").distinct().collect().map(_.get(0))
+    val vecs = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("bucket").isin(buckets: _*))
+    val scored = vecs.join(broadcast(probed), Seq("bucket"))
+      .select(col("qid"), col(idCol),
+        cosineSimilarity(col(vecCol), col("qv")).as("cos"))
+    graft.plans.TopKPerGroup.topKPerGroup(scored,
+      keys = Seq(col("qid")), order = Seq(desc("cos"), asc(idCol)), k = k)
+  }
+
   /** Convenience build-if-absent + probe (fixture/test path). */
   def ivfTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
       dim: Int = 64, planes: Int = 8, nprobe: Int = 8,

@@ -43,8 +43,7 @@ object TextOps {
       punct.cast("long").as("punct_cnt"),
       (stops.cast("double") / safeWords.cast("double")).as("stop_ratio"),
       (uniq.cast("double") / safeWords.cast("double")).as("diversity"),
-      (words >= 5 && (stops.cast("double") / safeWords.cast("double")) > 0.01)
-        .as("passes_quality"))
+      passesQualityCol(col(textCol)).as("passes_quality"))
   }
 
   /** Language-ID heuristic: stopword density + non-ASCII density decide
@@ -61,10 +60,44 @@ object TextOps {
       col("doc_id"), words.cast("long").as("word_cnt"),
       stops.cast("long").as("stop_cnt"),
       nonAscii.cast("long").as("non_ascii_cnt"),
-      when(nonAscii > 0, "other")
-        .when(stops.cast("double") / safeWords.cast("double") > 0.02, "en")
-        .otherwise("unknown").as("pred_lang"))
+      predLangCol(col(textCol)).as("pred_lang"))
   }
+
+  /** The quality-gate predicate shared by [[qualityScore]] and
+    * [[cleanCorpus]]. */
+  private[operators] def passesQualityCol(textCol: Column): Column = {
+    val words = size(wordTokens(textCol))
+    val safeWords = when(words === 0, 1).otherwise(words)
+    words >= 5 &&
+      (stopwordCount(textCol).cast("double") /
+        safeWords.cast("double")) > 0.01
+  }
+
+  /** The language prediction shared by [[langId]] and [[cleanCorpus]]. */
+  private[operators] def predLangCol(textCol: Column): Column = {
+    val words = size(wordTokens(textCol))
+    val safeWords = when(words === 0, 1).otherwise(words)
+    val nonAscii = size(regexp_extract_all(textCol,
+      lit("[^\\x00-\\x7F]"), lit(0)))
+    when(nonAscii > 0, "other")
+      .when(stopwordCount(textCol).cast("double") /
+        safeWords.cast("double") > 0.02, "en")
+      .otherwise("unknown")
+  }
+
+  /** End-to-end corpus cleaning — the composed pipeline a training-data
+    * job actually runs: quality gate → language filter → exact dedup
+    * keeping the smallest doc_id per identical text. Plan shape: the
+    * gates are pure filters fused into the scan (no shuffle, no join —
+    * the predicates re-derive the same expressions the per-doc scoring
+    * operators project), so the whole pipeline costs exactly ONE
+    * shuffle: the dedup's 16-byte-fingerprint exchange. */
+  def cleanCorpus(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", keepLang: String = "en"): DataFrame =
+    Dedup.exactDedup(
+      docs.filter(passesQualityCol(col(textCol)) &&
+        predLangCol(col(textCol)) === keepLang),
+      textCol, idCol)
 
   /** Content fingerprint (md5) — the exact-dedup key; plus a 16-byte
     * binary form for compact storage at scale. */

@@ -63,6 +63,31 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.9, s"k-means IVF recall $recall too low")
   }
 
+  test("ivfProbeBatch: one distributed plan answers a whole query batch " +
+      "with per-query recall >= 0.8") {
+    import spark.implicits._
+    val dir = tmpDir("ivf_batch")
+    Similarity.ivfBuildIndexKMeans(clustered, dir, nCentroids = 10,
+      iters = 3)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val queries = clustered.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.ivfProbeBatch(spark, dir, queries,
+        k = 10, nprobe = 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    assert(got.keySet == qids.toSet, s"every query answered: ${got.keySet}")
+    qids.foreach { qid =>
+      val row = clustered.filter(col("vec_id") === qid).head()
+      val qv = row.getSeq[Float](1).map(_.toDouble).toSeq
+      val truth = Similarity.bruteForceTopK(clustered, qv, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (truth & got(qid)).size.toDouble / truth.size
+      assert(recall >= 0.8, s"qid=$qid recall $recall too low")
+      assert(got(qid).size == 10)
+    }
+  }
+
   test("lshKnnJoin finds same-cluster neighbors on clustered data") {
     val knn = Similarity.lshKnnJoin(clustered, k = 3, planes = 8, probes = 2)
     val labels = clustered.select(col("vec_id"), col("label"))
