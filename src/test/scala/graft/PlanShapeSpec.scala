@@ -162,6 +162,18 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("cleanCorpus costs exactly one shuffle (the dedup fingerprint " +
+      "exchange) - gates fuse into the scan") {
+    val df = graft.operators.TextOps.cleanCorpus(
+      Engine.table(spark, sf, "documents"))
+    val plan = executedPlan(df)
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+    assert(!plan.contains("Join"),
+      s"quality/lang gates must be filters, not joins:\n$plan")
+  }
+
   test("CBO + table stats reorder a join chain to the selective dim first " +
       "(docs/sql规范.md:5-6)") {
     import graft.operators.Warehouse
