@@ -166,7 +166,9 @@ class PlanShapeSpec extends SparkSuite {
       "exchange) - gates fuse into the scan") {
     val df = graft.operators.TextOps.cleanCorpus(
       Engine.table(spark, sf, "documents"))
-    val plan = executedPlan(df)
+    // the AQE plan string repeats nodes under "== Initial Plan ==" —
+    // count only the finalized section
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
     val shuffles = "Exchange hashpartitioning".r
       .findAllMatchIn(plan).length
     assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
