@@ -38,6 +38,45 @@ object ExtQueries {
                    TRUE AS approx_within_10pct
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** The union-fusion optimizer rule under the oracle: the NAIVE
+    * two-join UNION ALL text (reference docs/sql调优.md:59-71) runs
+    * with [[graft.plans.UnionFusedJoinRewrite]] active (one fused join
+    * in the plan — asserted in ExtensionsSpec), and must produce the
+    * identical multiset the oracle computes from the same naive SQL. */
+  val q_union_fusion_rule = QuerySpec(
+    "q_union_fusion_rule", Seq("J9", "U1"),
+    (s, d) => {
+      Engine.registerAll(s, d)
+      val exp = s.experimental
+      if (!exp.extraOptimizations.contains(
+          graft.plans.UnionFusedJoinRewrite))
+        exp.extraOptimizations =
+          exp.extraOptimizations :+ graft.plans.UnionFusedJoinRewrite
+      s.conf.set("spark.graft.unionFusedJoin.enabled", "true")
+      s.sql("""SELECT event_id, user_id, pmod(event_id, 50) AS alt_id
+               FROM events""").createOrReplaceTempView("fusion_log")
+      s.sql("""SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey < 40""").createOrReplaceTempView("fusion_dim")
+      s.sql("""
+        SELECT l.event_id, l.user_id, d.c_name
+        FROM fusion_log l JOIN fusion_dim d ON l.user_id = d.c_custkey
+        UNION ALL
+        SELECT l.event_id, l.user_id, d.c_name
+        FROM fusion_log l JOIN fusion_dim d ON l.alt_id = d.c_custkey
+        ORDER BY event_id, user_id, c_name""")
+    },
+    Some("""WITH fusion_log AS (
+              SELECT event_id, user_id, mod(event_id, 50) AS alt_id
+              FROM events),
+            fusion_dim AS (
+              SELECT c_custkey, c_name FROM customer WHERE c_custkey < 40)
+            SELECT l.event_id, l.user_id, d.c_name
+            FROM fusion_log l JOIN fusion_dim d ON l.user_id = d.c_custkey
+            UNION ALL
+            SELECT l.event_id, l.user_id, d.c_name
+            FROM fusion_log l JOIN fusion_dim d ON l.alt_id = d.c_custkey
+            ORDER BY event_id, user_id, c_name"""))
+
   /** Exact percentile/median (OLAP staple alongside A11's sketch):
     * Spark's `percentile` and DuckDB's `quantile_cont` both use
     * linear interpolation at p*(n-1), and l_quantity is integral, so
@@ -318,6 +357,7 @@ object ExtQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_percentile, q_approx_percentile,
+    q_union_fusion_rule,
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
     q_csv_roundtrip, q_json_roundtrip, q_topk_per_group, q_asof_join,

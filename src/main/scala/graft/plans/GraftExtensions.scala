@@ -15,12 +15,17 @@ import org.apache.spark.sql.internal.SQLConf
   *    fast). Opt-in per session/query via
   *    `spark.graft.approxDistinct.enabled`; off by default so
   *    conformance semantics stay exact.
+  *  - [[UnionFusedJoinRewrite]]: fuses a UNION ALL of two same-table
+  *    inner joins into one join over a union of key projections
+  *    (reference docs/sql调优.md:59-71). Opt-in via
+  *    `spark.graft.unionFusedJoin.enabled`.
   *  - [[TopKPerGroupStrategy]]: plans the [[TopKPerGroup]] custom
   *    logical operator (bounded-heap top-k per group, no sort).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    ext.injectOptimizerRule(_ => UnionFusedJoinRewrite)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

@@ -76,6 +76,61 @@ class ExtensionsSpec extends SparkSuite {
     assert(top1 == Set((1L, 10), (2L, 5)))
   }
 
+  test("union-fusion rule: UNION ALL of two same-table joins fuses to ONE join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    Engine.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"),
+        pmod(col("event_id"), lit(50)).as("alt_id"))
+      .createOrReplaceTempView("fuse_log")
+    Engine.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .createOrReplaceTempView("fuse_dim")
+    // the reference's case: one dim key matched by EITHER of two fact
+    // columns, written naively as two joins + UNION ALL
+    def q = spark.sql("""
+      SELECT l.event_id, l.user_id, d.c_name
+      FROM fuse_log l JOIN fuse_dim d ON l.user_id = d.c_custkey
+      UNION ALL
+      SELECT l.event_id, l.user_id, d.c_name
+      FROM fuse_log l JOIN fuse_dim d ON l.alt_id = d.c_custkey""")
+    def joins = q.queryExecution.optimizedPlan.collect {
+      case j: LJoin => j
+    }.length
+    val expected = q.collect().map(_.toString).sorted
+    assert(joins == 2, s"rule off: the naive two-join shape stands ($joins)")
+    withSQLConf("spark.graft.unionFusedJoin.enabled" -> "true") {
+      assert(joins == 1, s"rule on: expected ONE fused join, got $joins:\n" +
+        q.queryExecution.optimizedPlan)
+      val got = q.collect().map(_.toString).sorted
+      assert(got.length == expected.length &&
+        got.sameElements(expected), "fused result must be identical")
+    }
+  }
+
+  test("union-fusion rule leaves different-dim-key unions untouched") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    Engine.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"))
+      .createOrReplaceTempView("fuse_log2")
+    Engine.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+      .createOrReplaceTempView("fuse_dim2")
+    // branches probe DIFFERENT dim keys -> semantics can't fuse on one
+    // unified key; rule must not fire
+    def q = spark.sql("""
+      SELECT l.event_id, d.c_name
+      FROM fuse_log2 l JOIN fuse_dim2 d ON l.user_id = d.c_custkey
+      UNION ALL
+      SELECT l.event_id, d.c_name
+      FROM fuse_log2 l JOIN fuse_dim2 d ON l.user_id = d.c_nationkey""")
+    withSQLConf("spark.graft.unionFusedJoin.enabled" -> "true") {
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: LJoin => j
+      }.length
+      assert(joins == 2, "different dim keys must not fuse")
+    }
+  }
+
   test("rule leaves plain count() and disabled sessions untouched") {
     val events = Engine.table(spark, sf, "events")
     val q = events.groupBy("event_type").agg(count(lit(1)).as("n"))
