@@ -197,6 +197,45 @@ object TpchQueries {
         SELECT 0.5 * AVG(l_quantity) FROM lineitem
         WHERE l_partkey = p_partkey)""")
 
+  /** Q2-shape minimum-cost supplier: correlated scalar MIN subquery
+    * over a join (lineitem stands in for partsupp, so DISTINCT
+    * collapses repeated part-supplier pairs; the inner MIN drops the
+    * spec's region filter — no ps_supplycost exists to thread it
+    * through). */
+  val q_tpch_q2 = both("q_tpch_q2", Seq("P11", "J2", "U4"), """
+    SELECT DISTINCT p_partkey, p_name, s_name,
+      CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size = 15
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND s_acctbal = (
+        SELECT MIN(s2.s_acctbal) FROM supplier s2, lineitem l2
+        WHERE l2.l_partkey = p_partkey AND l2.l_suppkey = s2.s_suppkey)
+    ORDER BY s_acctbal, p_partkey, s_name
+    LIMIT 100""")
+
+  /** Q11-shape important stock: HAVING against a scalar-subquery share
+    * of the total (both sides DECIMAL-exact then one double multiply,
+    * so the threshold compare is bitwise stable). */
+  val q_tpch_q11 = both("q_tpch_q11", Seq("A8", "P11", "A6"), """
+    SELECT l_partkey,
+      CAST(SUM(CAST(l_extendedprice*l_quantity AS DECIMAL(18,4)))
+           AS DOUBLE) AS value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_7'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice*l_quantity AS DECIMAL(18,4)))
+                AS DOUBLE) > (
+      SELECT CAST(SUM(CAST(l_extendedprice*l_quantity AS DECIMAL(18,4)))
+                  AS DOUBLE) * 0.001
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_7')
+    ORDER BY value DESC, l_partkey""")
+
   /** Q4 order-priority checking: EXISTS decorrelated to a semi-join
     * (l_returnflag='R' stands in for the missing commit/receipt dates). */
   val q_tpch_q4 = both("q_tpch_q4", Seq("P10", "J5", "A1"), """
@@ -330,8 +369,8 @@ object TpchQueries {
     ORDER BY cntrycode""")
 
   val all: Seq[QuerySpec] = Seq(
-    q_tpch_q1, q_tpch_q3, q_tpch_q4, q_tpch_q5, q_tpch_q6, q_tpch_q7,
-    q_tpch_q8, q_tpch_q9, q_tpch_q10, q_tpch_q12, q_tpch_q13, q_tpch_q14,
-    q_tpch_q15, q_tpch_q16, q_tpch_q17, q_tpch_q18, q_tpch_q19,
-    q_tpch_q20, q_tpch_q21, q_tpch_q22)
+    q_tpch_q1, q_tpch_q2, q_tpch_q3, q_tpch_q4, q_tpch_q5, q_tpch_q6,
+    q_tpch_q7, q_tpch_q8, q_tpch_q9, q_tpch_q10, q_tpch_q11, q_tpch_q12,
+    q_tpch_q13, q_tpch_q14, q_tpch_q15, q_tpch_q16, q_tpch_q17,
+    q_tpch_q18, q_tpch_q19, q_tpch_q20, q_tpch_q21, q_tpch_q22)
 }
