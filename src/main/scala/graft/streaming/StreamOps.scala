@@ -133,6 +133,26 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream inner join on a key plus an EVENT-TIME interval:
+    * right rows within `[leftTs, leftTs + window]` of a matching left
+    * row (the ad impression→click attribution shape). Both sides carry
+    * watermarks and the join condition bounds time in BOTH directions,
+    * so Spark expires each side's buffered state as the other side's
+    * watermark advances — without that bound a 100 TB/day stream pins
+    * unbounded state. Column names must be disjoint across the sides
+    * (standard stream-stream join constraint); output is append-only
+    * once the watermark closes the interval. */
+  def intervalJoinStreams(left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      window: String, lateness: String = "10 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"))
+  }
+
   /** Session-window aggregation (beyond the reference's tumbling-only
     * surface, SURVEY §2.9 note): Spark-native `session_window` merges
     * events separated by less than `gap` into one window per key; the

@@ -107,6 +107,41 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("union-fusion rule: randomized equivalence incl. null keys and dup rows") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1234)
+    (1 to 3).foreach { trial =>
+      val facts = (0 until 300).map { i =>
+        (i.toLong,
+          if (rng.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(rng.nextInt(40).toLong),
+          java.lang.Long.valueOf(rng.nextInt(60).toLong))
+      }
+      // duplicate some fact rows: multiset semantics must survive
+      val withDups = facts ++ facts.take(30)
+      withDups.toDF("fid", "k1", "k2")
+        .createOrReplaceTempView(s"fz_log_$trial")
+      (0 until 50).map(i => (i.toLong, s"d$i"))
+        .toDF("dk", "dv").createOrReplaceTempView(s"fz_dim_$trial")
+      def q = spark.sql(s"""
+        SELECT l.fid, l.k1, l.k2, d.dv
+        FROM fz_log_$trial l JOIN fz_dim_$trial d ON l.k1 = d.dk
+        UNION ALL
+        SELECT l.fid, l.k1, l.k2, d.dv
+        FROM fz_log_$trial l JOIN fz_dim_$trial d ON l.k2 = d.dk""")
+      val naive = q.collect().map(_.toString).sorted.toSeq
+      withSQLConf("spark.graft.unionFusedJoin.enabled" -> "true") {
+        val joins = q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.length
+        assert(joins == 1, s"trial $trial should fuse")
+        val fused = q.collect().map(_.toString).sorted.toSeq
+        assert(fused == naive,
+          s"trial $trial multiset mismatch: ${fused.length} vs ${naive.length}")
+      }
+    }
+  }
+
   test("union-fusion rule leaves different-dim-key unions untouched") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     Engine.table(spark, sf, "events")

@@ -230,6 +230,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks inside the window only") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoinStreams(
+      imps.toDF().selectExpr("user_id AS i_uid", "ts AS i_ts",
+        "event_type AS i_type"),
+      "i_uid", "i_ts",
+      clicks.toDF().selectExpr("user_id AS c_uid", "ts AS c_ts",
+        "value AS c_val"),
+      "c_uid", "c_ts",
+      window = "30 SECONDS")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      imps.addData(Ev(t("2024-01-01 10:00:00"), 1, "imp", 0.0))
+      clicks.addData(
+        Ev(t("2024-01-01 10:00:20"), 1, "click", 1.0), // inside window
+        Ev(t("2024-01-01 10:01:30"), 1, "click", 2.0), // past window
+        Ev(t("2024-01-01 10:00:10"), 2, "click", 3.0)) // other key
+      q.processAllAvailable()
+      // advance both watermarks so results finalize (distinct keys so
+      // the advance rows cannot join each other)
+      imps.addData(Ev(t("2024-01-01 10:10:00"), 8, "imp", 0.0))
+      clicks.addData(Ev(t("2024-01-01 10:10:00"), 9, "noise", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select($"i_uid", $"c_val").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((1L, 1.0)),
+        s"only the in-window same-key click attributes: $rows")
+    } finally q.stop()
+  }
+
   test("session_window: gapped events split into sessions that close on watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
