@@ -129,6 +129,34 @@ class StreamingSpec extends SparkSuite {
     assert(out.agg(sum("value")).head().getDouble(0) == 17.0)
   }
 
+  test("checkpointed sink resumes after restart without duplicating batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dir = tmpDir("ckpt_sink")
+    val ckpt = tmpDir("ckpt_meta")
+    def start() = in.toDF().writeStream
+      .outputMode("append")
+      .format("parquet").option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try {
+      in.addData(Ev(t("2024-01-01 10:00:00"), 1, "a", 1.0),
+        Ev(t("2024-01-01 10:00:01"), 2, "b", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart against the SAME checkpoint: already-committed batches
+    // must not land twice, new data must
+    val q2 = start()
+    try {
+      in.addData(Ev(t("2024-01-01 10:00:02"), 3, "c", 4.0))
+      q2.processAllAvailable()
+      val out = spark.read.parquet(dir)
+      assert(out.count() == 3, "2 pre-restart + 1 post-restart rows")
+      assert(out.agg(sum("value")).head().getDouble(0) == 7.0)
+    } finally q2.stop()
+  }
+
   test("J13: stream-static broadcast dim join enriches facts per batch") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
