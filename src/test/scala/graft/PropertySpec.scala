@@ -64,6 +64,46 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     })
   }
 
+  test("asofJoinBackward equals the naive per-row backward lookup on random data") {
+    val rng = new scala.util.Random(99)
+    (1 to 3).foreach { _ =>
+      val lefts = (0 until 120).map(i =>
+        (i.toLong, (rng.nextInt(6) + 1).toLong, rng.nextInt(1000).toLong))
+      val rights = (0 until 80).map { i =>
+        val v: java.lang.Double =
+          if (rng.nextInt(5) == 0) null else rng.nextInt(100).toDouble
+        ((rng.nextInt(6) + 1).toLong, rng.nextInt(1000).toLong, v)
+      }
+      val l = lefts.toDF("eid", "k", "ts")
+      val r = rights.toDF("k", "ts", "v")
+      val got = Relational.asofJoinBackward(l, r, "k", "ts", "ts", Seq("v"))
+        .select("eid", "v").collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) null else row.getDouble(1))).toMap
+      // naive reference: latest right row at-or-before, its value even
+      // if null; ties on ts broken by taking the LAST in input order
+      // is unspecified — restrict to unique (k, ts) on the right
+      val rightsByKey = rights.groupBy(_._1)
+      val expected = lefts.map { case (eid, k, ts) =>
+        val cands = rightsByKey.getOrElse(k, Nil).filter(_._2 <= ts)
+        eid -> (if (cands.isEmpty) null
+                else cands.maxBy(_._2)._3.asInstanceOf[Any])
+      }.toMap
+      // drop lefts whose matched ts is duplicated on the right (the
+      // winner among equal timestamps is tie-broken differently)
+      val dupTs = rights.groupBy(t => (t._1, t._2)).filter(_._2.size > 1)
+        .keySet
+      val stable = lefts.filter { case (_, k, ts) =>
+        val cands = rightsByKey.getOrElse(k, Nil).filter(_._2 <= ts)
+        cands.isEmpty || !dupTs.contains((k, cands.maxBy(_._2)._2))
+      }.map(_._1).toSet
+      stable.foreach { eid =>
+        assert(got(eid) == expected(eid),
+          s"eid=$eid got ${got(eid)} expected ${expected(eid)}")
+      }
+    }
+  }
+
   test("minhash similarity estimate concentrates around true jaccard") {
     val docGen = for {
       n <- Gen.chooseNum(8, 20)
