@@ -77,10 +77,11 @@ object Bench {
       val qs = results.map { case (k, v) =>
         "\"" + (if (short) k.stripPrefix("q_") else k) + "\":" + fmt(v, p)
       }.mkString("{", ",", "}")
-      // the short stdout variant drops "sf" — the driver records the
-      // scale factor itself, and every byte counts against its tail
-      val sf = if (short) "" else s""","sf":"$sfDir""""
-      s"""{"metric":"total","value":${fmt(results.map(_._2).sum, p)},"unit":"sec","queries":$qs$sf}"""
+      // the short stdout variant drops "sf" and "unit" — the driver
+      // records the scale factor itself and seconds are the contract
+      // default; every byte counts against its 2000-char tail
+      val extra = if (short) "" else s""","unit":"sec","sf":"$sfDir""""
+      s"""{"metric":"total","value":${fmt(results.map(_._2).sum, p)},"queries":$qs$extra}"""
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), line(4, short = false) + "\n")

@@ -37,6 +37,26 @@ object TextQueries {
                      AS uniq_word_cnt
             FROM documents ORDER BY doc_id"""))
 
+  /** BPE-ish pre-tokenizer budget — IDENTICAL RE2-compatible pattern
+    * evaluated by both engines; chars_per_token via integer-derived
+    * division so the doubles agree bitwise. */
+  private val duckBpePattern =
+    graft.operators.TextOps.bpePretokenPattern.replace("'", "''")
+
+  val q_text_token_budget = QuerySpec(
+    "q_text_token_budget", Seq("E-text"),
+    (s, d) => TextOps.tokenBudget(Engine.table(s, d, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, length(text) AS len_chars,
+                    len(regexp_extract_all(text, '$duckBpePattern'))
+                      AS bpe_tokens,
+                    CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE length(text)::DOUBLE /
+                              greatest(len(regexp_extract_all(text,
+                                '$duckBpePattern')), 1)::DOUBLE
+                    END AS chars_per_token
+             FROM documents ORDER BY doc_id"""))
+
   val q_text_quality = QuerySpec(
     "q_text_quality", Seq("E-text"),
     (s, d) => TextOps.qualityScore(Engine.table(s, d, "documents"))
@@ -297,8 +317,8 @@ object TextQueries {
             FROM documents ORDER BY media_id"""))
 
   val all: Seq[QuerySpec] = Seq(
-    q_text_token_stats, q_text_quality, q_text_langid, q_text_fingerprint,
-    q_corpus_clean,
+    q_text_token_stats, q_text_token_budget, q_text_quality,
+    q_text_langid, q_text_fingerprint, q_corpus_clean,
     q_dedup_exact, q_dedup_minhash_lsh, q_dedup_ngram_block,
     q_dedup_simhash, q_dedup_winnow, q_dedup_embedding,
     q_embed_topk_bruteforce, q_embed_knn_lsh, q_embed_ivf_topk,

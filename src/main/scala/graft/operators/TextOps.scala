@@ -63,6 +63,31 @@ object TextOps {
       predLangCol(col(textCol)).as("pred_lang"))
   }
 
+  /** BPE-style pre-tokenizer count: the GPT-2 pre-tokenization
+    * pattern family (contractions, letter runs, digit runs, punct
+    * runs, whitespace) restricted to RE2-compatible syntax (no
+    * lookahead) so external engines can evaluate the IDENTICAL
+    * pattern. This is the practical "how many tokens will the BPE
+    * merge step see" estimator a corpus-budgeting pipeline runs at
+    * scale — a pure projection, one regex pass per row. */
+  val bpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePretokenPattern), lit(0)))
+
+  /** Per-document BPE-ish token budget next to the exact char/word
+    * counts ([[tokenStats]] keeps its original narrower schema). */
+  def tokenBudget(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col(textCol)).cast("long").as("len_chars"),
+      bpeTokenCount(col(textCol)).cast("long").as("bpe_tokens"),
+      when(length(col(textCol)) === 0, 0.0)
+        .otherwise(length(col(textCol)).cast("double") /
+          greatest(bpeTokenCount(col(textCol)), lit(1)).cast("double"))
+        .as("chars_per_token"))
+
   /** The quality-gate predicate shared by [[qualityScore]] and
     * [[cleanCorpus]]. */
   private[operators] def passesQualityCol(textCol: Column): Column = {
