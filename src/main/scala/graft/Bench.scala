@@ -73,9 +73,21 @@ object Bench {
     // line compact: strip the shared "q_" prefix, round to 2 decimals,
     // no note. The full-precision variant goes to bench_result.json.
     def fmt(v: Double, p: Int): String = s"%.${p}f".format(v)
-    def line(p: Int, short: Boolean): String = {
+    // stdout-only family-prefix abbreviations (applied after the q_
+    // strip) so the full per-query map keeps fitting the driver's tail
+    // as the suite grows: tpch_q→t, ref_→r_, dedup_→dd_, embed_→em_,
+    // text_→tx_, window_→w_. bench_result.json always carries the
+    // full names.
+    val abbrevs = Seq("tpch_q" -> "t", "ref_" -> "r_", "dedup_" -> "dd_",
+      "embed_" -> "em_", "text_" -> "tx_", "window_" -> "w_")
+    def line(p: Int, short: Boolean, abbrev: Boolean = false): String = {
       val qs = results.map { case (k, v) =>
-        "\"" + (if (short) k.stripPrefix("q_") else k) + "\":" + fmt(v, p)
+        val base = if (short) k.stripPrefix("q_") else k
+        val name = if (!abbrev) base
+          else abbrevs.foldLeft(base) { case (n, (from, to)) =>
+            if (n.startsWith(from)) to + n.stripPrefix(from) else n
+          }
+        "\"" + name + "\":" + fmt(v, p)
       }.mkString("{", ",", "}")
       // the short stdout variant drops "sf" and "unit" — the driver
       // records the scale factor itself and seconds are the contract
@@ -88,7 +100,8 @@ object Bench {
     // ~1915 chars is the budget: 2000-char tail minus sbt's trailing
     // "[success] Total time: … completed <date>" line (~76 chars).
     // Degrade precision before overflowing.
-    val out = Seq(line(2, short = true), line(1, short = true))
+    val out = Seq(line(2, short = true), line(1, short = true),
+        line(1, short = true, abbrev = true))
       .find(_.length <= 1915)
       .getOrElse {
         val top = results.sortBy(-_._2).take(40)

@@ -38,6 +38,38 @@ object ExtQueries {
                    TRUE AS approx_within_10pct
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Statistical moments + correlation (ROLAP analytics staples):
+    * mean/variance/stddev/Pearson-r phrased over DECIMAL-exact raw
+    * moments, so every double op after the exact sums is the same
+    * fixed IEEE expression on both engines — unlike the built-in
+    * stddev/corr aggregates, whose partition-order-dependent float
+    * accumulation can't hash-match across engines. */
+  val q_moments = QuerySpec(
+    "q_moments", Seq("A6", "A1"),
+    (s, d) => sql(s, d, momentsSql),
+    Some(momentsSql))
+
+  private lazy val momentsSql = """
+    SELECT l_returnflag, n,
+      sx / n AS mean_qty,
+      (sxx - sx*sx/n) / (n - 1) AS var_qty,
+      sqrt((sxx - sx*sx/n) / (n - 1)) AS stddev_qty,
+      (n*sxy - sx*sy) /
+        (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price
+    FROM (
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(22,4)))
+             AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(22,4)))
+             AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag) m
+    ORDER BY l_returnflag"""
+
   /** The union-fusion optimizer rule under the oracle: the NAIVE
     * two-join UNION ALL text (reference docs/sql调优.md:59-71) runs
     * with [[graft.plans.UnionFusedJoinRewrite]] active (one fused join
@@ -356,7 +388,7 @@ object ExtQueries {
              GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[QuerySpec] = Seq(
-    q_approx_distinct, q_percentile, q_approx_percentile,
+    q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_union_fusion_rule,
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
