@@ -125,6 +125,33 @@ object TextQueries {
               FROM k) t
             WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Decontamination: docs sharing any word 3-shingle with the held-out
+    * "benchmark" slice (doc_id % 97 == 0) are flagged with their
+    * overlap count. */
+  val q_decontaminate = QuerySpec(
+    "q_decontaminate", Seq("E-text", "E-dedup", "J4"),
+    (s, d) => {
+      val all = Engine.table(s, d, "documents")
+      TextOps.contaminationFlags(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+              sh AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(w)-2, 1)+1),
+                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+                     FROM w),
+              b AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+                    WHERE doc_id % 97 = 0),
+              d AS (SELECT doc_id, unnest(sh) AS s FROM sh
+                    WHERE doc_id % 97 <> 0)
+            SELECT d.doc_id, COUNT(*) AS n_overlap
+            FROM d JOIN b ON d.s = b.s
+            GROUP BY d.doc_id ORDER BY doc_id"""))
+
   val q_text_fingerprint = QuerySpec(
     "q_text_fingerprint", Seq("E-text"),
     (s, d) => TextOps.fingerprint(Engine.table(s, d, "documents"))
@@ -318,7 +345,7 @@ object TextQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_text_token_stats, q_text_token_budget, q_text_quality,
-    q_text_langid, q_text_fingerprint, q_corpus_clean,
+    q_text_langid, q_text_fingerprint, q_corpus_clean, q_decontaminate,
     q_dedup_exact, q_dedup_minhash_lsh, q_dedup_ngram_block,
     q_dedup_simhash, q_dedup_winnow, q_dedup_embedding,
     q_embed_topk_bruteforce, q_embed_knn_lsh, q_embed_ivf_topk,

@@ -130,6 +130,28 @@ object TextOps {
     docs.select(col("doc_id"), md5(col(textCol)).as("fp"),
       unhex(md5(col(textCol))).as("fp_bin"))
 
+  /** Benchmark decontamination: flag documents sharing any word
+    * `k`-shingle with an evaluation/benchmark set, with the overlap
+    * count as evidence (the standard pre-training hygiene step — eval
+    * questions leaking into the corpus inflate downstream scores).
+    *
+    * Scale shape: the benchmark's distinct shingle set is small (eval
+    * suites are MBs, corpora are TBs) → broadcast it; the corpus side
+    * is an explode + broadcast-hash semi-ish join + one groupBy on
+    * doc_id, so the 100 TB side never shuffles its text — only
+    * (doc_id, matched-shingle) pairs reach the aggregation. */
+  def contaminationFlags(docs: DataFrame, bench: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    val dSh = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.wordShingles(col(textCol), k)).as("sh"))
+    val bSh = bench
+      .select(explode(Dedup.wordShingles(col(textCol), k)).as("sh"))
+      .distinct()
+    dSh.join(broadcast(bSh), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Winnowed rolling-hash fingerprints ([[graft.functions.Winnow]]):
     * any shared character run of length >= w+k-1 between two documents
     * yields a shared fingerprint — the PARTIAL-overlap signal md5
