@@ -162,6 +162,25 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("decontamination broadcasts the benchmark shingles; corpus text " +
+      "never shuffles") {
+    val all = Engine.table(spark, sf, "documents")
+    val df = graft.operators.TextOps.contaminationFlags(
+      all.filter(col("doc_id") % 97 =!= 0),
+      all.filter(col("doc_id") % 97 === 0))
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$plan")
+    // exactly two exchanges: the (tiny) benchmark side's distinct and
+    // the final (doc_id) count — the corpus side reaches the join
+    // map-side, below any exchange
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(shuffles == 2,
+      s"expected 2 shuffles (bench distinct + final agg), got $shuffles")
+    assert(plan.contains("Generate"), "corpus shingles explode map-side")
+  }
+
   test("cleanCorpus costs exactly one shuffle (the dedup fingerprint " +
       "exchange) - gates fuse into the scan") {
     val df = graft.operators.TextOps.cleanCorpus(
