@@ -133,6 +133,20 @@ object StreamOps {
       }
   }
 
+  /** Streaming deduplication: drop repeated delivery of the same event
+    * (at-least-once sources like Kafka redeliver on rebalance/retry)
+    * keyed by `idCols`, with state bounded by the watermark — an id is
+    * remembered only until the watermark passes its event time, which
+    * is what makes exactly-once ingestion viable at 100 TB/day (an
+    * unbounded seen-set would OOM). Duplicates arriving within the
+    * lateness window dedupe; anything later was already dropped as
+    * late data. */
+  def streamDedup(events: DataFrame, tsCol: String,
+      lateness: String, idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Stream-stream inner join on a key plus an EVENT-TIME interval:
     * right rows within `[leftTs, leftTs + window]` of a matching left
     * row (the ad impression→click attribution shape). Both sides carry

@@ -258,6 +258,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamDedup drops redelivered events within the watermark, state bounded") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val deduped = StreamOps.streamDedup(in.toDF(), "ts",
+      lateness = "10 seconds", idCols = Seq("user_id", "event_type"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0)) // same-batch dup
+      q.processAllAvailable()
+      // cross-batch redelivery within the watermark window
+      in.addData(Ev(t("2024-01-01 10:00:01"), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("sdedup_out")
+        .select($"user_id", $"event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.sorted.toSeq == Seq((1L, "click"), (2L, "view")),
+        s"exactly one row per (user, type): ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks inside the window only") {
     implicit val ctx = spark.sqlContext
     val imps = MemoryStream[Ev]
