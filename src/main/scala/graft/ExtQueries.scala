@@ -38,6 +38,39 @@ object ExtQueries {
                    TRUE AS approx_within_10pct
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** GROUP BY ALL — the modern analytics dialect shorthand both
+    * engines support with identical semantics (every non-aggregate
+    * select item becomes a key). */
+  val q_group_by_all = QuerySpec(
+    "q_group_by_all", Seq("A7", "O2"),
+    (s, d) => sql(s, d, groupByAllSql), Some(groupByAllSql))
+
+  private lazy val groupByAllSql = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** INTERSECT ALL / EXCEPT ALL — the bag-semantics set ops (U3's
+    * distinct forms are covered by q_intersect_except); identical text
+    * both engines. */
+  val q_setops_all = QuerySpec(
+    "q_setops_all", Seq("U3"),
+    (s, d) => sql(s, d, setopsAllSql), Some(setopsAllSql))
+
+  private lazy val setopsAllSql = """
+    WITH a AS (SELECT o_custkey AS k FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+         b AS (SELECT o_custkey AS k FROM orders
+               WHERE o_orderstatus = 'F')
+    SELECT 'intersect' AS op, k, COUNT(*) AS n FROM
+      (SELECT k FROM a INTERSECT ALL SELECT k FROM b) x GROUP BY k
+    UNION ALL
+    SELECT 'except' AS op, k, COUNT(*) AS n FROM
+      (SELECT k FROM a EXCEPT ALL SELECT k FROM b) y GROUP BY k
+    ORDER BY op, k"""
+
   /** Statistical moments + correlation (ROLAP analytics staples):
     * mean/variance/stddev/Pearson-r phrased over DECIMAL-exact raw
     * moments, so every double op after the exact sums is the same
@@ -389,7 +422,7 @@ object ExtQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
-    q_union_fusion_rule,
+    q_group_by_all, q_setops_all, q_union_fusion_rule,
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
     q_csv_roundtrip, q_json_roundtrip, q_topk_per_group, q_asof_join,
