@@ -38,6 +38,32 @@ object ExtQueries {
                    TRUE AS approx_within_10pct
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Batch sessionization — the batch mirror of the streaming
+    * session_window ops (the reference mandates identical batch/stream
+    * logic, docs/实时数仓.md:93): gap-start flags via lag(), session
+    * ids via a running sum, one window partition per user. Identical
+    * SQL text on both engines; ties broken by event_id so the lag is
+    * deterministic. */
+  val q_sessionize_batch = QuerySpec(
+    "q_sessionize_batch", Seq("W6", "W4", "F9"),
+    (s, d) => sql(s, d, sessionizeSql), Some(sessionizeSql))
+
+  private lazy val sessionizeSql = """
+    WITH flags AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id,
+      CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS session_id
+    FROM flags
+    ORDER BY user_id, event_id"""
+
   /** GROUP BY ALL — the modern analytics dialect shorthand both
     * engines support with identical semantics (every non-aggregate
     * select item becomes a key). */
@@ -422,7 +448,8 @@ object ExtQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
-    q_group_by_all, q_setops_all, q_union_fusion_rule,
+    q_group_by_all, q_setops_all, q_sessionize_batch,
+    q_union_fusion_rule,
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
     q_csv_roundtrip, q_json_roundtrip, q_topk_per_group, q_asof_join,

@@ -105,6 +105,29 @@ class RewriteEquivalenceSpec extends SparkSuite {
       4L -> 200.0, 5L -> null))
   }
 
+  test("lag-based batch sessionization agrees with session_window per-user " +
+      "session counts") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Engine.table(spark, sf, "events")
+      .select("user_id", "ts", "event_id")
+    // session_window's end bound is EXCLUSIVE (an event exactly at
+    // last+gap starts a new session), so the lag flag uses >= here
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val viaLag = e
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") >= lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTE"),
+          1).otherwise(0))
+      .groupBy("user_id").agg(sum("new_sess").as("n_sessions"))
+    val viaSessionWindow = e
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count()
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    assertSameRows(
+      viaLag.select(col("user_id"), col("n_sessions").cast("long")),
+      viaSessionWindow.select(col("user_id"), col("n_sessions").cast("long")))
+  }
+
   test("asofJoinBackward: a matched right row with NULL payload wins " +
       "(not resurrected from an older row)") {
     import spark.implicits._
