@@ -58,14 +58,23 @@ object Bench {
     // ---- timed runs: best of 2 per query — single-shot numbers swing
     // 30%+ on GC/JIT noise, which reads as a phantom regression when
     // rounds are diffed
-    val results = names.map { n =>
-      val times = (1 to 2).map { _ =>
+    // A run that throws must NOT fold its elapsed-until-exception into
+    // the best-of min (a fast failure would read as the query's best
+    // time): only successful runs count; a query with zero successes is
+    // reported as -1 and listed in "errors".
+    val runs = names.map { n =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try force(SparkEntry.queries(n)(spark, sfDir))
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          force(SparkEntry.queries(n)(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
-      n -> times.min
+      n -> times
+    }
+    val failed = runs.collect { case (n, ts) if ts.isEmpty => n }
+    val results = runs.map { case (n, ts) =>
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the JSON line out of that tail (r1/r2 BENCH both came back
@@ -93,7 +102,10 @@ object Bench {
       // records the scale factor itself and seconds are the contract
       // default; every byte counts against its 2000-char tail
       val extra = if (short) "" else s""","unit":"sec","sf":"$sfDir""""
-      s"""{"metric":"total","value":${fmt(results.map(_._2).sum, p)},"queries":$qs$extra}"""
+      val errs = if (failed.isEmpty) ""
+        else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total, p)},"queries":$qs$errs$extra}"""
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), line(4, short = false) + "\n")
@@ -108,7 +120,8 @@ object Bench {
         val qs = top.map { case (k, v) =>
           "\"" + k.stripPrefix("q_") + "\":" + fmt(v, 1)
         }.mkString("{", ",", "}")
-        s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":${"\"" + sfDir + "\""}}"""
+        val tot = fmt(results.map(_._2).filter(_ >= 0).sum, 2)
+        s"""{"metric":"total","value":$tot,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":$qs,"sf":${"\"" + sfDir + "\""}}"""
       }
     println(out)
     spark.stop()

@@ -138,23 +138,46 @@ object ExtQueries {
     "q_union_fusion_rule", Seq("J9", "U1"),
     (s, d) => {
       Engine.registerAll(s, d)
+      // Scope the experimental rewrite to THIS query: remember the
+      // session's prior state, pin the optimized plan while the rule is
+      // active (plans are lazy — restoring before optimization would
+      // silently run the naive plan), then restore in finally so later
+      // queries in the same session keep exact default semantics. When
+      // the session was built with GraftExtensions the rule is already
+      // injected — appending to extraOptimizations would register it
+      // twice, so only add it when absent.
       val exp = s.experimental
-      if (!exp.extraOptimizations.contains(
-          graft.plans.UnionFusedJoinRewrite))
+      val priorRules = exp.extraOptimizations
+      val builtWithExtensions = s.conf
+        .getOption("spark.sql.extensions").exists(
+          _.contains("graft.plans.GraftExtensions"))
+      val priorFlag = s.conf.getOption("spark.graft.unionFusedJoin.enabled")
+      if (!builtWithExtensions &&
+          !priorRules.contains(graft.plans.UnionFusedJoinRewrite))
         exp.extraOptimizations =
-          exp.extraOptimizations :+ graft.plans.UnionFusedJoinRewrite
+          priorRules :+ graft.plans.UnionFusedJoinRewrite
       s.conf.set("spark.graft.unionFusedJoin.enabled", "true")
-      s.sql("""SELECT event_id, user_id, pmod(event_id, 50) AS alt_id
-               FROM events""").createOrReplaceTempView("fusion_log")
-      s.sql("""SELECT c_custkey, c_name FROM customer
-               WHERE c_custkey < 40""").createOrReplaceTempView("fusion_dim")
-      s.sql("""
-        SELECT l.event_id, l.user_id, d.c_name
-        FROM fusion_log l JOIN fusion_dim d ON l.user_id = d.c_custkey
-        UNION ALL
-        SELECT l.event_id, l.user_id, d.c_name
-        FROM fusion_log l JOIN fusion_dim d ON l.alt_id = d.c_custkey
-        ORDER BY event_id, user_id, c_name""")
+      try {
+        s.sql("""SELECT event_id, user_id, pmod(event_id, 50) AS alt_id
+                 FROM events""").createOrReplaceTempView("fusion_log")
+        s.sql("""SELECT c_custkey, c_name FROM customer
+                 WHERE c_custkey < 40""").createOrReplaceTempView("fusion_dim")
+        val out = s.sql("""
+          SELECT l.event_id, l.user_id, d.c_name
+          FROM fusion_log l JOIN fusion_dim d ON l.user_id = d.c_custkey
+          UNION ALL
+          SELECT l.event_id, l.user_id, d.c_name
+          FROM fusion_log l JOIN fusion_dim d ON l.alt_id = d.c_custkey
+          ORDER BY event_id, user_id, c_name""")
+        out.queryExecution.executedPlan // pin while the rule is active
+        out
+      } finally {
+        priorFlag match {
+          case Some(v) => s.conf.set("spark.graft.unionFusedJoin.enabled", v)
+          case None => s.conf.unset("spark.graft.unionFusedJoin.enabled")
+        }
+        exp.extraOptimizations = priorRules
+      }
     },
     Some("""WITH fusion_log AS (
               SELECT event_id, user_id, mod(event_id, 50) AS alt_id

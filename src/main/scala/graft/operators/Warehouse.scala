@@ -208,7 +208,16 @@ object Warehouse {
     try out.write((tmp + "\n" + inputs.mkString("\n") +
       s"\n$manifestEnd${inputs.size}\n").getBytes("UTF-8"))
     finally out.close()
-    fs.rename(mfTmp, new org.apache.hadoop.fs.Path(target, manifestName))
+    // FileSystem.rename does NOT overwrite: a leftover manifest (e.g. a
+    // concurrent compactor) would make the rename return false and the
+    // new commit record silently fail to install — then a crash would
+    // roll forward the STALE swap. Clear the destination and fail loudly
+    // if the rename still doesn't land.
+    val mf = new org.apache.hadoop.fs.Path(target, manifestName)
+    fs.delete(mf, false)
+    if (!fs.rename(mfTmp, mf))
+      throw new java.io.IOException(
+        s"compaction manifest install failed: rename $mfTmp -> $mf")
   }
 
   /** Execute (or re-execute) the swap a manifest describes: delete the

@@ -31,13 +31,13 @@ object StreamOps {
     * expressed as a watermark so state is bounded (T10). */
   def tumblingWindowAgg(events: DataFrame, tsCol: String,
       windowLen: String, lateness: String,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], valueCol: String = "value"): DataFrame = {
     val keys = window(col(tsCol), windowLen) +: keyCols.map(col)
     events
       .withWatermark(tsCol, lateness)
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total"))
   }
 
   /** S7: Kafka source (reference docs/实时数仓.md:86,95-97). The
@@ -175,13 +175,14 @@ object StreamOps {
     * State per open session is O(1) — this is the 100 TB-safe shape for
     * "visits" style rollups. Works identically on batch frames. */
   def sessionWindowAgg(events: DataFrame, tsCol: String, gap: String,
-      lateness: String, keyCols: Seq[String]): DataFrame = {
+      lateness: String, keyCols: Seq[String],
+      valueCol: String = "value"): DataFrame = {
     val keys = session_window(col(tsCol), gap) +: keyCols.map(col)
     events
       .withWatermark(tsCol, lateness)
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total"))
   }
 
   /** Custom sessionization via `flatMapGroupsWithState` with an

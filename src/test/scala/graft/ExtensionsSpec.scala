@@ -107,6 +107,24 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("q_union_fusion_rule scopes the rewrite to itself: session state restored") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val priorRules = spark.experimental.extraOptimizations
+    val priorFlag = spark.conf.getOption("spark.graft.unionFusedJoin.enabled")
+    val df = ExtQueries.q_union_fusion_rule.run(spark, sf)
+    // the returned frame was optimized while the rule was active
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: LJoin => j
+    }.length
+    assert(joins == 1, s"expected ONE fused join, got $joins")
+    assert(df.count() > 0)
+    // ...but the shared session is back to its prior state
+    assert(spark.experimental.extraOptimizations.sameElements(priorRules),
+      "extraOptimizations must be restored")
+    assert(spark.conf.getOption("spark.graft.unionFusedJoin.enabled") ==
+      priorFlag, "conf flag must be restored")
+  }
+
   test("union-fusion rule: randomized equivalence incl. null keys and dup rows") {
     import spark.implicits._
     val rng = new scala.util.Random(1234)
