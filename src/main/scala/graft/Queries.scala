@@ -707,7 +707,7 @@ object Queries {
 
   def all: Seq[QuerySpec] =
     relational ++ RefConformance.all ++ ExtQueries.all ++
-      TpchQueries.all ++ TextQueries.all
+      TpchQueries.all ++ TextQueries.all ++ PipelineQueries.all
 
   def byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -216,6 +216,90 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise evidence into actionable clusters: transitive closure
+    * groups `A~B, B~C` into one cluster even when `A~C` was never
+    * directly observed, and the min id of each component becomes its
+    * canonical representative.
+    *
+    * Algorithm: min-label propagation (each node repeatedly takes the
+    * min of its own and its neighbors' labels) — the standard
+    * MapReduce-style CC iteration (cf. Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014; label propagation
+    * is their baseline, star-contraction the adversarial-diameter
+    * upgrade). Near-dup graphs are unions of small dense clusters, so
+    * the diameter — and the iteration count — is tiny in practice.
+    *
+    * Scale shape: each iteration is one equi-join edges⨝labels (both
+    * sides hash-partitioned on the join key) + one groupBy(min) — all
+    * shuffle keys are 8-byte ids, never documents. The edge list is
+    * localCheckpoint'd once and reused every iteration; labels are
+    * checkpointed per iteration so lineage (and the replay cost of a
+    * lost executor) stays O(1) instead of O(iterations). Convergence
+    * is detected by the exact sum of labels (labels only ever
+    * decrease), one tiny aggregate per iteration.
+    *
+    * @param pairs DataFrame with two id columns (defaults `id_a`,
+    *              `id_b`), one row per observed near-dup pair.
+    * @return (id, cluster_id) for every id appearing in any pair;
+    *         cluster_id = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 30): DataFrame = {
+    val par = pairs.sparkSession.sparkContext.defaultParallelism
+    val half = pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst"))
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(par, col("src"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    // sum over an empty frame is NULL — coalesce so a pair-free input
+    // converges immediately instead of NPE-ing
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)")))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "component diameter exceeds the bound; raise maxIter or switch " +
+        "to star-contraction")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster-aware dedup: given documents and their near-dup pairs,
+    * keep ONE document per connected component (the min id) and every
+    * document that appears in no pair. The left-anti join drops the
+    * non-canonical cluster members; its key is the 8-byte id, so the
+    * 100 TB side's text never shuffles. */
+  def keepCanonicalPerCluster(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs: cosine similarity above threshold among
     * candidates sharing ANY of `probes` independent hyperplane-LSH
     * buckets (multi-probe banding — a single 12-plane signature catches

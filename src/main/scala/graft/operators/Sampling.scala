@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset-split operators for training-data
+  * pipelines (SURVEY.md §7E adjunct; reference sampling diagnostics
+  * P12 generalized to corpus curation).
+  *
+  * Everything here keys off a SALTED CONTENT-INDEPENDENT HASH of the
+  * row id (md5 of `id || salt`), not `rand()`:
+  *  - reproducible across runs, engines, partitionings and cluster
+  *    sizes (Spark's `rand(seed)` is partition-index dependent — adding
+  *    one executor reshuffles the sample);
+  *  - a new salt draws a fresh independent sample, so repeated
+  *    experiments don't reuse the same "random" rows;
+  *  - split assignment is a pure projection: the 100 TB corpus maps
+  *    through with ZERO shuffles, and train/val/test are guaranteed
+  *    disjoint because assignment is a function of the id alone.
+  */
+object Sampling {
+
+  /** The portable ranking key: lowercase-hex md5 of (id, salt).
+    * Uniform over [0,16^32), identical in any engine with md5 —
+    * which is what lets the DuckDB oracle check these operators
+    * bit-for-bit. */
+  def hashRank(id: Column, salt: String): Column =
+    md5(concat(id.cast("string"), lit(salt)))
+
+  /** Deterministic stratified sample: the `k` rows with the smallest
+    * salted hash per stratum — the distributed equivalent of per-group
+    * reservoir sampling, but reproducible. Runs on the bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator: one shuffle on the strata
+    * key, no per-group sort, state per group is O(k) however large the
+    * stratum. */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String],
+      k: Int, idCol: String = "doc_id",
+      salt: String = "graft"): DataFrame = {
+    val ranked = df.withColumn("__rank", hashRank(col(idCol), salt))
+    graft.plans.TopKPerGroup.topKPerGroup(ranked,
+        strataCols.map(col), Seq(col("__rank").asc), k)
+      .drop("__rank")
+  }
+
+  /** Deterministic fractional sample: keep a row iff its salted hash
+    * falls below the fraction's threshold. Pure filter — pushes to the
+    * scan, no shuffle, no state; `fraction` is honored in expectation
+    * (hash-uniform), exactly reproducible. */
+  def hashSample(df: DataFrame, fraction: Double,
+      idCol: String = "doc_id", salt: String = "graft"): DataFrame =
+    df.filter(hashRank(col(idCol), salt) < lit(hexThreshold(fraction)))
+
+  /** Train/val/test split assignment as a pure projection. Fractions
+    * are quantized to 1/65536 resolution on the first 4 hex chars of
+    * the salted hash; buckets `[0, t1) -> train, [t1, t2) -> val,
+    * rest -> test`. Disjoint and exhaustive by construction. */
+  def assignSplit(df: DataFrame, trainFrac: Double, valFrac: Double,
+      idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      s"bad fractions: train=$trainFrac val=$valFrac")
+    val b = substring(hashRank(col(idCol), salt), 1, 4)
+    df.withColumn("split",
+      when(b < lit(hex4(trainFrac)), "train")
+        .when(b < lit(hex4(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
+
+  /** First-4-hex-chars threshold for a fraction: the bucket prefix is
+    * uniform over 0x0000..0xffff, so `prefix < hex4(f)` selects
+    * floor(f * 65536) / 65536 of the rows. frac >= 1 returns "g",
+    * which every hex string sorts below (select-all). */
+  private[graft] def hex4(frac: Double): String = {
+    val t = (math.max(0.0, frac) * 65536).toLong
+    if (t >= 65536L) "g" else f"$t%04x"
+  }
+
+  /** 8-hex-char threshold for [[hashSample]] (2^-32 resolution),
+    * compared against the hash prefix by string order. */
+  private[graft] def hexThreshold(frac: Double): String = {
+    val t = (math.max(0.0, frac) * 4294967296L).toLong
+    if (t >= 4294967296L) "g" else f"$t%08x"
+  }
+}

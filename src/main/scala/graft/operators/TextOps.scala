@@ -152,6 +152,79 @@ object TextOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the step that
+    * turns variable-length documents into training-sequence-sized
+    * pieces. Chunk i covers whitespace tokens [i*stride, i*stride +
+    * chunkTokens); stride = chunkTokens - overlap, and the chunk count
+    * is the minimum covering the whole document (always >= 1, so empty
+    * docs still yield one row and no data silently vanishes).
+    *
+    * Scale shape: split + generator expression + posexplode — a pure
+    * map-side row expansion, no shuffle; a 100 TB corpus chunks at
+    * scan speed and downstream ops see (doc_id, chunk_id) keyed rows. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlap: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    val words = split(col(textCol), " ")
+    // nChunks = 1 + ceil(max(0, n - chunkTokens) / stride), integral
+    val over = greatest(size(words) - chunkTokens, lit(0))
+    val nChunks = lit(1) + floor((over + stride - 1) / lit(stride))
+      .cast("int")
+    docs.select(col(idCol), posexplode(
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(
+            slice(words, i * stride + 1, lit(chunkTokens)), " "))))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk_text")
+      .withColumn("n_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+  }
+
+  /** PII scrubbing: URLs, emails, then long digit runs are replaced by
+    * typed placeholder tags, with per-document match counts kept as
+    * redaction evidence. RE2-compatible patterns (no lookarounds) so
+    * external engines apply the IDENTICAL rules; application order is
+    * part of the contract (URL first — emails inside URLs are one URL,
+    * not an email). Pure projection: zero shuffles at any corpus
+    * size. */
+  val urlPattern = "https?://[^ ]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumPattern = "[0-9]{7,}"
+
+  def scrubPii(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, urlPattern, "<URL>")
+    val t2 = regexp_replace(t1, emailPattern, "<EMAIL>")
+    val t3 = regexp_replace(t2, longNumPattern, "<NUM>")
+    docs.select(col(idCol),
+      size(regexp_extract_all(t0, lit(urlPattern), lit(0)))
+        .cast("long").as("n_urls"),
+      size(regexp_extract_all(t1, lit(emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(t2, lit(longNumPattern), lit(0)))
+        .cast("long").as("n_long_nums"),
+      t3.as("clean_text"))
+  }
+
+  /** Corpus vocabulary: the `topN` most frequent lowercase word tokens
+    * with document frequency — the vocab-building scan every tokenizer
+    * training run starts from. explode → two-level aggregate; the
+    * partial (map-side) count collapses each partition's token
+    * multiset before the shuffle, so the exchange carries one row per
+    * distinct token per partition, not one per occurrence. Final top-N
+    * via TakeOrderedAndProject (no global sort). */
+  def vocabulary(docs: DataFrame, topN: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(wordTokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col(idCol)).as("df"))
+      .orderBy(desc("tf"), asc("token"))
+      .limit(topN)
+
   /** Winnowed rolling-hash fingerprints ([[graft.functions.Winnow]]):
     * any shared character run of length >= w+k-1 between two documents
     * yields a shared fingerprint — the PARTIAL-overlap signal md5

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling, TextOps}
+
+/** Round-4 pipeline operators: connected-components dedup clustering,
+  * deterministic sampling/splits, document chunking, PII scrubbing,
+  * vocabulary building. */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------- connected components
+
+  test("connectedComponents: a chain closes transitively into one cluster") {
+    // 1-2, 2-3, 3-4 — 1~4 never observed directly
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("connectedComponents: separate components keep separate min labels") {
+    val pairs = Seq((5L, 9L), (9L, 7L), (20L, 21L), (30L, 30L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(5L -> 5L, 7L -> 5L, 9L -> 5L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
+  test("connectedComponents: empty pair set yields an empty result") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).count() == 0)
+  }
+
+  test("connectedComponents: long path converges within the iteration bound") {
+    // path 0-1-2-...-12: worst-case diameter for min-label propagation
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+    assert(cc.length == 13 && cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("keepCanonicalPerCluster keeps min-id per cluster + unpaired docs") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (9L, "z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonicalPerCluster(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 9L)))
+  }
+
+  // ----------------------------------------------------------- sampling
+
+  test("assignSplit is disjoint, exhaustive, deterministic, ~fractional") {
+    val docs = spark.range(0, 10000).toDF("doc_id")
+    val s1 = Sampling.assignSplit(docs, 0.8, 0.1)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000, "exhaustive")
+    assert(math.abs(counts("train") - 8000) < 200, counts.toString)
+    assert(math.abs(counts("val") - 1000) < 120, counts.toString)
+    assert(math.abs(counts("test") - 1000) < 120, counts.toString)
+    // deterministic under any partitioning
+    val s2 = Sampling.assignSplit(docs.repartition(17), 0.8, 0.1)
+    assertSameRows(s1, s2)
+    // a different salt draws a genuinely different split
+    val s3 = Sampling.assignSplit(docs, 0.8, 0.1, salt = "other")
+    val moved = s1.withColumnRenamed("split", "a")
+      .join(s3.withColumnRenamed("split", "b"), "doc_id")
+      .filter(col("a") =!= col("b")).count()
+    assert(moved > 1000, s"salts should decorrelate, moved=$moved")
+  }
+
+  test("hashSample keeps ~fraction deterministically, no shuffle") {
+    val docs = spark.range(0, 10000).toDF("doc_id")
+    val s = Sampling.hashSample(docs, 0.25)
+    val n = s.count()
+    assert(math.abs(n - 2500) < 150, s"got $n")
+    assert(s.queryExecution.executedPlan.toString
+      .indexOf("Exchange") < 0, "pure filter must not shuffle")
+    assert(Sampling.hashSample(docs.repartition(13), 0.25).count() == n)
+  }
+
+  test("stratifiedSample: exactly k per stratum, stable across runs") {
+    val docs = Engine.table(spark, sf, "documents")
+    val a = Sampling.stratifiedSample(docs, Seq("source"), k = 3)
+      .select("source", "doc_id")
+    val perStratum = a.groupBy("source").count().collect()
+    assert(perStratum.forall(_.getLong(1) == 3), perStratum.mkString(","))
+    val b = Sampling.stratifiedSample(docs.repartition(11),
+      Seq("source"), k = 3).select("source", "doc_id")
+    assertSameRows(a, b)
+  }
+
+  // ----------------------------------------------------------- chunking
+
+  test("chunkDocuments covers every token and respects the overlap") {
+    val n = 64; val ov = 16; val stride = n - ov
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"w$i").mkString(" ")), // 150 tokens
+      (2L, (1 to 64).map(i => s"x$i").mkString(" ")),  // exactly one chunk
+      (3L, "short doc"),
+      (4L, "")).toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocuments(docs, n, ov)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = chunks.groupBy(_._1)
+    // doc 1: chunks at 0,48,96 → 3 chunks; last covers tokens 97..150
+    assert(byDoc(1L).length == 3)
+    val c1 = byDoc(1L).sortBy(_._2).map(_._3.split(" ").toSeq)
+    assert(c1(0).head == "w1" && c1(0).length == 64)
+    assert(c1(1).head == "w49", "stride 48 → second chunk starts at 49")
+    assert(c1(2).last == "w150", "last chunk reaches the end")
+    // consecutive chunks share exactly `ov` tokens
+    assert(c1(0).takeRight(ov) == c1(1).take(ov))
+    // every token appears in some chunk
+    assert(c1.flatten.toSet == (1 to 150).map(i => s"w$i").toSet)
+    assert(byDoc(2L).length == 1 && byDoc(2L).head._3.split(" ").length == 64)
+    assert(byDoc(3L).length == 1 && byDoc(3L).head._3 == "short doc")
+    assert(byDoc(4L).length == 1, "empty doc still yields one row")
+  }
+
+  test("chunkDocuments is map-only (no shuffle)") {
+    val df = TextOps.chunkDocuments(
+      Engine.table(spark, sf, "documents"), 64, 16)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking must be a pure row expansion")
+  }
+
+  // ---------------------------------------------------------- pii scrub
+
+  test("scrubPii replaces urls/emails/long numbers and counts them") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.co.uk and https://a.io/p?q=1 ref 123456789"),
+      (2L, "clean text with 123 short number"),
+      (3L, "u@v.com u@v.com")).toDF("doc_id", "text")
+    val out = TextOps.scrubPii(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((1L, 1L, 1L,
+      "mail <EMAIL> and <URL> ref <NUM>")))
+    assert(out(2L) == ((0L, 0L, 0L, "clean text with 123 short number")))
+    assert(out(3L) == ((0L, 2L, 0L, "<EMAIL> <EMAIL>")))
+  }
+
+  // --------------------------------------------------------- vocabulary
+
+  test("vocabulary counts tf and df with deterministic tie-break") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    val v = TextOps.vocabulary(docs, topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.toSeq == Seq(("a", 3L, 2L), ("b", 3L, 3L), ("c", 1L, 1L)))
+  }
+}
