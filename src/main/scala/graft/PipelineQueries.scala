@@ -245,8 +245,65 @@ object PipelineQueries {
                   FROM documents) x
             GROUP BY token ORDER BY tf DESC, token LIMIT 50"""))
 
+  /** Z-order layout ([[graft.operators.Layout.writeZOrdered]]): events
+    * rewritten clustered on (user_id, event_id % 4096), then a 2-D box
+    * query against the clustered copy — results must equal the oracle's
+    * box query on the raw table (the layout changes WHICH FILES a scan
+    * visits, never the answer; the file-skipping win itself is measured
+    * in PipelineSpec). Built once per scale dir, like the IVF index. */
+  val q_zorder_box = QuerySpec(
+    "q_zorder_box", Seq("S2", "P4"),
+    (s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(dir).exists())
+        graft.operators.Layout.writeZOrdered(
+          Engine.table(s, d, "events")
+            .withColumn("y", pmod(col("event_id"), lit(4096))),
+          dir, "user_id", "y", nFiles = 16)
+      s.read.parquet(dir)
+        .filter(col("user_id").between(100, 160) &&
+          col("y").between(1000, 1300))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_id
+            FROM events
+            WHERE user_id BETWEEN 100 AND 160
+              AND (event_id % 4096) BETWEEN 1000 AND 1300
+            GROUP BY event_type ORDER BY event_type"""))
+
+  /** tf-idf distinctive terms ([[TextOps.distinctiveTerms]]): top-3
+    * tokens per doc by tf*N/df (log-free idf — same ranking,
+    * bitwise-reproducible score). */
+  val q_tfidf_terms = QuerySpec(
+    "q_tfidf_terms", Seq("E-text", "W6"),
+    (s, d) => TextOps.distinctiveTerms(
+        Engine.table(s, d, "documents").filter(col("doc_id") < 100), k = 3)
+      .orderBy("doc_id", "token"),
+    Some("""WITH t AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS token
+                FROM documents WHERE doc_id < 100),
+             tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM t GROUP BY 1, 2),
+             idf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                     FROM tf GROUP BY 1),
+             n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents WHERE doc_id < 100)
+            SELECT doc_id, token, tf, df, score FROM (
+              SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+                     (tf.tf * n.n_docs)::DOUBLE / idf.df::DOUBLE AS score,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY (tf.tf * n.n_docs)::DOUBLE /
+                                idf.df::DOUBLE DESC, tf.token) AS rn
+              FROM tf JOIN idf USING (token), n) x
+            WHERE rn <= 3 ORDER BY doc_id, token"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_dedup_cluster, q_dedup_cluster_keep, q_bucketed_join,
     q_sample_stratified, q_split_assign, q_chunk_docs, q_pii_scrub,
-    q_vocab_topk)
+    q_vocab_topk, q_zorder_box, q_tfidf_terms)
 }

@@ -225,6 +225,34 @@ object TextOps {
       .orderBy(desc("tf"), asc("token"))
       .limit(topN)
 
+  /** Per-document distinctive terms: top-`k` tokens by a tf-idf-style
+    * score. The score is `tf * N / df` — the idf's log is monotone, so
+    * the RANKING is identical to classic tf-idf, while the score stays
+    * one integer product + one IEEE division (bitwise-reproducible in
+    * any engine; `log` implementations are not).
+    *
+    * Scale shape: explode → (doc,token) partial-agg'd count, token df
+    * by a second narrow agg, corpus size broadcast as a 1-row frame —
+    * the only per-occurrence shuffle carries (doc_id, token) pairs.
+    * Per-doc top-k via window row_number (bounded state per doc). */
+  def distinctiveTerms(docs: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(wordTokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(desc("score"), asc("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("score"))
+  }
+
   /** Winnowed rolling-hash fingerprints ([[graft.functions.Winnow]]):
     * any shared character run of length >= w+k-1 between two documents
     * yields a shared fingerprint — the PARTIAL-overlap signal md5

@@ -143,6 +143,48 @@ class PipelineSpec extends SparkSuite {
     assert(out(3L) == ((0L, 2L, 0L, "<EMAIL> <EMAIL>")))
   }
 
+  // ------------------------------------------------------------ layout
+
+  test("writeZOrdered: a 2-D box intersects few files; hash layout all") {
+    import graft.operators.Layout
+    val n = 200000
+    val df = spark.range(0, n).select(
+      (col("id") * 2654435761L % 1024).as("x"),
+      (col("id") * 40503L % 1024).as("y"),
+      col("id").as("payload"))
+    val zDir = tmpDir("zorder")
+    val hDir = tmpDir("hashlay")
+    Layout.writeZOrdered(df, zDir, "x", "y", nFiles = 16, bits = 10)
+    df.repartition(16).write.mode("overwrite").parquet(hDir)
+
+    // per-FILE min/max envelope of both dims — the exact stats a
+    // parquet footer exposes for row-group skipping
+    def intersecting(dir: String): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        val (x0, x1, y0, y1) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        // query box: x in [96,160), y in [256,320)
+        x1 >= 96 && x0 < 160 && y1 >= 256 && y0 < 320
+      }
+      (hit, files.length)
+    }
+    val (zHit, zAll) = intersecting(zDir)
+    val (hHit, hAll) = intersecting(hDir)
+    assert(hHit == hAll,
+      s"hash layout: every file spans the full range ($hHit/$hAll)")
+    assert(zHit <= zAll / 4,
+      s"z-order: a small box must touch few files, got $zHit/$zAll")
+    // and the box answer is layout-independent
+    val box = (d: String) => spark.read.parquet(d)
+      .filter(col("x").between(96, 159) && col("y").between(256, 319))
+      .agg(count(lit(1)), sum("payload")).head()
+    assert(box(zDir) == box(hDir))
+  }
+
   // --------------------------------------------------------- vocabulary
 
   test("vocabulary counts tf and df with deterministic tie-break") {
