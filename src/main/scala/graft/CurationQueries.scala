@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TextOps}
+
+/** Round-4 corpus-curation conformance queries: repetition filtering,
+  * BM25 keyword retrieval, vocabulary-coverage quality scoring,
+  * sequence-packing layout, and domain-mixture resampling — the steps
+  * between a deduplicated corpus and a training-ready token stream,
+  * each oracle-checked against DuckDB.
+  */
+object CurationQueries {
+
+  /** Shared DuckDB tokenization (mirrors [[graft.functions.wordTokens]]). */
+  private val duckTok =
+    """SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       FROM documents"""
+
+  /** Gopher-style repetition stats ([[TextOps.repetitionStats]]):
+    * per-doc top-bigram and duplicated-bigram fractions. The oracle
+    * recomputes the bigram multiset with list_transform/unnest. */
+  val q_repetition_stats = QuerySpec(
+    "q_repetition_stats", Seq("E-text"),
+    (s, d) => TextOps.repetitionStats(Engine.table(s, d, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""WITH tok AS ($duckTok),
+             bg AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                      unnest(CASE WHEN len(w) >= 2
+                        THEN list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])
+                        ELSE [CAST(NULL AS VARCHAR)] END) AS bg
+                    FROM tok),
+             c AS (SELECT doc_id, n_tokens, bg,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM bg GROUP BY 1, 2, 3),
+             a AS (SELECT doc_id, n_tokens,
+                     CAST(SUM(CASE WHEN bg IS NOT NULL THEN cnt
+                              ELSE 0 END) AS BIGINT) AS n_bigrams,
+                     CAST(MAX(CASE WHEN bg IS NOT NULL THEN cnt
+                              ELSE 0 END) AS BIGINT) AS top_cnt,
+                     CAST(SUM(CASE WHEN bg IS NOT NULL AND cnt > 1 THEN cnt
+                              ELSE 0 END) AS BIGINT) AS dup_cnt
+                   FROM c GROUP BY 1, 2)
+             SELECT doc_id, n_tokens, n_bigrams, top_cnt, dup_cnt,
+               CASE WHEN n_bigrams = 0 THEN 0.0
+                    ELSE CAST(top_cnt AS DOUBLE) /
+                         CAST(n_bigrams AS DOUBLE) END AS top_bigram_frac,
+               CASE WHEN n_bigrams = 0 THEN 0.0
+                    ELSE CAST(dup_cnt AS DOUBLE) /
+                         CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
+             FROM a ORDER BY doc_id"""))
+
+  private val bm25Terms = Seq("join", "scan", "filter")
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** BM25 top-10 ([[TextOps.bm25TopK]]) for a fixed 3-term query. The
+    * oracle evaluates the IDENTICAL log-free formula (constants
+    * interpolated from the same Scala doubles, so both engines parse
+    * the same literals) with the same fixed-order score addition. */
+  val q_bm25_topk = QuerySpec(
+    "q_bm25_topk", Seq("E-text", "A12"),
+    (s, d) => TextOps.bm25TopK(Engine.table(s, d, "documents"),
+      bm25Terms, k = 10, k1 = bm25K1, b = bm25B),
+    Some {
+      val inList = bm25Terms.map("'" + _ + "'").mkString(", ")
+      val scoreSum = bm25Terms.map(t =>
+        s"COALESCE(MAX(CASE WHEN token = '$t' THEN s END), 0.0)")
+        .mkString(" +\n               ")
+      s"""WITH base AS ($duckTok),
+          dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+          st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+          tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                 FROM (SELECT doc_id, unnest(w) AS token FROM base) x
+                 WHERE token IN ($inList)
+                 GROUP BY 1, 2),
+          dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM tf GROUP BY 1),
+          s AS (SELECT tf.doc_id, tf.token,
+                  (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                  (CAST(df AS DOUBLE) + 0.5) *
+                  (CAST(tf AS DOUBLE) * ${bm25K1 + 1.0}) /
+                  (CAST(tf AS DOUBLE) + $bm25K1 * (${1.0 - bm25B} +
+                    $bm25B * CAST(dl AS DOUBLE) /
+                    (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS s
+                FROM tf JOIN dl USING (doc_id)
+                        JOIN dft USING (token), st)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               $scoreSum AS score
+          FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+    })
+
+  /** Vocabulary-coverage quality score ([[TextOps.commonTokenRatio]]):
+    * fraction of each doc's tokens inside the corpus top-100 vocab. */
+  val q_common_token_ratio = QuerySpec(
+    "q_common_token_ratio", Seq("E-text"),
+    (s, d) => TextOps.commonTokenRatio(
+        Engine.table(s, d, "documents"), topN = 100)
+      .orderBy("doc_id"),
+    Some(s"""WITH tok AS ($duckTok),
+             v AS (SELECT token FROM (
+                     SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+                     FROM (SELECT unnest(w) AS token FROM tok) x
+                     GROUP BY 1 ORDER BY tf DESC, token LIMIT 100) y),
+             t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                     unnest(CASE WHEN len(w) = 0
+                       THEN [CAST(NULL AS VARCHAR)] ELSE w END) AS token
+                   FROM tok),
+             a AS (SELECT t.doc_id, t.n_tokens,
+                     CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_common
+                   FROM t LEFT JOIN v ON t.token = v.token
+                   GROUP BY 1, 2)
+             SELECT doc_id, n_tokens, n_common,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_common AS DOUBLE) /
+                         CAST(n_tokens AS DOUBLE) END AS common_ratio
+             FROM a ORDER BY doc_id"""))
+
+  /** Sequence-packing layout ([[TextOps.packSequences]]): global token
+    * offsets + first/last 64-token training sequence per doc. The
+    * oracle's single global window cumsum must equal the engine's
+    * two-phase distributed prefix sum exactly. */
+  val q_pack_sequences = QuerySpec(
+    "q_pack_sequences", Seq("E-text", "W4"),
+    (s, d) => TextOps.packSequences(
+        Engine.table(s, d, "documents"), seqLen = 64)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents),
+            o AS (SELECT doc_id, n_tokens,
+                    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS tok_offset
+                  FROM t)
+            SELECT doc_id, n_tokens, tok_offset,
+              CAST(floor(tok_offset / 64) AS BIGINT) AS first_seq,
+              CAST(floor((tok_offset + greatest(n_tokens, 1) - 1) / 64)
+                AS BIGINT) AS last_seq
+            FROM o ORDER BY doc_id"""))
+
+  /** Domain-mixture resampling ([[Sampling.mixtureSample]]): keep all
+    * of src0, half of src1, a quarter of src2, 10% of everything else
+    * — the oracle draws the IDENTICAL sample from the same salted
+    * hash. */
+  val q_mixture_sample = QuerySpec(
+    "q_mixture_sample", Seq("P12"),
+    (s, d) => Sampling.mixtureSample(Engine.table(s, d, "documents"),
+        "source", Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFrac = 0.1)
+      .select("doc_id", "source")
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, source FROM documents
+             WHERE substring(md5(doc_id::VARCHAR || 'graft'), 1, 8) <
+               CASE source
+                 WHEN 'src0' THEN '${Sampling.hexThreshold(1.0)}'
+                 WHEN 'src1' THEN '${Sampling.hexThreshold(0.5)}'
+                 WHEN 'src2' THEN '${Sampling.hexThreshold(0.25)}'
+                 ELSE '${Sampling.hexThreshold(0.1)}' END
+             ORDER BY doc_id"""))
+
+  val all: Seq[QuerySpec] = Seq(
+    q_repetition_stats, q_bm25_topk, q_common_token_ratio,
+    q_pack_sequences, q_mixture_sample)
+}

@@ -707,7 +707,8 @@ object Queries {
 
   def all: Seq[QuerySpec] =
     relational ++ RefConformance.all ++ ExtQueries.all ++
-      TpchQueries.all ++ TextQueries.all ++ PipelineQueries.all
+      TpchQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
+      CurationQueries.all
 
   def byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

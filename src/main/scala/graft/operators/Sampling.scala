@@ -65,6 +65,25 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Domain-mixture resampling: per-stratum deterministic downsampling
+    * to target weights — the step that turns a raw crawl into a
+    * training mixture ("keep all of wiki, 25% of crawl, 10% of the
+    * rest"). A row survives iff its salted hash prefix falls below its
+    * stratum's threshold, so the sample is a pure filter (pushes to the
+    * scan, zero shuffles at any corpus size), reproducible on any
+    * cluster, and strata are sampled INDEPENDENTLY — changing one
+    * source's weight never disturbs another's sample. */
+  def mixtureSample(df: DataFrame, strataCol: String,
+      weights: Map[String, Double], defaultFrac: Double = 0.0,
+      idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    val pref = substring(hashRank(col(idCol), salt), 1, 8)
+    val thr = weights.toSeq.sortBy(_._1).foldLeft(
+      lit(hexThreshold(defaultFrac)): Column) { case (acc, (s, f)) =>
+        when(col(strataCol) === s, lit(hexThreshold(f))).otherwise(acc)
+      }
+    df.filter(pref < thr)
+  }
+
   /** First-4-hex-chars threshold for a fraction: the bucket prefix is
     * uniform over 0x0000..0xffff, so `prefix < hex4(f)` selects
     * floor(f * 65536) / 65536 of the rows. frac >= 1 returns "g",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -251,6 +252,176 @@ object TextOps {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Gopher-style repetition statistics: per-document word-bigram
+    * duplication signals. High `top_bigram_frac` (one bigram dominates)
+    * or `dup_bigram_frac` (most bigram mass occurs more than once)
+    * marks boilerplate / keyword-stuffed / looping text — the standard
+    * repetition filters a pre-training curation pass applies after the
+    * length/stopword gates.
+    *
+    * Scale shape: explode to (doc_id, bigram) → two-level aggregate
+    * (partial map-side combine on the first level), keyed by doc_id
+    * throughout — no joins, two narrow shuffles whatever the corpus
+    * size. `explode_outer` keeps bigram-less docs (<2 tokens) in the
+    * output with zeroed stats so no document silently vanishes. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = wordTokens(col(textCol))
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array(lit(null).cast("string")))
+    val isBg = col("bg").isNotNull
+    docs.select(col(idCol), size(w).cast("long").as("n_tokens"),
+        explode(bigrams).as("bg"))
+      .groupBy(col(idCol), col("n_tokens"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(
+        sum(when(isBg, col("cnt")).otherwise(0L)).as("n_bigrams"),
+        max(when(isBg, col("cnt")).otherwise(0L)).as("top_cnt"),
+        sum(when(isBg && col("cnt") > 1, col("cnt")).otherwise(0L))
+          .as("dup_cnt"))
+      .select(col(idCol), col("n_tokens"), col("n_bigrams"),
+        col("top_cnt"), col("dup_cnt"),
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise(col("top_cnt").cast("double") /
+            col("n_bigrams").cast("double")).as("top_bigram_frac"),
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise(col("dup_cnt").cast("double") /
+            col("n_bigrams").cast("double")).as("dup_bigram_frac"))
+  }
+
+  /** BM25 keyword retrieval: top-`k` documents for a fixed bag of query
+    * terms, scored with the log-free BM25 variant
+    * `idf = (N - df + 0.5) / (df + 0.5)` (same ranking family as
+    * Robertson's idf without the engine-specific `ln`, so the score is
+    * pure integer-derived IEEE arithmetic — bitwise-reproducible in any
+    * engine that evaluates the same expression).
+    *
+    * Determinism detail: per-document scores for the (few) query terms
+    * are pivoted into FIXED-ORDER columns and added left-to-right —
+    * a `sum()` aggregate over the term rows would make the result
+    * depend on float addition order.
+    *
+    * Scale shape: the exploded token stream filters to the query terms
+    * BEFORE any shuffle (a 100 TB corpus reduces to rows-that-match),
+    * doc lengths join on doc_id, the df/N sides are 1-to-3-row
+    * broadcast frames, and the final cut is TakeOrdered — no global
+    * sort. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val w = wordTokens(col(textCol))
+    val base = docs.select(col(idCol), w.as("__w"))
+    val dl = base.select(col(idCol), size(col("__w")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base.select(col(idCol), explode(col("__w")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = col("n_docs").cast("double")
+    val scored = tf
+      .join(dl, Seq(idCol))
+      .join(broadcast(dft), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        (nd - col("df").cast("double") + 0.5) / (col("df").cast("double") + 0.5) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") /
+              (col("sum_dl").cast("double") / nd))))
+    val pivoted = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        terms.map(t =>
+          max(when(col("token") === t, col("__s"))).as(s"__s_$t")): _*)
+    val score = terms.map(t => coalesce(col(s"__s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    pivoted.select(col(idCol), col("n_terms"), score.as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Common-token ratio: the fraction of a document's tokens that fall
+    * in the corpus's top-`topN` vocabulary — the cheap stand-in for a
+    * unigram-LM quality score (fluent text is dominated by frequent
+    * words; gibberish and OCR noise are not), kept log-free so the
+    * score is one integer division.
+    *
+    * Scale shape: the vocabulary is a `topN`-row frame → broadcast;
+    * the corpus side explodes, left-joins the broadcast vocab, and
+    * aggregates back to doc_id — one narrow shuffle keyed by doc_id.
+    * `explode_outer` keeps token-less docs (ratio 0). */
+  def commonTokenRatio(docs: DataFrame, topN: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = vocabulary(docs, topN, textCol, idCol)
+      .select(col("token"), lit(1).as("__v"))
+    val w = wordTokens(col(textCol))
+    docs.select(col(idCol), size(w).cast("long").as("n_tokens"),
+        explode_outer(w).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_common"))
+      .select(col(idCol), col("n_tokens"), col("n_common"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_common").cast("double") /
+            col("n_tokens").cast("double")).as("common_ratio"))
+  }
+
+  /** Sequence-packing plan (GPT-style concat-and-cut): documents are
+    * laid end-to-end in `idCol` order and cut every `seqLen` tokens;
+    * each doc gets its global token offset and the first/last training
+    * sequence it lands in. This is the planning step of a training-data
+    * export — downstream writers materialize sequence `s` by taking
+    * every doc with `first_seq <= s <= last_seq`.
+    *
+    * The global running sum is NOT a single-partition window (which
+    * would serialize a 100 TB corpus through one task): docs are
+    * interval-bucketed on the id domain, per-bucket token totals (one
+    * row per bucket — constant driver traffic) are prefix-summed on the
+    * driver, then each bucket computes its LOCAL cumulative sum in
+    * parallel and adds its bucket's starting offset — the classic
+    * two-phase distributed prefix sum. Results are partitioning- and
+    * cluster-size-independent because bucket boundaries are a pure
+    * function of the id domain. */
+  def packSequences(docs: DataFrame, seqLen: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 32): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = docs.select(col(idCol).cast("long").as(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val bounds = base.agg(min(col(idCol)), max(col(idCol))).head()
+    if (bounds.isNullAt(0)) // empty input: keep the schema, no rows
+      return base.select(col(idCol), col("n_tokens"),
+        lit(0L).as("tok_offset"), lit(0L).as("first_seq"),
+        lit(0L).as("last_seq"))
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (maxId - minId) / buckets + 1)
+    val bucketed = base.withColumn("__b",
+      floor((col(idCol) - minId) / lit(width)).cast("long"))
+    // one row per bucket — constant-size driver fetch, like an IVF
+    // centroid table
+    val sums = bucketed.groupBy("__b").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offs = sums.keys.toSeq.sorted.map { bk =>
+      val o = acc; acc += sums(bk); (bk, o)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = offs.toDF("__b", "__boff")
+    val win = Window.partitionBy("__b").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offDf), Seq("__b"))
+      .withColumn("tok_offset",
+        col("__boff") + coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("tok_offset"),
+        floor(col("tok_offset") / lit(seqLen)).as("first_seq"),
+        floor((col("tok_offset") + greatest(col("n_tokens"), lit(1L)) - 1) /
+          lit(seqLen)).as("last_seq"))
   }
 
   /** Winnowed rolling-hash fingerprints ([[graft.functions.Winnow]]):
