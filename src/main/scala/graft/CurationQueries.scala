@@ -161,7 +161,69 @@ object CurationQueries {
                  ELSE '${Sampling.hexThreshold(0.1)}' END
              ORDER BY doc_id"""))
 
+  private val boiler =
+    "terms of service apply to this mirror site read carefully"
+
+  /** C4-style global span dedup ([[TextOps.dedupSpans]]): both engines
+    * plant an identical 10-token boilerplate prefix on every 5th doc;
+    * the dedup must strip it from all but the first occurrence (and
+    * any organically repeated span with it). Clean text compared by
+    * md5. */
+  val q_dedup_spans = QuerySpec(
+    "q_dedup_spans", Seq("E-dedup", "E-text", "W6"),
+    (s, d) => {
+      val planted = Engine.table(s, d, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(lit(boiler + " "), col("text")))
+            .otherwise(col("text")))
+      TextOps.dedupSpans(planted, spanTokens = 10)
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          md5(col("clean_text")).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH planted AS (
+               SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN '$boiler ' || text
+                      ELSE text END AS text
+               FROM documents),
+             w AS (SELECT doc_id, string_split(text, ' ') AS w,
+                     len(string_split(text, ' ')) AS n
+                   FROM planted),
+             x AS (SELECT doc_id, w,
+                     unnest(range(0, 1 + CAST(ceil(
+                       greatest(n - 10, 0) / 10.0) AS BIGINT))) AS chunk_id
+                   FROM w),
+             sp AS (SELECT doc_id, chunk_id,
+                      array_to_string(w[(chunk_id*10+1):(chunk_id*10+10)],
+                        ' ') AS chunk_text
+                    FROM x),
+             r AS (SELECT doc_id, chunk_id, chunk_text,
+                     row_number() OVER (PARTITION BY md5(chunk_text)
+                       ORDER BY doc_id, chunk_id) AS rn
+                   FROM sp),
+             k AS (SELECT doc_id,
+                     string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean
+                   FROM r WHERE rn = 1 GROUP BY doc_id),
+             a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                     CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_kept
+                   FROM r GROUP BY doc_id)
+             SELECT a.doc_id, n_spans, n_kept,
+                    md5(COALESCE(k.clean, '')) AS fp
+             FROM a LEFT JOIN k USING (doc_id) ORDER BY a.doc_id"""))
+
+  /** Deterministic global shuffle ([[Sampling.shuffledOrder]]): the
+    * reproducible pseudo-random export permutation — identical row
+    * order in any engine with md5. */
+  val q_shuffle_export = QuerySpec(
+    "q_shuffle_export", Seq("P12", "O1"),
+    (s, d) => Sampling.shuffledOrder(Engine.table(s, d, "documents"))
+      .select("shuffle_rank", "doc_id", "source"),
+    Some("""SELECT md5(doc_id::VARCHAR || 'graft') AS shuffle_rank,
+                   doc_id, source
+            FROM documents ORDER BY shuffle_rank"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_repetition_stats, q_bm25_topk, q_common_token_ratio,
-    q_pack_sequences, q_mixture_sample)
+    q_pack_sequences, q_mixture_sample, q_dedup_spans, q_shuffle_export)
 }

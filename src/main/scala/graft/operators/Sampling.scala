@@ -84,6 +84,19 @@ object Sampling {
     df.filter(pref < thr)
   }
 
+  /** Deterministic global shuffle for training export: every row gets a
+    * salted-hash shuffle key and the frame is globally ordered by it —
+    * a reproducible pseudo-random permutation of the corpus (what an
+    * exporter runs so training sequences don't arrive in crawl order).
+    * Spark executes the global sort as a range-partitioned sort (sample
+    * → range exchange → per-partition sort): every partition sorts in
+    * parallel and output files are globally ordered, so the 100 TB path
+    * is the same plan, wider. A fresh salt draws a fresh permutation. */
+  def shuffledOrder(df: DataFrame, idCol: String = "doc_id",
+      salt: String = "graft"): DataFrame =
+    df.withColumn("shuffle_rank", hashRank(col(idCol), salt))
+      .orderBy("shuffle_rank")
+
   /** First-4-hex-chars threshold for a fraction: the bucket prefix is
     * uniform over 0x0000..0xffff, so `prefix < hex4(f)` selects
     * floor(f * 65536) / 65536 of the rows. frac >= 1 returns "g",

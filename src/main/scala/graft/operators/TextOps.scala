@@ -424,6 +424,39 @@ object TextOps {
           lit(seqLen)).as("last_seq"))
   }
 
+  /** C4-style global span dedup: the corpus is cut into non-overlapping
+    * `spanTokens`-token spans ([[chunkDocuments]] with zero overlap) and
+    * every span that occurs anywhere else in the corpus is dropped
+    * except its first occurrence (min (doc, position)); each document
+    * is then reassembled from its surviving spans. This is the
+    * passage-level boilerplate killer (license headers, navigation
+    * chrome, ToS text) that document-level dedup can't touch — C4 does
+    * it at the "three-sentence span" level; token windows are the
+    * delimiter-free equivalent.
+    *
+    * Scale shape: spans explode map-side; the only wide operations are
+    * keyed by the span's 16-byte md5 (a window ranking first occurrence
+    * — bounded state per span) and by doc_id (the reassembly
+    * aggregate). Span TEXT crosses the shuffle once per occurrence,
+    * which is the same volume as the scan itself. */
+  def dedupSpans(docs: DataFrame, spanTokens: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spans = chunkDocuments(docs, spanTokens, 0, textCol, idCol)
+    val w = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col(idCol), col("chunk_id"))
+    spans.withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rn") === 1,
+              struct(col("chunk_id"), col("chunk_text"))))),
+            x => x.getField("chunk_text")),
+          " ").as("clean_text"))
+  }
+
   /** Winnowed rolling-hash fingerprints ([[graft.functions.Winnow]]):
     * any shared character run of length >= w+k-1 between two documents
     * yields a shared fingerprint — the PARTIAL-overlap signal md5

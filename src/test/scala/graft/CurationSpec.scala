@@ -120,6 +120,50 @@ class CurationSpec extends SparkSuite {
     assert(out.map(_.getLong(3)).toSeq == Seq(0L, 0L, 1L))
   }
 
+  // ---------------------------------------------------------- span dedup
+
+  test("dedupSpans: repeated span kept at first occurrence only") {
+    val docs = Seq(
+      (1L, "a b c d"), // spans: "a b", "c d"
+      (2L, "a b x y"), // "a b" seen in doc 1 -> dropped; "x y" first here
+      (3L, "x y")      // "x y" seen in doc 2 -> doc empties
+    ).toDF("doc_id", "text")
+    val r = TextOps.dedupSpans(docs, spanTokens = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 2 && r(0).getLong(2) == 2)
+    assert(r(0).getString(3) == "a b c d")
+    assert(r(1).getString(3) == "x y")
+    assert(r(2).getLong(2) == 0 && r(2).getString(3) == "")
+  }
+
+  test("dedupSpans: surviving spans reassemble in document order") {
+    val docs = Seq(
+      (1L, "dup li cense"),       // spans(3): "dup li cense"
+      (2L, "keep one two dup li cense keep three four")
+    ).toDF("doc_id", "text")
+    // doc 2 spans: "keep one two", "dup li cense"(dropped), "keep three four"
+    val r = TextOps.dedupSpans(docs, spanTokens = 3)
+      .orderBy("doc_id").collect()
+    assert(r(1).getString(3) == "keep one two keep three four")
+    assert(r(1).getLong(1) == 3 && r(1).getLong(2) == 2)
+  }
+
+  // --------------------------------------------------------- export shuffle
+
+  test("shuffledOrder: deterministic permutation, partitioning-proof") {
+    val docs = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val a = Sampling.shuffledOrder(docs.repartition(13))
+      .collect().map(_.getLong(0))
+    val b = Sampling.shuffledOrder(docs.coalesce(1))
+      .collect().map(_.getLong(0))
+    assert(a.toSeq == b.toSeq)          // same permutation any layout
+    assert(a.sorted.toSeq == (1L to 100L)) // it IS a permutation
+    assert(a.toSeq != (1L to 100L))     // and not the identity
+    val c = Sampling.shuffledOrder(docs, salt = "epoch2")
+      .collect().map(_.getLong(0))
+    assert(c.toSeq != a.toSeq)          // fresh salt, fresh permutation
+  }
+
   // ----------------------------------------------------- mixture sampling
 
   test("mixtureSample: weight 1 keeps all, weight 0 keeps none, " +

@@ -336,4 +336,52 @@ class PlanShapeSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode must be map-only:\n$plan")
   }
+
+  test("mixture sampling is a pure filter: zero exchanges at any scale") {
+    val df = graft.operators.Sampling.mixtureSample(
+      Engine.table(spark, sf, "documents"), "source",
+      Map("src0" -> 0.5), defaultFrac = 0.1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-stratum hash sampling must not shuffle:\n$plan")
+  }
+
+  test("repetition stats: two keyed shuffles, no join") {
+    val plan = executedPlan(graft.operators.TextOps.repetitionStats(
+      Engine.table(spark, sf, "documents")))
+    assert(!plan.contains("Join"), s"repetitionStats must not join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected exactly 2 exchanges (bigram agg + doc agg):\n$plan")
+  }
+
+  test("vocabulary-coverage join broadcasts the vocab side") {
+    val plan = executedPlan(graft.operators.TextOps.commonTokenRatio(
+      Engine.table(spark, sf, "documents"), topN = 100))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"token-vocab join must broadcast the topN-row vocab:\n$plan")
+  }
+
+  test("sequence packing never serializes through one partition") {
+    val plan = executedPlan(graft.operators.TextOps.packSequences(
+      Engine.table(spark, sf, "documents"), seqLen = 64))
+    assert(!plan.contains("SinglePartition"),
+      s"two-phase prefix sum must not use a global window:\n$plan")
+    assert(plan.contains("hashpartitioning(__b"),
+      s"local cumsum must be per-bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets (constant-size) must broadcast:\n$plan")
+  }
+
+  test("BM25 keeps df/corpus stats broadcast; no cartesian product") {
+    val plan = executedPlan(graft.operators.TextOps.bm25TopK(
+      Engine.table(spark, sf, "documents"),
+      Seq("join", "scan", "filter"), k = 10))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row stats frame must broadcast, not cartesian:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must avoid a global sort:\n$plan")
+  }
 }
