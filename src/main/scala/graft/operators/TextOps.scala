@@ -386,11 +386,26 @@ object TextOps {
     * parallel and adds its bucket's starting offset — the classic
     * two-phase distributed prefix sum. Results are partitioning- and
     * cluster-size-independent because bucket boundaries are a pure
-    * function of the id domain. */
+    * function of the id domain.
+    *
+    * Token counting here is whitespace-field counting (`split(text,
+    * " ")`), the SAME rule [[chunkDocuments]]/[[dedupSpans]] cut on —
+    * a packing plan must agree with the chunker that materializes the
+    * sequences, so an empty document counts as 1 token (one empty
+    * field), deliberately unlike the [[tokenStats]] word-token family.
+    *
+    * Requires an integral, non-null `idCol` (bucket boundaries are
+    * arithmetic on the id domain); fails fast with a clear message
+    * otherwise. */
   def packSequences(docs: DataFrame, seqLen: Int,
       textCol: String = "text", idCol: String = "doc_id",
       buckets: Int = 32): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(idType.typeName),
+      s"packSequences needs an integral id column; `$idCol` is " +
+        s"${idType.typeName}. Cast or derive a numeric id first.")
     val base = docs.select(col(idCol).cast("long").as(idCol),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"))
     val bounds = base.agg(min(col(idCol)), max(col(idCol))).head()
@@ -400,12 +415,19 @@ object TextOps {
         lit(0L).as("last_seq"))
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (maxId - minId) / buckets + 1)
+    // integral `div`, not `/`: double division misbuckets once the id
+    // range outgrows 2^53
     val bucketed = base.withColumn("__b",
-      floor((col(idCol) - minId) / lit(width)).cast("long"))
+      expr(s"(`$idCol` - (${minId}L)) div ${width}L"))
     // one row per bucket — constant-size driver fetch, like an IVF
     // centroid table
     val sums = bucketed.groupBy("__b").agg(sum("n_tokens").as("t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"packSequences: `$idCol` contains nulls; every document " +
+            "needs a non-null id to get a deterministic offset")
+        r.getLong(0) -> r.getLong(1)
+      }.toMap
     var acc = 0L
     val offs = sums.keys.toSeq.sorted.map { bk =>
       val o = acc; acc += sums(bk); (bk, o)

@@ -120,6 +120,21 @@ class CurationSpec extends SparkSuite {
     assert(out.map(_.getLong(3)).toSeq == Seq(0L, 0L, 1L))
   }
 
+  test("packSequences: non-integral or null ids fail fast, not NPE") {
+    val strIds = Seq(("a", "x y"), ("b", "z")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      TextOps.packSequences(strIds, seqLen = 4)
+    }
+    assert(e1.getMessage.contains("integral id column"))
+
+    val nullIds = Seq((java.lang.Long.valueOf(1L), "x"),
+      (null.asInstanceOf[java.lang.Long], "y")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.packSequences(nullIds, seqLen = 4)
+    }
+    assert(e2.getMessage.contains("nulls"))
+  }
+
   // ---------------------------------------------------------- span dedup
 
   test("dedupSpans: repeated span kept at first occurrence only") {
