@@ -212,6 +212,29 @@ object CurationQueries {
                     md5(COALESCE(k.clean, '')) AS fp
              FROM a LEFT JOIN k USING (doc_id) ORDER BY a.doc_id"""))
 
+  /** Per-domain quality floor ([[TextOps.qualityPercentileGate]]):
+    * keep docs at/above their own source's 25th-percentile lexical
+    * diversity. The oracle recomputes the identical exact-percentile
+    * cut with quantile_cont. */
+  val q_quality_gate = QuerySpec(
+    "q_quality_gate", Seq("E-text", "A11"),
+    (s, d) => TextOps.qualityPercentileGate(
+        Engine.table(s, d, "documents"), p = 0.25)
+      .orderBy("doc_id"),
+    Some("""WITH sc AS (SELECT doc_id, source,
+                 uq::DOUBLE / greatest(wc, 1)::DOUBLE AS diversity
+               FROM (SELECT doc_id, source,
+                       len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS wc,
+                       len(list_distinct(regexp_extract_all(lower(text),
+                         '[a-z0-9]+'))) AS uq
+                     FROM documents) x),
+            t AS (SELECT source, quantile_cont(diversity, 0.25) AS thr
+                  FROM sc GROUP BY source)
+            SELECT doc_id, source, diversity
+            FROM sc JOIN t USING (source)
+            WHERE diversity >= thr ORDER BY doc_id"""))
+
   /** Deterministic global shuffle ([[Sampling.shuffledOrder]]): the
     * reproducible pseudo-random export permutation — identical row
     * order in any engine with md5. */
@@ -225,5 +248,6 @@ object CurationQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_repetition_stats, q_bm25_topk, q_common_token_ratio,
-    q_pack_sequences, q_mixture_sample, q_dedup_spans, q_shuffle_export)
+    q_pack_sequences, q_mixture_sample, q_dedup_spans, q_shuffle_export,
+    q_quality_gate)
 }

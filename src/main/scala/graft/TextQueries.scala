@@ -322,6 +322,41 @@ object TextQueries {
     },
     None)
 
+  /** Product-quantization two-stage search: 8-byte codes scanned by
+    * ADC, overfetched candidates re-ranked by exact cosine. Codebook
+    * training is k-means (engine-specific float means) → rows-only
+    * check; recall vs brute force is pinned in SimilaritySpec. */
+  val q_embed_pq_topk = QuerySpec(
+    "q_embed_pq_topk", Seq("E-sim"),
+    (s, d) => {
+      val emb = Engine.table(s, d, "embeddings")
+      val row = emb.filter(col("vec_id") === 0).head()
+      val q = row.getSeq[Float](row.fieldIndex("embedding"))
+        .map(_.toDouble).toSeq
+      val cb = Similarity.pqTrain(emb)
+      val codes = Similarity.pqEncodeTable(emb, cb)
+      Similarity.pqTopKRerank(emb, codes, cb, q, k = 10)
+    },
+    None)
+
+  /** SemDeDup semantic dedup: planted near-identical vectors (same
+    * construction as q_dedup_embedding) must be dropped, originals
+    * kept. K-means clustering → rows-only check; exact drop set is
+    * pinned in SimilaritySpec. */
+  val q_dedup_semantic = QuerySpec(
+    "q_dedup_semantic", Seq("E-dedup", "E-sim"),
+    (s, d) => {
+      val emb = Engine.table(s, d, "embeddings")
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.005f)).as("embedding"),
+          col("label"))
+      Dedup.semanticDedup(emb.unionByName(planted),
+          nClusters = 16, threshold = 0.99)
+        .select("vec_id").orderBy("vec_id")
+    },
+    None)
+
   // ----------------------------------------------------------- multimodal
 
   /** Binary media plumbing: payload bytes → per-partition stub decode →
@@ -349,5 +384,6 @@ object TextQueries {
     q_dedup_exact, q_dedup_minhash_lsh, q_dedup_ngram_block,
     q_dedup_simhash, q_dedup_winnow, q_dedup_embedding,
     q_embed_topk_bruteforce, q_embed_knn_lsh, q_embed_ivf_topk,
-    q_embed_ivf_batch, q_multimodal_features)
+    q_embed_ivf_batch, q_embed_pq_topk, q_dedup_semantic,
+    q_multimodal_features)
 }

@@ -29,23 +29,21 @@ package object functions {
   def davg2(c: Column): Column =
     sum(dec2(c)).cast("double") / count(c)
 
-  /** Dot product of two float-array embeddings, accumulated in double.
-    * Sequential left fold — deterministic regardless of partitioning. */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two numeric-array embeddings, accumulated in
+    * double. Native one-pass kernel ([[VectorSim]]) — sequential fold,
+    * deterministic regardless of partitioning. */
+  def dotProduct(a: Column, b: Column): Column = VectorSim.dot(a, b)
 
   /** L2 norm squared of a float-array embedding, in double. */
   def normSq(a: Column): Column =
     aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Cosine similarity between two embeddings; 0.0 for zero vectors. */
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val denom = sqrt(normSq(a)) * sqrt(normSq(b))
-    when(denom === 0.0, 0.0).otherwise(dotProduct(a, b) / denom)
-  }
+  /** Cosine similarity between two embeddings; 0.0 for zero vectors.
+    * Native one-pass kernel ([[VectorSim]]) — the lambda form cost
+    * three interpreted (CodegenFallback) array traversals per row. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    VectorSim.cosine(a, b)
 
   /** Integer-quantized embedding (×1000, rounded): dot products and
     * norms over longs are EXACT, so similarity scores are bitwise
@@ -55,17 +53,10 @@ package object functions {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Cosine similarity over quantized vectors (deterministic). */
-  def quantizedCosine(a: Column, b: Column): Column = {
-    val qa = quantize(a)
-    val qb = quantize(b)
-    val dot = aggregate(zip_with(qa, qb, (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
-    val na = aggregate(transform(qa, x => x * x), lit(0L), (acc, x) => acc + x)
-    val nb = aggregate(transform(qb, x => x * x), lit(0L), (acc, x) => acc + x)
-    val denom = sqrt(na.cast("double")) * sqrt(nb.cast("double"))
-    when(denom === 0.0, 0.0).otherwise(dot.cast("double") / denom)
-  }
+  /** Cosine similarity over quantized vectors (deterministic). Native
+    * one-pass kernel with exact long accumulation ([[VectorSim]]). */
+  def quantizedCosine(a: Column, b: Column): Column =
+    VectorSim.quantizedCosine(a, b)
 
   /** Whitespace token count (cheap, codegen'd). */
   def wsTokenCount(text: Column): Column =

@@ -300,6 +300,51 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * k-means-cluster the embeddings, then within each cluster drop
+    * every vector that has a LOWER-id cluster-mate with cosine at or
+    * above `threshold` (greedy keep-first — same deterministic rule as
+    * the other dedup ops). Catches semantically-identical documents
+    * whose surface text differs (translations, paraphrases, templated
+    * rewrites) that every token-level sketch misses.
+    *
+    * Scale shape: clustering bounds the pair space — the self-join is
+    * per-cluster, never corpus-wide, and `nClusters` scales with corpus
+    * size to keep expected cluster size (and the O(cluster²) pair
+    * count) constant; the cluster exchange is an explicit-width
+    * repartition so AQE can't serialize the cosine verify. For a hot
+    * cluster, re-cluster its members recursively or band them with
+    * [[embeddingNearDupPairs]]'s LSH — same contract.
+    *
+    * @return the surviving rows of `embeddings` (canonical per
+    *         semantic-dup group + everything unpaired). */
+  def semanticDedup(embeddings: DataFrame, nClusters: Int = 32,
+      threshold: Double = 0.95, iters: Int = 3,
+      sampleFraction: Double = 1.0, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val vecs = embeddings.select(col(idCol).as("id"),
+      Similarity.normalized(col(vecCol)).as("nv"))
+    val centroids = Similarity.kmeansCentroids(vecs, nClusters, iters,
+      sampleFraction)
+    val assigned = Similarity.assignNearest(vecs, centroids)
+      .repartition(par, col("bucket"))
+      .localCheckpoint() // pin assignments; drop the lineage through
+                         // the cached centroid loop before unpersist
+    centroids.unpersist()
+    val a = assigned.select(col("bucket"), col("id").as("id_a"),
+      col("nv").as("nv_a"))
+    val b = assigned.select(col("bucket"), col("id").as("id_b"),
+      col("nv").as("nv_b"))
+    // unit vectors → dot product IS cosine; one fused-kernel pass/pair
+    val drops = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dotProduct(col("nv_a"), col("nv_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    embeddings.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs: cosine similarity above threshold among
     * candidates sharing ANY of `probes` independent hyperplane-LSH
     * buckets (multi-probe banding — a single 12-plane signature catches

@@ -123,14 +123,33 @@ object Similarity {
   def ivfBuildIndexKMeans(embeddings: DataFrame, indexDir: String,
       nCentroids: Int = 32, iters: Int = 3, sampleFraction: Double = 1.0,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
-    val spark = embeddings.sparkSession
     val vecs = embeddings.select(col(idCol).as("id"),
       col(vecCol).as("v"),
       normalized(col(vecCol)).as("nv"))
+    val centroids = kmeansCentroids(vecs.select("id", "nv"),
+      nCentroids, iters, sampleFraction)
+
+    assignNearest(vecs.select(col("id"), col("v"), col("nv")), centroids)
+      .select(col("id").as(idCol), col("v").as(vecCol), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/vectors")
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    centroids.unpersist()
+    ()
+  }
+
+  /** Distributed k-means over (id, nv) unit vectors: deterministic
+    * hash-ordered init, Lloyd iterations with per-(bucket, dimension)
+    * partial-aggregated means. Returns a CACHED (bucket, centroid)
+    * frame — callers unpersist when done. Shared by the IVF index build
+    * and [[Dedup.semanticDedup]]. */
+  private[operators] def kmeansCentroids(train0: DataFrame,
+      nCentroids: Int, iters: Int,
+      sampleFraction: Double = 1.0): DataFrame = {
     val train = (if (sampleFraction < 1.0)
-      vecs.filter(pmod(xxhash64(col("id")), lit(1000)) <
+      train0.filter(pmod(xxhash64(col("id")), lit(1000)) <
         lit((sampleFraction * 1000).toLong))
-    else vecs).select("id", "nv")
+    else train0).select("id", "nv")
 
     // deterministic init: the nCentroids training vectors with the
     // smallest id-hash (a seeded random draw both runs agree on)
@@ -157,20 +176,13 @@ object Similarity {
       centroids.unpersist()
       centroids = next
     }
-
-    assignNearest(vecs.select(col("id"), col("v"), col("nv")), centroids)
-      .select(col("id").as(idCol), col("v").as(vecCol), col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$indexDir/vectors")
-    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    centroids.unpersist()
-    ()
+    centroids
   }
 
   /** Argmax-cosine assignment: broadcast the (tiny) centroid table,
     * min-by over the per-centroid similarity via one aggregation —
     * map-only + a groupBy on the vector id. */
-  private def assignNearest(vecs: DataFrame,
+  private[operators] def assignNearest(vecs: DataFrame,
       centroids: DataFrame): DataFrame = {
     val joined = vecs.crossJoin(broadcast(centroids))
       .withColumn("sim", dotProduct(col("nv"), col("centroid")))
@@ -181,7 +193,7 @@ object Similarity {
 
   /** Unit-normalized double view of a vector (zero vectors pass
     * through unscaled). */
-  private def normalized(vec: Column): Column = {
+  private[operators] def normalized(vec: Column): Column = {
     val n = sqrt(normSq(vec))
     transform(vec, x =>
       when(n === 0.0, x.cast("double")).otherwise(x.cast("double") / n))
@@ -247,6 +259,63 @@ object Similarity {
         cosineSimilarity(col(vecCol), col("qv")).as("cos"))
     graft.plans.TopKPerGroup.topKPerGroup(scored,
       keys = Seq(col("qid")), order = Seq(desc("cos"), asc(idCol)), k = k)
+  }
+
+  // ------------------------------------------------- product quantization
+
+  /** Train a PQ codebook (see [[graft.functions.ProductQuant]]): `m`
+    * subspaces × `ksub` centroids over unit-normalized vectors, Lloyd
+    * on a deterministic driver-side sample. */
+  def pqTrain(embeddings: DataFrame, dim: Int = 64, m: Int = 8,
+      ksub: Int = 16, iters: Int = 10, sampleN: Int = 2048,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : graft.functions.ProductQuant.Codebook =
+    graft.functions.ProductQuant.train(embeddings, dim, m, ksub, iters,
+      sampleN, vecCol, idCol)
+
+  /** Distributed encode pass: every vector → `m`-byte PQ code (one
+    * map-only scan — the only time PQ touches the full corpus). The
+    * codes table is what a 100 TB pipeline persists and scans at query
+    * time: a 64-dim float column compresses 32×, so the ANN scan reads
+    * ~3% of the bytes. */
+  def pqEncodeTable(embeddings: DataFrame,
+      cb: graft.functions.ProductQuant.Codebook,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    embeddings.select(col(idCol),
+      graft.functions.ProductQuant.pqEncode(col(vecCol), cb).as("pq_code"))
+
+  /** ADC top-k over a PQ codes table: the query builds its m×ksub
+    * lookup table ONCE on the driver (a few KB, shipped as one
+    * reference object); each row costs `m` table lookups — no float
+    * multiplies, no original vectors. Map + TakeOrderedAndProject. */
+  def pqTopK(codes: DataFrame,
+      cb: graft.functions.ProductQuant.Codebook, query: Seq[Double],
+      k: Int, codeCol: String = "pq_code",
+      idCol: String = "vec_id"): DataFrame = {
+    val lut = graft.functions.ProductQuant.buildLut(query, cb)
+    codes.select(col(idCol),
+        graft.functions.ProductQuant.pqAdc(col(codeCol), lut, cb.ksub)
+          .as("adc"))
+      .orderBy(desc("adc"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Two-stage PQ search (the standard production shape): ADC over the
+    * compressed codes overfetches `k * overfetch` candidates, then ONLY
+    * those rows' original vectors are fetched (broadcast semi-join on
+    * the id — the full-precision column is read for a few dozen rows,
+    * not the corpus) and re-ranked by exact cosine. */
+  def pqTopKRerank(embeddings: DataFrame, codes: DataFrame,
+      cb: graft.functions.ProductQuant.Codebook, query: Seq[Double],
+      k: Int, overfetch: Int = 4, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val cand = pqTopK(codes, cb, query, k * overfetch,
+      idCol = idCol).select(idCol)
+    embeddings.join(broadcast(cand), Seq(idCol))
+      .select(col(idCol),
+        cosineSimilarity(col(vecCol), lit(query.toArray)).as("cos"))
+      .orderBy(desc("cos"), asc(idCol))
+      .limit(k)
   }
 
   /** Convenience build-if-absent + probe (fixture/test path). */

@@ -168,15 +168,12 @@ object TextOps {
     require(overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
     val stride = chunkTokens - overlap
-    val words = split(col(textCol), " ")
-    // nChunks = 1 + ceil(max(0, n - chunkTokens) / stride), integral
-    val over = greatest(size(words) - chunkTokens, lit(0))
-    val nChunks = lit(1) + floor((over + stride - 1) / lit(stride))
-      .cast("int")
+    // native kernel ([[graft.functions.TokenChunks]]): the
+    // transform/slice lambda form re-evaluated the split per chunk
+    // (O(chunks × tokens) per row) after projection collapse
     docs.select(col(idCol), posexplode(
-        transform(sequence(lit(0), nChunks - 1),
-          i => array_join(
-            slice(words, i * stride + 1, lit(chunkTokens)), " "))))
+        graft.functions.TokenChunks.tokenChunks(
+          split(col(textCol), " "), chunkTokens, stride)))
       .withColumnRenamed("pos", "chunk_id")
       .withColumnRenamed("col", "chunk_text")
       .withColumn("n_tokens",
@@ -269,9 +266,11 @@ object TextOps {
   def repetitionStats(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val w = wordTokens(col(textCol))
+    // native bigram multiset (chunkTokens=2, stride=1): the
+    // transform/element_at lambda form re-evaluated the tokenizer
+    // regex per bigram (O(tokens²) per row) after projection collapse
     val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      graft.functions.TokenChunks.tokenChunks(w, 2, 1))
       .otherwise(array(lit(null).cast("string")))
     val isBg = col("bg").isNotNull
     docs.select(col(idCol), size(w).cast("long").as("n_tokens"),
@@ -444,6 +443,33 @@ object TextOps {
         floor(col("tok_offset") / lit(seqLen)).as("first_seq"),
         floor((col("tok_offset") + greatest(col("n_tokens"), lit(1L)) - 1) /
           lit(seqLen)).as("last_seq"))
+  }
+
+  /** Per-domain quality floor: keep documents whose lexical diversity
+    * (distinct-token ratio) is at or above their OWN domain's
+    * `p`-quantile — a fixed global threshold over-prunes domains whose
+    * baseline diversity is naturally low (code, forums) and under-
+    * prunes high-baseline ones, so curation pipelines gate per-source.
+    *
+    * Scale shape: thresholds are one exact-percentile aggregate —
+    * |domains| rows — broadcast back; the corpus side is a projection +
+    * broadcast join + filter, no wide shuffle of documents. Exact
+    * `percentile` keeps the cut oracle-checkable; at extreme per-domain
+    * row counts swap in `percentile_approx` (same plan shape). */
+  def qualityPercentileGate(docs: DataFrame, p: Double = 0.25,
+      byCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"p must be in [0,1], got $p")
+    val words = size(wordTokens(col(textCol)))
+    val uniq = size(array_distinct(wordTokens(col(textCol))))
+    val safe = when(words === 0, 1).otherwise(words)
+    val scored = docs.select(col(idCol), col(byCol),
+      (uniq.cast("double") / safe.cast("double")).as("diversity"))
+    val thr = scored.groupBy(col(byCol))
+      .agg(percentile(col("diversity"), lit(p)).as("__thr"))
+    scored.join(broadcast(thr), Seq(byCol))
+      .filter(col("diversity") >= col("__thr"))
+      .select(col(idCol), col(byCol), col("diversity"))
   }
 
   /** C4-style global span dedup: the corpus is cut into non-overlapping

@@ -135,6 +135,23 @@ class CurationSpec extends SparkSuite {
     assert(e2.getMessage.contains("nulls"))
   }
 
+  // ------------------------------------------------------- quality gate
+
+  test("qualityPercentileGate: the cut is per-domain — the same " +
+      "diversity survives in one domain and not another") {
+    // A diversities [.25, .5, .75, 1.0] -> p50 thr .625 (interpolated)
+    // B diversities [.25, .5]           -> p50 thr .375
+    val docs = Seq(
+      (1L, "A", "a a a a"), (2L, "A", "a a b b"),
+      (3L, "A", "a a b c"), (4L, "A", "a b c d"),
+      (5L, "B", "a a a a"), (6L, "B", "a a b b")
+    ).toDF("doc_id", "source", "text")
+    val kept = TextOps.qualityPercentileGate(docs, p = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // diversity .5 is cut in A (thr .625) but kept in B (thr .375)
+    assert(kept == Set(3L, 4L, 6L), s"got $kept")
+  }
+
   // ---------------------------------------------------------- span dedup
 
   test("dedupSpans: repeated span kept at first occurrence only") {

@@ -124,6 +124,81 @@ class SimilaritySpec extends SparkSuite {
     assert(knn.count() > 0)
   }
 
+  test("PQ: codes are m bytes; ADC+rerank recall@10 >= 0.9 vs brute " +
+      "force on clustered data") {
+    val cb = Similarity.pqTrain(clustered, dim = 64, m = 8, ksub = 16,
+      sampleN = 200)
+    val codes = Similarity.pqEncodeTable(clustered, cb)
+    // 32x compression: 64 floats (256 B) -> 8 bytes
+    assert(codes.select(max(length(col("pq_code")))).head().getInt(0) == 8)
+    val row = clustered.filter(col("vec_id") === 0).head()
+    val q = row.getSeq[Float](1).map(_.toDouble).toSeq
+    val truth = Similarity.bruteForceTopK(clustered, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val reranked = Similarity.pqTopKRerank(clustered, codes, cb, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (truth & reranked).size.toDouble / truth.size
+    assert(recall >= 0.9, s"PQ rerank recall $recall too low")
+    // ADC alone must already put most of the true neighborhood in the
+    // overfetch window (that is what makes rerank cheap)
+    val adcOnly = Similarity.pqTopK(codes, cb, q, k = 40)
+      .collect().map(_.getLong(0)).toSet
+    val adcRecall = (truth & adcOnly).size.toDouble / truth.size
+    assert(adcRecall >= 0.8, s"ADC overfetch recall $adcRecall too low")
+  }
+
+  test("PQ: training and encoding are deterministic") {
+    val cb1 = Similarity.pqTrain(clustered, sampleN = 200)
+    val cb2 = Similarity.pqTrain(clustered, sampleN = 200)
+    assert(cb1.cells.sameElements(cb2.cells))
+    val c1 = Similarity.pqEncodeTable(clustered, cb1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val c2 = Similarity.pqEncodeTable(clustered, cb2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(c1 == c2)
+  }
+
+  test("semanticDedup: planted near-identical vectors dropped, " +
+      "originals kept") {
+    import spark.implicits._
+    val planted = clustered.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.003f)).as("embedding"),
+        col("label"))
+    // threshold above same-cluster originals (cos ~ 0.9975 at noise
+    // 0.05) but below the planted copies (cos ~ 0.999995)
+    val kept = graft.operators.Dedup.semanticDedup(
+        clustered.unionByName(planted), nClusters = 10, threshold = 0.9995)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every original survives (keep-first: originals have the lower id)
+    assert((0L until 200L).forall(kept.contains), "an original was dropped")
+    // every planted copy is semantically identical to its original
+    val survivors = kept.filter(_ >= 1000L)
+    assert(survivors.isEmpty,
+      s"planted near-dups survived: ${survivors.toSeq.sorted.take(5)}")
+  }
+
+  test("vectorSim: codegen and interpreted agree; nulls and length " +
+      "mismatch yield null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+    val r = df.select(col("id"),
+        dotProduct(col("a"), col("b")).as("dot"),
+        cosineSimilarity(col("a"), col("b")).as("cos"))
+      .orderBy("id").collect()
+    assert(math.abs(r(0).getDouble(1) - 32.0) < 1e-12)
+    val expCos = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(r(0).getDouble(2) - expCos) < 1e-12)
+    assert(r(1).getDouble(2) == 0.0) // zero vector -> 0, not NaN
+    val mism = Seq((1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "a", "b")
+      .select(cosineSimilarity(col("a"), col("b")).as("c")).head()
+    assert(mism.isNullAt(0), "length mismatch must yield null")
+  }
+
   test("quantizedCosine matches double cosine within quantization error") {
     val two = emb.filter(col("vec_id").isin(3, 4))
       .agg(collect_list(col("embedding")).as("vs"))
