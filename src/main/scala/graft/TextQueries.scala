@@ -204,6 +204,41 @@ object TextQueries {
                  ON a.source = b.source AND a.doc_id < b.doc_id) p
              WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
 
+  /** Incremental ingestion dedup ([[Dedup.dedupAgainstCorpus]]): the
+    * doc_id%10==0 slice arrives as a "new batch" against the rest as
+    * corpus; survivors = batch minus exact corpus copies, minus
+    * near-dups (MinHash-banded, j>=0.8 where 16-band candidate recall
+    * is ~1-1e-7 — see q_dedup_minhash_lsh), self-deduped keep-first.
+    * The oracle recomputes all three cuts brute-force. */
+  val q_dedup_incremental = QuerySpec(
+    "q_dedup_incremental", Seq("E-dedup", "J6"),
+    (s, d) => {
+      val all = Engine.table(s, d, "documents")
+      Dedup.dedupAgainstCorpus(
+          all.filter(col("doc_id") % 10 =!= 0),
+          all.filter(col("doc_id") % 10 === 0),
+          threshold = 0.8)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+    Some(s"""WITH s AS ($duckShingles),
+             b AS (SELECT doc_id, source, md5(text) AS fp FROM documents
+                   WHERE doc_id % 10 = 0),
+             cfp AS (SELECT DISTINCT md5(text) AS fp FROM documents
+                     WHERE doc_id % 10 <> 0),
+             near AS (SELECT DISTINCT n.doc_id FROM s n JOIN s o
+                        ON n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+                       AND len(list_intersect(n.sh, o.sh))::DOUBLE /
+                           len(list_distinct(list_concat(n.sh, o.sh)))::DOUBLE
+                             >= 0.8),
+             firsts AS (SELECT doc_id FROM (
+                 SELECT doc_id, row_number() OVER (PARTITION BY fp
+                   ORDER BY doc_id) AS rn FROM b) x WHERE rn = 1)
+             SELECT doc_id, source FROM b
+             WHERE doc_id IN (SELECT doc_id FROM firsts)
+               AND doc_id NOT IN (SELECT doc_id FROM near)
+               AND fp NOT IN (SELECT fp FROM cfp)
+             ORDER BY doc_id"""))
+
   /** SimHash near-dups — fingerprint family is engine-specific, so the
     * driver records a rows-only check; ScalaTest pins the semantics. */
   val q_dedup_simhash = QuerySpec(
@@ -339,6 +374,29 @@ object TextQueries {
     },
     None)
 
+  /** IVF-PQ probe: partition-pruned buckets × 8-byte ADC codes, then
+    * exact rerank of the overfetched candidates — the FAISS-style
+    * composition over the same persisted k-means index as
+    * q_embed_ivf_topk. K-means + PQ training → rows-only; recall is
+    * pinned in SimilaritySpec. */
+  val q_embed_ivfpq_topk = QuerySpec(
+    "q_embed_ivfpq_topk", Seq("E-sim"),
+    (s, d) => {
+      val emb = Engine.table(s, d, "embeddings")
+      val row = emb.filter(col("vec_id") === 0).head()
+      val q = row.getSeq[Float](row.fieldIndex("embedding"))
+        .map(_.toDouble).toSeq
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfkm_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(s"$dir/centroids").exists())
+        Similarity.ivfBuildIndexKMeans(emb, dir)
+      val cb = Similarity.pqTrain(emb)
+      if (!new java.io.File(s"$dir/codes").exists())
+        Similarity.ivfPqBuild(s, dir, cb)
+      Similarity.ivfPqProbe(s, dir, cb, q, k = 10)
+    },
+    None)
+
   /** SemDeDup semantic dedup: planted near-identical vectors (same
     * construction as q_dedup_embedding) must be dropped, originals
     * kept. K-means clustering → rows-only check; exact drop set is
@@ -382,8 +440,8 @@ object TextQueries {
     q_text_token_stats, q_text_token_budget, q_text_quality,
     q_text_langid, q_text_fingerprint, q_corpus_clean, q_decontaminate,
     q_dedup_exact, q_dedup_minhash_lsh, q_dedup_ngram_block,
-    q_dedup_simhash, q_dedup_winnow, q_dedup_embedding,
-    q_embed_topk_bruteforce, q_embed_knn_lsh, q_embed_ivf_topk,
-    q_embed_ivf_batch, q_embed_pq_topk, q_dedup_semantic,
-    q_multimodal_features)
+    q_dedup_incremental, q_dedup_simhash, q_dedup_winnow,
+    q_dedup_embedding, q_embed_topk_bruteforce, q_embed_knn_lsh,
+    q_embed_ivf_topk, q_embed_ivf_batch, q_embed_pq_topk,
+    q_embed_ivfpq_topk, q_dedup_semantic, q_multimodal_features)
 }

@@ -300,6 +300,63 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus near-dup pairs: MinHash-banded candidates between a
+    * (small) incoming batch and the existing corpus — the INCREMENTAL
+    * ingestion shape, where re-deduping the whole corpus per batch
+    * would rescan 100 TB. Corpus band rows carry only (band, hash, id);
+    * at scale the banded corpus is a PERSISTED table maintained
+    * alongside the corpus, so a batch costs |batch|×bands probe rows
+    * joined against it, never a corpus scan. Returns (id_new, id_old,
+    * jaccard) pairs at/above the threshold. */
+  def crossCorpusNearDupPairs(corpus: DataFrame, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleSize: Int = 2, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    def banded(docs: DataFrame) = {
+      val sh = docs.select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleSize).as("sh"))
+      (sh, sh.withColumn("sig", minHashSignature(col("sh"), numHashes))
+        .select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh"))
+    }
+    val (shNew, bNew) = banded(batch)
+    val (shOld, bOld) = banded(corpus)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val cand = bNew.select(col("band"), col("bh"), col("id").as("id_new"))
+      .join(bOld.select(col("band"), col("bh"), col("id").as("id_old")),
+        Seq("band", "bh"))
+      .select("id_new", "id_old")
+      .repartition(par, col("id_new"), col("id_old"))
+      .dropDuplicates("id_new", "id_old")
+    cand
+      .join(shNew.select(col("id").as("id_new"), col("sh").as("sh_n")),
+        Seq("id_new"))
+      .join(shOld.select(col("id").as("id_old"), col("sh").as("sh_o")),
+        Seq("id_old"))
+      .select(col("id_new"), col("id_old"),
+        jaccard(col("sh_n"), col("sh_o")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental ingestion dedup: the rows of `batch` that survive
+    * against the existing corpus — exact copies go by fingerprint
+    * anti-join (16-byte keys), near-dups by
+    * [[crossCorpusNearDupPairs]]; the batch is then self-deduped
+    * exactly (first id wins) so one load can't insert twins. */
+  def dedupAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.8): DataFrame = {
+    val corpusFp = corpus.select(md5(col(textCol)).as("__fp")).distinct()
+    val nearIds = crossCorpusNearDupPairs(corpus, batch, textCol, idCol,
+      threshold = threshold).select(col("id_new").as(idCol)).distinct()
+    exactDedup(batch, textCol, idCol)
+      .join(corpusFp, md5(col(textCol)) === col("__fp"), "left_anti")
+      .join(nearIds, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication"):
     * k-means-cluster the embeddings, then within each cluster drop

@@ -318,6 +318,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ: add a bucket-partitioned PQ codes table to a persisted
+    * IVF index ([[ivfBuildIndexKMeans]] layout) — the FAISS-style
+    * coarse-quantizer + product-code composition. A probe then reads
+    * `nprobe/nbuckets` of the data by partition pruning AND only the
+    * 8-byte codes of those buckets: two multiplicative reductions
+    * before any full-precision vector is touched. */
+  def ivfPqBuild(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, cb: graft.functions.ProductQuant.Codebook,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
+    spark.read.parquet(s"$indexDir/vectors")
+      .select(col(idCol), col("bucket"),
+        graft.functions.ProductQuant.pqEncode(col(vecCol), cb)
+          .as("pq_code"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/codes")
+
+  /** IVF-PQ probe: centroid top-`nprobe` picks the buckets (tiny table,
+    * driver-side), the PRUNED codes scan is ADC-scored and overfetched,
+    * and only the winning candidates' full vectors are read back
+    * (bucket-pruned scan + broadcast id semi-join) for the exact-cosine
+    * rerank. */
+  def ivfPqProbe(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, cb: graft.functions.ProductQuant.Codebook,
+      query: Seq[Double], k: Int, nprobe: Int = 8, overfetch: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = lit(query.toArray)
+    val near = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("bucket"), cosineSimilarity(col("centroid"), q).as("c"))
+      .orderBy(desc("c"), asc("bucket")).limit(nprobe).select("bucket")
+    val buckets = near.collect().map(_.get(0))
+    val lut = graft.functions.ProductQuant.buildLut(query, cb)
+    val cand = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("bucket").isin(buckets: _*)) // partition-pruned scan
+      .select(col(idCol),
+        graft.functions.ProductQuant.pqAdc(col("pq_code"), lut, cb.ksub)
+          .as("adc"))
+      .orderBy(desc("adc"), asc(idCol))
+      .limit(k * overfetch)
+      .select(idCol)
+    spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("bucket").isin(buckets: _*)) // pruned again
+      .join(broadcast(cand), Seq(idCol))
+      .select(col(idCol), cosineSimilarity(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), asc(idCol))
+      .limit(k)
+  }
+
   /** Convenience build-if-absent + probe (fixture/test path). */
   def ivfTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
       dim: Int = 64, planes: Int = 8, nprobe: Int = 8,

@@ -46,6 +46,34 @@ class DedupSpec extends SparkSuite {
       "unrelated doc matched")
   }
 
+  test("dedupAgainstCorpus: batch survivors exclude exact copies, " +
+      "near-dups of the corpus, and batch-internal twins") {
+    val corpus = Seq((0L, base, "s0"), (3L, other, "s0"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (10L, base, "s1"),   // exact copy of corpus 0 -> dropped
+      (11L, near, "s1"),   // near-dup of corpus 0 (bigram j = 11/15) -> dropped
+      (12L, "a fresh unrelated document about streaming windows", "s1"),
+      (13L, "a fresh unrelated document about streaming windows", "s1"),
+      (14L, "entirely new content with no corpus overlap at all", "s1"))
+      .toDF("doc_id", "text", "source")
+    val kept = Dedup.dedupAgainstCorpus(corpus, batch, threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 12 survives its twin 13 (keep-first); 14 is novel
+    assert(kept.sameElements(Array(12L, 14L)), kept.mkString(","))
+  }
+
+  test("crossCorpusNearDupPairs reports batch->corpus pairs only") {
+    val corpus = Seq((0L, base, "s0"), (3L, other, "s0"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq((10L, near, "s1"), (11L, "nothing shared", "s1"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.crossCorpusNearDupPairs(corpus, batch,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 0L)), pairs.toString)
+  }
+
   test("minhash jaccard estimates true jaccard on the near pair") {
     val j = Dedup.minHashLshPairs(docs, threshold = 0.1)
       .filter(col("id_a") === 0 && col("id_b") === 2)

@@ -147,6 +147,23 @@ class SimilaritySpec extends SparkSuite {
     assert(adcRecall >= 0.8, s"ADC overfetch recall $adcRecall too low")
   }
 
+  test("IVF-PQ: pruned ADC probe + rerank recall@10 >= 0.8 on " +
+      "clustered data") {
+    val dir = tmpDir("ivfpq")
+    Similarity.ivfBuildIndexKMeans(clustered, dir, nCentroids = 10,
+      iters = 3)
+    val cb = Similarity.pqTrain(clustered, sampleN = 200)
+    Similarity.ivfPqBuild(spark, dir, cb)
+    val row = clustered.filter(col("vec_id") === 0).head()
+    val q = row.getSeq[Float](1).map(_.toDouble).toSeq
+    val truth = Similarity.bruteForceTopK(clustered, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.ivfPqProbe(spark, dir, cb, q, k = 10, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.8, s"IVF-PQ recall $recall too low")
+  }
+
   test("PQ: training and encoding are deterministic") {
     val cb1 = Similarity.pqTrain(clustered, sampleN = 200)
     val cb2 = Similarity.pqTrain(clustered, sampleN = 200)
