@@ -50,7 +50,7 @@ object Bench {
     try RefConformance.ensure(spark, sfDir) catch { case _: Throwable => () }
     // queries with one-time artifact builds (CTAS tables, IVF index):
     // run once at the bench SF so timings reflect steady-state cost
-    Seq("q_embed_ivf_topk", "q_ref_decomposed_verbatim",
+    Seq("q_embed_ivf_topk", "q_embed_ivfpq_topk", "q_ref_decomposed_verbatim",
         "q_bucketed_join", "q_zorder_box").foreach { n =>
       try force(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }

@@ -179,25 +179,33 @@ object Similarity {
     centroids
   }
 
-  /** Argmax-cosine assignment: broadcast the (tiny) centroid table,
-    * min-by over the per-centroid similarity via one aggregation —
-    * map-only + a groupBy on the vector id. */
+  /** Argmax-cosine assignment as a PURE MAP: the centroid table is tiny
+    * by construction (nCentroids rows), so it collects to the driver
+    * and rides into one fused projection — `greatest` over
+    * (similarity, bucket) structs picks the nearest bucket per row with
+    * no crossJoin, no shuffle, and no group-by-array-key. (The previous
+    * crossJoin+groupBy form shuffled |vecs| × nCentroids rows and
+    * hashed the 512-byte vector as a grouping key.) Exact ties take the
+    * higher bucket — deterministic, and measure-zero on real data. */
   private[operators] def assignNearest(vecs: DataFrame,
       centroids: DataFrame): DataFrame = {
-    val joined = vecs.crossJoin(broadcast(centroids))
-      .withColumn("sim", dotProduct(col("nv"), col("centroid")))
-    joined
-      .groupBy(vecs.columns.map(col): _*)
-      .agg(max_by(col("bucket"), col("sim")).as("bucket"))
+    val cents = centroids.select("bucket", "centroid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "assignNearest: empty centroid table")
+    val scored = cents.map { case (b, c) =>
+      struct(graft.functions.VectorSim.dot(col("nv"), lit(c)).as("sim"),
+        lit(b).as("bucket"))
+    }
+    val best = if (scored.length == 1) scored.head
+      else greatest(scored: _*)
+    vecs.withColumn("bucket", best.getField("bucket"))
   }
 
   /** Unit-normalized double view of a vector (zero vectors pass
-    * through unscaled). */
-  private[operators] def normalized(vec: Column): Column = {
-    val n = sqrt(normSq(vec))
-    transform(vec, x =>
-      when(n === 0.0, x.cast("double")).otherwise(x.cast("double") / n))
-  }
+    * through unscaled) — native one-pass kernel; the lambda form
+    * re-evaluated the norm per element after projection collapse. */
+  private[operators] def normalized(vec: Column): Column =
+    graft.functions.UnitNorm.unitNorm(vec)
 
   /** IVF probe: read the persisted index, pick the `nprobe` buckets whose
     * centroids are nearest the query (centroid table is tiny → driver-

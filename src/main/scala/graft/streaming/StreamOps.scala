@@ -147,6 +147,26 @@ object StreamOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming ingestion dedup against a STATIC corpus: the streaming
+    * counterpart of [[graft.operators.Dedup.dedupAgainstCorpus]] —
+    * redeliveries and in-stream twins collapse via watermark-bounded
+    * fingerprint state, and documents already in the corpus are cut by
+    * a stream-static LEFT ANTI join on the 16-byte fingerprint
+    * (re-resolved per micro-batch, so a corpus refresh is picked up
+    * without restarting the query). The static side carries only
+    * fingerprints — at 100 TB the corpus fingerprint table is ~1/6000th
+    * of the corpus and joins by key, the stream never buffers it. */
+  def streamDedupAgainstCorpus(stream: DataFrame, corpusFps: DataFrame,
+      tsCol: String, lateness: String,
+      textCol: String = "text"): DataFrame =
+    stream
+      .withWatermark(tsCol, lateness)
+      .withColumn("__fp", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("__fp")
+      .join(corpusFps.select(col("fp").as("__fp")), Seq("__fp"),
+        "left_anti")
+      .drop("__fp")
+
   /** Stream-stream inner join on a key plus an EVENT-TIME interval:
     * right rows within `[leftTs, leftTs + window]` of a matching left
     * row (the ad impression→click attribution shape). Both sides carry

@@ -64,6 +64,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus dedup: corpus copies and in-stream twins are " +
+      "dropped, novel docs pass") {
+    implicit val ctx = spark.sqlContext
+    val corpusFps = Seq("already in the corpus").toDF("text")
+      .select(md5(col("text")).as("fp"))
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamDedupAgainstCorpus(
+      in.toDF().toDF("ts", "doc_id", "text"), corpusFps,
+      tsCol = "ts", lateness = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdc_out").start()
+    try {
+      in.addData(
+        (t("2024-01-01 10:00:01"), 1L, "already in the corpus"),
+        (t("2024-01-01 10:00:02"), 2L, "a brand new document"),
+        (t("2024-01-01 10:00:03"), 3L, "a brand new document"), // twin
+        (t("2024-01-01 10:00:04"), 4L, "another novel one"))
+      q.processAllAvailable()
+      // redelivery of doc 2's text within the watermark window
+      in.addData((t("2024-01-01 10:00:05"), 5L, "a brand new document"))
+      q.processAllAvailable()
+      val kept = spark.table("sdc_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(kept.sameElements(Array(2L, 4L)), kept.mkString(","))
+    } finally q.stop()
+  }
+
   test("T5: drift filter keeps business-date rows from widened partitions") {
     val rows = Seq(
       ("2024-01-01", t("2024-01-01 23:59:58")), // correct partition
