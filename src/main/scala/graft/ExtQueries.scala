@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
-import graft.operators.Warehouse
+import graft.functions.dsum4
+import graft.operators.{Relational, Warehouse}
 
 /** Conformance queries closing the remaining SURVEY.md §2 surface:
   * approximate distinct (A11), the count-distinct materialization
@@ -102,7 +103,10 @@ object ExtQueries {
     * moments, so every double op after the exact sums is the same
     * fixed IEEE expression on both engines — unlike the built-in
     * stddev/corr aggregates, whose partition-order-dependent float
-    * accumulation can't hash-match across engines. */
+    * accumulation can't hash-match across engines. The final Pearson-r
+    * is additionally quantized to 12 decimals: its longer double
+    * expression is the one place engines' instruction choices (e.g.
+    * fused multiply-add) can shift the last ulp. */
   val q_moments = QuerySpec(
     "q_moments", Seq("A6", "A1"),
     (s, d) => sql(s, d, momentsSql),
@@ -113,8 +117,9 @@ object ExtQueries {
       sx / n AS mean_qty,
       (sxx - sx*sx/n) / (n - 1) AS var_qty,
       sqrt((sxx - sx*sx/n) / (n - 1)) AS stddev_qty,
-      (n*sxy - sx*sy) /
-        (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price
+      CAST(CAST((n*sxy - sx*sy) /
+        (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS DECIMAL(14,12))
+        AS DOUBLE) AS corr_qty_price
     FROM (
       SELECT l_returnflag,
         CAST(COUNT(*) AS DOUBLE) AS n,
@@ -469,6 +474,158 @@ object ExtQueries {
              WHERE user_id IN (${(0 until 200).map(_ * 7L).mkString(",")})
              GROUP BY user_id ORDER BY user_id"""))
 
+  /** Runtime-filter join ([[Relational.bloomPrefilterJoin]]): Bloom
+    * sketch of the build side's keys cuts the probe side before its
+    * shuffle; the exact equi-join after keeps the result identical to
+    * a plain join, which is exactly what the oracle checks. */
+  val q_bloom_prefilter_join = QuerySpec(
+    "q_bloom_prefilter_join", Seq("J1", "J5"),
+    (s, d) => {
+      val build = Engine.table(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1997-06-01").cast("timestamp_ntz"))
+      val probe = Engine.table(s, d, "lineitem")
+      Relational.bloomPrefilterJoin(probe, build, "l_orderkey", "o_orderkey")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n"),
+          dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("ym")
+    },
+    Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n,
+              CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+                   AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_orderdate >= TIMESTAMP '1997-06-01'
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** W6 breadth: the analytic/ranking window surface beyond
+    * row_number/rank/lag — ntile, percent_rank, cume_dist, lead.
+    * Ordered by the unique o_orderkey so tile assignment and lead are
+    * deterministic (percent_rank/cume_dist are tie-stable regardless). */
+  val q_window_analytic = QuerySpec(
+    "q_window_analytic", Seq("W6"),
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      Engine.table(s, d, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              ntile(4) OVER w AS quartile,
+              percent_rank() OVER w AS pr,
+              cume_dist() OVER w AS cd,
+              lead(o_orderkey, 1) OVER w AS next_ok
+            FROM orders WHERE o_custkey < 50
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** Hive's collect_list/collect_set aggregate surface. Collected
+    * arrays are sorted then joined to strings so the result is
+    * order-deterministic and engine-neutral (DuckDB's ordered
+    * string_agg computes the same value without list types). */
+  val q_collect_agg = QuerySpec(
+    "q_collect_agg", Seq("A7"),
+    (s, d) => Engine.table(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        array_join(sort_array(collect_list(col("o_orderpriority"))), ",")
+          .as("pri_all"),
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+          .as("status_set"))
+      .orderBy("o_custkey"),
+    Some("""SELECT o_custkey, COUNT(*) AS n,
+              string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+                AS pri_all,
+              string_agg(DISTINCT o_orderstatus, ','
+                         ORDER BY o_orderstatus) AS status_set
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  /** Higher-order collection functions (transform/filter/aggregate/
+    * zip_with) reduced to scalars so the oracle can recompute them with
+    * plain arithmetic: same IEEE operation order on both sides. These
+    * are the codegen'd lambda forms ANN/dedup ops build on. */
+  val q_collection_funcs = QuerySpec(
+    "q_collection_funcs", Seq("F6"),
+    (s, d) => {
+      val arr = array(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      Engine.table(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          aggregate(filter(transform(arr, x => x * x), x => x > 1.0),
+            lit(0.0), (a, x) => a + x).as("sq_sum"),
+          array_max(arr).as("arr_max"),
+          size(filter(arr, x => x > 5.0)).as("n_big"),
+          aggregate(zip_with(arr, reverse(arr), (x, y) => x * y),
+            lit(0.0), (a, x) => a + x).as("zp"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+              (((0.0 + CASE WHEN l_quantity*l_quantity > 1.0
+                       THEN l_quantity*l_quantity ELSE 0.0 END)
+                + CASE WHEN l_extendedprice*l_extendedprice > 1.0
+                       THEN l_extendedprice*l_extendedprice ELSE 0.0 END)
+                + CASE WHEN l_discount*l_discount > 1.0
+                       THEN l_discount*l_discount ELSE 0.0 END) AS sq_sum,
+              greatest(l_quantity, l_extendedprice, l_discount) AS arr_max,
+              CAST((CASE WHEN l_quantity > 5.0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN l_extendedprice > 5.0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN l_discount > 5.0 THEN 1 ELSE 0 END) AS INT)
+                AS n_big,
+              (((0.0 + l_quantity*l_discount)
+                + l_extendedprice*l_extendedprice)
+                + l_discount*l_quantity) AS zp
+            FROM lineitem WHERE l_orderkey % 50 = 0
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** String-function breadth beyond q_scalar_funcs: regex extract/
+    * replace-all, translate, pad, position, reverse, repeat,
+    * substring — the everyday Hive string surface. */
+  val q_string_funcs2 = QuerySpec(
+    "q_string_funcs2", Seq("F1", "F2"),
+    (s, d) => Engine.table(s, d, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_masked"),
+        translate(col("p_type"), "AEO", "aeo").as("type_tr"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        instr(col("p_name"), "widget").cast("long").as("widget_pos"),
+        reverse(col("p_name")).as("rev_name"),
+        repeat(col("p_brand"), 2).as("brand2"),
+        substring(col("p_name"), 2, 5).as("name_sub"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+              regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+              regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked,
+              translate(p_type, 'AEO', 'aeo') AS type_tr,
+              lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+              strpos(p_name, 'widget') AS widget_pos,
+              reverse(p_name) AS rev_name,
+              repeat(p_brand, 2) AS brand2,
+              substring(p_name, 2, 5) AS name_sub
+            FROM part ORDER BY p_partkey"""))
+
+  /** A12 via sketch: approx_top_k heavy hitters. `maxItemsTracked`
+    * far exceeds the column's cardinality, so the sketch is EXACT here
+    * and oracle-comparable against the exact GROUP BY top-k; the
+    * high-cardinality (genuinely approximate) regime is asserted in
+    * ScalaTest instead. */
+  val q_approx_topk = QuerySpec(
+    "q_approx_topk", Seq("A11", "A12"),
+    (s, d) => sql(s, d,
+      """SELECT t.x.item AS event_type, t.x.count AS n
+         FROM (SELECT explode(approx_top_k(event_type, 5, 100)) AS x
+               FROM events) t
+         ORDER BY n DESC, event_type"""),
+    Some("""SELECT event_type, COUNT(*) AS n FROM events
+            GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
@@ -476,5 +633,7 @@ object ExtQueries {
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
     q_csv_roundtrip, q_json_roundtrip, q_topk_per_group, q_asof_join,
-    q_range_join, q_bigwhere_join)
+    q_range_join, q_bigwhere_join, q_bloom_prefilter_join,
+    q_window_analytic, q_collect_agg, q_collection_funcs,
+    q_string_funcs2, q_approx_topk)
 }

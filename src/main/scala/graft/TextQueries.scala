@@ -436,6 +436,36 @@ object TextQueries {
                    octet_length(encode(text))::BIGINT AS feature_l1
             FROM documents ORDER BY media_id"""))
 
+  /** Video-style frame sampling plumbing: payload treated as
+    * fixed-width frames, every 4th frame emitted as its own row (the
+    * row-multiplying half of multimodal processing). Restricted to
+    * ASCII payloads (`length == octet_length`) so the sampled frames
+    * can round-trip to strings for engine-neutral oracle comparison —
+    * byte framing itself is encoding-agnostic. */
+  val q_multimodal_frames = QuerySpec(
+    "q_multimodal_frames", Seq("E-mm", "X3"),
+    (s, d) => {
+      val ascii = Engine.table(s, d, "documents")
+        .filter(length(col("text")) === octet_length(col("text")))
+      val media = Multimodal.asMediaTable(ascii, "doc_id", "text")
+      Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 4)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          decode(col("frame"), "UTF-8").as("frame"))
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, text FROM documents
+              WHERE length(text) = octet_length(CAST(text AS BLOB))),
+            n AS (
+              SELECT doc_id, text,
+                     CAST(floor(length(text)/64) AS BIGINT) AS nf FROM d),
+            idx AS (SELECT i FROM range(0, 100000) t(i) WHERE i % 4 = 0)
+            SELECT doc_id AS media_id, i AS frame_idx,
+                   substring(text, CAST(i*64+1 AS BIGINT),
+                             CAST(64 AS BIGINT)) AS frame
+            FROM n JOIN idx ON i < nf
+            ORDER BY media_id, frame_idx"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_text_token_stats, q_text_token_budget, q_text_quality,
     q_text_langid, q_text_fingerprint, q_corpus_clean, q_decontaminate,
@@ -443,5 +473,6 @@ object TextQueries {
     q_dedup_incremental, q_dedup_simhash, q_dedup_winnow,
     q_dedup_embedding, q_embed_topk_bruteforce, q_embed_knn_lsh,
     q_embed_ivf_topk, q_embed_ivf_batch, q_embed_pq_topk,
-    q_embed_ivfpq_topk, q_dedup_semantic, q_multimodal_features)
+    q_embed_ivfpq_topk, q_dedup_semantic, q_multimodal_features,
+    q_multimodal_frames)
 }

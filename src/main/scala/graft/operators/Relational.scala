@@ -177,4 +177,36 @@ object Relational {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Runtime-filter (Bloom-prefiltered) shuffle join: build a Bloom
+    * filter over the build side's join keys with a distributed
+    * aggregate, then cut the probe side with `might_contain` BEFORE its
+    * shuffle, then run the exact equi-join. Same trick as Spark's AQE
+    * runtime bloom filter (SPARK-32268) but explicit, for when the
+    * build side is too big to broadcast yet selective on the probe
+    * side: at 100 TB the probe shuffle shrinks by the key-miss rate
+    * (false positives only cost shuffle bytes — the exact join keeps
+    * the result identical to a plain join).
+    *
+    * The sketch itself is constant-size (`numBits/8` bytes, default
+    * ~1 MiB): the single-row collect is a broadcast-sized transfer,
+    * never data-proportional. */
+  def bloomPrefilterJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      expectedKeys: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graft.Bridge
+    val agg = new BloomFilterAggregate(
+      XxHash64(Seq(Bridge.expression(build(buildKey))), 42L), expectedKeys)
+      .toAggregateExpression()
+    val sketch = build.select(Bridge.column(agg)).head.getAs[Array[Byte]](0)
+    val pruned =
+      if (sketch == null) probe.filter(lit(false)) // empty/all-null build side
+      else probe.filter(Bridge.column(BloomFilterMightContain(
+        Literal(sketch),
+        XxHash64(Seq(Bridge.expression(probe(probeKey))), 42L))))
+    pruned.join(build, pruned(probeKey) === build(buildKey))
+  }
 }

@@ -32,6 +32,25 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("approx_top_k: high-cardinality sketch still surfaces the true " +
+      "heavy hitters (approximate regime)") {
+    Engine.registerAll(spark, sf)
+    // user_id is high-cardinality; track far fewer items than distinct
+    // values so the sketch genuinely approximates, then check every
+    // true top-5 user survives in the sketch's top-20 overfetch
+    val exact = spark.sql(
+      """SELECT user_id, COUNT(*) AS n FROM events
+         GROUP BY user_id ORDER BY n DESC, user_id LIMIT 5""")
+      .collect().map(_.getLong(0)).toSet
+    val sketched = spark.sql(
+      """SELECT t.x.item AS user_id
+         FROM (SELECT explode(approx_top_k(user_id, 20, 64)) AS x
+               FROM events) t""")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(sketched),
+      s"missing heavy hitters: ${exact.diff(sketched)}")
+  }
+
   test("TopKPerGroup custom operator equals the window row_number form") {
     import org.apache.spark.sql.expressions.Window
     val e = Engine.table(spark, sf, "events")

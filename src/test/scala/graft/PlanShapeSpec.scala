@@ -373,6 +373,22 @@ class PlanShapeSpec extends SparkSuite {
       s"bucket offsets (constant-size) must broadcast:\n$plan")
   }
 
+  test("bloomPrefilterJoin: might_contain filter sits on the probe side " +
+      "BEFORE the join (runtime-filter shape)") {
+    val li = Engine.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Engine.table(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val plan = executedPlan(graft.operators.Relational.bloomPrefilterJoin(
+      li, ord, "l_orderkey", "o_orderkey"))
+    assert(plan.contains("might_contain"),
+      s"probe side must be bloom-prefiltered:\n$plan")
+    // the sketch is a constant literal — no extra exchange/subquery to
+    // distribute it, and the exact join still runs
+    assert(plan.contains("Join") || plan.contains("HashJoin"), plan)
+  }
+
   test("BM25 keeps df/corpus stats broadcast; no cartesian product") {
     val plan = executedPlan(graft.operators.TextOps.bm25TopK(
       Engine.table(spark, sf, "documents"),

@@ -145,4 +145,26 @@ class RewriteEquivalenceSpec extends SparkSuite {
     assert(got(0).isNullAt(got(0).fieldIndex("snap")),
       "native ASOF semantics: the matched row's NULL, not the older 100.0")
   }
+
+  test("bloomPrefilterJoin == plain inner join (runtime-filter rewrite)") {
+    val li = Engine.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Engine.table(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val pre = Relational.bloomPrefilterJoin(li, ord,
+        "l_orderkey", "o_orderkey", expectedKeys = 1000L)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assertSameRows(pre, plain)
+  }
+
+  test("bloomPrefilterJoin: empty build side yields empty result, no NPE") {
+    val li = Engine.table(spark, sf, "lineitem").select("l_orderkey")
+    val none = Engine.table(spark, sf, "orders")
+      .filter(lit(false)).select("o_orderkey")
+    assert(Relational.bloomPrefilterJoin(li, none,
+      "l_orderkey", "o_orderkey").count() === 0L)
+  }
 }
