@@ -196,18 +196,24 @@ object ExtQueries {
             FROM fusion_log l JOIN fusion_dim d ON l.alt_id = d.c_custkey
             ORDER BY event_id, user_id, c_name"""))
 
-  /** Exact percentile/median (OLAP staple alongside A11's sketch):
-    * Spark's `percentile` and DuckDB's `quantile_cont` both use
-    * linear interpolation at p*(n-1), and l_quantity is integral, so
-    * the values agree bitwise. */
+  /** Exact percentile/median (OLAP staple alongside A11's sketch) via
+    * [[Relational.sortedPercentiles]] — distributed sort + rank-bracket
+    * interpolation rather than Spark's built-in per-group value-map
+    * `percentile` (which buffered ~600k boxed map entries per group on
+    * the near-unique price column and GC-thrashed the bench; the sort
+    * path spills instead of OOMing at scale). Both this and DuckDB's
+    * `quantile_cont` interpolate `v_lo + (v_hi - v_lo) * frac` at
+    * p*(n-1), so values agree bitwise. */
   val q_percentile = QuerySpec(
     "q_percentile", Seq("A6", "A11"),
-    (s, d) => sql(s, d,
-      """SELECT l_returnflag,
-                percentile(l_quantity, 0.5) AS med_qty,
-                percentile(l_quantity, 0.9) AS p90_qty,
-                percentile(l_extendedprice, 0.25) AS p25_price
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => {
+      val li = Engine.table(s, d, "lineitem")
+      val qty = Relational.sortedPercentiles(li, Seq("l_returnflag"),
+        "l_quantity", Seq(0.5 -> "med_qty", 0.9 -> "p90_qty"))
+      val price = Relational.sortedPercentiles(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.25 -> "p25_price"))
+      qty.join(price, Seq("l_returnflag")).orderBy("l_returnflag")
+    },
     Some("""SELECT l_returnflag,
                    quantile_cont(l_quantity, 0.5) AS med_qty,
                    quantile_cont(l_quantity, 0.9) AS p90_qty,

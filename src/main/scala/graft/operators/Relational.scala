@@ -191,22 +191,88 @@ object Relational {
     * The sketch itself is constant-size (`numBits/8` bytes, default
     * ~1 MiB): the single-row collect is a broadcast-sized transfer,
     * never data-proportional. */
+  /** Exact interpolated percentiles — Spark `percentile` / DuckDB
+    * `quantile_cont` semantics: linear interpolation
+    * `v_lo + (v_hi - v_lo) * frac` at position `p * (n - 1)` — computed
+    * by DISTRIBUTED SORT (window row_number per group) instead of
+    * Spark's built-in per-group value→count map.
+    *
+    * Why: the built-in `percentile` materializes an OpenHashMap of
+    * every distinct value per group per partition and merges them —
+    * on a near-unique column (prices) that is GBs of boxed map entries
+    * and GC thrash at scale, and it cannot spill. The sort shape
+    * shuffles narrow (group, value) rows once and sorts via Spark's
+    * spill-capable external sorter, then keeps only the 1-2 rows per
+    * group that bracket each requested rank. For few huge groups the
+    * sort inherits the group-count parallelism floor — the documented
+    * 100 TB route for quantiles stays `approx_percentile`; this is the
+    * exact path that degrades gracefully instead of OOMing.
+    *
+    * Nulls are excluded per SQL percentile semantics; a group whose
+    * values are ALL null is dropped (built-in would emit a null row).
+    * `ps` = (fraction, output column name) pairs; one sort serves all
+    * fractions over the same value column. */
+  def sortedPercentiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (p, _) => p >= 0 && p <= 1 },
+      s"fractions must be in [0,1]: $ps")
+    val gs = groupCols.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select((gs :+ col(valueCol).cast("double").as("__v")): _*)
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(gs: _*)
+    val ranked = base
+      .withColumn("__rn", (row_number().over(wOrd) - 1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    def target(i: Int): Column =
+      lit(ps(i)._1) * (col("__n") - 1).cast("double")
+    val needed = ps.indices.map(i =>
+      col("__rn") === floor(target(i)).cast("long") ||
+        col("__rn") === ceil(target(i)).cast("long")).reduce(_ || _)
+    val aggs = ps.indices.flatMap(i => Seq(
+      min(when(col("__rn") === floor(target(i)).cast("long"), col("__v")))
+        .as(s"__lo_$i"),
+      min(when(col("__rn") === ceil(target(i)).cast("long"), col("__v")))
+        .as(s"__hi_$i"))) :+ first(col("__n")).as("__n")
+    val bracketed = ranked.filter(needed)
+      .groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+    val outs = gs ++ ps.zipWithIndex.map { case ((_, name), i) =>
+      // Hive/Spark `percentile` interpolation form, bitwise:
+      // (ceil(t) - t) * v_lo + (t - floor(t)) * v_hi, no interpolation
+      // when t is integral (ceil == floor)
+      val t = target(i)
+      when(ceil(t) === floor(t), col(s"__lo_$i"))
+        .otherwise((ceil(t).cast("double") - t) * col(s"__lo_$i") +
+          (t - floor(t).cast("double")) * col(s"__hi_$i")).as(name)
+    }
+    bracketed.select(outs: _*)
+  }
+
   def bloomPrefilterJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       expectedKeys: Long = 4000000L): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.graft.Bridge
     val agg = new BloomFilterAggregate(
       XxHash64(Seq(Bridge.expression(build(buildKey))), 42L), expectedKeys)
       .toAggregateExpression()
+    // NOTE: the build side is scanned twice by design — once here to
+    // assemble the sketch, once in the join below. That is the normal
+    // cost profile of a runtime filter; it pays off when the probe side
+    // is far larger than the build side (the only time to use this op).
     val sketch = build.select(Bridge.column(agg)).head.getAs[Array[Byte]](0)
     val pruned =
       if (sketch == null) probe.filter(lit(false)) // empty/all-null build side
-      else probe.filter(Bridge.column(BloomFilterMightContain(
-        Literal(sketch),
-        XxHash64(Seq(Bridge.expression(probe(probeKey))), 42L))))
+      else {
+        // broadcast the sketch (multi-MB at the default expectedKeys):
+        // embedded as a Literal it would be re-serialized into every
+        // stage's task binary and every explain string
+        val bc = probe.sparkSession.sparkContext.broadcast(sketch)
+        probe.filter(Bridge.column(
+          graft.functions.BloomBroadcastMightContain(bc,
+            XxHash64(Seq(Bridge.expression(probe(probeKey))), 42L))))
+      }
     pruned.join(build, pruned(probeKey) === build(buildKey))
   }
 }

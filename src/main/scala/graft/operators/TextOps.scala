@@ -258,39 +258,27 @@ object TextOps {
     * repetition filters a pre-training curation pass applies after the
     * length/stopword gates.
     *
-    * Scale shape: explode to (doc_id, bigram) → two-level aggregate
-    * (partial map-side combine on the first level), keyed by doc_id
-    * throughout — no joins, two narrow shuffles whatever the corpus
-    * size. `explode_outer` keeps bigram-less docs (<2 tokens) in the
-    * output with zeroed stats so no document silently vanishes. */
+    * Scale shape: MAP-ONLY. The statistics are document-local, so the
+    * native [[graft.functions.BigramStats]] kernel computes the whole
+    * struct in one pass with a per-row local count map — zero shuffle
+    * whatever the corpus size. (The previous declarative form exploded
+    * the bigram multiset through two aggregates: a per-OCCURRENCE
+    * shuffle keyed by (doc_id, bigram) that dominated the pipeline.) */
   def repetitionStats(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val w = wordTokens(col(textCol))
-    // native bigram multiset (chunkTokens=2, stride=1): the
-    // transform/element_at lambda form re-evaluated the tokenizer
-    // regex per bigram (O(tokens²) per row) after projection collapse
-    val bigrams = when(size(w) >= 2,
-      graft.functions.TokenChunks.tokenChunks(w, 2, 1))
-      .otherwise(array(lit(null).cast("string")))
-    val isBg = col("bg").isNotNull
     docs.select(col(idCol), size(w).cast("long").as("n_tokens"),
-        explode(bigrams).as("bg"))
-      .groupBy(col(idCol), col("n_tokens"), col("bg"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col(idCol), col("n_tokens"))
-      .agg(
-        sum(when(isBg, col("cnt")).otherwise(0L)).as("n_bigrams"),
-        max(when(isBg, col("cnt")).otherwise(0L)).as("top_cnt"),
-        sum(when(isBg && col("cnt") > 1, col("cnt")).otherwise(0L))
-          .as("dup_cnt"))
-      .select(col(idCol), col("n_tokens"), col("n_bigrams"),
-        col("top_cnt"), col("dup_cnt"),
-        when(col("n_bigrams") === 0, 0.0)
-          .otherwise(col("top_cnt").cast("double") /
-            col("n_bigrams").cast("double")).as("top_bigram_frac"),
-        when(col("n_bigrams") === 0, 0.0)
-          .otherwise(col("dup_cnt").cast("double") /
-            col("n_bigrams").cast("double")).as("dup_bigram_frac"))
+        graft.functions.BigramStats.bigramStats(w).as("__st"))
+      .select(col(idCol), col("n_tokens"),
+        col("__st.n_bigrams").as("n_bigrams"),
+        col("__st.top_cnt").as("top_cnt"),
+        col("__st.dup_cnt").as("dup_cnt"),
+        when(col("__st.n_bigrams") === 0, 0.0)
+          .otherwise(col("__st.top_cnt").cast("double") /
+            col("__st.n_bigrams").cast("double")).as("top_bigram_frac"),
+        when(col("__st.n_bigrams") === 0, 0.0)
+          .otherwise(col("__st.dup_cnt").cast("double") /
+            col("__st.n_bigrams").cast("double")).as("dup_bigram_frac"))
   }
 
   /** BM25 keyword retrieval: top-`k` documents for a fixed bag of query

@@ -31,6 +31,20 @@ class RewriteEquivalenceSpec extends SparkSuite {
     assertSameRows(split, plain)
   }
 
+  test("sortedPercentiles == built-in percentile (bitwise)") {
+    val li = Engine.table(spark, sf, "lineitem")
+    val sorted = Relational.sortedPercentiles(li, Seq("l_returnflag"),
+      "l_extendedprice",
+      Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90", 1.0 -> "p100"))
+    val builtin = li.groupBy("l_returnflag").agg(
+      expr("percentile(cast(l_extendedprice as double), 0.0)").as("p0"),
+      expr("percentile(cast(l_extendedprice as double), 0.25)").as("p25"),
+      expr("percentile(cast(l_extendedprice as double), 0.5)").as("p50"),
+      expr("percentile(cast(l_extendedprice as double), 0.9)").as("p90"),
+      expr("percentile(cast(l_extendedprice as double), 1.0)").as("p100"))
+    assertSameRows(sorted, builtin)
+  }
+
   test("union-fused join == two joins unioned (docs/sql调优.md:59-71)") {
     val li = Engine.table(spark, sf, "lineitem")
     val p = Engine.table(spark, sf, "part").select("p_partkey", "p_brand")
