@@ -56,15 +56,20 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // ---- timed runs: best of 2 per query — single-shot numbers swing
+    // ---- timed runs: best of 3 per query — single-shot numbers swing
     // 30%+ on GC/JIT noise, which reads as a phantom regression when
-    // rounds are diffed
+    // rounds are diffed. A System.gc() before each query drains the
+    // previous query's garbage so one allocation-heavy query doesn't
+    // tax whoever runs after it (the r6 "regressions" on untouched
+    // queries were exactly this: 2-10x slower in the 133-query JVM,
+    // flat when profiled in isolation).
     // A run that throws must NOT fold its elapsed-until-exception into
     // the best-of min (a fast failure would read as the query's best
     // time): only successful runs count; a query with zero successes is
     // reported as -1 and listed in "errors".
     val runs = names.map { n =>
-      val times = (1 to 2).flatMap { _ =>
+      System.gc()
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           force(SparkEntry.queries(n)(spark, sfDir))
@@ -76,6 +81,23 @@ object Bench {
     val failed = runs.collect { case (n, ts) if ts.isEmpty => n }
     val results = runs.map { case (n, ts) =>
       n -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+
+    // ---- mechanical per-query regression gate against the committed
+    // baseline (BASELINE_QUERIES.json, refreshed each round): flag a
+    // query when it exceeds BOTH 2x its baseline and baseline + 1s
+    // (the absolute floor keeps 0.1s->0.25s jitter out of the gate).
+    // New queries (absent from the baseline) are never flagged.
+    val baseline: Map[String, Double] = {
+      val f = java.nio.file.Paths.get("BASELINE_QUERIES.json")
+      if (!java.nio.file.Files.exists(f)) Map.empty
+      else "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r
+        .findAllMatchIn(java.nio.file.Files.readString(f))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val regressions = results.collect {
+      case (n, t) if t >= 0 && baseline.get(n).exists(b =>
+        t > 2 * b && t > b + 1.0) => (n, t, baseline(n))
     }
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the JSON line out of that tail (r1/r2 BENCH both came back
@@ -101,8 +123,15 @@ object Bench {
       }.mkString("{", ",", "}")
       // the short stdout variant drops "sf" and "unit" — the driver
       // records the scale factor itself and seconds are the contract
-      // default; every byte counts against its 2000-char tail
-      val extra = if (short) "" else s""","unit":"sec","sf":"$sfDir""""
+      // default; every byte counts against its 2000-char tail. The
+      // per-query gate detail goes to the file; stdout carries only the
+      // regression count (and only when nonzero).
+      val gate =
+        if (short) { if (regressions.isEmpty) "" else s""","regr":${regressions.size}""" }
+        else regressions.map { case (n, t, b) =>
+          "\"" + n + "\":[" + fmt(t, 2) + "," + fmt(b, 2) + "]"
+        }.mkString(""","regressions":{""", ",", "}")
+      val extra = gate + (if (short) "" else s""","unit":"sec","sf":"$sfDir"""")
       val errs = if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum

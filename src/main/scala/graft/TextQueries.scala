@@ -239,14 +239,28 @@ object TextQueries {
                AND fp NOT IN (SELECT fp FROM cfp)
              ORDER BY doc_id"""))
 
-  /** SimHash near-dups — fingerprint family is engine-specific, so the
-    * driver records a rows-only check; ScalaTest pins the semantics. */
+  /** SimHash-blocked near-dups WITH exact verification
+    * ([[Dedup.simHashNearDupPairs]]): the banded 64-bit fingerprint
+    * generates candidates, exact shingle Jaccard >= 0.8 verifies — so
+    * the output is the engine-independent true-pair set (same as the
+    * MinHash query's), which DuckDB recomputes brute-force. Blocker
+    * recall: a Hamming <= 3 pair always shares a clean 16-bit band
+    * (pigeonhole over 4 bands); jaccard >= 0.8 pairs sit at Hamming
+    * 0-3. Raw fingerprint pairs (hash-family-specific) stay covered by
+    * ScalaTest on [[Dedup.simHashPairs]]. */
   val q_dedup_simhash = QuerySpec(
     "q_dedup_simhash", Seq("E-dedup"),
-    (s, d) => Dedup.simHashPairs(Engine.table(s, d, "documents"),
-        maxHamming = 8)
+    (s, d) => Dedup.simHashNearDupPairs(Engine.table(s, d, "documents"),
+        maxHamming = 8, threshold = 0.8)
       .orderBy("id_a", "id_b"),
-    None)
+    Some(s"""WITH s AS ($duckShingles)
+             SELECT id_a, id_b, jaccard FROM (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
+                        AS jaccard
+               FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+             WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
 
   /** Partial-overlap pairs via winnowed rolling-hash fingerprints —
     * hash family is engine-specific (rows-only check; semantics pinned
@@ -274,10 +288,17 @@ object TextQueries {
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => x + lit(0.005f)).as("embedding"),
           col("label"))
+      // the id PAIRS are engine-independent (planted dups are the only
+      // cosine >= 0.9 pairs: background max ~0.46), so DuckDB can state
+      // the expected set exactly; the cosine VALUE stays out of the
+      // output (float-offset arithmetic differs across engines)
       Dedup.embeddingNearDupPairs(emb.unionByName(planted), threshold = 0.9)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
         .orderBy("id_a", "id_b")
     },
-    None)
+    Some("""SELECT CAST(vec_id AS BIGINT) AS id_a,
+                   CAST(vec_id + 100000 AS BIGINT) AS id_b
+            FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b"""))
 
   // ----------------------------------------------------------- similarity
 
@@ -313,15 +334,70 @@ object TextQueries {
                   WHERE e.vec_id <> 0) e
             ORDER BY cos DESC, vec_id LIMIT 10"""))
 
-  /** LSH kNN self-join (approximate) — recall vs brute force is pinned
-    * in ScalaTest, not the oracle. */
+  /** Planted ANN ground truth: for every query id q in 0..9, ten
+    * near-duplicates of vector q planted at ids 200000 + q*100 + i
+    * (i = 1..10), each component offset by i*0.001f — cosine ~0.9999
+    * vs a ~0.46 background maximum. On random synthetic embeddings the
+    * true top-k is a near-tie lottery no ANN index can pin down; the
+    * planted structure makes the true top-k of query q EXACTLY
+    * {q} ∪ its planted ids in offset order, so the DuckDB oracle can
+    * state the expected id set without recomputing any engine-side
+    * math, and the index's recall on it must be 1.0 — which is also
+    * the regime ANN indexes are FOR (clustered data). */
+  private def plantedAnnCorpus(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val planted = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("i", explode(sequence(lit(1), lit(10))))
+      .select((lit(200000) + col("vec_id") * 100 + col("i")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (col("i") * lit(0.001f)).cast("float")).as("embedding"),
+        col("label"))
+    emb.unionByName(planted)
+  }
+
+  private def annIndexDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_annplant_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Shared DuckDB fragment: expected top-10 ids for query vector 0
+    * over the planted corpus — itself plus planted copies 1..9 (the
+    * 10th planted copy ranks 11th). */
+  private val duckTop10Q0 =
+    """SELECT CAST(0 AS BIGINT) AS vec_id
+       UNION ALL SELECT CAST(200000 + i AS BIGINT) FROM range(1, 10) t(i)"""
+
+  /** LSH kNN self-join over the 50-pair planted corpus (construction
+    * of q_dedup_embedding): each planted near-dup must list its
+    * original as a neighbor. Output = the original ids whose planted
+    * twin found them — deterministically all 50 (fixed hyperplane
+    * seeds; 4-probe miss probability ~3e-4 per pair). */
   val q_embed_knn_lsh = QuerySpec(
     "q_embed_knn_lsh", Seq("E-sim"),
-    (s, d) => Similarity.lshKnnJoin(Engine.table(s, d, "embeddings"), k = 5)
-      .orderBy("id_a", "id_b"),
-    None)
+    (s, d) => {
+      val emb = Engine.table(s, d, "embeddings")
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.005f)).as("embedding"),
+          col("label"))
+      val pairs = Similarity.lshKnnJoin(emb.unionByName(planted),
+        k = 5, probes = 4)
+      val found = pairs
+        .filter(col("id_a") >= 100000 &&
+          col("id_b") === col("id_a") - 100000)
+        .select((col("id_a") - 100000).cast("long").as("vec_id"))
+      emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .join(found, Seq("vec_id"), "left_semi")
+        .orderBy("vec_id")
+    },
+    Some("""SELECT CAST(vec_id AS BIGINT) AS vec_id
+            FROM embeddings WHERE vec_id < 50 ORDER BY vec_id"""))
 
-  /** IVF-style pruned top-k (approximate scale path). */
+  /** IVF-style pruned top-k (approximate scale path) over the planted
+    * corpus: k-means-trained index persisted per scale factor (built
+    * on first use, probe-only afterwards and across bench runs); the
+    * probe must surface the planted true top-10 exactly. */
   val q_embed_ivf_topk = QuerySpec(
     "q_embed_ivf_topk", Seq("E-sim"),
     (s, d) => {
@@ -329,56 +405,61 @@ object TextQueries {
       val row = emb.filter(col("vec_id") === 0).head()
       val q = row.getSeq[Float](row.fieldIndex("embedding"))
         .map(_.toDouble).toSeq
-      // k-means-trained index persisted per scale factor: built on
-      // first use, probe-only afterwards (and across bench runs)
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfkm_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = annIndexDir(d)
       if (!new java.io.File(s"$dir/centroids").exists())
-        Similarity.ivfBuildIndexKMeans(emb, dir)
+        Similarity.ivfBuildIndexKMeans(plantedAnnCorpus(emb), dir)
       Similarity.ivfProbe(s, dir, q, k = 10)
+        .select(col("vec_id").cast("long")).orderBy("vec_id")
     },
-    None)
+    Some(s"""SELECT vec_id FROM ($duckTop10Q0) ORDER BY vec_id"""))
 
-  /** Batched IVF probe: top-k for a 10-query batch in one distributed
+  /** Batched IVF probe: top-5 for a 10-query batch in one distributed
     * plan (no per-query driver round-trip) against the same persisted
-    * index as q_embed_ivf_topk. */
+    * index as q_embed_ivf_topk. Expected per-query result: the query
+    * vector itself plus its 4 nearest planted copies. */
   val q_embed_ivf_batch = QuerySpec(
     "q_embed_ivf_batch", Seq("E-sim"),
     (s, d) => {
       val emb = Engine.table(s, d, "embeddings")
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfkm_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = annIndexDir(d)
       if (!new java.io.File(s"$dir/centroids").exists())
-        Similarity.ivfBuildIndexKMeans(emb, dir)
+        Similarity.ivfBuildIndexKMeans(plantedAnnCorpus(emb), dir)
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfProbeBatch(s, dir, queries, k = 5)
-        .orderBy(col("qid"), desc("cos"), asc("vec_id"))
+        .select(col("qid").cast("long"), col("vec_id").cast("long"))
+        .orderBy("qid", "vec_id")
     },
-    None)
+    Some("""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS qid
+                       FROM embeddings WHERE vec_id < 10),
+            e AS (SELECT qid, qid AS vec_id FROM q
+                  UNION ALL
+                  SELECT qid, 200000 + qid*100 + i FROM q, range(1, 5) t(i))
+            SELECT qid, CAST(vec_id AS BIGINT) AS vec_id
+            FROM e ORDER BY qid, vec_id"""))
 
-  /** Product-quantization two-stage search: 8-byte codes scanned by
-    * ADC, overfetched candidates re-ranked by exact cosine. Codebook
-    * training is k-means (engine-specific float means) → rows-only
-    * check; recall vs brute force is pinned in SimilaritySpec. */
+  /** Product-quantization two-stage search over the planted corpus:
+    * 8-byte codes scanned by ADC, overfetched candidates re-ranked by
+    * exact cosine; the rerank must recover the planted true top-10. */
   val q_embed_pq_topk = QuerySpec(
     "q_embed_pq_topk", Seq("E-sim"),
     (s, d) => {
       val emb = Engine.table(s, d, "embeddings")
+      val all = plantedAnnCorpus(emb)
       val row = emb.filter(col("vec_id") === 0).head()
       val q = row.getSeq[Float](row.fieldIndex("embedding"))
         .map(_.toDouble).toSeq
       val cb = Similarity.pqTrain(emb)
-      val codes = Similarity.pqEncodeTable(emb, cb)
-      Similarity.pqTopKRerank(emb, codes, cb, q, k = 10)
+      val codes = Similarity.pqEncodeTable(all, cb)
+      Similarity.pqTopKRerank(all, codes, cb, q, k = 10)
+        .select(col("vec_id").cast("long")).orderBy("vec_id")
     },
-    None)
+    Some(s"""SELECT vec_id FROM ($duckTop10Q0) ORDER BY vec_id"""))
 
   /** IVF-PQ probe: partition-pruned buckets × 8-byte ADC codes, then
     * exact rerank of the overfetched candidates — the FAISS-style
     * composition over the same persisted k-means index as
-    * q_embed_ivf_topk. K-means + PQ training → rows-only; recall is
-    * pinned in SimilaritySpec. */
+    * q_embed_ivf_topk. */
   val q_embed_ivfpq_topk = QuerySpec(
     "q_embed_ivfpq_topk", Seq("E-sim"),
     (s, d) => {
@@ -386,21 +467,26 @@ object TextQueries {
       val row = emb.filter(col("vec_id") === 0).head()
       val q = row.getSeq[Float](row.fieldIndex("embedding"))
         .map(_.toDouble).toSeq
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfkm_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = annIndexDir(d)
       if (!new java.io.File(s"$dir/centroids").exists())
-        Similarity.ivfBuildIndexKMeans(emb, dir)
+        Similarity.ivfBuildIndexKMeans(plantedAnnCorpus(emb), dir)
       val cb = Similarity.pqTrain(emb)
       if (!new java.io.File(s"$dir/codes").exists())
         Similarity.ivfPqBuild(s, dir, cb)
       Similarity.ivfPqProbe(s, dir, cb, q, k = 10)
+        .select(col("vec_id").cast("long")).orderBy("vec_id")
     },
-    None)
+    Some(s"""SELECT vec_id FROM ($duckTop10Q0) ORDER BY vec_id"""))
 
   /** SemDeDup semantic dedup: planted near-identical vectors (same
     * construction as q_dedup_embedding) must be dropped, originals
-    * kept. K-means clustering → rows-only check; exact drop set is
-    * pinned in SimilaritySpec. */
+    * kept. The SURVIVOR SET is engine-independent — semanticDedup
+    * keeps the min id of each dup pair, planted ids are all
+    * originals+100000, and no original pair clears the 0.99 cosine
+    * threshold (background max ~0.46) — so the oracle states it
+    * exactly: every original id, no planted id. (A planted dup is only
+    * caught if k-means puts it in its original's cluster; at cosine
+    * 0.999 that always holds.) */
   val q_dedup_semantic = QuerySpec(
     "q_dedup_semantic", Seq("E-dedup", "E-sim"),
     (s, d) => {
@@ -411,9 +497,10 @@ object TextQueries {
           col("label"))
       Dedup.semanticDedup(emb.unionByName(planted),
           nClusters = 16, threshold = 0.99)
-        .select("vec_id").orderBy("vec_id")
+        .select(col("vec_id").cast("long")).orderBy("vec_id")
     },
-    None)
+    Some("""SELECT CAST(vec_id AS BIGINT) AS vec_id
+            FROM embeddings ORDER BY vec_id"""))
 
   // ----------------------------------------------------------- multimodal
 

@@ -188,17 +188,30 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
-  /** SimHash near-dup pairs: 64-bit fingerprints, banded into 4×16-bit
-    * keys (any pair within Hamming distance 3 shares ≥1 intact band),
-    * verified by popcount of the XOR. */
+  /** SimHash near-dup pairs: 64-bit fingerprints banded into `nBands`
+    * keys, verified by popcount of the XOR. Pigeonhole: a pair within
+    * Hamming distance `nBands - 1` always shares ≥1 intact band, so
+    * `nBands = maxHamming + 1` makes candidate recall EXACT within the
+    * radius (the default 4×16-bit banding is exact only to Hamming 3 —
+    * beyond that it is probabilistic). Scale tradeoff: more bands =
+    * narrower band keys = denser buckets; at corpus scale keep
+    * maxHamming (and hence nBands) small, or the band-bucket join
+    * fans out. */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      nBands: Int = 4): DataFrame = {
+    require(nBands >= 1 && nBands <= 64, s"nBands must be 1..64: $nBands")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val fp = docs.select(col(idCol).as("id"),
       SimHash64.simhash64(wordTokens(col(textCol))).as("fp"))
-    val banded = fp.select(col("id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+    // band i covers bits [i*w, i*w+w) (last band takes the remainder)
+    val w = 64 / nBands
+    val bandCols = (0 until nBands).map { b =>
+      val width = if (b == nBands - 1) 64 - b * w else w
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("fp"), b * w).bitwiseAND(lit(mask))
+    }
+    val banded = fp.select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
@@ -214,6 +227,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash-BLOCKED exact near-dup pairs: [[simHashPairs]] generates
+    * the candidates (banded 64-bit fingerprints, Hamming gate), then
+    * each candidate is verified with exact shingle Jaccard — the same
+    * candidates-then-verify production shape as [[minHashLshPairs]],
+    * with SimHash as the cheaper blocker (8-byte fingerprint vs a
+    * 32-hash signature).
+    *
+    * Because the verifier is exact, the OUTPUT is engine-independent
+    * (all pairs with jaccard >= threshold) as long as the blocker's
+    * recall holds — guaranteed here by banding with
+    * `nBands = maxHamming + 1` (pigeonhole: any pair within the
+    * Hamming radius shares a clean band) PROVIDED truly-similar pairs
+    * sit within the radius (short documents drift furthest: one token
+    * edit in a 12-token doc flips ~5-8 of 64 bits). This is what makes
+    * the query DuckDB-oracle-checkable where raw fingerprint pairs
+    * ([[simHashPairs]]) are not. */
+  def simHashNearDupPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 8,
+      shingleSize: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val cand = simHashPairs(docs, textCol, idCol, maxHamming,
+        nBands = maxHamming + 1)
+      .select("id_a", "id_b")
+    val shingleTable = docs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("sh"))
+    verifyPairs(cand, shingleTable, threshold)
   }
 
   /** Connected components over near-dup pairs — the step that turns
@@ -366,26 +406,58 @@ object Dedup {
     * whose surface text differs (translations, paraphrases, templated
     * rewrites) that every token-level sketch misses.
     *
-    * Scale shape: clustering bounds the pair space — the self-join is
-    * per-cluster, never corpus-wide, and `nClusters` scales with corpus
-    * size to keep expected cluster size (and the O(cluster²) pair
-    * count) constant; the cluster exchange is an explicit-width
-    * repartition so AQE can't serialize the cosine verify. For a hot
-    * cluster, re-cluster its members recursively or band them with
-    * [[embeddingNearDupPairs]]'s LSH — same contract.
+    * Scale shape — the pair count is BOUNDED end to end:
+    *  1. exact-identical vectors collapse before pairing (window
+    *     keep-first), so unsplittable identical mass never reaches the
+    *     self-join;
+    *  2. `nClusters < 0` (default) derives k from the corpus count
+    *     (~1 cluster per 4096 vectors, the SemDeDup regime) instead of
+    *     a fixed constant that would go quadratic at 100x the data;
+    *  3. any cluster still larger than `maxClusterSize` is re-split by
+    *     appended LSH sub-signature bits, capping EXPECTED bucket size
+    *     at ~maxClusterSize — per-bucket pair work stays
+    *     ~maxClusterSize² however skewed the k-means assignment is,
+    *     while true near-dups survive the split w.p. (1-θ/π)^bits ≈ 1
+    *     at dedup-grade thresholds.
+    * The cluster exchange is an explicit-width repartition so AQE
+    * can't serialize the cosine verify.
     *
     * @return the surviving rows of `embeddings` (canonical per
     *         semantic-dup group + everything unpaired). */
-  def semanticDedup(embeddings: DataFrame, nClusters: Int = 32,
+  def semanticDedup(embeddings: DataFrame, nClusters: Int = -1,
       threshold: Double = 0.95, iters: Int = 3,
-      sampleFraction: Double = 1.0, vecCol: String = "embedding",
+      sampleFraction: Double = 1.0, dim: Int = 64,
+      maxClusterSize: Int = 4096, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val par = embeddings.sparkSession.sparkContext.defaultParallelism
     val vecs = embeddings.select(col(idCol).as("id"),
       Similarity.normalized(col(vecCol)).as("nv"))
-    val centroids = Similarity.kmeansCentroids(vecs, nClusters, iters,
+
+    // 1. collapse exact-identical vectors first (keep min id): identical
+    //    vectors defeat any similarity-based split (they share every
+    //    LSH signature and every centroid), so they must never reach
+    //    the pairwise stage — this is the backstop that keeps an
+    //    identical-heavy corpus from re-creating the hot cluster the
+    //    re-split below bounds.
+    import org.apache.spark.sql.expressions.Window
+    val wEq = Window.partitionBy(col("nv")).orderBy(col("id"))
+    val collapsed = vecs.withColumn("__rn", row_number().over(wEq))
+    val exactDrops = collapsed.filter(col("__rn") > 1).select(col("id"))
+    val reps = collapsed.filter(col("__rn") === 1).drop("__rn")
+
+    // 2. cluster count ∝ corpus size when not given (SemDeDup scales
+    //    its k with the corpus: the within-cluster stage is O(size²),
+    //    so a FIXED k means quadratic blowup at 100x the data). One
+    //    count() job; callers at known scale pass nClusters explicitly.
+    val k =
+      if (nClusters > 0) nClusters
+      else math.max(32L, math.min(65536L, reps.count() / 4096L + 1L)).toInt
+    val centroids = Similarity.kmeansCentroids(reps, k, iters,
       sampleFraction)
-    val assigned = Similarity.assignNearest(vecs, centroids)
+    val assigned0 = Similarity.assignNearest(reps, centroids)
+
+    // 3. re-split oversized clusters (see [[resplitOversized]])
+    val assigned = resplitOversized(assigned0, maxClusterSize, dim)
       .repartition(par, col("bucket"))
       .localCheckpoint() // pin assignments; drop the lineage through
                          // the cached centroid loop before unpersist
@@ -398,8 +470,39 @@ object Dedup {
     val drops = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(dotProduct(col("nv_a"), col("nv_b")) >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
+      .select(col("id_b").as(idCol))
+      .unionByName(exactDrops.select(col("id").as(idCol)))
+      .distinct()
     embeddings.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Re-split oversized clusters by a 16-plane LSH sub-signature: a
+    * cluster of size s > maxClusterSize gets ceil(log2(s/cap))
+    * signature bits appended to its bucket key, so EXPECTED bucket
+    * size drops to ~maxClusterSize and the per-bucket pair count stays
+    * ~maxClusterSize² regardless of how skewed the k-means assignment
+    * is. True near-dups survive the split with probability
+    * (1-θ/π)^bits — ≈1 at dedup-grade thresholds (θ→0). Identical
+    * vectors are unsplittable (equal signatures) and must be collapsed
+    * BEFORE this step (semanticDedup step 1).
+    * Input/output schema: (id, nv, bucket). */
+  private[operators] def resplitOversized(assigned: DataFrame,
+      maxClusterSize: Int, dim: Int): DataFrame = {
+    val sizes = assigned.groupBy("bucket")
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") > maxClusterSize)
+      .select(col("bucket"),
+        ceil(log2(col("__sz").cast("double") / maxClusterSize))
+          .cast("int").as("__p"))
+    assigned
+      .join(broadcast(sizes), Seq("bucket"), "left")
+      .withColumn("__sub",
+        when(col("__p").isNull, lit(0L))
+          .otherwise(Similarity.hyperplaneSignature(col("nv"), dim,
+              planes = 16, seed = 7L)
+            .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), least(__p, 16)) - 1"))))
+      .withColumn("bucket", col("bucket") * 65536L + col("__sub"))
+      .drop("__p", "__sub")
   }
 
   /** Embedding near-dup pairs: cosine similarity above threshold among

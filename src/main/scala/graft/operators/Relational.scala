@@ -178,19 +178,6 @@ object Relational {
       .drop("__bucket")
   }
 
-  /** Runtime-filter (Bloom-prefiltered) shuffle join: build a Bloom
-    * filter over the build side's join keys with a distributed
-    * aggregate, then cut the probe side with `might_contain` BEFORE its
-    * shuffle, then run the exact equi-join. Same trick as Spark's AQE
-    * runtime bloom filter (SPARK-32268) but explicit, for when the
-    * build side is too big to broadcast yet selective on the probe
-    * side: at 100 TB the probe shuffle shrinks by the key-miss rate
-    * (false positives only cost shuffle bytes — the exact join keeps
-    * the result identical to a plain join).
-    *
-    * The sketch itself is constant-size (`numBits/8` bytes, default
-    * ~1 MiB): the single-row collect is a broadcast-sized transfer,
-    * never data-proportional. */
   /** Exact interpolated percentiles — Spark `percentile` / DuckDB
     * `quantile_cont` semantics: linear interpolation
     * `v_lo + (v_hi - v_lo) * frac` at position `p * (n - 1)` — computed
@@ -248,6 +235,19 @@ object Relational {
     bracketed.select(outs: _*)
   }
 
+  /** Runtime-filter (Bloom-prefiltered) shuffle join: build a Bloom
+    * filter over the build side's join keys with a distributed
+    * aggregate, then cut the probe side with `might_contain` BEFORE its
+    * shuffle, then run the exact equi-join. Same trick as Spark's AQE
+    * runtime bloom filter (SPARK-32268) but explicit, for when the
+    * build side is too big to broadcast yet selective on the probe
+    * side: at 100 TB the probe shuffle shrinks by the key-miss rate
+    * (false positives only cost shuffle bytes — the exact join keeps
+    * the result identical to a plain join).
+    *
+    * The sketch itself is constant-size (`numBits/8` bytes, default
+    * ~1 MiB): the single-row collect is a broadcast-sized transfer,
+    * never data-proportional. */
   def bloomPrefilterJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       expectedKeys: Long = 4000000L): DataFrame = {
