@@ -632,6 +632,46 @@ object ExtQueries {
     Some("""SELECT event_type, COUNT(*) AS n FROM events
             GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5"""))
 
+  /** ANSI MERGE INTO surface ([[Warehouse.mergeInto]]): one statement
+    * updating matched keys, deleting matched keys flagged by the
+    * source, and inserting unmatched source rows — the reference's
+    * updatable accumulating snapshot (docs/数据模型.md:25) as SQL
+    * semantics. The oracle recomputes the merge with plain relational
+    * algebra (left join + NOT IN + UNION ALL). */
+  val q_merge_upsert = QuerySpec(
+    "q_merge_upsert", Seq("S4", "J5", "J6"),
+    (s, d) => {
+      val t = Engine.table(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").cast("double").as("tp"))
+      val upd = t.filter(col("k") % 10 === 0 && col("k") % 13 =!= 0)
+        .select(col("k"), col("st"), (col("tp") * 2).as("tp"))
+      val del = t.filter(col("k") % 13 === 0)
+        .select(col("k"), col("st"), lit(-1.0).as("tp"))
+      val ins = t.filter(col("k") % 17 === 0)
+        .select((col("k") + 100000000L).as("k"), lit("N").as("st"),
+          lit(1.0).as("tp"))
+      Warehouse.mergeInto(t, upd.unionByName(del).unionByName(ins),
+          keys = Seq("k"),
+          whenMatchedUpdate = Map("tp" -> col("s.tp")),
+          whenNotMatchedInsert = true,
+          whenMatchedDelete = Some(col("s.tp") < 0))
+        .orderBy("k")
+    },
+    Some("""WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                              CAST(o_totalprice AS DOUBLE) AS tp FROM orders),
+            upd AS (SELECT k, tp*2 AS tp FROM t
+                    WHERE k % 10 = 0 AND k % 13 <> 0),
+            del AS (SELECT k FROM t WHERE k % 13 = 0),
+            ins AS (SELECT k + 100000000 AS k, 'N' AS st,
+                           CAST(1.0 AS DOUBLE) AS tp FROM t WHERE k % 17 = 0)
+            SELECT k, st, tp FROM (
+              SELECT t.k, t.st, COALESCE(u.tp, t.tp) AS tp
+              FROM t LEFT JOIN upd u ON t.k = u.k
+              WHERE t.k NOT IN (SELECT k FROM del)
+              UNION ALL SELECT k, st, tp FROM ins)
+            ORDER BY k"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
@@ -641,5 +681,5 @@ object ExtQueries {
     q_csv_roundtrip, q_json_roundtrip, q_topk_per_group, q_asof_join,
     q_range_join, q_bigwhere_join, q_bloom_prefilter_join,
     q_window_analytic, q_collect_agg, q_collection_funcs,
-    q_string_funcs2, q_approx_topk)
+    q_string_funcs2, q_approx_topk, q_merge_upsert)
 }

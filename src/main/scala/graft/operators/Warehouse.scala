@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,6 +87,49 @@ object Warehouse {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
+
+  /** ANSI `MERGE INTO` semantics as a declarative transform — the
+    * statement surface of the reference's updatable accumulating
+    * snapshot (docs/数据模型.md:25) and Kudu upsert story
+    * (docs/kudu.md:19), usable wherever a `MERGE INTO t USING s ON ...
+    * WHEN MATCHED [AND cond] THEN UPDATE/DELETE WHEN NOT MATCHED THEN
+    * INSERT` would run. Plain parquet has no row-level update, so the
+    * result is returned as a DataFrame; persist partition-level with
+    * [[mergeIntoPartitioned]]/[[writePartitioned]] (only partitions
+    * carrying changes rewrite).
+    *
+    * Conventions: `whenMatchedUpdate` maps target column name → new
+    * value expression over aliases `t` (target) / `s` (source);
+    * unlisted columns keep the target value. `whenMatchedDelete` (also
+    * over `t`/`s`) removes matching rows instead of updating them.
+    * Source keys must be unique (ANSI MERGE errors on double-match;
+    * here the duplicate would fan out).
+    *
+    * Scale shape: ONE equi-join shuffle on the merge keys plus two
+    * anti-joins that reuse the same hash partitioning; nothing
+    * driver-side, no row-level RMW — at 100 TB this is the same cost
+    * as the join the user already pays for the update set. */
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
+      whenMatchedUpdate: Map[String, Column],
+      whenNotMatchedInsert: Boolean = true,
+      whenMatchedDelete: Option[Column] = None): DataFrame = {
+    val cols = target.columns
+    val t = target.alias("t")
+    val s = source.alias("s")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val matched0 = t.join(s, cond, "inner")
+    val matched = whenMatchedDelete
+      .map(d => matched0.filter(!coalesce(d, lit(false))))
+      .getOrElse(matched0)
+      .select(cols.map(c =>
+        whenMatchedUpdate.getOrElse(c, col(s"t.$c")).as(c)): _*)
+    val untouched = t.join(s, cond, "left_anti")
+      .select(cols.map(col): _*)
+    val base = untouched.unionByName(matched)
+    if (!whenNotMatchedInsert) base
+    else base.unionByName(
+      s.join(t, cond, "left_anti").select(cols.map(col): _*))
   }
 
   /** Partition-level MERGE into a partitioned parquet table: the

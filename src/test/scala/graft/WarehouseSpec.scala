@@ -82,6 +82,31 @@ class WarehouseSpec extends SparkSuite {
     assert(after == untouched, "untouched partition must keep its files")
   }
 
+  test("mergeInto: update, delete, and insert branches all apply; " +
+      "no-insert mode drops unmatched source rows") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "st", "tp")
+    val s = Seq(
+      (2L, "b", 99.0),  // matched → update tp
+      (3L, "c", -1.0),  // matched + delete flag → removed
+      (4L, "d", 40.0))  // unmatched → insert
+      .toDF("k", "st", "tp")
+    val merged = graft.operators.Warehouse.mergeInto(t, s, Seq("k"),
+        whenMatchedUpdate = Map("tp" -> org.apache.spark.sql.functions.col("s.tp")),
+        whenNotMatchedInsert = true,
+        whenMatchedDelete = Some(org.apache.spark.sql.functions.col("s.tp") < 0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(merged.toSeq == Seq((1L, "a", 10.0), (2L, "b", 99.0),
+      (4L, "d", 40.0)))
+    val noInsert = graft.operators.Warehouse.mergeInto(t, s, Seq("k"),
+        whenMatchedUpdate = Map("tp" -> org.apache.spark.sql.functions.col("s.tp")),
+        whenNotMatchedInsert = false)
+      .collect().map(_.getLong(0)).sorted
+    assert(noInsert.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("compactSmallFiles merges many small files, preserves rows") {
     val dir = tmpDir("wh_compact")
     val df = spark.range(1000).toDF("id")
