@@ -67,6 +67,7 @@ object Bench {
     // the best-of min (a fast failure would read as the query's best
     // time): only successful runs count; a query with zero successes is
     // reported as -1 and listed in "errors".
+    val errorDetails = scala.collection.mutable.Map[String, String]()
     val runs = names.map { n =>
       System.gc()
       val times = (1 to 3).flatMap { _ =>
@@ -74,7 +75,12 @@ object Bench {
         try {
           force(SparkEntry.queries(n)(spark, sfDir))
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
+        } catch { case e: Throwable =>
+          errorDetails(n) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).replaceAll("[\\s\"\\\\]+", " ")
+          ).take(300)
+          None
+        }
       }
       n -> times
     }
@@ -137,8 +143,14 @@ object Bench {
       val total = results.map(_._2).filter(_ >= 0).sum
       s"""{"metric":"total","value":${fmt(total, p)},"queries":$qs$errs$extra}"""
     }
+    // failure diagnostics go to the FILE only (stdout is tail-budgeted):
+    // a silent -1 in the per-query map is undebuggable after the fact
+    val details = if (errorDetails.isEmpty) ""
+      else errorDetails.map { case (k, v) => s""""$k": "$v"""" }
+        .mkString(""","error_details":{""", ",", "}")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_result.json"), line(4, short = false) + "\n")
+      java.nio.file.Paths.get("bench_result.json"),
+      line(4, short = false).stripSuffix("}") + details + "}\n")
     // ~1915 chars is the budget: 2000-char tail minus sbt's trailing
     // "[success] Total time: … completed <date>" line (~76 chars).
     // Degrade precision before overflowing.

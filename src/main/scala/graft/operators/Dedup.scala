@@ -211,22 +211,26 @@ object Dedup {
       val mask = if (width == 64) -1L else (1L << width) - 1L
       shiftrightunsigned(col("fp"), b * w).bitwiseAND(lit(mask))
     }
-    val banded = fp.select(col("id"), posexplode(array(bandCols: _*)))
+    val banded = fp.select(col("id"), col("fp"),
+        posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
-    // candidates-then-verify (same shape as the other dedup ops): band
-    // join carries ids only, pairs dedupe across bands at explicit
-    // width, then ONE popcount per pair after joining fingerprints back
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"),
+      col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"),
+      col("fp").as("fp_b"))
+    // candidates-then-verify: the band join carries (id, fp) — 16
+    // bytes, never documents — so the popcount verify runs INSIDE the
+    // band join output, before pair-dedup: with narrow bands (high
+    // nBands) most candidates fail the Hamming gate, so filtering
+    // first keeps the dedup shuffle proportional to true pairs instead
+    // of band collisions, and no join back to the fingerprint table is
+    // needed at all.
     a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .repartition(par, col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .join(fp.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
-      .join(fp.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .repartition(par, col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash-BLOCKED exact near-dup pairs: [[simHashPairs]] generates
@@ -441,7 +445,14 @@ object Dedup {
     //    re-split below bounds.
     import org.apache.spark.sql.expressions.Window
     val wEq = Window.partitionBy(col("nv")).orderBy(col("id"))
-    val collapsed = vecs.withColumn("__rn", row_number().over(wEq))
+    // explicit-width repartition satisfies the window's required
+    // distribution (no second exchange) and keeps AQE from coalescing
+    // the tiny-by-bytes vector exchange to one partition; the
+    // localCheckpoint pins the collapse so the two consumers (drops +
+    // reps) and the final anti-join don't re-run it per union branch
+    val collapsed = vecs.repartition(par, col("nv"))
+      .withColumn("__rn", row_number().over(wEq))
+      .localCheckpoint()
     val exactDrops = collapsed.filter(col("__rn") > 1).select(col("id"))
     val reps = collapsed.filter(col("__rn") === 1).drop("__rn")
 
@@ -467,12 +478,16 @@ object Dedup {
     val b = assigned.select(col("bucket"), col("id").as("id_b"),
       col("nv").as("nv_b"))
     // unit vectors → dot product IS cosine; one fused-kernel pass/pair
+    // pin the (tiny) drop-id set: the final anti-join pushes into the
+    // caller's input union, which would otherwise recompute the whole
+    // pair pipeline once per union branch
     val drops = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(dotProduct(col("nv_a"), col("nv_b")) >= threshold)
       .select(col("id_b").as(idCol))
       .unionByName(exactDrops.select(col("id").as(idCol)))
       .distinct()
+      .localCheckpoint()
     embeddings.join(drops, Seq(idCol), "left_anti")
   }
 

@@ -338,20 +338,21 @@ object TextOps {
     * words; gibberish and OCR noise are not), kept log-free so the
     * score is one integer division.
     *
-    * Scale shape: the vocabulary is a `topN`-row frame → broadcast;
-    * the corpus side explodes, left-joins the broadcast vocab, and
-    * aggregates back to doc_id — one narrow shuffle keyed by doc_id.
-    * `explode_outer` keeps token-less docs (ratio 0). */
+    * Scale shape: the vocabulary agg is the only shuffle (token-keyed,
+    * map-side partials); the bounded top-N rows then collect to the
+    * driver (same convention as the IVF centroid table) and ride a
+    * native [[graft.functions.TokenSetCount]] kernel as a reference
+    * object, so the per-document scoring pass is MAP-ONLY — no
+    * per-occurrence explode shuffle, no join, nothing
+    * data-proportional leaves its partition. */
   def commonTokenRatio(docs: DataFrame, topN: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val vocab = vocabulary(docs, topN, textCol, idCol)
-      .select(col("token"), lit(1).as("__v"))
+    val vocabTokens = vocabulary(docs, topN, textCol, idCol)
+      .select("token").collect().map(_.getString(0))
     val w = wordTokens(col(textCol))
     docs.select(col(idCol), size(w).cast("long").as("n_tokens"),
-        explode_outer(w).as("token"))
-      .join(broadcast(vocab), Seq("token"), "left")
-      .groupBy(col(idCol), col("n_tokens"))
-      .agg(sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_common"))
+        graft.functions.TokenSetCount.tokenSetCount(w, vocabTokens)
+          .as("n_common"))
       .select(col(idCol), col("n_tokens"), col("n_common"),
         when(col("n_tokens") === 0, 0.0)
           .otherwise(col("n_common").cast("double") /

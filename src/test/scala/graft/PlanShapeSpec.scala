@@ -355,12 +355,15 @@ class PlanShapeSpec extends SparkSuite {
         s"kernel) — no shuffle expected:\n$plan")
   }
 
-  test("vocabulary-coverage join broadcasts the vocab side") {
+  test("common-token scoring pass is map-only (vocab rides the kernel)") {
     val plan = executedPlan(graft.operators.TextOps.commonTokenRatio(
       Engine.table(spark, sf, "documents"), topN = 100))
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"),
-      s"token-vocab join must broadcast the topN-row vocab:\n$plan")
+    // the vocab agg runs as its own bounded job at operator-build time;
+    // the returned per-doc plan must be a pure scan+project — no join,
+    // no exchange, nothing per-occurrence
+    assert(!plan.contains("Join"), s"scoring pass must not join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"scoring pass must not shuffle:\n$plan")
   }
 
   test("sequence packing never serializes through one partition") {
