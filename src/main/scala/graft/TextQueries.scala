@@ -263,8 +263,14 @@ object TextQueries {
              WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
 
   /** Partial-overlap pairs via winnowed rolling-hash fingerprints —
-    * hash family is engine-specific (rows-only check; semantics pinned
-    * in TextOpsSpec incl. the winnowing shared-run guarantee). */
+    * the ONE remaining rows-only query, deliberately: the output is
+    * defined by the engine-specific fingerprint family plus the
+    * `maxDf` stop-fingerprint cap, and the cap is load-bearing at
+    * scale (dropping it to make the result hash-family-independent —
+    * the simhash-verify trick — explodes candidates on boilerplate-
+    * heavy corpora: on this synthetic small-vocab testdata, "pairs
+    * sharing an 11-char run" is nearly ALL pairs). Semantics are
+    * pinned in TextOpsSpec incl. the winnowing shared-run guarantee. */
   val q_dedup_winnow = QuerySpec(
     "q_dedup_winnow", Seq("E-dedup", "E-text"),
     (s, d) => Dedup.partialOverlapPairs(Engine.table(s, d, "documents"),
@@ -299,6 +305,31 @@ object TextQueries {
     Some("""SELECT CAST(vec_id AS BIGINT) AS id_a,
                    CAST(vec_id + 100000 AS BIGINT) AS id_b
             FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b"""))
+
+  /** Incremental embedding dedup ([[Dedup.embeddingDedupAgainstCorpus]],
+    * ingestion-time SemDeDup): a batch of 50 planted near-dups of
+    * corpus vectors plus 50 genuinely novel vectors (reversed
+    * embeddings — cosine vs any corpus vector stays at background
+    * level) arrives against the full embeddings corpus; exactly the
+    * novels must survive. */
+  val q_dedup_embed_incremental = QuerySpec(
+    "q_dedup_embed_incremental", Seq("E-dedup", "E-sim", "J6"),
+    (s, d) => {
+      val emb = Engine.table(s, d, "embeddings")
+      val dups = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.005f)).as("embedding"),
+          col("label"))
+      val novel = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+        .select((col("vec_id") + 300000).as("vec_id"),
+          reverse(col("embedding")).as("embedding"), col("label"))
+      Dedup.embeddingDedupAgainstCorpus(emb, dups.unionByName(novel),
+          threshold = 0.9)
+        .select(col("vec_id").cast("long")).orderBy("vec_id")
+    },
+    Some("""SELECT CAST(vec_id + 300000 AS BIGINT) AS vec_id
+            FROM embeddings WHERE vec_id >= 100 AND vec_id < 150
+            ORDER BY vec_id"""))
 
   // ----------------------------------------------------------- similarity
 
@@ -356,8 +387,12 @@ object TextQueries {
     emb.unionByName(planted)
   }
 
+  /** Bump the version suffix whenever [[plantedAnnCorpus]] or the index
+    * build parameters change: /tmp persists across driver rounds, and a
+    * stale index built from an older planting scheme would silently
+    * break the exact oracles. */
   private def annIndexDir(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_annplant_" +
+    s"${System.getProperty("java.io.tmpdir")}/graft_annplant_v1_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Shared DuckDB fragment: expected top-10 ids for query vector 0
@@ -557,7 +592,8 @@ object TextQueries {
     q_text_token_stats, q_text_token_budget, q_text_quality,
     q_text_langid, q_text_fingerprint, q_corpus_clean, q_decontaminate,
     q_dedup_exact, q_dedup_minhash_lsh, q_dedup_ngram_block,
-    q_dedup_incremental, q_dedup_simhash, q_dedup_winnow,
+    q_dedup_incremental, q_dedup_embed_incremental, q_dedup_simhash,
+    q_dedup_winnow,
     q_dedup_embedding, q_embed_topk_bruteforce, q_embed_knn_lsh,
     q_embed_ivf_topk, q_embed_ivf_batch, q_embed_pq_topk,
     q_embed_ivfpq_topk, q_dedup_semantic, q_multimodal_features,

@@ -385,6 +385,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental EMBEDDING dedup: rows of `batch` whose vector has no
+    * cosine-near-duplicate in `corpus` — the vector-space twin of
+    * [[dedupAgainstCorpus]] (SemDeDup applied at ingestion time, so a
+    * paraphrased re-crawl never enters the corpus). Same
+    * candidates-then-verify shape as [[embeddingNearDupPairs]], but
+    * cross-corpus: multi-probe hyperplane buckets join batch ids to
+    * corpus ids (ids + 8-byte buckets only — vectors stay out of the
+    * candidate shuffle), one cosine verify per candidate pair, then a
+    * left-anti on the (tiny) matched-id set. At 100 TB the corpus side
+    * of the bucket join is a pre-computable signature table. */
+  def embeddingDedupAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+      dim: Int = 64, planes: Int = 12, probes: Int = 4,
+      threshold: Double = 0.95, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    def probed(df: DataFrame, side: String) =
+      (0 until probes).map { p =>
+        df.select(col(idCol).as(side),
+          Similarity.hyperplaneSignature(col(vecCol), dim, planes,
+            seed = 42L + p).as("bucket"))
+          .withColumn("probe", lit(p))
+      }.reduce(_ unionByName _)
+    val cand = probed(batch, "id_new")
+      .join(probed(corpus, "id_old"), Seq("probe", "bucket"))
+      .select("id_new", "id_old")
+      .repartition(par, col("id_new"), col("id_old"))
+      .dropDuplicates("id_new", "id_old")
+    val dupIds = cand
+      .join(batch.select(col(idCol).as("id_new"), col(vecCol).as("v_n")),
+        Seq("id_new"))
+      .join(corpus.select(col(idCol).as("id_old"), col(vecCol).as("v_o")),
+        Seq("id_old"))
+      .filter(cosineSimilarity(col("v_n"), col("v_o")) >= threshold)
+      .select(col("id_new").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Incremental ingestion dedup: the rows of `batch` that survive
     * against the existing corpus — exact copies go by fingerprint
     * anti-join (16-byte keys), near-dups by

@@ -167,6 +167,32 @@ object StreamOps {
         "left_anti")
       .drop("__fp")
 
+  /** Streaming EMBEDDING dedup against a static corpus: each
+    * micro-batch of arriving vectors is cut down to the rows with no
+    * cosine-near-duplicate in `corpus`
+    * ([[graft.operators.Dedup.embeddingDedupAgainstCorpus]]) and handed
+    * to `sink`. foreachBatch rather than a stream-static join because
+    * the candidates-then-verify plan (multi-probe LSH bucket join +
+    * cosine verify + anti-join) is a multi-pass batch plan per
+    * micro-batch — the same reason the reference lands streams in
+    * micro-batched table loads before heavy joins. The corpus is
+    * re-resolved per batch, so a corpus refresh is picked up without
+    * restarting the query. */
+  def streamEmbeddingDedupSink(stream: DataFrame, corpus: DataFrame,
+      checkpoint: String, threshold: Double = 0.95,
+      vecCol: String = "embedding", idCol: String = "vec_id")(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.embeddingDedupAgainstCorpus(
+          corpus, batch, threshold = threshold, vecCol = vecCol,
+          idCol = idCol))
+        ()
+      }
+      .start()
+
   /** Stream-stream inner join on a key plus an EVENT-TIME interval:
     * right rows within `[leftTs, leftTs + window]` of a matching left
     * row (the ad impression→click attribution shape). Both sides carry

@@ -39,6 +39,56 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     })
   }
 
+  test("mergeInto algebraic laws: empty source is identity; " +
+      "update+insert reconstructs the reference merge on random data") {
+    check(forAll(rowsGen, rowsGen) { (rt, rs) =>
+      // unique keys per side (ANSI MERGE requires unique source match)
+      val tRows = rt.distinctBy(_._1)
+      val sRows = rs.distinctBy(_._1)
+      val t = tRows.toDF("k", "s", "v")
+      val s = sRows.toDF("k", "s", "v")
+      val merged = graft.operators.Warehouse.mergeInto(t, s, Seq("k"),
+          whenMatchedUpdate = Map("v" -> col("s.v")))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val sMap = sRows.map(r => r._1 -> r).toMap
+      val tKeys = tRows.map(_._1).toSet
+      val expected =
+        tRows.map(r => sMap.get(r._1)
+          .map(sr => (r._1, r._2, sr._3)).getOrElse(r)).toSet ++
+        sRows.filterNot(r => tKeys(r._1)).toSet
+      val emptyIdentity = tRows.isEmpty || {
+        val e = graft.operators.Warehouse.mergeInto(t,
+          s.filter(lit(false)), Seq("k"),
+          whenMatchedUpdate = Map("v" -> col("s.v")))
+        e.count() == tRows.size
+      }
+      merged == expected && emptyIdentity
+    })
+  }
+
+  test("sortedPercentiles matches built-in percentile on random data") {
+    val valsGen: Gen[List[(String, Double)]] =
+      Gen.nonEmptyListOf(for {
+        g <- Gen.oneOf("x", "y")
+        v <- Gen.chooseNum(-1000, 1000)
+      } yield (g, v.toDouble))
+    check(forAll(valsGen) { rows =>
+      val df = rows.toDF("g", "v")
+      val sorted = Relational.sortedPercentiles(df, Seq("g"), "v",
+          Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      val builtin = df.groupBy("g").agg(
+          expr("percentile(v, 0.25)").as("p25"),
+          expr("percentile(v, 0.5)").as("p50"),
+          expr("percentile(v, 0.75)").as("p75"))
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      sorted == builtin
+    })
+  }
+
   test("union-all row counts are additive; union-distinct bounded") {
     check(forAll(rowsGen, rowsGen) { (ra, rb) =>
       val a = ra.toDF("k", "s", "v")

@@ -91,6 +91,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding dedup: vectors near a corpus vector are " +
+      "dropped per micro-batch, novel vectors pass") {
+    implicit val ctx = spark.sqlContext
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextGaussian().toFloat)
+    }
+    val corpus = Seq((100L, vec(1)), (101L, vec(2)))
+      .toDF("vec_id", "embedding")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamOps.streamEmbeddingDedupSink(
+      in.toDF().toDF("vec_id", "embedding"), corpus,
+      checkpoint = tmpDir("sed_ckpt"), threshold = 0.95) { survivors =>
+      kept.synchronized {
+        kept ++= survivors.select("vec_id").collect().map(_.getLong(0))
+      }
+    }
+    try {
+      in.addData(
+        (1L, vec(1).map(x => x + 0.001f)), // near-dup of corpus 100
+        (2L, vec(9)),                      // novel
+        (3L, vec(2).map(x => x + 0.001f))) // near-dup of corpus 101
+      q.processAllAvailable()
+      in.addData((4L, vec(10)))            // novel, second batch
+      q.processAllAvailable()
+      assert(kept.sorted == Seq(2L, 4L), kept.sorted.mkString(","))
+    } finally q.stop()
+  }
+
   test("T5: drift filter keeps business-date rows from widened partitions") {
     val rows = Seq(
       ("2024-01-01", t("2024-01-01 23:59:58")), // correct partition
