@@ -519,9 +519,10 @@ object TextQueries {
     * keeps the min id of each dup pair, planted ids are all
     * originals+100000, and no original pair clears the 0.99 cosine
     * threshold (background max ~0.46) — so the oracle states it
-    * exactly: every original id, no planted id. (A planted dup is only
-    * caught if k-means puts it in its original's cluster; at cosine
-    * 0.999 that always holds.) */
+    * exactly: every original id, no planted id. Soft top-2 cluster
+    * assignment makes the catch deterministic even when a planted
+    * pair straddles a k-means cell boundary (which a hard-assignment
+    * run hit at sf0.1). */
   val q_dedup_semantic = QuerySpec(
     "q_dedup_semantic", Seq("E-dedup", "E-sim"),
     (s, d) => {

@@ -459,7 +459,11 @@ object Dedup {
     *     at ~maxClusterSize — per-bucket pair work stays
     *     ~maxClusterSize² however skewed the k-means assignment is,
     *     while true near-dups survive the split w.p. (1-θ/π)^bits ≈ 1
-    *     at dedup-grade thresholds.
+    *     at dedup-grade thresholds;
+    *  4. assignment is SOFT (top-`assignProbes` cells per vector, see
+    *     [[Similarity.assignNearestK]]): hard assignment misses
+    *     near-dup pairs that straddle a Voronoi boundary — observed
+    *     live at sf0.1 before the fix.
     * The cluster exchange is an explicit-width repartition so AQE
     * can't serialize the cosine verify.
     *
@@ -468,8 +472,8 @@ object Dedup {
   def semanticDedup(embeddings: DataFrame, nClusters: Int = -1,
       threshold: Double = 0.95, iters: Int = 3,
       sampleFraction: Double = 1.0, dim: Int = 64,
-      maxClusterSize: Int = 4096, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      maxClusterSize: Int = 4096, assignProbes: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val par = embeddings.sparkSession.sparkContext.defaultParallelism
     val vecs = embeddings.select(col(idCol).as("id"),
       Similarity.normalized(col(vecCol)).as("nv"))
@@ -502,7 +506,15 @@ object Dedup {
       else math.max(32L, math.min(65536L, reps.count() / 4096L + 1L)).toInt
     val centroids = Similarity.kmeansCentroids(reps, k, iters,
       sampleFraction)
-    val assigned0 = Similarity.assignNearest(reps, centroids)
+    // soft (top-assignProbes) assignment closes the Voronoi-boundary
+    // blind spot: a near-identical pair straddling a cell boundary
+    // would never meet under hard assignment; with top-2 cells per
+    // vector the pair shares the runner-up cell. Candidate volume
+    // scales by assignProbes (pairs still dedupe via the distinct on
+    // drop ids).
+    val assigned0 =
+      if (assignProbes <= 1) Similarity.assignNearest(reps, centroids)
+      else Similarity.assignNearestK(reps, centroids, assignProbes)
 
     // 3. re-split oversized clusters (see [[resplitOversized]])
     val assigned = resplitOversized(assigned0, maxClusterSize, dim)

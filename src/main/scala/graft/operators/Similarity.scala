@@ -201,6 +201,30 @@ object Similarity {
     vecs.withColumn("bucket", best.getField("bucket"))
   }
 
+  /** SOFT assignment: each vector gets its `k` nearest centroids (one
+    * output row per (vector, bucket)). Single (hard) assignment has a
+    * Voronoi-boundary blind spot: two near-identical vectors sitting
+    * on a cell boundary can land in different cells, so a
+    * within-cluster pass never compares them. With top-2 assignment a
+    * boundary pair shares the runner-up cell — this is what makes
+    * semanticDedup's planted-dup contract deterministic. Shape:
+    * vectors × broadcast centroid table reduced by the
+    * [[graft.plans.TopKPerGroup]] whole-operator plan (partial heaps,
+    * one id-keyed exchange of ≤ k rows per vector) — same machinery
+    * as [[ivfProbeBatch]]'s bucket selection. */
+  private[operators] def assignNearestK(vecs: DataFrame,
+      centroids: DataFrame, k: Int): DataFrame = {
+    val cents = broadcast(centroids.select("bucket", "centroid"))
+    val scored = vecs.crossJoin(cents)
+      .select(col("id"), col("nv"), col("bucket"),
+        graft.functions.VectorSim.dot(col("nv"), col("centroid"))
+          .as("__sim"))
+    graft.plans.TopKPerGroup.topKPerGroup(scored,
+        keys = Seq(col("id")),
+        order = Seq(desc("__sim"), asc("bucket")), k = k)
+      .select("id", "nv", "bucket")
+  }
+
   /** Unit-normalized double view of a vector (zero vectors pass
     * through unscaled) — native one-pass kernel; the lambda form
     * re-evaluated the norm per element after projection collapse. */
