@@ -242,22 +242,50 @@ object Dedup {
     *
     * Because the verifier is exact, the OUTPUT is engine-independent
     * (all pairs with jaccard >= threshold) as long as the blocker's
-    * recall holds — guaranteed here by banding with
-    * `nBands = maxHamming + 1` (pigeonhole: any pair within the
-    * Hamming radius shares a clean band) PROVIDED truly-similar pairs
-    * sit within the radius (short documents drift furthest: one token
-    * edit in a 12-token doc flips ~5-8 of 64 bits). This is what makes
-    * the query DuckDB-oracle-checkable where raw fingerprint pairs
-    * ([[simHashPairs]]) are not. */
+    * recall holds. Two blockers make that robust:
+    *  - LONG documents ride SimHash banding with
+    *    `nBands = maxHamming + 1` (pigeonhole: any pair within the
+    *    Hamming radius shares a clean band); their flip counts
+    *    concentrate well inside the radius.
+    *  - SHORT documents (< `shortDocTokens` tokens) additionally block
+    *    via MinHash banding among themselves: a single token edit in a
+    *    12-token doc flips 5-13 of 64 SimHash bits (measured on the
+    *    testdata), so no fixed Hamming radius is reliable there, while
+    *    MinHash band recall at jaccard >= 0.8 is ~1-1e-5 and
+    *    length-independent.
+    * This hybrid is what makes the query DuckDB-oracle-checkable where
+    * raw fingerprint pairs ([[simHashPairs]]) are not — and it is the
+    * production blocking design: SimHash is the cheap 8-byte blocker
+    * for the corpus bulk, the fallback only pays MinHash cost on the
+    * (small) short-doc slice. */
   def simHashNearDupPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 8,
-      shingleSize: Int = 2, threshold: Double = 0.8): DataFrame = {
-    val cand = simHashPairs(docs, textCol, idCol, maxHamming,
+      shingleSize: Int = 2, threshold: Double = 0.8,
+      shortDocTokens: Int = 64): DataFrame = {
+    val simCand = simHashPairs(docs, textCol, idCol, maxHamming,
         nBands = maxHamming + 1)
+      .select("id_a", "id_b")
+    val numHashes = 48
+    val bands = 16
+    val rows = numHashes / bands
+    val banded = docs
+      .filter(size(wordTokens(col(textCol))) < shortDocTokens)
+      .select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val shortCand = banded
+      .select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val shingleTable = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("sh"))
-    verifyPairs(cand, shingleTable, threshold)
+    verifyPairs(simCand.unionByName(shortCand), shingleTable, threshold)
   }
 
   /** Connected components over near-dup pairs — the step that turns

@@ -104,32 +104,36 @@ object Warehouse {
     * unlisted columns keep the target value. `whenMatchedDelete` (also
     * over `t`/`s`) removes matching rows instead of updating them.
     * Source keys must be unique (ANSI MERGE errors on double-match;
-    * here the duplicate would fan out).
+    * here the duplicate would fan out). Null keys never match (ANSI
+    * `ON t.k = s.k` semantics).
     *
-    * Scale shape: ONE equi-join shuffle on the merge keys plus two
-    * anti-joins that reuse the same hash partitioning; nothing
-    * driver-side, no row-level RMW — at 100 TB this is the same cost
-    * as the join the user already pays for the update set. */
+    * Scale shape: ONE full-outer equi-join shuffle on the merge keys
+    * carries all three branches — matched rows update (or drop on the
+    * delete condition), target-only rows pass through, source-only
+    * rows insert — decided per-row with presence markers, so the
+    * target is scanned and shuffled exactly once (a branch-per-join
+    * formulation re-shuffles it per branch); nothing driver-side, no
+    * row-level RMW. At 100 TB this is the same cost as the join the
+    * user already pays for the update set. */
   def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
       whenMatchedUpdate: Map[String, Column],
       whenNotMatchedInsert: Boolean = true,
       whenMatchedDelete: Option[Column] = None): DataFrame = {
     val cols = target.columns
-    val t = target.alias("t")
-    val s = source.alias("s")
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val matched0 = t.join(s, cond, "inner")
-    val matched = whenMatchedDelete
-      .map(d => matched0.filter(!coalesce(d, lit(false))))
-      .getOrElse(matched0)
+    val t = target.withColumn("__t", lit(true)).alias("t")
+    val s = source.withColumn("__s", lit(true)).alias("s")
+    val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
+    val deleted = whenMatchedDelete
+      .map(d => matched && coalesce(d, lit(false)))
+      .getOrElse(lit(false))
+    t.join(s, cond, "full_outer")
+      .filter(!deleted)
+      .filter(col("t.__t").isNotNull || lit(whenNotMatchedInsert))
       .select(cols.map(c =>
-        whenMatchedUpdate.getOrElse(c, col(s"t.$c")).as(c)): _*)
-    val untouched = t.join(s, cond, "left_anti")
-      .select(cols.map(col): _*)
-    val base = untouched.unionByName(matched)
-    if (!whenNotMatchedInsert) base
-    else base.unionByName(
-      s.join(t, cond, "left_anti").select(cols.map(col): _*))
+        when(matched, whenMatchedUpdate.getOrElse(c, col(s"t.$c")))
+          .otherwise(when(col("t.__t").isNotNull, col(s"t.$c"))
+            .otherwise(col(s"s.$c"))).as(c)): _*)
   }
 
   /** Partition-level MERGE into a partitioned parquet table: the

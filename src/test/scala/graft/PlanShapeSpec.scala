@@ -396,6 +396,19 @@ class PlanShapeSpec extends SparkSuite {
       s"plan string is ${plan.length} chars — sketch leaked into the plan?")
   }
 
+  test("mergeInto: all three MERGE branches ride ONE join (target " +
+      "shuffles once)") {
+    val t = Engine.table(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("tp"))
+    val s = t.filter(col("k") % 10 === 0)
+      .select(col("k"), (col("tp") * 2).as("tp"))
+    val plan = executedPlan(graft.operators.Warehouse.mergeInto(
+      t, s, Seq("k"), whenMatchedUpdate = Map("tp" -> col("s.tp"))))
+      .split("== Initial Plan ==")(0)
+    assert("Join".r.findAllIn(plan).size == 1,
+      s"expected exactly one join (full-outer carries all branches):\n$plan")
+  }
+
   test("BM25 keeps df/corpus stats broadcast; no cartesian product") {
     val plan = executedPlan(graft.operators.TextOps.bm25TopK(
       Engine.table(spark, sf, "documents"),
