@@ -46,6 +46,36 @@ class EdgeCaseSpec extends SparkSuite {
     assert(Similarity.lshKnnJoin(empty, k = 3, dim = 2).count() == 0)
   }
 
+  test("sortedPercentiles: all-null group dropped, empty input empty, " +
+      "null values excluded") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), // null excluded from a's quantiles
+      ("b", None)  // all-null group: dropped entirely
+    ).toDF("g", "v")
+    val out = Relational.sortedPercentiles(df, Seq("g"), "v",
+      Seq(0.5 -> "p50")).collect()
+    assert(out.length == 1 && out(0).getString(0) == "a" &&
+      out(0).getDouble(1) == 2.0, out.mkString(","))
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Relational.sortedPercentiles(empty, Seq("g"), "v",
+      Seq(0.5 -> "p50")).count() == 0)
+  }
+
+  test("mergeInto: null keys never match (ANSI ON semantics) — " +
+      "null-key target rows pass through, null-key source rows insert") {
+    val t = Seq((Option(1L), 10.0), (Option.empty[Long], 20.0))
+      .toDF("k", "v")
+    val s = Seq((Option(1L), 99.0), (Option.empty[Long], 77.0))
+      .toDF("k", "v")
+    val out = graft.operators.Warehouse.mergeInto(t, s, Seq("k"),
+        whenMatchedUpdate = Map("v" -> col("s.v")))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getDouble(1))).toSet
+    // key 1 updates; BOTH null-key rows survive independently (no match)
+    assert(out == Set((Some(1L), 99.0), (None, 20.0), (None, 77.0)), out)
+  }
+
   test("asof/range joins on empty sides behave") {
     val l = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
       .toDF("id", "k", "ts")
