@@ -363,6 +363,21 @@ object ExtQueries {
     },
     Some("SELECT * FROM nation ORDER BY n_nationkey"))
 
+  /** S6: ORC warehouse-format roundtrip (Spark's built-in ORC
+    * datasource — the reference's Hive warehouse commonly stores ORC
+    * alongside parquet/text). Types survive exactly, so the oracle is
+    * the original table. */
+  val q_orc_roundtrip = QuerySpec(
+    "q_orc_roundtrip", Seq("S6"),
+    (s, d) => {
+      val sup = Engine.table(s, d, "supplier")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      sup.write.mode("overwrite").orc(dir)
+      s.read.orc(dir).orderBy("s_suppkey")
+    },
+    Some("SELECT * FROM supplier ORDER BY s_suppkey"))
+
   /** S6: JSON lake ingestion roundtrip. */
   val q_json_roundtrip = QuerySpec(
     "q_json_roundtrip", Seq("S6", "F11"),
@@ -678,7 +693,8 @@ object ExtQueries {
     q_union_fusion_rule,
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
-    q_csv_roundtrip, q_json_roundtrip, q_topk_per_group, q_asof_join,
+    q_csv_roundtrip, q_json_roundtrip, q_orc_roundtrip,
+    q_topk_per_group, q_asof_join,
     q_range_join, q_bigwhere_join, q_bloom_prefilter_join,
     q_window_analytic, q_collect_agg, q_collection_funcs,
     q_string_funcs2, q_approx_topk, q_merge_upsert)
