@@ -143,7 +143,7 @@ object Similarity {
     * partial-aggregated means. Returns a CACHED (bucket, centroid)
     * frame — callers unpersist when done. Shared by the IVF index build
     * and [[Dedup.semanticDedup]]. */
-  private[operators] def kmeansCentroids(train0: DataFrame,
+  private[graft] def kmeansCentroids(train0: DataFrame,
       nCentroids: Int, iters: Int,
       sampleFraction: Double = 1.0): DataFrame = {
     val train = (if (sampleFraction < 1.0)
@@ -179,26 +179,33 @@ object Similarity {
     centroids
   }
 
-  /** Argmax-cosine assignment as a PURE MAP: the centroid table is tiny
-    * by construction (nCentroids rows), so it collects to the driver
-    * and rides into one fused projection — `greatest` over
-    * (similarity, bucket) structs picks the nearest bucket per row with
-    * no crossJoin, no shuffle, and no group-by-array-key. (The previous
-    * crossJoin+groupBy form shuffled |vecs| × nCentroids rows and
-    * hashed the 512-byte vector as a grouping key.) Exact ties take the
-    * higher bucket — deterministic, and measure-zero on real data. */
-  private[operators] def assignNearest(vecs: DataFrame,
-      centroids: DataFrame): DataFrame = {
+  /** Collect the (small-by-construction) centroid table and ship it as
+    * ONE torrent broadcast for the [[graft.functions.CentroidTopK]]
+    * kernel. The collect is bounded: nCentroids ≤ 65,536 at dim 64 is
+    * 32 MiB — the same order as any broadcast-join build side. */
+  private def broadcastCentroids(vecs: DataFrame, centroids: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[
+        graft.functions.CentroidTopK.Centroids] = {
     val cents = centroids.select("bucket", "centroid").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(cents.nonEmpty, "assignNearest: empty centroid table")
-    val scored = cents.map { case (b, c) =>
-      struct(graft.functions.VectorSim.dot(col("nv"), lit(c)).as("sim"),
-        lit(b).as("bucket"))
-    }
-    val best = if (scored.length == 1) scored.head
-      else greatest(scored: _*)
-    vecs.withColumn("bucket", best.getField("bucket"))
+    vecs.sparkSession.sparkContext.broadcast(
+      graft.functions.CentroidTopK.centroids(cents))
+  }
+
+  /** Argmax-cosine assignment as a PURE MAP: one fused
+    * [[graft.functions.CentroidTopK]] kernel pass per row against the
+    * BROADCAST centroid matrix — no crossJoin, no shuffle, and O(1)
+    * plan size in nCentroids. (The previous `greatest()`-over-structs
+    * form inlined every centroid as a plan Literal: fine at k≈25,
+    * a multi-hundred-MB plan + codegen bomb at semanticDedup's derived
+    * k ≤ 65,536.) Exact dot ties take the lower bucket —
+    * deterministic, and measure-zero on real data. */
+  private[graft] def assignNearest(vecs: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val bc = broadcastCentroids(vecs, centroids)
+    vecs.withColumn("bucket", element_at(
+      graft.functions.CentroidTopK.centroidTopK(bc, col("nv"), 1), 1))
   }
 
   /** SOFT assignment: each vector gets its `k` nearest centroids (one
@@ -207,28 +214,24 @@ object Similarity {
     * on a cell boundary can land in different cells, so a
     * within-cluster pass never compares them. With top-2 assignment a
     * boundary pair shares the runner-up cell — this is what makes
-    * semanticDedup's planted-dup contract deterministic. Shape:
-    * vectors × broadcast centroid table reduced by the
-    * [[graft.plans.TopKPerGroup]] whole-operator plan (partial heaps,
-    * one id-keyed exchange of ≤ k rows per vector) — same machinery
-    * as [[ivfProbeBatch]]'s bucket selection. */
-  private[operators] def assignNearestK(vecs: DataFrame,
+    * semanticDedup's planted-dup contract deterministic. Shape: the
+    * same broadcast [[graft.functions.CentroidTopK]] kernel returning
+    * the top-k buckets as an array, exploded to k rows per vector —
+    * map-only; the previous crossJoin+TopKPerGroup form expanded every
+    * row nCentroids-fold before reducing, which at derived k is a
+    * |vecs|·65,536 row blow-up. */
+  private[graft] def assignNearestK(vecs: DataFrame,
       centroids: DataFrame, k: Int): DataFrame = {
-    val cents = broadcast(centroids.select("bucket", "centroid"))
-    val scored = vecs.crossJoin(cents)
-      .select(col("id"), col("nv"), col("bucket"),
-        graft.functions.VectorSim.dot(col("nv"), col("centroid"))
-          .as("__sim"))
-    graft.plans.TopKPerGroup.topKPerGroup(scored,
-        keys = Seq(col("id")),
-        order = Seq(desc("__sim"), asc("bucket")), k = k)
+    val bc = broadcastCentroids(vecs, centroids)
+    vecs.withColumn("bucket", explode(
+        graft.functions.CentroidTopK.centroidTopK(bc, col("nv"), k)))
       .select("id", "nv", "bucket")
   }
 
   /** Unit-normalized double view of a vector (zero vectors pass
     * through unscaled) — native one-pass kernel; the lambda form
     * re-evaluated the norm per element after projection collapse. */
-  private[operators] def normalized(vec: Column): Column =
+  private[graft] def normalized(vec: Column): Column =
     graft.functions.UnitNorm.unitNorm(vec)
 
   /** IVF probe: read the persisted index, pick the `nprobe` buckets whose
