@@ -79,6 +79,24 @@ object Dedup {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** MinHash band rows for a shingle table: (id, band, bh) where `bh`
+    * is a 32-bit hash of `numHashes/bands` consecutive signature
+    * minhashes. The band KEY SPACE is 2^32 regardless of banding
+    * parameters — bucket occupancy is driven by real similarity
+    * structure, not key width, which is what makes MinHash banding the
+    * scale-safe blocker (SimHash band keys narrow as the radius grows;
+    * see [[simHashNearDupPairs]]). */
+  private[graft] def minHashBands(shingleTable: DataFrame,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    shingleTable
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
   /** MinHash+LSH near-dup pairs: signature → band hashes → self-join on
     * (band, bandHash) carrying ONLY (id, band, bandHash) — the shingle
     * arrays stay out of the banded shuffle — then `distinct` collapses
@@ -89,15 +107,9 @@ object Dedup {
       idCol: String = "doc_id", shingleSize: Int = 2,
       numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
     val shingleTable = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("sh"))
-    val banded = shingleTable
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val banded = minHashBands(shingleTable, numHashes, bands)
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "bh"))
@@ -115,20 +127,50 @@ object Dedup {
     * prefix shingle (+ block key) — 100% recall, so results are
     * identical to the all-pairs form, but the join buckets are rare
     * shingles instead of whole blocks: no O(block²) pair explosion, and
-    * a hot block at 100 TB stays near-linear. */
+    * a hot block at 100 TB stays near-linear.
+    *
+    * PARAMETER SCALING RULE (measured, see SCALE.md): candidate volume
+    * is governed by prefix-shingle document frequency. On a
+    * small-vocabulary corpus bigram prefixes are hot and candidates
+    * grow superlinearly (measured exponent 2.7 on the synthetic
+    * testdata, where the TRUE answer is ~1 pair) — at production scale
+    * run (a) `shingleSize >= 3` (rarer prefixes: sf0.1 candidates drop
+    * 219,865 → 88, exponent 2.73 → 0.83, measured), (b) `threshold >=
+    * 0.7` (prefix length and the
+    * position filter both tighten with t), and (c) a real blocking key
+    * (lang × length-band × domain, 10³-10⁵ values — `source` here has
+    * 5). For corpus-wide low-threshold dedup without a caller-owned
+    * block key, [[minHashLshPairs]] is the right operator. */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String,
       textCol: String = "text", idCol: String = "doc_id",
       shingleSize: Int = 2, threshold: Double = 0.5): DataFrame = {
     val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("sh"))
+    verifyPairs(ngramCandidates(base, threshold),
+      base.select(col("id"), col("sh")), threshold)
+  }
+
+  /** Candidate stage of [[ngramJaccardPairs]] (prefix filter + PPJoin
+    * size/position pruning), exposed for the scale probe
+    * ([[graft.ScaleProbe]]): candidate growth vs corpus growth is the
+    * empirical subquadraticity evidence. Input schema (blk, id, sh). */
+  private[graft] def ngramCandidates(base: DataFrame,
+      threshold: Double): DataFrame = {
+    val docs = base
     val toks = base.select(col("blk"), col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("tok"))
     val prefixLen = col("sz") - ceil(col("sz") * threshold) + 1
-    // document frequency as a window count (one shuffle, no join), then
-    // keep each document's rarest-first prefix
+    // document frequency via groupBy (map-side partial aggregation) and
+    // a join back — NOT a count-over-window: a window partitioned on
+    // (blk, tok) funnels every occurrence of a Zipfian hot token into
+    // ONE task with no partial combine (straggler/OOM at corpus scale),
+    // while the partial-agg count never materializes a hot key's rows
+    // together and the many-to-one join back is AQE-skew-splittable
+    // (and broadcastable when the df table is small)
+    val dfreq = toks.groupBy("blk", "tok")
+      .agg(count(lit(1)).as("df"))
     val prefix = toks
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy("blk", "tok")))
+      .join(dfreq, Seq("blk", "tok"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("blk", "id").orderBy(col("df"), col("tok"))))
       .filter(col("rn") <= prefixLen)
@@ -157,7 +199,7 @@ object Dedup {
       .filter(least(col("sz_a") - col("p_a"), col("sz_b") - col("p_b")) +
         1 >= oMin)
       .select("id_a", "id_b")
-    verifyPairs(cand, base.select(col("id"), col("sh")), threshold)
+    cand
   }
 
   /** Partial-overlap pairs via winnowed fingerprints: documents sharing
@@ -233,59 +275,77 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** SimHash-BLOCKED exact near-dup pairs: [[simHashPairs]] generates
-    * the candidates (banded 64-bit fingerprints, Hamming gate), then
-    * each candidate is verified with exact shingle Jaccard — the same
-    * candidates-then-verify production shape as [[minHashLshPairs]],
-    * with SimHash as the cheaper blocker (8-byte fingerprint vs a
-    * 32-hash signature).
-    *
+  /** SimHash-BLOCKED exact near-dup pairs: a cheap blocker generates
+    * candidates, exact shingle Jaccard verifies each one — the same
+    * candidates-then-verify production shape as [[minHashLshPairs]].
     * Because the verifier is exact, the OUTPUT is engine-independent
     * (all pairs with jaccard >= threshold) as long as the blocker's
-    * recall holds. Two blockers make that robust:
-    *  - LONG documents ride SimHash banding with
-    *    `nBands = maxHamming + 1` (pigeonhole: any pair within the
-    *    Hamming radius shares a clean band); their flip counts
-    *    concentrate well inside the radius.
-    *  - SHORT documents (< `shortDocTokens` tokens) additionally block
-    *    via MinHash banding among themselves: a single token edit in a
-    *    12-token doc flips 5-13 of 64 SimHash bits (measured on the
-    *    testdata), so no fixed Hamming radius is reliable there, while
-    *    MinHash band recall at jaccard >= 0.8 is ~1-1e-5 and
-    *    length-independent.
-    * This hybrid is what makes the query DuckDB-oracle-checkable where
-    * raw fingerprint pairs ([[simHashPairs]]) are not — and it is the
-    * production blocking design: SimHash is the cheap 8-byte blocker
-    * for the corpus bulk, the fallback only pays MinHash cost on the
-    * (small) short-doc slice. */
+    * recall holds.
+    *
+    * Blocker selection is radius-dependent, because SimHash banding's
+    * key space is `64/(maxHamming+1)` bits — it NARROWS as the radius
+    * grows, and bucket occupancy ~N/2^width goes quadratic at corpus
+    * scale once the width drops below ~12 bits:
+    *  - `maxHamming <= 4` (the SimHash safe envelope — 5+ bands of
+    *    >= 12 bits): SimHash banding with `nBands = maxHamming + 1` is
+    *    the primary blocker (pigeonhole: any pair within the radius
+    *    shares a clean band). SHORT documents (< `shortDocTokens`
+    *    tokens) additionally block via MinHash bands against the FULL
+    *    corpus — a single token edit in a 12-token doc flips 5-13 of
+    *    64 SimHash bits (measured on the testdata), so no fixed radius
+    *    is reliable there; banding short docs against everything (not
+    *    just among themselves) also covers pairs straddling the length
+    *    boundary, where the under-threshold side has the unreliable
+    *    fingerprint.
+    *  - `maxHamming > 4`: MinHash banding over ALL documents is the
+    *    primary blocker — at Hamming 8 the 9 SimHash bands are 7 bits
+    *    (key cardinality 128, bucket size N/128 → an effectively
+    *    quadratic self-join at 100x data), while MinHash band keys are
+    *    32-bit hashes whose bucket occupancy tracks true similarity
+    *    structure, with length-independent recall ~1-1e-5 at
+    *    jaccard >= 0.8 (48 hashes, 16 bands of 3).
+    * Raw fingerprint pairs within an explicit Hamming radius remain
+    * available via [[simHashPairs]] (ScalaTest-pinned), which documents
+    * the same envelope. */
   def simHashNearDupPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 8,
       shingleSize: Int = 2, threshold: Double = 0.8,
       shortDocTokens: Int = 64): DataFrame = {
-    val simCand = simHashPairs(docs, textCol, idCol, maxHamming,
-        nBands = maxHamming + 1)
-      .select("id_a", "id_b")
     val numHashes = 48
     val bands = 16
-    val rows = numHashes / bands
-    val banded = docs
-      .filter(size(wordTokens(col(textCol))) < shortDocTokens)
-      .select(col(idCol).as("id"),
-        wordShingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val shortCand = banded
-      .select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
-        Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
     val shingleTable = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("sh"))
-    verifyPairs(simCand.unionByName(shortCand), shingleTable, threshold)
+    val cand =
+      if (maxHamming > 4) {
+        // beyond the SimHash envelope: length-independent MinHash
+        // banding over the whole corpus, 32-bit band keys
+        val banded = minHashBands(shingleTable, numHashes, bands)
+        banded.select(col("band"), col("bh"), col("id").as("id_a"))
+          .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
+            Seq("band", "bh"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+      } else {
+        val simCand = simHashPairs(docs, textCol, idCol, maxHamming,
+            nBands = maxHamming + 1)
+          .select("id_a", "id_b")
+        // short docs block against the FULL corpus's MinHash bands, so
+        // a (short, long) boundary pair still gets a guaranteed blocker
+        val allBands = minHashBands(shingleTable, numHashes, bands)
+        val shortIds = docs
+          .filter(size(wordTokens(col(textCol))) < shortDocTokens)
+          .select(col(idCol).as("id"))
+        val shortBands = allBands.join(shortIds, Seq("id"), "left_semi")
+        val shortCand = shortBands
+          .select(col("band"), col("bh"), col("id").as("id_s"))
+          .join(allBands.select(col("band"), col("bh"), col("id").as("id_o")),
+            Seq("band", "bh"))
+          .filter(col("id_s") =!= col("id_o"))
+          .select(least(col("id_s"), col("id_o")).as("id_a"),
+            greatest(col("id_s"), col("id_o")).as("id_b"))
+        simCand.unionByName(shortCand)
+      }
+    verifyPairs(cand, shingleTable, threshold)
   }
 
   /** Connected components over near-dup pairs — the step that turns
@@ -300,7 +360,11 @@ object Dedup {
     * Components in MapReduce and Beyond", SoCC 2014; label propagation
     * is their baseline, star-contraction the adversarial-diameter
     * upgrade). Near-dup graphs are unions of small dense clusters, so
-    * the diameter — and the iteration count — is tiny in practice.
+    * the diameter — and the iteration count — is tiny in practice;
+    * if an adversarial topology (a chain of crawl mirrors) exceeds
+    * `maxIter`, the computation FALLS BACK to
+    * [[starContractionComponents]] (O(log²n) rounds regardless of
+    * diameter) instead of aborting.
     *
     * Scale shape: each iteration is one equi-join edges⨝labels (both
     * sides hash-partitioned on the join key) + one groupBy(min) — all
@@ -352,11 +416,80 @@ object Dedup {
       labels = next
       iter += 1
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter iterations — " +
-        "component diameter exceeds the bound; raise maxIter or switch " +
-        "to star-contraction")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    if (!converged) starContractionComponents(pairs, idA, idB)
+    else labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    * al., SoCC 2014, "Two-Phase" algorithm): large-star hangs every
+    * higher-id neighbor of a node onto the node's minimum neighbor,
+    * small-star re-hangs the lower neighborhood; alternating the two
+    * contracts every component into a star rooted at its min id in
+    * O(log² n) rounds REGARDLESS of diameter — the upgrade path for
+    * chain-shaped dup graphs (crawl mirror chains) where label
+    * propagation's O(diameter) iteration count is the bottleneck.
+    *
+    * Scale shape per round: two groupBy(min) + join passes over the
+    * edge list, all keys 8-byte ids; edges are localCheckpoint'd per
+    * round so lineage stays O(1). Convergence = edge-set signature
+    * (count + order-independent hash sum) stable across a round. */
+  private[graft] def starContractionComponents(pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val par = pairs.sparkSession.sparkContext.defaultParallelism
+    var e = pairs
+      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(par, col("u"))
+      .localCheckpoint()
+    val nodes = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id")))
+      .distinct().localCheckpoint()
+
+    // large-star: per node u, attach every neighbor v > u to
+    // m(u) = min(neighborhood(u) ∪ {u})
+    def largeStar(edges: DataFrame): DataFrame = {
+      val bidir = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      bidir.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: direct edges downward (hi → lo); per node u, attach
+    // u and all its lower neighbors to their minimum
+    def smallStar(edges: DataFrame): DataFrame = {
+      val dir = edges.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy("u").agg(min("v").as("m"))
+      dir.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // order-independent multiset signature: stable signature across a
+    // full round == fixed point (stars only)
+    def sig(df: DataFrame): org.apache.spark.sql.Row =
+      df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+    var stable = false
+    var iter = 0
+    val hardCap = 64 // ~log²(n) rounds; 64 covers any conceivable corpus
+    while (!stable && iter < hardCap) {
+      val next = smallStar(largeStar(e))
+        .repartition(par, col("u")).localCheckpoint()
+      stable = sig(next) == sig(e)
+      e = next
+      iter += 1
+    }
+    require(stable, s"star contraction did not converge in $hardCap rounds")
+    nodes.join(e.select(col("u").as("id"), col("v").as("root")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
   /** Cluster-aware dedup: given documents and their near-dup pairs,
@@ -578,7 +711,7 @@ object Dedup {
     * vectors are unsplittable (equal signatures) and must be collapsed
     * BEFORE this step (semanticDedup step 1).
     * Input/output schema: (id, nv, bucket). */
-  private[operators] def resplitOversized(assigned: DataFrame,
+  private[graft] def resplitOversized(assigned: DataFrame,
       maxClusterSize: Int, dim: Int): DataFrame = {
     val sizes = assigned.groupBy("bucket")
       .agg(count(lit(1)).as("__sz"))

@@ -119,4 +119,111 @@ class DedupSpec extends SparkSuite {
       threshold = 0.8).count()
     assert(pairs > 0, "sf0.001 documents contain planted near-dups")
   }
+
+  test("connectedComponents: a 200-node chain (diameter >> maxIter) " +
+      "falls back to star contraction instead of aborting") {
+    val chain = (0 until 199).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200)
+    assert(labels.values.forall(_ == 0L),
+      s"chain must contract to min id 0: ${labels.toSeq.sortBy(_._1).take(5)}")
+  }
+
+  test("starContractionComponents agrees with label propagation on a " +
+      "random multi-component graph") {
+    val rng = new scala.util.Random(3)
+    // 20 blocks of 15 nodes with random intra-block edges — guaranteed
+    // small diameter so propagation converges, giving a trusted answer
+    val edges = (0 until 20).flatMap { b =>
+      val ids = (0 until 15).map(i => (b * 15 + i).toLong)
+      ids.tail.map(i => (ids(rng.nextInt(ids.length)), i))
+        .filter { case (a, c) => a != c }
+    }.toDF("id_a", "id_b")
+    val prop = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.starContractionComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop,
+      s"diff: ${(star.toSet diff prop.toSet).take(5)}")
+  }
+
+  /** Random unrelated docs: `n` documents of 30-80 tokens drawn from a
+    * 5000-word vocabulary — no near-dup structure, so any band-bucket
+    * fill is blocker overhead, not signal. */
+  private def randomCorpus(n: Int): org.apache.spark.sql.DataFrame = {
+    val rng = new scala.util.Random(1234)
+    val vocab = Array.tabulate(5000)(i => s"w$i")
+    (0 until n).map { i =>
+      val len = 30 + rng.nextInt(51)
+      (i.toLong, Array.fill(len)(vocab(rng.nextInt(vocab.length)))
+        .mkString(" "), "s0")
+    }.toDF("doc_id", "text", "source")
+  }
+
+  test("blocker bucket scaling: MinHash band buckets stay O(1) on a 4x " +
+      "corpus where radius-8 SimHash bands grow linearly") {
+    def maxMinhashBucket(n: Int): Long = {
+      val sh = randomCorpus(n).select(col("doc_id").as("id"),
+        Dedup.wordShingles(col("text"), 2).as("sh"))
+      Dedup.minHashBands(sh, numHashes = 48, bands = 16)
+        .groupBy("band", "bh").count()
+        .agg(max("count")).head().getLong(0)
+    }
+    val small = maxMinhashBucket(400)
+    val big = maxMinhashBucket(1600)
+    // MinHash band keys are 32-bit: unrelated docs essentially never
+    // collide, so the max bucket is a small constant independent of N
+    assert(small <= 4 && big <= 4,
+      s"minhash buckets filled on unrelated docs: $small -> $big")
+    // contrast: radius-8 SimHash banding has 9 bands of 7 bits — 128
+    // possible keys — so buckets MUST average n/128 (linear in corpus):
+    // this is the shape simHashNearDupPairs refuses to run at radius>4
+    val fp = randomCorpus(1600).select(
+      graft.functions.SimHash64.simhash64(
+        graft.functions.wordTokens(col("text"))).as("fp"))
+    val hot = fp.select(shiftrightunsigned(col("fp"), 0)
+        .bitwiseAND(lit(127L)).as("b0"))
+      .groupBy("b0").count().agg(max("count")).head().getLong(0)
+    assert(hot >= 1600 / 128,
+      s"7-bit band buckets should fill linearly, got $hot")
+  }
+
+  test("simHashNearDupPairs at radius>4 matches brute-force jaccard " +
+      "pairs (minhash-primary blocking, exact verify)") {
+    val real = Engine.table(spark, sf, "documents")
+    val got = Dedup.simHashNearDupPairs(real, maxHamming = 8,
+        threshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = real.select(col("doc_id").as("id"),
+      Dedup.wordShingles(col("text"), 2).as("sh"))
+    val want = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("boundary pair (one doc under shortDocTokens, one over) is " +
+      "blocked via short-vs-ALL minhash bands even when SimHash misses") {
+    // maxHamming = 0 makes the SimHash blocker catch only identical
+    // fingerprints, so this pair can ONLY arrive via the short-doc
+    // fallback — which must band short docs against the full corpus,
+    // not just among themselves (the 66-token doc is not "short")
+    val a = (1 to 63).map(i => s"tok$i").mkString(" ")             // 63 tokens
+    val b = a + " extra1 extra2 extra3"                            // 66 tokens
+    val pair = Seq((0L, a, "s0"), (1L, b, "s0"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.simHashNearDupPairs(pair, maxHamming = 0,
+        threshold = 0.5, shortDocTokens = 64)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)), s"boundary pair not blocked: $got")
+  }
 }

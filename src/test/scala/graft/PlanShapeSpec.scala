@@ -409,6 +409,28 @@ class PlanShapeSpec extends SparkSuite {
       s"expected exactly one join (full-outer carries all branches):\n$plan")
   }
 
+  test("ngramJaccardPairs: document frequency is a partial-aggregated " +
+      "groupBy, not a (blk, tok) window over the exploded tokens") {
+    val df = graft.operators.Dedup.ngramJaccardPairs(
+      Engine.table(spark, sf, "documents"), blockCol = "source",
+      threshold = 0.5)
+    val plan = df.queryExecution.sparkPlan.toString
+    // a count-over-Window partitioned on (blk, tok) funnels every
+    // occurrence of a Zipfian hot token into one task with no map-side
+    // combine — the straggler/OOM shape at corpus scale
+    assert(!"windowspecdefinition\\(blk#\\d+, tok#\\d+".r
+        .findFirstIn(plan).isDefined,
+      s"df must not be a (blk, tok) window:\n${plan.take(3000)}")
+    // the only window left is the per-document prefix rank (bounded
+    // partitions: one document's tokens)
+    assert("windowspecdefinition\\(blk#\\d+, id#\\d+".r
+        .findFirstIn(plan).isDefined,
+      s"per-document prefix rank window expected:\n${plan.take(3000)}")
+    // and the df aggregate is partial+final (map-side combine)
+    assert("partial_count".r.findFirstIn(plan).isDefined,
+      s"df groupBy must partial-aggregate:\n${plan.take(3000)}")
+  }
+
   test("BM25 keeps df/corpus stats broadcast; no cartesian product") {
     val plan = executedPlan(graft.operators.TextOps.bm25TopK(
       Engine.table(spark, sf, "documents"),
