@@ -262,21 +262,44 @@ object TextQueries {
                FROM s a JOIN s b ON a.doc_id < b.doc_id) p
              WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
 
-  /** Partial-overlap pairs via winnowed rolling-hash fingerprints —
-    * the ONE remaining rows-only query, deliberately: the output is
-    * defined by the engine-specific fingerprint family plus the
-    * `maxDf` stop-fingerprint cap, and the cap is load-bearing at
-    * scale (dropping it to make the result hash-family-independent —
-    * the simhash-verify trick — explodes candidates on boilerplate-
-    * heavy corpora: on this synthetic small-vocab testdata, "pairs
-    * sharing an 11-char run" is nearly ALL pairs). Semantics are
-    * pinned in TextOpsSpec incl. the winnowing shared-run guarantee. */
+  /** Partial-overlap pairs via winnowed rolling-hash fingerprints,
+    * with a PLANTED ground truth that makes the output
+    * engine-independent (the trick that cracked the other ANN/dedup
+    * oracles): raw fingerprint pairs over the raw small-vocab testdata
+    * are hash-family-specific ("pairs sharing an 11-char run" is
+    * nearly ALL pairs there), so instead each document is rewritten to
+    * a doc-unique 70-char string (id + md5(id, text) + its reverse —
+    * no cross-doc 11-char runs), and docs with doc_id < 40 get a twin
+    * at doc_id + 500000 sharing the VERBATIM 32-char md5 hex run.
+    * The winnowing guarantee (Schleimer 2003: any shared run of
+    * length >= w+k-1 chars yields a shared fingerprint per window
+    * inside it) forces >= ceil(22/4) = 6 >= minShared shared
+    * fingerprints per planted pair, while unrelated rewritten docs
+    * would need three independent >= 8-hex-char hash collisions that
+    * winnowing also selects on both sides to produce a false pair —
+    * so the planted twins are EXACTLY the answer, stated by the
+    * oracle without any engine-side math. The raw-corpus semantics
+    * (incl. the load-bearing maxDf stop-fingerprint cap) stay pinned
+    * in TextOpsSpec. */
   val q_dedup_winnow = QuerySpec(
     "q_dedup_winnow", Seq("E-dedup", "E-text"),
-    (s, d) => Dedup.partialOverlapPairs(Engine.table(s, d, "documents"),
-        minShared = 3)
-      .orderBy("id_a", "id_b"),
-    None)
+    (s, d) => {
+      val src = Engine.table(s, d, "documents")
+      def fp = md5(concat(col("doc_id").cast("string"), col("text")))
+      val base = src.select(col("doc_id"),
+        concat(lit("D"), col("doc_id").cast("string"), lit("H"), fp,
+          lit("T"), reverse(fp)).as("text"))
+      val planted = src.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(lit("P"), col("doc_id").cast("string"), lit("Z"), fp)
+            .as("text"))
+      Dedup.partialOverlapPairs(base.unionByName(planted), minShared = 3)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS id_a,
+                   CAST(doc_id + 500000 AS BIGINT) AS id_b
+            FROM documents WHERE doc_id < 40 ORDER BY id_a, id_b"""))
 
   /** Embedding-cosine near-dups via hyperplane LSH (approximate).
     *
