@@ -687,6 +687,49 @@ object ExtQueries {
               UNION ALL SELECT k, st, tp FROM ins)
             ORDER BY k"""))
 
+  /** The same MERGE semantics driven from the reference's LITERAL
+    * statement text through [[Warehouse.mergeIntoSql]] — the
+    * updatable-snapshot workflow (docs/数据模型.md:25, docs/kudu.md:19)
+    * pasted verbatim, with clause-order (first-match-wins) semantics:
+    * the DELETE branch precedes the unconditional UPDATE. Different
+    * moduli than q_merge_upsert so the two queries can't share a
+    * cached result. */
+  val q_merge_sql = QuerySpec(
+    "q_merge_sql", Seq("S4", "J5", "J6"),
+    (s, d) => {
+      val t = Engine.table(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").cast("double").as("tp"))
+      val upd = t.filter(col("k") % 7 === 0 && col("k") % 11 =!= 0)
+        .select(col("k"), col("st"), (col("tp") + 5).as("tp"))
+      val del = t.filter(col("k") % 11 === 0)
+        .select(col("k"), col("st"), lit(-1.0).as("tp"))
+      val ins = t.filter(col("k") % 19 === 0)
+        .select((col("k") + 200000000L).as("k"), lit("N").as("st"),
+          lit(2.0).as("tp"))
+      Warehouse.mergeIntoSql(s,
+        """MERGE INTO snap t USING delta s ON t.k = s.k
+           WHEN MATCHED AND s.tp < 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET tp = s.tp
+           WHEN NOT MATCHED THEN INSERT *""",
+        Map("snap" -> t,
+          "delta" -> upd.unionByName(del).unionByName(ins)))
+        .orderBy("k")
+    },
+    Some("""WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                              CAST(o_totalprice AS DOUBLE) AS tp FROM orders),
+            upd AS (SELECT k, tp+5 AS tp FROM t
+                    WHERE k % 7 = 0 AND k % 11 <> 0),
+            del AS (SELECT k FROM t WHERE k % 11 = 0),
+            ins AS (SELECT k + 200000000 AS k, 'N' AS st,
+                           CAST(2.0 AS DOUBLE) AS tp FROM t WHERE k % 19 = 0)
+            SELECT k, st, tp FROM (
+              SELECT t.k, t.st, COALESCE(u.tp, t.tp) AS tp
+              FROM t LEFT JOIN upd u ON t.k = u.k
+              WHERE t.k NOT IN (SELECT k FROM del)
+              UNION ALL SELECT k, st, tp FROM ins)
+            ORDER BY k"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
@@ -697,5 +740,5 @@ object ExtQueries {
     q_topk_per_group, q_asof_join,
     q_range_join, q_bigwhere_join, q_bloom_prefilter_join,
     q_window_analytic, q_collect_agg, q_collection_funcs,
-    q_string_funcs2, q_approx_topk, q_merge_upsert)
+    q_string_funcs2, q_approx_topk, q_merge_upsert, q_merge_sql)
 }

@@ -103,9 +103,12 @@ object Warehouse {
     * value expression over aliases `t` (target) / `s` (source);
     * unlisted columns keep the target value. `whenMatchedDelete` (also
     * over `t`/`s`) removes matching rows instead of updating them.
-    * Source keys must be unique (ANSI MERGE errors on double-match;
-    * here the duplicate would fan out). Null keys never match (ANSI
-    * `ON t.k = s.k` semantics).
+    * Source keys must be unique — ANSI MERGE raises on a double-match,
+    * and `assertSourceUnique = true` enforces exactly that (a
+    * count-over-keys guard that `raise_error`s on the first duplicate
+    * instead of silently fanning the target row out); it costs one
+    * extra exchange on the merge keys, so it is opt-in. Null keys
+    * never match (ANSI `ON t.k = s.k` semantics).
     *
     * Scale shape: ONE full-outer equi-join shuffle on the merge keys
     * carries all three branches — matched rows update (or drop on the
@@ -118,10 +121,23 @@ object Warehouse {
   def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
       whenMatchedUpdate: Map[String, Column],
       whenNotMatchedInsert: Boolean = true,
-      whenMatchedDelete: Option[Column] = None): DataFrame = {
+      whenMatchedDelete: Option[Column] = None,
+      assertSourceUnique: Boolean = false): DataFrame = {
     val cols = target.columns
+    val src =
+      if (!assertSourceUnique) source
+      else {
+        val w = Window.partitionBy(keys.map(col): _*)
+        source.withColumn("__n", count(lit(1)).over(w))
+          .filter(when(col("__n") > 1, raise_error(concat(
+              lit("mergeInto: duplicate source key ("),
+              concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+              lit(") — ANSI MERGE forbids multiple matches"))))
+            .otherwise(lit(true)))
+          .drop("__n")
+      }
     val t = target.withColumn("__t", lit(true)).alias("t")
-    val s = source.withColumn("__s", lit(true)).alias("s")
+    val s = src.withColumn("__s", lit(true)).alias("s")
     val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
     val deleted = whenMatchedDelete
@@ -134,6 +150,143 @@ object Warehouse {
         when(matched, whenMatchedUpdate.getOrElse(c, col(s"t.$c")))
           .otherwise(when(col("t.__t").isNotNull, col(s"t.$c"))
             .otherwise(col(s"s.$c"))).as(c)): _*)
+  }
+
+  /** Thin `MERGE INTO` TEXT shim: parses the reference's
+    * updatable-snapshot statement form (docs/数据模型.md:25,
+    * docs/kudu.md:19) —
+    * {{{
+    * MERGE INTO tgt [AS] t USING src [AS] s ON t.k = s.k [AND ...]
+    *   [WHEN MATCHED [AND cond] THEN DELETE]
+    *   [WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ...]
+    *   [WHEN NOT MATCHED THEN INSERT *]
+    * }}}
+    * — into [[mergeInto]], so a user can run the statement verbatim
+    * against parquet-backed frames (Spark itself parses MERGE only for
+    * v2 tables). Deliberately thin, not a SQL engine:
+    *  - the ON clause must be a conjunction of `t.k = s.k` equalities
+    *    with the SAME column name on both sides (the merge-key shape);
+    *  - at most one UPDATE and one DELETE matched branch; ANSI
+    *    first-match-wins ordering is honored (whichever branch comes
+    *    second is gated on the negation of the first's condition);
+    *  - INSERT takes the source row by target column names (`INSERT *`;
+    *    an explicit `(cols) VALUES (s.cols)` list is accepted when it
+    *    is that same identity mapping).
+    * Table names resolve from `tables` first, then the session catalog
+    * (temp views included). Update/condition expressions may use the
+    * statement's own aliases — they are rewritten to the `t`/`s` the
+    * underlying operator binds. */
+  def mergeIntoSql(spark: SparkSession, mergeSql: String,
+      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val head = ("(?is)^\\s*MERGE\\s+INTO\\s+([\\w.]+)" +
+      "(?:\\s+(?:AS\\s+)?(?!USING\\b)(\\w+))?" +
+      "\\s+USING\\s+([\\w.]+)(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?" +
+      "\\s+ON\\s+(.+?)\\s+(WHEN\\s+.+?)\\s*;?\\s*$").r
+    val m = head.findFirstMatchIn(mergeSql).getOrElse(throw
+      new IllegalArgumentException(s"unparseable MERGE statement:\n$mergeSql"))
+    val (tgtName, srcName) = (m.group(1), m.group(3))
+    val tAlias = Option(m.group(2)).getOrElse(tgtName)
+    val sAlias = Option(m.group(4)).getOrElse(srcName)
+    def resolve(n: String) = tables.getOrElse(n, spark.table(n))
+    val target = resolve(tgtName)
+    val source = resolve(srcName)
+    // rewrite statement aliases to the operator's fixed t/s aliases
+    def rebind(e: String): String = e
+      .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(tAlias)}\\.", "t.")
+      .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(sAlias)}\\.", "s.")
+    val keys = m.group(5).split("(?i)\\s+AND\\s+").map(_.trim).map { eq =>
+      val kv = "(?i)^(\\w+)\\.(\\w+)\\s*=\\s*(\\w+)\\.(\\w+)$".r
+      val km = kv.findFirstMatchIn(eq).getOrElse(throw
+        new IllegalArgumentException(s"ON term is not alias.col = alias.col: $eq"))
+      require(km.group(2).equalsIgnoreCase(km.group(4)) &&
+        Set(km.group(1), km.group(3)).map(_.toLowerCase) ==
+          Set(tAlias, sAlias).map(_.toLowerCase),
+        s"ON term must equate the same column across target/source: $eq")
+      km.group(2)
+    }.toSeq
+    // split and classify the WHEN clauses (first-match-wins order)
+    case class Upd(cond: Option[String], sets: String)
+    var upd: Option[Upd] = None
+    var del: Option[Option[String]] = None // Some(cond-opt) when present
+    var updBeforeDel = false
+    var insert = false
+    m.group(6).split("(?i)(?=\\bWHEN\\b)").map(_.trim).filter(_.nonEmpty)
+      .foreach { c =>
+        val mu = ("(?is)^WHEN\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
+          "UPDATE\\s+SET\\s+(.+)$").r.findFirstMatchIn(c)
+        val md = "(?is)^WHEN\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+DELETE\\s*$"
+          .r.findFirstMatchIn(c)
+        val mi = ("(?is)^WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s*" +
+          "(\\*|\\([^)]*\\)\\s*VALUES\\s*\\([^)]*\\))\\s*$").r.findFirstMatchIn(c)
+        (mu, md, mi) match {
+          case (Some(u), _, _) =>
+            require(upd.isEmpty, "at most one WHEN MATCHED ... UPDATE branch")
+            upd = Some(Upd(Option(u.group(1)), u.group(2)))
+            updBeforeDel = del.isEmpty
+          case (_, Some(d), _) =>
+            require(del.isEmpty, "at most one WHEN MATCHED ... DELETE branch")
+            del = Some(Option(d.group(1)))
+          case (_, _, Some(i)) =>
+            val ins = i.group(1).trim
+            if (ins != "*") {
+              val colsVals = "(?is)^\\(([^)]*)\\)\\s*VALUES\\s*\\(([^)]*)\\)$"
+                .r.findFirstMatchIn(ins).get
+              val cs = colsVals.group(1).split(",").map(_.trim.toLowerCase)
+              val vs = colsVals.group(2).split(",")
+                .map(v => rebind(v.trim).toLowerCase)
+              require(cs.length == vs.length &&
+                  cs.zip(vs).forall { case (cn, vn) =>
+                    vn == s"s.$cn" || vn == cn },
+                s"INSERT list must be the identity source mapping: $ins")
+            }
+            insert = true
+          case _ => throw new IllegalArgumentException(
+            s"unsupported MERGE clause: $c")
+        }
+      }
+    // ANSI order: if UPDATE (with a condition) precedes DELETE, the
+    // DELETE branch only sees rows the UPDATE condition rejected
+    val delCond = del.map { dc =>
+      val base = dc.map(c => expr(rebind(c))).getOrElse(lit(true))
+      if (updBeforeDel && upd.exists(_.cond.nonEmpty))
+        base && !coalesce(expr(rebind(upd.get.cond.get)), lit(false))
+      else base
+    }
+    // conditional UPDATE: non-matching rows keep target values
+    val updates: Map[String, Column] = upd.map { u =>
+      splitTopLevel(u.sets).map { a =>
+        val Array(lhs, rhs) = a.split("=", 2)
+        val name = lhs.trim.stripPrefix(s"$tAlias.").stripPrefix("t.")
+        val value = expr(rebind(rhs.trim))
+        name -> u.cond.map(c =>
+            when(coalesce(expr(rebind(c)), lit(false)), value)
+              .otherwise(col(s"t.$name")))
+          .getOrElse(value)
+      }.toMap
+    }.getOrElse(Map.empty)
+    mergeInto(target, source, keys, updates,
+      whenNotMatchedInsert = insert, whenMatchedDelete = delCond)
+  }
+
+  /** Split on commas not nested inside parentheses (SET lists whose
+    * expressions contain function calls). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /** Partition-level MERGE into a partitioned parquet table: the

@@ -107,6 +107,70 @@ class WarehouseSpec extends SparkSuite {
     assert(noInsert.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("mergeInto: assertSourceUnique raises on a double-matching source " +
+      "key instead of fanning out") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 10.0)).toDF("k", "st", "tp")
+    val dup = Seq((1L, "a", 11.0), (1L, "a", 12.0)).toDF("k", "st", "tp")
+    val up = Map("tp" -> org.apache.spark.sql.functions.col("s.tp"))
+    // silent default keeps the (documented) fan-out
+    assert(graft.operators.Warehouse.mergeInto(t, dup, Seq("k"), up)
+      .count() == 2)
+    val e = intercept[Exception] {
+      graft.operators.Warehouse.mergeInto(t, dup, Seq("k"), up,
+        assertSourceUnique = true).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else String.valueOf(x.getMessage) +: msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("duplicate source key")), e.toString)
+    // unique source passes the guard unchanged
+    val ok = graft.operators.Warehouse.mergeInto(t,
+        Seq((1L, "a", 11.0)).toDF("k", "st", "tp"), Seq("k"), up,
+        assertSourceUnique = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(ok.toSeq == Seq((1L, 11.0)))
+  }
+
+  test("mergeIntoSql parses the reference MERGE text: delete-first " +
+      "clause order, aliased update exprs, INSERT *") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "st", "tp")
+    val s = Seq((2L, "b", 99.0), (3L, "c", -1.0), (4L, "d", 40.0))
+      .toDF("k", "st", "tp")
+    val merged = graft.operators.Warehouse.mergeIntoSql(spark,
+      """MERGE INTO snap AS tgt USING delta AS src ON tgt.k = src.k
+         WHEN MATCHED AND src.tp < 0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET tp = src.tp + tgt.tp
+         WHEN NOT MATCHED THEN INSERT *""",
+      Map("snap" -> t, "delta" -> s))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(merged.toSeq == Seq((1L, "a", 10.0), (2L, "b", 119.0),
+      (4L, "d", 40.0)), merged.mkString(","))
+    // conditional UPDATE before DELETE: ANSI first-match-wins — the
+    // delete only sees rows the update condition rejected
+    val ordered = graft.operators.Warehouse.mergeIntoSql(spark,
+      """MERGE INTO snap t USING delta s ON t.k = s.k
+         WHEN MATCHED AND s.tp > 50 THEN UPDATE SET tp = s.tp
+         WHEN MATCHED THEN DELETE
+         WHEN NOT MATCHED THEN INSERT (k, st, tp) VALUES (s.k, s.st, s.tp)""",
+      Map("snap" -> t, "delta" -> s))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    // k=2: tp 99 > 50 → updated; k=3: tp -1 → deleted; k=4 inserted
+    assert(ordered.toSeq == Seq((1L, 10.0), (2L, 99.0), (4L, 40.0)),
+      ordered.mkString(","))
+    // catalog resolution path: temp views, no tables map
+    t.createOrReplaceTempView("merge_sql_t")
+    s.createOrReplaceTempView("merge_sql_s")
+    val viaCatalog = graft.operators.Warehouse.mergeIntoSql(spark,
+      """MERGE INTO merge_sql_t USING merge_sql_s
+           ON merge_sql_t.k = merge_sql_s.k
+         WHEN MATCHED THEN UPDATE SET tp = merge_sql_s.tp""")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(viaCatalog.toSeq == Seq((1L, 10.0), (2L, 99.0), (3L, -1.0)))
+  }
+
   test("compactSmallFiles merges many small files, preserves rows") {
     val dir = tmpDir("wh_compact")
     val df = spark.range(1000).toDF("id")
