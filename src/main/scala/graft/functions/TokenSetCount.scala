@@ -18,8 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * document-local given the (tiny) vocabulary, so no row ever needs to
   * leave its partition. (A `filter(w, t -> array_contains(...))`
   * lambda would re-evaluate the computed tokenizer child per element
-  * after projection collapse — the repo-wide HOF pitfall.) */
-case class TokenSetCount(child: Expression, tokens: Array[String])
+  * after projection collapse — the repo-wide HOF pitfall.)
+  *
+  * The set is a `Seq` (value equality), NOT an `Array`: case-class
+  * equality over an Array field is reference equality, which would
+  * make two structurally identical expressions never canonicalize the
+  * same — defeating common-subexpression elimination and exchange
+  * reuse. Shipping cost is fine without an explicit broadcast: the
+  * expression rides the stage's task binary, which Spark itself
+  * broadcasts once per stage (it is not re-serialized per task). */
+case class TokenSetCount(child: Expression, tokens: Seq[String])
     extends UnaryExpression with InputTypeCheck {
 
   override protected def expectedInputType: String = "array<string>"
@@ -31,7 +39,7 @@ case class TokenSetCount(child: Expression, tokens: Array[String])
   override def dataType: DataType = LongType
 
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
-    val s = new java.util.HashSet[UTF8String](tokens.length * 2)
+    val s = new java.util.HashSet[UTF8String](tokens.size * 2)
     tokens.foreach(t => s.add(UTF8String.fromString(t)))
     s
   }
@@ -63,7 +71,7 @@ case class TokenSetCount(child: Expression, tokens: Array[String])
 
 object TokenSetCount {
   /** Column-level API (classic-session bridge Expression <-> Column). */
-  def tokenSetCount(tokens: Column, set: Array[String]): Column =
+  def tokenSetCount(tokens: Column, set: Seq[String]): Column =
     org.apache.spark.sql.graft.Bridge.column(
       TokenSetCount(org.apache.spark.sql.graft.Bridge.expression(tokens),
         set))

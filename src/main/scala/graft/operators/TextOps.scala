@@ -342,13 +342,25 @@ object TextOps {
     * map-side partials); the bounded top-N rows then collect to the
     * driver (same convention as the IVF centroid table) and ride a
     * native [[graft.functions.TokenSetCount]] kernel as a reference
-    * object, so the per-document scoring pass is MAP-ONLY — no
+    * object — shipped once per stage inside Spark's broadcast task
+    * binary — so the per-document scoring pass is MAP-ONLY: no
     * per-occurrence explode shuffle, no join, nothing
-    * data-proportional leaves its partition. */
+    * data-proportional leaves its partition.
+    *
+    * EAGER by design when `vocab` is not supplied: the vocabulary
+    * job (agg + bounded collect) runs AT CALL TIME, freezing the
+    * vocabulary against the `docs` snapshot passed in — the returned
+    * frame does not recompute it, and later appends to the underlying
+    * table do not shift the score definition. Callers that want
+    * plan-construction to stay side-effect-free (or want to reuse one
+    * vocabulary across corpora/batches — the production shape) pass a
+    * precomputed `vocab`. */
   def commonTokenRatio(docs: DataFrame, topN: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val vocabTokens = vocabulary(docs, topN, textCol, idCol)
-      .select("token").collect().map(_.getString(0))
+      textCol: String = "text", idCol: String = "doc_id",
+      vocab: Option[Seq[String]] = None): DataFrame = {
+    val vocabTokens: Seq[String] = vocab.getOrElse(
+      vocabulary(docs, topN, textCol, idCol)
+        .select("token").collect().map(_.getString(0)).toSeq)
     val w = wordTokens(col(textCol))
     docs.select(col(idCol), size(w).cast("long").as("n_tokens"),
         graft.functions.TokenSetCount.tokenSetCount(w, vocabTokens)

@@ -82,6 +82,26 @@ class CurationSpec extends SparkSuite {
     assert(r(3L).getLong(1) == 0 && r(3L).getDouble(3) == 0.0)
   }
 
+  test("commonTokenRatio: precomputed vocab skips the eager corpus job " +
+      "and pins the score definition") {
+    val docs = Seq((1L, "a a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val r = TextOps.commonTokenRatio(docs, topN = 999,
+        vocab = Some(Seq("a", "b")))
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) == 0.75 && r(2L) == 0.0, r.toString)
+  }
+
+  test("TokenSetCount: structurally identical expressions are equal " +
+      "(Seq field, not Array) so CSE/exchange reuse can fire") {
+    import org.apache.spark.sql.graft.Bridge
+    val c = Bridge.expression(split(col("text"), " "))
+    val a = graft.functions.TokenSetCount(c, Seq("a", "b"))
+    val b = graft.functions.TokenSetCount(c, Seq("a", "b"))
+    assert(a == b, "value equality")
+    assert(a.canonicalized == b.canonicalized, "canonicalization")
+    assert(a.semanticEquals(b), "semantic equality")
+  }
+
   // ----------------------------------------------------- sequence packing
 
   test("packSequences: offsets are the exclusive prefix sum in id order") {
