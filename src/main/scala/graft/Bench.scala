@@ -101,9 +101,49 @@ object Bench {
         .findAllMatchIn(java.nio.file.Files.readString(f))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
-    val regressions = results.collect {
+    val rawRegressions = results.collect {
       case (n, t) if t >= 0 && baseline.get(n).exists(b =>
         t > 2 * b && t > b + 1.0) => (n, t, baseline(n))
+    }
+
+    // ---- SELF-ADJUDICATION: a shared-JVM breach is re-measured in a
+    // FRESH forked JVM (graft.Profile: tiny-scale warm + untimed bench-
+    // scale pass + best-of-3) before it may be called a regression. Two
+    // rounds of phantom regressions (r6: five, r7: five — every one
+    // cleared when profiled in isolation) established that the shared
+    // 130+-query JVM inflates the allocation-heavy dedup tail 3-5x via
+    // GC contamination; the gate must not cry wolf on harness noise.
+    // A query is FLAGGED only if the isolated run also breaches; if the
+    // recheck cannot run (spawn failure), the breach stays flagged
+    // (conservative). Both numbers always land in bench_result.json
+    // under "isolated_recheck".
+    val isolatedTimes: Map[String, Double] =
+      if (rawRegressions.isEmpty) Map.empty
+      else try {
+        val javaBin = new java.io.File(new java.io.File(
+          sys.props("java.home"), "bin"), "java").getAbsolutePath
+        val args = new scala.collection.mutable.ArrayBuffer[String]()
+        val it = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.iterator()
+        while (it.hasNext) {
+          val a = it.next()
+          if (a == "--add-opens" && it.hasNext) { args += a; args += it.next() }
+          else if (a.startsWith("--add-opens=") || a.startsWith("-Xmx") ||
+            a.startsWith("-D")) args += a
+        }
+        val cmd = (Seq(javaBin) ++ args ++ Seq("-cp",
+          sys.props("java.class.path"), "graft.Profile", sfDir) ++
+          rawRegressions.map(_._1)).toArray
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+        p.waitFor()
+        "PROFILE\\s+(\\S+)\\s+best=([0-9.]+)s".r.findAllMatchIn(out)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val regressions = rawRegressions.filter { case (n, _, b) =>
+      isolatedTimes.get(n).forall(t => t > 2 * b && t > b + 1.0)
     }
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the JSON line out of that tail (r1/r2 BENCH both came back
@@ -133,10 +173,21 @@ object Bench {
       // per-query gate detail goes to the file; stdout carries only the
       // regression count (and only when nonzero).
       val gate =
-        if (short) { if (regressions.isEmpty) "" else s""","regr":${regressions.size}""" }
+        if (short) {
+          // rechecked = shared-JVM breaches adjudicated in a fresh JVM;
+          // regr = breaches the ISOLATED run confirmed (zero when every
+          // breach was harness noise)
+          val rc = if (rawRegressions.isEmpty) ""
+            else s""","rechecked":${rawRegressions.size}"""
+          rc + (if (regressions.isEmpty) "" else s""","regr":${regressions.size}""")
+        }
         else regressions.map { case (n, t, b) =>
           "\"" + n + "\":[" + fmt(t, 2) + "," + fmt(b, 2) + "]"
-        }.mkString(""","regressions":{""", ",", "}")
+        }.mkString(""","regressions":{""", ",", "}") +
+          rawRegressions.map { case (n, t, b) =>
+            "\"" + n + "\":[" + fmt(t, 2) + "," +
+              fmt(isolatedTimes.getOrElse(n, -1.0), 2) + "," + fmt(b, 2) + "]"
+          }.mkString(""","isolated_recheck":{""", ",", "}")
       val extra = gate + (if (short) "" else s""","unit":"sec","sf":"$sfDir"""")
       val errs = if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
@@ -163,7 +214,11 @@ object Bench {
         // packing as many as the tail budget allows; total + n_queries
         // still cover the fast remainder
         val tot = fmt(results.map(_._2).filter(_ >= 0).sum, 2)
-        val head = s"""{"metric":"total","value":$tot,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":${"\"" + sfDir + "\""},"slowest":{"""
+        // gate verdicts must survive this degraded format too
+        val gateBits = (if (rawRegressions.isEmpty) ""
+          else s""","rechecked":${rawRegressions.size}""") +
+          (if (regressions.isEmpty) "" else s""","regr":${regressions.size}""")
+        val head = s"""{"metric":"total","value":$tot,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}$gateBits,"sf":${"\"" + sfDir + "\""},"slowest":{"""
         val entries = results.sortBy(-_._2).map { case (k, v) =>
           val base = k.stripPrefix("q_")
           val name = abbrevs.foldLeft(base) { case (n, (from, to)) =>
