@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Dev-only empirical scale probe for the dedup/ANN family: measures
+  * the CANDIDATE-STAGE row counts (the quantity that decides whether an
+  * operator survives a 100x scale-up) at each given sf dir, so the
+  * subquadraticity claims are measured, not argued. Usage:
+  *   runMain graft.ScaleProbe /root/testdata/sf0.001 /root/testdata/sf0.01 ...
+  * Prints one JSON line per sf dir plus a growth-exponent summary
+  * (exponent = log(count ratio) / log(docs ratio); 1.0 = linear,
+  * 2.0 = quadratic). Results land in SCALE.md by hand.
+  */
+object ScaleProbe {
+
+  private def metrics(spark: SparkSession, d: String): Map[String, Long] = {
+    val docs = Engine.table(spark, d, "documents")
+    val emb = Engine.table(spark, d, "embeddings")
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.wordShingles(col("text"), 2).as("sh"))
+
+    // MinHash banding (the q_dedup_minhash_lsh + radius>4 simhash
+    // blocker): candidate pairs BEFORE dedup/verify
+    val bands = Dedup.minHashBands(sh, numHashes = 48, bands = 16)
+    val minhashCand = bands
+      .select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(bands.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b")).count()
+    val maxBucket = bands.groupBy("band", "bh").count()
+      .agg(max("count")).head().getLong(0)
+
+    // prefix-filter n-gram blocking (q_dedup_ngram_block), plus the
+    // 3-shingle variant — the documented production dial for corpora
+    // whose small vocabulary makes bigram prefixes hot
+    val base = docs.select(col("source").as("blk"), col("doc_id").as("id"),
+      Dedup.wordShingles(col("text"), 2).as("sh"))
+    val ngramCand = Dedup.ngramCandidates(base, threshold = 0.5).count()
+    val base3 = docs.select(col("source").as("blk"), col("doc_id").as("id"),
+      Dedup.wordShingles(col("text"), 3).as("sh"))
+    val ngramCand3 = Dedup.ngramCandidates(base3, threshold = 0.5).count()
+
+    // winnow planted corpus (q_dedup_winnow): fingerprint-bucket pairs
+    // that reach the minShared count (pre-threshold)
+    def fpCol = md5(concat(col("doc_id").cast("string"), col("text")))
+    val wbase = docs.select(col("doc_id"),
+      concat(lit("D"), col("doc_id").cast("string"), lit("H"), fpCol,
+        lit("T"), reverse(fpCol)).as("text"))
+    val planted = docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(lit("P"), col("doc_id").cast("string"), lit("Z"), fpCol)
+          .as("text"))
+    val wc = wbase.unionByName(planted)
+    val fps = wc.select(col("doc_id").as("id"),
+      explode(graft.functions.Winnow.winnow(col("text"), 8, 4)).as("fp"))
+    val winnowCand = fps.select(col("fp"), col("id").as("id_a"))
+      .join(fps.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b")).count()
+
+    // embedding LSH multi-probe buckets (q_dedup_embedding /
+    // q_embed_knn_lsh shape): bucket-join pairs before dedup
+    val probed = (0 until 4).map { p =>
+      emb.select(col("vec_id").as("id"),
+        Similarity.hyperplaneSignature(col("embedding"), 64, 12,
+          seed = 42L + p).as("bucket"))
+        .withColumn("probe", lit(p))
+    }.reduce(_ unionByName _)
+    val lshCand = probed
+      .select(col("probe"), col("bucket"), col("id").as("id_a"))
+      .join(probed.select(col("probe"), col("bucket"),
+        col("id").as("id_b")), Seq("probe", "bucket"))
+      .filter(col("id_a") < col("id_b")).count()
+
+    // semanticDedup within-bucket pair work at the derived k and the
+    // query's fixed k=16 (sum over buckets of size*(size-1)/2)
+    def semPairs(nClusters: Int): Long = {
+      val vecs = emb.select(col("vec_id").as("id"),
+        Similarity.normalized(col("embedding")).as("nv"))
+      val k =
+        if (nClusters > 0) nClusters
+        else math.max(32L, math.min(65536L, vecs.count() / 4096L + 1L)).toInt
+      val centroids = Similarity.kmeansCentroids(vecs, k, iters = 3)
+      val assigned = Dedup.resplitOversized(
+        Similarity.assignNearestK(vecs, centroids, 2), 4096, 64)
+      val out = assigned.groupBy("bucket").count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+        .head().getLong(0)
+      centroids.unpersist()
+      out
+    }
+    val semCand16 = semPairs(16)
+
+    Map(
+      "n_docs" -> docs.count(),
+      "n_vecs" -> emb.count(),
+      "minhash_cand" -> minhashCand,
+      "minhash_max_bucket" -> maxBucket,
+      "ngram_cand" -> ngramCand,
+      "ngram_cand_sh3" -> ngramCand3,
+      "winnow_cand" -> winnowCand,
+      "embed_lsh_cand" -> lshCand,
+      "semantic_cand_k16" -> semCand16)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleProbe <sfDir> [<sfDir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Engine.configure(spark)
+    val rows = args.toSeq.map { d => d -> metrics(spark, d) }
+    rows.foreach { case (d, m) =>
+      println(s"""SCALE {"sf":"$d",${m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")}}""")
+    }
+    // growth exponents between consecutive sf dirs; each metric is
+    // normalized by ITS input's growth (embedding metrics by n_vecs,
+    // text metrics by n_docs) — 1.0 = linear, 2.0 = quadratic
+    rows.sliding(2).foreach {
+      case Seq((d1, m1), (d2, m2)) =>
+        def base(k: String): String =
+          if (k.startsWith("embed_") || k.startsWith("semantic_")) "n_vecs"
+          else "n_docs"
+        val exps = m1.keys.filterNot(Set("n_docs", "n_vecs")).toSeq.sorted
+          .map { k =>
+            val nr = m2(base(k)).toDouble / m1(base(k))
+            val e =
+              if (m1(k) <= 0 || m2(k) <= 0 || nr <= 1.0) Double.NaN
+              else math.log(m2(k).toDouble / m1(k)) / math.log(nr)
+            f""""$k":$e%.2f"""
+          }
+        println(s"""SCALE_EXP {"from":"$d1","to":"$d2",${exps.mkString(",")}}""")
+      case _ =>
+    }
+    spark.stop()
+  }
+}
