@@ -275,6 +275,37 @@ object PipelineQueries {
               AND (event_id % 4096) BETWEEN 1000 AND 1300
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** File-level inverted index ([[graft.operators.Layout.buildFileIndex]]
+    * — the Druid 倒排/bitmap capability, docs/olap.md:35, at Spark's
+    * file granularity): events rewritten range-clustered on user_id,
+    * indexed, then an IN-predicate scan resolves its file set through
+    * the index and reads only those paths. Results must equal the
+    * oracle's plain scan (the index changes WHICH FILES are read,
+    * never the answer; the pruning itself is asserted in
+    * PipelineSpec). Built once per scale dir, like the IVF index. */
+  val q_index_point = QuerySpec(
+    "q_index_point", Seq("S2", "P6"),
+    (s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_fileidx_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(s"$dir/idx").exists()) {
+        Engine.table(s, d, "events")
+          .repartitionByRange(16, col("user_id"))
+          .write.mode("overwrite").parquet(s"$dir/data")
+        graft.operators.Layout.buildFileIndex(s, s"$dir/data", "user_id",
+          s"$dir/idx")
+      }
+      graft.operators.Layout.indexedScan(s, s"$dir/data", s"$dir/idx",
+          "user_id", Seq(5, 42, 97))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_id
+            FROM events WHERE user_id IN (5, 42, 97)
+            GROUP BY event_type ORDER BY event_type"""))
+
   /** tf-idf distinctive terms ([[TextOps.distinctiveTerms]]): top-3
     * tokens per doc by tf*N/df (log-free idf — same ranking,
     * bitwise-reproducible score). */
@@ -305,5 +336,5 @@ object PipelineQueries {
   val all: Seq[QuerySpec] = Seq(
     q_dedup_cluster, q_dedup_cluster_keep, q_bucketed_join,
     q_sample_stratified, q_split_assign, q_chunk_docs, q_pii_scrub,
-    q_vocab_topk, q_zorder_box, q_tfidf_terms)
+    q_vocab_topk, q_zorder_box, q_index_point, q_tfidf_terms)
 }

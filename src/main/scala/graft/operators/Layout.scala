@@ -44,4 +44,58 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  // --------------------------------------------- file-level inverted index
+
+  /** Druid-style secondary index (`docs/olap.md:35` 倒排/bitmap),
+    * re-expressed at Spark's natural pruning granularity — the FILE:
+    * a persisted `(value → sorted file list)` table for one column of
+    * a parquet directory. Point/IN predicates on the indexed column
+    * then resolve their file set on the driver and scan ONLY those
+    * paths ([[indexedScan]]) — no listing, footer, or row-group I/O on
+    * the rest of the table, and unlike partitioning it works for any
+    * number of indexed columns without re-laying-out the data.
+    *
+    * Build cost/shape: one scan + one distinct on (value, file) — 8-ish
+    * bytes × distinct pairs through the shuffle, the same one-time cost
+    * class as any index. Effectiveness tracks value-to-file clustering
+    * exactly like Druid's segment-level bitmaps track time clustering:
+    * index columns the layout clusters (write-sorted, z-ordered, or
+    * naturally arrival-ordered ids/dates); a value smeared across every
+    * file prunes nothing — which [[indexedScan]] detects and handles by
+    * falling back to the plain pushed-filter scan. */
+  def buildFileIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, column: String, indexPath: String): Unit =
+    spark.read.parquet(tablePath)
+      .select(col(column).as("v"), input_file_name().as("f"))
+      .distinct()
+      .groupBy("v").agg(sort_array(collect_set(col("f"))).as("files"))
+      .write.mode("overwrite").parquet(indexPath)
+
+  /** Point/IN scan through a [[buildFileIndex]] index: look up the
+    * predicate values (bounded driver collect — |values| rows), prune
+    * the scan to the union of their file lists, and re-apply the
+    * predicate (files contain other values too). When the index says
+    * more than `maxFileFraction` of the table's files match, pruning
+    * buys nothing — fall back to the ordinary full-path scan and let
+    * parquet pushdown do the work (also the row-count-preserving
+    * answer for values absent from the index: zero files, zero rows,
+    * schema intact). */
+  def indexedScan(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, indexPath: String, column: String,
+      values: Seq[Any], maxFileFraction: Double = 0.5): DataFrame = {
+    val full = spark.read.parquet(tablePath)
+    val pred = col(column).isin(values: _*)
+    val files = spark.read.parquet(indexPath)
+      .filter(col("v").isin(values: _*))
+      .select(explode(col("files")).as("f"))
+      .distinct().collect().map(_.getString(0))
+    if (files.isEmpty) return full.filter(lit(false))
+    val total = full.inputFiles.length
+    if (total > 0 && files.length.toDouble / total > maxFileFraction)
+      full.filter(pred)
+    else
+      spark.read.schema(full.schema).parquet(files.toIndexedSeq: _*)
+        .filter(pred)
+  }
 }

@@ -185,6 +185,50 @@ class PipelineSpec extends SparkSuite {
     assert(box(zDir) == box(hDir))
   }
 
+  test("buildFileIndex + indexedScan: point lookup reads only the files " +
+      "carrying the value; hot value falls back to the full scan") {
+    import graft.operators.Layout
+    val n = 100000
+    // k is range-clustered across 16 files; "hot" is in every row of
+    // half the key space so its file list exceeds the fallback fraction
+    val df = spark.range(0, n).select(
+      (col("id") % 1000).as("k"),
+      when(col("id") % 1000 < 500, lit(7L)).otherwise(col("id") % 13)
+        .as("hot"),
+      col("id").as("payload"))
+      .repartitionByRange(16, col("k"))
+    val dir = tmpDir("fileidx")
+    df.write.mode("overwrite").parquet(s"$dir/data")
+    Layout.buildFileIndex(spark, s"$dir/data", "k", s"$dir/idx_k")
+    Layout.buildFileIndex(spark, s"$dir/data", "hot", s"$dir/idx_hot")
+
+    val full = spark.read.parquet(s"$dir/data")
+    val totalFiles = full.inputFiles.length
+    assert(totalFiles >= 8, s"fixture must be multi-file: $totalFiles")
+
+    // selective point scan: correct rows, pruned file set
+    val scan = Layout.indexedScan(spark, s"$dir/data", s"$dir/idx_k",
+      "k", Seq(3L, 700L))
+    val want = full.filter(col("k").isin(3L, 700L))
+      .agg(count(lit(1)), sum("payload")).head()
+    assert(scan.agg(count(lit(1)), sum("payload")).head() == want)
+    assert(scan.inputFiles.length < totalFiles / 2,
+      s"index must prune: ${scan.inputFiles.length}/$totalFiles files")
+
+    // absent value: zero rows, schema intact
+    val none = Layout.indexedScan(spark, s"$dir/data", s"$dir/idx_k",
+      "k", Seq(999999L))
+    assert(none.count() == 0 && none.columns.sameElements(full.columns))
+
+    // hot value present in >50% of files: falls back to the plain scan
+    // (same answer, no pruning attempted)
+    val hot = Layout.indexedScan(spark, s"$dir/data", s"$dir/idx_hot",
+      "hot", Seq(7L))
+    assert(hot.inputFiles.length == totalFiles,
+      "hot value must fall back to the full-path scan")
+    assert(hot.count() == full.filter(col("hot") === 7L).count())
+  }
+
   // --------------------------------------------------------- vocabulary
 
   test("vocabulary counts tf and df with deterministic tie-break") {
