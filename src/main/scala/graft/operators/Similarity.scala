@@ -27,6 +27,26 @@ object Similarity {
       seed: Long = 42L): Column =
     graft.functions.HyperplaneLSH.hyperplaneLsh(vec, dim, planes, seed)
 
+  /** Plane count that keeps LSH background buckets O(1) as the corpus
+    * grows — the executable form of the SCALE.md rule. Random
+    * (non-similar) pairs collide in one signature with probability
+    * ~2^-planes, so expected background candidates are
+    * ~probes * n^2 / 2^planes; holding that at ~n means
+    * `planes = ceil(2 * log2 n)` (measured exponent 1.95 at FIXED 12
+    * planes on the sf probe — exactly the n²/2^c prediction). Clamped
+    * to [8, 48]: below 8 buckets are too coarse to prune anything,
+    * and 48 bits already keeps background linear past 16M vectors
+    * while staying one 64-bit signature word. Callers with a known
+    * corpus size pass `planesFor(n)` instead of the fixture defaults;
+    * recall lost to the narrower buckets is bought back with `probes`
+    * (independent seeds OR together), which multiplies candidates
+    * linearly rather than quadratically. */
+  def planesFor(n: Long): Int = {
+    require(n > 0, s"planesFor: corpus size must be positive, got $n")
+    val bits = 2.0 * math.log(n.toDouble) / math.log(2.0)
+    math.min(48, math.max(8, math.ceil(bits).toInt))
+  }
+
   /** Brute-force cosine top-k against one query vector: map + global
     * top-k (TakeOrderedAndProject — no full sort, no shuffle of data,
     * only k rows per partition reach the driver). */

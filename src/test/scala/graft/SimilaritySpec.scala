@@ -103,6 +103,32 @@ class SimilaritySpec extends SparkSuite {
       s"label agreement ${agree.toDouble / total}; chance is 0.1")
   }
 
+  test("planesFor keeps background LSH buckets O(1): rule values, " +
+      "clamps, and an empirical bucket-size check on random vectors") {
+    import spark.implicits._
+    // the 2*log2(n) rule, clamped to [8, 48]
+    assert(Similarity.planesFor(1) == 8)
+    assert(Similarity.planesFor(100) == 14)
+    assert(Similarity.planesFor(4096) == 24)
+    assert(Similarity.planesFor(1L << 30) == 48)
+    assert(Similarity.planesFor(Long.MaxValue / 2) == 48)
+    intercept[IllegalArgumentException](Similarity.planesFor(0))
+    // empirical: on UNRELATED (isotropic-random) vectors, planesFor(n)
+    // keeps every bucket tiny — the property SCALE.md measures as the
+    // "background candidates ~ n^2 / 2^planes" term
+    val rng = new scala.util.Random(11)
+    val n = 2000
+    val rand = (0 until n).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val maxBucket = rand
+      .select(Similarity.hyperplaneSignature(col("embedding"), 64,
+        Similarity.planesFor(n)).as("b"))
+      .groupBy("b").count().agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 4,
+      s"background bucket must stay O(1), got max $maxBucket")
+  }
+
   test("hyperplane signature stays codegen-compact at dim=1024") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
