@@ -21,13 +21,21 @@ import graft.functions._
 object Dedup {
 
   /** Exact dedup: keep the first (min `idCol`) row per identical text.
-    * GroupBy on the md5 fingerprint, not the text, so the shuffle moves
-    * 16-byte keys instead of documents. */
+    * GroupBy on the md5 fingerprint, not the text, so the shuffle key
+    * is 16 bytes — and the keeper is `min_by(struct(row), id)` under
+    * the fingerprint aggregate, not a row_number window over it: the
+    * window form funnels every copy of one viral text into a single
+    * task (no map-side combine — the straggler/OOM shape at corpus
+    * scale), while min_by partially aggregates, so a fingerprint
+    * duplicated a million times collapses to ONE candidate row per map
+    * task before the shuffle. Same single scan and single exchange as
+    * the window form; each row's text crosses the wire at most once. */
   def exactDedup(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val cols = docs.columns.toSeq
+    docs.groupBy(md5(col(textCol)).as("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** Exact-dup groups: fingerprint → group size + kept id (survey form). */
@@ -212,15 +220,23 @@ object Dedup {
       idCol: String = "doc_id", k: Int = 8, w: Int = 4,
       minShared: Int = 2, maxDf: Int = 50): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val fps = docs.select(col(idCol).as("id"),
+    val raw = docs.select(col(idCol).as("id"),
       explode(graft.functions.Winnow.winnow(col(textCol), k, w)).as("fp"))
-      // stop-fingerprint cap: a fingerprint present in more than maxDf
-      // documents is corpus boilerplate, not copy evidence, and its
-      // bucket would pair O(df²) — drop it (the standard move in
-      // fingerprint-index dedup; a bucket this hot carries no signal)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("df") <= maxDf)
-      .select("id", "fp")
+    // stop-fingerprint cap: a fingerprint present in more than maxDf
+    // documents is corpus boilerplate, not copy evidence, and its
+    // bucket would pair O(df²) — drop it (the standard move in
+    // fingerprint-index dedup; a bucket this hot carries no signal).
+    // The hot set is found with a partial-aggregated groupBy — NOT a
+    // count-over-window on fp, which would funnel every occurrence of
+    // a boilerplate fingerprint into one task (the exact straggler the
+    // cap exists to prevent); the anti-join's build side holds only
+    // the >maxDf fingerprints (tiny by construction) so AQE broadcasts
+    // it and the exploded stream never reshuffles for the filter.
+    val hot = raw.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("fp")
+    val fps = raw.join(hot, Seq("fp"), "left_anti")
     val a = fps.select(col("fp"), col("id").as("id_a"))
     val b = fps.select(col("fp"), col("id").as("id_b"))
     a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
@@ -645,18 +661,22 @@ object Dedup {
     //    the pairwise stage — this is the backstop that keeps an
     //    identical-heavy corpus from re-creating the hot cluster the
     //    re-split below bounds.
-    import org.apache.spark.sql.expressions.Window
-    val wEq = Window.partitionBy(col("nv")).orderBy(col("id"))
-    // explicit-width repartition satisfies the window's required
-    // distribution (no second exchange) and keeps AQE from coalescing
-    // the tiny-by-bytes vector exchange to one partition; the
-    // localCheckpoint pins the collapse so the two consumers (drops +
-    // reps) and the final anti-join don't re-run it per union branch
-    val collapsed = vecs.repartition(par, col("nv"))
-      .withColumn("__rn", row_number().over(wEq))
+    // keeper per identical vector via partial-aggregated groupBy +
+    // anti-join on the unique compound key (nv, id) — NOT a row_number
+    // window over nv: an identical-heavy corpus (the very case this
+    // step guards against) would funnel every copy of one vector into
+    // a single window task, while min(id) collapses hot vectors
+    // map-side and no (nv, id) join bucket is ever hot. The
+    // localCheckpoint pins the collapse so the k-means loop, the
+    // assignment, and the final anti-join don't re-run it.
+    val reps = vecs.groupBy(col("nv")).agg(min(col("id")).as("id"))
+      .select(col("id"), col("nv"))
+      .repartition(par) // AQE would coalesce the tiny-by-bytes agg
+                        // output to 1-2 partitions, serializing the
+                        // CPU-bound assignment/pair stages downstream
       .localCheckpoint()
-    val exactDrops = collapsed.filter(col("__rn") > 1).select(col("id"))
-    val reps = collapsed.filter(col("__rn") === 1).drop("__rn")
+    val exactDrops = vecs.join(reps, Seq("nv", "id"), "left_anti")
+      .select(col("id"))
 
     // 2. cluster count ∝ corpus size when not given (SemDeDup scales
     //    its k with the corpus: the within-cluster stage is O(size²),

@@ -484,26 +484,38 @@ object TextOps {
     * delimiter-free equivalent.
     *
     * Scale shape: spans explode map-side; the only wide operations are
-    * keyed by the span's 16-byte md5 (a window ranking first occurrence
-    * — bounded state per span) and by doc_id (the reassembly
-    * aggregate). Span TEXT crosses the shuffle once per occurrence,
+    * keyed by the span's 16-byte md5 (a partial-aggregated min — NOT a
+    * window ranking: a boilerplate span occurring in millions of
+    * documents would funnel every occurrence into one window task,
+    * while the min collapses hot spans map-side) and by doc_id (the
+    * reassembly aggregate). The keeper test is a semi-join on the
+    * unique compound key (fp, doc, position), so no join bucket is
+    * ever hot. Span TEXT crosses the shuffle once per occurrence,
     * which is the same volume as the scan itself. */
   def dedupSpans(docs: DataFrame, spanTokens: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spans = chunkDocuments(docs, spanTokens, 0, textCol, idCol)
-    val w = Window.partitionBy(md5(col("chunk_text")))
-      .orderBy(col(idCol), col("chunk_id"))
-    spans.withColumn("__rn", row_number().over(w))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_spans"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("__rn") === 1,
-              struct(col("chunk_id"), col("chunk_text"))))),
-            x => x.getField("chunk_text")),
-          " ").as("clean_text"))
+      .withColumn("__fp", md5(col("chunk_text")))
+    // first occurrence of each span = min (doc, position), struct order
+    val firsts = spans.groupBy(col("__fp"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"))
+      .select(col("__fp"), col("__first")(idCol).as(idCol),
+        col("__first")("chunk_id").as("chunk_id"))
+    val kept = spans.join(firsts, Seq("__fp", idCol, "chunk_id"),
+      "left_semi")
+    val keptAgg = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(
+            struct(col("chunk_id"), col("chunk_text")))),
+          x => x.getField("chunk_text")),
+        " ").as("clean_text"))
+    spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Winnowed rolling-hash fingerprints ([[graft.functions.Winnow]]):

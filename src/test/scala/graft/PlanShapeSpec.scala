@@ -431,6 +431,35 @@ class PlanShapeSpec extends SparkSuite {
       s"df groupBy must partial-aggregate:\n${plan.take(3000)}")
   }
 
+  test("hot-key dedup stages are partial aggregates, not windows: " +
+      "exactDedup, partialOverlapPairs, dedupSpans") {
+    // a window partitioned on a content fingerprint funnels every copy
+    // of one viral text / boilerplate span into a single task; the
+    // partial-aggregated forms collapse hot keys map-side. Pin that no
+    // plan re-introduces a Window anywhere in these operators.
+    val docs = Engine.table(spark, sf, "documents")
+    val exact = graft.operators.Dedup.exactDedup(docs)
+      .queryExecution.sparkPlan.toString
+    assert(!exact.contains("windowspecdefinition"),
+      s"exactDedup must not window over the fingerprint:\n${exact.take(2000)}")
+    assert("partial_min_by".r.findFirstIn(exact).isDefined,
+      s"exactDedup keeper must partial-aggregate:\n${exact.take(2000)}")
+
+    val winnow = graft.operators.Dedup.partialOverlapPairs(docs)
+      .queryExecution.sparkPlan.toString
+    assert(!winnow.contains("windowspecdefinition"),
+      s"winnow df cap must not window over fp:\n${winnow.take(2000)}")
+    assert("partial_count".r.findFirstIn(winnow).isDefined,
+      s"winnow df cap must partial-aggregate:\n${winnow.take(2000)}")
+
+    val spans = graft.operators.TextOps.dedupSpans(docs, spanTokens = 32)
+      .queryExecution.sparkPlan.toString
+    assert(!spans.contains("windowspecdefinition"),
+      s"dedupSpans must not window over the span hash:\n${spans.take(2000)}")
+    assert("partial_min".r.findFirstIn(spans).isDefined,
+      s"dedupSpans first-occurrence must partial-aggregate:\n${spans.take(2000)}")
+  }
+
   test("BM25 keeps df/corpus stats broadcast; no cartesian product") {
     val plan = executedPlan(graft.operators.TextOps.bm25TopK(
       Engine.table(spark, sf, "documents"),
