@@ -91,13 +91,16 @@ object Relational {
 
   /** U5 (reference docs/sql规范.md:20-24): dedup keeping the first row
     * per key under `order` — the warehouse "delete duplicates keeping
-    * min ROWID" idiom, expressed as a window filter. */
+    * min ROWID" idiom. Runs on the heap-based
+    * [[graft.plans.TopKPerGroup]] operator with k=1 rather than a
+    * row_number window: the window form sorts every key's rows in one
+    * task (a straggler when one key is hot), while the heap keeps one
+    * candidate row per key per map partition before the exchange —
+    * same output under a total `order`, arbitrary SortOrder supported
+    * (which is why this isn't a min_by). */
   def dedupKeepFirst(df: DataFrame, keys: Seq[String],
-      order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+      order: Seq[Column]): DataFrame =
+    graft.plans.TopKPerGroup.topKPerGroup(df, keys.map(col), order, 1)
 
   /** O5/A12: top-k per group without a global sort — rank inside each
     * group partition, filter, then a tiny final sort. (See also the

@@ -95,9 +95,14 @@ object Similarity {
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineSimilarity(col("v_a"), col("v_b")).as("cos"))
-    val w = Window.partitionBy("id_a").orderBy(desc("cos"), asc("id_b"))
-    pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k).drop("rn")
+    // heap-based top-k per query vector (graft.plans.TopKPerGroup):
+    // the window/row_number form sorts every query's full candidate
+    // list; the heap keeps k rows per group with map-side partials, so
+    // a hot vector (huge candidate list) never forces a full sort. The
+    // (cos desc, id_b asc) order is total per group — output identical
+    // to the ranked-window form.
+    graft.plans.TopKPerGroup.topKPerGroup(pairs, Seq(col("id_a")),
+      Seq(desc("cos"), asc("id_b")), k)
   }
 
   /** IVF index build: assign every vector an LSH coarse bucket and
