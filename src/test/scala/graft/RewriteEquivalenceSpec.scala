@@ -160,6 +160,35 @@ class RewriteEquivalenceSpec extends SparkSuite {
       "native ASOF semantics: the matched row's NULL, not the older 100.0")
   }
 
+  test("asofJoinBackward segmented == single-pass on a skewed fixture " +
+      "(hot key, empty segments, null payloads, exact-ts ties)") {
+    import spark.implicits._
+    // one hot key with a long timeline, one key whose right rows all
+    // precede its left rows by several segments (exercises the carry
+    // across segments with no right rows), nulls, and exact ties
+    val rng = new scala.util.Random(3)
+    val left = ((0 until 500).map(i =>
+        ("hot", i.toLong * 10 + rng.nextInt(9), i.toLong)) ++
+      Seq(("sparse", 4000L, 9001L), ("sparse", 4500L, 9002L),
+        ("nobody", 100L, 9003L)))
+      .toDF("k", "ts", "event_id")
+    val right = ((0 until 200).map(i =>
+        ("hot", i.toLong * 25, if (i % 7 == 0) None else Some(i * 1.0))) ++
+      Seq(("sparse", 5L, Some(77.0)), ("sparse", 4500L, Some(88.0))))
+      .toDF("k", "ts", "snap")
+    val plain = graft.operators.Relational.asofJoinBackward(
+      left, right, "k", "ts", "ts", Seq("snap"))
+    val seg = graft.operators.Relational.asofJoinBackward(
+      left, right, "k", "ts", "ts", Seq("snap"), segments = 7)
+    assertSameRows(
+      plain.select("event_id", "snap"), seg.select("event_id", "snap"))
+    // spot-pin the cross-empty-segment carry and the exact-ts tie
+    val m = seg.filter(col("k") === "sparse")
+      .select("event_id", "snap").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(9001L -> 77.0, 9002L -> 88.0))
+  }
+
   test("bloomPrefilterJoin == plain inner join (runtime-filter rewrite)") {
     val li = Engine.table(spark, sf, "lineitem")
       .select("l_orderkey", "l_quantity")
