@@ -306,6 +306,35 @@ object PipelineQueries {
             FROM events WHERE user_id IN (5, 42, 97)
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** File-level min/max data-skipping ([[graft.operators.Layout
+    * .buildFileStats]] — the Delta/Iceberg stats-table idea): a range
+    * predicate on the clustering column resolves its file set through
+    * the stats table (envelope intersection) and reads only those
+    * paths. Shares the semantics check with a plain DuckDB range scan;
+    * the pruning is asserted in PipelineSpec. */
+  val q_index_range = QuerySpec(
+    "q_index_range", Seq("S2", "P4"),
+    (s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_filestats_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(s"$dir/stats").exists()) {
+        Engine.table(s, d, "events")
+          .repartitionByRange(16, col("user_id"))
+          .write.mode("overwrite").parquet(s"$dir/data")
+        graft.operators.Layout.buildFileStats(s, s"$dir/data", "user_id",
+          s"$dir/stats")
+      }
+      graft.operators.Layout.statsRangeScan(s, s"$dir/data", s"$dir/stats",
+          "user_id", 100L, 160L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_id
+            FROM events WHERE user_id BETWEEN 100 AND 160
+            GROUP BY event_type ORDER BY event_type"""))
+
   /** tf-idf distinctive terms ([[TextOps.distinctiveTerms]]): top-3
     * tokens per doc by tf*N/df (log-free idf — same ranking,
     * bitwise-reproducible score). */
@@ -336,5 +365,6 @@ object PipelineQueries {
   val all: Seq[QuerySpec] = Seq(
     q_dedup_cluster, q_dedup_cluster_keep, q_bucketed_join,
     q_sample_stratified, q_split_assign, q_chunk_docs, q_pii_scrub,
-    q_vocab_topk, q_zorder_box, q_index_point, q_tfidf_terms)
+    q_vocab_topk, q_zorder_box, q_index_point, q_index_range,
+    q_tfidf_terms)
 }

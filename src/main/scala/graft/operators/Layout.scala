@@ -98,4 +98,48 @@ object Layout {
       spark.read.schema(full.schema).parquet(files.toIndexedSeq: _*)
         .filter(pred)
   }
+
+  // ------------------------------------------ file-level min/max stats
+
+  /** Range-predicate companion to [[buildFileIndex]]: a persisted
+    * `(file, min, max)` table for one column — the Delta/Iceberg
+    * data-skipping-stats idea as a plain parquet table. Parquet
+    * footers already carry these stats, but at 100 TB the listing +
+    * footer reads themselves are the bottleneck a range scan pays
+    * before pruning anything; this table answers "which files can
+    * hold [lo, hi]" with one tiny scan. Build is a single
+    * partial-aggregated pass (one row per file through the shuffle).
+    * Like the inverted index, effectiveness tracks value-to-file
+    * clustering: build it on write-sorted / range-clustered / z-order
+    * columns. */
+  def buildFileStats(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, column: String, statsPath: String): Unit =
+    spark.read.parquet(tablePath)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(column)).as("mn"), max(col(column)).as("mx"))
+      .write.mode("overwrite").parquet(statsPath)
+
+  /** Range scan through a [[buildFileStats]] table: keep files whose
+    * [min, max] envelope intersects `[lo, hi]`, scan only those, and
+    * re-apply the predicate (an envelope hit is necessary, not
+    * sufficient). All-null files carry null stats and are correctly
+    * skipped (no row in them can satisfy a range predicate). Same
+    * `maxFileFraction` fallback to the plain pushed-filter scan as
+    * [[indexedScan]] when the range is unselective. */
+  def statsRangeScan(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, statsPath: String, column: String,
+      lo: Any, hi: Any, maxFileFraction: Double = 0.5): DataFrame = {
+    val full = spark.read.parquet(tablePath)
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val files = spark.read.parquet(statsPath)
+      .filter(col("mx") >= lit(lo) && col("mn") <= lit(hi))
+      .select("f").collect().map(_.getString(0))
+    if (files.isEmpty) return full.filter(lit(false))
+    val total = full.inputFiles.length
+    if (total > 0 && files.length.toDouble / total > maxFileFraction)
+      full.filter(pred)
+    else
+      spark.read.schema(full.schema).parquet(files.toIndexedSeq: _*)
+        .filter(pred)
+  }
 }

@@ -229,6 +229,42 @@ class PipelineSpec extends SparkSuite {
     assert(hot.count() == full.filter(col("hot") === 7L).count())
   }
 
+  test("buildFileStats + statsRangeScan: range reads only intersecting " +
+      "files; disjoint range reads none; wide range falls back") {
+    import graft.operators.Layout
+    val df = spark.range(0, 100000).select(
+      (col("id") % 1000).as("k"), col("id").as("payload"))
+      .repartitionByRange(16, col("k"))
+    val dir = tmpDir("filestats")
+    df.write.mode("overwrite").parquet(s"$dir/data")
+    Layout.buildFileStats(spark, s"$dir/data", "k", s"$dir/stats")
+
+    val full = spark.read.parquet(s"$dir/data")
+    val totalFiles = full.inputFiles.length
+    assert(totalFiles >= 8, s"fixture must be multi-file: $totalFiles")
+
+    // selective range: correct rows, pruned file set
+    val scan = Layout.statsRangeScan(spark, s"$dir/data", s"$dir/stats",
+      "k", 100L, 160L)
+    val want = full.filter(col("k").between(100L, 160L))
+      .agg(count(lit(1)), sum("payload")).head()
+    assert(scan.agg(count(lit(1)), sum("payload")).head() == want)
+    assert(scan.inputFiles.length < totalFiles / 2,
+      s"stats must prune: ${scan.inputFiles.length}/$totalFiles files")
+
+    // disjoint range: zero rows, schema intact
+    val none = Layout.statsRangeScan(spark, s"$dir/data", s"$dir/stats",
+      "k", 5000L, 6000L)
+    assert(none.count() == 0 && none.columns.sameElements(full.columns))
+
+    // unselective range: falls back to the plain pushed-filter scan
+    val wide = Layout.statsRangeScan(spark, s"$dir/data", s"$dir/stats",
+      "k", 0L, 999L)
+    assert(wide.inputFiles.length == totalFiles,
+      "wide range must fall back to the full-path scan")
+    assert(wide.count() == full.count())
+  }
+
   // --------------------------------------------------------- vocabulary
 
   test("vocabulary counts tf and df with deterministic tie-break") {
