@@ -120,6 +120,13 @@ object Bench {
     val isolatedTimes: Map[String, Double] =
       if (rawRegressions.isEmpty) Map.empty
       else try {
+        // the fork must not compete with this JVM's 130+-query heap:
+        // stop the session and drain garbage BEFORE forking, or the
+        // recheck itself measures parent-JVM memory pressure (observed
+        // 3x inflation vs a standalone graft.Profile of the same
+        // query) and re-flags the very noise it exists to clear
+        spark.stop()
+        System.gc()
         val javaBin = new java.io.File(new java.io.File(
           sys.props("java.home"), "bin"), "java").getAbsolutePath
         val args = new scala.collection.mutable.ArrayBuffer[String]()

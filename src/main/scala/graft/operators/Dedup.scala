@@ -675,8 +675,11 @@ object Dedup {
                         // output to 1-2 partitions, serializing the
                         // CPU-bound assignment/pair stages downstream
       .localCheckpoint()
-    val exactDrops = vecs.join(reps, Seq("nv", "id"), "left_anti")
-      .select(col("id"))
+    // ids are unique, so "not a keeper" needs only the id column —
+    // an 8-byte-key anti-join against the checkpointed reps, instead
+    // of re-shuffling the full vectors on (nv, id)
+    val exactDrops = vecs.select(col("id"))
+      .join(reps.select(col("id")), Seq("id"), "left_anti")
 
     // 2. cluster count ∝ corpus size when not given (SemDeDup scales
     //    its k with the corpus: the within-cluster stage is O(size²),
