@@ -25,6 +25,46 @@ class EdgeCaseSpec extends SparkSuite {
     assert(Dedup.partialOverlapPairs(emptyDocs).count() == 0)
   }
 
+  test("exactDedup and dedupSpans edge inputs: empty table, null text, " +
+      "ties on identical text") {
+    import spark.implicits._
+    assert(Dedup.exactDedup(emptyDocs).count() == 0)
+    assert(TextOps.dedupSpans(emptyDocs, 8).count() == 0)
+    // null texts share one md5(null)=null fingerprint group; min_by
+    // must keep exactly the min-id row of that group too
+    val kept = Dedup.exactDedup(weirdDocs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 2L, 3L, 4L)) ||
+      kept.length == 4, s"got ${kept.mkString(",")}")
+    val dups = Seq((5L, "same text", "a"), (3L, "same text", "a"),
+      (9L, "same text", "b")).toDF("doc_id", "text", "source")
+    assert(Dedup.exactDedup(dups).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    // every span duplicated from doc 1 -> doc 2 keeps nothing
+    val spanDocs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val spans = TextOps.dedupSpans(spanDocs, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(spans(1L) == (2L, 2L) && spans(2L) == (2L, 0L), spans.toString)
+  }
+
+  test("segmented asofJoinBackward edge inputs: single timestamp, " +
+      "more segments than rows") {
+    import spark.implicits._
+    val left = Seq(("k", 5L, 1L), ("k", 5L, 2L)).toDF("k", "ts", "eid")
+    val right = Seq(("k", 5L, 10.0)).toDF("k", "ts", "v")
+    // all timestamps equal -> every row lands in segment 0
+    val one = graft.operators.Relational.asofJoinBackward(
+      left, right, "k", "ts", "ts", Seq("v"), segments = 8)
+    assert(one.select("v").collect().forall(_.getDouble(0) == 10.0))
+    // segments far exceeding distinct timestamps still stitch correctly
+    val l2 = Seq(("k", 100L, 1L)).toDF("k", "ts", "eid")
+    val r2 = Seq(("k", 1L, 7.0)).toDF("k", "ts", "v")
+    val far = graft.operators.Relational.asofJoinBackward(
+      l2, r2, "k", "ts", "ts", Seq("v"), segments = 64)
+    assert(far.select("v").head().getDouble(0) == 7.0)
+  }
+
   test("dedup operators tolerate null/empty/single-char text") {
     assert(Dedup.exactDupGroups(weirdDocs).count() == 4) // null+""+x+solo
     Dedup.minHashLshPairs(weirdDocs, threshold = 0.9).collect()
