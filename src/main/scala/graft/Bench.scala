@@ -144,8 +144,25 @@ object Bench {
         val pb = new ProcessBuilder(cmd: _*)
         pb.redirectErrorStream(true)
         val p = pb.start()
-        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-        p.waitFor()
+        // bounded wait — a wedged child must not hang the whole bench
+        // run (no JSON line at all is worse than a conservative flag).
+        // Output is drained on a daemon thread so the child can't block
+        // on a full pipe either; on timeout, already-printed PROFILE
+        // lines still adjudicate their queries, the rest stay flagged.
+        val sb = new java.lang.StringBuilder
+        val drain = new Thread(() => {
+          val in = p.getInputStream
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { sb.append(new String(buf, 0, n)); n = in.read(buf) }
+        })
+        drain.setDaemon(true)
+        drain.start()
+        val budgetSec = 120L + 90L * rawRegressions.size
+        if (!p.waitFor(budgetSec, java.util.concurrent.TimeUnit.SECONDS))
+          p.destroyForcibly()
+        drain.join(5000)
+        val out = sb.toString
         "PROFILE\\s+(\\S+)\\s+best=([0-9.]+)s".r.findAllMatchIn(out)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }

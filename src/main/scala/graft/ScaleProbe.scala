@@ -21,16 +21,23 @@ object ScaleProbe {
     val sh = docs.select(col("doc_id").as("id"),
       Dedup.wordShingles(col("text"), 2).as("sh"))
 
-    // MinHash banding (the q_dedup_minhash_lsh + radius>4 simhash
-    // blocker): candidate pairs BEFORE dedup/verify
-    val bands = Dedup.minHashBands(sh, numHashes = 48, bands = 16)
-    val minhashCand = bands
-      .select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(bands.select(col("band"), col("bh"), col("id").as("id_b")),
-        Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b")).count()
-    val maxBucket = bands.groupBy("band", "bh").count()
-      .agg(max("count")).head().getLong(0)
+    // MinHash banding: candidate pairs BEFORE dedup/verify, at
+    // q_dedup_minhash_lsh's explicit (48, 16) and at the
+    // threshold-derived banding the radius>4 simhash blocker uses
+    def minhashProbe(numHashes: Int, nBands: Int): (Long, Long) = {
+      val bands = Dedup.minHashBands(sh, numHashes, nBands)
+      val cand = bands
+        .select(col("band"), col("bh"), col("id").as("id_a"))
+        .join(bands.select(col("band"), col("bh"), col("id").as("id_b")),
+          Seq("band", "bh"))
+        .filter(col("id_a") < col("id_b")).count()
+      val maxBucket = bands.groupBy("band", "bh").count()
+        .agg(max("count")).head().getLong(0)
+      (cand, maxBucket)
+    }
+    val (minhashCand, maxBucket) = minhashProbe(48, 16)
+    val (nhT08, nbT08) = Dedup.minHashBandsFor(0.8)
+    val (minhashCandT08, _) = minhashProbe(nhT08, nbT08)
 
     // prefix-filter n-gram blocking (q_dedup_ngram_block), plus the
     // 3-shingle variant — the documented production dial for corpora
@@ -42,17 +49,9 @@ object ScaleProbe {
       Dedup.wordShingles(col("text"), 3).as("sh"))
     val ngramCand3 = Dedup.ngramCandidates(base3, threshold = 0.5).count()
 
-    // winnow planted corpus (q_dedup_winnow): fingerprint-bucket pairs
-    // that reach the minShared count (pre-threshold)
-    def fpCol = md5(concat(col("doc_id").cast("string"), col("text")))
-    val wbase = docs.select(col("doc_id"),
-      concat(lit("D"), col("doc_id").cast("string"), lit("H"), fpCol,
-        lit("T"), reverse(fpCol)).as("text"))
-    val planted = docs.filter(col("doc_id") < 40)
-      .select((col("doc_id") + 500000).as("doc_id"),
-        concat(lit("P"), col("doc_id").cast("string"), lit("Z"), fpCol)
-          .as("text"))
-    val wc = wbase.unionByName(planted)
+    // winnow planted corpus (q_dedup_winnow — the query's own
+    // construction, shared so the probe can't drift from it)
+    val wc = TextQueries.winnowPlantedCorpus(docs)
     val fps = wc.select(col("doc_id").as("id"),
       explode(graft.functions.Winnow.winnow(col("text"), 8, 4)).as("fp"))
     val winnowCand = fps.select(col("fp"), col("id").as("id_a"))
@@ -80,7 +79,7 @@ object ScaleProbe {
         Similarity.normalized(col("embedding")).as("nv"))
       val k =
         if (nClusters > 0) nClusters
-        else math.max(32L, math.min(65536L, vecs.count() / 4096L + 1L)).toInt
+        else Dedup.derivedClusterCount(vecs.count())
       val centroids = Similarity.kmeansCentroids(vecs, k, iters = 3)
       val assigned = Dedup.resplitOversized(
         Similarity.assignNearestK(vecs, centroids, 2), 4096, 64)
@@ -96,6 +95,7 @@ object ScaleProbe {
       "n_docs" -> docs.count(),
       "n_vecs" -> emb.count(),
       "minhash_cand" -> minhashCand,
+      "minhash_cand_t08" -> minhashCandT08,
       "minhash_max_bucket" -> maxBucket,
       "ngram_cand" -> ngramCand,
       "ngram_cand_sh3" -> ngramCand3,

@@ -281,19 +281,28 @@ object TextQueries {
     * oracle without any engine-side math. The raw-corpus semantics
     * (incl. the load-bearing maxDf stop-fingerprint cap) stay pinned
     * in TextOpsSpec. */
+  /** The planted corpus described above, shared with
+    * [[graft.ScaleProbe]] so the probe measures EXACTLY the shipped
+    * construction (a drifted copy would silently measure a different
+    * pipeline than the one the oracle checks). */
+  private[graft] def winnowPlantedCorpus(
+      src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def fp = md5(concat(col("doc_id").cast("string"), col("text")))
+    val base = src.select(col("doc_id"),
+      concat(lit("D"), col("doc_id").cast("string"), lit("H"), fp,
+        lit("T"), reverse(fp)).as("text"))
+    val planted = src.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(lit("P"), col("doc_id").cast("string"), lit("Z"), fp)
+          .as("text"))
+    base.unionByName(planted)
+  }
+
   val q_dedup_winnow = QuerySpec(
     "q_dedup_winnow", Seq("E-dedup", "E-text"),
     (s, d) => {
       val src = Engine.table(s, d, "documents")
-      def fp = md5(concat(col("doc_id").cast("string"), col("text")))
-      val base = src.select(col("doc_id"),
-        concat(lit("D"), col("doc_id").cast("string"), lit("H"), fp,
-          lit("T"), reverse(fp)).as("text"))
-      val planted = src.filter(col("doc_id") < 40)
-        .select((col("doc_id") + 500000).as("doc_id"),
-          concat(lit("P"), col("doc_id").cast("string"), lit("Z"), fp)
-            .as("text"))
-      Dedup.partialOverlapPairs(base.unionByName(planted), minShared = 3)
+      Dedup.partialOverlapPairs(winnowPlantedCorpus(src), minShared = 3)
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
         .orderBy("id_a", "id_b")
     },

@@ -33,8 +33,13 @@ object Dedup {
   def exactDedup(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val cols = docs.columns.toSeq
+    // ordering key wrapped in a struct: min_by IGNORES rows whose key
+    // is null, so a bare null id would be dropped from its group (and a
+    // group of only-null ids would fabricate an all-NULL row); the
+    // struct is never null and struct ordering sorts a null field
+    // first, matching the window form's asc-nulls-first keep
     docs.groupBy(md5(col(textCol)).as("__fp"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .agg(min_by(struct(cols.map(col): _*), struct(col(idCol))).as("__row"))
       .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
@@ -103,6 +108,27 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
+  /** Banding parameters `(numHashes, bands)` derived from the VERIFY
+    * threshold: banded-LSH recall at similarity `t` is
+    * `1 - (1 - t^r)^b` (r rows per band, b bands), so any FIXED (r, b)
+    * silently loses recall once callers lower the threshold. Chooses
+    * the LARGEST r — candidate precision improves with r — whose band
+    * count `b = ceil(ln(miss) / ln(1 - t^r))` keeps `r*b` within the
+    * hash budget, guaranteeing miss probability <= `targetMiss` for any
+    * pair at/above the threshold. Default budget 144 hashes: r=4, b=22
+    * at t=0.8; r=2, b=41 at t=0.5. */
+  private[graft] def minHashBandsFor(threshold: Double,
+      targetMiss: Double = 1e-5, maxHashes: Int = 144): (Int, Int) = {
+    val t = math.max(0.2, math.min(0.95, threshold))
+    val fits = for {
+      r <- 8 to 1 by -1
+      pBand = math.pow(t, r)
+      b = math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt
+      if b >= 1 && r * b <= maxHashes
+    } yield (r * b, b)
+    fits.headOption.getOrElse((maxHashes, maxHashes))
   }
 
   /** MinHash+LSH near-dup pairs: signature → band hashes → self-join on
@@ -318,8 +344,9 @@ object Dedup {
     *    (key cardinality 128, bucket size N/128 → an effectively
     *    quadratic self-join at 100x data), while MinHash band keys are
     *    32-bit hashes whose bucket occupancy tracks true similarity
-    *    structure, with length-independent recall ~1-1e-5 at
-    *    jaccard >= 0.8 (48 hashes, 16 bands of 3).
+    *    structure, with length-independent recall >= 1 - 1e-5 AT THE
+    *    VERIFY THRESHOLD (banding is derived from it, see
+    *    [[minHashBandsFor]]; at the default 0.8 that is 22 bands of 4).
     * Raw fingerprint pairs within an explicit Hamming radius remain
     * available via [[simHashPairs]] (ScalaTest-pinned), which documents
     * the same envelope. */
@@ -327,8 +354,11 @@ object Dedup {
       idCol: String = "doc_id", maxHamming: Int = 8,
       shingleSize: Int = 2, threshold: Double = 0.8,
       shortDocTokens: Int = 64): DataFrame = {
-    val numHashes = 48
-    val bands = 16
+    // banding derived from the VERIFY threshold, not a fixed (48, 16):
+    // a fixed 3-rows-per-band config quietly loses recall as callers
+    // lower the threshold (at jaccard 0.55 it misses ~6% of true
+    // pairs), which would break the "engine-independent output" claim
+    val (numHashes, bands) = minHashBandsFor(threshold)
     val shingleTable = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleSize).as("sh"))
     val cand =
@@ -495,10 +525,16 @@ object Dedup {
     var stable = false
     var iter = 0
     val hardCap = 64 // ~log²(n) rounds; 64 covers any conceivable corpus
+    // carry the previous round's signature instead of recomputing
+    // sig(e) — it IS last round's sig(next); one convergence job per
+    // round, not two
+    var prevSig = sig(e)
     while (!stable && iter < hardCap) {
       val next = smallStar(largeStar(e))
         .repartition(par, col("u")).localCheckpoint()
-      stable = sig(next) == sig(e)
+      val nextSig = sig(next)
+      stable = nextSig == prevSig
+      prevSig = nextSig
       e = next
       iter += 1
     }
@@ -646,6 +682,13 @@ object Dedup {
     *
     * @return the surviving rows of `embeddings` (canonical per
     *         semantic-dup group + everything unpaired). */
+  /** SemDeDup's derived cluster count: ~1 cluster per 4096 vectors
+    * (the within-cluster stage is O(size²), so k must scale with the
+    * corpus), clamped to [32, 65536]. Shared with [[graft.ScaleProbe]]
+    * so the probe measures the shipped formula. */
+  private[graft] def derivedClusterCount(nVectors: Long): Int =
+    math.max(32L, math.min(65536L, nVectors / 4096L + 1L)).toInt
+
   def semanticDedup(embeddings: DataFrame, nClusters: Int = -1,
       threshold: Double = 0.95, iters: Int = 3,
       sampleFraction: Double = 1.0, dim: Int = 64,
@@ -687,7 +730,7 @@ object Dedup {
     //    count() job; callers at known scale pass nClusters explicitly.
     val k =
       if (nClusters > 0) nClusters
-      else math.max(32L, math.min(65536L, reps.count() / 4096L + 1L)).toInt
+      else derivedClusterCount(reps.count())
     val centroids = Similarity.kmeansCentroids(reps, k, iters,
       sampleFraction)
     // soft (top-assignProbes) assignment closes the Voronoi-boundary

@@ -95,9 +95,18 @@ object Layout {
     if (total > 0 && files.length.toDouble / total > maxFileFraction)
       full.filter(pred)
     else
-      spark.read.schema(full.schema).parquet(files.toIndexedSeq: _*)
-        .filter(pred)
+      prunedRead(spark, tablePath, full, files).filter(pred)
   }
+
+  /** Read an explicit file subset of `tablePath` with the table's full
+    * schema. `basePath` keeps Hive-style partition discovery working on
+    * the leaf-file listing — without it, partition columns (present in
+    * the directory names, not the files) would come back NULL in every
+    * row and the re-applied predicate would silently drop everything. */
+  private def prunedRead(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, full: DataFrame, files: Array[String]): DataFrame =
+    spark.read.option("basePath", tablePath).schema(full.schema)
+      .parquet(files.toIndexedSeq: _*)
 
   // ------------------------------------------ file-level min/max stats
 
@@ -139,7 +148,6 @@ object Layout {
     if (total > 0 && files.length.toDouble / total > maxFileFraction)
       full.filter(pred)
     else
-      spark.read.schema(full.schema).parquet(files.toIndexedSeq: _*)
-        .filter(pred)
+      prunedRead(spark, tablePath, full, files).filter(pred)
   }
 }

@@ -151,61 +151,67 @@ object Relational {
           left.schema(c).dataType).as(c)) ++:
         Seq(struct(payload.map(p => col(p).as(p)): _*).as("__pv"))): _*)
     val tagged = lTag.unionByName(rTag)
+    def singlePass = {
+      // single pass per key: one sorted window carry. A key whose
+      // whole timeline is huge runs in ONE task — use segments > 1
+      // when any key's row count exceeds what one task should sort.
+      val w = Window.partitionBy("__k")
+        .orderBy(col("__ts"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged.withColumn("__last",
+        last(col("__pv"), ignoreNulls = true).over(w))
+    }
+    // segmented prefix-scan (the scalable path for hot keys): cut
+    // time into `segments` global ranges, carry WITHIN each
+    // (key, segment) — bounded ~1/segments of a hot key's timeline
+    // per task — and stitch across segments with a per-(key,
+    // segment) summary table (<= keys x segments rows, the only
+    // cross-segment state; its own carry window is over <= segments
+    // rows per key). Output is identical to the single-pass form.
+    def segmented(mn: Double, mx: Double) = {
+      val span = math.max((mx - mn) / segments,
+        java.lang.Double.MIN_NORMAL)
+      val seg = least(floor((col("__ts").cast("double") - mn) / span),
+        lit(segments - 1L)).cast("long")
+      val segged = tagged.withColumn("__seg", seg)
+      val wIn = Window.partitionBy("__k", "__seg")
+        .orderBy(col("__ts"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // last right row of each populated (key, segment): max_by is a
+      // partial aggregate, so a hot (key, segment) collapses map-side
+      val segLast = segged.filter(col("__side") === 0)
+        .groupBy("__k", "__seg")
+        .agg(max_by(col("__pv"), struct(col("__ts"), col("__side")))
+          .as("__segpv"))
+      // carry INTO each (key, segment) = last right row of any
+      // EARLIER segment (populated or not — the distinct covers
+      // segments that have no right rows)
+      val wPrev = Window.partitionBy("__k").orderBy("__seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carryIn = segged.select("__k", "__seg").distinct()
+        .join(segLast, Seq("__k", "__seg"), "left")
+        .withColumn("__in",
+          last(col("__segpv"), ignoreNulls = true).over(wPrev))
+        .select("__k", "__seg", "__in")
+      segged
+        .withColumn("__within",
+          last(col("__pv"), ignoreNulls = true).over(wIn))
+        .join(carryIn, Seq("__k", "__seg"), "left")
+        .withColumn("__last", coalesce(col("__within"), col("__in")))
+    }
     val carried =
-      if (segments <= 1) {
-        // single pass per key: one sorted window carry. A key whose
-        // whole timeline is huge runs in ONE task — use segments > 1
-        // when any key's row count exceeds what one task should sort.
-        val w = Window.partitionBy("__k")
-          .orderBy(col("__ts"), col("__side"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        tagged.withColumn("__last",
-          last(col("__pv"), ignoreNulls = true).over(w))
-      } else {
-        // segmented prefix-scan (the scalable path for hot keys): cut
-        // time into `segments` global ranges, carry WITHIN each
-        // (key, segment) — bounded ~1/segments of a hot key's timeline
-        // per task — and stitch across segments with a per-(key,
-        // segment) summary table (<= keys x segments rows, the only
-        // cross-segment state; its own carry window is over <= segments
-        // rows per key). Output is identical to the single-pass form.
-        // NOTE: computes the global ts range eagerly (one 1-row agg
-        // job at operator-construction time, same class as the IVF
-        // index build); needs a numeric- or timestamp-typed ts.
+      if (segments <= 1) singlePass
+      else {
+        // the global ts range is computed eagerly (one 1-row agg job at
+        // operator-construction time, same class as the IVF index
+        // build); needs a numeric- or timestamp-typed ts
         val r = tagged.agg(min(col("__ts").cast("double")),
           max(col("__ts").cast("double"))).head()
-        require(!r.isNullAt(0),
-          "asofJoinBackward: no non-null timestamps to segment on")
-        val (mn, mx) = (r.getDouble(0), r.getDouble(1))
-        val span = math.max((mx - mn) / segments,
-          java.lang.Double.MIN_NORMAL)
-        val seg = least(floor((col("__ts").cast("double") - mn) / span),
-          lit(segments - 1L)).cast("long")
-        val segged = tagged.withColumn("__seg", seg)
-        val wIn = Window.partitionBy("__k", "__seg")
-          .orderBy(col("__ts"), col("__side"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // last right row of each populated (key, segment): max_by is a
-        // partial aggregate, so a hot (key, segment) collapses map-side
-        val segLast = segged.filter(col("__side") === 0)
-          .groupBy("__k", "__seg")
-          .agg(max_by(col("__pv"), struct(col("__ts"), col("__side")))
-            .as("__segpv"))
-        // carry INTO each (key, segment) = last right row of any
-        // EARLIER segment (populated or not — the distinct covers
-        // segments that have no right rows)
-        val wPrev = Window.partitionBy("__k").orderBy("__seg")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val carryIn = segged.select("__k", "__seg").distinct()
-          .join(segLast, Seq("__k", "__seg"), "left")
-          .withColumn("__in",
-            last(col("__segpv"), ignoreNulls = true).over(wPrev))
-          .select("__k", "__seg", "__in")
-        segged
-          .withColumn("__within",
-            last(col("__pv"), ignoreNulls = true).over(wIn))
-          .join(carryIn, Seq("__k", "__seg"), "left")
-          .withColumn("__last", coalesce(col("__within"), col("__in")))
+        // empty input / all-null timestamps: nothing to segment on —
+        // the single-pass form handles both (trivially, since no task
+        // can be hot) instead of throwing on a possibly-empty batch
+        if (r.isNullAt(0)) singlePass
+        else segmented(r.getDouble(0), r.getDouble(1))
       }
     carried
       .select((col("__side") +: left.columns.map(col) ++:

@@ -190,10 +190,28 @@ object Warehouse {
     def resolve(n: String) = tables.getOrElse(n, spark.table(n))
     val target = resolve(tgtName)
     val source = resolve(srcName)
-    // rewrite statement aliases to the operator's fixed t/s aliases
-    def rebind(e: String): String = e
-      .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(tAlias)}\\.", "t.")
-      .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(sAlias)}\\.", "s.")
+    require(!tAlias.equalsIgnoreCase(sAlias),
+      s"target and source aliases must differ: '$tAlias' vs '$sAlias'")
+    // rewrite statement aliases to the operator's fixed t/s aliases —
+    // in ONE pass over both aliases (two sequential replaceAlls would
+    // re-rewrite the "t." just produced by the first pass whenever the
+    // SOURCE alias is literally "t", silently reading source columns
+    // where target ones were written), and never inside 'string
+    // literals' (an alias-shaped substring in quoted text is data)
+    val aliasRef = ("(?i)\\b(" + java.util.regex.Pattern.quote(tAlias) +
+      "|" + java.util.regex.Pattern.quote(sAlias) + ")\\.").r
+    val strLit = "'(?:[^']|'')*'".r
+    def rebind(e: String): String = {
+      def seg(u: String): String = aliasRef.replaceAllIn(u, mm =>
+        if (mm.group(1).equalsIgnoreCase(tAlias)) "t." else "s.")
+      val sb = new StringBuilder
+      var last = 0
+      strLit.findAllMatchIn(e).foreach { lm =>
+        sb.append(seg(e.substring(last, lm.start))).append(lm.matched)
+        last = lm.end
+      }
+      sb.append(seg(e.substring(last))).toString
+    }
     val keys = m.group(5).split("(?i)\\s+AND\\s+").map(_.trim).map { eq =>
       val kv = "(?i)^(\\w+)\\.(\\w+)\\s*=\\s*(\\w+)\\.(\\w+)$".r
       val km = kv.findFirstMatchIn(eq).getOrElse(throw
@@ -244,13 +262,20 @@ object Warehouse {
             s"unsupported MERGE clause: $c")
         }
       }
-    // ANSI order: if UPDATE (with a condition) precedes DELETE, the
-    // DELETE branch only sees rows the UPDATE condition rejected
-    val delCond = del.map { dc =>
-      val base = dc.map(c => expr(rebind(c))).getOrElse(lit(true))
-      if (updBeforeDel && upd.exists(_.cond.nonEmpty))
-        base && !coalesce(expr(rebind(upd.get.cond.get)), lit(false))
-      else base
+    // ANSI first-match-wins order: a DELETE after an UPDATE only sees
+    // rows the UPDATE's condition rejected — and an UNCONDITIONAL
+    // UPDATE captures every matched row, making a later DELETE
+    // unreachable (the reverse directions fall out of the underlying
+    // operator: deletes are applied before updates there, so a DELETE
+    // written first always outranks the update branch)
+    val delCond = del.flatMap { dc =>
+      if (updBeforeDel && upd.exists(_.cond.isEmpty)) None
+      else {
+        val base = dc.map(c => expr(rebind(c))).getOrElse(lit(true))
+        Some(if (updBeforeDel && upd.exists(_.cond.nonEmpty))
+          base && !coalesce(expr(rebind(upd.get.cond.get)), lit(false))
+        else base)
+      }
     }
     // conditional UPDATE: non-matching rows keep target values
     val updates: Map[String, Column] = upd.map { u =>
@@ -268,15 +293,20 @@ object Warehouse {
       whenNotMatchedInsert = insert, whenMatchedDelete = delCond)
   }
 
-  /** Split on commas not nested inside parentheses (SET lists whose
-    * expressions contain function calls). */
+  /** Split on commas not nested inside parentheses or 'string literals'
+    * (SET lists whose expressions contain function calls or quoted
+    * text). A doubled '' escape toggles the quote state twice — net
+    * unchanged — so it stays inside the literal, as SQL requires. */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var depth = 0
+    var inQuote = false
     var start = 0
     var i = 0
     while (i < s.length) {
-      s.charAt(i) match {
+      val c = s.charAt(i)
+      if (c == '\'') inQuote = !inQuote
+      else if (!inQuote) c match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case ',' if depth == 0 =>

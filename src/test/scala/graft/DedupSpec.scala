@@ -190,6 +190,24 @@ class DedupSpec extends SparkSuite {
       s"7-bit band buckets should fill linearly, got $hot")
   }
 
+  test("minHashBandsFor: derived banding keeps miss probability <= 1e-5 " +
+      "at the verify threshold across the whole threshold dial") {
+    def miss(t: Double, nh: Int, b: Int): Double =
+      math.pow(1 - math.pow(t, nh / b), b)
+    for (t <- Seq(0.4, 0.5, 0.55, 0.6, 0.7, 0.8, 0.9)) {
+      val (nh, b) = Dedup.minHashBandsFor(t)
+      assert(nh % b == 0, s"t=$t -> ($nh, $b): rows-per-band not integral")
+      assert(nh <= 144, s"t=$t -> $nh hashes exceeds the budget")
+      assert(miss(t, nh, b) <= 1e-5 + 1e-12,
+        s"t=$t ($nh, $b) miss=${miss(t, nh, b)}")
+    }
+    // documented fixed points: r=4 b=22 at 0.8, r=2 b=41 at 0.5 — the
+    // fixed (48, 16) config this replaced missed ~6% of pairs at t=0.55
+    assert(Dedup.minHashBandsFor(0.8) == (88, 22))
+    assert(Dedup.minHashBandsFor(0.5) == (82, 41))
+    assert(miss(0.55, 48, 16) > 0.03, "the old config really was lossy")
+  }
+
   test("simHashNearDupPairs at radius>4 matches brute-force jaccard " +
       "pairs (minhash-primary blocking, exact verify)") {
     val real = Engine.table(spark, sf, "documents")

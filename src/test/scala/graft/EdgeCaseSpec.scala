@@ -65,6 +65,41 @@ class EdgeCaseSpec extends SparkSuite {
     assert(far.select("v").head().getDouble(0) == 7.0)
   }
 
+  test("exactDedup null-id semantics: null ids are kept (nulls-first), " +
+      "never dropped or fabricated into all-NULL rows") {
+    import spark.implicits._
+    // a group whose ids are ALL null: a bare min_by ordering key would
+    // ignore every row and emit a fabricated all-NULL row
+    val allNull = Seq((Option.empty[Long], "same", "a"),
+      (Option.empty[Long], "same", "b")).toDF("doc_id", "text", "source")
+    val keptAll = Dedup.exactDedup(allNull).collect()
+    assert(keptAll.length == 1, keptAll.mkString(","))
+    assert(!keptAll(0).isNullAt(keptAll(0).fieldIndex("text")),
+      "kept row must be a real input row, not all-NULL")
+    // mixed null/non-null ids: nulls-first keep (the window form's
+    // asc-nulls-first ordering) — the null-id row wins its group
+    val mixed = Seq((Option(7L), "same", "a"),
+      (Option.empty[Long], "same", "b"),
+      (Option(3L), "other", "c")).toDF("doc_id", "text", "source")
+    val keptMixed = Dedup.exactDedup(mixed)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(2))).toSet
+    assert(keptMixed == Set((None, "b"), (Some(3L), "c")), keptMixed)
+  }
+
+  test("segmented asofJoinBackward: empty input and all-null timestamps " +
+      "fall back to the single-pass form instead of throwing") {
+    import spark.implicits._
+    val emptyL = Seq.empty[(String, Long, Long)].toDF("k", "ts", "eid")
+    val emptyR = Seq.empty[(String, Long, Double)].toDF("k", "ts", "v")
+    assert(Relational.asofJoinBackward(emptyL, emptyR, "k", "ts", "ts",
+      Seq("v"), segments = 8).count() == 0)
+    val nullL = Seq(("k", Option.empty[Long], 1L)).toDF("k", "ts", "eid")
+    val out = Relational.asofJoinBackward(nullL, emptyR, "k", "ts", "ts",
+      Seq("v"), segments = 8).collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("v")))
+  }
+
   test("dedup operators tolerate null/empty/single-char text") {
     assert(Dedup.exactDupGroups(weirdDocs).count() == 4) // null+""+x+solo
     Dedup.minHashLshPairs(weirdDocs, threshold = 0.9).collect()

@@ -265,6 +265,44 @@ class PipelineSpec extends SparkSuite {
     assert(wide.count() == full.count())
   }
 
+  test("indexedScan / statsRangeScan on a Hive-partitioned table keep " +
+      "partition-column values intact in the pruned read") {
+    import graft.operators.Layout
+    // dt lives in the directory names, not the leaf files — the pruned
+    // read must recover it via basePath or every row comes back with a
+    // NULL partition column (and an indexed partition predicate then
+    // filters out ALL rows)
+    val df = spark.range(0, 20000).select(
+      (col("id") % 4).as("dt"), (col("id") % 100).as("k"),
+      col("id").as("payload"))
+    val dir = tmpDir("partidx")
+    df.write.mode("overwrite").partitionBy("dt").parquet(s"$dir/data")
+    Layout.buildFileIndex(spark, s"$dir/data", "dt", s"$dir/idx_dt")
+    Layout.buildFileIndex(spark, s"$dir/data", "k", s"$dir/idx_k")
+    Layout.buildFileStats(spark, s"$dir/data", "k", s"$dir/stats_k")
+    val full = spark.read.parquet(s"$dir/data")
+
+    // index ON the partition column: pruned scan must return its rows
+    val byDt = Layout.indexedScan(spark, s"$dir/data", s"$dir/idx_dt",
+      "dt", Seq(2))
+    val wantDt = full.filter(col("dt") === 2)
+      .agg(count(lit(1)), sum("payload")).head()
+    assert(byDt.agg(count(lit(1)), sum("payload")).head() == wantDt)
+
+    // index on a data column: partition column must survive un-NULLed
+    val byK = Layout.indexedScan(spark, s"$dir/data", s"$dir/idx_k",
+      "k", Seq(7L))
+    assert(byK.filter(col("dt").isNull).count() == 0,
+      "partition column must not be NULL in the pruned read")
+    assert(byK.groupBy("dt").count().count() ==
+      full.filter(col("k") === 7L).select("dt").distinct().count())
+
+    val byRange = Layout.statsRangeScan(spark, s"$dir/data",
+      s"$dir/stats_k", "k", 10L, 20L)
+    assert(byRange.filter(col("dt").isNull).count() == 0)
+    assert(byRange.count() == full.filter(col("k").between(10L, 20L)).count())
+  }
+
   // --------------------------------------------------------- vocabulary
 
   test("vocabulary counts tf and df with deterministic tie-break") {

@@ -171,6 +171,52 @@ class WarehouseSpec extends SparkSuite {
     assert(viaCatalog.toSeq == Seq((1L, 10.0), (2L, 99.0), (3L, -1.0)))
   }
 
+  test("mergeIntoSql edge semantics: source alias 't', unconditional " +
+      "update shadowing a later delete, quoted literals in SET") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", -5.0))
+      .toDF("k", "st", "tp")
+    val s = Seq((2L, "x", 99.0), (3L, "y", -1.0), (4L, "z", 40.0))
+      .toDF("k", "st", "tp")
+    // source alias is literally "t": a two-pass alias rewrite would
+    // turn the just-written target refs into source refs (s.tp + s.tp)
+    val collide = graft.operators.Warehouse.mergeIntoSql(spark,
+      """MERGE INTO snap USING delta AS t ON snap.k = t.k
+         WHEN MATCHED THEN UPDATE SET tp = snap.tp + t.tp""",
+      Map("snap" -> t, "delta" -> s))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(collide.toSeq == Seq((1L, 10.0), (2L, 119.0), (3L, -6.0)),
+      collide.mkString(","))
+    // ANSI first-match-wins: an UNCONDITIONAL update captures every
+    // matched row, so the later conditional DELETE is unreachable
+    val shadowed = graft.operators.Warehouse.mergeIntoSql(spark,
+      """MERGE INTO snap t USING delta s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET tp = s.tp
+         WHEN MATCHED AND s.tp < 0 THEN DELETE""",
+      Map("snap" -> t, "delta" -> s))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(shadowed.toSeq == Seq((1L, 10.0), (2L, 99.0), (3L, -1.0)),
+      shadowed.mkString(","))
+    // quoted literals: a comma inside a string must not split the SET
+    // list, and alias-shaped text inside quotes must stay verbatim
+    // (a quote-blind rewrite would turn 'src.x, tgt.y' into 's.x, t.y')
+    val quoted = graft.operators.Warehouse.mergeIntoSql(spark,
+      """MERGE INTO snap tgt USING delta src ON tgt.k = src.k
+         WHEN MATCHED THEN UPDATE SET st = 'src.x, tgt.y', tp = src.tp""",
+      Map("snap" -> t, "delta" -> s))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(quoted.toSeq == Seq((1L, "a", 10.0), (2L, "src.x, tgt.y", 99.0),
+      (3L, "src.x, tgt.y", -1.0)), quoted.mkString(","))
+    // identical aliases are ambiguous, not silently misbound
+    intercept[IllegalArgumentException] {
+      graft.operators.Warehouse.mergeIntoSql(spark,
+        """MERGE INTO snap x USING delta x ON x.k = x.k
+           WHEN MATCHED THEN UPDATE SET tp = x.tp""",
+        Map("snap" -> t, "delta" -> s))
+    }
+  }
+
   test("compactSmallFiles merges many small files, preserves rows") {
     val dir = tmpDir("wh_compact")
     val df = spark.range(1000).toDF("id")
