@@ -1,0 +1,68 @@
+package graft
+
+/** Surgical baseline editor for BASELINE_QUERIES.json.
+  *
+  * Wholesale baseline refreshes ("copy bench_result.json over the
+  * baseline") make drift invisible: a query that quietly doubled gets
+  * its doubled time blessed as the new normal on the next refresh.
+  * This tool is the ONLY supported way to touch the baseline:
+  *
+  *   runMain graft.BaselineRefresh q_a q_b ...   # update named queries
+  *   runMain graft.BaselineRefresh -new          # add queries missing
+  *                                               # from the baseline
+  *
+  * Named updates are for DELIBERATE perf changes — name the queries and
+  * the change in the commit message. `-new` only inserts entries for
+  * queries present in bench_result.json but absent from the baseline
+  * (new operators); existing entries are never modified by it.
+  * Times come from the committed bench_result.json (the last real
+  * bench run), never hand-typed.
+  */
+object BaselineRefresh {
+  private val benchPath = java.nio.file.Paths.get("bench_result.json")
+  private val basePath = java.nio.file.Paths.get("BASELINE_QUERIES.json")
+
+  private def queriesOf(text: String): Map[String, Double] = {
+    // the "queries" object is the only place q_* names map to bare
+    // numbers in either file; the flat regex parse matches Bench's
+    val obj = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+    "\"(q_[^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: BaselineRefresh (-new | q_name ...) — no wholesale refresh")
+    val bench = queriesOf(java.nio.file.Files.readString(benchPath))
+    val baseText = java.nio.file.Files.readString(basePath)
+    val base = queriesOf(baseText)
+    val addNew = args.contains("-new")
+    val named = args.filterNot(_.startsWith("-")).toSeq
+    val unknown = named.filterNot(bench.contains)
+    require(unknown.isEmpty,
+      s"not in bench_result.json: ${unknown.mkString(", ")}")
+    val adds = if (addNew) bench.view.filterKeys(!base.contains(_)).toMap
+      else Map.empty[String, Double]
+    val updates = named.map(n => n -> bench(n)).toMap
+    val merged = base ++ adds ++ updates
+    val changed = (adds.keySet ++ updates.keySet).toSeq.sorted
+    if (changed.isEmpty) { println("baseline unchanged"); return }
+    val sf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(baseText).map(_.group(1)).getOrElse("")
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => f"""  "$k": $v%.4f""" }.mkString(",\n")
+    val comment = "Per-query bench baseline (seconds, best-of-3, " +
+      "local[32], sf0.1). Bench flags a query when it exceeds BOTH 2x " +
+      "its baseline AND baseline+1s. Refresh ONLY via graft." +
+      "BaselineRefresh: name the queries whose perf deliberately " +
+      "changed (and say why in the commit), or -new for new queries. " +
+      "Never copy bench_result.json wholesale."
+    java.nio.file.Files.writeString(basePath,
+      s"""{\n "_comment": "$comment",\n "sf": "$sf",\n "queries": {\n$body\n }\n}\n""")
+    changed.foreach { n =>
+      val was = base.get(n).map(v => f"$v%.4f").getOrElse("(new)")
+      println(f"$n%-28s $was -> ${merged(n)}%.4f")
+    }
+  }
+}

@@ -417,9 +417,15 @@ object Dedup {
     * shuffle keys are 8-byte ids, never documents. The edge list is
     * localCheckpoint'd once and reused every iteration; labels are
     * checkpointed per iteration so lineage (and the replay cost of a
-    * lost executor) stays O(1) instead of O(iterations). Convergence
-    * is detected by the exact sum of labels (labels only ever
-    * decrease), one tiny aggregate per iteration.
+    * lost executor) stays O(1) instead of O(iterations). The first
+    * propagation round is fused into label initialization (min of self
+    * and direct neighbors needs only a groupBy), iteration width adapts
+    * to the materialized edge count (a pair graph is orders of
+    * magnitude smaller than its corpus — iterating a few hundred edges
+    * at corpus width just pays scheduler overhead), and convergence
+    * (labels only ever decrease, so: no label changed this round) is
+    * read from the just-checkpointed blocks, one tiny local job per
+    * iteration.
     *
     * @param pairs DataFrame with two id columns (defaults `id_a`,
     *              `id_b`), one row per observed near-dup pair.
@@ -428,38 +434,52 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 30): DataFrame = {
-    val par = pairs.sparkSession.sparkContext.defaultParallelism
+    val spark = pairs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
     val half = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
-    val edges = half
+    val wide = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(par, col("src"))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // the checkpoint already materialized the edge list, so this count
+    // is a cheap cached-block scan — and it both handles the empty
+    // input and sizes the iteration shuffles: a near-dup pair graph is
+    // MANY orders of magnitude smaller than its corpus (256 edges at
+    // sf0.1), so iterating at corpus width pays ~par scheduling
+    // overheads per tiny job; at 100 TB the count grows past the
+    // threshold and the width climbs back to full parallelism
+    val edgeCount = wide.count()
+    if (edgeCount == 0)
+      return half.select(col("src").as("id"), col("src").as("cluster_id"))
+    val width = math.max(1L, math.min(par.toLong, edgeCount / 65536L + 1L)).toInt
+    // coalesce is narrow — no extra materialization job; the iteration
+    // joins re-partition the (tiny) frame themselves
+    val edges = if (width == par) wide else wide.coalesce(width)
+    // iteration 1 fused into initialization: label(u) = min(u, N(u)) is
+    // exactly what the first propagation round over identity labels
+    // produces, for one groupBy instead of join+groupBy+join
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
       .localCheckpoint()
-    // sum over an empty frame is NULL — coalesce so a pair-free input
-    // converges immediately instead of NPE-ing
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)")))
-        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
-    var converged = labels.isEmpty
-    var iter = 0
+    var converged = false
+    var iter = 1
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr"))
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr"), col("label")))
             .as("label"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
+      // labels only ever decrease, so convergence = no row changed this
+      // round; the filter scans next's just-checkpointed blocks (one
+      // tiny local job), replacing the old per-round decimal label-sum
+      converged = next.filter(col("label") < col("prev")).isEmpty
+      labels = next.select("id", "label")
       iter += 1
     }
     if (!converged) starContractionComponents(pairs, idA, idB)
@@ -482,15 +502,19 @@ object Dedup {
   private[graft] def starContractionComponents(pairs: DataFrame,
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     val par = pairs.sparkSession.sparkContext.defaultParallelism
-    var e = pairs
+    val raw = pairs
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+    // nodes come from the PRE-filter pair list: an id that appears only
+    // in self-pairs still belongs in the output (cluster_id = itself),
+    // matching the label-propagation path's contract
+    val nodes = raw.select(col("u").as("id"))
+      .unionByName(raw.select(col("v").as("id")))
+      .distinct().localCheckpoint()
+    var e = raw
       .filter(col("u") =!= col("v"))
       .distinct()
       .repartition(par, col("u"))
       .localCheckpoint()
-    val nodes = e.select(col("u").as("id"))
-      .unionByName(e.select(col("v").as("id")))
-      .distinct().localCheckpoint()
 
     // large-star: per node u, attach every neighbor v > u to
     // m(u) = min(neighborhood(u) ∪ {u})

@@ -281,11 +281,23 @@ object Warehouse {
     val updates: Map[String, Column] = upd.map { u =>
       splitTopLevel(u.sets).map { a =>
         val Array(lhs, rhs) = a.split("=", 2)
-        val name = lhs.trim.stripPrefix(s"$tAlias.").stripPrefix("t.")
+        // the rest of the parser is case-insensitive, so the alias
+        // strip must be too ('SET T.x = ...' under alias 't'); an
+        // unknown SET column would otherwise be a silent no-op
+        // (mergeInto ignores unlisted names) — raise instead
+        val stripped = lhs.trim
+        val name = Seq(s"$tAlias.", "t.").foldLeft(stripped) { (n, p) =>
+          if (n.length > p.length &&
+            n.substring(0, p.length).equalsIgnoreCase(p))
+            n.substring(p.length) else n
+        }
+        val resolved = target.columns.find(_.equalsIgnoreCase(name))
+          .getOrElse(throw new IllegalArgumentException(
+            s"SET column not in target: $stripped"))
         val value = expr(rebind(rhs.trim))
-        name -> u.cond.map(c =>
+        resolved -> u.cond.map(c =>
             when(coalesce(expr(rebind(c)), lit(false)), value)
-              .otherwise(col(s"t.$name")))
+              .otherwise(col(s"t.$resolved")))
           .getOrElse(value)
       }.toMap
     }.getOrElse(Map.empty)
@@ -329,6 +341,25 @@ object Warehouse {
   def mergeIntoPartitioned(spark: SparkSession, path: String,
       updates: DataFrame, keys: Seq[String], versionCol: String,
       partCol: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (tmp, partDirs) =
+      mergePrepare(spark, path, updates, keys, versionCol, partCol)
+    completeMergeSwap(fs, target, tmp, partDirs)
+  }
+
+  /** Everything up to (and including) the merge manifest install: roll
+    * forward any interrupted predecessor, compute the merged partitions
+    * into a side dir, commit the swap record. Split from
+    * [[mergeIntoPartitioned]] so crash-at-the-worst-moment is testable:
+    * a caller that stops here has exactly the on-disk state of a merge
+    * killed after its commit point. */
+  private[graft] def mergePrepare(spark: SparkSession, path: String,
+      updates: DataFrame, keys: Seq[String], versionCol: String,
+      partCol: String): (String, Seq[String]) = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverMerge(spark, path)
     val parts = updates.select(partCol).distinct().collect()
       .map(_.get(0).toString)
     val existing = spark.read.parquet(path)
@@ -338,7 +369,75 @@ object Warehouse {
       .select(updates.columns.map(c =>
         col(c).cast(updates.schema(c).dataType)): _*)
     val merged = upsertByKey(existing, updates, keys, versionCol)
-    writePartitioned(merged, path, Seq(partCol), overwriteDynamic = true)
+    // crash safety (same protocol as [[compactSmallFiles]]): the merged
+    // partitions land FULLY in a side dir first; the manifest is the
+    // commit point; the swap replaces whole partition directories via
+    // rename (atomic per partition on HDFS/local). A writer killed at
+    // ANY point either left the target untouched (no committed
+    // manifest → recovery discards the side dir) or is rolled FORWARD
+    // by the next merge/recoverMerge — never a half-overwritten
+    // partition, which is what dynamic-partition overwrite risks when
+    // the deleting-and-rewriting job dies mid-partition.
+    val tmp = path.stripSuffix("/") + "__merge_tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp)
+    val partDirs = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol=")).toSeq.sorted
+    writeManifest(fs, target, tmp, partDirs, mergeManifestName)
+    (tmp, partDirs)
+  }
+
+  private val mergeManifestName = "_graft_merge_manifest"
+
+  /** Execute (or re-execute) the partition-directory swap a merge
+    * manifest describes. Idempotent: deleting an already-replaced
+    * partition dir and renaming an already-moved tmp dir are no-ops,
+    * so it is safe after a crash at any point past manifest install. */
+  private def completeMergeSwap(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, tmp: String,
+      partDirs: Seq[String]): Unit = {
+    partDirs.foreach { d =>
+      val src = new org.apache.hadoop.fs.Path(tmp, d)
+      if (fs.exists(src)) {
+        fs.delete(new org.apache.hadoop.fs.Path(target, d), true)
+        fs.rename(src, new org.apache.hadoop.fs.Path(target, d))
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(new org.apache.hadoop.fs.Path(target, mergeManifestName), false)
+  }
+
+  /** Roll forward an interrupted partitioned-merge swap, if any —
+    * called on entry by every merge, callable standalone after a crash.
+    * Same torn-write rules as [[recoverCompaction]]: a manifest without
+    * a matching `#END:<n>` terminator never committed, so the side dir
+    * is discarded and the target keeps its pre-merge content. Returns
+    * true only when a committed swap was rolled forward. */
+  def recoverMerge(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, mergeManifestName + ".tmp"),
+      false)
+    val mf = new org.apache.hadoop.fs.Path(path, mergeManifestName)
+    if (!fs.exists(mf)) return false
+    val in = fs.open(mf)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val valid = lines.length >= 2 &&
+      lines.last.startsWith(manifestEnd) &&
+      lines.last.stripPrefix(manifestEnd).toIntOption
+        .contains(lines.length - 2)
+    if (!valid) {
+      fs.delete(mf, false)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        dir.stripSuffix("/") + "__merge_tmp"), true)
+      return false
+    }
+    completeMergeSwap(fs, path, lines.head,
+      lines.slice(1, lines.length - 1).toSeq)
+    true
   }
 
   /** SCD2 merge (reference docs/数据模型.md:41-46): close out changed
@@ -432,8 +531,8 @@ object Warehouse {
     * store tears the write. */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path, tmp: String,
-      inputs: Seq[String]): Unit = {
-    val mfTmp = new org.apache.hadoop.fs.Path(target, manifestName + ".tmp")
+      inputs: Seq[String], name: String = manifestName): Unit = {
+    val mfTmp = new org.apache.hadoop.fs.Path(target, name + ".tmp")
     val out = fs.create(mfTmp, true)
     try out.write((tmp + "\n" + inputs.mkString("\n") +
       s"\n$manifestEnd${inputs.size}\n").getBytes("UTF-8"))
@@ -443,11 +542,11 @@ object Warehouse {
     // new commit record silently fail to install — then a crash would
     // roll forward the STALE swap. Clear the destination and fail loudly
     // if the rename still doesn't land.
-    val mf = new org.apache.hadoop.fs.Path(target, manifestName)
+    val mf = new org.apache.hadoop.fs.Path(target, name)
     fs.delete(mf, false)
     if (!fs.rename(mfTmp, mf))
       throw new java.io.IOException(
-        s"compaction manifest install failed: rename $mfTmp -> $mf")
+        s"manifest install failed: rename $mfTmp -> $mf")
   }
 
   /** Execute (or re-execute) the swap a manifest describes: delete the

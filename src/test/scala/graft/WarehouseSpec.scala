@@ -82,6 +82,83 @@ class WarehouseSpec extends SparkSuite {
     assert(after == untouched, "untouched partition must keep its files")
   }
 
+  test("mergeIntoPartitioned killed at the commit point: target reads " +
+      "consistent pre-merge data; the next entry rolls the swap forward") {
+    val dir = tmpDir("wh_merge_crash")
+    val base = Seq(
+      (1L, "a", 1L, "2024-01-01"), (2L, "b", 1L, "2024-01-01"),
+      (3L, "c", 1L, "2024-01-02"))
+      .toDF("k", "v", "ver", "dt")
+    Warehouse.writePartitioned(base, dir, Seq("dt"))
+    val updates = Seq((1L, "a2", 2L, "2024-01-01"), (9L, "new", 1L, "2024-01-01"))
+      .toDF("k", "v", "ver", "dt")
+    // run everything up to and including the manifest install, then
+    // "die" — exactly the on-disk state of a merge killed between its
+    // side-dir write and the partition swap
+    Warehouse.mergePrepare(spark, dir, updates, Seq("k"), "ver", "dt")
+    assert(new java.io.File(s"$dir/_graft_merge_manifest").exists)
+    // a reader at this moment sees the COMPLETE pre-merge table — the
+    // target partitions have not been touched
+    val mid = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mid == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // recovery (run by the next merge on entry, or standalone) rolls
+    // the committed swap FORWARD — the merge's effects appear exactly
+    // once, no partial partition
+    assert(Warehouse.recoverMerge(spark, dir))
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c", 9L -> "new"))
+    assert(!new java.io.File(s"$dir/_graft_merge_manifest").exists)
+    assert(!new java.io.File(dir + "__merge_tmp").exists)
+    assert(!Warehouse.recoverMerge(spark, dir), "no manifest -> no-op")
+  }
+
+  test("mergeIntoPartitioned killed before the commit point (torn " +
+      "manifest): swap treated as not started, target keeps old data") {
+    val dir = tmpDir("wh_merge_torn")
+    val base = Seq((1L, "a", 1L, "2024-01-01"))
+      .toDF("k", "v", "ver", "dt")
+    Warehouse.writePartitioned(base, dir, Seq("dt"))
+    // stray side dir + manifest missing its #END terminator = a writer
+    // that died mid-manifest-write on a non-atomic store
+    val tmp = new java.io.File(dir + "__merge_tmp/dt=2024-01-01")
+    tmp.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_merge_manifest"),
+      dir + "__merge_tmp\ndt=2024-01-01\n")
+    assert(!Warehouse.recoverMerge(spark, dir))
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a"), "torn manifest must not lose target data")
+    assert(!new java.io.File(dir + "__merge_tmp").exists,
+      "uncommitted side dir is discarded")
+  }
+
+  test("mergeIntoSql SET list: alias strip is case-insensitive, " +
+      "unknown SET columns raise instead of silently no-oping") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "st", "tp")
+    val s = Seq((2L, "x", 99.0)).toDF("k", "st", "tp")
+    // 'SET T.tp' under alias 't': the case-insensitive parser accepts
+    // the clause, so the alias strip must too — pre-fix this yielded
+    // update key "T.tp", which mergeInto silently ignored
+    val upper = graft.operators.Warehouse.mergeIntoSql(spark,
+      """MERGE INTO snap t USING delta s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET T.tp = s.tp""",
+      Map("snap" -> t, "delta" -> s))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(upper.toSeq == Seq((1L, 10.0), (2L, 99.0)), upper.mkString(","))
+    // a typo'd SET column is an error, not a no-op
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Warehouse.mergeIntoSql(spark,
+        """MERGE INTO snap t USING delta s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET typo_col = s.tp""",
+        Map("snap" -> t, "delta" -> s))
+    }
+    assert(err.getMessage.contains("typo_col"))
+  }
+
   test("mergeInto: update, delete, and insert branches all apply; " +
       "no-insert mode drops unmatched source rows") {
     import spark.implicits._
