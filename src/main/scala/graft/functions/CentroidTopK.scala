@@ -123,6 +123,10 @@ object CentroidTopK {
     while (j < dim) {
       if (vec.isNullAt(j)) return null
       v(j) = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+      // a NaN component makes every dot NaN — no slot would ever fill
+      // and the zero-initialized buckets would be fabricated; null on
+      // corrupt input, same contract as dim mismatch / null elements
+      if (v(j) != v(j)) return null
       j += 1
     }
     val n = cents.buckets.length

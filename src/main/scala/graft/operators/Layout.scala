@@ -86,7 +86,20 @@ object Layout {
       values: Seq[Any], maxFileFraction: Double = 0.5): DataFrame = {
     val full = spark.read.parquet(tablePath)
     val pred = col(column).isin(values: _*)
-    val files = spark.read.parquet(indexPath)
+    val idx = spark.read.parquet(indexPath)
+    // STALENESS GUARD: the index is a snapshot — rows in files appended
+    // after the build would be silently invisible to a pruned scan
+    // (undetectable from the matched file lists alone). The index's
+    // complete file universe is cheap to enumerate (index rows, not
+    // table rows); any difference from the table's current listing —
+    // appends, compaction renames — voids the snapshot and the scan
+    // falls back to the plain pushed-filter read. Rebuild the index
+    // after appends to regain pruning.
+    val covered = idx.select(explode(col("files")).as("f"))
+      .distinct().collect().map(r => normFile(r.getString(0))).toSet
+    if (covered != full.inputFiles.map(normFile).toSet)
+      return full.filter(pred)
+    val files = idx
       .filter(col("v").isin(values: _*))
       .select(explode(col("files")).as("f"))
       .distinct().collect().map(_.getString(0))
@@ -97,6 +110,12 @@ object Layout {
     else
       prunedRead(spark, tablePath, full, files).filter(pred)
   }
+
+  /** Scheme-normalized file path (input_file_name() and
+    * DataFrame.inputFiles render `file:` URIs with different slash
+    * counts). */
+  private def normFile(f: String): String =
+    f.replaceFirst("^file:/+", "/")
 
   /** Read an explicit file subset of `tablePath` with the table's full
     * schema. `basePath` keeps Hive-style partition discovery working on
@@ -140,7 +159,16 @@ object Layout {
       lo: Any, hi: Any, maxFileFraction: Double = 0.5): DataFrame = {
     val full = spark.read.parquet(tablePath)
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
-    val files = spark.read.parquet(statsPath)
+    val stats = spark.read.parquet(statsPath)
+    // same staleness guard as [[indexedScan]]: the stats table is one
+    // row per file at build time; a listing that differs (appended or
+    // rewritten files) voids the snapshot — full scan, never silently
+    // dropped rows
+    val covered = stats.select("f").distinct().collect()
+      .map(r => normFile(r.getString(0))).toSet
+    if (covered != full.inputFiles.map(normFile).toSet)
+      return full.filter(pred)
+    val files = stats
       .filter(col("mx") >= lit(lo) && col("mn") <= lit(hi))
       .select("f").collect().map(_.getString(0))
     if (files.isEmpty) return full.filter(lit(false))

@@ -229,6 +229,41 @@ class PipelineSpec extends SparkSuite {
     assert(hot.count() == full.filter(col("hot") === 7L).count())
   }
 
+  test("indexedScan / statsRangeScan staleness guard: files appended " +
+      "after the build void the snapshot and fall back to the full scan") {
+    import graft.operators.Layout
+    val df = spark.range(0, 10000).select(
+      (col("id") % 100).as("k"), col("id").as("payload"))
+      .repartitionByRange(8, col("k"))
+    val dir = tmpDir("fileidx_stale")
+    df.write.mode("overwrite").parquet(s"$dir/data")
+    Layout.buildFileIndex(spark, s"$dir/data", "k", s"$dir/idx")
+    Layout.buildFileStats(spark, s"$dir/data", "k", s"$dir/stats")
+    // append rows for an indexed value AFTER the build — a pruned scan
+    // over the stale snapshot would silently drop them
+    spark.range(0, 10).select(lit(3L).as("k"),
+        (col("id") + 1000000L).as("payload"))
+      .write.mode("append").parquet(s"$dir/data")
+    val full = spark.read.parquet(s"$dir/data")
+    val scan = Layout.indexedScan(spark, s"$dir/data", s"$dir/idx",
+      "k", Seq(3L))
+    assert(scan.count() == full.filter(col("k") === 3L).count(),
+      "stale index must not lose appended rows")
+    assert(scan.inputFiles.length == full.inputFiles.length,
+      "stale snapshot must fall back to the full-path scan")
+    val range = Layout.statsRangeScan(spark, s"$dir/data", s"$dir/stats",
+      "k", 3L, 3L)
+    assert(range.count() == full.filter(col("k") === 3L).count(),
+      "stale stats must not lose appended rows")
+    // rebuilding restores pruning
+    Layout.buildFileIndex(spark, s"$dir/data", "k", s"$dir/idx")
+    val rebuilt = Layout.indexedScan(spark, s"$dir/data", s"$dir/idx",
+      "k", Seq(3L))
+    assert(rebuilt.count() == full.filter(col("k") === 3L).count())
+    assert(rebuilt.inputFiles.length < full.inputFiles.length,
+      "rebuilt index must prune again")
+  }
+
   test("buildFileStats + statsRangeScan: range reads only intersecting " +
       "files; disjoint range reads none; wide range falls back") {
     import graft.operators.Layout

@@ -68,6 +68,26 @@ class CentroidKernelSpec extends SparkSuite {
     }
   }
 
+  test("kernel corrupt-input contract: NaN components, dim mismatch, " +
+      "and null elements all yield null, never fabricated buckets") {
+    import spark.implicits._
+    val cents = randDF(32, 3, "bucket", "centroid")
+    val bad = Seq(
+      (1L, Array.fill(dim)(0.1)),                       // clean
+      (2L, Array.fill(dim)(Double.NaN)),                // NaN: pre-fix
+                                                        // returned bucket
+                                                        // 0 for all slots
+      (3L, Array.fill(dim - 2)(0.1)))                   // dim mismatch
+      .toDF("id", "nv")
+    val out = Similarity.assignNearestK(bad, cents, 2)
+      .groupBy("id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // assignNearestK explodes the kernel's array: null arrays produce
+    // ZERO rows for that id — the corrupt vectors must vanish, not be
+    // assigned to bucket 0
+    assert(out == Map(1L -> 2L), s"corrupt vectors leaked: $out")
+  }
+
   test("semanticDedup at nClusters=4096 completes with a bounded plan " +
       "and still drops planted near-dups") {
     import spark.implicits._
