@@ -79,6 +79,32 @@ object StreamOps {
       : DataFrame => Unit =
     batch => batch.write.mode("append").jdbc(url, table, props)
 
+  /** S8: KV side sink for [[startParquetSink]]'s fan-out — the
+    * reference's profile-tag serving path (tags into HBase/Redis for
+    * point lookups, docs/画像开发方案.md:5). Key = `keyCol` as a UTF-8
+    * string; value = the remaining columns as one JSON document (the
+    * wide-row encoding a serving layer reads back in one get).
+    * Distributed: rows are put from `foreachPartition` on the
+    * executors via the per-JVM client registry ([[RocksKv]]) —
+    * nothing funnels through the driver — and last-write-wins puts
+    * make micro-batch replay idempotent. Null keys are skipped (a KV
+    * store has nowhere to put them; the main parquet sink keeps the
+    * full row). */
+  def kvSideSink(dbPath: String, keyCol: String): DataFrame => Unit =
+    batch => {
+      val payload = batch.columns.filterNot(_ == keyCol)
+      batch.select(col(keyCol).cast("string").as("__k"),
+          to_json(struct(payload.map(col): _*)).as("__v"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val kv = RocksKv.client(dbPath)
+          it.foreach { r =>
+            if (!r.isNullAt(0))
+              kv.put(r.getString(0).getBytes("UTF-8"),
+                r.getString(1).getBytes("UTF-8"))
+          }
+        }
+    }
+
   /** J13: stream-dim lookup join — enrich streaming facts from a small
     * static dimension (the reference keeps dims in an HBase KV store,
     * docs/实时数仓.md:79; Spark's native equivalent is a stream-static

@@ -325,6 +325,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("S8: multi-sink fan-out lands the same micro-batch in parquet + " +
+      "JDBC + KV; KV puts are last-write-wins (replay-idempotent)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dir = tmpDir("kv_sink")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val q = StreamOps.startParquetSink(in.toDF(), s"$dir/data", s"$dir/ckpt",
+      sideSinks = Seq(
+        StreamOps.jdbcSideSink(url, "mirror"),
+        StreamOps.kvSideSink(s"$dir/kv", "user_id")))
+    try {
+      in.addData(Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      // second batch updates user 1 — KV must keep only the latest
+      in.addData(Ev(t("2024-01-01 10:05:00"), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      // all three sinks saw every row
+      assert(spark.read.parquet(s"$dir/data").count() == 3)
+      assert(spark.read.jdbc(url, "mirror",
+        new java.util.Properties).count() == 3)
+      // KV: one value per key, latest wins, JSON payload readable
+      val client = graft.streaming.RocksKv.client(s"$dir/kv")
+      val all = client.scanAll().map { case (k, v) =>
+        new String(k, "UTF-8") -> new String(v, "UTF-8") }.toMap
+      assert(all.keySet == Set("1", "2"), s"keys: ${all.keySet}")
+      assert(all("1").contains("purchase"), s"stale value: ${all("1")}")
+      assert(all("2").contains("view"))
+      // point lookup — the serving-side contract
+      assert(client.get("1".getBytes("UTF-8")).isDefined)
+      assert(client.get("99".getBytes("UTF-8")).isEmpty)
+    } finally q.stop()
+  }
+
   test("T7b: mapGroupsWithState purchase streak resets on non-purchase") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
