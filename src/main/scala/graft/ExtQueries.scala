@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
-import graft.functions.dsum4
+import graft.functions.{davg2, dec2, dec4, dsum2, dsum4}
 import graft.operators.{Relational, Warehouse}
 
 /** Conformance queries closing the remaining SURVEY.md §2 surface:
@@ -730,10 +730,107 @@ object ExtQueries {
               UNION ALL SELECT k, st, tp FROM ins)
             ORDER BY k"""))
 
+  /** One-time-per-JVM-per-scale-dir guard for the routing fixture. */
+  private val aggRouteReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Automatic aggregate routing (SURVEY §4.1 rule 3; the Kylin
+    * capability of reference docs/olap.md:24): the query below is the
+    * NAIVE aggregate over the fact table — filter, coarser grouping,
+    * decimal sums, avg-as-sum/count, count/min/max — and the oracle
+    * runs exactly that SQL on the raw fact in DuckDB. The engine
+    * answers it from `dws.agg_route_<sf>`, a materialized
+    * (returnflag, linestatus, shipdate) summary: [[graft.plans
+    * .AggRouteRewrite]] proves subsumption (grouping ⊆ summary dims,
+    * filter on dims only, every aggregate decomposable over the
+    * registered canonical measures) and re-aggregates the summary —
+    * sum of sums, sum of counts, min of mins, max of maxes — with
+    * output ids/types preserved. Hash-equality against the raw-fact
+    * oracle is the proof the route is exact; ExtensionsSpec pins the
+    * plan actually scanning the summary, not the fact. */
+  val q_agg_route = QuerySpec(
+    "q_agg_route", Seq("A1", "A6", "S4"),
+    (s, d) => {
+      val fact = Engine.table(s, d, "lineitem")
+      val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"dws.agg_route_$suf"
+      if (aggRouteReady.add(tbl)) {
+        s.sql("CREATE DATABASE IF NOT EXISTS dws")
+        Warehouse.dropManaged(s, tbl)
+        fact.groupBy("l_returnflag", "l_linestatus", "l_shipdate")
+          .agg(
+            sum(dec2(col("l_quantity"))).as("s_qty"),
+            sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("s_disc"),
+            count(lit(1)).as("cnt"),
+            count(col("l_quantity")).as("cnt_qty"),
+            min(col("l_quantity")).as("mn_qty"),
+            max(col("l_quantity")).as("mx_qty"))
+          .write.format("parquet").saveAsTable(tbl)
+        graft.plans.AggRouting.register(fact, s.table(tbl),
+          dims = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+          measures = Map(
+            sum(dec2(col("l_quantity"))) -> "s_qty",
+            sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              -> "s_disc",
+            count(lit(1)) -> "cnt",
+            count(col("l_quantity")) -> "cnt_qty",
+            min(col("l_quantity")) -> "mn_qty",
+            max(col("l_quantity")) -> "mx_qty"))
+      }
+      // scope the opt-in rule to this query (same protocol as
+      // q_union_fusion_rule): inject when the session lacks the
+      // extensions, pin the plan while active, restore in finally
+      val exp = s.experimental
+      val priorRules = exp.extraOptimizations
+      val builtWithExtensions = s.conf
+        .getOption("spark.sql.extensions").exists(
+          _.contains("graft.plans.GraftExtensions"))
+      val priorFlag = s.conf.getOption("spark.graft.aggRouting.enabled")
+      if (!builtWithExtensions &&
+          !priorRules.contains(graft.plans.AggRouteRewrite))
+        exp.extraOptimizations = priorRules :+ graft.plans.AggRouteRewrite
+      s.conf.set("spark.graft.aggRouting.enabled", "true")
+      try {
+        val out = fact
+          .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum2(col("l_quantity")).as("sum_qty"),
+            dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("sum_disc_price"),
+            davg2(col("l_quantity")).as("avg_qty"),
+            count(lit(1)).as("n"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+        out.queryExecution.executedPlan // pin while the rule is active
+        out
+      } finally {
+        priorFlag match {
+          case Some(v) => s.conf.set("spark.graft.aggRouting.enabled", v)
+          case None => s.conf.unset("spark.graft.aggRouting.enabled")
+        }
+        exp.extraOptimizations = priorRules
+      }
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+              COUNT(*) AS n,
+              MIN(l_quantity) AS min_qty,
+              MAX(l_quantity) AS max_qty
+            FROM lineitem
+            WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1997-01-01' 
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
-    q_union_fusion_rule,
+    q_union_fusion_rule, q_agg_route,
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
     q_csv_roundtrip, q_json_roundtrip, q_orc_roundtrip,

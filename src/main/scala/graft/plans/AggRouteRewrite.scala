@@ -1,0 +1,249 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.internal.SQLConf
+
+/** Automatic aggregate routing onto a materialized summary table — the
+  * Kylin capability the reference's MOLAP layer provides (reference
+  * docs/olap.md:24: queries are answered FROM the cube; the user still
+  * writes SQL against the fact table). SURVEY §4.1 names this the
+  * third custom-rule candidate.
+  *
+  * A route declares: this summary table holds `groupBy(dims).agg(
+  * canonical measures)` of that fact table. A query's aggregate is
+  * rewritten onto the summary when EVERY piece is subsumed:
+  *
+  *  - grouping columns ⊆ the summary's dims (a coarser grouping
+  *    re-aggregates the finer summary — the cube lattice property);
+  *  - filters between the aggregate and the fact scan reference only
+  *    dims (a dim filter selects whole summary groups, so applying it
+  *    to the summary is exact; a measure filter would need raw rows);
+  *  - every aggregate call matches a registered canonical measure
+  *    (semantic equality after rebinding attributes by name), with a
+  *    re-aggregation that is EXACT over partial aggregates: sum of
+  *    sums, sum of counts, min of mins, max of maxes. count(distinct)
+  *    and arbitrary aggregates do not decompose — no route. `avg` is
+  *    deliberately not special-cased: the repo's exact-arithmetic
+  *    house style already phrases averages as decimal-sum / count
+  *    ([[graft.functions.davg2]]), and both pieces route.
+  *
+  * At 100 TB this is the difference between scanning the fact table
+  * and scanning a table ~|dims-cardinality| rows long: the scan, the
+  * shuffle, and the aggregation hash all shrink by the fact-to-summary
+  * ratio, for free in every dashboard query that hits the lattice.
+  *
+  * Output attribute ids, names, and data types are preserved exactly
+  * (re-aggregated values are cast back to the original result type
+  * when widened — e.g. a re-summed DECIMAL grows 10 digits of
+  * precision that the original plan's type does not have), so parent
+  * operators resolve unchanged.
+  *
+  * Freshness is the registrant's contract, exactly as it is Kylin's:
+  * a summary built from yesterday's fact answers with yesterday's
+  * data until refreshed. Routes are per-JVM ([[AggRouting.register]]);
+  * the rewrite is opt-in via `spark.graft.aggRouting.enabled`
+  * (default false), mirroring the other graft rules.
+  */
+object AggRouting {
+
+  final case class Route(
+      factPaths: Set[String],
+      /** lower-cased fact dim name -> summary column name */
+      dims: Map[String, String],
+      /** canonical resolved aggregate (over the registered fact's
+        * attribute ids) -> summary column name */
+      measures: Seq[(AggregateExpression, String)],
+      /** lower-cased fact column name -> canonical fact attribute,
+        * for rebinding query expressions before semantic compare */
+      factAttrs: Map[String, Attribute],
+      summaryPlan: LogicalPlan)
+
+  private val routes = new java.util.concurrent.CopyOnWriteArrayList[Route]
+
+  def all: Seq[Route] = {
+    import scala.jdk.CollectionConverters._
+    routes.asScala.toSeq
+  }
+
+  def clear(): Unit = routes.clear()
+
+  /** Root paths of the (single) file relation a DataFrame scans. */
+  private def scanPaths(df: DataFrame): Set[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten.toSet
+
+  /** Resolve a measure Column against the fact into its (single)
+    * AggregateExpression with the fact's canonical attribute ids.
+    * Taken from the OPTIMIZED plan, not the analyzed one: the rewrite
+    * compares against query trees the optimizer has already
+    * constant-folded (e.g. `1 - l_discount` loses its literal cast),
+    * so the canonical must be folded the same way or semantic
+    * equality never fires. */
+  private def canonical(fact: DataFrame, c: Column): AggregateExpression = {
+    val optimized = fact.groupBy().agg(c).queryExecution.optimizedPlan
+    val aggExprs = optimized.collect {
+      case a: Aggregate => a.aggregateExpressions }.head
+    val found = aggExprs.head.collect { case ae: AggregateExpression => ae }
+    require(found.length == 1,
+      s"measure must be exactly one aggregate call: $c")
+    val ae = found.head
+    require(!ae.isDistinct && ae.filter.isEmpty,
+      s"distinct/filtered aggregates do not decompose over a summary: $c")
+    ae.aggregateFunction match {
+      case _: Sum | _: Count | _: Min | _: Max => ae
+      case other => throw new IllegalArgumentException(
+        s"no exact re-aggregation for ${other.prettyName}; " +
+          "register sum/count/min/max measures")
+    }
+  }
+
+  /** Register a route. `measures` maps the canonical aggregate Column
+    * (phrased over the fact, e.g. `sum(dec2(col("l_quantity")))`) to
+    * the summary column holding its per-(dims-group) value. The
+    * summary table must contain one row per distinct dims-group of
+    * the fact (i.e. be the result of `fact.groupBy(dims).agg(...)`). */
+  def register(fact: DataFrame, summary: DataFrame, dims: Seq[String],
+      measures: Map[Column, String]): Unit = {
+    val paths = scanPaths(fact)
+    require(paths.nonEmpty, "fact must scan a file relation")
+    val factAttrs = fact.queryExecution.analyzed.output
+      .map(a => a.name.toLowerCase -> a).toMap
+    val sumCols = summary.columns.map(_.toLowerCase).toSet
+    val dimMap = dims.map { d =>
+      require(sumCols.contains(d.toLowerCase),
+        s"summary is missing dim column $d")
+      d.toLowerCase -> d
+    }.toMap
+    val canon = measures.toSeq.map { case (c, sumCol) =>
+      require(sumCols.contains(sumCol.toLowerCase),
+        s"summary is missing measure column $sumCol")
+      canonical(fact, c) -> sumCol
+    }
+    routes.add(Route(paths, dimMap, canon, factAttrs,
+      EliminateSubqueryAliases(summary.queryExecution.analyzed)))
+  }
+}
+
+object AggRouteRewrite extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    SQLConf.get
+      .getConfString("spark.graft.aggRouting.enabled", "false")
+      .toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val routes = AggRouting.all
+    if (!enabled || routes.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate =>
+        routes.view.flatMap(r => route(agg, r)).headOption.getOrElse(agg)
+    }
+  }
+
+  /** Peel pruning Projects / dim Filters off the aggregate's child down
+    * to the scan; collects filter conditions top-down. Bails (None) on
+    * anything else — computed projections would need their own
+    * rebasing and are not the dashboard shape this rule targets. */
+  private def unpeel(p: LogicalPlan)
+      : Option[(Seq[Expression], LogicalRelation)] = p match {
+    case Filter(cond, child) if cond.deterministic =>
+      unpeel(child).map { case (cs, b) => (cond +: cs, b) }
+    case Project(pl, child) if pl.forall(_.isInstanceOf[Attribute]) =>
+      unpeel(child)
+    case SubqueryAlias(_, child) => unpeel(child)
+    case lr: LogicalRelation => Some((Nil, lr))
+    case _ => None
+  }
+
+  private def route(agg: Aggregate, r: AggRouting.Route)
+      : Option[LogicalPlan] = {
+    val grouping = agg.groupingExpressions
+    if (grouping.isEmpty) return None // empty-summary vs count()=0 edge
+    if (!grouping.forall(_.isInstanceOf[Attribute])) return None
+    val groupNames = grouping.map(_.asInstanceOf[Attribute].name.toLowerCase)
+    if (!groupNames.forall(r.dims.contains)) return None
+
+    val (conds, base) = unpeel(agg.child).getOrElse(return None)
+    val relPaths = base.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths.map(_.toString).toSet
+      case _ => return None
+    }
+    if (relPaths != r.factPaths) return None
+    // filters must touch dims only — a dim predicate selects whole
+    // summary groups; anything else needs raw rows
+    if (!conds.forall(_.references.forall(a =>
+      r.dims.contains(a.name.toLowerCase)))) return None
+
+    // fresh summary instance per rewrite (same plan may be routed
+    // twice in one query; output ids must not collide)
+    val summary = r.summaryPlan.transformUp {
+      case m: MultiInstanceRelation => m.newInstance()
+    }
+    val sAttr: Map[String, Attribute] =
+      summary.output.map(a => a.name.toLowerCase -> a).toMap
+    def dimAttr(factName: String): Attribute =
+      sAttr(r.dims(factName.toLowerCase).toLowerCase)
+
+    // rewrite one aggregate call onto the summary, or None
+    def reAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      val rebased = ae.transformUp {
+        case a: Attribute => r.factAttrs.getOrElse(a.name.toLowerCase, a)
+      }
+      r.measures.find(_._1.semanticEquals(rebased)).map { case (_, sumCol) =>
+        val col = sAttr(sumCol.toLowerCase)
+        val fn = ae.aggregateFunction match {
+          case _: Sum => Sum(col)
+          case _: Count => Sum(col) // count re-aggregates as a sum
+          case _: Min => Min(col)
+          case _: Max => Max(col)
+          case _ => return None
+        }
+        val re = fn.toAggregateExpression()
+        if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+      }
+    }
+
+    // rewrite every output expression; any unmatched aggregate call or
+    // surviving fact attribute kills the route
+    var ok = true
+    val outExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: Attribute if r.dims.contains(a.name.toLowerCase) =>
+        Alias(dimAttr(a.name), a.name)(exprId = a.exprId,
+          qualifier = a.qualifier)
+      case al: Alias =>
+        val newChild = al.child.transformUp {
+          case ae: AggregateExpression =>
+            reAgg(ae).getOrElse { ok = false; ae }
+          case a: Attribute if r.dims.contains(a.name.toLowerCase) =>
+            dimAttr(a.name)
+        }
+        if (newChild.references.exists(a =>
+          !summary.outputSet.contains(a))) ok = false
+        Alias(newChild, al.name)(exprId = al.exprId,
+          qualifier = al.qualifier)
+      case _ => ok = false; return None
+    }
+    if (!ok) return None
+
+    val filtered = conds.map(_.transformUp {
+        case a: Attribute => dimAttr(a.name)
+      })
+      .reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
+      .map(Filter(_, summary)).getOrElse(summary)
+    val newGrouping: Seq[Expression] =
+      grouping.map(g => dimAttr(g.asInstanceOf[Attribute].name))
+    Some(Aggregate(newGrouping, outExprs, filtered))
+  }
+}

@@ -19,6 +19,10 @@ import org.apache.spark.sql.internal.SQLConf
   *    inner joins into one join over a union of key projections
   *    (reference docs/sql调优.md:59-71). Opt-in via
   *    `spark.graft.unionFusedJoin.enabled`.
+  *  - [[AggRouteRewrite]]: answers fact-table aggregates from a
+  *    registered materialized summary (the Kylin cube-routing
+  *    capability, reference docs/olap.md:24). Opt-in via
+  *    `spark.graft.aggRouting.enabled`.
   *  - [[TopKPerGroupStrategy]]: plans the [[TopKPerGroup]] custom
   *    logical operator (bounded-heap top-k per group, no sort).
   */
@@ -26,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => UnionFusedJoinRewrite)
+    ext.injectOptimizerRule(_ => AggRouteRewrite)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

@@ -211,4 +211,71 @@ class ExtensionsSpec extends SparkSuite {
         .contains("approx_count_distinct"))
     }
   }
+
+  // ---------------------------------------------- aggregate routing
+
+  /** Build + register the routing fixture once (the conformance query
+    * owns the build; here we just trigger it at this suite's sf). */
+  private def ensureRoute(): Unit =
+    ExtQueries.q_agg_route.run(spark, sf)
+
+  private def scannedPaths(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("agg routing answers a subsumed fact aggregate from the summary " +
+      "and matches the naive result exactly") {
+    ensureRoute()
+    val fact = Engine.table(spark, sf, "lineitem")
+    def q = fact
+      .filter(col("l_shipdate") >= lit("1994-06-01").cast("timestamp_ntz"))
+      .groupBy("l_returnflag")
+      .agg(graft.functions.dsum2(col("l_quantity")).as("qty"),
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("mn"),
+        max(col("l_quantity")).as("mx"))
+      .orderBy("l_returnflag")
+    val naive = q.collect()
+    assert(scannedPaths(q).contains("lineitem"), "naive must scan the fact")
+    withSQLConf("spark.graft.aggRouting.enabled" -> "true") {
+      val routed = q
+      val plan = scannedPaths(routed)
+      assert(plan.contains("agg_route_") && !plan.contains("lineitem"),
+        s"routed plan must scan the summary only:\n$plan")
+      assert(routed.collect().toSeq == naive.toSeq,
+        "routed result must equal the naive result exactly")
+    }
+  }
+
+  test("agg routing bails out: measure filter, unknown aggregate, " +
+      "distinct, global (no grouping), and disabled flag") {
+    ensureRoute()
+    val fact = Engine.table(spark, sf, "lineitem")
+    def assertNotRouted(df: org.apache.spark.sql.DataFrame,
+        why: String): Unit =
+      assert(scannedPaths(df).contains("lineitem"),
+        s"$why must not route")
+    withSQLConf("spark.graft.aggRouting.enabled" -> "true") {
+      // filter on a MEASURE column needs raw rows
+      assertNotRouted(fact.filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n")),
+        "measure filter")
+      // an aggregate with no registered canonical
+      assertNotRouted(fact.groupBy("l_returnflag")
+        .agg(sum(col("l_tax")).as("s")), "unregistered measure")
+      // count(distinct) does not decompose over a summary
+      assertNotRouted(fact.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_quantity")).as("d")), "distinct")
+      // global aggregate: empty-fact count()=0 vs empty-summary null
+      assert(fact.groupBy().agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString.contains("Relation") &&
+        scannedPaths(fact.agg(count(lit(1)).as("n")))
+          .contains("lineitem"), "global aggregate must not route")
+      // grouping by a non-dim column
+      assertNotRouted(fact.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n")).limit(1), "non-dim grouping")
+    }
+    // flag off: never routes
+    assertNotRouted(fact.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n")), "disabled flag")
+  }
 }
