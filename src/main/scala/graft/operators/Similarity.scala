@@ -168,40 +168,123 @@ object Similarity {
     * partial-aggregated means. Returns a CACHED (bucket, centroid)
     * frame — callers unpersist when done. Shared by the IVF index build
     * and [[Dedup.semanticDedup]]. */
+  /** Training sets at or below this many vectors run the Lloyd loop on
+    * the driver: ≤ 65,536 rows at dim 64 is 32 MiB — the same memory
+    * class as the centroid broadcast the distributed loop ships every
+    * iteration — and the local loop replaces iters × (broadcast +
+    * shuffle job) with one bounded collect. Above it, the iteration
+    * stays fully distributed (and at 100 TB the caller trains on a
+    * sample anyway — `sampleFraction` exists precisely so the training
+    * set is a bounded draw of the corpus). */
+  private val localKmeansTrainMax = 65536L
+
   private[graft] def kmeansCentroids(train0: DataFrame,
       nCentroids: Int, iters: Int,
       sampleFraction: Double = 1.0): DataFrame = {
+    val spark = train0.sparkSession
     val train = (if (sampleFraction < 1.0)
       train0.filter(pmod(xxhash64(col("id")), lit(1000)) <
         lit((sampleFraction * 1000).toLong))
     else train0).select("id", "nv")
 
+    // bounded size probe FUSED with the local path's collect: one
+    // limited job that early-exits once the cap is passed, so a 100 TB
+    // training set is never fully counted (let alone collected) here —
+    // and when the set IS small, these collected rows are the local
+    // loop's input, no second job
+    val probe = train
+      .select(xxhash64(col("id")).as("h"), col("id"), col("nv"))
+      .limit((localKmeansTrainMax + 1).toInt).collect()
+    if (probe.length <= localKmeansTrainMax)
+      return localKmeans(spark, probe, nCentroids, iters)
+
+    // The centroid table lives DRIVER-SIDE through the Lloyd loop: it
+    // is tiny by construction (k ≤ 65,536 at dim 64 is 32 MiB — the
+    // bound [[broadcastCentroids]] already documents, and every
+    // iteration already collected it there to broadcast). Each
+    // iteration is then ONE distributed job — broadcast-kernel assign
+    // fused with the per-(bucket, dimension) partial mean, collected —
+    // instead of the previous cache + count + collect trio whose fixed
+    // job overhead dominated at small scale.
     // deterministic init: the nCentroids training vectors with the
     // smallest id-hash (a seeded random draw both runs agree on)
-    var centroids = train
+    var cents: Array[(Long, Array[Double])] = train
       .orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
-      .select(col("nv").as("centroid"))
-      .withColumn("bucket",
-        row_number().over(Window.orderBy(monotonically_increasing_id()))
-          .cast("long") - 1)
-      .select("bucket", "centroid").cache()
-    centroids.count()
+      .select("nv").collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
 
-    for (_ <- 1 to iters) {
-      val assigned = assignNearest(train, centroids)
-      val next = assigned
+    for (_ <- 1 to iters if cents.nonEmpty) {
+      val bc = spark.sparkContext.broadcast(
+        graft.functions.CentroidTopK.centroids(cents))
+      val means = train
+        .withColumn("bucket", element_at(
+          graft.functions.CentroidTopK.centroidTopK(bc, col("nv"), 1), 1))
         .select(col("bucket"), posexplode(col("nv")))
         .groupBy("bucket", "pos").agg(avg("col").as("m"))
-        .groupBy("bucket")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-        .cache()
-      next.count()
-      centroids.unpersist()
-      centroids = next
+        .collect()
+      // buckets that attracted no vectors drop out, as before
+      cents = means.groupBy(_.getLong(0)).toArray.sortBy(_._1)
+        .map { case (b, rows) =>
+          val dim = rows.length
+          val v = new Array[Double](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          (b, v)
+        }
     }
-    centroids
+    val out = spark.createDataFrame(
+        cents.toSeq.map { case (b, v) => (b, v.toSeq) })
+      .toDF("bucket", "centroid").cache()
+    out.count()
+    out
+  }
+
+  /** Driver-local Lloyd loop for bounded training sets: one collect,
+    * then iters × (argmax assign + mean) in memory. Mirrors the
+    * distributed loop's semantics — same smallest-id-hash init, same
+    * strict-`>`-keeps-lower-bucket tie rule as the
+    * [[graft.functions.CentroidTopK]] kernel, empty buckets drop —
+    * and returns the same cached (bucket, centroid) frame. */
+  private def localKmeans(spark: org.apache.spark.sql.SparkSession,
+      collected: Array[org.apache.spark.sql.Row], nCentroids: Int,
+      iters: Int): DataFrame = {
+    val rows = collected
+      .sortBy(r => (r.getLong(0), String.valueOf(r.get(1))))
+      .map(_.getSeq[Double](2).toArray)
+    var cents: Array[(Long, Array[Double])] =
+      rows.take(nCentroids).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    for (_ <- 1 to iters if cents.nonEmpty) {
+      val dim = cents.head._2.length
+      val sums = new java.util.TreeMap[Long, (Array[Double], Array[Long])]
+      rows.foreach { v =>
+        if (v.length == dim && !v.exists(x => x != x)) {
+          var best = -1; var bestDot = Double.NegativeInfinity
+          var c = 0
+          while (c < cents.length) {
+            val cv = cents(c)._2
+            var dot = 0.0; var i = 0
+            while (i < dim) { dot += v(i) * cv(i); i += 1 }
+            if (dot > bestDot) { bestDot = dot; best = c }
+            c += 1
+          }
+          val b = cents(best)._1
+          val acc = sums.computeIfAbsent(b,
+            _ => (new Array[Double](dim), new Array[Long](1)))
+          var i = 0
+          while (i < dim) { acc._1(i) += v(i); i += 1 }
+          acc._2(0) += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      cents = sums.entrySet().asScala.toArray.map { e =>
+        val (s, n) = e.getValue
+        (e.getKey, s.map(_ / n(0)))
+      }
+    }
+    val out = spark.createDataFrame(
+        cents.toSeq.map { case (b, v) => (b, v.toSeq) })
+      .toDF("bucket", "centroid").cache()
+    out.count()
+    out
   }
 
   /** Collect the (small-by-construction) centroid table and ship it as
