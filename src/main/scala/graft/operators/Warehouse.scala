@@ -343,9 +343,56 @@ object Warehouse {
       partCol: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (tmp, partDirs) =
-      mergePrepare(spark, path, updates, keys, versionCol, partCol)
-    completeMergeSwap(fs, target, tmp, partDirs)
+    withMergeLock(fs, target) {
+      val (tmp, partDirs) =
+        mergePrepare(spark, path, updates, keys, versionCol, partCol)
+      completeMergeSwap(fs, target, tmp, partDirs)
+    }
+  }
+
+  private val mergeLockName = "_graft_merge_lock"
+
+  /** SINGLE-WRITER lease for the merge protocol. Two concurrent
+    * mergers of the same table would race the side dir (both write
+    * `<path>__merge_tmp`) and the manifest slot; the loser's commit
+    * record could be rolled forward over the winner's. The lease is an
+    * atomic create-exclusive of `_graft_merge_lock` in the target dir
+    * (the rename-based manifest install is atomic for a SINGLE writer;
+    * exclusion is what extends crash-safety to multiple schedulers —
+    * same division of labor as Delta/Iceberg's lock-or-CAS commit
+    * step). A second writer fails FAST with a clear error rather than
+    * corrupting; a lease older than `staleLockMs` (a dead writer — its
+    * manifest, if committed, rolls forward on the next entry anyway)
+    * is broken and re-acquired. */
+  private def withMergeLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      staleLockMs: Long = 30 * 60 * 1000L)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(target, mergeLockName)
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false) // atomic create-exclusive
+        try out.write(
+          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
+            .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val age = try System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age > staleLockMs) {
+        fs.delete(lock, false)
+        acquired = tryAcquire()
+      }
+    }
+    if (!acquired)
+      throw new java.io.IOException(
+        s"merge lock held by another writer: $lock (a writer dead " +
+          s"longer than ${staleLockMs / 60000} min is broken automatically)")
+    try body
+    finally fs.delete(lock, false)
   }
 
   /** Everything up to (and including) the merge manifest install: roll

@@ -135,6 +135,35 @@ class WarehouseSpec extends SparkSuite {
       "uncommitted side dir is discarded")
   }
 
+  test("mergeIntoPartitioned single-writer lease: a live concurrent " +
+      "writer fails fast; a stale lock is broken and merge proceeds") {
+    val dir = tmpDir("wh_merge_lock")
+    val base = Seq((1L, "a", 1L, "2024-01-01"))
+      .toDF("k", "v", "ver", "dt")
+    Warehouse.writePartitioned(base, dir, Seq("dt"))
+    val updates = Seq((1L, "a2", 2L, "2024-01-01"))
+      .toDF("k", "v", "ver", "dt")
+    // another writer holds the lease (fresh mtime = alive)
+    val lock = new java.io.File(dir, "_graft_merge_lock")
+    assert(lock.createNewFile())
+    val err = intercept[java.io.IOException] {
+      Warehouse.mergeIntoPartitioned(spark, dir, updates,
+        Seq("k"), "ver", "dt")
+    }
+    assert(err.getMessage.contains("merge lock"), err.getMessage)
+    // loser touched nothing
+    assert(spark.read.parquet(dir).collect()
+      .map(r => r.getString(1)).toSeq == Seq("a"))
+    // the holder died: a lease past the stale window is broken
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - 31 * 60 * 1000L))
+    Warehouse.mergeIntoPartitioned(spark, dir, updates,
+      Seq("k"), "ver", "dt")
+    assert(spark.read.parquet(dir).collect()
+      .map(r => r.getString(1)).toSeq == Seq("a2"))
+    assert(!lock.exists, "lease must be released after the merge")
+  }
+
   test("mergeIntoSql SET list: alias strip is case-insensitive, " +
       "unknown SET columns raise instead of silently no-oping") {
     import spark.implicits._
