@@ -734,6 +734,41 @@ object ExtQueries {
   private val aggRouteReady =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Build `dws.agg_route_<sf>` (a (returnflag, linestatus, shipdate)
+    * summary of lineitem) and register its route once per JVM per
+    * scale dir; returns the fact table. */
+  private def ensureAggRoute(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val fact = Engine.table(s, d, "lineitem")
+    val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"dws.agg_route_$suf"
+    if (aggRouteReady.add(tbl)) {
+      s.sql("CREATE DATABASE IF NOT EXISTS dws")
+      Warehouse.dropManaged(s, tbl)
+      fact.groupBy("l_returnflag", "l_linestatus", "l_shipdate")
+        .agg(
+          sum(dec2(col("l_quantity"))).as("s_qty"),
+          sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("s_disc"),
+          count(lit(1)).as("cnt"),
+          count(col("l_quantity")).as("cnt_qty"),
+          min(col("l_quantity")).as("mn_qty"),
+          max(col("l_quantity")).as("mx_qty"))
+        .write.format("parquet").saveAsTable(tbl)
+      graft.plans.AggRouting.register(fact, s.table(tbl),
+        dims = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+        measures = Map(
+          sum(dec2(col("l_quantity"))) -> "s_qty",
+          sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            -> "s_disc",
+          count(lit(1)) -> "cnt",
+          count(col("l_quantity")) -> "cnt_qty",
+          min(col("l_quantity")) -> "mn_qty",
+          max(col("l_quantity")) -> "mx_qty"))
+    }
+    fact
+  }
+
   /** Automatic aggregate routing (SURVEY §4.1 rule 3; the Kylin
     * capability of reference docs/olap.md:24): the query below is the
     * NAIVE aggregate over the fact table — filter, coarser grouping,
@@ -751,33 +786,7 @@ object ExtQueries {
   val q_agg_route = QuerySpec(
     "q_agg_route", Seq("A1", "A6", "S4"),
     (s, d) => {
-      val fact = Engine.table(s, d, "lineitem")
-      val suf = d.replaceAll("[^A-Za-z0-9]", "_")
-      val tbl = s"dws.agg_route_$suf"
-      if (aggRouteReady.add(tbl)) {
-        s.sql("CREATE DATABASE IF NOT EXISTS dws")
-        Warehouse.dropManaged(s, tbl)
-        fact.groupBy("l_returnflag", "l_linestatus", "l_shipdate")
-          .agg(
-            sum(dec2(col("l_quantity"))).as("s_qty"),
-            sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-              .as("s_disc"),
-            count(lit(1)).as("cnt"),
-            count(col("l_quantity")).as("cnt_qty"),
-            min(col("l_quantity")).as("mn_qty"),
-            max(col("l_quantity")).as("mx_qty"))
-          .write.format("parquet").saveAsTable(tbl)
-        graft.plans.AggRouting.register(fact, s.table(tbl),
-          dims = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
-          measures = Map(
-            sum(dec2(col("l_quantity"))) -> "s_qty",
-            sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-              -> "s_disc",
-            count(lit(1)) -> "cnt",
-            count(col("l_quantity")) -> "cnt_qty",
-            min(col("l_quantity")) -> "mn_qty",
-            max(col("l_quantity")) -> "mx_qty"))
-      }
+      val fact = ensureAggRoute(s, d)
       // scope the opt-in rule to this query (same protocol as
       // q_union_fusion_rule): inject when the session lacks the
       // extensions, pin the plan while active, restore in finally
@@ -827,10 +836,56 @@ object ExtQueries {
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Routing composes with HAVING and post-aggregate expressions: the
+    * outer Filter/Project reference the Aggregate's output attributes,
+    * which the rewrite preserves (ids, names, types), so only the
+    * inner Aggregate changes. Proves A8-over-route; the oracle is the
+    * same naive HAVING SQL on the raw fact. */
+  val q_agg_route_having = QuerySpec(
+    "q_agg_route_having", Seq("A1", "A8"),
+    (s, d) => {
+      ensureAggRoute(s, d)
+      val exp = s.experimental
+      val priorRules = exp.extraOptimizations
+      val builtWithExtensions = s.conf
+        .getOption("spark.sql.extensions").exists(
+          _.contains("graft.plans.GraftExtensions"))
+      val priorFlag = s.conf.getOption("spark.graft.aggRouting.enabled")
+      if (!builtWithExtensions &&
+          !priorRules.contains(graft.plans.AggRouteRewrite))
+        exp.extraOptimizations = priorRules :+ graft.plans.AggRouteRewrite
+      s.conf.set("spark.graft.aggRouting.enabled", "true")
+      try {
+        val out = Engine.table(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            dsum2(col("l_quantity")).as("sum_qty"))
+          .filter(col("n") > 1000)
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            (col("sum_qty") / col("n")).as("qty_per_item"))
+          .orderBy("l_returnflag", "l_linestatus")
+        out.queryExecution.executedPlan // pin while the rule is active
+        out
+      } finally {
+        priorFlag match {
+          case Some(v) => s.conf.set("spark.graft.aggRouting.enabled", v)
+          case None => s.conf.unset("spark.graft.aggRouting.enabled")
+        }
+        exp.extraOptimizations = priorRules
+      }
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+                AS qty_per_item
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            HAVING COUNT(*) > 1000
+            ORDER BY l_returnflag, l_linestatus"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
-    q_union_fusion_rule, q_agg_route,
+    q_union_fusion_rule, q_agg_route, q_agg_route_having,
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
     q_csv_roundtrip, q_json_roundtrip, q_orc_roundtrip,
