@@ -882,10 +882,52 @@ object ExtQueries {
             HAVING COUNT(*) > 1000
             ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Incremental cube maintenance (the Kylin segment build,
+    * docs/olap.md:24): the summary is built from the PRE-CUTOFF fact
+    * only, the post-cutoff rows arrive as a delta, and
+    * [[graft.plans.AggRouting.maintainSummary]] folds the delta in by
+    * aggregating ONLY the delta and re-combining — the fact is never
+    * rescanned. The query then re-aggregates the maintained summary;
+    * the oracle computes the same aggregate from the FULL raw fact in
+    * DuckDB. Hash-equality proves maintained == rebuilt exactly. */
+  val q_agg_route_incremental = QuerySpec(
+    "q_agg_route_incremental", Seq("A1", "A6", "S4"),
+    (s, d) => {
+      val fact = Engine.table(s, d, "lineitem")
+      val cutoff = lit("1996-01-01").cast("timestamp_ntz")
+      val dims = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+      val measures = Map[org.apache.spark.sql.Column, String](
+        sum(dec2(col("l_quantity"))) -> "s_qty",
+        count(lit(1)) -> "cnt",
+        min(col("l_quantity")) -> "mn_qty",
+        max(col("l_quantity")) -> "mx_qty")
+      val aggCols = measures.toSeq.map { case (c, n) => c.as(n) }
+      val oldSummary = fact.filter(col("l_shipdate") < cutoff)
+        .groupBy(dims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      val delta = fact.filter(col("l_shipdate") >= cutoff)
+      val maintained = graft.plans.AggRouting.maintainSummary(
+        oldSummary, delta, dims, measures)
+      maintained.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("s_qty")).cast("double").as("sum_qty"),
+          sum(col("cnt")).as("n"),
+          min(col("mn_qty")).as("min_qty"),
+          max(col("mx_qty")).as("max_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              COUNT(*) AS n,
+              MIN(l_quantity) AS min_qty,
+              MAX(l_quantity) AS max_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
     q_union_fusion_rule, q_agg_route, q_agg_route_having,
+    q_agg_route_incremental,
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
     q_csv_roundtrip, q_json_roundtrip, q_orc_roundtrip,

@@ -246,6 +246,43 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("maintainSummary: new dim groups appear, empty delta is a " +
+      "no-op, schema preserved, unmaintainable columns rejected") {
+    import spark.implicits._
+    import graft.plans.AggRouting
+    val dims = Seq("g")
+    val measures = Map[org.apache.spark.sql.Column, String](
+      sum(col("v").cast("decimal(18,2)")) -> "s",
+      count(lit(1)) -> "c",
+      min(col("v")) -> "mn")
+    val aggCols = measures.toSeq.map { case (cc, n) => cc.as(n) }
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(aggCols.head, aggCols.tail: _*)
+    val oldFact = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("g", "v")
+    val delta = Seq(("a", 10.0), ("z", 7.0)).toDF("g", "v") // z is new
+    val maintained = AggRouting.maintainSummary(
+      summarize(oldFact), delta, dims, measures)
+    val rebuilt = summarize(oldFact.unionByName(delta))
+    // names/types must match exactly; nullability may widen (the count
+    // column re-aggregates through Sum, which is nullable) — same
+    // benign superset as the routing rewrite
+    assert(maintained.schema.map(f => (f.name, f.dataType)) ==
+      rebuilt.schema.map(f => (f.name, f.dataType)),
+      s"${maintained.schema} vs ${rebuilt.schema}")
+    assertSameRows(maintained, rebuilt)
+    // empty delta: identical summary back
+    val noop = AggRouting.maintainSummary(
+      summarize(oldFact), delta.limit(0), dims, measures)
+    assertSameRows(noop, summarize(oldFact))
+    // a summary column not covered by dims or measures must raise
+    val err = intercept[IllegalArgumentException] {
+      AggRouting.maintainSummary(
+        summarize(oldFact).withColumn("extra", lit(1)),
+        delta, dims, measures)
+    }
+    assert(err.getMessage.contains("extra"))
+  }
+
   test("agg routing bails out: measure filter, unknown aggregate, " +
       "distinct, global (no grouping), and disabled flag") {
     ensureRoute()
