@@ -900,34 +900,193 @@ object ExtQueries {
         sum(dec2(col("l_quantity"))) -> "s_qty",
         count(lit(1)) -> "cnt",
         min(col("l_quantity")) -> "mn_qty",
-        max(col("l_quantity")) -> "mx_qty")
+        max(col("l_quantity")) -> "mx_qty",
+        // exact-distinct cube measure: the id SET maintains through
+        // the delta (bitmap OR), which a count-distinct value cannot
+        graft.functions.Bitmap64.bitmapBuild(col("l_suppkey")) -> "bm_supp")
       val aggCols = measures.toSeq.map { case (c, n) => c.as(n) }
       val oldSummary = fact.filter(col("l_shipdate") < cutoff)
         .groupBy(dims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       val delta = fact.filter(col("l_shipdate") >= cutoff)
       val maintained = graft.plans.AggRouting.maintainSummary(
         oldSummary, delta, dims, measures)
+      import graft.functions.Bitmap64.{bitmapCard, bitmapMerge}
       maintained.groupBy("l_returnflag", "l_linestatus")
         .agg(sum(col("s_qty")).cast("double").as("sum_qty"),
           sum(col("cnt")).as("n"),
           min(col("mn_qty")).as("min_qty"),
-          max(col("mx_qty")).as("max_qty"))
+          max(col("mx_qty")).as("max_qty"),
+          bitmapCard(bitmapMerge(col("bm_supp"))).as("n_suppliers"))
         .orderBy("l_returnflag", "l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
               COUNT(*) AS n,
               MIN(l_quantity) AS min_qty,
-              MAX(l_quantity) AS max_qty
+              MAX(l_quantity) AS max_qty,
+              CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Run `body` with [[graft.plans.AggRouteRewrite]] active (same
+    * inject/pin/restore protocol as q_agg_route). */
+  private def withAggRouting[T](s: SparkSession)(
+      body: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val exp = s.experimental
+    val priorRules = exp.extraOptimizations
+    val builtWithExtensions = s.conf
+      .getOption("spark.sql.extensions").exists(
+        _.contains("graft.plans.GraftExtensions"))
+    val priorFlag = s.conf.getOption("spark.graft.aggRouting.enabled")
+    if (!builtWithExtensions &&
+        !priorRules.contains(graft.plans.AggRouteRewrite))
+      exp.extraOptimizations = priorRules :+ graft.plans.AggRouteRewrite
+    s.conf.set("spark.graft.aggRouting.enabled", "true")
+    try {
+      val out = body
+      out.queryExecution.executedPlan // pin while the rule is active
+      out
+    } finally {
+      priorFlag match {
+        case Some(v) => s.conf.set("spark.graft.aggRouting.enabled", v)
+        case None => s.conf.unset("spark.graft.aggRouting.enabled")
+      }
+      exp.extraOptimizations = priorRules
+    }
+  }
+
+  /** Build `dws.audience_route_<sf>` (a per-event_type summary of
+    * events whose distinct-user measure is a BITMAP, not a count) and
+    * register its route once per JVM per scale dir; returns events. */
+  private def ensureAudienceRoute(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.Bitmap64.bitmapBuild
+    val fact = Engine.table(s, d, "events")
+    val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"dws.audience_route_$suf"
+    if (aggRouteReady.add(tbl)) {
+      s.sql("CREATE DATABASE IF NOT EXISTS dws")
+      Warehouse.dropManaged(s, tbl)
+      fact.groupBy("event_type")
+        .agg(bitmapBuild(col("user_id")).as("bm_users"),
+          count(lit(1)).as("cnt"))
+        .write.format("parquet").saveAsTable(tbl)
+      graft.plans.AggRouting.register(fact, s.table(tbl),
+        dims = Seq("event_type"),
+        measures = Map(
+          bitmapBuild(col("user_id")) -> "bm_users",
+          count(lit(1)) -> "cnt"))
+    }
+    fact
+  }
+
+  /** COUNT(DISTINCT) answered FROM the cube (Kylin's precise
+    * count-distinct, docs/olap.md:24): the query is the naive
+    * `events.groupBy(event_type).agg(countDistinct(user_id), count)`
+    * over the raw fact — and the oracle runs exactly that SQL on raw
+    * events in DuckDB. The engine routes it onto
+    * `dws.audience_route_<sf>`, whose distinct-user measure is a
+    * serialized [[graft.functions.Bitmap64]]: [[graft.plans
+    * .AggRouteRewrite]] rewrites COUNT(DISTINCT user_id) to
+    * bitmap_card(bitmap_merge(bm_users)) — exact, because the bitmap
+    * IS the distinct id set and OR is its combine, which plain count
+    * partials don't have. ExtensionsSpec pins the routed plan reading
+    * the summary, not the fact. */
+  val q_agg_route_distinct = QuerySpec(
+    "q_agg_route_distinct", Seq("A3", "A15"),
+    (s, d) => {
+      val fact = ensureAudienceRoute(s, d)
+      withAggRouting(s) {
+        fact.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      }
+    },
+    Some("""SELECT event_type,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+              COUNT(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Bitmap audience combination (用户分群, docs/画像开发方案.md:6;
+    * Druid/Kylin bitmap indexes, docs/olap.md:25,35): per-day per-tag
+    * user bitmaps built in ONE aggregation pass over events (the when()
+    * forms share the grouping), then "purchased AND clicked",
+    * "viewed NOT clicked", "purchased OR clicked" audiences computed as
+    * bitmap arithmetic on the aggregated binaries — no second pass over
+    * user-level rows. The oracle recomputes the same counts row-level
+    * in DuckDB via per-(day,user) BOOL_OR flags. At 100 TB the fact is
+    * touched once; every audience combination after that is arithmetic
+    * on kilobyte-scale binaries. */
+  val q_audience_bitmap = QuerySpec(
+    "q_audience_bitmap", Seq("A3", "A4", "A13"),
+    (s, d) => {
+      import graft.functions.Bitmap64._
+      Engine.table(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(
+          bitmapBuild(when(col("event_type") === "purchase",
+            col("user_id"))).as("bm_p"),
+          bitmapBuild(when(col("event_type") === "click",
+            col("user_id"))).as("bm_c"),
+          bitmapBuild(when(col("event_type") === "view",
+            col("user_id"))).as("bm_v"))
+        .select(col("day"),
+          bitmapCard(bitmapAnd(col("bm_p"), col("bm_c")))
+            .as("purchase_and_click"),
+          bitmapCard(bitmapAndNot(col("bm_v"), col("bm_c")))
+            .as("view_not_click"),
+          bitmapCard(bitmapOr(col("bm_p"), col("bm_c")))
+            .as("purchase_or_click"))
+        .orderBy("day")
+    },
+    Some("""SELECT day,
+              CAST(SUM(CASE WHEN hp AND hc THEN 1 ELSE 0 END) AS BIGINT)
+                AS purchase_and_click,
+              CAST(SUM(CASE WHEN hv AND NOT hc THEN 1 ELSE 0 END) AS BIGINT)
+                AS view_not_click,
+              CAST(SUM(CASE WHEN hp OR hc THEN 1 ELSE 0 END) AS BIGINT)
+                AS purchase_or_click
+            FROM (SELECT CAST(ts AS DATE) AS day, user_id,
+                    BOOL_OR(event_type = 'purchase') AS hp,
+                    BOOL_OR(event_type = 'click') AS hc,
+                    BOOL_OR(event_type = 'view') AS hv
+                  FROM events GROUP BY 1, 2)
+            GROUP BY day ORDER BY day"""))
+
+  /** Additive exact count-distinct (Kylin precise count-distinct,
+    * docs/olap.md:24-25): stage 1 collapses events to one bitmap per
+    * (day, event_type) segment — the materializable cube cell; stage 2
+    * OR-merges segment bitmaps up to event_type grain and reads the
+    * EXACT distinct user count off the merged bitmap. Hash-equality
+    * with COUNT(DISTINCT) from raw proves the additivity: distinct
+    * counts roll up through bitmap union without rescanning the fact,
+    * which plain COUNT(DISTINCT) partials cannot do. */
+  val q_bitmap_cd_rollup = QuerySpec(
+    "q_bitmap_cd_rollup", Seq("A3", "A15"),
+    (s, d) => {
+      import graft.functions.Bitmap64._
+      val seg = Engine.table(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(bitmapBuild(col("user_id")).as("bm"))
+      seg.groupBy("event_type")
+        .agg(bitmapCard(bitmapMerge(col("bm"))).as("exact_users"),
+          count(lit(1)).as("n_segments"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+              CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_segments
+            FROM events GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
     q_union_fusion_rule, q_agg_route, q_agg_route_having,
-    q_agg_route_incremental,
+    q_agg_route_incremental, q_agg_route_distinct,
+    q_audience_bitmap, q_bitmap_cd_rollup,
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
     q_csv_roundtrip, q_json_roundtrip, q_orc_roundtrip,

@@ -102,9 +102,12 @@ object AggRouting {
       s"distinct/filtered aggregates do not decompose over a summary: $c")
     ae.aggregateFunction match {
       case _: Sum | _: Count | _: Min | _: Max => ae
+      // bitmap id-set measures combine exactly via OR-merge — the
+      // Kylin precise-count-distinct cube measure (docs/olap.md:24)
+      case _: graft.functions.BitmapBuildAgg => ae
       case other => throw new IllegalArgumentException(
         s"no exact re-aggregation for ${other.prettyName}; " +
-          "register sum/count/min/max measures")
+          "register sum/count/min/max/bitmap_build measures")
     }
   }
 
@@ -176,6 +179,8 @@ object AggRouting {
           case _: Sum | _: Count => fsum(fcol(name))
           case _: Min => fmin(fcol(name))
           case _: Max => fmax(fcol(name))
+          case _: graft.functions.BitmapBuildAgg =>
+            graft.functions.Bitmap64.bitmapMerge(fcol(name))
           case other => throw new IllegalArgumentException(
             s"no exact combine for ${other.prettyName}")
         }
@@ -248,7 +253,33 @@ object AggRouteRewrite extends Rule[LogicalPlan] {
 
     // rewrite one aggregate call onto the summary, or None
     def reAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      if (ae.filter.nonEmpty) return None
+      if (ae.isDistinct) {
+        // COUNT(DISTINCT x) routes onto a registered bitmap_build(x)
+        // measure as bitmap_card(bitmap_merge(bm)) — EXACT, because a
+        // bitmap is the distinct id set itself and union is its
+        // combine (Kylin's precise count-distinct answered from the
+        // cube, docs/olap.md:24). Plain Count partials don't compose
+        // across summary rows; bitmaps exist precisely to fix that.
+        return ae.aggregateFunction match {
+          case Count(Seq(child)) =>
+            val rebased = child.transformUp {
+              case a: Attribute =>
+                r.factAttrs.getOrElse(a.name.toLowerCase, a)
+            }
+            r.measures.collectFirst {
+              case (m, sumCol) if m.aggregateFunction.isInstanceOf[
+                    graft.functions.BitmapBuildAgg] &&
+                  m.aggregateFunction.asInstanceOf[
+                    graft.functions.BitmapBuildAgg]
+                    .child.semanticEquals(rebased) =>
+                graft.functions.BitmapCardinality(
+                  graft.functions.BitmapMergeAgg(sAttr(sumCol.toLowerCase))
+                    .toAggregateExpression())
+            }
+          case _ => None
+        }
+      }
       val rebased = ae.transformUp {
         case a: Attribute => r.factAttrs.getOrElse(a.name.toLowerCase, a)
       }
@@ -259,6 +290,8 @@ object AggRouteRewrite extends Rule[LogicalPlan] {
           case _: Count => Sum(col) // count re-aggregates as a sum
           case _: Min => Min(col)
           case _: Max => Max(col)
+          case _: graft.functions.BitmapBuildAgg =>
+            graft.functions.BitmapMergeAgg(col)
           case _ => return None
         }
         val re = fn.toAggregateExpression()

@@ -246,6 +246,48 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("COUNT(DISTINCT) routes onto a bitmap summary measure, scans " +
+      "the summary only, and stays exact") {
+    ExtQueries.q_agg_route_distinct.run(spark, sf).collect() // register
+    val fact = Engine.table(spark, sf, "events")
+    def q = fact.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+    val naive = q.collect()
+    assert(scannedPaths(q).contains("events"), "naive must scan the fact")
+    withSQLConf("spark.graft.aggRouting.enabled" -> "true") {
+      val plan = scannedPaths(q)
+      assert(plan.contains("audience_route_") && !plan.contains("events"),
+        s"routed plan must scan the bitmap summary only:\n$plan")
+      assert(q.collect().toSeq == naive.toSeq,
+        "routed count-distinct differs from naive")
+    }
+  }
+
+  test("maintainSummary with a bitmap measure: maintained id sets are " +
+      "byte-identical to a full rebuild") {
+    import spark.implicits._
+    import graft.plans.AggRouting
+    import graft.functions.Bitmap64.bitmapBuild
+    val dims = Seq("g")
+    val measures = Map[org.apache.spark.sql.Column, String](
+      bitmapBuild(col("id")) -> "bm",
+      count(lit(1)) -> "c")
+    val aggCols = measures.toSeq.map { case (cc, n) => cc.as(n) }
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(aggCols.head, aggCols.tail: _*)
+    // overlapping ids across old/delta prove set-union (not concat)
+    val oldFact = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("g", "id")
+    val delta = Seq(("a", 2L), ("a", 9L), ("z", 5L)).toDF("g", "id")
+    val maintained = AggRouting.maintainSummary(
+      summarize(oldFact), delta, dims, measures)
+    val rebuilt = summarize(oldFact.unionByName(delta))
+    // canonical serialization ⇒ equal sets have equal base64 text
+    def readable(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("bm", base64(col("bm")))
+    assertSameRows(readable(maintained), readable(rebuilt))
+  }
+
   test("maintainSummary: new dim groups appear, empty delta is a " +
       "no-op, schema preserved, unmaintainable columns rejected") {
     import spark.implicits._
