@@ -25,13 +25,40 @@ import org.apache.spark.sql.internal.SQLConf
   *    `spark.graft.aggRouting.enabled`.
   *  - [[TopKPerGroupStrategy]]: plans the [[TopKPerGroup]] custom
   *    logical operator (bounded-heap top-k per group, no sort).
+  *  - SQL names for the [[graft.functions.Bitmap64]] family
+  *    (bitmap_build / bitmap_merge / bitmap_and / bitmap_or /
+  *    bitmap_andnot / bitmap_cardinality / bitmap_contains), so the
+  *    audience/precise-count-distinct capability is reachable from the
+  *    reference's SQL-first surface, not just the Scala DSL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.functions.{Bitmap64, BitmapBuildAgg, BitmapCardinality, BitmapContainsExpr, BitmapMergeAgg, BitmapOp}
+
+  private def reg(ext: SparkSessionExtensions, name: String, arity: Int)(
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo(classOf[Bitmap64].getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity,
+          s"$name expects $arity argument(s), got ${args.length}")
+        builder(args)
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => UnionFusedJoinRewrite)
     ext.injectOptimizerRule(_ => AggRouteRewrite)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    reg(ext, "bitmap_build", 1)(a => BitmapBuildAgg(a.head))
+    reg(ext, "bitmap_merge", 1)(a => BitmapMergeAgg(a.head))
+    reg(ext, "bitmap_and", 2)(a => BitmapOp(a(0), a(1), Bitmap64.OpAnd))
+    reg(ext, "bitmap_or", 2)(a => BitmapOp(a(0), a(1), Bitmap64.OpOr))
+    reg(ext, "bitmap_andnot", 2)(a =>
+      BitmapOp(a(0), a(1), Bitmap64.OpAndNot))
+    reg(ext, "bitmap_cardinality", 1)(a => BitmapCardinality(a.head))
+    reg(ext, "bitmap_contains", 2)(a => BitmapContainsExpr(a(0), a(1)))
   }
 }
 

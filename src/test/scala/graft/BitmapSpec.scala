@@ -136,6 +136,41 @@ class BitmapSparkSpec extends SparkSuite {
     assert(!row.getBoolean(2))
   }
 
+  test("SQL surface: bitmap family registered via GraftExtensions") {
+    Engine.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT event_type,
+           bitmap_cardinality(bitmap_build(user_id)) AS uv
+         FROM events GROUP BY event_type""")
+    val direct = spark.sql(
+      """SELECT event_type, COUNT(DISTINCT user_id) AS uv
+         FROM events GROUP BY event_type""")
+    assertSameRows(viaSql, direct)
+    // scalar combinators + contains through pure SQL
+    val row = spark.sql(
+      """SELECT bitmap_cardinality(bitmap_andnot(c.bm, p.bm)) AS n,
+                bitmap_contains(bitmap_or(c.bm, p.bm), 0L) AS has0
+         FROM (SELECT bitmap_build(user_id) bm FROM events
+               WHERE event_type = 'click') c,
+              (SELECT bitmap_build(user_id) bm FROM events
+               WHERE event_type = 'purchase') p""").head()
+    val expect = spark.sql(
+      """SELECT COUNT(*) FROM (
+           SELECT DISTINCT user_id FROM events WHERE event_type='click'
+           EXCEPT
+           SELECT DISTINCT user_id FROM events WHERE event_type='purchase')
+      """).head().getLong(0)
+    assert(row.getLong(0) == expect)
+    assert(row.getBoolean(1) == spark.sql(
+      """SELECT COUNT(*) > 0 FROM events
+         WHERE user_id = 0 AND event_type IN ('click','purchase')""")
+      .head().getBoolean(0))
+    // arity is checked at registration
+    intercept[Exception] {
+      spark.sql("SELECT bitmap_cardinality(bitmap_build(1L, 2L))").collect()
+    }
+  }
+
   test("type checks reject non-integral build input and non-binary ops") {
     import spark.implicits._
     val df = Seq(("x", 1.5)).toDF("s", "d")

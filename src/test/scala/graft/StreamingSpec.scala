@@ -359,6 +359,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("T7c: real-time exact UV per tag via bitmap aggregate, " +
+      "deduped across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.Bitmap64._
+    val in = MemoryStream[Ev]
+    // the 实时数仓 UV counter: streaming state per tag is a compact
+    // bitmap, so exact distinct users survives micro-batch boundaries
+    // (a plain count would double-count user 1 below)
+    val agg = in.toDF().groupBy($"event_type")
+      .agg(bitmapCard(bitmapBuild($"user_id")).as("uv"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("t7c_out").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:00:01"), 2, "click", 1.0),
+        Ev(t("2024-01-01 10:00:02"), 1, "click", 1.0))
+      q.processAllAvailable()
+      def uv(tag: String): Long = spark.table("t7c_out")
+        .filter($"event_type" === tag).head().getAs[Long]("uv")
+      assert(uv("click") == 2)
+      // user 1 reappears in a LATER micro-batch: merged bitmap state
+      // must not count it again; user 3 is genuinely new
+      in.addData(
+        Ev(t("2024-01-01 10:01:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:01:01"), 3, "click", 1.0),
+        Ev(t("2024-01-01 10:01:02"), 3, "view", 1.0))
+      q.processAllAvailable()
+      assert(uv("click") == 3)
+      assert(uv("view") == 1)
+    } finally q.stop()
+  }
+
   test("T7b: mapGroupsWithState purchase streak resets on non-purchase") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
