@@ -1081,12 +1081,45 @@ object ExtQueries {
               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_segments
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Global-dictionary exact count-distinct over STRINGS (Kylin
+    * precise count-distinct on a string column, docs/olap.md:24 —
+    * bitmaps index integers, so Kylin builds an append-only global
+    * dict first; [[graft.operators.GlobalDict]] is that dict). The
+    * dict is deliberately built in TWO segment loads (even custkeys,
+    * then extend with the rest) to run the stability contract —
+    * existing ids must survive the append — inside the oracle-checked
+    * path: an id collision or reassignment would break the bitmap
+    * cardinality and hash-mismatch. Encode is one dict join; the
+    * per-nation exact distinct is then integer-bitmap arithmetic. */
+  val q_global_dict_bitmap = QuerySpec(
+    "q_global_dict_bitmap", Seq("A3", "A15", "F2"),
+    (s, d) => {
+      import graft.functions.Bitmap64._
+      val cust = Engine.table(s, d, "customer")
+      val dict = operators.GlobalDict.extend(
+        operators.GlobalDict.build(
+          cust.filter(col("c_custkey") % 2 === 0), "c_name"),
+        cust.filter(col("c_custkey") % 2 === 1), "c_name")
+      operators.GlobalDict.encode(cust, dict, "c_name")
+        .join(Engine.table(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(bitmapCard(bitmapBuild(col("dict_id"))).as("exact_names"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+              CAST(COUNT(DISTINCT c_name) AS BIGINT) AS exact_names,
+              COUNT(*) AS n_cust
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
     q_union_fusion_rule, q_agg_route, q_agg_route_having,
     q_agg_route_incremental, q_agg_route_distinct,
-    q_audience_bitmap, q_bitmap_cd_rollup,
+    q_audience_bitmap, q_bitmap_cd_rollup, q_global_dict_bitmap,
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
     q_csv_roundtrip, q_json_roundtrip, q_orc_roundtrip,
