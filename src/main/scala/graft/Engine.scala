@@ -90,7 +90,13 @@ object Engine {
     }
     per.getOrElseUpdate(s"$sfDir/$name", {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (name == "events")
+      // Older testdata generations wrote events.ts as TIMESTAMP(NANOS),
+      // which (with nanosAsLong=true) surfaces as a Long of epoch-nanos;
+      // newer generations write timestamp[us], which resolves directly as
+      // TIMESTAMP. Convert only when the column actually read back as a
+      // Long — applying `ts div 1000` to a TIMESTAMP fails analysis.
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -557,10 +557,15 @@ class StreamingSpec extends SparkSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       java.nio.file.Paths.get(s"$stage/events.parquet"))
-    val streamIn = spark.readStream.schema(
-        spark.read.parquet(s"$sfDir/events.parquet").schema)
-      .parquet(stage)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamRaw = spark.readStream.schema(rawSchema).parquet(stage)
+    // same schema-guarded normalization as Engine.table: older testdata
+    // reads ts back as epoch-nanos Long, newer as TIMESTAMP directly
+    val streamIn =
+      if (rawSchema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        streamRaw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else streamRaw
     val q = logic(streamIn).writeStream
       .outputMode("complete").format("memory").queryName("t9b_out").start()
     try {
