@@ -369,8 +369,13 @@ object RefConformance {
     (s, d) => {
       Engine.configure(s)
       val e = Engine.table(s, d, "events")
+      // Engine.table yields `ts` as a TIMESTAMP (NTZ in current testdata
+      // generations); a direct cast("long") fails analysis on NTZ, so
+      // derive epoch seconds the timezone-safe way (session is UTC —
+      // matches the oracle's epoch(CAST(ts AS TIMESTAMP))).
       e.select(col("user_id").as("uid"),
-        col("ts").cast("long").as("login_time"), col("event_id"))
+        unix_timestamp(col("ts").cast("timestamp")).as("login_time"),
+        col("event_id"))
         .createOrReplaceTempView("log")
       Engine.table(s, d, "customer")
         .filter(col("c_custkey") < 100)
