@@ -831,7 +831,6 @@ object Dedup {
       vecCol: String = "embedding", idCol: String = "vec_id",
       dim: Int = 64, planes: Int = 12, probes: Int = 4,
       threshold: Double = 0.95): DataFrame = {
-    val par = embeddings.sparkSession.sparkContext.defaultParallelism
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     val probed = (0 until probes).map { p =>
       embeddings.select(col(idCol).as("id"),
@@ -839,13 +838,10 @@ object Dedup {
           seed = 42L + p).as("bucket"))
         .withColumn("probe", lit(p))
     }.reduce(_ unionByName _)
-    val a = probed.select(col("probe"), col("bucket"), col("id").as("id_a"))
-    val b = probed.select(col("probe"), col("bucket"), col("id").as("id_b"))
-    a.join(b, Seq("probe", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .repartition(par, col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // single-aggregation bucket-mate pairing (see
+    // Similarity.bucketMatePairs) — replaces the former self-join,
+    // which scanned and signed the corpus twice
+    Similarity.bucketMatePairs(probed, ordered = false)
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

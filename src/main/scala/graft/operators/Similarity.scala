@@ -59,19 +59,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Candidate pairs among LSH bucket-mates via ONE aggregation rather
+    * than a (probe, bucket) self-join: collect the ids per bucket, then
+    * emit the pairs with a double explode. The self-join form evaluates
+    * the whole probed branch twice (two scans + signature computations,
+    * plus a join exchange per side); this shape computes signatures
+    * once and pays a single partially-aggregated shuffle of
+    * (probe, bucket, id). Bucket-mate lists are bounded by the
+    * [[planesFor]] sizing rule (expected O(1) occupancy at any corpus
+    * size); a pathologically hot bucket (mass-identical vectors) must
+    * be collapsed or re-split upstream (see Dedup.resplitOversized) —
+    * the same precondition the self-join shape had, where such a bucket
+    * goes quadratic instead.
+    *
+    * `ordered=true` keeps both (a,b) and (b,a) — the kNN-join needs
+    * each vector's neighbor list; `false` keeps a<b only (dedup pairs).
+    * Output is deduped across probes and repartitioned wide on the pair
+    * key (explicit width: pair rows are tiny in bytes, and AQE's
+    * size-based coalescing would run the downstream cosine verify
+    * nearly single-threaded). */
+  private[graft] def bucketMatePairs(probed: DataFrame,
+      ordered: Boolean): DataFrame = {
+    val par = probed.sparkSession.sparkContext.defaultParallelism
+    val pairs = probed.groupBy("probe", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+    (if (ordered) pairs.filter(col("id_a") =!= col("id_b"))
+     else pairs.filter(col("id_a") < col("id_b")))
+      .repartition(par, col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Self kNN-join via LSH buckets: every vector gets its top-k most
     * similar bucket-mates. Multi-probe = OR of `probes` signatures with
     * different seeds raises recall.
     *
-    * Shape for 100 TB: the bucket self-join carries ONLY (probe, bucket,
-    * id) — never the embeddings — candidate pairs are deduped across
-    * probes, then the vectors join back once per side for a single
-    * cosine evaluation per pair (same candidates-then-verify shape as
-    * the dedup operators). */
+    * Shape for 100 TB: the bucket-mate pairing carries ONLY (probe,
+    * bucket, id) — never the embeddings — candidate pairs are deduped
+    * across probes, then the vectors join back once per side for a
+    * single cosine evaluation per pair (same candidates-then-verify
+    * shape as the dedup operators). */
   def lshKnnJoin(embeddings: DataFrame, k: Int, dim: Int = 64,
       planes: Int = 10, probes: Int = 2,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val par = embeddings.sparkSession.sparkContext.defaultParallelism
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     val probed = (0 until probes).map { p =>
       embeddings.select(col(idCol).as("id"),
@@ -79,16 +111,7 @@ object Similarity {
           .as("bucket"))
         .withColumn("probe", lit(p))
     }.reduce(_ unionByName _)
-    val a = probed.select(col("probe"), col("bucket"), col("id").as("id_a"))
-    val b = probed.select(col("probe"), col("bucket"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("probe", "bucket"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b")
-      // explicit-width repartition (see Dedup.verifyPairs): pair rows
-      // are tiny in bytes, and AQE's size-based coalescing would run
-      // the cosine verify nearly single-threaded
-      .repartition(par, col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val pairs = bucketMatePairs(probed, ordered = true)
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")),
         Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")),
