@@ -60,6 +60,13 @@ def main(sf_dir, out_dir):
             f"SELECT * FROM '{Path(out_dir) / name}/*.parquet'")
         got_cols = [d[0] for d in got_rel.description]
         got_rows = got_rel.fetchall()
+        if got_cols == ["__error"]:
+            # Verify's sentinel dump for a query that threw: the schema
+            # can never match an oracle, and we surface the message here.
+            msg = got_rows[0][0] if got_rows else "<no message>"
+            print(f"FAIL {name}: query threw in Verify: {msg}")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"ROWS-ONLY {name}: {len(got_rows)} rows")
             n_rowsonly += 1
