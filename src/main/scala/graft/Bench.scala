@@ -37,6 +37,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Engine.configure(spark)
+    // fail fast with a NAMED diff on testdata type drift, instead of
+    // N identical analysis errors across the timed suite
+    Engine.assertSchemas(spark, sfDir)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 

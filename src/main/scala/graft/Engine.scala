@@ -104,6 +104,87 @@ object Engine {
     })
   }
 
+  /** Type CLASS a column resolves to after [[table]] normalization —
+    * the granularity the queries actually depend on. Width within a
+    * class (int vs bigint, float vs double, LTZ vs NTZ timestamp) is
+    * handled by Spark's coercions and shifts the DuckDB oracle
+    * identically, so it is NOT drift worth failing a round over. */
+  private def typeClass(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case FloatType | DoubleType | _: DecimalType => "numeric"
+      case StringType => "string"
+      case TimestampType | TimestampNTZType | DateType => "timestamp"
+      case ArrayType(el, _) => s"array<${typeClass(el)}>"
+      case other => other.simpleString
+    }
+  }
+
+  /** The columns (and type classes) the query suite depends on, per
+    * testdata table — the contract the driver's generator must keep. */
+  private[graft] val expectedSchemas: Map[String, Seq[(String, String)]] =
+    Map(
+      "region" -> Seq("r_regionkey" -> "integral", "r_name" -> "string"),
+      "nation" -> Seq("n_nationkey" -> "integral", "n_name" -> "string",
+        "n_regionkey" -> "integral"),
+      "customer" -> Seq("c_custkey" -> "integral", "c_name" -> "string",
+        "c_nationkey" -> "integral", "c_acctbal" -> "numeric",
+        "c_mktsegment" -> "string"),
+      "supplier" -> Seq("s_suppkey" -> "integral", "s_name" -> "string",
+        "s_nationkey" -> "integral", "s_acctbal" -> "numeric"),
+      "part" -> Seq("p_partkey" -> "integral", "p_name" -> "string",
+        "p_brand" -> "string", "p_type" -> "string",
+        "p_size" -> "integral", "p_retailprice" -> "numeric"),
+      "orders" -> Seq("o_orderkey" -> "integral",
+        "o_custkey" -> "integral", "o_orderstatus" -> "string",
+        "o_totalprice" -> "numeric", "o_orderdate" -> "timestamp",
+        "o_orderpriority" -> "string"),
+      "lineitem" -> Seq("l_orderkey" -> "integral",
+        "l_partkey" -> "integral", "l_suppkey" -> "integral",
+        "l_linenumber" -> "integral", "l_quantity" -> "numeric",
+        "l_extendedprice" -> "numeric", "l_discount" -> "numeric",
+        "l_tax" -> "numeric", "l_returnflag" -> "string",
+        "l_linestatus" -> "string", "l_shipdate" -> "timestamp"),
+      "events" -> Seq("event_id" -> "integral", "ts" -> "timestamp",
+        "user_id" -> "integral", "event_type" -> "string",
+        "value" -> "numeric", "props" -> "string"),
+      "documents" -> Seq("doc_id" -> "integral", "text" -> "string",
+        "lang" -> "string", "source" -> "string",
+        "n_chars" -> "integral"),
+      "embeddings" -> Seq("vec_id" -> "integral",
+        "embedding" -> "array<numeric>", "label" -> "integral"))
+
+  /** Fail FAST with a named per-column diff when a driver testdata
+    * regeneration changes a type the queries depend on — instead of
+    * the round-9 failure mode, where one changed column produced 71
+    * identical analysis errors deep inside unrelated queries. Checked
+    * POST-[[table]] normalization, so both known `events.ts` encodings
+    * (epoch-nanos Long and timestamp[us]) pass as `timestamp`. */
+  def assertSchemas(spark: SparkSession, sfDir: String): Unit = {
+    val diffs = tableNames.flatMap { t =>
+      if (!new java.io.File(s"$sfDir/$t.parquet").exists)
+        Seq(s"$t: table file missing under $sfDir")
+      else {
+        val actual = table(spark, sfDir, t).schema
+        val got = actual.fields.map(f => f.name -> typeClass(f.dataType)).toMap
+        expectedSchemas(t).flatMap { case (c, want) =>
+          got.get(c) match {
+            case None => Some(s"$t.$c: column missing (expected $want; " +
+              s"actual columns: ${actual.fieldNames.mkString(", ")})")
+            case Some(g) if g != want => Some(s"$t.$c: resolved as $g, " +
+              s"queries expect $want")
+            case _ => None
+          }
+        }
+      }
+    }
+    require(diffs.isEmpty,
+      "testdata schema drift detected — the driver regenerated testdata " +
+        "with types the query suite does not expect:\n  " +
+        diffs.mkString("\n  "))
+  }
+
   /** Register every testdata table under `sfDir` as a temp view so both
     * the DataFrame DSL and `spark.sql` surfaces see the same catalog.
     * Idempotent, and a no-op when this session already registered this

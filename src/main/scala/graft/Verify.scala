@@ -59,6 +59,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Engine.configure(spark)
+    // fail fast with a NAMED diff on testdata type drift, instead of
+    // N identical analysis errors deep inside unrelated queries
+    Engine.assertSchemas(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     val errors = dumpAll(spark, sfDir, outDir,
       SparkEntry.queries

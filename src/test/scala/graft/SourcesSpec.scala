@@ -44,4 +44,50 @@ class SourcesSpec extends SparkSuite {
     val back = spark.read.schema(src.schema).json(dir)
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
+
+  test("Engine.table normalizes both known events.ts encodings") {
+    import org.apache.spark.sql.types._
+    // encoding A: epoch-nanos Long (older generations surface
+    // TIMESTAMP(NANOS) as Long under nanosAsLong) — Engine.table must
+    // convert to a microsecond timestamp
+    val dirA = tmpDir("tsnanos")
+    val nanos = 1700000000L * 1000000000L + 123456000L
+    spark.range(1).select(
+        col("id").as("event_id"), lit(nanos).as("ts"),
+        lit(7L).as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$dirA/events.parquet")
+    val a = Engine.table(spark, dirA, "events")
+    assert(a.schema("ts").dataType == TimestampType,
+      s"nanos-Long encoding resolved as ${a.schema("ts").dataType}")
+    assert(a.select(unix_timestamp(col("ts"))).head().getLong(0) ==
+      1700000000L)
+
+    // encoding B: native timestamp (current generations) — passes
+    // through untouched; the real testdata IS this encoding
+    val b = Engine.table(spark, sf, "events")
+    assert(Set[DataType](TimestampType, TimestampNTZType)
+      .contains(b.schema("ts").dataType))
+
+    // both encodings satisfy the suite-wide schema contract
+    Engine.assertSchemas(spark, sf)
+  }
+
+  test("assertSchemas names the drifted column, not a downstream error") {
+    // plant a testdata dir whose events.ts is a STRING — the named
+    // per-column diff must surface table, column, and both types
+    val dir = tmpDir("tsdrift")
+    Engine.tableNames.filterNot(_ == "events").foreach { t =>
+      Engine.table(spark, sf, t).write.parquet(s"$dir/$t.parquet")
+    }
+    Engine.table(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("string"))
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Engine.assertSchemas(spark, dir)
+    }
+    assert(e.getMessage.contains("events.ts"), e.getMessage)
+    assert(e.getMessage.contains("string"), e.getMessage)
+    assert(e.getMessage.contains("timestamp"), e.getMessage)
+  }
 }
