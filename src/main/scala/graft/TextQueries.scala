@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, MediaCodec, Multimodal, Similarity, TextOps}
 
 /** LLM-data-pipeline conformance queries (SURVEY.md §7E): text analysis,
   * deduplication, similarity search, multimodal plumbing.
@@ -621,6 +621,90 @@ object TextQueries {
             FROM n JOIN idx ON i < nf
             ORDER BY media_id, frame_idx"""))
 
+  /** REAL image decode end-to-end: plant one uncompressed 24-bit BMP
+    * per document (gradient channels derived from doc_id), run it
+    * through the production feature path, and check the decoded
+    * dimensions and exact per-channel pixel sums against closed-form
+    * oracle arithmetic. feature(0) = 1 proves every row took the real
+    * codec path, not the stub fallback. */
+  val q_multimodal_decode_bmp = QuerySpec(
+    "q_multimodal_decode_bmp", Seq("E-mm"),
+    (s, d) => {
+      val mkBmp = udf { id: Long =>
+        val w = (2 + id % 7).toInt
+        val h = (1 + id % 5).toInt
+        MediaCodec.encodeBmp24(w, h, (x, y) => (
+          (id % 200).toInt + x,
+          ((id * 3) % 200).toInt + y,
+          ((id * 7) % 250).toInt))
+      }
+      val media = Engine.table(s, d, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("image/bmp").as("media_type"),
+        mkBmp(col("doc_id")).as("payload"),
+        map().cast("map<string,string>").as("meta"))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("long").as("kind"),
+          element_at(col("feature"), 2).cast("long").as("width"),
+          element_at(col("feature"), 3).cast("long").as("height"),
+          element_at(col("feature"), 4).cast("long").as("sum_r"),
+          element_at(col("feature"), 5).cast("long").as("sum_g"),
+          element_at(col("feature"), 6).cast("long").as("sum_b"))
+        .orderBy("media_id")
+    },
+    Some("""WITH g AS (SELECT doc_id,
+                 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+               FROM documents)
+            SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS kind,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(h * (w * (doc_id % 200) + w*(w-1)/2) AS BIGINT)
+                     AS sum_r,
+                   CAST(w * (h * ((doc_id*3) % 200) + h*(h-1)/2) AS BIGINT)
+                     AS sum_g,
+                   CAST(w * h * ((doc_id*7) % 250) AS BIGINT) AS sum_b
+            FROM g ORDER BY media_id"""))
+
+  /** REAL audio decode end-to-end: plant one PCM-16 WAV square wave
+    * per document (amplitude/rate/length derived from doc_id), decode
+    * through the production feature path, and check format fields and
+    * the exact absolute-amplitude sum. feature(0) = 2 proves the real
+    * codec path. */
+  val q_multimodal_decode_wav = QuerySpec(
+    "q_multimodal_decode_wav", Seq("E-mm"),
+    (s, d) => {
+      val mkWav = udf { id: Long =>
+        val amp = (100 * (1 + id % 50)).toShort
+        val n = (64 + (id % 8) * 16).toInt
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val samples = Array.tabulate[Short](n)(i =>
+          if (i % 2 == 0) amp else (-amp).toShort)
+        MediaCodec.encodeWavPcm16(rate, 1, samples)
+      }
+      val media = Engine.table(s, d, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("audio/wav").as("media_type"),
+        mkWav(col("doc_id")).as("payload"),
+        map().cast("map<string,string>").as("meta"))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("long").as("kind"),
+          element_at(col("feature"), 2).cast("long").as("sample_rate"),
+          element_at(col("feature"), 3).cast("long").as("channels"),
+          element_at(col("feature"), 4).cast("long").as("n_frames"),
+          element_at(col("feature"), 5).cast("long").as("sum_abs"),
+          element_at(col("feature"), 6).cast("long").as("max_abs"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, CAST(2 AS BIGINT) AS kind,
+                   CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS channels,
+                   CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS n_frames,
+                   CAST((100 * (1 + doc_id % 50)) *
+                        (64 + (doc_id % 8) * 16) AS BIGINT) AS sum_abs,
+                   CAST(100 * (1 + doc_id % 50) AS BIGINT) AS max_abs
+            FROM documents ORDER BY media_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_text_token_stats, q_text_token_budget, q_text_quality,
     q_text_langid, q_text_fingerprint, q_corpus_clean, q_decontaminate,
@@ -630,5 +714,5 @@ object TextQueries {
     q_dedup_embedding, q_embed_topk_bruteforce, q_embed_knn_lsh,
     q_embed_ivf_topk, q_embed_ivf_batch, q_embed_pq_topk,
     q_embed_ivfpq_topk, q_dedup_semantic, q_multimodal_features,
-    q_multimodal_frames)
+    q_multimodal_frames, q_multimodal_decode_bmp, q_multimodal_decode_wav)
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+/** Pure-JVM media codecs for the multimodal column path (SURVEY.md
+  * §7E): uncompressed 24-bit BMP and 16-bit PCM WAV — the two media
+  * containers whose layouts are simple enough to parse with zero
+  * native dependencies, making one PRODUCTION-REAL decode path for
+  * binary payloads (everything else still falls back to the documented
+  * deterministic stub in [[Multimodal.stubDecode]]).
+  *
+  * Both formats are decoded from their public specifications
+  * (BITMAPFILEHEADER/BITMAPINFOHEADER; RIFF/WAVE chunk layout).
+  * Decoders are STRICT: any structural mismatch — wrong magic, short
+  * buffer, unsupported bpp/compression/format — returns None, so a
+  * text payload that happens to start with "BM" can never be
+  * mis-decoded (the caller falls back to the stub feature).
+  */
+object MediaCodec {
+
+  /** Decoded image summary: dimensions + per-channel pixel SUMS.
+    * Sums (not means) so fixture oracles stay exact integer
+    * arithmetic; callers derive mean = sum / (w*h). */
+  final case class BmpSummary(width: Int, height: Int,
+      sumR: Long, sumG: Long, sumB: Long)
+
+  /** Decoded audio summary: format + amplitude aggregates over all
+    * samples (channel-interleaved). */
+  final case class WavSummary(sampleRate: Int, channels: Int,
+      nFrames: Int, sumAbs: Long, maxAbs: Int)
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def put16(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+  }
+  private def put32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+    b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+  }
+
+  // ------------------------------------------------------------- BMP
+
+  private val BmpHeaderBytes = 54 // 14 file header + 40 info header
+
+  /** Encode a 24bpp bottom-up BI_RGB BMP; `px(x, y)` returns
+    * (r, g, b) for the pixel at column x, row y (y=0 is the TOP row —
+    * the encoder writes rows bottom-up as the format requires). */
+  def encodeBmp24(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val out = new Array[Byte](BmpHeaderBytes + rowSize * height)
+    out(0) = 'B'; out(1) = 'M'
+    put32(out, 2, out.length)
+    put32(out, 10, BmpHeaderBytes)
+    put32(out, 14, 40)
+    put32(out, 18, width)
+    put32(out, 22, height) // positive = bottom-up
+    put16(out, 26, 1)      // planes
+    put16(out, 28, 24)     // bpp
+    put32(out, 30, 0)      // BI_RGB
+    put32(out, 34, rowSize * height)
+    var y = 0
+    while (y < height) {
+      val base = BmpHeaderBytes + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        out(base + x * 3) = b.toByte
+        out(base + x * 3 + 1) = g.toByte
+        out(base + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Strict 24bpp BI_RGB decoder; None on any structural mismatch.
+    * Handles both bottom-up (height > 0) and top-down (height < 0)
+    * row orders — channel sums are row-order invariant anyway. */
+  def decodeBmp24(bytes: Array[Byte]): Option[BmpSummary] = {
+    if (bytes == null || bytes.length < BmpHeaderBytes) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = i32(bytes, 10)
+    val infoSize = i32(bytes, 14)
+    val width = i32(bytes, 18)
+    val rawHeight = i32(bytes, 22)
+    val height = math.abs(rawHeight)
+    if (infoSize < 40 || width <= 0 || height == 0) return None
+    if (u16(bytes, 26) != 1 || u16(bytes, 28) != 24) return None
+    if (i32(bytes, 30) != 0) return None // BI_RGB only
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    // guard against width*height overflow before multiplying out
+    if (width > (1 << 20) || height > (1 << 20)) return None
+    if (dataOffset < BmpHeaderBytes ||
+        dataOffset.toLong + rowSize.toLong * height > bytes.length)
+      return None
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < height) {
+      val base = dataOffset + y * rowSize
+      var x = 0
+      while (x < width) {
+        sb += bytes(base + x * 3) & 0xff
+        sg += bytes(base + x * 3 + 1) & 0xff
+        sr += bytes(base + x * 3 + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpSummary(width, height, sr, sg, sb))
+  }
+
+  // ------------------------------------------------------------- WAV
+
+  /** Encode a 16-bit PCM RIFF/WAVE file; `samples` are
+    * channel-interleaved frames. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      s"bad channel layout: ${samples.length} samples / $channels ch")
+    val dataBytes = samples.length * 2
+    val out = new Array[Byte](44 + dataBytes)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    put32(out, 4, 36 + dataBytes)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    put32(out, 16, 16)              // fmt chunk size
+    put16(out, 20, 1)               // PCM
+    put16(out, 22, channels)
+    put32(out, 24, sampleRate)
+    put32(out, 28, sampleRate * channels * 2) // byte rate
+    put16(out, 32, channels * 2)    // block align
+    put16(out, 34, 16)              // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    put32(out, 40, dataBytes)
+    var i = 0
+    while (i < samples.length) {
+      put16(out, 44 + i * 2, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Strict PCM-16 RIFF/WAVE decoder; walks the chunk list (fmt may
+    * be followed by LIST/fact/etc. before data). None on any
+    * structural mismatch or non-PCM-16 stream. */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[WavSummary] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != 'F') return None
+    if (bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' ||
+        bytes(11) != 'E') return None
+    var pos = 12
+    var sampleRate = -1
+    var channels = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val sz = i32(bytes, pos + 4)
+      if (sz < 0 || pos + 8 + sz > bytes.length) return None
+      if (id == "fmt ") {
+        if (sz < 16) return None
+        if (u16(bytes, pos + 8) != 1) return None    // PCM only
+        channels = u16(bytes, pos + 10)
+        sampleRate = i32(bytes, pos + 12)
+        if (u16(bytes, pos + 22) != 16) return None  // 16-bit only
+      } else if (id == "data") {
+        dataOff = pos + 8
+        dataLen = sz
+      }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || channels <= 0 || dataOff < 0) return None
+    if (dataLen % (2 * channels) != 0) return None
+    val n = dataLen / 2
+    var sumAbs = 0L
+    var maxAbs = 0
+    var i = 0
+    while (i < n) {
+      val v = u16(bytes, dataOff + i * 2).toShort.toInt
+      val a = math.abs(v)
+      sumAbs += a
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    Some(WavSummary(sampleRate, channels, n / channels, sumAbs, maxAbs))
+  }
+
+  // ------------------------------------------------- feature dispatch
+
+  /** Kind tags leading the feature vector, so downstream consumers can
+    * route on feature(0) without re-sniffing payload bytes. */
+  val KindStub = 0f
+  val KindImage = 1f
+  val KindAudio = 2f
+
+  /** Real decode dispatch: BMP → [1, w, h, sumR, sumG, sumB],
+    * WAV → [2, rate, channels, frames, sumAbs, maxAbs], anything
+    * else → None (caller falls back to the stub histogram). Sums are
+    * exact in Float up to 2^24 — beyond that they are approximate
+    * feature values, which is what a feature vector is. */
+  def decodeFeatures(payload: Array[Byte]): Option[Array[Float]] =
+    decodeBmp24(payload).map { b =>
+      Array(KindImage, b.width.toFloat, b.height.toFloat,
+        b.sumR.toFloat, b.sumG.toFloat, b.sumB.toFloat)
+    }.orElse(decodeWavPcm16(payload).map { w =>
+      Array(KindAudio, w.sampleRate.toFloat, w.channels.toFloat,
+        w.nFrames.toFloat, w.sumAbs.toFloat, w.maxAbs.toFloat)
+    })
+}

@@ -93,7 +93,14 @@ object Multimodal {
   /** Feature extraction over media batches: mapPartitions so a real
     * decoder could amortize codec init per partition (the Scala analogue
     * of mapInPandas batch shape). Output keeps the id + a fixed-width
-    * feature vector — joinable back to metadata. */
+    * feature vector — joinable back to metadata.
+    *
+    * Payloads that parse as uncompressed 24-bit BMP or PCM-16 WAV go
+    * through the REAL pure-JVM decoder ([[MediaCodec.decodeFeatures]]:
+    * feature(0) = 1 for image, 2 for audio); anything else falls back
+    * to the deterministic stub histogram (feature length 16). The
+    * codec parsers are strict, so a text payload can never be
+    * mis-decoded into the real path. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -101,10 +108,12 @@ object Multimodal {
       StructField("n_bytes", IntegerType, nullable = false)))
     val enc = ExpressionEncoder(outSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
-      // per-partition init site for a real codec
+      // per-partition init site for a codec needing state
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        Row(r.getLong(0), stubDecode(payload).toSeq,
+        val feature = MediaCodec.decodeFeatures(payload)
+          .getOrElse(stubDecode(payload))
+        Row(r.getLong(0), feature.toSeq,
           if (payload == null) 0 else payload.length)
       }
     }(enc)
