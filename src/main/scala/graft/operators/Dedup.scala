@@ -209,15 +209,23 @@ object Dedup {
         Window.partitionBy("blk", "id").orderBy(col("df"), col("tok"))))
       .filter(col("rn") <= prefixLen)
       .select("blk", "tok", "id", "sz", "rn")
-      // explicit-width repartition: the prefix is small in bytes, and
-      // AQE's size-based coalescing would otherwise run the (CPU-bound)
-      // pair expansion below on a single partition
+    // single-aggregation bucket-mate pairing (the shape of
+    // Similarity.bucketMatePairs): a (blk, tok) self-join would
+    // evaluate the whole prefix derivation — shingle explode, df join,
+    // prefix window — TWICE, once per join side. Collect each prefix
+    // bucket's (id, sz, rn) entries with one partially-aggregated
+    // groupBy and emit the pairs by double explode instead. Bucket
+    // occupancy is the token's df within the block, already the
+    // quantity the rarest-first prefix selection minimizes; a hot
+    // bucket pairs O(df²) under either shape.
+    val buckets = prefix.groupBy("blk", "tok")
+      .agg(collect_list(struct(col("id"), col("sz"), col("rn"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      // explicit-width repartition: one row per prefix bucket is tiny
+      // in bytes, and AQE's size-based coalescing would otherwise run
+      // the (CPU-bound) pair expansion on a single partition
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("blk"), col("tok"))
-    val a = prefix.select(col("blk"), col("tok"),
-      col("id").as("id_a"), col("sz").as("sz_a"), col("rn").as("p_a"))
-    val b = prefix.select(col("blk"), col("tok"),
-      col("id").as("id_b"), col("sz").as("sz_b"), col("rn").as("p_b"))
     // J>=t needs overlap o >= t/(1+t)*(|A|+|B|) (PPJoin, Xiao et al.
     // WWW 2008); both pruning filters below are necessary conditions,
     // so candidate recall stays 100%:
@@ -226,14 +234,19 @@ object Dedup {
     //    contribute at most min(|A|-p_a, |B|-p_b)+1 overlap
     val oMin = ceil((col("sz_a") + col("sz_b")) *
       (threshold / (1 + threshold)))
-    val cand = a.join(b, Seq("blk", "tok"))
+    buckets
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a.id").as("id_a"), col("a.sz").as("sz_a"),
+        col("a.rn").as("p_a"), explode(col("xs")).as("b"))
+      .select(col("id_a"), col("sz_a"), col("p_a"),
+        col("b.id").as("id_b"), col("b.sz").as("sz_b"),
+        col("b.rn").as("p_b"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("sz_a"), col("sz_b")) >=
         ceil(greatest(col("sz_a"), col("sz_b")) * threshold))
       .filter(least(col("sz_a") - col("p_a"), col("sz_b") - col("p_b")) +
         1 >= oMin)
       .select("id_a", "id_b")
-    cand
   }
 
   /** Partial-overlap pairs via winnowed fingerprints: documents sharing
