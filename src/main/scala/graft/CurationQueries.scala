@@ -246,8 +246,53 @@ object CurationQueries {
                    doc_id, source
             FROM documents ORDER BY shuffle_rank"""))
 
+  /** Per-domain quota cap ([[Sampling.sourceCap]]): no source may
+    * contribute more than 10 documents, keeping its longest (n_chars
+    * DESC, doc_id tiebreak). Runs on the bounded-heap TopKPerGroup
+    * operator — never a window sort of a hot domain's full row set.
+    * The oracle is the equivalent ranked-window SQL. */
+  val q_source_cap = QuerySpec(
+    "q_source_cap", Seq("P12", "A12"),
+    (s, d) => Sampling.sourceCap(Engine.table(s, d, "documents"),
+        "source", 10, Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 10
+            ORDER BY doc_id"""))
+
+  /** Temperature-flattened language mixture at alpha = 1/2
+    * ([[Sampling.temperatureMixture]]): stratum keep-counts
+    * m_s = floor(sqrt(n_s * n_min)) — exact in both engines because
+    * IEEE sqrt is correctly rounded — with survivors chosen by salted
+    * md5 rank. On this corpus the dominant language is damped (en
+    * keeps ~sqrt(218*64) of 218 docs at sf0.01) while the smallest is
+    * kept whole. */
+  val q_temperature_mixture = QuerySpec(
+    "q_temperature_mixture", Seq("P12", "A12"),
+    (s, d) => Sampling.temperatureMixture(
+        Engine.table(s, d, "documents"), "lang")
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY lang),
+              m AS (SELECT lang,
+                      CAST(floor(sqrt(CAST(n AS DOUBLE) *
+                        CAST((SELECT MIN(n) FROM c) AS DOUBLE)))
+                        AS BIGINT) AS q FROM c),
+              r AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY md5(doc_id::VARCHAR || 'graft'),
+                                 doc_id) AS rn
+                    FROM documents)
+            SELECT r.doc_id, r.lang FROM r JOIN m USING (lang)
+            WHERE rn <= q ORDER BY doc_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_repetition_stats, q_bm25_topk, q_common_token_ratio,
     q_pack_sequences, q_mixture_sample, q_dedup_spans, q_shuffle_export,
-    q_quality_gate)
+    q_quality_gate, q_source_cap, q_temperature_mixture)
 }

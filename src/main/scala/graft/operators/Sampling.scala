@@ -84,6 +84,52 @@ object Sampling {
     df.filter(pref < thr)
   }
 
+  /** Per-stratum quota cap (the anti-over-representation pass of web
+    * corpus curation: no single domain may contribute more than `k`
+    * documents, keeping its "best" by `order`). Deterministic, and
+    * scale-safe through [[graft.plans.TopKPerGroup]]: a bounded heap
+    * per stratum — never a window sort of the stratum's full row set,
+    * which at 100 TB would funnel a hot domain into one sorting task. */
+  def sourceCap(df: DataFrame, strataCol: String, k: Int,
+      order: Seq[Column]): DataFrame =
+    graft.plans.TopKPerGroup.topKPerGroup(df, Seq(col(strataCol)),
+      order, k)
+
+  /** Temperature-flattened mixture at alpha = 0.5 (the multilingual
+    * sampling rule: resulting stratum shares ∝ n_s^alpha, so dominant
+    * sources are damped and small sources surface). With alpha = 1/2
+    * the keep-count has an EXACT closed form in integer arithmetic —
+    * m_s = floor(sqrt(n_s * n_min)) — because IEEE-754 sqrt is
+    * correctly rounded: any engine computes the identical m_s, which
+    * is what lets the DuckDB oracle check this operator bit-for-bit
+    * (a general-alpha pow() has no such cross-engine guarantee).
+    * The smallest stratum is kept whole (m_min = n_min: flattening
+    * only ever downsamples — no upsampling/duplication), and each
+    * stratum keeps its m_s smallest-salted-hash rows, so the survivor
+    * set is reproducible and changing one stratum's size never
+    * disturbs another's sample.
+    *
+    * Shape at 100 TB: the stratum counts are one tiny partial-agg
+    * groupBy (rows = #strata), broadcast-joined back; survivor
+    * selection is [[graft.plans.TopKPerGroup.quotaPerGroup]]'s bounded
+    * heap — one shuffle on the stratum key, no window sort. */
+  def temperatureMixture(df: DataFrame, strataCol: String,
+      idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n"))).withColumnRenamed("min(__n)",
+      "__nmin")
+    val quotas = counts.crossJoin(broadcast(nMin))
+      .select(col(strataCol),
+        floor(sqrt(col("__n").cast("double") *
+          col("__nmin").cast("double"))).cast("long").as("__quota"))
+    df.join(broadcast(quotas), Seq(strataCol))
+      .withColumn("__rank", hashRank(col(idCol), salt))
+      .transform(j => graft.plans.TopKPerGroup.quotaPerGroup(j,
+        Seq(col(strataCol)), Seq(col("__rank").asc, col(idCol).asc),
+        col("__quota")))
+      .drop("__rank", "__quota")
+  }
+
   /** Deterministic global shuffle for training export: every row gets a
     * salted-hash shuffle key and the frame is globally ordered by it —
     * a reproducible pseudo-random permutation of the corpus (what an

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, Literal, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -20,6 +20,12 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * partition, no sort node at all. At 100 TB with k=10 and millions of
   * rows per group, the difference is the whole sort.
   *
+  * The retention bound `quota` is an EXPRESSION evaluated against each
+  * group's rows (must be group-constant — a literal for the classic
+  * fixed-k form, or a joined per-group quota column for data-driven
+  * caps like temperature-flattened mixture sampling, where each
+  * stratum's keep-count is derived from its corpus share).
+  *
   * Mechanics (the (c) path from the build brief): a marker
   * [[TopKPerGroup]] logical node, planned by [[TopKPerGroupStrategy]]
   * (registered through `graft.plans.GraftExtensions`) into
@@ -27,8 +33,7 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * EnsureRequirements insert the one hash shuffle on the group keys.
   */
 case class TopKPerGroup(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
-  require(k > 0)
+    quota: Expression, child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(
       newChild: LogicalPlan): TopKPerGroup = copy(child = newChild)
@@ -36,20 +41,22 @@ case class TopKPerGroup(keys: Seq[Expression], order: Seq[SortOrder],
 
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(keys, order, k, child) =>
+    case TopKPerGroup(keys, order, quota, child) =>
       // partial→final, exactly like partial aggregation: the map-side
       // heap reduces what the exchange carries from n rows to
       // groups×k rows per input partition (global top-k per group ==
-      // top-k of the union of per-partition top-ks)
-      TopKPerGroupExec(keys, order, k, partial = false,
-        TopKPerGroupExec(keys, order, k, partial = true,
+      // top-k of the union of per-partition top-ks — true for the
+      // dynamic quota too, since it is group-constant)
+      TopKPerGroupExec(keys, order, quota, partial = false,
+        TopKPerGroupExec(keys, order, quota, partial = true,
           planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    quota: Expression, partial: Boolean, child: SparkPlan)
+  extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -66,28 +73,42 @@ case class TopKPerGroupExec(keys: Seq[Expression], order: Seq[SortOrder],
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
-    val limit = k
+    val quotaExpr = quota
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrd = RowOrdering.create(sortOrder, childOutput)
+      val boundQuota = BindReferences.bindReference(quotaExpr, childOutput)
       // max-heap on the sort order: the head is the WORST retained row,
       // evicted when a better row arrives and the heap is full
       val heaps = new java.util.HashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
       iter.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](
-            limit + 1, rowOrd.reversed())
-          heaps.put(key.copy(), heap)
+        // quota is group-constant, so evaluating per row is just a
+        // column read; <= 0 drops the group entirely
+        val limit = boundQuota.eval(row) match {
+          case null => 0
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long =>
+            math.min(l.longValue(), Int.MaxValue.toLong).toInt
+          case s: java.lang.Short => s.intValue()
+          case other => throw new IllegalArgumentException(
+            s"quota must evaluate to an integral type, got $other")
         }
-        if (heap.size < limit) {
-          heap.add(row.copy())
-        } else if (rowOrd.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        if (limit > 0) {
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[InternalRow](
+              limit + 1, rowOrd.reversed())
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < limit) {
+            heap.add(row.copy())
+          } else if (rowOrd.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
         }
       }
       val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
@@ -113,6 +134,31 @@ object TopKPerGroup {
     * `order` (best = first in the order). */
   def topKPerGroup(df: DataFrame, keys: Seq[Column], order: Seq[Column],
       k: Int): DataFrame = {
+    require(k > 0)
+    plan(df, keys, order, Literal(k))
+  }
+
+  /** Data-driven variant: the retention bound comes from `quota`, a
+    * GROUP-CONSTANT integral column (typically joined onto the rows
+    * from a per-group aggregate). Groups whose quota is <= 0 or null
+    * are dropped entirely. */
+  def quotaPerGroup(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      quota: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val quotaExpr = org.apache.spark.sql.graft.Bridge.logicalPlan(
+        df.select(quota)) match {
+      case p: Project => p.projectList.head match {
+        case a: Alias => a.child
+        case e => e
+      }
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    plan(df, keys, order, quotaExpr)
+  }
+
+  private def plan(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      quota: Expression): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
@@ -121,7 +167,7 @@ object TopKPerGroup {
     val exp = df.sparkSession.experimental
     if (!exp.extraStrategies.contains(TopKPerGroupStrategy))
       exp.extraStrategies = exp.extraStrategies :+ TopKPerGroupStrategy
-    val plan = Bridge.logicalPlan(df)
+    val planned = Bridge.logicalPlan(df)
     // resolve the user Columns by borrowing the standard analysis of a
     // Project / Sort over the same (already analyzed, id-stable) child
     val keyExprs = Bridge.logicalPlan(df.select(keys: _*)) match {
@@ -137,6 +183,6 @@ object TopKPerGroup {
       case other => throw new IllegalStateException(s"unexpected $other")
     }
     Bridge.ofRows(df.sparkSession, TopKPerGroup(
-      keyExprs, sortOrder, k, plan))
+      keyExprs, sortOrder, quota, planned))
   }
 }

@@ -95,6 +95,51 @@ class ExtensionsSpec extends SparkSuite {
     assert(top1 == Set((1L, 10), (2L, 5)))
   }
 
+  test("quotaPerGroup: per-group data-driven cap, zero/null quotas drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10, 2), (1L, 30, 2), (1L, 20, 2),   // group 1: quota 2
+      (2L, 5, 1), (2L, 9, 1),                  // group 2: quota 1
+      (3L, 7, 0))                              // group 3: quota 0 → dropped
+      .toDF("g", "v", "q")
+    val got = graft.plans.TopKPerGroup.quotaPerGroup(df,
+        Seq(col("g")), Seq(col("v").desc), col("q"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((1L, 30), (1L, 20), (2L, 9)))
+    // matches the window form on a skewed-quota frame
+    import org.apache.spark.sql.expressions.Window
+    val e = Engine.table(spark, sf, "events")
+      .select("event_id", "user_id", "ts")
+      .withColumn("quota", (pmod(col("user_id"), lit(4)) + 1).cast("int"))
+    val custom = graft.plans.TopKPerGroup.quotaPerGroup(e,
+      Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc),
+      col("quota"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("quota")).drop("rn")
+    assertSameRows(custom, viaWindow)
+  }
+
+  test("temperatureMixture flattens strata toward sqrt shares") {
+    val docs = Engine.table(spark, sf, "documents")
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = before.values.min
+    val after = graft.operators.Sampling
+      .temperatureMixture(docs, "lang")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    before.foreach { case (lang, n) =>
+      val want = math.floor(math.sqrt(n.toDouble * nMin.toDouble)).toLong
+      assert(after(lang) == want,
+        s"$lang: kept ${after(lang)}, want floor(sqrt($n*$nMin)) = $want")
+    }
+    // smallest stratum survives whole
+    val minLang = before.minBy(_._2)._1
+    assert(after(minLang) == before(minLang))
+  }
+
   test("union-fusion rule: UNION ALL of two same-table joins fuses to ONE join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     Engine.table(spark, sf, "events")
