@@ -178,4 +178,67 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       }
     })
   }
+
+  test("BMP roundtrip law: decode(encode(img)) recovers dims and sums") {
+    import graft.operators.MediaCodec
+    val gen = for {
+      w <- Gen.chooseNum(1, 9)
+      h <- Gen.chooseNum(1, 7)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (w, h, seed)
+    check(forAll(gen) { case (w, h, seed) =>
+      def px(x: Int, y: Int) =
+        ((seed + x * 31 + y * 7) % 256, (seed * 3 + x) % 256,
+          (seed + y * 13) % 256)
+      val dec = MediaCodec.decodeBmp24(
+        MediaCodec.encodeBmp24(w, h, px)).get
+      val want = for (y <- 0 until h; x <- 0 until w) yield px(x, y)
+      dec.width == w && dec.height == h &&
+        dec.sumR == want.map(_._1.toLong).sum &&
+        dec.sumG == want.map(_._2.toLong).sum &&
+        dec.sumB == want.map(_._3.toLong).sum
+    })
+  }
+
+  test("WAV roundtrip law: decode(encode(clip)) recovers format and sums") {
+    import graft.operators.MediaCodec
+    val gen = for {
+      ch <- Gen.chooseNum(1, 3)
+      frames <- Gen.chooseNum(1, 50)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      xs <- Gen.listOfN(ch * frames,
+        Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (ch, frames, rate, xs.map(_.toShort).toArray)
+    check(forAll(gen) { case (ch, frames, rate, xs) =>
+      val dec = MediaCodec.decodeWavPcm16(
+        MediaCodec.encodeWavPcm16(rate, ch, xs)).get
+      dec.sampleRate == rate && dec.channels == ch &&
+        dec.nFrames == frames &&
+        dec.sumAbs == xs.map(s => math.abs(s.toLong)).sum &&
+        dec.maxAbs == xs.map(s => math.abs(s.toInt)).foldLeft(0)(math.max)
+    })
+  }
+
+  test("bucket-mate pairing law: equals the self-join pair set") {
+    import graft.operators.Similarity
+    val gen = Gen.listOf(for {
+      id <- Gen.chooseNum(0L, 30L)
+      probe <- Gen.chooseNum(0, 2)
+      bucket <- Gen.chooseNum(0L, 4L)
+    } yield (probe, bucket, id))
+    check(forAll(gen) { rows =>
+      val distinctRows = rows.distinct
+      distinctRows.isEmpty || {
+        val probed = distinctRows.toDF("probe", "bucket", "id")
+        val got = Similarity.bucketMatePairs(probed, ordered = true)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = (for {
+          (p1, b1, a) <- distinctRows
+          (p2, b2, b) <- distinctRows
+          if p1 == p2 && b1 == b2 && a != b
+        } yield (a, b)).toSet
+        got == want
+      }
+    })
+  }
 }
