@@ -1114,7 +1114,54 @@ object ExtQueries {
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name"""))
 
+  /** Versioned-table commit protocol end-to-end
+    * ([[graft.operators.VersionedTable]]): three commits (base, append,
+    * overwrite) plus a rollback on a fresh table root, then every
+    * version time-travel-read and aggregated — the oracle recomputes
+    * each snapshot's content directly from lineitem (v2 = v1's filter
+    * OR the appended filter; v4 = rollback target v1). Exercises the
+    * whole log-of-snapshots protocol: claimed version numbers, append
+    * accumulation, overwrite replacement, append-only rollback. */
+  val q_versioned_time_travel = QuerySpec(
+    "q_versioned_time_travel", Seq("S9", "S4"),
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val li = Engine.table(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vtab_q").toString
+      VersionedTable.commit(s, root, li.filter(col("l_quantity") <= 10))
+      VersionedTable.commit(s, root, li.filter(col("l_quantity") >= 45))
+      VersionedTable.commit(s, root,
+        li.filter(col("l_quantity").between(20, 25)), overwrite = true)
+      VersionedTable.rollback(s, root, 1L)
+      def agg(v: Long) = VersionedTable.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .select(lit(v).as("version"), col("n"), col("qty"))
+      agg(1).unionByName(agg(2)).unionByName(agg(3)).unionByName(agg(4))
+        .orderBy("version")
+    },
+    Some("""WITH q AS (SELECT CAST(l_quantity AS BIGINT) AS q
+                       FROM lineitem)
+            SELECT CAST(1 AS BIGINT) AS version,
+                   COUNT(*) AS n,
+                   CAST(SUM(q) AS BIGINT) AS qty FROM q WHERE q <= 10
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), COUNT(*),
+                   CAST(SUM(q) AS BIGINT) FROM q
+            WHERE q <= 10 OR q >= 45
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), COUNT(*),
+                   CAST(SUM(q) AS BIGINT) FROM q
+            WHERE q BETWEEN 20 AND 25
+            UNION ALL
+            SELECT CAST(4 AS BIGINT), COUNT(*),
+                   CAST(SUM(q) AS BIGINT) FROM q WHERE q <= 10
+            ORDER BY version"""))
+
   val all: Seq[QuerySpec] = Seq(
+    q_versioned_time_travel,
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
     q_union_fusion_rule, q_agg_route, q_agg_route_having,

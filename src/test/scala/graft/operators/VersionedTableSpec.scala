@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{Engine, SparkSuite}
+import org.apache.spark.sql.functions._
+
+/** Versioned table format: log-of-snapshots commit protocol, snapshot
+  * isolation, time travel, rollback, vacuum, torn-manifest recovery. */
+class VersionedTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("append/overwrite commits; time travel reads every version") {
+    val root = tmpDir("vtab")
+    val v1 = VersionedTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val v2 = VersionedTable.commit(spark, root,
+      Seq((3L, "c")).toDF("id", "s"))
+    val v3 = VersionedTable.commit(spark, root,
+      Seq((9L, "z")).toDF("id", "s"), overwrite = true)
+    assert(Seq(v1, v2, v3) == Seq(1L, 2L, 3L))
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L))
+    def ids(asOf: Option[Long]) = VersionedTable.read(spark, root, asOf)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(Some(1L)) == Set(1L, 2L))
+    assert(ids(Some(2L)) == Set(1L, 2L, 3L))     // append accumulated
+    assert(ids(Some(3L)) == Set(9L))             // overwrite replaced
+    assert(ids(None) == Set(9L))                 // latest
+  }
+
+  test("snapshot isolation: a pinned read never sees later commits") {
+    val root = tmpDir("vtabiso")
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    val pinned = VersionedTable.read(spark, root) // resolved at v1
+    VersionedTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"))
+    assert(pinned.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L), "read planned at v1 must not see v2's files")
+  }
+
+  test("rollback commits a new version with the old content") {
+    val root = tmpDir("vtabrb")
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    VersionedTable.commit(spark, root,
+      Seq((9L, "bad")).toDF("id", "s"), overwrite = true)
+    val v3 = VersionedTable.rollback(spark, root, 1L)
+    assert(v3 == 3L)
+    assert(VersionedTable.read(spark, root)
+      .select("id").head().getLong(0) == 1L)
+    // the rolled-back version stays time-travelable
+    assert(VersionedTable.read(spark, root, Some(2L))
+      .select("id").head().getLong(0) == 9L)
+  }
+
+  test("torn manifest is invisible; next writer skips its number") {
+    val root = tmpDir("vtabtorn")
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    // simulate a writer that died mid-manifest: v2 exists without #END
+    val torn = new java.io.File(s"$root/_vlog/v00002.manifest")
+    java.nio.file.Files.writeString(torn.toPath, "data/deadbeef\n")
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    assert(VersionedTable.read(spark, root)
+      .select("id").head().getLong(0) == 1L)
+    val v = VersionedTable.commit(spark, root,
+      Seq((2L, "b")).toDF("id", "s"))
+    assert(v == 3L, "torn v2's number must be skipped, not reused")
+    assert(VersionedTable.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("vacuum drops manifests past retention and orphaned data dirs") {
+    val root = tmpDir("vtabvac")
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    VersionedTable.commit(spark, root,
+      Seq((2L, "b")).toDF("id", "s"), overwrite = true)
+    VersionedTable.commit(spark, root,
+      Seq((3L, "c")).toDF("id", "s"), overwrite = true)
+    val dataDirs = new java.io.File(s"$root/data").listFiles()
+    assert(dataDirs.length == 3)
+    val deleted = VersionedTable.vacuum(spark, root, keepVersions = 2)
+    // v1 dropped; its data dir (referenced by nothing retained) removed
+    assert(deleted == 1)
+    assert(VersionedTable.versions(spark, root) == Seq(2L, 3L))
+    assert(new java.io.File(s"$root/data").listFiles().length == 2)
+    // retained versions still read correctly
+    assert(VersionedTable.read(spark, root, Some(2L))
+      .select("id").head().getLong(0) == 2L)
+    assert(VersionedTable.read(spark, root)
+      .select("id").head().getLong(0) == 3L)
+  }
+
+  test("concurrent appenders both land; no lost update") {
+    val root = tmpDir("vtabcc")
+    VersionedTable.commit(spark, root, Seq((0L, "z")).toDF("id", "s"))
+    // two appends racing: whatever the interleaving, the final snapshot
+    // must contain both (the CAS loop rebases losers)
+    val t1 = new Thread(() => VersionedTable.commit(spark, root,
+      Seq((1L, "a")).toDF("id", "s")))
+    val t2 = new Thread(() => VersionedTable.commit(spark, root,
+      Seq((2L, "b")).toDF("id", "s")))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(VersionedTable.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L))
+  }
+}
