@@ -163,12 +163,28 @@ object VersionedTable {
 
   /** Commit `df` as the next version. `overwrite = false` appends to
     * the latest committed snapshot's dir list; `true` replaces it.
-    * Returns the committed version number. */
+    * Returns the committed version number.
+    *
+    * `idempotencyKey` makes RE-DELIVERY of the same logical commit a
+    * no-op returning the original version (the exactly-once contract a
+    * streaming micro-batch sink needs: foreachBatch is at-least-once,
+    * so a restarted query re-offers committed batch ids). A keyed data
+    * dir left by a writer that died BEFORE its manifest landed is
+    * unreferenced, so the retry safely rewrites it. Keyed commits are
+    * for sequential re-delivery, not concurrent writers sharing a key. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-      overwrite: Boolean = false): Long = {
+      overwrite: Boolean = false,
+      idempotencyKey: Option[String] = None): Long = {
     val f = fs(spark, root)
-    val uuid = java.util.UUID.randomUUID().toString
-    val dataDir = s"data/$uuid"
+    val dataDir = "data/" + idempotencyKey.map(k => s"k-$k")
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    if (idempotencyKey.isDefined) {
+      val already = versions(spark, root).find(v =>
+        readManifest(f, root, v).exists(_.contains(dataDir)))
+      already.foreach(v => return v)
+      // crash orphan from a previous attempt: unreferenced, rewrite
+      f.delete(new Path(root, dataDir), true)
+    }
     // data first, fully, into an immutable dir nobody references yet
     df.write.mode(SaveMode.ErrorIfExists)
       .parquet(new Path(root, dataDir).toString)

@@ -332,6 +332,27 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming sink into a [[graft.operators.VersionedTable]]: each
+    * micro-batch commits as ONE table version keyed by its batch id.
+    * foreachBatch is at-least-once (a restarted query re-offers the
+    * last batch), and the idempotency key collapses that to
+    * exactly-once TABLE CONTENT; readers resolve committed snapshots
+    * only, so they see whole micro-batches or nothing — the
+    * transactional-visibility property a bare parquet-append sink
+    * cannot give (its readers can list a half-written batch). */
+  def versionedTableSink(out: DataFrame, root: String,
+      checkpoint: String, intervalMs: Long = 500): StreamingQuery =
+    out.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.VersionedTable.commit(batch.sparkSession, root,
+          batch, idempotencyKey = Some(s"batch-$batchId"))
+        ()
+      }
+      .start()
+
   /** T8: Kappa replay — recompute a result table by re-consuming the
     * source from the beginning into a FRESH checkpoint + staging dir,
     * then atomically swap. `transform` is the shared batch/stream logic

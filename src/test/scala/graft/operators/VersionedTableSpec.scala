@@ -86,6 +86,53 @@ class VersionedTableSpec extends SparkSuite {
       .select("id").head().getLong(0) == 3L)
   }
 
+  test("keyed commit is idempotent; crash orphan dirs are rewritten") {
+    val root = tmpDir("vtabkey")
+    val v1 = VersionedTable.commit(spark, root,
+      Seq((1L, "a")).toDF("id", "s"), idempotencyKey = Some("batch-0"))
+    // re-delivery of the same logical commit: no new version, same id
+    val v1b = VersionedTable.commit(spark, root,
+      Seq((1L, "a")).toDF("id", "s"), idempotencyKey = Some("batch-0"))
+    assert(v1 == v1b && VersionedTable.versions(spark, root) == Seq(1L))
+    // crash orphan: data dir written, manifest never landed — the retry
+    // must rewrite it and commit
+    Seq((7L, "x")).toDF("id", "s").write
+      .parquet(s"$root/data/k-batch-1")
+    val v2 = VersionedTable.commit(spark, root,
+      Seq((2L, "b")).toDF("id", "s"), idempotencyKey = Some("batch-1"))
+    assert(v2 == 2L)
+    assert(VersionedTable.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "orphan content must not leak into the committed snapshot")
+  }
+
+  test("streaming micro-batches commit as table versions, exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("vtabstream")
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.StreamOps.versionedTableSink(
+      mem.toDF.withColumnRenamed("value", "id"),
+      root, tmpDir("vtabstreamck"), intervalMs = 50)
+    try {
+      mem.addData(1L, 2L)
+      q.processAllAvailable()
+      mem.addData(3L)
+      q.processAllAvailable()
+      val vs = VersionedTable.versions(spark, root)
+      assert(vs.nonEmpty && vs.size <= 2, s"versions: $vs")
+      assert(VersionedTable.read(spark, root)
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      // re-delivering a committed batch id is a no-op
+      val before = VersionedTable.versions(spark, root)
+      graft.operators.VersionedTable.commit(spark, root,
+        Seq(99L).toDF("id"), idempotencyKey = Some("batch-0"))
+      assert(VersionedTable.versions(spark, root) == before)
+      assert(!VersionedTable.read(spark, root)
+        .collect().map(_.getLong(0)).contains(99L))
+    } finally q.stop()
+  }
+
   test("concurrent appenders both land; no lost update") {
     val root = tmpDir("vtabcc")
     VersionedTable.commit(spark, root, Seq((0L, "z")).toDF("id", "s"))
