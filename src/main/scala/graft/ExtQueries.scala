@@ -1160,8 +1160,73 @@ object ExtQueries {
                    CAST(SUM(q) AS BIGINT) FROM q WHERE q <= 10
             ORDER BY version"""))
 
+  /** Versioned-table MERGE + CDC ([[graft.operators.VersionedTable]]
+    * merge/changesBetween): two commits build the table, one merge
+    * updates (quantity 8-10 keys, +1000), deletes (quantity 45-46
+    * keys, source marker -1) and inserts (quantity 20-25 keys) in a
+    * single copy-on-write commit, then every snapshot AND the
+    * row-level change feed between v2 and v3 are aggregated. Built on
+    * `orders` keyed by o_orderkey (unique in the testdata — lineitem's
+    * compound key is NOT) with modulo-bucket membership, so the oracle
+    * recomputes all five rows with exact BIGINT set algebra. Updates
+    * surface in the feed as delete+insert pairs (no coalescing), kept
+    * rows cancel. */
+  val q_versioned_merge = QuerySpec(
+    "q_versioned_merge", Seq("S9", "J5", "J6"),
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val o = Engine.table(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
+      val b = col("k") % 10
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vtab_m").toString
+      VersionedTable.commit(s, root, o.filter(b <= 4))
+      VersionedTable.commit(s, root, o.filter(b >= 7))
+      val source = o.filter(b.isin(0, 1))
+          .withColumn("v", col("v") + 100000)
+        .unionByName(o.filter(b === 7).withColumn("v", lit(-1L)))
+        .unionByName(o.filter(b === 5))
+      VersionedTable.merge(s, root, source, Seq("k"),
+        deleteMatched = Some(col("v") === -1))
+      def snap(v: Long) = VersionedTable.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .select(lit(s"v$v").as("label"), col("n"), col("sv"))
+      val cdc = VersionedTable.changesBetween(s, root, 2L, 3L)
+        .groupBy(concat(lit("cdc_"), col("change")).as("label"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      snap(1).unionByName(snap(2)).unionByName(snap(3))
+        .unionByName(cdc).orderBy("label")
+    },
+    Some("""WITH q AS (SELECT o_orderkey % 10 AS b,
+                              CAST(o_custkey AS BIGINT) AS v
+                       FROM orders)
+            SELECT 'v1' AS label, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sv FROM q WHERE b <= 4
+            UNION ALL
+            SELECT 'v2', COUNT(*), CAST(SUM(v) AS BIGINT) FROM q
+            WHERE b <= 4 OR b >= 7
+            UNION ALL
+            SELECT 'v3',
+                   COUNT(*) FILTER (b IN (2, 3, 4, 5, 8, 9))
+                 + COUNT(*) FILTER (b IN (0, 1)),
+                   CAST(SUM(v) FILTER (b IN (2, 3, 4, 5, 8, 9))
+                 + SUM(v + 100000) FILTER (b IN (0, 1)) AS BIGINT)
+            FROM q
+            UNION ALL
+            SELECT 'cdc_delete',
+                   COUNT(*) FILTER (b IN (0, 1, 7)),
+                   CAST(SUM(v) FILTER (b IN (0, 1, 7)) AS BIGINT)
+            FROM q
+            UNION ALL
+            SELECT 'cdc_insert',
+                   COUNT(*) FILTER (b IN (0, 1, 5)),
+                   CAST(SUM(v + 100000) FILTER (b IN (0, 1))
+                 + SUM(v) FILTER (b = 5) AS BIGINT)
+            FROM q
+            ORDER BY label"""))
+
   val all: Seq[QuerySpec] = Seq(
-    q_versioned_time_travel,
+    q_versioned_time_travel, q_versioned_merge,
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
     q_union_fusion_rule, q_agg_route, q_agg_route_having,

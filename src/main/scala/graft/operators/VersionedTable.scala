@@ -220,6 +220,146 @@ object VersionedTable {
     commitManifest(spark, root, _ => dirs)
   }
 
+  /** MERGE INTO the latest snapshot with dir-granularity COPY-ON-WRITE
+    * — the Delta/Iceberg merge shape re-expressed on the manifest
+    * protocol. Semantics (one source row per key; caller dedups):
+    *  - matched target rows are REPLACED by their source row
+    *    (upsert), or dropped when `deleteMatched` holds on the source
+    *    row (whenMatched delete);
+    *  - unmatched source rows are INSERTED;
+    *  - target rows whose key the source never mentions are kept
+    *    bit-for-bit — and, crucially, kept WITHOUT being rewritten
+    *    when their whole data dir contains no matched key.
+    *
+    * Scale shape: the snapshot is scanned once (key columns only — the
+    * parquet reader prunes the rest) to find the TOUCHED data dirs via
+    * a semi-join against the source keys; only those dirs' rows are
+    * re-read in full and rewritten. A merge touching 0.1% of a 100 TB
+    * table rewrites ~0.1% of it, not the table. The driver holds only
+    * the dir-name list (O(commits)).
+    *
+    * Concurrency: first-writer-wins serializable — the commit installs
+    * only if the table is still at the snapshot the merge read
+    * (otherwise [[java.util.ConcurrentModificationException]]; rerun
+    * the merge on the new snapshot). Returns the committed version. */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String],
+      deleteMatched: Option[org.apache.spark.sql.Column] = None): Long =
+    versions(spark, root).lastOption match {
+      case None => // empty table: nothing matches, every row inserts
+        commit(spark, root, source)
+      case Some(v) => mergeFrom(spark, root, v, source, keys, deleteMatched)
+    }
+
+  /** [[merge]] planned against an explicit base version — the
+    * first-writer-wins check rejects installs when the table has moved
+    * past `baseV` (exposed at this visibility so the conflict path is
+    * deterministically testable). */
+  private[operators] def mergeFrom(spark: SparkSession, root: String,
+      baseV: Long, source: DataFrame, keys: Seq[String],
+      deleteMatched: Option[org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val f = fs(spark, root)
+    val dirs = readManifest(f, root, baseV).get
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // one key-column-pruned scan over the snapshot → touched dirs
+    val tagged = spark.read
+      .parquet(dirs.map(dd => new Path(root, dd).toString): _*)
+      .select(keys.map(col): _*)
+      .withColumn("__dir",
+        regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
+    val touched = tagged.join(srcKeys, keys, "left_semi")
+      .select("__dir").distinct().collect().map(_.getString(0)).toSet
+    val untouched = dirs.filterNot(touched)
+    val target =
+      if (touched.isEmpty) source.limit(0)
+      else spark.read.parquet(
+        dirs.filter(touched).map(dd => new Path(root, dd).toString): _*)
+    val targetKeys = target.select(keys.map(col): _*).distinct()
+    val keptTarget = target.join(srcKeys, keys, "left_anti")
+    val matchedSrc = source.join(targetKeys, keys, "left_semi")
+    val updates = deleteMatched.fold(matchedSrc)(c => matchedSrc.filter(!c))
+    val inserts = source.join(targetKeys, keys, "left_anti")
+    val newRows = keptTarget
+      .unionByName(updates.select(target.columns.map(col): _*))
+      .unionByName(inserts.select(target.columns.map(col): _*))
+    val newDir = "data/" + java.util.UUID.randomUUID().toString
+    newRows.write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(root, newDir).toString)
+    commitManifest(spark, root, latest => {
+      if (!latest.contains(baseV))
+        throw new java.util.ConcurrentModificationException(
+          s"merge read v$baseV but table is now at v$latest — rerun")
+      untouched :+ newDir
+    })
+  }
+
+  /** Row-level CHANGES between two committed versions (CDC read):
+    * `(change, <row>)` with `change` ∈ insert|delete; an update
+    * surfaces as a delete+insert pair (no update coalescing, like a
+    * changelog without primary-key knowledge).
+    *
+    * Scale shape: computed from the DIR DIFF only — data dirs present
+    * in both manifests (the untouched bulk of the table under
+    * append/merge traffic) are never read. The bag difference over the
+    * changed dirs (`exceptAll` both ways) is exact for multisets. */
+  def changesBetween(spark: SparkSession, root: String,
+      vFrom: Long, vTo: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val f = fs(spark, root)
+    def dirsOf(v: Long) = readManifest(f, root, v).getOrElse(
+      throw new IllegalArgumentException(s"version $v not committed"))
+    val from = dirsOf(vFrom)
+    val to = dirsOf(vTo)
+    val onlyFrom = from.filterNot(to.toSet)
+    val onlyTo = to.filterNot(from.toSet)
+    def readDirs(dd: Seq[String]) =
+      if (dd.isEmpty) None
+      else Some(spark.read.parquet(
+        dd.map(x => new Path(root, x).toString): _*))
+    (readDirs(onlyTo), readDirs(onlyFrom)) match {
+      case (None, None) =>
+        // identical dir lists: no changes; derive an empty frame with
+        // the table's schema from the target snapshot
+        read(spark, root, Some(vTo)).limit(0)
+          .withColumn("change", lit("insert"))
+      case (added, removed) =>
+        val a = added.orElse(removed.map(_.limit(0))).get
+        val r = removed.orElse(added.map(_.limit(0))).get
+        a.exceptAll(r).withColumn("change", lit("insert"))
+          .unionByName(
+            r.exceptAll(a).withColumn("change", lit("delete")))
+    }
+  }
+
+  /** Rewrite the latest snapshot's dirs into ONE data dir (the
+    * small-file compaction a log-of-snapshots table accretes toward
+    * after many append/merge commits), committed as a new version with
+    * identical content — history stays time-travelable. `nFiles > 0`
+    * additionally coalesces the output file count. No-op (returns the
+    * current version) when the snapshot is already one dir and no
+    * file-count target is given. First-writer-wins like [[merge]]. */
+  def compact(spark: SparkSession, root: String, nFiles: Int = 0): Long = {
+    val f = fs(spark, root)
+    val baseV = versions(spark, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val dirs = readManifest(f, root, baseV).get
+    if (dirs.size <= 1 && nFiles <= 0) return baseV
+    val snap = spark.read.parquet(
+      dirs.map(dd => new Path(root, dd).toString): _*)
+    val out = if (nFiles > 0) snap.coalesce(nFiles) else snap
+    val newDir = "data/" + java.util.UUID.randomUUID().toString
+    out.write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(root, newDir).toString)
+    commitManifest(spark, root, latest => {
+      if (!latest.contains(baseV))
+        throw new java.util.ConcurrentModificationException(
+          s"compact read v$baseV but table is now at v$latest — rerun")
+      Seq(newDir)
+    })
+  }
+
   /** Reclaim data dirs referenced by NO retained manifest, keeping the
     * last `keepVersions` manifests (older manifests are dropped first,
     * which is what bounds time travel). Returns deleted dir count. */

@@ -133,6 +133,112 @@ class VersionedTableSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("merge: upsert + matched-delete, copy-on-write at dir granularity") {
+    val root = tmpDir("vtabmerge")
+    // v1 and v2 land in separate data dirs; the merge's keys all live
+    // in v1's dir, so v2's dir must survive UNREWRITTEN
+    VersionedTable.commit(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "s", "n"))
+    VersionedTable.commit(spark, root,
+      Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "s", "n"))
+    val dirsBefore = new java.io.File(s"$root/data").listFiles()
+      .map(_.getName).toSet
+    val source = Seq(
+      (1L, "a2", 11),   // matched -> update
+      (2L, "kill", -1), // matched + delete condition -> delete
+      (9L, "new", 90))  // unmatched -> insert
+      .toDF("id", "s", "n")
+    val v = VersionedTable.merge(spark, root, source, Seq("id"),
+      deleteMatched = Some(col("s") === "kill"))
+    assert(v == 3L)
+    val got = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got == Set((1L, "a2", 11), (3L, "c", 30), (4L, "d", 40),
+      (9L, "new", 90)))
+    // dir-granularity CoW: v2's untouched dir is still referenced; only
+    // one new dir was written
+    val dirsAfter = new java.io.File(s"$root/data").listFiles()
+      .map(_.getName).toSet
+    assert((dirsAfter -- dirsBefore).size == 1,
+      "merge must add exactly one rewritten dir")
+    // pre-merge snapshot still time-travelable
+    assert(VersionedTable.read(spark, root, Some(2L)).count() == 4)
+  }
+
+  test("merge on an empty table inserts everything") {
+    val root = tmpDir("vtabmerge0")
+    val v = VersionedTable.merge(spark, root,
+      Seq((1L, "a")).toDF("id", "s"), Seq("id"),
+      deleteMatched = Some(lit(true)))
+    assert(v == 1L)
+    assert(VersionedTable.read(spark, root).count() == 1)
+  }
+
+  test("merge conflict: stale base version is refused, not lost-updated") {
+    val root = tmpDir("vtabmergecc")
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    VersionedTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"))
+    // a merge planned at v1 while the table is already at v2 must throw
+    // rather than install over the concurrent commit
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.mergeFrom(spark, root, 1L,
+        Seq((1L, "a2")).toDF("id", "s"), Seq("id"), None)
+    }
+    // table content undisturbed by the refused merge
+    assert(VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // rerun on the current snapshot succeeds
+    val v = VersionedTable.merge(spark, root,
+      Seq((1L, "a2")).toDF("id", "s"), Seq("id"))
+    assert(v == 3L)
+    assert(VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a2"), (2L, "b")))
+  }
+
+  test("changesBetween reads only the dir diff and is exact CDC") {
+    val root = tmpDir("vtabcdc")
+    VersionedTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))   // v1
+    VersionedTable.commit(spark, root,
+      Seq((3L, "c")).toDF("id", "s"))              // v2 append
+    VersionedTable.merge(spark, root,
+      Seq((1L, "a2")).toDF("id", "s"), Seq("id"))  // v3 update id=1
+    def changes(a: Long, b: Long) =
+      VersionedTable.changesBetween(spark, root, a, b)
+        .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1)))
+        .toSet
+    assert(changes(1L, 2L) == Set(("insert", 3L, "c")))
+    // the update is a delete+insert pair; untouched rows (2, 3) absent
+    assert(changes(2L, 3L) ==
+      Set(("delete", 1L, "a"), ("insert", 1L, "a2")))
+    assert(changes(1L, 3L) == Set(("insert", 3L, "c"),
+      ("delete", 1L, "a"), ("insert", 1L, "a2")))
+    // identical versions -> empty
+    assert(VersionedTable.changesBetween(spark, root, 2L, 2L).count() == 0)
+  }
+
+  test("compact folds the snapshot into one dir, content-preserving") {
+    val root = tmpDir("vtabcompact")
+    (1 to 4).foreach(i => VersionedTable.commit(spark, root,
+      Seq((i.toLong, s"s$i")).toDF("id", "s")))
+    val before = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val v = VersionedTable.compact(spark, root, nFiles = 1)
+    assert(v == 5L)
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_vlog/v00005.manifest"))
+    assert(manifest.linesIterator.count(_.startsWith("data/")) == 1)
+    assert(VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == before)
+    // already-compact table: no-op, no new version
+    assert(VersionedTable.compact(spark, root) == 5L)
+    // old versions survive until vacuum
+    assert(VersionedTable.read(spark, root, Some(2L)).count() == 2)
+  }
+
   test("concurrent appenders both land; no lost update") {
     val root = tmpDir("vtabcc")
     VersionedTable.commit(spark, root, Seq((0L, "z")).toDF("id", "s"))
