@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.{Sampling, TextOps}
 
@@ -291,8 +292,65 @@ object CurationQueries {
             SELECT r.doc_id, r.lang FROM r JOIN m USING (lang)
             WHERE rn <= q ORDER BY doc_id"""))
 
+  /** The classic BPE reference corpus (Sennrich 2016's worked example):
+    * planted, SF-independent, so the oracle is the closed-form merge
+    * sequence — the same convention as the multimodal decode queries. */
+  private def bpeCorpus(s: SparkSession) = {
+    import s.implicits._
+    Seq((1L, ("low " * 5).trim), (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim), (4L, ("widest " * 3).trim))
+      .toDF("doc_id", "text")
+  }
+
+  /** Distributed BPE vocabulary learning ([[graft.operators.Bpe]]):
+    * ten merge rounds on the planted reference corpus; each round is a
+    * bounded pair-count aggregate on the word-frequency table. Oracle =
+    * the hand-derived merge sequence (deterministic because ties break
+    * to the lexicographically smallest pair). */
+  val q_bpe_learn = QuerySpec(
+    "q_bpe_learn", Seq("E-text"),
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Bpe.learn(bpeCorpus(s), 10).zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "left", "right").orderBy("rank")
+    },
+    Some("""SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 'e', 's'), (2, 'es', 't'),
+              (3, 'est', '</w>'), (4, 'l', 'o'), (5, 'lo', 'w'),
+              (6, 'e', 'w'), (7, 'ew', 'est</w>'),
+              (8, 'n', 'ewest</w>'), (9, 'low', '</w>'),
+              (10, 'd', 'est</w>'))
+            AS t(rank, "left", "right") ORDER BY rank"""))
+
+  /** Map-only BPE encode with the learned merges
+    * ([[graft.functions.BpeEncode]] — native codegen expression, zero
+    * shuffles over the corpus): unseen words segment into learned
+    * subwords. Oracle = closed-form greedy-merge tokenizations. */
+  val q_bpe_encode = QuerySpec(
+    "q_bpe_encode", Seq("E-text", "X1"),
+    (s, d) => {
+      import s.implicits._
+      val merges = graft.operators.Bpe.learn(bpeCorpus(s), 10)
+      val probe = Seq((1L, "lowest"), (2L, "newer"), (3L, "wider"),
+        (4L, "low"), (5L, "newest newest")).toDF("doc_id", "text")
+      graft.operators.Bpe.encode(probe, merges)
+        .select(col("doc_id"),
+          concat_ws(" ", col("bpe_tokens")).as("bpe"),
+          col("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 'low est</w>', 2),
+              (2, 'n ew e r </w>', 5),
+              (3, 'w i d e r </w>', 6),
+              (4, 'low</w>', 1),
+              (5, 'newest</w> newest</w>', 2))
+            AS t(doc_id, bpe, n_bpe_tokens) ORDER BY doc_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_repetition_stats, q_bm25_topk, q_common_token_ratio,
     q_pack_sequences, q_mixture_sample, q_dedup_spans, q_shuffle_export,
-    q_quality_gate, q_source_cap, q_temperature_mixture)
+    q_quality_gate, q_source_cap, q_temperature_mixture,
+    q_bpe_learn, q_bpe_encode)
 }
