@@ -135,6 +135,32 @@ object PipelineQueries {
               FROM documents) x
             WHERE rn <= 5 ORDER BY source, doc_id"""))
 
+  /** Weighted sampling without replacement ([[Sampling.weightedSample]],
+    * Efraimidis-Spirakis exponential race on the salted content hash):
+    * 8 docs per source ∝ n_chars. The oracle recomputes the race key
+    * -ln((h52+1)/2^52)/w from the same md5 prefix — h52 is 52 bits, so
+    * the uniform draw is EXACT in both engines, and the ln/div are
+    * ~1-ulp while adjacent order-statistic gaps are ~1/n, so selection
+    * is engine-stable. Per-stratum selection runs on the TopKPerGroup
+    * bounded heap (no window sort — a hot stratum never funnels into
+    * one task). */
+  val q_weighted_sample = QuerySpec(
+    "q_weighted_sample", Seq("P12", "A12"),
+    (s, d) => Sampling.weightedSample(
+        Engine.table(s, d, "documents"), k = 8,
+        weightCol = col("n_chars"), strataCols = Seq("source"))
+      .select("source", "doc_id", "n_chars")
+      .orderBy("source", "doc_id"),
+    Some("""SELECT source, doc_id, n_chars FROM (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source ORDER BY
+                       -ln((CAST(('0x' || substr(
+                           md5(doc_id::VARCHAR || 'graft'), 1, 13))
+                           AS BIGINT) + 1) / 4503599627370496.0)
+                       / n_chars) AS rn
+              FROM documents WHERE n_chars > 0) x
+            WHERE rn <= 8 ORDER BY source, doc_id"""))
+
   /** Train/val/test split assignment ([[Sampling.assignSplit]]): pure
     * projection, disjoint-and-exhaustive by construction, identical
     * row sets in any engine with md5. Checked as per-split count +
@@ -364,7 +390,8 @@ object PipelineQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_dedup_cluster, q_dedup_cluster_keep, q_bucketed_join,
-    q_sample_stratified, q_split_assign, q_chunk_docs, q_pii_scrub,
+    q_sample_stratified, q_weighted_sample, q_split_assign,
+    q_chunk_docs, q_pii_scrub,
     q_vocab_topk, q_zorder_box, q_index_point, q_index_range,
     q_tfidf_terms)
 }

@@ -130,6 +130,52 @@ object Sampling {
       .drop("__rank", "__quota")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006's exponential-race formulation — public algorithm):
+    * each row draws a uniform u from its salted content hash and races
+    * with key `-ln(u) / w`; the k SMALLEST keys win, which selects
+    * each row with probability proportional to its weight among the
+    * not-yet-chosen — the quality-weighted corpus subsample step
+    * ("sample 1M docs ∝ quality score").
+    *
+    * Determinism: u comes from the first 13 hex chars of the salted
+    * md5 (52 bits — exactly a double mantissa, so the u derivation is
+    * exact in any engine); ln and the division are correctly-rounded-
+    * to-~1-ulp in practice, and the k-th/(k+1)-th key gap is ~1/n
+    * relative, so selection is engine-stable (the DuckDB oracle
+    * recomputes it bit-for-bit on the same formula). Rows with
+    * non-positive or null weight never win (they get key +inf).
+    *
+    * Scale shape: the key is a pure projection; global top-k runs as
+    * TakeOrdered (per-partition heaps, driver merges k rows) and the
+    * per-stratum variant as [[graft.plans.TopKPerGroup]]'s bounded
+    * heap — no full sort, no window, one (or zero) shuffle. */
+  def weightedSample(df: DataFrame, k: Int, weightCol: Column,
+      strataCols: Seq[String] = Seq.empty, idCol: String = "doc_id",
+      salt: String = "graft"): DataFrame = {
+    val key = weightedKey(col(idCol), weightCol, salt)
+    // ineligible rows are excluded outright (not just ranked +inf):
+    // they must not surface even when fewer than k rows are eligible
+    val keyed = df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__wkey", key)
+    val picked =
+      if (strataCols.isEmpty) keyed.orderBy(col("__wkey").asc).limit(k)
+      else graft.plans.TopKPerGroup.topKPerGroup(keyed,
+        strataCols.map(col), Seq(col("__wkey").asc), k)
+    picked.drop("__wkey")
+  }
+
+  /** The exponential race key: `-ln((h52 + 1) / 2^52) / w`, h52 = the
+    * 52-bit salted hash prefix. Exposed for oracle-mirroring tests. */
+  private[graft] def weightedKey(id: Column, w: Column,
+      salt: String): Column = {
+    val h52 = conv(substring(hashRank(id, salt), 1, 13), 16, 10)
+      .cast("long")
+    when(w.isNull || w <= 0, lit(Double.PositiveInfinity))
+      .otherwise(-log((h52.cast("double") + 1d) / 4503599627370496d) /
+        w.cast("double"))
+  }
+
   /** Deterministic global shuffle for training export: every row gets a
     * salted-hash shuffle key and the frame is globally ordered by it —
     * a reproducible pseudo-random permutation of the corpus (what an

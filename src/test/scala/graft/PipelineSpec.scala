@@ -92,6 +92,33 @@ class PipelineSpec extends SparkSuite {
     assertSameRows(a, b)
   }
 
+  test("weightedSample: proportional-ish, weight-guarded, stable") {
+    // heavy rows (w=1000) vs light rows (w=1): the heavy group must
+    // dominate the sample overwhelmingly
+    val rows = (1L to 200L).map(i =>
+      (i, if (i <= 100) 1000L else 1L)).toDF("doc_id", "w")
+    val got = Sampling.weightedSample(rows, k = 50, weightCol = col("w"))
+      .collect().map(_.getLong(0))
+    assert(got.length == 50)
+    assert(got.count(_ <= 100) >= 45,
+      s"heavy-weight rows should dominate, got ${got.count(_ <= 100)}/50")
+    // null/zero/negative weights never selected
+    val guarded = (1L to 10L).map(i => (i, i % 3 match {
+      case 0 => null.asInstanceOf[java.lang.Long]
+      case 1 => java.lang.Long.valueOf(0L)
+      case _ => java.lang.Long.valueOf(5L)
+    })).toDF("doc_id", "w")
+    val g = Sampling.weightedSample(guarded, k = 10, weightCol = col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(g == (1L to 10L).filter(_ % 3 == 2).toSet)
+    // deterministic under repartitioning
+    val a = Sampling.weightedSample(rows, 20, col("w"))
+      .select("doc_id")
+    val b = Sampling.weightedSample(rows.repartition(13), 20, col("w"))
+      .select("doc_id")
+    assertSameRows(a, b)
+  }
+
   // ----------------------------------------------------------- chunking
 
   test("chunkDocuments covers every token and respects the overlap") {
