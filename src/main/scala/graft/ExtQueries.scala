@@ -1162,10 +1162,10 @@ object ExtQueries {
 
   /** Versioned-table MERGE + CDC ([[graft.operators.VersionedTable]]
     * merge/changesBetween): two commits build the table, one merge
-    * updates (quantity 8-10 keys, +1000), deletes (quantity 45-46
-    * keys, source marker -1) and inserts (quantity 20-25 keys) in a
-    * single copy-on-write commit, then every snapshot AND the
-    * row-level change feed between v2 and v3 are aggregated. Built on
+    * upserts/deletes/inserts in a single copy-on-write commit (v3), a
+    * predicate DELETE (v4) and a predicate UPDATE (v5) follow, then
+    * every snapshot AND the row-level change feed between v2 and v3
+    * are aggregated. Built on
     * `orders` keyed by o_orderkey (unique in the testdata — lineitem's
     * compound key is NOT) with modulo-bucket membership, so the oracle
     * recomputes all five rows with exact BIGINT set algebra. Updates
@@ -1188,6 +1188,9 @@ object ExtQueries {
         .unionByName(o.filter(b === 5))
       VersionedTable.merge(s, root, source, Seq("k"),
         deleteMatched = Some(col("v") === -1))
+      VersionedTable.deleteWhere(s, root, col("k") % 10 === 8)
+      VersionedTable.updateWhere(s, root, col("k") % 10 === 9,
+        Map("v" -> (col("v") + 7)))
       def snap(v: Long) = VersionedTable.read(s, root, Some(v))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
         .select(lit(s"v$v").as("label"), col("n"), col("sv"))
@@ -1195,6 +1198,7 @@ object ExtQueries {
         .groupBy(concat(lit("cdc_"), col("change")).as("label"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
       snap(1).unionByName(snap(2)).unionByName(snap(3))
+        .unionByName(snap(4)).unionByName(snap(5))
         .unionByName(cdc).orderBy("label")
     },
     Some("""WITH q AS (SELECT o_orderkey % 10 AS b,
@@ -1210,6 +1214,21 @@ object ExtQueries {
                    COUNT(*) FILTER (b IN (2, 3, 4, 5, 8, 9))
                  + COUNT(*) FILTER (b IN (0, 1)),
                    CAST(SUM(v) FILTER (b IN (2, 3, 4, 5, 8, 9))
+                 + SUM(v + 100000) FILTER (b IN (0, 1)) AS BIGINT)
+            FROM q
+            UNION ALL
+            SELECT 'v4',
+                   COUNT(*) FILTER (b IN (2, 3, 4, 5, 9))
+                 + COUNT(*) FILTER (b IN (0, 1)),
+                   CAST(SUM(v) FILTER (b IN (2, 3, 4, 5, 9))
+                 + SUM(v + 100000) FILTER (b IN (0, 1)) AS BIGINT)
+            FROM q
+            UNION ALL
+            SELECT 'v5',
+                   COUNT(*) FILTER (b IN (2, 3, 4, 5, 9))
+                 + COUNT(*) FILTER (b IN (0, 1)),
+                   CAST(SUM(v) FILTER (b IN (2, 3, 4, 5))
+                 + SUM(v + 7) FILTER (b = 9)
                  + SUM(v + 100000) FILTER (b IN (0, 1)) AS BIGINT)
             FROM q
             UNION ALL

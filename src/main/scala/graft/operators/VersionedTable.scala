@@ -295,6 +295,65 @@ object VersionedTable {
     })
   }
 
+  /** Predicate DELETE with the same dir-granularity copy-on-write as
+    * [[merge]]: dirs containing no matching row are kept untouched;
+    * matching dirs are rewritten without the matching rows. The
+    * predicate itself finds the touched dirs via one column-pruned
+    * scan, so a selective delete on a 100 TB table rewrites only the
+    * dirs it hits. First-writer-wins. Returns the new version (or the
+    * current one when nothing matches — no empty commit). */
+  def deleteWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): Long =
+    rewriteTouched(spark, root, cond)(df => df.filter(!cond))
+
+  /** Predicate UPDATE (`SET col = expr` for each assignment), dir-
+    * granularity copy-on-write like [[deleteWhere]]. Assignment
+    * expressions may reference any table column. */
+  def updateWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.when
+    rewriteTouched(spark, root, cond) { df =>
+      set.foldLeft(df) { case (acc, (name, expr)) =>
+        acc.withColumn(name,
+          when(cond, expr).otherwise(org.apache.spark.sql.functions.col(name)))
+      }
+    }
+  }
+
+  /** Shared copy-on-write core of [[deleteWhere]]/[[updateWhere]]:
+    * find the data dirs with rows matching `cond`, apply `rewrite` to
+    * exactly those dirs' rows, commit untouched dirs + the rewrite as
+    * the next version iff the table hasn't moved. */
+  private def rewriteTouched(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column)(
+      rewrite: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val f = fs(spark, root)
+    val baseV = versions(spark, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val dirs = readManifest(f, root, baseV).get
+    val touched = spark.read
+      .parquet(dirs.map(dd => new Path(root, dd).toString): _*)
+      .filter(cond)
+      .select(regexp_extract(input_file_name(), "/(data/[^/]+)/", 1)
+        .as("__dir"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return baseV
+    val untouched = dirs.filterNot(touched)
+    val newRows = rewrite(spark.read.parquet(
+      dirs.filter(touched).map(dd => new Path(root, dd).toString): _*))
+    val newDir = "data/" + java.util.UUID.randomUUID().toString
+    newRows.write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(root, newDir).toString)
+    commitManifest(spark, root, latest => {
+      if (!latest.contains(baseV))
+        throw new java.util.ConcurrentModificationException(
+          s"rewrite read v$baseV but table is now at v$latest — rerun")
+      untouched :+ newDir
+    })
+  }
+
   /** Row-level CHANGES between two committed versions (CDC read):
     * `(change, <row>)` with `change` ∈ insert|delete; an update
     * surfaces as a delete+insert pair (no update coalescing, like a

@@ -198,6 +198,43 @@ class VersionedTableSpec extends SparkSuite {
       Set((1L, "a2"), (2L, "b")))
   }
 
+  test("deleteWhere / updateWhere: predicate CoW touches only hit dirs") {
+    val root = tmpDir("vtabdml")
+    VersionedTable.commit(spark, root,
+      Seq((1L, 10), (2L, 20)).toDF("id", "n"))
+    VersionedTable.commit(spark, root,
+      Seq((3L, 30), (4L, 40)).toDF("id", "n"))
+    val dirsBefore = new java.io.File(s"$root/data").listFiles()
+      .map(_.getName).toSet
+
+    // delete hits only the first dir; second dir must not be rewritten
+    val v3 = VersionedTable.deleteWhere(spark, root, col("id") === 1L)
+    assert(v3 == 3L)
+    assert(VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((2L, 20), (3L, 30), (4L, 40)))
+    val afterDelete = new java.io.File(s"$root/data").listFiles()
+      .map(_.getName).toSet
+    assert((afterDelete -- dirsBefore).size == 1)
+
+    // update may reference existing columns; non-matching rows intact
+    val v4 = VersionedTable.updateWhere(spark, root,
+      col("id") === 3L, Map("n" -> (col("n") + 5)))
+    assert(v4 == 4L)
+    assert(VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((2L, 20), (3L, 35), (4L, 40)))
+
+    // no-match predicate: no-op, no new version, no new dir
+    val nDirs = new java.io.File(s"$root/data").listFiles().length
+    assert(VersionedTable.deleteWhere(spark, root, col("id") === 99L) == v4)
+    assert(VersionedTable.updateWhere(spark, root, col("id") === 99L,
+      Map("n" -> lit(0))) == v4)
+    assert(new java.io.File(s"$root/data").listFiles().length == nDirs)
+    // history: pre-delete snapshot still readable
+    assert(VersionedTable.read(spark, root, Some(2L)).count() == 4)
+  }
+
   test("changesBetween reads only the dir diff and is exact CDC") {
     val root = tmpDir("vtabcdc")
     VersionedTable.commit(spark, root,
