@@ -241,15 +241,35 @@ object VersionedTable {
     * Concurrency: first-writer-wins serializable — the commit installs
     * only if the table is still at the snapshot the merge read
     * (otherwise [[java.util.ConcurrentModificationException]]; rerun
-    * the merge on the new snapshot). Returns the committed version. */
+    * the merge on the new snapshot). Returns the committed version.
+    *
+    * `idempotencyKey` gives merge the same exactly-once re-delivery
+    * contract as [[commit]]: a re-offered merge whose keyed dir is
+    * already referenced by a committed manifest is a no-op returning
+    * the original version (what a streaming upsert sink needs —
+    * foreachBatch is at-least-once). Keyed merges are for sequential
+    * re-delivery, not concurrent writers sharing a key. */
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keys: Seq[String],
-      deleteMatched: Option[org.apache.spark.sql.Column] = None): Long =
+      deleteMatched: Option[org.apache.spark.sql.Column] = None,
+      idempotencyKey: Option[String] = None): Long = {
+    idempotencyKey.foreach { k =>
+      val f = fs(spark, root)
+      val dir = s"data/k-$k"
+      val already = versions(spark, root).find(v =>
+        readManifest(f, root, v).exists(_.contains(dir)))
+      already.foreach(v => return v)
+      // crash orphan from a previous attempt: unreferenced, rewrite
+      f.delete(new Path(root, dir), true)
+    }
     versions(spark, root).lastOption match {
       case None => // empty table: nothing matches, every row inserts
-        commit(spark, root, source)
-      case Some(v) => mergeFrom(spark, root, v, source, keys, deleteMatched)
+        commit(spark, root, source, idempotencyKey = idempotencyKey)
+      case Some(v) =>
+        mergeFrom(spark, root, v, source, keys, deleteMatched,
+          idempotencyKey)
     }
+  }
 
   /** [[merge]] planned against an explicit base version — the
     * first-writer-wins check rejects installs when the table has moved
@@ -257,7 +277,8 @@ object VersionedTable {
     * deterministically testable). */
   private[operators] def mergeFrom(spark: SparkSession, root: String,
       baseV: Long, source: DataFrame, keys: Seq[String],
-      deleteMatched: Option[org.apache.spark.sql.Column]): Long = {
+      deleteMatched: Option[org.apache.spark.sql.Column],
+      idempotencyKey: Option[String] = None): Long = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
     val f = fs(spark, root)
@@ -284,7 +305,8 @@ object VersionedTable {
     val newRows = keptTarget
       .unionByName(updates.select(target.columns.map(col): _*))
       .unionByName(inserts.select(target.columns.map(col): _*))
-    val newDir = "data/" + java.util.UUID.randomUUID().toString
+    val newDir = "data/" + idempotencyKey.map(k => s"k-$k")
+      .getOrElse(java.util.UUID.randomUUID().toString)
     newRows.write.mode(SaveMode.ErrorIfExists)
       .parquet(new Path(root, newDir).toString)
     commitManifest(spark, root, latest => {
@@ -415,6 +437,40 @@ object VersionedTable {
       if (!latest.contains(baseV))
         throw new java.util.ConcurrentModificationException(
           s"compact read v$baseV but table is now at v$latest — rerun")
+      Seq(newDir)
+    })
+  }
+
+  /** OPTIMIZE ZORDER: rewrite the latest snapshot into one data dir
+    * laid out on the 2-D Z-curve of (colX, colY) — [[compact]] plus
+    * the Delta `OPTIMIZE ... ZORDER BY` idea on the manifest protocol.
+    * Content-identical new version; range predicates on either column
+    * then cluster into few files, which file-level min/max pruning
+    * ([[Layout.buildFileStats]]/[[Layout.statsRangeScan]]) and parquet
+    * row-group stats both exploit. The rewrite is a range exchange on
+    * the z-value + per-partition sort — fully parallel at any table
+    * size. First-writer-wins like [[merge]]. */
+  def optimizeZOrder(spark: SparkSession, root: String, colX: String,
+      colY: String, nFiles: Int, bits: Int = 20): Long = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, root)
+    val baseV = versions(spark, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val dirs = readManifest(f, root, baseV).get
+    val snap = spark.read.parquet(
+      dirs.map(dd => new Path(root, dd).toString): _*)
+    val ordered = snap
+      .withColumn("__z", Layout.zValue(col(colX), col(colY), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val newDir = "data/" + java.util.UUID.randomUUID().toString
+    ordered.write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(root, newDir).toString)
+    commitManifest(spark, root, latest => {
+      if (!latest.contains(baseV))
+        throw new java.util.ConcurrentModificationException(
+          s"optimize read v$baseV but table is now at v$latest — rerun")
       Seq(newDir)
     })
   }

@@ -353,6 +353,29 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming UPSERT sink: each micro-batch MERGEs into the versioned
+    * table by key (last-writer-wins within the batch is the caller's
+    * contract — dedup the batch on the key first if the source can
+    * repeat keys intra-batch). This is the streaming dimension/state
+    * table maintenance pattern (CDC apply): unlike
+    * [[versionedTableSink]]'s append, re-offered keys REPLACE their
+    * rows, and the batch-id idempotency key keeps at-least-once
+    * foreachBatch delivery exactly-once in table content. Copy-on-write
+    * is dir-granular, so a trickle of upserts into a huge table
+    * rewrites only the dirs holding the touched keys. */
+  def versionedUpsertSink(out: DataFrame, root: String, keys: Seq[String],
+      checkpoint: String, intervalMs: Long = 500): StreamingQuery =
+    out.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.VersionedTable.merge(batch.sparkSession, root,
+          batch, keys, idempotencyKey = Some(s"up-$batchId"))
+        ()
+      }
+      .start()
+
   /** T8: Kappa replay — recompute a result table by re-consuming the
     * source from the beginning into a FRESH checkpoint + staging dir,
     * then atomically swap. `transform` is the shared batch/stream logic

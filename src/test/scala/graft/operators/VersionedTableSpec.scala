@@ -276,6 +276,78 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, root, Some(2L)).count() == 2)
   }
 
+  test("keyed merge is idempotent under re-delivery") {
+    val root = tmpDir("vtabmergekey")
+    VersionedTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val src = Seq((1L, "a2"), (3L, "c")).toDF("id", "s")
+    val v = VersionedTable.merge(spark, root, src, Seq("id"),
+      idempotencyKey = Some("up-0"))
+    assert(v == 2L)
+    // re-offered merge: same version back, no new commit, content same
+    val v2 = VersionedTable.merge(spark, root, src, Seq("id"),
+      idempotencyKey = Some("up-0"))
+    assert(v2 == v)
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
+    assert(VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a2"), (2L, "b"), (3L, "c")))
+  }
+
+  test("optimizeZOrder clusters a 2-D box into few files, same content") {
+    val root = tmpDir("vtabzopt")
+    val pts = for (x <- 0 until 48; y <- 0 until 48)
+      yield (x.toLong, y.toLong)
+    // three shuffled commits — arrival order uncorrelated with (x, y)
+    scala.util.Random.shuffle(pts).grouped(pts.size / 3 + 1)
+      .foreach(g => VersionedTable.commit(spark, root,
+        g.toDF("x", "y").repartition(4)))
+    val before = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v = VersionedTable.optimizeZOrder(spark, root, "x", "y",
+      nFiles = 8)
+    val snap = VersionedTable.read(spark, root)
+    assert(snap.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    def filesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(input_file_name()).distinct().count()
+    assert(filesOf(snap) == 8L)
+    // a z-corner box now lives in very few files; pre-optimize it was
+    // smeared over every file of every commit
+    val box = snap.filter(col("x") < 6 && col("y") < 6)
+    assert(filesOf(box) <= 2L,
+      s"box rows smeared over ${filesOf(box)} files after z-order")
+    // old (unclustered) snapshot still time-travelable
+    assert(VersionedTable.read(spark, root, Some(v - 1)).count() ==
+      before.size)
+  }
+
+  test("versionedUpsertSink: streaming merge maintains a keyed table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("vtabupsink")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.versionedUpsertSink(
+      mem.toDF.toDF("id", "s"), root, Seq("id"),
+      tmpDir("vtabupsinkck"), intervalMs = 50)
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((2L, "b2"), (3L, "c"))
+      q.processAllAvailable()
+      assert(VersionedTable.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((1L, "a"), (2L, "b2"), (3L, "c")),
+        "second batch must replace key 2, insert key 3")
+      // re-delivering a committed batch id is a no-op
+      val before = VersionedTable.versions(spark, root)
+      VersionedTable.merge(spark, root,
+        Seq((9L, "x")).toDF("id", "s"), Seq("id"),
+        idempotencyKey = Some("up-0"))
+      assert(VersionedTable.versions(spark, root) == before)
+    } finally q.stop()
+  }
+
   test("concurrent appenders both land; no lost update") {
     val root = tmpDir("vtabcc")
     VersionedTable.commit(spark, root, Seq((0L, "z")).toDF("id", "s"))
