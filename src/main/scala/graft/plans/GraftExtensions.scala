@@ -30,6 +30,11 @@ import org.apache.spark.sql.internal.SQLConf
   *    bitmap_andnot / bitmap_cardinality / bitmap_contains), so the
   *    audience/precise-count-distinct capability is reachable from the
   *    reference's SQL-first surface, not just the Scala DSL.
+  *  - SQL names for the text/similarity kernel family (word_shingles /
+  *    minhash_sig / simhash64 / winnow_fps / unit_norm / dot_sim /
+  *    cosine_sim / qcos_sim / hyperplane_lsh / token_chunks /
+  *    bpe_encode) — the dedup/ANN/tokenizer building blocks as plain
+  *    SQL functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -46,7 +51,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder(args)
       }))
 
+  /** Literal-argument extraction for SQL forms whose Scala DSL takes
+    * plain ints/strings (shingle k, plane counts, a merge table): the
+    * SQL argument must be foldable — evaluated once at resolution. */
+  private def litInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: argument must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case o => throw new IllegalArgumentException(
+        s"$fn: expected an integer literal, got $o")
+    }
+  }
+
+  private def litStr(e: Expression, fn: String): String = {
+    require(e.foldable, s"$fn: argument must be a literal")
+    String.valueOf(e.eval())
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    import graft.functions.{BpeEncode, HyperplaneLSH, MinHashSig,
+      SimHash64, TokenChunks, UnitNorm, VectorSim, Winnow, WordShingles}
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => UnionFusedJoinRewrite)
     ext.injectOptimizerRule(_ => AggRouteRewrite)
@@ -59,6 +84,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BitmapOp(a(0), a(1), Bitmap64.OpAndNot))
     reg(ext, "bitmap_cardinality", 1)(a => BitmapCardinality(a.head))
     reg(ext, "bitmap_contains", 2)(a => BitmapContainsExpr(a(0), a(1)))
+    // text/similarity kernel family — the dedup/ANN building blocks,
+    // reachable from SQL text so a SQL-first user can compose the
+    // same pipelines the Scala DSL operators run on
+    reg(ext, "word_shingles", 2)(a =>
+      WordShingles(a(0), litInt(a(1), "word_shingles")))
+    reg(ext, "minhash_sig", 2)(a =>
+      MinHashSig(a(0), litInt(a(1), "minhash_sig")))
+    reg(ext, "simhash64", 1)(a => SimHash64(a.head))
+    reg(ext, "winnow_fps", 3)(a => Winnow(a(0),
+      litInt(a(1), "winnow_fps"), litInt(a(2), "winnow_fps")))
+    reg(ext, "unit_norm", 1)(a => UnitNorm(a.head))
+    reg(ext, "dot_sim", 2)(a => VectorSim(a(0), a(1), VectorSim.Dot))
+    reg(ext, "cosine_sim", 2)(a => VectorSim(a(0), a(1), VectorSim.Cos))
+    reg(ext, "qcos_sim", 2)(a => VectorSim(a(0), a(1), VectorSim.QCos))
+    reg(ext, "hyperplane_lsh", 4)(a => HyperplaneLSH(a(0),
+      litInt(a(1), "hyperplane_lsh"), litInt(a(2), "hyperplane_lsh"),
+      litInt(a(3), "hyperplane_lsh").toLong))
+    reg(ext, "token_chunks", 3)(a => TokenChunks(a(0),
+      litInt(a(1), "token_chunks"), litInt(a(2), "token_chunks")))
+    // bpe_encode(text, 'a b,c d,...'): merge table as a literal —
+    // ranked pairs comma-separated, the two symbols space-separated
+    // (symbols never contain spaces; '</w>' is fine)
+    reg(ext, "bpe_encode", 2)(a => BpeEncode(a(0),
+      litStr(a(1), "bpe_encode").split(',').toSeq.filter(_.nonEmpty)
+        .map { p =>
+          val ab = p.split(' ')
+          require(ab.length == 2,
+            s"bpe_encode: bad merge entry '$p' (want 'left right')")
+          (ab(0), ab(1))
+        }))
   }
 }
 

@@ -402,4 +402,50 @@ class ExtensionsSpec extends SparkSuite {
     assertNotRouted(fact.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n")), "disabled flag")
   }
+
+  test("text/similarity kernel family is reachable from SQL text") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat on the mat the cat"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("t_sql_fn")
+    // SQL forms must equal the Scala DSL forms (same expressions)
+    val sqlRow = spark.sql(
+      """SELECT word_shingles(split(text, ' '), 2) AS sh,
+                simhash64(split(text, ' ')) AS h64,
+                minhash_sig(word_shingles(split(text, ' '), 2), 8) AS mh,
+                winnow_fps(text, 8, 4) AS fps
+         FROM t_sql_fn""").head()
+    val dslRow = df.select(
+      graft.functions.WordShingles.wordShingles(
+        split(col("text"), " "), 2).as("sh"),
+      graft.functions.SimHash64.simhash64(
+        split(col("text"), " ")).as("h64"),
+      graft.functions.MinHashSig.minhashSig(
+        graft.functions.WordShingles.wordShingles(
+          split(col("text"), " "), 2), 8).as("mh"),
+      graft.functions.Winnow.winnow(col("text"), 8, 4).as("fps")).head()
+    assert(sqlRow == dslRow)
+    // vector kernels on literals
+    val v = spark.sql(
+      """SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c,
+                dot_sim(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                unit_norm(array(3.0D, 4.0D)) AS u,
+                hyperplane_lsh(array(3.0D, 4.0D), 2, 12, 42) AS b
+      """).head()
+    assert(math.abs(v.getDouble(0) - 1.0) < 1e-12)
+    assert(v.getDouble(1) == 11.0)
+    assert(v.getSeq[Double](2).map(x => math.round(x * 10) / 10.0) ==
+      Seq(0.6, 0.8))
+    // bpe_encode with a literal merge table
+    val bpe = spark.sql(
+      "SELECT bpe_encode('lowest low', 'l o,lo w,low </w>')").head()
+      .getSeq[String](0)
+    assert(bpe == Seq("low", "e", "s", "t", "</w>", "low</w>"))
+    // non-literal parameter is rejected with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_shingles(split(text, ' '), id) FROM t_sql_fn")
+        .head()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
 }
