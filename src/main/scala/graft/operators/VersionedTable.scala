@@ -186,8 +186,7 @@ object VersionedTable {
       f.delete(new Path(root, dataDir), true)
     }
     // data first, fully, into an immutable dir nobody references yet
-    df.write.mode(SaveMode.ErrorIfExists)
-      .parquet(new Path(root, dataDir).toString)
+    writeDataDir(spark, root, dataDir, df)
     commitManifest(spark, root, latest => {
       val base =
         if (overwrite) Seq.empty
@@ -218,6 +217,133 @@ object VersionedTable {
     val dirs = readManifest(f, root, v).getOrElse(
       throw new IllegalArgumentException(s"version $v not committed"))
     commitManifest(spark, root, _ => dirs)
+  }
+
+  // ------------------------------------------------- per-dir column stats
+
+  /** Stats sidecar name inside a data dir (underscore-prefixed files
+    * are invisible to Spark's parquet reader). */
+  private val statsFile = "_stats.json"
+
+  /** Every data dir lands through here: parquet write (error-if-exists
+    * keeps dirs immutable) + the stats sidecar. */
+  private def writeDataDir(spark: SparkSession, root: String,
+      dir: String, df: DataFrame): Unit = {
+    df.write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(root, dir).toString)
+    writeDirStats(spark, root, dir)
+  }
+
+  /** Write a data dir's column min/max sidecar: one bounded agg over
+    * the freshly-written dir (read-back, so stats are exact for the
+    * bytes on disk). Only atomic orderable types participate; other
+    * columns are simply absent (absent = never prunes). A dir with no
+    * sidecar (older writer, failed stats job) degrades to unpruned —
+    * stats are an optimization, never a correctness input. */
+  private def writeDirStats(spark: SparkSession, root: String,
+      dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types._
+    val path = new Path(root, dir).toString
+    val df = spark.read.parquet(path)
+    val statable = df.schema.fields.filter(f => f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | StringType | DateType | TimestampType |
+           TimestampNTZType | _: DecimalType => true
+      case _ => false
+    })
+    if (statable.isEmpty) return
+    val aggs = statable.flatMap(f => Seq(
+      min(col(f.name)).cast("string").as(s"min:${f.name}"),
+      max(col(f.name)).cast("string").as(s"max:${f.name}")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .createObjectNode()
+    statable.zipWithIndex.foreach { case (f, i) =>
+      val (mn, mx) = (row.getString(2 * i), row.getString(2 * i + 1))
+      if (mn != null && mx != null) {
+        val o = node.putObject(f.name)
+        o.put("min", mn); o.put("max", mx)
+        // date/timestamp string forms (ISO, no trailing zeros in the
+        // fraction) order lexicographically like their values, so they
+        // compare as strings; everything else numeric via BigDecimal
+        o.put("kind", f.dataType match {
+          case StringType | DateType | TimestampType |
+               TimestampNTZType => "str"
+          case _ => "num"
+        })
+      }
+    }
+    val f = fs(spark, root)
+    val out = f.create(new Path(path, statsFile), true)
+    try out.write(node.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** (min, max, isString) per column, from the sidecar; None when the
+    * dir has no stats. */
+  private def readDirStats(f: FileSystem, root: String,
+      dir: String): Option[Map[String, (String, String, Boolean)]] = {
+    val p = new Path(new Path(root, dir), statsFile)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(text)
+      val b = Map.newBuilder[String, (String, String, Boolean)]
+      node.fields().forEachRemaining { e =>
+        b += e.getKey -> (e.getValue.get("min").asText(),
+          e.getValue.get("max").asText(),
+          e.getValue.get("kind").asText() == "str")
+      }
+      Some(b.result())
+    } catch { case _: Exception => None } // corrupt sidecar: no pruning
+  }
+
+  /** Dirs whose stats CANNOT rule out containing a source key — the
+    * candidate set [[merge]] scans for touched-dir detection. A dir is
+    * pruned only when, for SOME key column, both sides have stats and
+    * the [min, max] intervals are disjoint (numeric compare for
+    * numeric kinds, binary string compare for strings — the same
+    * orders the engines sorted by when producing min/max). */
+  private[operators] def pruneDirsByKeyRange(spark: SparkSession,
+      root: String, dirs: Seq[String], source: DataFrame,
+      keys: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val f = fs(spark, root)
+    val stats = dirs.map(d => d -> readDirStats(f, root, d)).toMap
+    if (stats.values.forall(_.isEmpty)) return dirs
+    val aggs = keys.flatMap(k => Seq(
+      min(col(k)).cast("string").as(s"min:$k"),
+      max(col(k)).cast("string").as(s"max:$k")))
+    val row = source.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val srcRange = keys.zipWithIndex.map { case (k, i) =>
+      k -> (row.getString(2 * i), row.getString(2 * i + 1))
+    }.toMap
+    def disjoint(aMin: String, aMax: String, bMin: String, bMax: String,
+        isStr: Boolean): Boolean = {
+      def lt(x: String, y: String) =
+        if (isStr) x < y
+        else BigDecimal(x) < BigDecimal(y)
+      lt(aMax, bMin) || lt(bMax, aMin)
+    }
+    dirs.filter { d =>
+      stats(d) match {
+        case None => true // no sidecar: cannot prune
+        case Some(ds) =>
+          !keys.exists { k =>
+            (ds.get(k), srcRange.get(k)) match {
+              case (Some((dMin, dMax, isStr)), Some((sMin, sMax)))
+                  if sMin != null && sMax != null =>
+                scala.util.Try(
+                  disjoint(dMin, dMax, sMin, sMax, isStr))
+                  .getOrElse(false)
+              case _ => false
+            }
+          }
+      }
+    }
   }
 
   /** MERGE INTO the latest snapshot with dir-granularity COPY-ON-WRITE
@@ -284,14 +410,19 @@ object VersionedTable {
     val f = fs(spark, root)
     val dirs = readManifest(f, root, baseV).get
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    // one key-column-pruned scan over the snapshot → touched dirs
-    val tagged = spark.read
-      .parquet(dirs.map(dd => new Path(root, dd).toString): _*)
-      .select(keys.map(col): _*)
-      .withColumn("__dir",
-        regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
-    val touched = tagged.join(srcKeys, keys, "left_semi")
-      .select("__dir").distinct().collect().map(_.getString(0)).toSet
+    // stats sidecars first: dirs whose key range can't intersect the
+    // source's are never opened at all (manifest-level data skipping)
+    val candidates = pruneDirsByKeyRange(spark, root, dirs, srcKeys, keys)
+    // then one key-column-pruned scan over the candidates → touched dirs
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else spark.read
+        .parquet(candidates.map(dd => new Path(root, dd).toString): _*)
+        .select(keys.map(col): _*)
+        .withColumn("__dir",
+          regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
+        .join(srcKeys, keys, "left_semi")
+        .select("__dir").distinct().collect().map(_.getString(0)).toSet
     val untouched = dirs.filterNot(touched)
     val target =
       if (touched.isEmpty) source.limit(0)
@@ -307,8 +438,7 @@ object VersionedTable {
       .unionByName(inserts.select(target.columns.map(col): _*))
     val newDir = "data/" + idempotencyKey.map(k => s"k-$k")
       .getOrElse(java.util.UUID.randomUUID().toString)
-    newRows.write.mode(SaveMode.ErrorIfExists)
-      .parquet(new Path(root, newDir).toString)
+    writeDataDir(spark, root, newDir, newRows)
     commitManifest(spark, root, latest => {
       if (!latest.contains(baseV))
         throw new java.util.ConcurrentModificationException(
@@ -366,8 +496,7 @@ object VersionedTable {
     val newRows = rewrite(spark.read.parquet(
       dirs.filter(touched).map(dd => new Path(root, dd).toString): _*))
     val newDir = "data/" + java.util.UUID.randomUUID().toString
-    newRows.write.mode(SaveMode.ErrorIfExists)
-      .parquet(new Path(root, newDir).toString)
+    writeDataDir(spark, root, newDir, newRows)
     commitManifest(spark, root, latest => {
       if (!latest.contains(baseV))
         throw new java.util.ConcurrentModificationException(
@@ -431,8 +560,7 @@ object VersionedTable {
       dirs.map(dd => new Path(root, dd).toString): _*)
     val out = if (nFiles > 0) snap.coalesce(nFiles) else snap
     val newDir = "data/" + java.util.UUID.randomUUID().toString
-    out.write.mode(SaveMode.ErrorIfExists)
-      .parquet(new Path(root, newDir).toString)
+    writeDataDir(spark, root, newDir, out)
     commitManifest(spark, root, latest => {
       if (!latest.contains(baseV))
         throw new java.util.ConcurrentModificationException(
@@ -465,8 +593,7 @@ object VersionedTable {
       .sortWithinPartitions("__z")
       .drop("__z")
     val newDir = "data/" + java.util.UUID.randomUUID().toString
-    ordered.write.mode(SaveMode.ErrorIfExists)
-      .parquet(new Path(root, newDir).toString)
+    writeDataDir(spark, root, newDir, ordered)
     commitManifest(spark, root, latest => {
       if (!latest.contains(baseV))
         throw new java.util.ConcurrentModificationException(

@@ -348,6 +348,61 @@ class VersionedTableSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stats sidecars prune disjoint-key dirs before any scan") {
+    val root = tmpDir("vtabstats")
+    // three dirs with disjoint id ranges
+    VersionedTable.commit(spark, root,
+      (1L to 100L).map(i => (i, s"a$i")).toDF("id", "s"))
+    VersionedTable.commit(spark, root,
+      (1000L to 1100L).map(i => (i, s"b$i")).toDF("id", "s"))
+    VersionedTable.commit(spark, root,
+      (5000L to 5100L).map(i => (i, s"c$i")).toDF("id", "s"))
+    // every dir has a stats sidecar
+    val dataDirs = new java.io.File(s"$root/data").listFiles()
+    assert(dataDirs.forall(d =>
+      new java.io.File(d, "_stats.json").exists()))
+    // source keys hit only the middle dir's range
+    val src = Seq((1050L, "upd")).toDF("id", "s")
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_vlog/v00003.manifest"))
+    val dirList = manifest.linesIterator
+      .filter(_.startsWith("data/")).toSeq
+    val cand = VersionedTable.pruneDirsByKeyRange(spark, root,
+      dirList, src, Seq("id"))
+    assert(cand.size == 1, s"expected 1 candidate dir, got $cand")
+    // overlapping range: kept
+    val cand2 = VersionedTable.pruneDirsByKeyRange(spark, root,
+      dirList, Seq((50L, "x"), (1001L, "y")).toDF("id", "s"), Seq("id"))
+    assert(cand2.size == 2)
+    // a dir without a sidecar can never be pruned
+    new java.io.File(dataDirs(0), "_stats.json").delete()
+    val cand3 = VersionedTable.pruneDirsByKeyRange(spark, root,
+      dirList, src, Seq("id"))
+    assert(cand3.size == 2, "statless dir must stay a candidate")
+    // merge end-to-end stays correct with pruning active
+    val v = VersionedTable.merge(spark, root, src, Seq("id"))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("id") === 1050L).head().getString(1) == "upd")
+    assert(VersionedTable.read(spark, root).count() == 302)
+    // string-key pruning: disjoint string ranges prune too
+    val sroot = tmpDir("vtabstats2")
+    VersionedTable.commit(spark, sroot,
+      Seq(("apple", 1), ("banana", 2)).toDF("k", "n"))
+    VersionedTable.commit(spark, sroot,
+      Seq(("melon", 3), ("peach", 4)).toDF("k", "n"))
+    val sm = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$sroot/_vlog/v00002.manifest"))
+      .linesIterator.filter(_.startsWith("data/")).toSeq
+    assert(VersionedTable.pruneDirsByKeyRange(spark, sroot, sm,
+      Seq(("zebra", 9)).toDF("k", "n"), Seq("k")).isEmpty)
+    // "carrot" falls BETWEEN the two ranges: no dir can hold it
+    assert(VersionedTable.pruneDirsByKeyRange(spark, sroot, sm,
+      Seq(("carrot", 9)).toDF("k", "n"), Seq("k")).isEmpty)
+    // "nectarine" is inside [melon, peach]: exactly that dir survives
+    assert(VersionedTable.pruneDirsByKeyRange(spark, sroot, sm,
+      Seq(("nectarine", 9)).toDF("k", "n"), Seq("k")).size == 1)
+  }
+
   test("concurrent appenders both land; no lost update") {
     val root = tmpDir("vtabcc")
     VersionedTable.commit(spark, root, Seq((0L, "z")).toDF("id", "s"))
