@@ -91,9 +91,16 @@ object ScaleProbe {
     }
     val semCand16 = semPairs(16)
 
+    // BPE learn's working set: every merge iteration runs on the
+    // word-frequency table, so ITS row count (not the corpus) is the
+    // iteration cost — vocabulary growth is the sublinear Heaps'-law
+    // curve, the reason 100 TB and 10 GB learn on similar tables
+    val bpeVocab = operators.Bpe.wordCounts(docs).count()
+
     Map(
       "n_docs" -> docs.count(),
       "n_vecs" -> emb.count(),
+      "bpe_vocab" -> bpeVocab,
       "minhash_cand" -> minhashCand,
       "minhash_cand_t08" -> minhashCandT08,
       "minhash_max_bucket" -> maxBucket,

@@ -50,7 +50,17 @@ object Bpe {
   /** Learn from a precomputed `word, cnt` table (the shape a 100 TB
     * pipeline snapshots anyway). Iterations mutate only the bounded
     * vocab table; lineage is cut with an eager localCheckpoint every
-    * few rounds so a deep merge sequence doesn't stack plans. */
+    * few rounds so a deep merge sequence doesn't stack plans.
+    *
+    * Honest cost model: each merge is ONE sequential round trip (a
+    * pair-count aggregate + a map over the vocab table) — inherent to
+    * BPE, whose merges are defined recursively. A production 32k-merge
+    * vocabulary is therefore 32k SMALL jobs on a ~1M-row table, not
+    * 32k corpus passes; pipelines that find even that too slow learn
+    * on a word-table snapshot of a corpus SAMPLE (statistically
+    * equivalent for frequent pairs) and this API accepts exactly that:
+    * pass `wordCounts(sample)` here, then [[bpeTokens]] — which is
+    * corpus-scale and map-only — encodes everything. */
   def learnFromCounts(words: DataFrame, numMerges: Int): Seq[(String, String)] = {
     val mergeOne = udf((syms: Seq[String], a: String, b: String) => {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
