@@ -226,52 +226,54 @@ object VersionedTable {
   private val statsFile = "_stats.json"
 
   /** Every data dir lands through here: parquet write (error-if-exists
-    * keeps dirs immutable) + the stats sidecar. */
+    * keeps dirs immutable) + the column min/max stats sidecar, computed
+    * as OBSERVED METRICS of the write job itself — a map-side
+    * accumulator piggybacking on the pass that writes the bytes, so
+    * stats cost zero extra jobs and zero extra reads at any table
+    * size. Only atomic orderable types participate; other columns are
+    * simply absent (absent = never prunes). A dir with no sidecar
+    * (older writer) degrades to unpruned — stats are an optimization,
+    * never a correctness input. */
   private def writeDataDir(spark: SparkSession, root: String,
       dir: String, df: DataFrame): Unit = {
-    df.write.mode(SaveMode.ErrorIfExists)
-      .parquet(new Path(root, dir).toString)
-    writeDirStats(spark, root, dir)
-  }
-
-  /** Write a data dir's column min/max sidecar: one bounded agg over
-    * the freshly-written dir (read-back, so stats are exact for the
-    * bytes on disk). Only atomic orderable types participate; other
-    * columns are simply absent (absent = never prunes). A dir with no
-    * sidecar (older writer, failed stats job) degrades to unpruned —
-    * stats are an optimization, never a correctness input. */
-  private def writeDirStats(spark: SparkSession, root: String,
-      dir: String): Unit = {
     import org.apache.spark.sql.functions.{col, max, min}
     import org.apache.spark.sql.types._
     val path = new Path(root, dir).toString
-    val df = spark.read.parquet(path)
     val statable = df.schema.fields.filter(f => f.dataType match {
       case LongType | IntegerType | ShortType | ByteType | DoubleType |
            FloatType | StringType | DateType | TimestampType |
            TimestampNTZType | _: DecimalType => true
       case _ => false
     })
-    if (statable.isEmpty) return
+    if (statable.isEmpty) {
+      df.write.mode(SaveMode.ErrorIfExists).parquet(path)
+      return
+    }
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft-stats-${java.util.UUID.randomUUID()}")
     val aggs = statable.flatMap(f => Seq(
       min(col(f.name)).cast("string").as(s"min:${f.name}"),
       max(col(f.name)).cast("string").as(s"max:${f.name}")))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.ErrorIfExists).parquet(path)
+    val metrics = obs.get
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .createObjectNode()
-    statable.zipWithIndex.foreach { case (f, i) =>
-      val (mn, mx) = (row.getString(2 * i), row.getString(2 * i + 1))
-      if (mn != null && mx != null) {
-        val o = node.putObject(f.name)
-        o.put("min", mn); o.put("max", mx)
-        // date/timestamp string forms (ISO, no trailing zeros in the
-        // fraction) order lexicographically like their values, so they
-        // compare as strings; everything else numeric via BigDecimal
-        o.put("kind", f.dataType match {
-          case StringType | DateType | TimestampType |
-               TimestampNTZType => "str"
-          case _ => "num"
-        })
+    statable.foreach { f =>
+      (metrics.get(s"min:${f.name}"), metrics.get(s"max:${f.name}")) match {
+        case (Some(mn: String), Some(mx: String)) =>
+          val o = node.putObject(f.name)
+          o.put("min", mn); o.put("max", mx)
+          // date/timestamp string forms (ISO, no trailing zeros in the
+          // fraction) order lexicographically like their values, so
+          // they compare as strings; everything else numeric via
+          // exact decimal
+          o.put("kind", f.dataType match {
+            case StringType | DateType | TimestampType |
+                 TimestampNTZType => "str"
+            case _ => "num"
+          })
+        case _ => // all-null or unavailable: no entry, never prunes
       }
     }
     val f = fs(spark, root)
