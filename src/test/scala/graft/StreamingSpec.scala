@@ -592,4 +592,43 @@ class StreamingSpec extends SparkSuite {
       .select("k").collect().map(_.getString(0)).toSet
     assert(bad == Set("b", "c", "d"))
   }
+
+  test("streaming summary maintenance: maintained == rebuilt, exactly-once") {
+    implicit val ctx = spark.sqlContext
+    val root = tmpDir("sumsink")
+    val in = MemoryStream[(String, Long, Long)]
+    val measures = Map[org.apache.spark.sql.Column, String](
+      count(lit(1)) -> "n",
+      sum(col("qty")) -> "sum_qty",
+      max(col("qty")) -> "max_qty")
+    val q = StreamOps.summaryMaintenanceSink(
+      in.toDF.toDF("dim", "qty", "uid"), root,
+      Seq("dim"), measures, tmpDir("sumsinkck"), intervalMs = 50)
+    val fed = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long)]
+    def feed(rows: (String, Long, Long)*): Unit = {
+      fed ++= rows; in.addData(rows); q.processAllAvailable()
+    }
+    try {
+      feed(("a", 10L, 1L), ("a", 5L, 2L), ("b", 7L, 1L))
+      feed(("a", 2L, 3L), ("c", 100L, 9L))   // new dim appears
+      feed(("b", 1L, 2L))
+      val maintained = graft.operators.VersionedTable
+        .read(spark, root).orderBy("dim")
+      val rebuilt = fed.toSeq.toDF("dim", "qty", "uid")
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+          max(col("qty")).as("max_qty"))
+        .orderBy("dim")
+      assertSameRows(maintained, rebuilt)
+      // exactly-once: re-delivering a committed batch id is a no-op
+      val before = graft.operators.VersionedTable.versions(spark, root)
+      graft.operators.VersionedTable.commit(spark, root,
+        Seq(("zz", 1L, 1L, 1L)).toDF("dim", "n", "sum_qty", "max_qty"),
+        overwrite = true, idempotencyKey = Some("sum-0"))
+      assert(graft.operators.VersionedTable.versions(spark, root) == before)
+      assert(graft.operators.VersionedTable.read(spark, root)
+        .filter(col("dim") === "zz").count() == 0)
+    } finally q.stop()
+  }
 }
