@@ -665,6 +665,50 @@ object TextQueries {
                    CAST(w * h * ((doc_id*7) % 250) AS BIGINT) AS sum_b
             FROM g ORDER BY media_id"""))
 
+  /** REAL compressed-image decode end-to-end: plant one
+    * deflate-compressed truecolor PNG per document (gradient channels
+    * derived from doc_id — same closed forms as the BMP fixture, so
+    * the oracle arithmetic is shared), decode through the production
+    * feature path (zlib inflate + filter reconstruction + CRC
+    * verification), and check dims + exact channel sums. */
+  val q_multimodal_decode_png = QuerySpec(
+    "q_multimodal_decode_png", Seq("E-mm"),
+    (s, d) => {
+      val mkPng = udf { id: Long =>
+        val w = (2 + id % 7).toInt
+        val h = (1 + id % 5).toInt
+        MediaCodec.encodePng(w, h, (x, y) => (
+          (id % 200).toInt + x,
+          ((id * 3) % 200).toInt + y,
+          ((id * 7) % 250).toInt))
+      }
+      val media = Engine.table(s, d, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("image/png").as("media_type"),
+        mkPng(col("doc_id")).as("payload"),
+        map().cast("map<string,string>").as("meta"))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("long").as("kind"),
+          element_at(col("feature"), 2).cast("long").as("width"),
+          element_at(col("feature"), 3).cast("long").as("height"),
+          element_at(col("feature"), 4).cast("long").as("sum_r"),
+          element_at(col("feature"), 5).cast("long").as("sum_g"),
+          element_at(col("feature"), 6).cast("long").as("sum_b"))
+        .orderBy("media_id")
+    },
+    Some("""WITH g AS (SELECT doc_id,
+                 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+               FROM documents)
+            SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS kind,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(h * (w * (doc_id % 200) + w*(w-1)/2) AS BIGINT)
+                     AS sum_r,
+                   CAST(w * (h * ((doc_id*3) % 200) + h*(h-1)/2) AS BIGINT)
+                     AS sum_g,
+                   CAST(w * h * ((doc_id*7) % 250) AS BIGINT) AS sum_b
+            FROM g ORDER BY media_id"""))
+
   /** REAL audio decode end-to-end: plant one PCM-16 WAV square wave
     * per document (amplitude/rate/length derived from doc_id), decode
     * through the production feature path, and check format fields and
@@ -714,5 +758,6 @@ object TextQueries {
     q_dedup_embedding, q_embed_topk_bruteforce, q_embed_knn_lsh,
     q_embed_ivf_topk, q_embed_ivf_batch, q_embed_pq_topk,
     q_embed_ivfpq_topk, q_dedup_semantic, q_multimodal_features,
-    q_multimodal_frames, q_multimodal_decode_bmp, q_multimodal_decode_wav)
+    q_multimodal_frames, q_multimodal_decode_bmp,
+    q_multimodal_decode_png, q_multimodal_decode_wav)
 }

@@ -1,18 +1,21 @@
 package graft.operators
 
 /** Pure-JVM media codecs for the multimodal column path (SURVEY.md
-  * §7E): uncompressed 24-bit BMP and 16-bit PCM WAV — the two media
-  * containers whose layouts are simple enough to parse with zero
-  * native dependencies, making one PRODUCTION-REAL decode path for
-  * binary payloads (everything else still falls back to the documented
-  * deterministic stub in [[Multimodal.stubDecode]]).
+  * §7E): uncompressed 24-bit BMP, deflate-compressed 8-bit truecolor
+  * PNG, and 16-bit PCM WAV — media containers parseable with zero
+  * native dependencies (PNG's zlib lives in the JDK), making
+  * PRODUCTION-REAL decode paths for binary payloads (everything else
+  * still falls back to the documented deterministic stub in
+  * [[Multimodal.stubDecode]]).
   *
-  * Both formats are decoded from their public specifications
-  * (BITMAPFILEHEADER/BITMAPINFOHEADER; RIFF/WAVE chunk layout).
+  * All formats are decoded from their public specifications
+  * (BITMAPFILEHEADER/BITMAPINFOHEADER; W3C PNG incl. the five
+  * scanline filters and per-chunk CRC32; RIFF/WAVE chunk layout).
   * Decoders are STRICT: any structural mismatch — wrong magic, short
-  * buffer, unsupported bpp/compression/format — returns None, so a
-  * text payload that happens to start with "BM" can never be
-  * mis-decoded (the caller falls back to the stub feature).
+  * buffer, bad CRC, unsupported bpp/compression/format — returns
+  * None, so a text payload that happens to start with a magic byte
+  * can never be mis-decoded (the caller falls back to the stub
+  * feature).
   */
 object MediaCodec {
 
@@ -114,6 +117,184 @@ object MediaCodec {
     Some(BmpSummary(width, height, sr, sg, sb))
   }
 
+  // ------------------------------------------------------------- PNG
+
+  private val PngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+    b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+  }
+
+  private def crcOf(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(bytes, off, len)
+    c.getValue.toInt
+  }
+
+  /** Encode an 8-bit truecolor (RGB, color type 2) non-interlaced PNG:
+    * zlib-deflated scanlines with filter type 0 — the minimal valid
+    * encoding every conformant reader accepts. `px(x, y)` as in
+    * [[encodeBmp24]] (y=0 top). */
+  def encodePng(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + width * 3)
+      raw(base) = 0 // filter: None
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        raw(base + 1 + x * 3) = r.toByte
+        raw(base + 1 + x * 3 + 1) = g.toByte
+        raw(base + 1 + x * 3 + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zbuf = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished())
+      zbuf.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = zbuf.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      val hdr = new Array[Byte](4)
+      putBe32(hdr, 0, data.length)
+      out.write(hdr, 0, 4)
+      val body = tpe.getBytes("US-ASCII") ++ data
+      out.write(body, 0, body.length)
+      val crc = new Array[Byte](4)
+      putBe32(crc, 0, crcOf(body, 0, body.length))
+      out.write(crc, 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, truecolor
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** STRICT PNG decode (public spec, RFC 2083 / W3C PNG): 8-bit
+    * truecolor with or without alpha (color types 2 and 6), deflate
+    * compression, no interlace; every chunk CRC is verified; all five
+    * scanline filters (None/Sub/Up/Average/Paeth) are undone. Any
+    * structural or CRC mismatch returns None — never a wrong decode.
+    * Alpha (type 6) is parsed but excluded from the channel sums. */
+  def decodePng(bytes: Array[Byte]): Option[BmpSummary] = {
+    if (bytes == null || bytes.length < PngSig.length + 12) return None
+    var i = 0
+    while (i < PngSig.length) {
+      if (bytes(i) != PngSig(i)) return None
+      i += 1
+    }
+    var pos = PngSig.length
+    var width, height = -1
+    var bpp = 0 // bytes per pixel
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      if (pos + 12 > bytes.length) return None
+      val len = be32(bytes, pos)
+      if (len < 0 || pos + 12 + len > bytes.length) return None
+      val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+      if (crcOf(bytes, pos + 4, 4 + len) != be32(bytes, pos + 8 + len))
+        return None
+      tpe match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = be32(bytes, pos + 8)
+          height = be32(bytes, pos + 12)
+          val (depth, color) = (bytes(pos + 16), bytes(pos + 17))
+          val (comp, filt, inter) =
+            (bytes(pos + 18), bytes(pos + 19), bytes(pos + 20))
+          if (depth != 8 || (color != 2 && color != 6)) return None
+          if (comp != 0 || filt != 0 || inter != 0) return None
+          if (width <= 0 || height <= 0 ||
+              width > (1 << 20) || height > (1 << 20)) return None
+          bpp = if (color == 2) 3 else 4
+        case "IDAT" =>
+          if (width < 0) return None // IDAT before IHDR
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    if (width < 0 || idat.size() == 0) return None
+
+    val stride = width * bpp
+    val expect = height.toLong * (1 + stride)
+    if (expect > Int.MaxValue) return None
+    val raw = new Array[Byte](expect.toInt)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+
+    // undo scanline filters in place (prev = reconstructed row above)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + stride) + 1
+      val filter = raw(base - 1) & 0xff
+      if (filter > 4) return None
+      var x = 0
+      while (x < stride) {
+        val a = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
+        val b = if (y > 0) raw(base - 1 - stride + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp)
+          raw(base - 1 - stride + x - bpp) & 0xff else 0
+        val add = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        val v = ((raw(base + x) & 0xff) + add) & 0xff
+        raw(base + x) = v.toByte
+        (x % bpp) match {
+          case 0 => sr += v
+          case 1 => sg += v
+          case 2 => sb += v
+          case _ => // alpha: excluded from sums
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpSummary(width, height, sr, sg, sb))
+  }
+
   // ------------------------------------------------------------- WAV
 
   /** Encode a 16-bit PCM RIFF/WAVE file; `samples` are
@@ -205,7 +386,7 @@ object MediaCodec {
     * exact in Float up to 2^24 — beyond that they are approximate
     * feature values, which is what a feature vector is. */
   def decodeFeatures(payload: Array[Byte]): Option[Array[Float]] =
-    decodeBmp24(payload).map { b =>
+    decodeBmp24(payload).orElse(decodePng(payload)).map { b =>
       Array(KindImage, b.width.toFloat, b.height.toFloat,
         b.sumR.toFloat, b.sumG.toFloat, b.sumB.toFloat)
     }.orElse(decodeWavPcm16(payload).map { w =>

@@ -74,6 +74,135 @@ class MultimodalSpec extends SparkSuite {
     assert(p.sumR == 5 * 255 && p.sumG == 0 && p.sumB == 5)
   }
 
+  test("PNG roundtrip: encode truecolor, decode exact dims + sums") {
+    val bytes = MediaCodec.encodePng(3, 2, (x, y) => (x, 10 * y, 100))
+    val s = MediaCodec.decodePng(bytes).get
+    assert(s.width == 3 && s.height == 2)
+    assert(s.sumR == 2 * (0 + 1 + 2))
+    assert(s.sumG == 3 * (0 + 10))
+    assert(s.sumB == 6 * 100)
+  }
+
+  test("PNG decode agrees with the JDK ImageIO reference, both ways") {
+    // our encoder -> JDK reader: structure + CRCs must be conformant
+    val ours = MediaCodec.encodePng(7, 5,
+      (x, y) => (x * 30, y * 40, (x + y) * 10))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ours))
+    assert(img != null && img.getWidth == 7 && img.getHeight == 5)
+    var (r, g, b) = (0L, 0L, 0L)
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val p = img.getRGB(x, y)
+      r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+    }
+    val s = MediaCodec.decodePng(ours).get
+    assert((s.sumR, s.sumG, s.sumB) == ((r, g, b)))
+    // JDK writer -> our decoder: whatever filters/strategy ImageIO
+    // picks (incl. RGBA), our filter-undo must reconstruct the pixels
+    for (imgType <- Seq(
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)) {
+      val bi = new java.awt.image.BufferedImage(9, 6, imgType)
+      for (y <- 0 until 6; x <- 0 until 9)
+        bi.setRGB(x, y, 0xff000000 | (x * 28 << 16) |
+          (y * 42 << 8) | ((x * y) % 251))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", out)
+      val d = MediaCodec.decodePng(out.toByteArray).get
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until 6; x <- 0 until 9) {
+        val p = bi.getRGB(x, y)
+        er += (p >> 16) & 0xff; eg += (p >> 8) & 0xff; eb += p & 0xff
+      }
+      assert(d.width == 9 && d.height == 6)
+      assert((d.sumR, d.sumG, d.sumB) == ((er, eg, eb)),
+        s"type=$imgType")
+    }
+  }
+
+  test("PNG filter reconstruction: every filter type decodes exactly") {
+    // hand-build one PNG per filter type: raw scanlines are FILTERED
+    // forward here, so decode must undo them back to the true pixels
+    val (w, h) = (4, 3)
+    def truePx(x: Int, y: Int) =
+      Array((x * 50 + 3) & 0xff, (y * 70 + 5) & 0xff, (x * y * 90) & 0xff)
+    for (filter <- 0 to 4) {
+      val stride = w * 3
+      val raw = new Array[Byte](h * (1 + stride))
+      val recon = Array.ofDim[Int](h, stride)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        recon(y)(x * 3 + c) = truePx(x, y)(c)
+      for (y <- 0 until h) {
+        raw(y * (1 + stride)) = filter.toByte
+        for (i <- 0 until stride) {
+          val cur = recon(y)(i)
+          val a = if (i >= 3) recon(y)(i - 3) else 0
+          val b = if (y > 0) recon(y - 1)(i) else 0
+          val cc = if (y > 0 && i >= 3) recon(y - 1)(i - 3) else 0
+          val pred = filter match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 =>
+              val p = a + b - cc
+              val (pa, pb, pc) =
+                (math.abs(p - a), math.abs(p - b), math.abs(p - cc))
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+          }
+          raw(y * (1 + stride) + 1 + i) = ((cur - pred) & 0xff).toByte
+        }
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val z = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) z.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      // assemble: reuse encodePng's chunk layout by patching its IDAT
+      // is fiddly; build chunks directly
+      def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+        val body = tpe.getBytes("US-ASCII") ++ data
+        val c = new java.util.zip.CRC32(); c.update(body)
+        val out = java.nio.ByteBuffer.allocate(body.length + 8)
+        out.putInt(data.length).put(body).putInt(c.getValue.toInt)
+        out.array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+        0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+      val d = MediaCodec.decodePng(png).getOrElse(
+        fail(s"filter $filter did not decode"))
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        er += truePx(x, y)(0); eg += truePx(x, y)(1); eb += truePx(x, y)(2)
+      }
+      assert((d.sumR, d.sumG, d.sumB) == ((er, eg, eb)),
+        s"filter=$filter")
+    }
+  }
+
+  test("PNG strictness: bad CRC, palette type, truncation all reject") {
+    val ok = MediaCodec.encodePng(4, 4, (_, _) => (1, 2, 3))
+    assert(MediaCodec.decodePng(ok).isDefined)
+    // flip one IDAT byte: CRC check must reject
+    val corrupt = ok.clone()
+    corrupt(ok.length - 20) = (corrupt(ok.length - 20) ^ 0x01).toByte
+    assert(MediaCodec.decodePng(corrupt).isEmpty)
+    // truncation
+    assert(MediaCodec.decodePng(ok.take(ok.length - 9)).isEmpty)
+    assert(MediaCodec.decodePng("PNG but not really".getBytes).isEmpty)
+    assert(MediaCodec.decodePng(null).isEmpty)
+    // palette color type (3) must reject, not mis-decode
+    val pal = ok.clone()
+    pal(8 + 4 + 4 + 9) = 3 // IHDR color-type byte
+    assert(MediaCodec.decodePng(pal).isEmpty) // (CRC also now wrong)
+  }
+
   test("WAV roundtrip: encode PCM-16, decode format + amplitude sums") {
     val samples = Array[Short](1000, -1000, 500, -500, 0, 32767)
     val bytes = MediaCodec.encodeWavPcm16(16000, 2, samples)
