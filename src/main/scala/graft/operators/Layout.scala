@@ -24,12 +24,27 @@ object Layout {
     * Pure bit arithmetic — codegen'd, no UDF. */
   def zValue(x: Column, y: Column, bits: Int = 20): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).map { b =>
-      val xb = shiftleft(
-        shiftrightunsigned(x.cast("long"), b).bitwiseAND(lit(1L)), 2 * b)
-      val yb = shiftleft(
-        shiftrightunsigned(y.cast("long"), b).bitwiseAND(lit(1L)), 2 * b + 1)
-      xb.bitwiseOR(yb)
+    zValueN(Seq(x, y), bits)
+  }
+
+  /** N-dimensional Morton interleave: bit b of column i lands at
+    * position `b * n + i`, so all N columns share the curve equally.
+    * `bits * n` must fit the 63 usable bits of a signed long —
+    * the same coarsen-don't-corrupt masking as the 2-D form. More
+    * dimensions = coarser per-dimension resolution at fixed word
+    * width, the standard Z-order tradeoff (Delta's multi-column
+    * OPTIMIZE ZORDER BY makes the same one). */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "need at least one column")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n cols x $bits bits exceeds a long's 63 usable bits")
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      (0 until bits).map { b =>
+        shiftleft(
+          shiftrightunsigned(c.cast("long"), b).bitwiseAND(lit(1L)),
+          b * n + i)
+      }
     }.reduce(_ bitwiseOR _)
   }
 

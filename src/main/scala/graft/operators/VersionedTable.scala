@@ -572,25 +572,31 @@ object VersionedTable {
   }
 
   /** OPTIMIZE ZORDER: rewrite the latest snapshot into one data dir
-    * laid out on the 2-D Z-curve of (colX, colY) — [[compact]] plus
-    * the Delta `OPTIMIZE ... ZORDER BY` idea on the manifest protocol.
-    * Content-identical new version; range predicates on either column
-    * then cluster into few files, which file-level min/max pruning
-    * ([[Layout.buildFileStats]]/[[Layout.statsRangeScan]]) and parquet
-    * row-group stats both exploit. The rewrite is a range exchange on
-    * the z-value + per-partition sort — fully parallel at any table
-    * size. First-writer-wins like [[merge]]. */
-  def optimizeZOrder(spark: SparkSession, root: String, colX: String,
-      colY: String, nFiles: Int, bits: Int = 20): Long = {
+    * laid out on the N-D Z-curve of `zCols` — [[compact]] plus the
+    * Delta `OPTIMIZE ... ZORDER BY` idea on the manifest protocol.
+    * Content-identical new version; range predicates on any curve
+    * column then cluster into few files, which file-level min/max
+    * pruning ([[Layout.buildFileStats]]/[[Layout.statsRangeScan]]),
+    * the per-dir stats sidecars, and parquet row-group stats all
+    * exploit. Per-dimension resolution is `bits` capped so the word
+    * fits 63 bits (more columns = coarser per-column, the standard
+    * multi-column Z-order tradeoff). The rewrite is a range exchange
+    * on the z-value + per-partition sort — fully parallel at any
+    * table size. First-writer-wins like [[merge]]. */
+  def optimizeZOrder(spark: SparkSession, root: String,
+      zCols: Seq[String], nFiles: Int, bits: Int = 20): Long = {
     import org.apache.spark.sql.functions.col
+    require(zCols.nonEmpty, "optimizeZOrder needs at least one column")
     val f = fs(spark, root)
     val baseV = versions(spark, root).lastOption.getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val dirs = readManifest(f, root, baseV).get
     val snap = spark.read.parquet(
       dirs.map(dd => new Path(root, dd).toString): _*)
+    val perDim = math.min(bits, 63 / zCols.size)
     val ordered = snap
-      .withColumn("__z", Layout.zValue(col(colX), col(colY), bits))
+      .withColumn("__z",
+        Layout.zValueN(zCols.map(col), perDim))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

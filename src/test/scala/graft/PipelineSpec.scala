@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, TextOps}
+import graft.operators.{Dedup, Layout, Sampling, TextOps}
 
 /** Round-4 pipeline operators: connected-components dedup clustering,
   * deterministic sampling/splits, document chunking, PII scrubbing,
@@ -363,6 +363,30 @@ class PipelineSpec extends SparkSuite {
       s"$dir/stats_k", "k", 10L, 20L)
     assert(byRange.filter(col("dt").isNull).count() == 0)
     assert(byRange.count() == full.filter(col("k").between(10L, 20L)).count())
+  }
+
+  test("zValueN: exact 3-D bit interleave; 2-col form equals zValue") {
+    def morton3(x: Long, y: Long, z: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, b) =>
+        acc |
+          (((x >>> b) & 1L) << (b * 3)) |
+          (((y >>> b) & 1L) << (b * 3 + 1)) |
+          (((z >>> b) & 1L) << (b * 3 + 2))
+      }
+    val rows = Seq((5L, 3L, 6L), (0L, 0L, 0L), (7L, 7L, 7L),
+      (1L, 2L, 4L)).toDF("x", "y", "z")
+    val got = rows.select(col("x"), col("y"), col("z"),
+      Layout.zValueN(Seq(col("x"), col("y"), col("z")), 3).as("zv"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) ==
+        morton3(r.getLong(0), r.getLong(1), r.getLong(2), 3))
+    }
+    // 2-column zValueN is bit-identical to the original zValue
+    val both = rows.select(
+      Layout.zValue(col("x"), col("y"), 20).as("a"),
+      Layout.zValueN(Seq(col("x"), col("y")), 20).as("b")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
   // --------------------------------------------------------- vocabulary

@@ -304,7 +304,7 @@ class VersionedTableSpec extends SparkSuite {
         g.toDF("x", "y").repartition(4)))
     val before = VersionedTable.read(spark, root)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val v = VersionedTable.optimizeZOrder(spark, root, "x", "y",
+    val v = VersionedTable.optimizeZOrder(spark, root, Seq("x", "y"),
       nFiles = 8)
     val snap = VersionedTable.read(spark, root)
     assert(snap.collect()
@@ -374,11 +374,14 @@ class VersionedTableSpec extends SparkSuite {
     val cand2 = VersionedTable.pruneDirsByKeyRange(spark, root,
       dirList, Seq((50L, "x"), (1001L, "y")).toDF("id", "s"), Seq("id"))
     assert(cand2.size == 2)
-    // a dir without a sidecar can never be pruned
-    new java.io.File(dataDirs(0), "_stats.json").delete()
+    // a dir without a sidecar can never be pruned: strip the sidecar
+    // from one of the dirs the stats WOULD have pruned
+    val prunedDir = dirList.filterNot(cand.toSet).head
+    new java.io.File(s"$root/$prunedDir/_stats.json").delete()
     val cand3 = VersionedTable.pruneDirsByKeyRange(spark, root,
       dirList, src, Seq("id"))
-    assert(cand3.size == 2, "statless dir must stay a candidate")
+    assert(cand3.toSet == cand.toSet + prunedDir,
+      "statless dir must stay a candidate")
     // merge end-to-end stays correct with pruning active
     val v = VersionedTable.merge(spark, root, src, Seq("id"))
     assert(VersionedTable.read(spark, root)
@@ -401,6 +404,35 @@ class VersionedTableSpec extends SparkSuite {
     // "nectarine" is inside [melon, peach]: exactly that dir survives
     assert(VersionedTable.pruneDirsByKeyRange(spark, sroot, sm,
       Seq(("nectarine", 9)).toDF("k", "n"), Seq("k")).size == 1)
+  }
+
+  test("concurrent merges: serializable — every outcome equals some " +
+      "sequential order, losers throw rather than lose updates") {
+    val root = tmpDir("vtabmergerace")
+    VersionedTable.commit(spark, root,
+      Seq((1L, 0L), (2L, 0L)).toDF("id", "n"))
+    // two merges race on DIFFERENT keys; each retries on conflict like
+    // a real writer. After both land, BOTH updates must be present —
+    // a lost update would leave one key at 0.
+    def upsertWithRetry(key: Long, value: Long): Unit = {
+      var done = false
+      while (!done) {
+        try {
+          VersionedTable.merge(spark, root,
+            Seq((key, value)).toDF("id", "n"), Seq("id"))
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException => // retry
+        }
+      }
+    }
+    val t1 = new Thread(() => upsertWithRetry(1L, 11L))
+    val t2 = new Thread(() => upsertWithRetry(2L, 22L))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 11L), (2L, 22L)),
+      "both racing merges must be applied (no lost update)")
   }
 
   test("concurrent appenders both land; no lost update") {
