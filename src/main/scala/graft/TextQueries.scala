@@ -159,6 +159,31 @@ object TextQueries {
     Some("""SELECT doc_id, md5(text) AS fp FROM documents
             ORDER BY doc_id"""))
 
+  /** Canonical normalization pass ([[graft.functions.NormalizeText]]:
+    * NFC + ROOT-locale lowercase + whitespace-run collapse + trim) —
+    * map-only over the corpus; checked by md5 of the normalized text
+    * so the oracle proves byte-identical output without hauling it.
+    * The DuckDB side composes its own nfc_normalize/lower/
+    * regexp_replace — two independent implementations of the same
+    * public spec agreeing bit-for-bit. */
+  val q_text_normalize = QuerySpec(
+    "q_text_normalize", Seq("E-text", "F12"),
+    (s, d) => Engine.table(s, d, "documents")
+      .select(col("doc_id"),
+        md5(graft.functions.NormalizeText.normText(col("text")))
+          .as("norm_fp"),
+        length(graft.functions.NormalizeText.normText(col("text")))
+          .cast("long").as("norm_len"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   md5(trim(regexp_replace(lower(nfc_normalize(text)),
+                     '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS norm_fp,
+                   CAST(length(trim(regexp_replace(
+                     lower(nfc_normalize(text)),
+                     '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS BIGINT)
+                     AS norm_len
+            FROM documents ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- dedup
 
   val q_dedup_exact = QuerySpec(
@@ -751,7 +776,8 @@ object TextQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_text_token_stats, q_text_token_budget, q_text_quality,
-    q_text_langid, q_text_fingerprint, q_corpus_clean, q_decontaminate,
+    q_text_langid, q_text_fingerprint, q_text_normalize,
+    q_corpus_clean, q_decontaminate,
     q_dedup_exact, q_dedup_minhash_lsh, q_dedup_ngram_block,
     q_dedup_incremental, q_dedup_embed_incremental, q_dedup_simhash,
     q_dedup_winnow,

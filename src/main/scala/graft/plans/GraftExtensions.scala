@@ -92,6 +92,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "minhash_sig", 2)(a =>
       MinHashSig(a(0), litInt(a(1), "minhash_sig")))
     reg(ext, "simhash64", 1)(a => SimHash64(a.head))
+    reg(ext, "norm_text", 1)(a => graft.functions.NormalizeText(a.head))
     reg(ext, "winnow_fps", 3)(a => Winnow(a(0),
       litInt(a(1), "winnow_fps"), litInt(a(2), "winnow_fps")))
     reg(ext, "unit_norm", 1)(a => UnitNorm(a.head))

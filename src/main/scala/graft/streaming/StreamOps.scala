@@ -230,13 +230,15 @@ object StreamOps {
     * once the watermark closes the interval. */
   def intervalJoinStreams(left: DataFrame, leftKey: String, leftTs: String,
       right: DataFrame, rightKey: String, rightTs: String,
-      window: String, lateness: String = "10 seconds"): DataFrame = {
+      window: String, lateness: String = "10 seconds",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"))
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"),
+      joinType)
   }
 
   /** Session-window aggregation (beyond the reference's tumbling-only

@@ -474,6 +474,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("LEFT OUTER interval join emits unmatched left rows null-padded " +
+      "once the watermark closes their window") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoinStreams(
+      imps.toDF().selectExpr("user_id AS i_uid", "ts AS i_ts"),
+      "i_uid", "i_ts",
+      clicks.toDF().selectExpr("user_id AS c_uid", "ts AS c_ts",
+        "value AS c_val"),
+      "c_uid", "c_ts",
+      window = "30 SECONDS", joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssoj_out").start()
+    try {
+      imps.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "imp", 0.0),  // will match
+        Ev(t("2024-01-01 10:00:00"), 2, "imp", 0.0))  // never clicks
+      clicks.addData(Ev(t("2024-01-01 10:00:20"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // push both watermarks far past the interval so the unmatched
+      // impression's state expires and the null-padded row emits
+      imps.addData(Ev(t("2024-01-01 10:10:00"), 8, "imp", 0.0))
+      clicks.addData(Ev(t("2024-01-01 10:10:00"), 9, "noise", 0.0))
+      q.processAllAvailable()
+      imps.addData(Ev(t("2024-01-01 10:20:00"), 8, "imp", 0.0))
+      clicks.addData(Ev(t("2024-01-01 10:20:00"), 9, "noise", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssoj_out")
+        .filter($"i_uid".isin(1L, 2L))
+        .select($"i_uid", $"c_val").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+      assert(rows == Set((1L, Some(1.0)), (2L, None)),
+        s"matched row joins, unmatched row null-pads: $rows")
+    } finally q.stop()
+  }
+
   test("session_window: gapped events split into sessions that close on watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]

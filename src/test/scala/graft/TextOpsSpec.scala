@@ -153,4 +153,26 @@ class TextOpsSpec extends SparkSuite {
     }
     assert(viaExpr == direct)
   }
+
+  test("NormalizeText: NFC composition, ROOT lowercase, ws collapse") {
+    import graft.functions.NormalizeText.normText
+    def norm(s: String): String =
+      Seq(Tuple1(s)).toDF("t").select(normText(col("t"))).head.getString(0)
+    // decomposed e + combining acute composes to the single codepoint
+    val decomposed = "e\u0301cole"     // e + U+0301 combining acute
+    val composed = "\u00e9cole"        // single precomposed codepoint
+    assert(decomposed != composed && norm(decomposed) == composed)
+    assert(norm(decomposed) == norm("ÉCOLE"),
+      "NFC + lowercase must unify all forms of ÉCOLE")
+    // whitespace runs collapse; leading/trailing trimmed
+    assert(norm("  a \t\n b\r\n  ") == "a b")
+    assert(norm("") == "" && norm("   ") == "")
+    // lowercase is locale-independent (dotted capital I folds to i,
+    // never the Turkish dotless ı)
+    assert(norm("TITLE") == "title")
+    // sql registration evaluates identically
+    val viaSql = spark.sql(
+      s"SELECT norm_text('  ÉCOLE  du\t monde ')").head.getString(0)
+    assert(viaSql == "école du monde")
+  }
 }
