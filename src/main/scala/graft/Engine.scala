@@ -92,16 +92,57 @@ object Engine {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       // Older testdata generations wrote events.ts as TIMESTAMP(NANOS),
       // which (with nanosAsLong=true) surfaces as a Long of epoch-nanos;
-      // newer generations write timestamp[us], which resolves directly as
-      // TIMESTAMP. Convert only when the column actually read back as a
-      // Long — applying `ts div 1000` to a TIMESTAMP fails analysis.
+      // newer generations write timestamp[us], which resolves directly
+      // as TIMESTAMP. A Long surface alone doesn't prove nanos — a
+      // generation writing PLAIN INT64 micros would surface as Long too
+      // and `div 1000` would silently shift every timestamp 1000x — so
+      // the parquet footer's logical type decides: TIMESTAMP(NANOS)
+      // converts, anything else Long-surfaced fails fast with a named
+      // drift error instead of guessing.
       if (name == "events" &&
-          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        if (!tsLogicalTypeIsNanos(spark, s"$sfDir/$name.parquet"))
+          throw new IllegalStateException(
+            s"testdata drift: $sfDir/$name.parquet ts surfaces as LONG " +
+              "but its parquet logical type is not TIMESTAMP(NANOS) — " +
+              "cannot infer the epoch unit; regenerate testdata or " +
+              "update Engine.table")
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
-      else df
+      } else df
     })
+  }
+
+  /** True iff the parquet file's `ts` column carries an explicit
+    * TIMESTAMP(NANOS) logical annotation — the only Long-surfaced
+    * encoding whose epoch unit is KNOWN (parquet-format logical
+    * types). Reads one footer; never the data. */
+  private def tsLogicalTypeIsNanos(spark: SparkSession,
+      path: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(conf)
+    // a dataset dir holds part files; a bare file is itself the footer
+    val file =
+      if (f.getFileStatus(p).isDirectory)
+        f.listStatus(p).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).getOrElse(return false)
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField("ts")) return false
+      schema.getType(schema.getFieldIndex("ts"))
+          .getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => false
+      }
+    } finally reader.close()
   }
 
   /** Type CLASS a column resolves to after [[table]] normalization —

@@ -47,21 +47,34 @@ class SourcesSpec extends SparkSuite {
 
   test("Engine.table normalizes both known events.ts encodings") {
     import org.apache.spark.sql.types._
-    // encoding A: epoch-nanos Long (older generations surface
-    // TIMESTAMP(NANOS) as Long under nanosAsLong) — Engine.table must
-    // convert to a microsecond timestamp
+    // encoding A: a REAL TIMESTAMP(NANOS) parquet column (what older
+    // pyarrow generations wrote; Spark surfaces it as Long under
+    // nanosAsLong) — Engine.table must convert to a microsecond
+    // timestamp. Spark can't WRITE nanos, so the fixture is built with
+    // parquet-mr directly, annotation included.
     val dirA = tmpDir("tsnanos")
     val nanos = 1700000000L * 1000000000L + 123456000L
-    spark.range(1).select(
-        col("id").as("event_id"), lit(nanos).as("ts"),
-        lit(7L).as("user_id"), lit("click").as("event_type"),
-        lit(1.0).as("value"), lit("{}").as("props"))
-      .write.parquet(s"$dirA/events.parquet")
+    writeNanosEventsFixture(s"$dirA/events.parquet", nanos)
     val a = Engine.table(spark, dirA, "events")
     assert(a.schema("ts").dataType == TimestampType,
       s"nanos-Long encoding resolved as ${a.schema("ts").dataType}")
     assert(a.select(unix_timestamp(col("ts"))).head().getLong(0) ==
       1700000000L)
+
+    // ambiguous encoding: PLAIN INT64 ts with no logical annotation —
+    // the epoch unit is unknowable, so Engine.table must FAIL FAST
+    // with a named drift error instead of guessing nanos and silently
+    // shifting every timestamp 1000x
+    val dirC = tmpDir("tsplain")
+    spark.range(1).select(
+        col("id").as("event_id"), lit(nanos).as("ts"),
+        lit(7L).as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$dirC/events.parquet")
+    val err = intercept[IllegalStateException] {
+      Engine.table(spark, dirC, "events")
+    }
+    assert(err.getMessage.contains("logical type"), err.getMessage)
 
     // encoding B: native timestamp (current generations) — passes
     // through untouched; the real testdata IS this encoding
@@ -89,5 +102,38 @@ class SourcesSpec extends SparkSuite {
     assert(e.getMessage.contains("events.ts"), e.getMessage)
     assert(e.getMessage.contains("string"), e.getMessage)
     assert(e.getMessage.contains("timestamp"), e.getMessage)
+  }
+
+  /** One-row events.parquet whose ts column carries an explicit
+    * TIMESTAMP(NANOS) logical annotation — Spark cannot write nanos,
+    * so the fixture goes through parquet-mr directly (the same layout
+    * the old pyarrow generations produced). */
+  private def writeNanosEventsFixture(path: String, tsNanos: Long): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      """message spark_schema {
+           required int64 event_id;
+           required int64 ts (TIMESTAMP(NANOS,true));
+           required int64 user_id;
+           required binary event_type (UTF8);
+           required double value;
+           required binary props (UTF8);
+         }""")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$path/part-00000.parquet"),
+          conf))
+      .withConf(conf).build()
+    val g = new SimpleGroupFactory(schema).newGroup()
+    g.append("event_id", 1L).append("ts", tsNanos).append("user_id", 7L)
+      .append("event_type", "click").append("value", 1.0)
+      .append("props", "{}")
+    writer.write(g)
+    writer.close()
   }
 }
