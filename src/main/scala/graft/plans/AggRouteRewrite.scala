@@ -189,6 +189,70 @@ object AggRouting {
     combined.groupBy(dims.map(fcol): _*).agg(reAggs.head, reAggs.tail: _*)
       .select(sumCols.map(fcol): _*)
   }
+
+  /** Incremental view maintenance FROM A CHANGE FEED — [[maintainSummary]]
+    * for CDC input ([[graft.operators.VersionedTable.changesBetween]]'s
+    * shape: data columns + `change` ∈ insert|delete): inserts add,
+    * deletes RETRACT. Classic IVM restriction applies: only
+    * self-inverse measures decompose under deletion — sum subtracts,
+    * count decrements; min/max cannot retract (a deleted minimum
+    * requires rescanning the group) and are rejected up front. Groups
+    * whose live row count reaches zero drop out entirely, so
+    * maintained == rebuilt holds row-for-row after any mix of
+    * merges/deletes/updates (an update is a delete+insert pair and
+    * retracts exactly).
+    *
+    * `countCol` names the summary's COUNT(*) measure — the group
+    * liveness witness. Scale shape: one bounded aggregate over the
+    * CHANGE FEED (never the fact table) + one summary-sized combine. */
+  def maintainSummaryFromCdc(summary: DataFrame, changes: DataFrame,
+      dims: Seq[String], measures: Map[Column, String],
+      countCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol, lit, sum => fsum, when}
+    val sumCols = summary.columns
+    val dimSet = dims.map(_.toLowerCase).toSet
+    val measureByName = measures.map { case (c, n) => n.toLowerCase -> c }
+    require(sumCols.forall(c => dimSet.contains(c.toLowerCase) ||
+      measureByName.contains(c.toLowerCase)),
+      s"summary has unmaintainable columns: ${sumCols.filterNot(c =>
+        dimSet.contains(c.toLowerCase) ||
+          measureByName.contains(c.toLowerCase)).mkString(", ")}")
+    require(measureByName.contains(countCol.toLowerCase),
+      s"countCol $countCol must be one of the summary's measures")
+    val data = changes.drop("change")
+    val sign = when(fcol("change") === "insert", lit(1L)).otherwise(lit(-1L))
+    val signedAggs = measures.toSeq.map { case (c, name) =>
+      val ae = canonical(data, c)
+      val signed = ae.aggregateFunction match {
+        case s: Sum =>
+          fsum(sign * org.apache.spark.sql.graft.Bridge.column(s.child))
+        case cnt: Count if cnt.children.forall(_.foldable) => fsum(sign)
+        case cnt: Count =>
+          fsum(when(org.apache.spark.sql.graft.Bridge
+            .column(cnt.children.head).isNotNull, sign).otherwise(lit(0L)))
+        case other => throw new IllegalArgumentException(
+          s"measure $name (${other.prettyName}) cannot RETRACT — " +
+            "min/max and sketch measures need a rebuild on delete")
+      }
+      signed.as(name)
+    }
+    if (countCol != null) canonical(data, measureByName(countCol
+      .toLowerCase)).aggregateFunction match {
+      case c: Count if c.children.forall(_.foldable) => // ok: COUNT(*)
+      case _ => throw new IllegalArgumentException(
+        s"countCol $countCol must be a COUNT(*) measure")
+    }
+    val delta = changes.groupBy(dims.map(fcol): _*)
+      .agg(signedAggs.head, signedAggs.tail: _*)
+      .select(sumCols.map(c => fcol(c)
+        .cast(summary.schema(c).dataType)): _*)
+    val reAggs = sumCols.filterNot(c => dimSet.contains(c.toLowerCase))
+      .map(n => fsum(fcol(n)).cast(summary.schema(n).dataType).as(n))
+    summary.unionByName(delta)
+      .groupBy(dims.map(fcol): _*).agg(reAggs.head, reAggs.tail: _*)
+      .filter(fcol(countCol) > 0)
+      .select(sumCols.map(fcol): _*)
+  }
 }
 
 object AggRouteRewrite extends Rule[LogicalPlan] {

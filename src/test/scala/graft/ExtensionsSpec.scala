@@ -403,6 +403,54 @@ class ExtensionsSpec extends SparkSuite {
       .agg(count(lit(1)).as("n")), "disabled flag")
   }
 
+  test("CDC view maintenance: maintained == rebuilt through " +
+      "merge/delete/update, dead groups drop, min rejects") {
+    import graft.operators.VersionedTable
+    import org.apache.spark.sql.Column
+    import spark.implicits._
+    val root = tmpDir("cdcivm")
+    val base = (1L to 100L).toSeq
+      .map(i => (i, s"g${i % 5}", (i % 13).toInt)).toDF("id", "g", "v")
+    VersionedTable.commit(spark, root, base)                        // v1
+    val measures = Map[Column, String](
+      count(lit(1)) -> "n", sum(col("v")) -> "sv")
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("long").as("sv"))
+    val summary0 = summarize(VersionedTable.read(spark, root, Some(1L)))
+      .cache()
+    summary0.count()
+    // v2: one merge mixing update (+1000 on some rows), delete, insert
+    VersionedTable.merge(spark, root,
+      base.filter(col("id") <= 10).withColumn("v", col("v") + 1000)
+        .unionByName(base.filter(col("id").between(11, 15))
+          .withColumn("v", lit(-1)))
+        .unionByName(Seq((200L, "g9", 7), (201L, "g9", 9))
+          .toDF("id", "g", "v")),
+      Seq("id"), deleteMatched = Some(col("v") === -1))
+    // v3: kill group g0 entirely — the maintained summary must DROP it
+    VersionedTable.deleteWhere(spark, root, col("g") === "g0")
+    val changes = VersionedTable.changesBetween(spark, root, 1L, 3L)
+    val maintained = plans.AggRouting.maintainSummaryFromCdc(
+      summary0, changes, Seq("g"), measures, countCol = "n")
+    val rebuilt = summarize(VersionedTable.read(spark, root))
+    assertSameRows(maintained.orderBy("g"), rebuilt.orderBy("g"))
+    assert(maintained.filter(col("g") === "g0").count() == 0,
+      "fully-deleted group must vanish from the maintained summary")
+    assert(maintained.filter(col("g") === "g9").count() == 1,
+      "group born in the feed must appear")
+    // min/max cannot retract: rejected up front, not silently wrong
+    val minSummary = VersionedTable.read(spark, root, Some(1L))
+      .groupBy("g").agg(count(lit(1)).as("n"), min(col("v")).as("mv"))
+    val err = intercept[IllegalArgumentException] {
+      plans.AggRouting.maintainSummaryFromCdc(minSummary, changes,
+        Seq("g"), Map[Column, String](count(lit(1)) -> "n",
+          min(col("v")) -> "mv"), countCol = "n")
+    }
+    assert(err.getMessage.contains("RETRACT"), err.getMessage)
+    summary0.unpersist()
+  }
+
   test("text/similarity kernel family is reachable from SQL text") {
     import spark.implicits._
     val df = Seq((1L, "the cat sat on the mat the cat"))

@@ -329,6 +329,36 @@ class PlanShapeSpec extends SparkSuite {
       s"pure projection must not shuffle:\n$plan")
   }
 
+  test("norm_text and bpe encode are exchange-free codegen projections") {
+    val docs = Engine.table(spark, sf, "documents")
+    val norm = docs.select(
+      graft.functions.NormalizeText.normText(col("text")))
+    val nPlan = norm.queryExecution.executedPlan.toString
+    assert(!nPlan.contains("Exchange"), s"norm_text must not shuffle:\n$nPlan")
+    assert(nPlan.contains("WholeStageCodegen") || nPlan.contains("*("),
+      s"norm_text must stay in codegen:\n$nPlan")
+    val enc = graft.operators.Bpe.encode(docs, Seq(("e", "s"), ("es", "t")))
+    val ePlan = enc.queryExecution.executedPlan.toString
+    assert(!ePlan.contains("Exchange"), s"bpe encode must not shuffle:\n$ePlan")
+  }
+
+  test("weighted sample: global form plans as TakeOrdered, no full sort") {
+    val df = graft.operators.Sampling.weightedSample(
+      Engine.table(spark, sf, "documents"), k = 10,
+      weightCol = col("n_chars"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"),
+      s"global top-k must be TakeOrdered (per-partition heaps):\n$plan")
+    // per-stratum form rides the bounded-heap custom operator
+    val strat = graft.operators.Sampling.weightedSample(
+      Engine.table(spark, sf, "documents"), k = 10,
+      weightCol = col("n_chars"), strataCols = Seq("source"))
+    val sPlan = strat.queryExecution.executedPlan.toString
+    assert(sPlan.contains("TopKPerGroup"),
+      s"stratified form must use the heap operator:\n$sPlan")
+    assert(!sPlan.contains("Window"), s"never a window sort:\n$sPlan")
+  }
+
   test("multimodal feature extraction has no exchange (map-only at scale)") {
     val media = Multimodal.asMediaTable(
       Engine.table(spark, sf, "documents"), "doc_id", "text")
