@@ -610,6 +610,43 @@ object VersionedTable {
     })
   }
 
+  /** Incremental CDC consumer: process every version committed since
+    * the last run as ONE change frame, then advance the cursor — the
+    * downstream-pipeline tailer (feed a summary via
+    * [[graft.plans.AggRouting.maintainSummaryFromCdc]], export a
+    * changelog, sync a serving store) without a long-running streaming
+    * query. `f` receives `(changes, toVersion)`; the cursor advances
+    * only AFTER `f` returns, so delivery is at-least-once — make `f`
+    * idempotent per `toVersion` (e.g. a keyed [[commit]]/[[merge]]).
+    * Returns the new cursor. A cursor version that has been vacuumed
+    * away throws — retention must outlive consumer lag, the same
+    * contract Delta/Kafka impose. */
+  def processNewVersions(spark: SparkSession, root: String,
+      cursorFile: String)(f: (DataFrame, Long) => Unit): Long = {
+    val latest = versions(spark, root).lastOption.getOrElse(return 0L)
+    val cursorPath = java.nio.file.Paths.get(cursorFile)
+    val last =
+      if (java.nio.file.Files.exists(cursorPath))
+        new String(java.nio.file.Files.readAllBytes(cursorPath),
+          "UTF-8").trim.toLong
+      else 0L
+    if (latest <= last) return last
+    val changes =
+      if (last == 0L) // no cursor yet: the whole current snapshot is new
+        read(spark, root, Some(latest))
+          .withColumn("change", org.apache.spark.sql.functions.lit("insert"))
+      else changesBetween(spark, root, last, latest)
+    f(changes, latest)
+    val tmp = cursorPath.resolveSibling(
+      s".${cursorPath.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    java.nio.file.Files.createDirectories(cursorPath.getParent)
+    java.nio.file.Files.write(tmp, latest.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, cursorPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    latest
+  }
+
   /** Reclaim data dirs referenced by NO retained manifest, keeping the
     * last `keepVersions` manifests (older manifests are dropped first,
     * which is what bounds time travel). Returns deleted dir count. */

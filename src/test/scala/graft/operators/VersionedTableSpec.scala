@@ -435,6 +435,44 @@ class VersionedTableSpec extends SparkSuite {
       "both racing merges must be applied (no lost update)")
   }
 
+  test("processNewVersions: resumable CDC tailer, at-least-once") {
+    val root = tmpDir("vtabtail")
+    val cursor = s"${tmpDir("vtabtailck")}/cursor"
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def consume(): Long = VersionedTable.processNewVersions(
+      spark, root, cursor) { (changes, v) =>
+        val ins = changes.filter(col("change") === "insert").count()
+        val del = changes.filter(col("change") === "delete").count()
+        seen += ((v, ins, del))
+      }
+    // empty table: no-op, cursor untouched
+    assert(consume() == 0L && seen.isEmpty)
+    VersionedTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    VersionedTable.commit(spark, root, Seq((3L, "c")).toDF("id", "s"))
+    // first consume: whole snapshot arrives as inserts, cursor -> v2
+    assert(consume() == 2L)
+    assert(seen.last == ((2L, 3L, 0L)))
+    // nothing new: f not invoked again
+    val n = seen.size
+    assert(consume() == 2L && seen.size == n)
+    // merge (update id=1) then consume: exactly the delta arrives
+    VersionedTable.merge(spark, root,
+      Seq((1L, "a2")).toDF("id", "s"), Seq("id"))
+    assert(consume() == 3L)
+    assert(seen.last == ((3L, 1L, 1L)), s"got ${seen.last}")
+    // crash between f and cursor write: re-delivery of the same span
+    VersionedTable.commit(spark, root, Seq((9L, "z")).toDF("id", "s"))
+    val e = intercept[RuntimeException] {
+      VersionedTable.processNewVersions(spark, root, cursor) { (_, _) =>
+        throw new RuntimeException("consumer died")
+      }
+    }
+    assert(e.getMessage == "consumer died")
+    assert(consume() == 4L, "cursor must not have advanced past the crash")
+    assert(seen.last._1 == 4L && seen.last._2 == 1L)
+  }
+
   test("concurrent appenders both land; no lost update") {
     val root = tmpDir("vtabcc")
     VersionedTable.commit(spark, root, Seq((0L, "z")).toDF("id", "s"))
