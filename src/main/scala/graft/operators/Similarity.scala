@@ -379,11 +379,104 @@ object Similarity {
       .orderBy(desc("c"), asc("bucket")).limit(nprobe).select("bucket")
     // partition-column values read back type-inferred (INT when small)
     val buckets = near.collect().map(_.get(0))
-    spark.read.parquet(s"$indexDir/vectors")
+    resolvedVectors(spark, indexDir, idCol)
       .filter(col("bucket").isin(buckets: _*)) // partition-pruned scan
       .select(col(idCol), cosineSimilarity(col(vecCol), q).as("cos"))
       .orderBy(desc("cos"), asc(idCol))
       .limit(k)
+  }
+
+  // ------------------------------------------ incremental IVF maintenance
+
+  /** Incrementally maintain a persisted IVF index from a change feed —
+    * the FAISS add/remove_ids lifecycle on the [[ivfBuildIndexKMeans]]
+    * layout, fed by batches or a versioned-table CDC frame
+    * ([[VersionedTable.changesBetween]]'s shape: vector columns +
+    * `change` ∈ insert|delete):
+    *  - INSERTS assign to the EXISTING centroids (broadcast, map-only)
+    *    and append into the bucket partitions — centroids stay fixed
+    *    between periodic retrains, standard IVF practice (recall
+    *    degrades only as the data distribution drifts);
+    *  - DELETES (and the old rows of updates) are TOMBSTONES: an
+    *    appended `(id, seq)` list, resolved at probe time by
+    *    last-writer-wins on the maintenance sequence and physically
+    *    reclaimed by [[ivfCompact]].
+    * An update is its CDC delete+insert pair: the insert's row carries
+    * the batch's seq and survives its own tombstone (tseq <= seq).
+    * Single maintainer at a time (like compaction); probes stay
+    * snapshot-consistent per scan. PQ code tables are NOT maintained
+    * here — re-encode after compaction. Returns the batch seq. */
+  def ivfUpsert(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      changes: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", changeCol: String = "change"): Long = {
+    val maint = new java.io.File(s"$indexDir/_maint")
+    maint.mkdirs()
+    val seqFile = java.nio.file.Paths.get(s"$indexDir/_maint/seq")
+    val seq = (if (java.nio.file.Files.exists(seqFile))
+      new String(java.nio.file.Files.readAllBytes(seqFile), "UTF-8")
+        .trim.toLong
+    else 0L) + 1
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val ins = changes.filter(col(changeCol) === "insert")
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        normalized(col(vecCol)).as("nv"))
+    assignNearest(ins, cents)
+      .select(col("id").as(idCol), col("v").as(vecCol),
+        lit(seq).as("__seq"), col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$indexDir/vectors")
+    // every changed id is superseded at this seq (deletes die; the
+    // batch's own inserts survive the <= comparison)
+    changes.select(col(idCol)).distinct()
+      .withColumn("__tseq", lit(seq))
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+    java.nio.file.Files.write(seqFile, seq.toString.getBytes("UTF-8"))
+    seq
+  }
+
+  /** The index's LIVE vector set: base + maintenance appends,
+    * last-writer-wins by seq, tombstoned rows dropped. A never-
+    * maintained index takes the raw-scan path untouched (zero overlay
+    * cost); maintained indexes read with schema merge (base files
+    * predate the seq column) and anti-resolve against the broadcast
+    * tombstone list (bounded by churn since the last [[ivfCompact]]). */
+  private def resolvedVectors(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String): DataFrame = {
+    val maintained = new java.io.File(s"$indexDir/_maint").exists()
+    if (!maintained) return spark.read.parquet(s"$indexDir/vectors")
+    val raw0 = spark.read.option("mergeSchema", "true")
+      .parquet(s"$indexDir/vectors")
+    // a delete-only maintenance history never appended a seq column
+    val raw =
+      if (raw0.columns.contains("__seq"))
+        raw0.withColumn("__seq", coalesce(col("__seq"), lit(0L)))
+      else raw0.withColumn("__seq", lit(0L))
+    val tDir = new java.io.File(s"$indexDir/tombstones")
+    if (!tDir.exists()) return raw.drop("__seq")
+    val tmax = spark.read.parquet(s"$indexDir/tombstones")
+      .groupBy(idCol).agg(max(col("__tseq")).as("__tmax"))
+    raw.join(broadcast(tmax), Seq(idCol), "left")
+      .filter(col("__tmax").isNull || col("__tmax") <= col("__seq"))
+      .drop("__tmax", "__seq")
+  }
+
+  /** Physically reclaim tombstoned rows: rewrite the live vector set
+    * as a fresh base (seq resets), clear tombstones and the seq
+    * counter. Offline single-writer op, like any compaction. */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String = "vec_id"): Unit = {
+    val staged = s"$indexDir/vectors_compacting"
+    resolvedVectors(spark, indexDir, idCol)
+      .write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$indexDir/vectors"))
+    new java.io.File(staged)
+      .renameTo(new java.io.File(s"$indexDir/vectors"))
+    rmrf(new java.io.File(s"$indexDir/tombstones"))
+    rmrf(new java.io.File(s"$indexDir/_maint"))
   }
 
   /** Batched IVF probe: ANN top-k for a whole DataFrame of query
@@ -418,7 +511,7 @@ object Similarity {
     // prune the partitioned vector scan to the union of probed buckets
     // (bounded by 2^planes / nCentroids, so the collect is tiny)
     val buckets = probed.select("bucket").distinct().collect().map(_.get(0))
-    val vecs = spark.read.parquet(s"$indexDir/vectors")
+    val vecs = resolvedVectors(spark, indexDir, idCol)
       .filter(col("bucket").isin(buckets: _*))
     val scored = vecs.join(broadcast(probed), Seq("bucket"))
       .select(col("qid"), col(idCol),

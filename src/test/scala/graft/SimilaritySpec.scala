@@ -63,6 +63,58 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.9, s"k-means IVF recall $recall too low")
   }
 
+  test("ivfUpsert: inserts land, deletes tombstone, updates supersede; " +
+      "compaction reclaims; never-maintained path untouched") {
+    import spark.implicits._
+    val dir = tmpDir("ivf_maint")
+    Similarity.ivfBuildIndexKMeans(clustered, dir, nCentroids = 10,
+      iters = 3)
+    val row = clustered.filter(col("vec_id") === 0).head()
+    val qArr = row.getSeq[Float](1)
+    val q = qArr.map(_.toDouble).toSeq
+    def probeIds() = Similarity.ivfProbe(spark, dir, q, k = 5,
+      nprobe = 10).collect().map(_.getLong(0)).toSet
+
+    val before = probeIds()
+    assert(before.contains(0L))
+    // batch 1: insert a vector nearly identical to the query (id 900),
+    // delete vec 0's nearest clustermate (id 10), update id 20 to live
+    // exactly on the query point (CDC delete+insert pair)
+    val changes = Seq(
+      (900L, qArr, "insert"),
+      (10L, qArr, "delete"),
+      (20L, qArr, "delete"),
+      (20L, qArr, "insert"))
+      .toDF("vec_id", "embedding", "change")
+    Similarity.ivfUpsert(spark, dir, changes)
+    val after = probeIds()
+    assert(after.contains(900L), s"inserted vector must be findable: $after")
+    assert(after.contains(20L), s"updated vector must rank top: $after")
+    assert(!after.contains(10L), "deleted vector must be gone")
+    // maintained result equals brute force over the LIVE set
+    val live = clustered.filter(!col("vec_id").isin(10L, 20L))
+      .unionByName(Seq((900L, qArr, 0), (20L, qArr, 0))
+        .toDF("vec_id", "embedding", "label"))
+    val truth = Similarity.bruteForceTopK(live, q, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(after == truth, s"maintained=$after truth=$truth")
+    // delete-only follow-up batch
+    Similarity.ivfUpsert(spark, dir,
+      Seq((900L, qArr, "delete")).toDF("vec_id", "embedding", "change"))
+    assert(!probeIds().contains(900L))
+    // compaction: same answers, tombstones physically gone
+    val preCompact = probeIds()
+    Similarity.ivfCompact(spark, dir)
+    assert(probeIds() == preCompact)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(!new java.io.File(s"$dir/_maint").exists())
+    // batched probe agrees with the single probe on the live set
+    val batch = Similarity.ivfProbeBatch(spark, dir,
+      Seq((0L, qArr)).toDF("qid", "qvec"), k = 5, nprobe = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(batch == preCompact)
+  }
+
   test("ivfProbeBatch: one distributed plan answers a whole query batch " +
       "with per-query recall >= 0.8") {
     import spark.implicits._
