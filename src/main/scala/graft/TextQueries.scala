@@ -505,6 +505,59 @@ object TextQueries {
     },
     Some(s"""SELECT vec_id FROM ($duckTop10Q0) ORDER BY vec_id"""))
 
+  /** Incremental IVF maintenance end-to-end ([[Similarity.ivfUpsert]] /
+    * [[Similarity.ivfCompact]]): build a fresh index over the planted
+    * corpus, apply a CDC batch that deletes half the planted copies,
+    * updates two others onto the exact query point, and inserts two
+    * new exact-match vectors, then probe top-8 — exactly the LIVE
+    * set's deterministic head (5 exact matches + the 3 surviving
+    * planted copies; the nearest non-planted vector ranked 12th
+    * before maintenance, so no interloper can enter). A second probe
+    * after compaction must answer identically. */
+  val q_embed_ivf_upsert = QuerySpec(
+    "q_embed_ivf_upsert", Seq("E-sim"),
+    (s, d) => {
+      val emb = Engine.table(s, d, "embeddings")
+      val row = emb.filter(col("vec_id") === 0).head()
+      val qArr = row.getSeq[Float](row.fieldIndex("embedding"))
+      val q = qArr.map(_.toDouble).toSeq
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_up").toString
+      Similarity.ivfBuildIndex(plantedAnnCorpus(emb), dir)
+      import s.implicits._
+      // delete planted copies 1,3,5,7,9; update copies 2,4 onto the
+      // query point; insert two exact matches with fresh ids
+      val dels = Seq(1, 3, 5, 7, 9)
+        .map(i => (200000L + i, qArr, "delete"))
+      val upds = Seq(2, 4).flatMap(i => Seq(
+        (200000L + i, qArr, "delete"), (200000L + i, qArr, "insert")))
+      val ins = Seq((300001L, qArr, "insert"), (300002L, qArr, "insert"))
+      Similarity.ivfUpsert(s, dir,
+        (dels ++ upds ++ ins).toDF("vec_id", "embedding", "change"))
+      val live = Similarity.ivfProbe(s, dir, q, k = 8, nprobe = 256)
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .withColumn("phase", lit("maintained")).collect()
+      Similarity.ivfCompact(s, dir)
+      val compacted = Similarity.ivfProbe(s, dir, q, k = 8, nprobe = 256)
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .withColumn("phase", lit("compacted"))
+      compacted.sparkSession.createDataFrame(
+          compacted.sparkSession.sparkContext.parallelize(live.toSeq),
+          compacted.schema)
+        .unionByName(compacted)
+        .orderBy("phase", "vec_id")
+    },
+    Some("""WITH ids AS (
+              SELECT CAST(0 AS BIGINT) AS vec_id        -- the query itself
+              UNION ALL SELECT 200002 UNION ALL SELECT 200004  -- updated
+              UNION ALL SELECT 300001 UNION ALL SELECT 300002  -- inserted
+              UNION ALL SELECT 200006 UNION ALL SELECT 200008  -- survivors
+              UNION ALL SELECT 200010)
+            SELECT 'compacted' AS phase, vec_id FROM ids
+            UNION ALL
+            SELECT 'maintained', vec_id FROM ids
+            ORDER BY phase, vec_id"""))
+
   /** Batched IVF probe: top-5 for a 10-query batch in one distributed
     * plan (no per-query driver round-trip) against the same persisted
     * index as q_embed_ivf_topk. Expected per-query result: the query
@@ -782,7 +835,8 @@ object TextQueries {
     q_dedup_incremental, q_dedup_embed_incremental, q_dedup_simhash,
     q_dedup_winnow,
     q_dedup_embedding, q_embed_topk_bruteforce, q_embed_knn_lsh,
-    q_embed_ivf_topk, q_embed_ivf_batch, q_embed_pq_topk,
+    q_embed_ivf_topk, q_embed_ivf_batch, q_embed_ivf_upsert,
+    q_embed_pq_topk,
     q_embed_ivfpq_topk, q_dedup_semantic, q_multimodal_features,
     q_multimodal_frames, q_multimodal_decode_bmp,
     q_multimodal_decode_png, q_multimodal_decode_wav)

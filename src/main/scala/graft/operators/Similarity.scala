@@ -317,8 +317,13 @@ object Similarity {
   private def broadcastCentroids(vecs: DataFrame, centroids: DataFrame)
       : org.apache.spark.broadcast.Broadcast[
         graft.functions.CentroidTopK.Centroids] = {
+    // bucket is LONG from the builders but reads back INT when it came
+    // through a partition column (small values type-infer) — accept both
     val cents = centroids.select("bucket", "centroid").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map(r => (r.get(0) match {
+        case i: java.lang.Integer => i.longValue()
+        case l: java.lang.Long => l.longValue()
+      }, r.getSeq[Double](1).toArray))
     require(cents.nonEmpty, "assignNearest: empty centroid table")
     vecs.sparkSession.sparkContext.broadcast(
       graft.functions.CentroidTopK.centroids(cents))

@@ -418,6 +418,29 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ANN index maintenance: each micro-batch of embedding
+    * changes (insert/delete rows, [[graft.operators.VersionedTable]]
+    * CDC shape) upserts into a persisted IVF index via
+    * [[graft.operators.Similarity.ivfUpsert]] — the freshness path for
+    * retrieval over a continuously-arriving corpus. foreachBatch is
+    * at-least-once, and ivfUpsert's last-writer-wins tombstone
+    * resolution makes re-delivery content-idempotent: a re-appended
+    * row supersedes its earlier copy, so the live set is unchanged. */
+  def annIndexSink(changes: DataFrame, indexDir: String,
+      checkpoint: String, intervalMs: Long = 500,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : StreamingQuery =
+    changes.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.ivfUpsert(batch.sparkSession,
+          indexDir, batch, vecCol, idCol)
+        ()
+      }
+      .start()
+
   /** T8: Kappa replay — recompute a result table by re-consuming the
     * source from the beginning into a FRESH checkpoint + staging dir,
     * then atomically swap. `transform` is the shared batch/stream logic

@@ -631,6 +631,38 @@ class StreamingSpec extends SparkSuite {
     assert(bad == Set("b", "c", "d"))
   }
 
+  test("streaming ANN index maintenance: inserts findable, deletes gone") {
+    implicit val ctx = spark.sqlContext
+    val dir = tmpDir("annsink")
+    // base index over 40 random vectors (fixed seed)
+    val rng = new scala.util.Random(11)
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(16)(r.nextGaussian().toFloat)
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.ivfBuildIndexKMeans(base, dir,
+      nCentroids = 4, iters = 2)
+    val in = MemoryStream[(Long, Seq[Float], String)]
+    val q = StreamOps.annIndexSink(
+      in.toDF.toDF("vec_id", "embedding", "change"), dir,
+      tmpDir("annsinkck"), intervalMs = 50)
+    try {
+      // insert an exact twin of vector 3; delete vector 5
+      in.addData((500L, vec(3), "insert"), (5L, vec(5), "delete"))
+      q.processAllAvailable()
+      val top = graft.operators.Similarity.ivfProbe(spark, dir,
+          vec(3).map(_.toDouble), k = 2, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(top == Set(3L, 500L), s"twin must join its original: $top")
+      val near5 = graft.operators.Similarity.ivfProbe(spark, dir,
+          vec(5).map(_.toDouble), k = 40, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(!near5.contains(5L), "deleted vector must not surface")
+    } finally q.stop()
+  }
+
   test("streaming summary maintenance: maintained == rebuilt, exactly-once") {
     implicit val ctx = spark.sqlContext
     val root = tmpDir("sumsink")
