@@ -131,4 +131,23 @@ object Bpe {
       textCol: String = "text"): DataFrame =
     docs.withColumn("bpe_tokens", bpeTokens(col(textCol), merges))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
+
+  /** Persist a learned merge table (`rank, left, right` parquet) so
+    * the tokenizer learned once is reusable across jobs/sessions —
+    * the vocab artifact every training pipeline ships alongside its
+    * data. Round-trips exactly through [[loadMerges]]. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table saved by [[saveMerges]], rank order restored. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
 }

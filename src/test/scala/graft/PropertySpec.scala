@@ -241,4 +241,55 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       }
     })
   }
+
+  /** Versioned-table DML law: ANY sequence of upsert-merge /
+    * predicate-delete / predicate-update operations leaves the table
+    * equal to the same sequence applied to a plain in-memory map —
+    * and the intermediate snapshots stay time-travelable. */
+  test("versioned table == reference map under random DML sequences") {
+    sealed trait Op
+    case class Upsert(rows: List[(Long, Long)]) extends Op
+    case class Delete(mod: Long) extends Op
+    case class Update(mod: Long, add: Long) extends Op
+    val opGen: Gen[Op] = Gen.oneOf(
+      Gen.nonEmptyListOf(for {
+        k <- Gen.chooseNum(0L, 12L)
+        v <- Gen.chooseNum(-50L, 50L)
+      } yield (k, v)).map(rs =>
+        // one source row per key (merge's contract)
+        Upsert(rs.groupBy(_._1).map(_._2.head).toList)),
+      Gen.chooseNum(2L, 5L).map(Delete(_)),
+      for {
+        m <- Gen.chooseNum(2L, 5L)
+        a <- Gen.chooseNum(1L, 9L)
+      } yield Update(m, a))
+    val seqGen = Gen.listOfN(4, opGen)
+    check(forAll(seqGen) { ops =>
+      val root = tmpDir("vtabprop")
+      var model = Map.empty[Long, Long]
+      graft.operators.VersionedTable.commit(spark, root,
+        Seq((100L, 0L)).toDF("id", "v"))
+      model += (100L -> 0L)
+      ops.foreach {
+        case Upsert(rows) =>
+          graft.operators.VersionedTable.merge(spark, root,
+            rows.toDF("id", "v"), Seq("id"))
+          model ++= rows
+        case Delete(m) =>
+          graft.operators.VersionedTable.deleteWhere(spark, root,
+            col("id") % m === 0)
+          model = model.filter { case (k, _) => k % m != 0 }
+        case Update(m, a) =>
+          graft.operators.VersionedTable.updateWhere(spark, root,
+            col("id") % m === 0, Map("v" -> (col("v") + a)))
+          model = model.map { case (k, v) =>
+            k -> (if (k % m == 0) v + a else v) }
+      }
+      val got = graft.operators.VersionedTable.read(spark, root)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val v1StillReadable = graft.operators.VersionedTable
+        .read(spark, root, Some(1L)).count() == 1
+      got == model && v1StillReadable
+    })
+  }
 }

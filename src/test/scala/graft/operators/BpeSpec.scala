@@ -59,6 +59,18 @@ class BpeSpec extends SparkSuite {
       Seq("a", "😀", "b", "</w>"))
   }
 
+  test("merge table round-trips through save/load, rank order intact") {
+    val merges = Bpe.learn(corpus, 10)
+    val path = s"${java.nio.file.Files.createTempDirectory("bpe").toString}/m"
+    Bpe.saveMerges(spark, merges, path)
+    assert(Bpe.loadMerges(spark, path) == merges)
+    // loaded table encodes identically
+    val probe = Seq((1L, "lowest")).toDF("doc_id", "text")
+    assert(Bpe.encode(probe, Bpe.loadMerges(spark, path))
+      .select("bpe_tokens").head().getSeq[String](0) ==
+      Seq("low", "est</w>"))
+  }
+
   test("encode runs map-only over the real documents table") {
     val docs = graft.Engine.table(spark, "/root/testdata/sf0.001",
       "documents").limit(200)
