@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Behavior
+
+/** Behavioral-analytics conformance queries over the `events` stream
+  * table — the user-behavior tag dimension of the reference's profile
+  * platform (用户行为, reference docs/画像开发方案.md:4; rule tags from
+  * behavior, docs/画像简介.md:16; churn warning from recent login
+  * frequency, docs/画像简介.md:23). Funnel semantics are the
+  * deterministic leftmost-greedy chain (see [[operators.Behavior]]),
+  * which both engines can express exactly — the DuckDB oracle computes
+  * the same chain as a cascade of conditional mins.
+  */
+object BehaviorQueries {
+
+  private val funnelSteps = Seq("view", "click", "purchase")
+  private val winUs = 86400L * 1000000L // 1 day, as epoch-micros
+
+  /** Greedy window funnel depth histogram, 1-day window. The Spark
+    * side is ONE user-keyed hash agg + a codegen'd array scan; the
+    * oracle proves it equals the k-aggregation cascade. */
+  val q_funnel_counts = QuerySpec(
+    "q_funnel_counts", Seq("A1", "A4", "F9", "X3"),
+    (s, d) => Behavior.funnelCounts(
+      Engine.table(s, d, "events"), "user_id", "event_type", "ts",
+      funnelSteps, 86400L),
+    Some(s"""
+      WITH e AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                        event_type AS s FROM events),
+      s1 AS (SELECT u, MIN(t) AS t1 FROM e WHERE s='view' GROUP BY u),
+      s2 AS (SELECT e.u AS u, MIN(e.t) AS t2, MIN(s1.t1) AS t1
+             FROM e JOIN s1 ON e.u=s1.u
+             WHERE e.s='click' AND e.t > s1.t1 AND e.t <= s1.t1 + $winUs
+             GROUP BY e.u),
+      s3 AS (SELECT e.u AS u, MIN(e.t) AS t3 FROM e JOIN s2 ON e.u=s2.u
+             WHERE e.s='purchase' AND e.t > s2.t2 AND e.t <= s2.t1 + $winUs
+             GROUP BY e.u)
+      SELECT CASE WHEN s3.u IS NOT NULL THEN 3
+                  WHEN s2.u IS NOT NULL THEN 2 ELSE 1 END AS depth,
+             COUNT(*) AS users
+      FROM s1 LEFT JOIN s2 ON s1.u=s2.u LEFT JOIN s3 ON s1.u=s3.u
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Day-N retention matrix: first-active-date cohorts x day offset. */
+  val q_retention_cohort = QuerySpec(
+    "q_retention_cohort", Seq("A1", "A6", "F9", "J1"),
+    (s, d) => Behavior.retentionCohort(
+      Engine.table(s, d, "events"), "user_id", "ts", 14),
+    Some("""
+      WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+                   FROM events),
+      first AS (SELECT u, MIN(d) AS d0 FROM act GROUP BY u)
+      SELECT first.d0 AS d0,
+             CAST(datediff('day', first.d0, act.d) AS INTEGER) AS offset,
+             COUNT(*) AS users
+      FROM act JOIN first ON act.u = first.u
+      WHERE datediff('day', first.d0, act.d) <= 14
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Event-to-next-event transition counts within a 30-minute gap
+    * (path / sankey analysis), tie-broken on event_id. */
+  val q_path_transitions = QuerySpec(
+    "q_path_transitions", Seq("W6", "A1", "F9"),
+    (s, d) => Behavior.pathTransitions(
+      Engine.table(s, d, "events"), "user_id", "event_type", "ts",
+      "event_id", 1800L),
+    Some("""
+      WITH o AS (SELECT user_id, event_type AS src,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        lead(event_type) OVER w AS dst,
+        lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS nt
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT src, dst, COUNT(*) AS n FROM o
+      WHERE dst IS NOT NULL AND nt - t <= 1800000000
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Churn-risk rule tag (docs/画像简介.md:23): last_seen, days
+    * silent as of 2024-01-30, trailing-7-day activity, rule tag. */
+  val q_churn_tags = QuerySpec(
+    "q_churn_tags", Seq("A4", "A6", "P9", "F9"),
+    (s, d) => Behavior.churnRisk(
+      Engine.table(s, d, "events"), "user_id", "ts",
+      "2024-01-30", 7, 14),
+    Some("""
+      WITH e AS (SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events
+                 WHERE CAST(ts AS DATE) <= DATE '2024-01-30')
+      SELECT u, MAX(d) AS last_seen,
+        CAST(datediff('day', MAX(d), DATE '2024-01-30') AS INTEGER)
+          AS days_silent,
+        COUNT(CASE WHEN d > DATE '2024-01-30' - 7 THEN 1 END)
+          AS recent_events,
+        CASE WHEN datediff('day', MAX(d), DATE '2024-01-30') >= 14
+               THEN 'churned'
+             WHEN COUNT(CASE WHEN d > DATE '2024-01-30' - 7 THEN 1 END) = 0
+               THEN 'at_risk'
+             ELSE 'active' END AS churn_tag
+      FROM e GROUP BY u ORDER BY u"""))
+
+  val all: Seq[QuerySpec] = Seq(
+    q_funnel_counts, q_retention_cohort, q_path_transitions, q_churn_tags)
+}

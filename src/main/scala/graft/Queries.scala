@@ -708,7 +708,7 @@ object Queries {
   def all: Seq[QuerySpec] =
     relational ++ RefConformance.all ++ ExtQueries.all ++
       TpchQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
-      CurationQueries.all ++ ModelQueries.all
+      CurationQueries.all ++ ModelQueries.all ++ BehaviorQueries.all
 
   def byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over event streams — the query family behind
+  * the reference's user-profile behavior tags (用户行为 tag dimension,
+  * reference docs/画像开发方案.md:4; rule tags derived from behavior,
+  * docs/画像简介.md:16) and its churn-warning example ("针对用户最近的
+  * 登陆频率以及相关行为预测用户流失预警", docs/画像简介.md:23).
+  *
+  * Scale notes (100 TB):
+  *  - Every operator here shuffles ONCE on the user key (hash agg or
+  *    user-keyed window) and then once more on the tiny result grain
+  *    (cohort day, funnel depth, step pair). No content-keyed windows,
+  *    no cross joins, no driver-side data.
+  *  - [[windowFunnel]] deliberately collects each user's in-funnel
+  *    events into one sorted array. Per-user event counts are bounded
+  *    in behavioral data (and the collect happens AFTER filtering to
+  *    funnel steps only); this is the same per-group-array contract
+  *    ClickHouse's windowFunnel/sequenceMatch use. The scan itself is
+  *    a codegen'd higher-order `aggregate`, so the whole funnel is one
+  *    partial/final hash agg + a map — k-step funnels do NOT pay k
+  *    shuffles.
+  */
+object Behavior {
+
+  /** Epoch microseconds of a (possibly NTZ) timestamp column — the
+    * session is pinned UTC, so this matches DuckDB's
+    * `epoch_us(CAST(ts AS TIMESTAMP))` exactly (integer micros). */
+  private def epochUs(ts: Column): Column = unix_micros(ts.cast("timestamp"))
+
+  /** Leftmost-greedy window funnel: for each user, the chain starts at
+    * the FIRST occurrence of `steps.head`; each later step is matched
+    * by the first event of that type strictly after the previous
+    * match and within `windowSec` of the chain start. Returns one row
+    * per user that entered the funnel: (user, depth, t0_us).
+    *
+    * Deterministic and SQL-expressible (a cascade of conditional mins),
+    * which is what makes it oracle-checkable cross-engine — unlike
+    * backtracking "does any chain exist" variants. One hash agg on the
+    * user key; the in-array scan is a Catalyst higher-order function.
+    */
+  def windowFunnel(events: DataFrame, userCol: String, stepCol: String,
+      tsCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty)
+    val win = windowSec * 1000000L
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col(stepCol) === s, lit(i)).otherwise(acc)
+      }
+    val k = steps.length
+    events
+      .select(col(userCol).as("u"), epochUs(col(tsCol)).as("t"),
+        stepIdx.as("si"))
+      .filter(col("si") >= 0)
+      .groupBy("u")
+      .agg(sort_array(collect_list(struct(col("t"), col("si")))).as("ev"))
+      .select(col("u"),
+        aggregate(col("ev"),
+          struct(lit(0L).as("t0"), lit(0).as("depth"), lit(0L).as("last")),
+          (acc, e) => {
+            val t = e.getField("t"); val si = e.getField("si")
+            val entered = acc.getField("depth") > 0
+            val start = when(!entered && si === 0,
+              struct(t.as("t0"), lit(1).as("depth"), t.as("last")))
+            val advance = when(entered &&
+                acc.getField("depth") < k &&
+                si === acc.getField("depth") &&
+                t > acc.getField("last") &&
+                t <= acc.getField("t0") + win,
+              struct(acc.getField("t0").as("t0"),
+                (acc.getField("depth") + 1).as("depth"),
+                t.as("last")))
+            coalesce(start, advance, acc)
+          }).as("f"))
+      .filter(col("f.depth") > 0)
+      .select(col("u"), col("f.depth").as("depth"), col("f.t0").as("t0_us"))
+  }
+
+  /** Funnel depth histogram: users whose greedy chain reached EXACTLY
+    * depth d, for d in 1..k. The standard funnel report row. */
+  def funnelCounts(events: DataFrame, userCol: String, stepCol: String,
+      tsCol: String, steps: Seq[String], windowSec: Long): DataFrame =
+    windowFunnel(events, userCol, stepCol, tsCol, steps, windowSec)
+      .groupBy("depth").agg(count(lit(1)).as("users"))
+      .orderBy("depth")
+
+  /** Classic day-N retention matrix: cohort = each user's first active
+    * date; for every (cohort_day, day offset) the number of cohort
+    * users active on that offset. Two user-keyed hash aggs (first-day,
+    * distinct user-day) joined on the SAME key — co-partitioned, no
+    * extra exchange — then one tiny agg on the (cohort, offset) grain. */
+  def retentionCohort(events: DataFrame, userCol: String, tsCol: String,
+      maxOffsetDays: Int): DataFrame = {
+    val act = events
+      .select(col(userCol).as("u"), col(tsCol).cast("date").as("d"))
+      .distinct()
+    val first = act.groupBy("u").agg(min(col("d")).as("d0"))
+    act.join(first, "u")
+      .select(col("d0"), datediff(col("d"), col("d0")).as("offset"))
+      .filter(col("offset") <= maxOffsetDays)
+      .groupBy("d0", "offset").agg(count(lit(1)).as("users"))
+      .orderBy("d0", "offset")
+  }
+
+  /** Event-to-next-event transition counts (path / sankey analysis):
+    * consecutive event pairs per user with gap <= `gapSec`, counted by
+    * (src, dst). The lead() window is keyed on the user — a real key,
+    * not content — so partitions sort locally and never skew beyond a
+    * single user's history. */
+  def pathTransitions(events: DataFrame, userCol: String, stepCol: String,
+      tsCol: String, orderTieCol: String, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(orderTieCol))
+    events
+      .select(col(userCol), col(stepCol).as("src"),
+        epochUs(col(tsCol)).as("t"), col(orderTieCol),
+        lead(col(stepCol), 1).over(w).as("dst"),
+        lead(epochUs(col(tsCol)), 1).over(w).as("nt"))
+      .filter(col("dst").isNotNull &&
+        col("nt") - col("t") <= gapSec * 1000000L)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .orderBy("src", "dst")
+  }
+
+  /** Churn-risk behavior tag (reference docs/画像简介.md:23 — churn
+    * warning from recent login frequency + behavior): per user, last
+    * active date, days silent as of `asOf`, activity count in the
+    * trailing `recentDays` window, and the rule tag. One conditional
+    * hash agg on the user key. */
+  def churnRisk(events: DataFrame, userCol: String, tsCol: String,
+      asOf: String, recentDays: Int, silentDays: Int): DataFrame = {
+    val asOfD = to_date(lit(asOf))
+    val d = col(tsCol).cast("date")
+    events
+      .filter(d <= asOfD)
+      .groupBy(col(userCol).as("u"))
+      .agg(
+        max(d).as("last_seen"),
+        sum(when(d > date_sub(asOfD, recentDays), 1L).otherwise(0L))
+          .as("recent_events"))
+      .select(col("u"), col("last_seen"),
+        datediff(asOfD, col("last_seen")).as("days_silent"),
+        col("recent_events"),
+        when(datediff(asOfD, col("last_seen")) >= silentDays, lit("churned"))
+          .when(col("recent_events") === 0, lit("at_risk"))
+          .otherwise(lit("active")).as("churn_tag"))
+      .orderBy("u")
+  }
+}

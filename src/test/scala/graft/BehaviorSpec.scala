@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Behavior
+
+/** [[graft.operators.Behavior]] — closed-form fixtures pinning the
+  * greedy-funnel edge semantics (window boundary inclusive, strict
+  * after-previous-match, chain anchored at the FIRST step-1 event),
+  * retention offsets, gap-bounded transitions, and the churn tag
+  * rules. */
+class BehaviorSpec extends SparkSuite {
+
+  private def ev(rows: (Long, String, String, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("user_id", "event_type", "tss", "event_id")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("tss")).as("ts"), col("event_id"))
+  }
+
+  private val steps = Seq("a", "b", "c")
+
+  private def depths(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+    Behavior.windowFunnel(df, "user_id", "event_type", "ts", steps, 100L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("windowFunnel: full chain inside window") {
+    val d = depths(ev(
+      (1L, "a", "2024-01-01 00:00:00", 1),
+      (1L, "b", "2024-01-01 00:00:10", 2),
+      (1L, "c", "2024-01-01 00:00:20", 3)))
+    assert(d == Map(1L -> 3))
+  }
+
+  test("windowFunnel: window boundary is inclusive, beyond is out") {
+    // b exactly at t0+100s counts; c at t0+101s does not
+    val d = depths(ev(
+      (1L, "a", "2024-01-01 00:00:00", 1),
+      (1L, "b", "2024-01-01 00:01:40", 2),
+      (1L, "c", "2024-01-01 00:01:41", 3)))
+    assert(d == Map(1L -> 2))
+  }
+
+  test("windowFunnel: same-timestamp next step does not advance") {
+    // b simultaneous with a fails the strictly-after rule
+    val d = depths(ev(
+      (1L, "a", "2024-01-01 00:00:00", 1),
+      (1L, "b", "2024-01-01 00:00:00", 2),
+      (1L, "b", "2024-01-01 00:00:05", 3)))
+    assert(d == Map(1L -> 2))
+  }
+
+  test("windowFunnel: chain anchors at FIRST step-1 event (greedy)") {
+    // first 'a' at 00:00; its window closes before the only 'b';
+    // a later 'a' would have matched, but greedy does not re-anchor
+    val d = depths(ev(
+      (1L, "a", "2024-01-01 00:00:00", 1),
+      (1L, "a", "2024-01-01 00:10:00", 2),
+      (1L, "b", "2024-01-01 00:10:30", 3)))
+    assert(d == Map(1L -> 1))
+  }
+
+  test("windowFunnel: out-of-order steps don't count; no step1 = no row") {
+    val d = depths(ev(
+      (1L, "b", "2024-01-01 00:00:00", 1), // before chain start: ignored
+      (1L, "a", "2024-01-01 00:00:10", 2),
+      (1L, "c", "2024-01-01 00:00:20", 3), // c before b: ignored
+      (1L, "b", "2024-01-01 00:00:30", 4),
+      (2L, "b", "2024-01-01 00:00:00", 5), // user 2 never does 'a'
+      (2L, "c", "2024-01-01 00:00:01", 6)))
+    assert(d == Map(1L -> 2))
+  }
+
+  test("funnelCounts matches the cascade on real events (sf0.001)") {
+    // cross-check the one-agg HOF scan against a literal k-phase
+    // cascade built from plain DataFrame ops
+    val e = Engine.table(spark, sf, "events")
+      .select(col("user_id").as("u"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        col("event_type").as("s"))
+    val w = 86400L * 1000000L
+    val s1 = e.filter(col("s") === "view").groupBy("u")
+      .agg(min("t").as("t1"))
+    val s2 = e.filter(col("s") === "click").join(s1, "u")
+      .filter(col("t") > col("t1") && col("t") <= col("t1") + w)
+      .groupBy("u").agg(min("t").as("t2"), min("t1").as("t1b"))
+    val s3 = e.filter(col("s") === "purchase")
+      .join(s2, "u")
+      .filter(col("t") > col("t2") && col("t") <= col("t1b") + w)
+      .groupBy("u").agg(min("t").as("t3"))
+    val cascade = s1.join(s2.select(col("u"), lit(1).as("d2")), Seq("u"), "left")
+      .join(s3.select(col("u"), lit(1).as("d3")), Seq("u"), "left")
+      .select(when(col("d3").isNotNull, 3)
+        .when(col("d2").isNotNull, 2).otherwise(1).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("users"))
+    val got = Behavior.funnelCounts(Engine.table(spark, sf, "events"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+      86400L)
+    assertSameRows(got, cascade)
+  }
+
+  test("retentionCohort: offsets and cohort sizes") {
+    val e = ev(
+      (1L, "x", "2024-01-01 10:00:00", 1),
+      (1L, "x", "2024-01-01 23:00:00", 2), // same day, distinct-collapsed
+      (1L, "x", "2024-01-03 10:00:00", 3),
+      (2L, "x", "2024-01-01 09:00:00", 4),
+      (2L, "x", "2024-01-02 09:00:00", 5),
+      (3L, "x", "2024-01-02 09:00:00", 6))
+    val got = Behavior.retentionCohort(e, "user_id", "ts", 14)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-02", 0, 1L)))
+  }
+
+  test("pathTransitions: gap bound and tie-break") {
+    val e = ev(
+      (1L, "a", "2024-01-01 00:00:00", 1),
+      (1L, "b", "2024-01-01 00:10:00", 2), // a->b within 30min
+      (1L, "c", "2024-01-01 01:10:00", 3), // b->c gap 1h: dropped
+      (1L, "d", "2024-01-01 01:20:00", 4), // c->d within
+      (2L, "a", "2024-01-01 00:00:00", 5),
+      (2L, "b", "2024-01-01 00:00:00", 6)) // tie: event_id orders a->b
+    val got = Behavior.pathTransitions(e, "user_id", "event_type", "ts",
+        "event_id", 1800L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "b", 2L), ("c", "d", 1L)))
+  }
+
+  test("churnRisk: tag rules") {
+    val e = ev(
+      (1L, "x", "2024-01-29 00:00:00", 1), // active (recent)
+      (2L, "x", "2024-01-10 00:00:00", 2), // churned (20d silent)
+      (3L, "x", "2024-01-20 00:00:00", 3), // at_risk (10d silent, 0 recent)
+      (4L, "x", "2024-02-05 00:00:00", 4)) // beyond asOf: excluded entirely
+    val got = Behavior.churnRisk(e, "user_id", "ts", "2024-01-30", 7, 14)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toMap
+    assert(got == Map(1L -> "active", 2L -> "churned", 3L -> "at_risk"))
+  }
+}
