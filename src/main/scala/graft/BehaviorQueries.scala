@@ -97,6 +97,61 @@ object BehaviorQueries {
              ELSE 'active' END AS churn_tag
       FROM e GROUP BY u ORDER BY u"""))
 
+  /** Daily gap-fill of a sparse metric series (rare high-value events
+    * per type): dense spine + LOCF + linear interpolation
+    * ([[operators.TimeSeries.gapFillDaily]]). MAX is the day-level
+    * aggregate (order-independent — plain double SUM/AVG would be
+    * partition-order dependent and break the hash compare). */
+  val q_gap_fill = QuerySpec(
+    "q_gap_fill", Seq("W1", "W2", "F9", "X3", "J3"),
+    (s, d) => {
+      val obs = Engine.table(s, d, "events")
+        .filter(col("value") > 300.0)
+        .groupBy(col("event_type").as("k"),
+          col("ts").cast("date").as("dd"))
+        .agg(max("value").as("v"))
+      operators.TimeSeries.gapFillDaily(obs, Seq("k"), "dd", "v",
+          "2024-01-01", "2024-01-30")
+        .orderBy("k", "d")
+    },
+    Some("""
+      WITH obs AS (
+        SELECT event_type AS k, CAST(ts AS DATE) AS d, MAX(value) AS v
+        FROM events WHERE value > 300.0 GROUP BY 1, 2),
+      spine AS (
+        SELECT t.k AS k, CAST(gs.g AS DATE) AS d
+        FROM (SELECT DISTINCT k FROM obs) t
+        CROSS JOIN (SELECT unnest(generate_series(DATE '2024-01-01',
+                    DATE '2024-01-30', INTERVAL 1 DAY)) AS g) gs),
+      j AS (
+        SELECT spine.k AS k, spine.d AS d, obs.v AS v_obs FROM spine
+        LEFT JOIN obs ON spine.k = obs.k AND spine.d = obs.d),
+      w AS (
+        SELECT k, d, v_obs,
+          last_value(v_obs IGNORE NULLS) OVER
+            (PARTITION BY k ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN v_obs IS NOT NULL THEN d END IGNORE NULLS)
+            OVER (PARTITION BY k ORDER BY d ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS pd,
+          first_value(v_obs IGNORE NULLS) OVER
+            (PARTITION BY k ORDER BY d ROWS BETWEEN CURRENT ROW
+             AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN v_obs IS NOT NULL THEN d END IGNORE NULLS)
+            OVER (PARTITION BY k ORDER BY d ROWS BETWEEN CURRENT ROW
+             AND UNBOUNDED FOLLOWING) AS nd
+        FROM j)
+      SELECT k, d, v_obs, pv AS v_locf,
+        CASE WHEN v_obs IS NOT NULL THEN v_obs
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) *
+                  (CAST(datediff('day', pd, d) AS DOUBLE)
+                 / CAST(datediff('day', pd, nd) AS DOUBLE))
+        END AS v_interp
+      FROM w ORDER BY k, d"""))
+
   val all: Seq[QuerySpec] = Seq(
-    q_funnel_counts, q_retention_cohort, q_path_transitions, q_churn_tags)
+    q_funnel_counts, q_retention_cohort, q_path_transitions, q_churn_tags,
+    q_gap_fill)
 }

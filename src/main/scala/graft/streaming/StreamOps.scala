@@ -22,6 +22,8 @@ case class UserStreak(user_id: Long, streak: Int)
 case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)
 case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Int)
+case class FunnelState(t0Us: Long, depth: Int, lastUs: Long)
+case class UserFunnel(user_id: Long, depth: Int, t0_us: Long)
 
 object StreamOps {
 
@@ -156,6 +158,45 @@ object StreamOps {
           }
           state.update(StreakState(s))
           UserStreak(uid, s)
+      }
+  }
+
+  /** T7 (custom state): real-time window-funnel progress per user —
+    * the streaming twin of [[graft.operators.Behavior.windowFunnel]]
+    * with IDENTICAL leftmost-greedy semantics (chain anchored at the
+    * first step-1 event, strictly-after matching, window-inclusive
+    * boundary), so the real-time tag converges to exactly the batch
+    * answer (T9 differential validation applies). State is three longs
+    * per user — bounded regardless of event volume. Within a batch,
+    * events apply in event-time order; cross-batch order comes from the
+    * Kafka partition guarantee (T4), same contract as
+    * [[purchaseStreaks]]. Emits the user's funnel depth after each
+    * batch touching them (update mode). */
+  def streamingFunnel(events: org.apache.spark.sql.Dataset[TagEvent],
+      steps: Seq[String], windowSec: Long)
+      : org.apache.spark.sql.Dataset[UserFunnel] = {
+    import events.sparkSession.implicits._
+    val win = windowSec * 1000000L
+    val idx = steps.zipWithIndex.toMap
+    val k = steps.length
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, UserFunnel](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid, evs, state) =>
+          var s = state.getOption.getOrElse(FunnelState(0L, 0, 0L))
+          evs.toSeq
+            .flatMap(e => idx.get(e.event_type).map(si =>
+              (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L, si)))
+            .sorted
+            .foreach { case (t, si) =>
+              if (s.depth == 0) {
+                if (si == 0) s = FunnelState(t, 1, t)
+              } else if (s.depth < k && si == s.depth && t > s.lastUs &&
+                  t <= s.t0Us + win)
+                s = FunnelState(s.t0Us, s.depth + 1, t)
+            }
+          state.update(s)
+          UserFunnel(uid, s.depth, s.t0Us)
       }
   }
 

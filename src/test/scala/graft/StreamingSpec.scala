@@ -701,4 +701,74 @@ class StreamingSpec extends SparkSuite {
         .filter(col("dim") === "zz").count() == 0)
     } finally q.stop()
   }
+
+  test("T7: streamingFunnel greedy semantics across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamOps.streamingFunnel(
+      in.toDF().selectExpr("user_id", "event_type", "ts")
+        .as[graft.streaming.TagEvent],
+      Seq("view", "click", "purchase"), windowSec = 100L)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("t7f_out").start()
+    def depth(uid: Long): Int = spark.table("t7f_out")
+      .filter($"user_id" === uid).collect().last.getAs[Int]("depth")
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "view", 0.0),
+        Ev(t("2024-01-01 10:00:10"), 1, "click", 0.0))
+      q.processAllAvailable()
+      assert(depth(1) == 2)
+      // next step arrives in a LATER batch, still inside the window
+      in.addData(Ev(t("2024-01-01 10:01:00"), 1, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(depth(1) == 3)
+      // user 2: the chain anchors at the first view; a purchase beyond
+      // t0+100s must NOT advance even though a later view would be near
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 2, "view", 0.0),
+        Ev(t("2024-01-01 10:00:30"), 2, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(t("2024-01-01 10:03:00"), 2, "view", 0.0),
+        Ev(t("2024-01-01 10:03:10"), 2, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(depth(2) == 2, "window-expired step must not advance")
+    } finally q.stop()
+  }
+
+  test("T9: streamingFunnel converges to the batch windowFunnel") {
+    implicit val ctx = spark.sqlContext
+    // real corpus, event-time-ordered delivery in three batches —
+    // the final streaming state must equal the batch operator exactly
+    val ev = Engine.table(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamOps.streamingFunnel(
+      in.toDF().toDF("user_id", "event_type", "ts")
+        .as[graft.streaming.TagEvent],
+      Seq("view", "click", "purchase"), windowSec = 86400L)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("t9f_out").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { batch =>
+        in.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+      // depth is monotone per user and t0_us is constant once entered,
+      // so the max over all update-mode emissions IS the final state
+      val lastPerUser = spark.table("t9f_out")
+        .groupBy("user_id")
+        .agg(max("depth").as("depth"), max("t0_us").as("t0_us"))
+        .filter($"depth" > 0)
+      val batchResult = graft.operators.Behavior.windowFunnel(
+        Engine.table(spark, sf, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), 86400L)
+        .select(col("u").as("user_id"), col("depth"), col("t0_us"))
+      assertSameRows(lastPerUser, batchResult)
+    } finally q.stop()
+  }
 }
