@@ -523,7 +523,11 @@ object TextQueries {
       val q = qArr.map(_.toDouble).toSeq
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ivf_up").toString
-      Similarity.ivfBuildIndex(plantedAnnCorpus(emb), dir)
+      // planes=6 (64 buckets): at this corpus size the lifecycle is
+      // file-count bound (build + 2 probes + compact each touch every
+      // occupied bucket file); nprobe=256 >= buckets keeps both probes
+      // exhaustive-exact, so results are identical to the planes=8 run
+      Similarity.ivfBuildIndex(plantedAnnCorpus(emb), dir, planes = 6)
       import s.implicits._
       // delete planted copies 1,3,5,7,9; update copies 2,4 onto the
       // query point; insert two exact matches with fresh ids
