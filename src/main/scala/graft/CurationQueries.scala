@@ -348,9 +348,37 @@ object CurationQueries {
               (5, 'newest</w> newest</w>', 2))
             AS t(doc_id, bpe, n_bpe_tokens) ORDER BY doc_id"""))
 
+  /** Model-scored quality filtering
+    * ([[graft.operators.TextClassifier]]): train a hashed-BOW logistic
+    * classifier by distributed full-batch GD on a planted weak label
+    * (document contains the token `spark`), score the corpus, output
+    * the decisions. The label rule is linearly separable in feature
+    * space and training runs in exact decimal arithmetic, so the
+    * learned decisions converge to the rule exactly — which is what
+    * lets DuckDB check a TRAINED model with plain SQL. */
+  val q_quality_classifier = QuerySpec(
+    "q_quality_classifier", Seq("E-text", "A1", "X1"),
+    (s, d) => {
+      import graft.operators.TextClassifier
+      val docs = Engine.table(s, d, "documents")
+      val feats = TextClassifier.hashedFeatures(docs, "text", 4096)
+        .withColumn("y",
+          array_contains(split(col("text"), "\\s+"), "spark")
+            .cast("double"))
+      val w = TextClassifier.trainLogistic(feats, "doc_id", "fx", "y",
+        iters = 48, lr = 2.0)
+      TextClassifier.scoreLogistic(feats, "fx", w, Seq("doc_id"))
+        .select(col("doc_id"), col("pred"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             list_contains(str_split_regex(text, '\s+'), 'spark') AS pred
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_repetition_stats, q_bm25_topk, q_common_token_ratio,
     q_pack_sequences, q_mixture_sample, q_dedup_spans, q_shuffle_export,
     q_quality_gate, q_source_cap, q_temperature_mixture,
-    q_bpe_learn, q_bpe_encode)
+    q_bpe_learn, q_bpe_encode, q_quality_classifier)
 }

@@ -24,6 +24,12 @@ package object functions {
   def dsum2(c: Column): Column = sum(dec2(c)).cast("double")
   def dsum4(c: Column): Column = sum(dec4(c)).cast("double")
 
+  /** 12-dp decimal view and sum — for unit-scale quantities (model
+    * residuals, weights) where 2/4 dp would bend the math but double
+    * summation would be partition-order dependent. */
+  def dec12(c: Column): Column = c.cast(DecimalType(30, 12))
+  def dsum12(c: Column): Column = sum(dec12(c)).cast("double")
+
   /** Deterministic average: exact decimal sum cast to double, then one
     * double division — bitwise-reproducible (unlike a double sum). */
   def davg2(c: Column): Column =
