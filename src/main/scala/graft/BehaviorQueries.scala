@@ -151,7 +151,59 @@ object BehaviorQueries {
         END AS v_interp
       FROM w ORDER BY k, d"""))
 
+  /** Last-touch attribution: purchases credited to the campaign
+    * (`props.k`) of the user's most recent click within 1 hour, else
+    * "direct" — the backward as-of join re-expressed as a marketing
+    * report. DuckDB's native ASOF JOIN is the oracle. */
+  val q_attribution = QuerySpec(
+    "q_attribution", Seq("J1", "F11", "A6", "W1"),
+    (s, d) => Behavior.lastTouchAttribution(
+      Engine.table(s, d, "events"), "user_id", "ts",
+      convType = "purchase", touchType = "click",
+      campaignExpr = get_json_object(col("props"), "$.k"),
+      valueCol = "value", tieCol = "event_id", horizonSec = 3600L),
+    Some("""
+      WITH p AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS tp,
+                        value AS v FROM events WHERE event_type='purchase'),
+      c0 AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS tc,
+                    json_extract_string(props, '$.k') AS camp, event_id
+             FROM events WHERE event_type='click'),
+      c AS (SELECT u, tc, arg_max(camp, event_id) AS camp
+            FROM c0 GROUP BY u, tc),
+      m AS (SELECT p.v AS v,
+              CASE WHEN c.tc IS NOT NULL AND p.tp - c.tc <= 3600000000
+                   THEN c.camp ELSE 'direct' END AS campaign
+            FROM p ASOF LEFT JOIN c ON p.u = c.u AND p.tp >= c.tc)
+      SELECT campaign, COUNT(*) AS n_conv,
+             CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM m GROUP BY campaign ORDER BY campaign"""))
+
+  /** Per-(event_type, day) time-weighted average level: each reading
+    * holds until the next same-type reading that day, the last until
+    * midnight — exact micro-second weights, decimal accumulation. */
+  val q_twap = QuerySpec(
+    "q_twap", Seq("W6", "A6", "F9"),
+    (s, d) => Behavior.timeWeightedAvg(
+      Engine.table(s, d, "events"), "event_type", "ts", "value",
+      "event_id"),
+    Some("""
+      WITH e AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t, value AS v,
+                   event_id
+                 FROM events),
+      o AS (SELECT k, d, t, v,
+              COALESCE(lead(t) OVER (PARTITION BY k, d
+                                     ORDER BY t, event_id),
+                epoch_us(CAST(d AS TIMESTAMP) + INTERVAL 1 DAY)) - t
+                AS w_us
+            FROM e)
+      SELECT k, d,
+        CAST(SUM(CAST(v AS DECIMAL(18,2)) * w_us) AS DOUBLE)
+          / CAST(SUM(w_us) AS DOUBLE) AS twap,
+        COUNT(*) AS n_obs
+      FROM o GROUP BY k, d ORDER BY k, d"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_funnel_counts, q_retention_cohort, q_path_transitions, q_churn_tags,
-    q_gap_fill)
+    q_gap_fill, q_attribution, q_twap)
 }

@@ -59,11 +59,7 @@ object CurationQueries {
     * oracle evaluates the IDENTICAL log-free formula (constants
     * interpolated from the same Scala doubles, so both engines parse
     * the same literals) with the same fixed-order score addition. */
-  val q_bm25_topk = QuerySpec(
-    "q_bm25_topk", Seq("E-text", "A12"),
-    (s, d) => TextOps.bm25TopK(Engine.table(s, d, "documents"),
-      bm25Terms, k = 10, k1 = bm25K1, b = bm25B),
-    Some {
+  private lazy val bm25OracleSql: String = {
       val inList = bm25Terms.map("'" + _ + "'").mkString(", ")
       val scoreSum = bm25Terms.map(t =>
         s"COALESCE(MAX(CASE WHEN token = '$t' THEN s END), 0.0)")
@@ -90,7 +86,35 @@ object CurationQueries {
           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
                $scoreSum AS score
           FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
-    })
+  }
+
+  val q_bm25_topk = QuerySpec(
+    "q_bm25_topk", Seq("E-text", "A12"),
+    (s, d) => TextOps.bm25TopK(Engine.table(s, d, "documents"),
+      bm25Terms, k = 10, k1 = bm25K1, b = bm25B),
+    Some(bm25OracleSql))
+
+  /** Cache key for the persisted inverted index (same /tmp-persists-
+    * across-rounds convention and versioning rule as the ANN index —
+    * bump the suffix if the index layout or tokenizer changes). */
+  private def invIndexDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_invidx_v1_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Same BM25 query answered FROM the persisted inverted index
+    * ([[TextOps.bm25TopKIndexed]]): reads only the query terms' shard
+    * partitions, never the corpus — and must hash-match the SAME
+    * oracle as the scan path (two paths, one truth). */
+  val q_bm25_indexed = QuerySpec(
+    "q_bm25_indexed", Seq("E-text", "A12", "S2"),
+    (s, d) => {
+      val dir = invIndexDir(d)
+      if (!new java.io.File(s"$dir/stats").exists())
+        TextOps.buildInvertedIndex(Engine.table(s, d, "documents"), dir)
+      TextOps.bm25TopKIndexed(s, dir, bm25Terms, k = 10,
+        k1 = bm25K1, b = bm25B)
+    },
+    Some(bm25OracleSql))
 
   /** Vocabulary-coverage quality score ([[TextOps.commonTokenRatio]]):
     * fraction of each doc's tokens inside the corpus top-100 vocab. */
@@ -380,5 +404,5 @@ object CurationQueries {
     q_repetition_stats, q_bm25_topk, q_common_token_ratio,
     q_pack_sequences, q_mixture_sample, q_dedup_spans, q_shuffle_export,
     q_quality_gate, q_source_cap, q_temperature_mixture,
-    q_bpe_learn, q_bpe_encode, q_quality_classifier)
+    q_bpe_learn, q_bpe_encode, q_quality_classifier, q_bm25_indexed)
 }

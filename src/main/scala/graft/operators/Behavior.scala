@@ -125,6 +125,68 @@ object Behavior {
       .orderBy("src", "dst")
   }
 
+  /** Last-touch attribution: each conversion event is credited to the
+    * most recent touch event of the same user at-or-before it and
+    * within `horizonSec`; conversions with no in-horizon touch credit
+    * `"direct"`. The core is the existing backward as-of join
+    * ([[Relational.asofJoinBackward]] — user-keyed, segmented-scan
+    * scalable); touches are first deduped to one per (user, instant)
+    * with a deterministic arg-max so ties cannot introduce
+    * partition-order nondeterminism. Returns per-campaign conversion
+    * count + revenue (exact decimal accumulation). */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, convType: String, touchType: String,
+      campaignExpr: Column, valueCol: String, tieCol: String,
+      horizonSec: Long): DataFrame = {
+    val conv = events.filter(col("event_type") === convType)
+      .select(col(userCol).as("u"), epochUs(col(tsCol)).as("tp"),
+        col(valueCol).as("v"))
+    val touches = events.filter(col("event_type") === touchType)
+      .select(col(userCol).as("u"), epochUs(col(tsCol)).as("tc"),
+        campaignExpr.as("camp"), col(tieCol).as("__tie"))
+      .groupBy("u", "tc")
+      .agg(max_by(col("camp"), col("__tie")).as("camp"))
+    Relational.asofJoinBackward(conv, touches,
+        key = "u", leftTs = "tp", rightTs = "tc",
+        payload = Seq("tc", "camp"))
+      .select(col("v"),
+        when(col("tc").isNotNull &&
+            col("tp") - col("tc") <= horizonSec * 1000000L, col("camp"))
+          .otherwise(lit("direct")).as("campaign"))
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_conv"),
+        graft.functions.dsum2(col("v")).as("revenue"))
+      .orderBy("campaign")
+  }
+
+  /** Per-(key, day) time-weighted average of a level reading: each
+    * event's value holds until the next event of that key that day,
+    * the last until midnight. Weights are exact epoch-micros deltas;
+    * the weighted sum accumulates in exact decimal, so the result is
+    * deterministic under any partitioning. One user-keyed window +
+    * one hash agg. */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k"), col("d"))
+      .orderBy(col("t"), col("__tie"))
+    events
+      .select(col(keyCol).as("k"), col(tsCol).cast("date").as("d"),
+        epochUs(col(tsCol)).as("t"), col(valueCol).as("v"),
+        col(tieCol).as("__tie"))
+      .withColumn("t_next", coalesce(lead(col("t"), 1).over(w),
+        unix_micros(col("d").cast("timestamp") + expr("interval 1 day"))))
+      .withColumn("w_us", col("t_next") - col("t"))
+      .groupBy("k", "d")
+      // the measure is a 2-dp quantity and the weight an integer, so
+      // the weighted sum is EXACT decimal end to end — the only float
+      // op is the final division (cross-engine deterministic); a
+      // double product would hit engine-specific decimal-cast rounding
+      .agg((sum(graft.functions.dec2(col("v")) * col("w_us"))
+          .cast("double") / sum(col("w_us"))).as("twap"),
+        count(lit(1)).as("n_obs"))
+      .orderBy("k", "d")
+  }
+
   /** Churn-risk behavior tag (reference docs/画像简介.md:23 — churn
     * warning from recent login frequency + behavior): per user, last
     * active date, days silent as of `asOf`, activity count in the

@@ -309,6 +309,17 @@ object TextOps {
     val tf = base.select(col(idCol), explode(col("__w")).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    bm25FromPostings(tf, dl, stats, terms, k, k1, b, idCol)
+  }
+
+  /** The BM25 scoring tail shared by the corpus-scan path
+    * ([[bm25TopK]]) and the inverted-index path ([[bm25TopKIndexed]]):
+    * identical arithmetic in identical order, so both paths are
+    * bit-equal and check against the same oracle. `tf` is
+    * (idCol, token, tf) already restricted to the query terms. */
+  private def bm25FromPostings(tf: DataFrame, dl: DataFrame,
+      stats: DataFrame, terms: Seq[String], k: Int,
+      k1: Double, b: Double, idCol: String): DataFrame = {
     val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nd = col("n_docs").cast("double")
     val scored = tf
@@ -330,6 +341,57 @@ object TextOps {
     pivoted.select(col(idCol), col("n_terms"), score.as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+  }
+
+  /** Persist an inverted index: term-sharded postings
+    * (`postings/shard=S/` holding (doc_id, token, tf)), doc lengths,
+    * and 1-row corpus stats. A term lookup then reads ONLY its shard
+    * directories (partition-pruned) instead of scanning the corpus —
+    * the posting-list retrieval move every search engine makes, laid
+    * out lake-style. Build is one tokenize+explode pass: the postings
+    * agg shuffles on (doc, token), the shard write repartitions on the
+    * shard key so each shard is one file per task set, and doc
+    * lengths/stats ride the same tokenized base. Rebuild to refresh
+    * (same policy as the IVF base index). */
+  def buildInvertedIndex(docs: DataFrame, indexDir: String,
+      shards: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val w = wordTokens(col(textCol))
+    val base = docs.select(col(idCol), w.as("__w"))
+    val dl = base.select(col(idCol), size(col("__w")).cast("long").as("dl"))
+    dl.write.mode("overwrite").parquet(s"$indexDir/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+    base.select(col(idCol), explode(col("__w")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("shard", pmod(xxhash64(col("token")), lit(shards.toLong)))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** BM25 top-k answered FROM the persisted inverted index: reads the
+    * query terms' shard partitions only (plan-pinned partition
+    * pruning), never the corpus — identical results to [[bm25TopK]]
+    * by construction (shared scoring tail). */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, shards: Int = 64,
+      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKIndexed needs at least one query term")
+    // the terms' shard ids, via the engine's own hash (one tiny job —
+    // guarantees driver/executor hash agreement)
+    val shardIds = spark.range(1).select(
+        terms.map(t => pmod(xxhash64(lit(t)), lit(shards.toLong))
+          .as(s"s_$t")): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    val tf = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("shard").isin(shardIds: _*) &&
+        col("token").isin(terms: _*))
+      .select(col(idCol), col("token"), col("tf"))
+    val dl = spark.read.parquet(s"$indexDir/doclen")
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    bm25FromPostings(tf, dl, stats, terms, k, k1, b, idCol)
   }
 
   /** Common-token ratio: the fraction of a document's tokens that fall

@@ -98,6 +98,17 @@ class BehaviorSpec extends SparkSuite {
     assertSameRows(got, cascade)
   }
 
+  test("windowFunnel is invariant to input partitioning and row order") {
+    val base = Engine.table(spark, sf, "events")
+    val shuffled = base.repartition(7)
+      .sortWithinPartitions(col("ts").desc, col("event_id").desc)
+    val a = Behavior.windowFunnel(base, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), 86400L)
+    val b = Behavior.windowFunnel(shuffled, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), 86400L)
+    assertSameRows(a, b)
+  }
+
   test("retentionCohort: offsets and cohort sizes") {
     val e = ev(
       (1L, "x", "2024-01-01 10:00:00", 1),
@@ -125,6 +136,50 @@ class BehaviorSpec extends SparkSuite {
         "event_id", 1800L)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(got.toSeq == Seq(("a", "b", 2L), ("c", "d", 1L)))
+  }
+
+  test("lastTouchAttribution: horizon, ties, latest-touch-wins") {
+    import spark.implicits._
+    val e = Seq(
+      // u1: click at 10:00 (camp A), click 10:30 (camp B), buy 10:40
+      //     -> latest in-horizon click is B
+      (1L, "click", "2024-01-01 10:00:00", 1L, 0.0, """{"k":"A"}"""),
+      (1L, "click", "2024-01-01 10:30:00", 2L, 0.0, """{"k":"B"}"""),
+      (1L, "purchase", "2024-01-01 10:40:00", 3L, 10.0, "{}"),
+      // u2: click 2h before the buy -> out of horizon -> direct
+      (2L, "click", "2024-01-01 08:00:00", 4L, 0.0, """{"k":"A"}"""),
+      (2L, "purchase", "2024-01-01 10:00:00", 5L, 5.0, "{}"),
+      // u3: click at the exact purchase instant attaches; two ties ->
+      //     larger event_id wins deterministically
+      (3L, "click", "2024-01-01 09:00:00", 6L, 0.0, """{"k":"C"}"""),
+      (3L, "click", "2024-01-01 09:00:00", 7L, 0.0, """{"k":"D"}"""),
+      (3L, "purchase", "2024-01-01 09:00:00", 8L, 2.5, "{}"))
+      .toDF("user_id", "event_type", "tss", "event_id", "value", "props")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("tss")).as("ts"), col("event_id"), col("value"),
+        col("props"))
+    val got = Behavior.lastTouchAttribution(e, "user_id", "ts",
+        "purchase", "click", get_json_object(col("props"), "$.k"),
+        "value", "event_id", 3600L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("B", 1L, 10.0), ("D", 1L, 2.5), ("direct", 1L, 5.0)))
+  }
+
+  test("timeWeightedAvg: holds values to next reading then midnight") {
+    import spark.implicits._
+    // value 10 holds 06:00->18:00 (12h), value 30 holds 18:00->24:00
+    // (6h): twap = (10*12 + 30*6) / 18 = 300/18
+    val e = Seq(
+      (1L, "m", "2024-01-01 06:00:00", 1L, 10.0),
+      (1L, "m", "2024-01-01 18:00:00", 2L, 30.0))
+      .toDF("user_id", "event_type", "tss", "event_id", "value")
+      .select(col("event_type"), to_timestamp(col("tss")).as("ts"),
+        col("event_id"), col("value"))
+    val got = Behavior.timeWeightedAvg(e, "event_type", "ts", "value",
+      "event_id").collect()
+    assert(got.length == 1)
+    assert(got(0).getDouble(2) == 300.0 / 18.0 && got(0).getLong(3) == 2)
   }
 
   test("churnRisk: tag rules") {

@@ -501,4 +501,52 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must avoid a global sort:\n$plan")
   }
+
+  test("window funnel is ONE user-keyed hash agg — no window, no join") {
+    val plan = executedPlan(graft.operators.Behavior.windowFunnel(
+      Engine.table(spark, sf, "events"), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), 86400L))
+      .split("== Initial Plan ==").head // count the AQE final plan only
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(shuffles == 1, s"k-step funnel must not pay k shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"funnel must not sort-window:\n$plan")
+    assert(!plan.contains("Join"), s"funnel must not join:\n$plan")
+  }
+
+  test("classifier scoring is a shuffle-free scan (broadcastable model)") {
+    val feats = graft.operators.TextClassifier.hashedFeatures(
+      Engine.table(spark, sf, "documents"), "text", 4096)
+    val plan = executedPlan(graft.operators.TextClassifier.scoreLogistic(
+      feats, "fx", Map(-1 -> 0.5, 3 -> 1.0), Seq("doc_id")))
+    assert(!plan.contains("Exchange"),
+      s"scoring a 100 TB corpus must be map-only:\n$plan")
+  }
+
+  test("inverted-index BM25 prunes to the query terms' shards and " +
+      "matches the scan path exactly") {
+    val dir = tmpDir("invidx")
+    graft.operators.TextOps.buildInvertedIndex(
+      Engine.table(spark, sf, "documents"), dir)
+    val terms = Seq("join", "scan", "filter")
+    val indexed = graft.operators.TextOps.bm25TopKIndexed(
+      spark, dir, terms, k = 10)
+    val plan = executedPlan(indexed)
+    assert(plan.contains("PartitionFilters: [shard"),
+      s"term lookup must prune shard partitions:\n$plan")
+    assertSameRows(indexed, graft.operators.TextOps.bm25TopK(
+      Engine.table(spark, sf, "documents"), terms, k = 10))
+  }
+
+  test("gap-fill windows partition on the series key, never globally") {
+    import spark.implicits._
+    val obs = Engine.table(spark, sf, "events")
+      .groupBy(col("event_type").as("k"), col("ts").cast("date").as("dd"))
+      .agg(max("value").as("v"))
+    val plan = executedPlan(graft.operators.TimeSeries.gapFillDaily(
+      obs, Seq("k"), "dd", "v", "2024-01-01", "2024-01-30"))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"gap-fill must not globally sort:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
 }
