@@ -203,7 +203,30 @@ object BehaviorQueries {
         COUNT(*) AS n_obs
       FROM o GROUP BY k, d ORDER BY k, d"""))
 
+  /** 7-day moving average of daily revenue per priority — a
+    * time-RANGE window frame (`RANGE BETWEEN INTERVAL ... PRECEDING`),
+    * the calendar-aware frame a ROWS frame cannot express when days
+    * are missing. One SQL text runs verbatim on BOTH engines; the
+    * daily sums and the frame sum stay in exact decimal, the division
+    * is the only float op. */
+  private lazy val movingAvgSql = """
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2)
+    SELECT pri, d,
+      CAST(SUM(rev) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS ma7
+    FROM daily
+    WINDOW w AS (PARTITION BY pri ORDER BY d
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY pri, d"""
+
+  val q_moving_avg = QuerySpec(
+    "q_moving_avg", Seq("W6", "A6", "F9"),
+    (s, d) => { Engine.registerAll(s, d); s.sql(movingAvgSql) },
+    Some(movingAvgSql))
+
   val all: Seq[QuerySpec] = Seq(
     q_funnel_counts, q_retention_cohort, q_path_transitions, q_churn_tags,
-    q_gap_fill, q_attribution, q_twap)
+    q_gap_fill, q_attribution, q_twap, q_moving_avg)
 }

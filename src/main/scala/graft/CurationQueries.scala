@@ -59,12 +59,17 @@ object CurationQueries {
     * oracle evaluates the IDENTICAL log-free formula (constants
     * interpolated from the same Scala doubles, so both engines parse
     * the same literals) with the same fixed-order score addition. */
-  private lazy val bm25OracleSql: String = {
+  private lazy val bm25OracleSql: String = bm25OracleSqlOver(duckTok)
+
+  /** The BM25 oracle parameterized over the tokenized-corpus CTE, so
+    * the index-maintenance query can aim the SAME scoring SQL at a
+    * reconstructed live corpus. */
+  private def bm25OracleSqlOver(tok: String): String = {
       val inList = bm25Terms.map("'" + _ + "'").mkString(", ")
       val scoreSum = bm25Terms.map(t =>
         s"COALESCE(MAX(CASE WHEN token = '$t' THEN s END), 0.0)")
         .mkString(" +\n               ")
-      s"""WITH base AS ($duckTok),
+      s"""WITH base AS ($tok),
           dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
           st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
@@ -115,6 +120,64 @@ object CurationQueries {
         k1 = bm25K1, b = bm25B)
     },
     Some(bm25OracleSql))
+
+  /** Updated text planted by the maintenance batch for doc 3. */
+  private val maintUpdText = "join join scan filter join"
+
+  /** Inverted-index CDC maintenance lifecycle, oracle-gated: build on
+    * a subset, apply one insert/delete/update batch, query MAINTAINED
+    * (tombstone-resolved), compact, query again — both phases must
+    * equal DuckDB running the same BM25 over the reconstructed live
+    * corpus. The index twin of q_embed_ivf_upsert. */
+  val q_bm25_index_maint = QuerySpec(
+    "q_bm25_index_maint", Seq("E-text", "A12", "S2"),
+    (s, d) => {
+      val docs = Engine.table(s, d, "documents")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_invmaint").toString
+      TextOps.buildInvertedIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), dir)
+      import s.implicits._
+      val inserts = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+        .withColumn("change", lit("insert"))
+      val deletes = docs
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
+        .select(col("doc_id"), col("text"))
+        .withColumn("change", lit("delete"))
+      val upd = docs.filter(col("doc_id") === 3)
+        .select(col("doc_id"), col("text"))
+        .withColumn("change", lit("delete"))
+        .unionByName(Seq((3L, maintUpdText)).toDF("doc_id", "text")
+          .withColumn("change", lit("insert")))
+      TextOps.invertedIndexUpsert(s, dir,
+        inserts.unionByName(deletes).unionByName(upd))
+      val maintained = TextOps.bm25TopKIndexed(s, dir, bm25Terms,
+          k = 10, k1 = bm25K1, b = bm25B)
+        .withColumn("phase", lit("maintained")).collect()
+      TextOps.invertedIndexCompact(s, dir)
+      val compacted = TextOps.bm25TopKIndexed(s, dir, bm25Terms,
+          k = 10, k1 = bm25K1, b = bm25B)
+        .withColumn("phase", lit("compacted"))
+      compacted.sparkSession.createDataFrame(
+          compacted.sparkSession.sparkContext.parallelize(
+            maintained.toSeq), compacted.schema)
+        .unionByName(compacted)
+        .orderBy("phase", "doc_id")
+    },
+    Some {
+      val liveTok =
+        s"""SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+            FROM (SELECT doc_id, text FROM documents
+                  WHERE NOT (doc_id % 10 <> 0 AND doc_id % 7 = 1)
+                    AND doc_id <> 3
+                  UNION ALL SELECT 3, '$maintUpdText') live"""
+      s"""WITH one AS (${bm25OracleSqlOver(liveTok)})
+          SELECT doc_id, n_terms, score, 'compacted' AS phase FROM one
+          UNION ALL
+          SELECT doc_id, n_terms, score, 'maintained' AS phase FROM one
+          ORDER BY phase, doc_id"""
+    })
 
   /** Vocabulary-coverage quality score ([[TextOps.commonTokenRatio]]):
     * fraction of each doc's tokens inside the corpus top-100 vocab. */
@@ -404,5 +467,6 @@ object CurationQueries {
     q_repetition_stats, q_bm25_topk, q_common_token_ratio,
     q_pack_sequences, q_mixture_sample, q_dedup_spans, q_shuffle_export,
     q_quality_gate, q_source_cap, q_temperature_mixture,
-    q_bpe_learn, q_bpe_encode, q_quality_classifier, q_bm25_indexed)
+    q_bpe_learn, q_bpe_encode, q_quality_classifier, q_bm25_indexed,
+    q_bm25_index_maint)
 }

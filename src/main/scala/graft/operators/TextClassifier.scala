@@ -116,7 +116,12 @@ object TextClassifier {
             f -> (w(f) - lr * g / math.sqrt(gsq(f) + 1e-8))
           }
         w = (w ++ upd).withDefaultValue(0.0)
-        val wrong = watch.get("wrong").asInstanceOf[Long]
+        // empty training set: the observed-metrics map has no entry
+        // (and a 0-row sum would be null) — trivially converged
+        val wrong = watch.get.getOrElse("wrong", null) match {
+          case l: java.lang.Long => l.longValue
+          case _ => 0L
+        }
         zeroStreak = if (wrong == 0L) zeroStreak + 1 else 0
       }
     } finally { data.unpersist(); data0.unpersist() }

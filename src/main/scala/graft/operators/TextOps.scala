@@ -373,7 +373,11 @@ object TextOps {
   /** BM25 top-k answered FROM the persisted inverted index: reads the
     * query terms' shard partitions only (plan-pinned partition
     * pruning), never the corpus — identical results to [[bm25TopK]]
-    * by construction (shared scoring tail). */
+    * by construction (shared scoring tail). A maintained index
+    * ([[invertedIndexUpsert]]) resolves tombstones on read and
+    * recomputes the 1-row corpus stats from the live doc lengths; a
+    * never-maintained index takes the raw path with zero overlay
+    * cost. */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75, shards: Int = 64,
@@ -385,13 +389,106 @@ object TextOps {
         terms.map(t => pmod(xxhash64(lit(t)), lit(shards.toLong))
           .as(s"s_$t")): _*)
       .head().toSeq.map(_.asInstanceOf[Long]).distinct
-    val tf = spark.read.parquet(s"$indexDir/postings")
+    val maintained = new java.io.File(s"$indexDir/_maint").exists()
+    val tf = resolveLive(spark, indexDir, s"$indexDir/postings", idCol)
       .filter(col("shard").isin(shardIds: _*) &&
         col("token").isin(terms: _*))
       .select(col(idCol), col("token"), col("tf"))
-    val dl = spark.read.parquet(s"$indexDir/doclen")
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    val dl = resolveLive(spark, indexDir, s"$indexDir/doclen", idCol)
+      .select(col(idCol), col("dl"))
+    val stats =
+      if (!maintained) spark.read.parquet(s"$indexDir/stats")
+      else dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     bm25FromPostings(tf, dl, stats, terms, k, k1, b, idCol)
+  }
+
+  /** Incrementally maintain the inverted index from a document change
+    * feed — the same CDC lifecycle as the IVF index
+    * ([[graft.operators.Similarity.ivfUpsert]]): `changes` carries the
+    * document columns plus `change` ∈ insert|delete (an update is its
+    * delete+insert pair). Inserts tokenize ONLY the changed documents
+    * and append sharded postings + doc-length rows stamped with the
+    * batch seq; every changed id becomes an (id, seq) tombstone
+    * resolved at query time by last-writer-wins (the batch's own
+    * inserts survive their tombstone via `tseq <= seq`).
+    * [[invertedIndexCompact]] physically reclaims. Returns the batch
+    * seq. */
+  def invertedIndexUpsert(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, changes: DataFrame, shards: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id",
+      changeCol: String = "change"): Long = {
+    new java.io.File(s"$indexDir/_maint").mkdirs()
+    val seqFile = java.nio.file.Paths.get(s"$indexDir/_maint/seq")
+    val seq = (if (java.nio.file.Files.exists(seqFile))
+      new String(java.nio.file.Files.readAllBytes(seqFile), "UTF-8")
+        .trim.toLong
+    else 0L) + 1
+    val ins = changes.filter(col(changeCol) === "insert")
+      .select(col(idCol), wordTokens(col(textCol)).as("__w"))
+    ins.select(col(idCol), explode(col("__w")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("__seq", lit(seq))
+      .withColumn("shard", pmod(xxhash64(col("token")), lit(shards.toLong)))
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard")
+      .parquet(s"$indexDir/postings")
+    ins.select(col(idCol), size(col("__w")).cast("long").as("dl"))
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").parquet(s"$indexDir/doclen")
+    changes.select(col(idCol)).distinct()
+      .withColumn("__tseq", lit(seq))
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+    java.nio.file.Files.write(seqFile, seq.toString.getBytes("UTF-8"))
+    seq
+  }
+
+  /** Physically reclaim tombstoned index rows: rewrite the live
+    * postings and doc lengths as a fresh base, refresh the stored
+    * stats, clear the maintenance state. */
+  def invertedIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String = "doc_id"): Unit = {
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    def rewrite(sub: String, partBy: Option[String]): Unit = {
+      val staged = s"$indexDir/${sub}_compacting"
+      val live = resolveLive(spark, indexDir, s"$indexDir/$sub", idCol)
+      val writer = live.write.mode("overwrite")
+      partBy.fold(writer)(p => writer.partitionBy(p)).parquet(staged)
+      rmrf(new java.io.File(s"$indexDir/$sub"))
+      new java.io.File(staged).renameTo(new java.io.File(s"$indexDir/$sub"))
+      ()
+    }
+    rewrite("postings", Some("shard"))
+    rewrite("doclen", None)
+    spark.read.parquet(s"$indexDir/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+    rmrf(new java.io.File(s"$indexDir/tombstones"))
+    rmrf(new java.io.File(s"$indexDir/_maint"))
+  }
+
+  /** A maintained index table's LIVE rows: base + appends,
+    * last-writer-wins against the broadcast tombstone list (bounded by
+    * churn since the last compaction). Never-maintained indexes return
+    * the raw read untouched. */
+  private def resolveLive(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, path: String, idCol: String): DataFrame = {
+    if (!new java.io.File(s"$indexDir/_maint").exists())
+      return spark.read.parquet(path)
+    val raw0 = spark.read.option("mergeSchema", "true").parquet(path)
+    val raw =
+      if (raw0.columns.contains("__seq"))
+        raw0.withColumn("__seq", coalesce(col("__seq"), lit(0L)))
+      else raw0.withColumn("__seq", lit(0L))
+    val tDir = new java.io.File(s"$indexDir/tombstones")
+    if (!tDir.exists()) return raw.drop("__seq")
+    val tmax = spark.read.parquet(s"$indexDir/tombstones")
+      .groupBy(idCol).agg(max(col("__tseq")).as("__tmax"))
+    raw.join(broadcast(tmax), Seq(idCol), "left")
+      .filter(col("__tmax").isNull || col("__tmax") <= col("__seq"))
+      .drop("__tmax", "__seq")
   }
 
   /** Common-token ratio: the fraction of a document's tokens that fall

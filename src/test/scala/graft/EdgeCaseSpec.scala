@@ -164,4 +164,36 @@ class EdgeCaseSpec extends SparkSuite {
     assert(Relational.bucketedRangeJoin(pts, "p", ivEmpty, "lo", "hi", 10.0)
       .count() == 0)
   }
+
+  test("behavior/time-series/classifier operators on empty input") {
+    import graft.operators.{Behavior, TimeSeries, TextClassifier}
+    val noEvents = Seq.empty[(Long, String, java.sql.Timestamp, Long, Double)]
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    assert(Behavior.windowFunnel(noEvents, "user_id", "event_type", "ts",
+      Seq("a", "b"), 60L).count() == 0)
+    assert(Behavior.retentionCohort(noEvents, "user_id", "ts", 7)
+      .count() == 0)
+    assert(Behavior.pathTransitions(noEvents, "user_id", "event_type",
+      "ts", "event_id", 60L).count() == 0)
+    assert(Behavior.lastTouchAttribution(noEvents, "user_id", "ts",
+      "purchase", "click", lit("c"), "value", "event_id", 60L)
+      .count() == 0)
+    assert(Behavior.timeWeightedAvg(noEvents, "event_type", "ts",
+      "value", "event_id").count() == 0)
+    val noObs = Seq.empty[(String, java.sql.Date, Double)]
+      .toDF("k", "dd", "v")
+    assert(TimeSeries.gapFillDaily(noObs, Seq("k"), "dd", "v",
+      "2024-01-01", "2024-01-05").count() == 0)
+    // classifier: empty training set yields the empty model; scoring
+    // with it predicts negative everywhere (margin 0)
+    val feats = TextClassifier.hashedFeatures(emptyDocs, "text", 64)
+    val w = TextClassifier.trainLogistic(feats, "doc_id", "fx",
+      "doc_id", iters = 2, lr = 1.0)
+    assert(w.isEmpty || w.values.forall(_ == 0.0))
+    val one = TextClassifier.hashedFeatures(
+      Seq((9L, "hi", "s")).toDF("doc_id", "text", "source"), "text", 64)
+    val scored = TextClassifier.scoreLogistic(one, "fx", w, Seq("doc_id"))
+      .collect()
+    assert(scored.length == 1 && !scored(0).getAs[Boolean]("pred"))
+  }
 }

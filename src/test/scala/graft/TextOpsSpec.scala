@@ -175,4 +175,44 @@ class TextOpsSpec extends SparkSuite {
       s"SELECT norm_text('  ÉCOLE  du\t monde ')").head.getString(0)
     assert(viaSql == "école du monde")
   }
+
+  test("inverted-index maintenance: indexed BM25 equals the scan path " +
+      "over the live corpus through insert/delete/update and compaction") {
+    import spark.implicits._
+    val docs = Engine.table(spark, sf, "documents")
+    val base = docs.filter(col("doc_id") % 10 =!= 0) // hold some out
+    val dir = tmpDir("invmaint")
+    graft.operators.TextOps.buildInvertedIndex(base, dir)
+    val terms = Seq("join", "scan", "filter")
+    // CDC batch: insert the held-out docs, delete doc_id % 7 == 1,
+    // update doc 3 to fresh text (delete + insert pair)
+    val inserts = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).withColumn("change", lit("insert"))
+    val deletes = base.filter(col("doc_id") % 7 === 1)
+      .select(col("doc_id"), col("text")).withColumn("change", lit("delete"))
+    val updDel = base.filter(col("doc_id") === 3)
+      .select(col("doc_id"), col("text")).withColumn("change", lit("delete"))
+    val updIns = Seq((3L, "join join scan filter join"))
+      .toDF("doc_id", "text").withColumn("change", lit("insert"))
+    graft.operators.TextOps.invertedIndexUpsert(spark, dir,
+      inserts.unionByName(deletes).unionByName(updDel).unionByName(updIns))
+    // the live corpus the index should now represent: base minus the
+    // deletes minus the updated doc, plus ALL inserts (inserts that
+    // also match the delete predicate were never deleted — they were
+    // not in base; their insert survives its own batch tombstone)
+    val live = docs
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 1 &&
+        col("doc_id") =!= 3)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")))
+      .unionByName(Seq((3L, "join join scan filter join"))
+        .toDF("doc_id", "text"))
+    val expected = graft.operators.TextOps.bm25TopK(live, terms, k = 10)
+    assertSameRows(graft.operators.TextOps.bm25TopKIndexed(
+      spark, dir, terms, k = 10), expected)
+    graft.operators.TextOps.invertedIndexCompact(spark, dir)
+    assertSameRows(graft.operators.TextOps.bm25TopKIndexed(
+      spark, dir, terms, k = 10), expected)
+  }
 }
