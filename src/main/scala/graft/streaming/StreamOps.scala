@@ -482,6 +482,28 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming search-index maintenance: feed
+    * [[graft.operators.TextOps.invertedIndexUpsert]] from a document
+    * CDC stream (same contract as [[annIndexSink]] for the ANN index).
+    * Redelivery of a batch is content-idempotent: the re-applied
+    * tombstones supersede the first delivery's rows and the re-inserted
+    * postings carry the newer seq, so the resolved live set is
+    * unchanged. */
+  def searchIndexSink(changes: DataFrame, indexDir: String,
+      checkpoint: String, intervalMs: Long = 500,
+      textCol: String = "text", idCol: String = "doc_id")
+      : StreamingQuery =
+    changes.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextOps.invertedIndexUpsert(batch.sparkSession,
+          indexDir, batch, textCol = textCol, idCol = idCol)
+        ()
+      }
+      .start()
+
   /** T8: Kappa replay — recompute a result table by re-consuming the
     * source from the beginning into a FRESH checkpoint + staging dir,
     * then atomically swap. `transform` is the shared batch/stream logic

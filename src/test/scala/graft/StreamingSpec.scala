@@ -663,6 +663,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming search-index sink maintains posting lists from a doc stream") {
+    implicit val ctx = spark.sqlContext
+    val dir = tmpDir("searchidx")
+    val docs = Engine.table(spark, sf, "documents")
+      .filter(col("doc_id") < 40).select("doc_id", "text")
+    graft.operators.TextOps.buildInvertedIndex(docs, dir)
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamOps.searchIndexSink(
+      in.toDF.toDF("doc_id", "text", "change"), dir,
+      tmpDir("searchidxck"), intervalMs = 50)
+    try {
+      // stream in: a new doc stuffed with query terms; delete doc 1
+      in.addData((9000L, "join join scan filter", "insert"),
+        (1L, "", "delete"))
+      q.processAllAvailable()
+      val live = docs.filter(col("doc_id") =!= 1)
+        .unionByName(Seq((9000L, "join join scan filter"))
+          .toDF("doc_id", "text"))
+      assertSameRows(
+        graft.operators.TextOps.bm25TopKIndexed(spark, dir,
+          Seq("join", "scan", "filter"), k = 10),
+        graft.operators.TextOps.bm25TopK(live,
+          Seq("join", "scan", "filter"), k = 10))
+    } finally q.stop()
+  }
+
   test("streaming summary maintenance: maintained == rebuilt, exactly-once") {
     implicit val ctx = spark.sqlContext
     val root = tmpDir("sumsink")
