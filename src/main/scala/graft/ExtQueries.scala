@@ -1171,6 +1171,54 @@ object ExtQueries {
     * recomputes all five rows with exact BIGINT set algebra. Updates
     * surface in the feed as delete+insert pairs (no coalescing), kept
     * rows cancel. */
+  /** Threshold-gated quality rules ([[graft.operators.QualityChecks]],
+    * reference docs/实时数仓.md:118-124): completeness, uniqueness,
+    * bounds, format, referential integrity over orders — one
+    * single-pass agg plus one key join, metrics compared to thresholds.
+    * The NOT-all-1.0 rules (bounds/pattern) prove the metric is a real
+    * fraction, not a vacuous pass. */
+  val q_quality_checks = QuerySpec(
+    "q_quality_checks", Seq("A1", "A3", "J1", "P5"),
+    (s, d) => {
+      import graft.operators.QualityChecks._
+      run(Engine.table(s, d, "orders"), Seq(
+        Completeness("r1_custkey_complete", "o_custkey", 1.0),
+        Uniqueness("r2_orderkey_unique", Seq("o_orderkey"), 1.0),
+        Bounds("r3_price_bounds", "o_totalprice", 0.0, 400000.0, 0.99),
+        Pattern("r4_priority_format", "o_orderpriority", "^[12]-", 0.5),
+        ForeignKey("r5_custkey_fk", "o_custkey",
+          Engine.table(s, d, "customer"), "c_custkey", 1.0)))
+    },
+    Some("""
+      WITH n AS (SELECT COUNT(*) AS n FROM orders)
+      SELECT rule, metric, threshold, metric >= threshold AS pass FROM (
+        SELECT 'r1_custkey_complete' AS rule,
+          CAST(COUNT(o_custkey) AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
+          CAST(1.0 AS DOUBLE) AS threshold FROM orders, n GROUP BY n
+        UNION ALL
+        SELECT 'r2_orderkey_unique',
+          CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / CAST(n AS DOUBLE),
+          CAST(1.0 AS DOUBLE) FROM orders, n GROUP BY n
+        UNION ALL
+        SELECT 'r3_price_bounds',
+          CAST(COUNT(CASE WHEN o_totalprice BETWEEN 0.0 AND 400000.0
+                     THEN 1 END) AS DOUBLE)
+            / CAST(COUNT(o_totalprice) AS DOUBLE),
+          CAST(0.99 AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT 'r4_priority_format',
+          CAST(COUNT(CASE WHEN regexp_matches(o_orderpriority, '^[12]-')
+                     THEN 1 END) AS DOUBLE)
+            / CAST(COUNT(o_orderpriority) AS DOUBLE),
+          CAST(0.5 AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT 'r5_custkey_fk',
+          CAST(COUNT(c.c_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+          CAST(1.0 AS DOUBLE)
+        FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey)
+      ORDER BY rule"""))
+
   val q_versioned_merge = QuerySpec(
     "q_versioned_merge", Seq("S9", "J5", "J6"),
     (s, d) => {
@@ -1257,5 +1305,6 @@ object ExtQueries {
     q_topk_per_group, q_asof_join,
     q_range_join, q_bigwhere_join, q_bloom_prefilter_join,
     q_window_analytic, q_collect_agg, q_collection_funcs,
-    q_string_funcs2, q_approx_topk, q_merge_upsert, q_merge_sql)
+    q_string_funcs2, q_approx_topk, q_merge_upsert, q_merge_sql,
+    q_quality_checks)
 }
