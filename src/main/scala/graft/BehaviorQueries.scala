@@ -226,7 +226,31 @@ object BehaviorQueries {
     (s, d) => { Engine.registerAll(s, d); s.sql(movingAvgSql) },
     Some(movingAvgSql))
 
+  /** Z-score anomaly flags on the daily level series — exact decimal
+    * daily sums and sums-of-squares, one double formula at the end
+    * (identical text both engines; the per-key stats join broadcasts).
+    * The monitoring-side complement of the quality rules. */
+  private lazy val anomalySql = """
+    WITH daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT k, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS s,
+             CAST(SUM(v*v) AS DOUBLE) AS ss
+      FROM daily GROUP BY 1)
+    SELECT daily.k AS k, d, CAST(v AS DOUBLE) AS v,
+      (CAST(v AS DOUBLE) - s/n) / sqrt(ss/n - (s/n)*(s/n)) AS z
+    FROM daily JOIN st ON daily.k = st.k
+    WHERE abs((CAST(v AS DOUBLE) - s/n) / sqrt(ss/n - (s/n)*(s/n))) > 2.0
+    ORDER BY k, d"""
+
+  val q_anomaly_zscore = QuerySpec(
+    "q_anomaly_zscore", Seq("A6", "J4", "F6"),
+    (s, d) => { Engine.registerAll(s, d); s.sql(anomalySql) },
+    Some(anomalySql))
+
   val all: Seq[QuerySpec] = Seq(
     q_funnel_counts, q_retention_cohort, q_path_transitions, q_churn_tags,
-    q_gap_fill, q_attribution, q_twap, q_moving_avg)
+    q_gap_fill, q_attribution, q_twap, q_moving_avg, q_anomaly_zscore)
 }

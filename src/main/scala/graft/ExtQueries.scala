@@ -1177,6 +1177,32 @@ object ExtQueries {
     * single-pass agg plus one key join, metrics compared to thresholds.
     * The NOT-all-1.0 rules (bounds/pattern) prove the metric is a real
     * fraction, not a vacuous pass. */
+  /** NOT IN vs NOT EXISTS under NULLs — the reference's own tuning
+    * rule (docs/sql规范.md #12: rewrite NOT IN as NOT EXISTS / outer
+    * join) exists precisely because NOT IN over a subquery CONTAINING
+    * a NULL matches nothing under three-valued logic. One SQL text,
+    * both engines: the with-NULLs count must be 0, the NULL-filtered
+    * count equals the NOT EXISTS rewrite. Spark plans the nullable
+    * form as a null-aware anti join (plan-pinned in PlanShapeSpec). */
+  val q_not_in_null = QuerySpec(
+    "q_not_in_null", Seq("P6", "J6", "P10"),
+    (s, d) => { Engine.registerAll(s, d); s.sql(notInNullSql) },
+    Some(notInNullSql))
+
+  private lazy val notInNullSql = """
+    WITH sub AS (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                             ELSE o_custkey END AS k
+                 FROM orders)
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_with_nulls,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
+        AS n_null_filtered,
+      (SELECT COUNT(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey))
+        AS n_not_exists"""
+
   val q_quality_checks = QuerySpec(
     "q_quality_checks", Seq("A1", "A3", "J1", "P5"),
     (s, d) => {
@@ -1306,5 +1332,5 @@ object ExtQueries {
     q_range_join, q_bigwhere_join, q_bloom_prefilter_join,
     q_window_analytic, q_collect_agg, q_collection_funcs,
     q_string_funcs2, q_approx_topk, q_merge_upsert, q_merge_sql,
-    q_quality_checks)
+    q_quality_checks, q_not_in_null)
 }

@@ -504,6 +504,30 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming quality monitoring with alerting (the reference's
+    * 根据设定的阈值进行监控报警, docs/实时数仓.md:124): evaluate
+    * [[graft.operators.QualityChecks]] rules on every micro-batch and
+    * append the BREACHING rules to an alert table
+    * (batch_id, rule, metric, threshold). The per-batch check is the
+    * same single-pass aggregation as the batch form — rule count,
+    * never data volume, bounds the overhead. */
+  def qualityAlertSink(stream: DataFrame,
+      rules: Seq[graft.operators.QualityChecks.Rule], alertDir: String,
+      checkpoint: String, intervalMs: Long = 500): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.QualityChecks.run(batch, rules)
+          .filter(!col("pass"))
+          .withColumn("batch_id", lit(batchId))
+          .select("batch_id", "rule", "metric", "threshold")
+          .write.mode("append").parquet(alertDir)
+        ()
+      }
+      .start()
+
   /** T8: Kappa replay — recompute a result table by re-consuming the
     * source from the beginning into a FRESH checkpoint + staging dir,
     * then atomically swap. `transform` is the shared batch/stream logic

@@ -538,6 +538,19 @@ class PlanShapeSpec extends SparkSuite {
       Engine.table(spark, sf, "documents"), terms, k = 10))
   }
 
+  test("nullable NOT IN plans as a null-aware anti join (sql规范 #12)") {
+    Engine.registerAll(spark, sf)
+    val plan = executedPlan(spark.sql("""
+      SELECT c_custkey FROM customer
+      WHERE c_custkey NOT IN (
+        SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                    ELSE o_custkey END FROM orders)"""))
+    assert(plan.contains("LeftAnti"), plan)
+    // the NAAJ special case: single-column null-aware form stays a
+    // hash join, not a nested-loop scan per probe row
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("gap-fill windows partition on the series key, never globally") {
     import spark.implicits._
     val obs = Engine.table(spark, sf, "events")

@@ -689,6 +689,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("quality alert sink flags only the breaching batch") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.QualityChecks._
+    val alerts = tmpDir("qalerts") + "/alerts"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.qualityAlertSink(
+      in.toDF.toDF("id", "email"),
+      Seq(Completeness("c_email", "email", 0.9)),
+      alerts, tmpDir("qalertsck"), intervalMs = 50)
+    try {
+      in.addData((1L, "a@x.com"), (2L, "b@x.com")) // clean batch
+      q.processAllAvailable()
+      in.addData((3L, "c@x.com"), (4L, null.asInstanceOf[String])) // 50%
+      q.processAllAvailable()
+      val rows = spark.read.parquet(alerts).collect()
+      assert(rows.length == 1, rows.toSeq.toString)
+      assert(rows(0).getAs[String]("rule") == "c_email" &&
+        rows(0).getAs[Double]("metric") == 0.5)
+    } finally q.stop()
+  }
+
   test("streaming summary maintenance: maintained == rebuilt, exactly-once") {
     implicit val ctx = spark.sqlContext
     val root = tmpDir("sumsink")
