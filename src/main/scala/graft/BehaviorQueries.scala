@@ -250,7 +250,35 @@ object BehaviorQueries {
     (s, d) => { Engine.registerAll(s, d); s.sql(anomalySql) },
     Some(anomalySql))
 
+  /** RFM segmentation ([[operators.Behavior.rfmSegments]], reference
+    * docs/画像简介.md:9-14): purchase recency/frequency/monetary cut
+    * into quintiles, segment sizes out. Deterministic ntile via the
+    * user-key tie-break. */
+  val q_rfm_segments = QuerySpec(
+    "q_rfm_segments", Seq("A6", "W6", "A13"),
+    (s, d) => Behavior.rfmSegments(
+      Engine.table(s, d, "events"), "user_id", "ts",
+      convType = "purchase", valueCol = "value", asOf = "2024-01-31",
+      buckets = 5),
+    Some("""
+      WITH p AS (
+        SELECT user_id AS u, MAX(CAST(ts AS DATE)) AS last_d,
+               COUNT(*) AS f, SUM(CAST(value AS DECIMAL(18,2))) AS m
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      s AS (
+        SELECT u,
+          ntile(5) OVER (ORDER BY datediff('day', last_d,
+                           DATE '2024-01-31') DESC, u) AS rq,
+          ntile(5) OVER (ORDER BY f, u) AS fq,
+          ntile(5) OVER (ORDER BY CAST(m AS DOUBLE), u) AS mq
+        FROM p)
+      SELECT CAST(rq AS BIGINT) AS r_quintile,
+             CAST(fq AS BIGINT) AS f_quintile,
+             CAST(mq AS BIGINT) AS m_quintile, COUNT(*) AS users
+      FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_funnel_counts, q_retention_cohort, q_path_transitions, q_churn_tags,
-    q_gap_fill, q_attribution, q_twap, q_moving_avg, q_anomaly_zscore)
+    q_gap_fill, q_attribution, q_twap, q_moving_avg, q_anomaly_zscore,
+    q_rfm_segments)
 }

@@ -187,6 +187,40 @@ object Behavior {
       .orderBy("k", "d")
   }
 
+  /** RFM segmentation — the canonical statistical profile tag
+    * (统计类标签, reference docs/画像简介.md:9-14: recency 最近一次
+    * 消费, frequency 消费频率, monetary 消费金额): per-user recency /
+    * frequency / monetary from conversion events, each cut into
+    * `buckets` quantiles by ntile (ties broken on the user key, so
+    * the cut is deterministic), reported as segment sizes. Shape: one
+    * user-keyed conditional agg, three rank windows over the (already
+    * user-grain) summary — never over raw events — and a tiny final
+    * agg on the segment grain. The ntile windows are global (exact
+    * equal-count cuts need a total order); at extreme user counts
+    * swap them for broadcast boundary-cuts from
+    * [[Relational.sortedPercentiles]] — same tags, no global sort. */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      convType: String, valueCol: String, asOf: String,
+      buckets: Int): DataFrame = {
+    val asOfD = to_date(lit(asOf))
+    val p = events.filter(col("event_type") === convType)
+      .groupBy(col(userCol).as("u"))
+      .agg(max(col(tsCol).cast("date")).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(graft.functions.dec2(col(valueCol))).as("m0"))
+      .select(col("u"), datediff(asOfD, col("last_d")).as("r"),
+        col("f"), col("m0").cast("double").as("m"))
+    def q(order: Column*) =
+      ntile(buckets).over(Window.orderBy(order: _*)).cast("long")
+    p.select(
+        q(col("r").desc, col("u")).as("r_quintile"),
+        q(col("f"), col("u")).as("f_quintile"),
+        q(col("m"), col("u")).as("m_quintile"))
+      .groupBy("r_quintile", "f_quintile", "m_quintile")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("r_quintile", "f_quintile", "m_quintile")
+  }
+
   /** Churn-risk behavior tag (reference docs/画像简介.md:23 — churn
     * warning from recent login frequency + behavior): per user, last
     * active date, days silent as of `asOf`, activity count in the

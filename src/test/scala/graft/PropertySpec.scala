@@ -292,4 +292,89 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       got == model && v1StillReadable
     })
   }
+
+  private val funnelEventsGen: Gen[List[(Long, String, Int)]] =
+    Gen.listOf(for {
+      u <- Gen.chooseNum(0L, 4L)
+      s <- Gen.oneOf("a", "b", "c", "x") // x = non-funnel noise
+      t <- Gen.chooseNum(0, 500) // seconds within ~8 minutes
+    } yield (u, s, t))
+
+  private def funnelDf(rows: List[(Long, String, Int)]) =
+    rows.zipWithIndex.map { case ((u, s, t), i) => (u, s, t, i.toLong) }
+      .toDF("user_id", "event_type", "tsec", "event_id")
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(lit(1704067200L) + col("tsec")).as("ts"),
+        col("event_id"))
+
+  test("windowFunnel against an in-memory greedy model on random streams") {
+    check(forAll(funnelEventsGen) { rows =>
+      rows.isEmpty || {
+        val win = 120L
+        val steps = Seq("a", "b", "c")
+        val idx = steps.zipWithIndex.toMap
+        // driver-side model of the leftmost-greedy chain
+        val model = rows.filter(r => idx.contains(r._2))
+          .map(r => (r._1, r._3.toLong * 1000000L, idx(r._2)))
+          .sortBy(r => (r._2, r._3))
+          .groupBy(_._1)
+          .flatMap { case (u, evs) =>
+            var t0 = 0L; var depth = 0; var last = 0L
+            evs.foreach { case (_, t, si) =>
+              if (depth == 0) { if (si == 0) { t0 = t; depth = 1; last = t } }
+              else if (depth < steps.length && si == depth && t > last &&
+                t <= t0 + win * 1000000L) { depth += 1; last = t }
+            }
+            if (depth > 0) Some(u -> depth) else None
+          }
+        val got = graft.operators.Behavior.windowFunnel(
+            funnelDf(rows), "user_id", "event_type", "ts", steps, win)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        got == model
+      }
+    })
+  }
+
+  test("windowFunnel depth is monotone in the window length") {
+    check(forAll(funnelEventsGen) { rows =>
+      rows.isEmpty || {
+        val df = funnelDf(rows)
+        def depths(w: Long) = graft.operators.Behavior.windowFunnel(
+            df, "user_id", "event_type", "ts", Seq("a", "b", "c"), w)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          .withDefaultValue(0)
+        val small = depths(60L); val big = depths(600L)
+        (small.keySet ++ big.keySet).forall(u => small(u) <= big(u))
+      }
+    })
+  }
+
+  test("gapFillDaily output is exactly keys x days; observed rows pass " +
+      "through; fills agree where a single observation exists") {
+    val obsGen = Gen.listOf(for {
+      k <- Gen.oneOf("p", "q")
+      day <- Gen.chooseNum(1, 9)
+      v <- Gen.chooseNum(-50, 50)
+    } yield (k, day, v.toDouble))
+    check(forAll(obsGen) { rows0 =>
+      val rows = rows0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      rows.isEmpty || {
+        val df = rows.map { case (k, day, v) =>
+          (k, f"2024-01-$day%02d", v)
+        }.toDF("k", "ds", "v")
+          .select(col("k"), to_date(col("ds")).as("dd"), col("v"))
+        val out = graft.operators.TimeSeries.gapFillDaily(
+          df, Seq("k"), "dd", "v", "2024-01-01", "2024-01-09").collect()
+        val nKeys = rows.map(_._1).distinct.size
+        val obs = rows.map { case (k, day, v) =>
+          (k, f"2024-01-$day%02d") -> v
+        }.toMap
+        out.length == nKeys * 9 && out.forall { r =>
+          val key = (r.getString(0), r.getDate(1).toString)
+          obs.get(key).forall(v =>
+            r.getDouble(3) == v && r.getDouble(4) == v)
+        }
+      }
+    })
+  }
 }
