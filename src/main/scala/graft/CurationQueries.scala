@@ -135,8 +135,12 @@ object CurationQueries {
       val docs = Engine.table(s, d, "documents")
       val dir = java.nio.file.Files
         .createTempDirectory("graft_invmaint").toString
+      // 8 shards: this corpus has a ~31-token vocabulary, so 64
+      // shards are mostly empty directories — the lifecycle (build,
+      // upsert, two probes, compact) is bound by per-shard file ops.
+      // Shard count scales with VOCABULARY, not corpus rows.
       TextOps.buildInvertedIndex(
-        docs.filter(col("doc_id") % 10 =!= 0), dir)
+        docs.filter(col("doc_id") % 10 =!= 0), dir, shards = 8)
       import s.implicits._
       val inserts = docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"))
@@ -151,13 +155,13 @@ object CurationQueries {
         .unionByName(Seq((3L, maintUpdText)).toDF("doc_id", "text")
           .withColumn("change", lit("insert")))
       TextOps.invertedIndexUpsert(s, dir,
-        inserts.unionByName(deletes).unionByName(upd))
+        inserts.unionByName(deletes).unionByName(upd), shards = 8)
       val maintained = TextOps.bm25TopKIndexed(s, dir, bm25Terms,
-          k = 10, k1 = bm25K1, b = bm25B)
+          k = 10, k1 = bm25K1, b = bm25B, shards = 8)
         .withColumn("phase", lit("maintained")).collect()
       TextOps.invertedIndexCompact(s, dir)
       val compacted = TextOps.bm25TopKIndexed(s, dir, bm25Terms,
-          k = 10, k1 = bm25K1, b = bm25B)
+          k = 10, k1 = bm25K1, b = bm25B, shards = 8)
         .withColumn("phase", lit("compacted"))
       compacted.sparkSession.createDataFrame(
           compacted.sparkSession.sparkContext.parallelize(
