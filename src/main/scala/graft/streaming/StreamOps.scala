@@ -24,6 +24,8 @@ case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Int)
 case class FunnelState(t0Us: Long, depth: Int, lastUs: Long)
 case class UserFunnel(user_id: Long, depth: Int, t0_us: Long)
+case class FunnelEpisode(user_id: Long, depth: Int, t0_us: Long,
+    complete: Boolean)
 
 object StreamOps {
 
@@ -197,6 +199,78 @@ object StreamOps {
             }
           state.update(s)
           UserFunnel(uid, s.depth, s.t0Us)
+      }
+  }
+
+  /** T7+T10: funnel EPISODES with state bounded by the watermark —
+    * the production form of [[streamingFunnel]]. That operator keeps
+    * three longs per user forever; at 100 TB/day of events the user
+    * set itself is unbounded, so state must expire. Here each user's
+    * chain lives only while its window can still advance: a chain
+    * that completes (depth = k) emits immediately; a chain whose
+    * window expires emits when the event-time timeout fires (or
+    * in-line, when a later event proves the window passed) and its
+    * state is REMOVED. After an emission the next step-1 event opens
+    * a fresh episode — repeated conversion cycles, which the
+    * single-anchor batch operator cannot express; the FIRST episode
+    * per user matches [[graft.operators.Behavior.windowFunnel]]
+    * exactly. Episode splitting is per-event + timeout, so results do
+    * not depend on micro-batch boundaries. */
+  def streamingFunnelEpisodes(events: org.apache.spark.sql.Dataset[TagEvent],
+      steps: Seq[String], windowSec: Long, lateness: String = "10 seconds")
+      : org.apache.spark.sql.Dataset[FunnelEpisode] = {
+    import events.sparkSession.implicits._
+    val win = windowSec * 1000000L
+    val idx = steps.zipWithIndex.toMap
+    val k = steps.length
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelEpisode](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (uid, evs, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FunnelEpisode(uid, s.depth, s.t0Us,
+              complete = s.depth == k))
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(0L, 0, 0L))
+            val out = scala.collection.mutable.ListBuffer.empty[FunnelEpisode]
+            evs.toSeq
+              .flatMap(e => idx.get(e.event_type).map(si =>
+                (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L,
+                  si)))
+              .sorted
+              .foreach { case (t, si) =>
+                // an event past the open window closes the episode here
+                // (no need to wait for the timeout)
+                if (s.depth > 0 && t > s.t0Us + win) {
+                  out += FunnelEpisode(uid, s.depth, s.t0Us,
+                    complete = false)
+                  s = FunnelState(0L, 0, 0L)
+                }
+                if (s.depth == 0) {
+                  if (si == 0) s = FunnelState(t, 1, t)
+                } else if (si == s.depth && t > s.lastUs &&
+                    t <= s.t0Us + win) {
+                  s = FunnelState(s.t0Us, s.depth + 1, t)
+                  if (s.depth == k) { // complete: emit, free the slot
+                    out += FunnelEpisode(uid, k, s.t0Us, complete = true)
+                    s = FunnelState(0L, 0, 0L)
+                  }
+                }
+              }
+            if (s.depth > 0) {
+              state.update(s)
+              // fire once the watermark passes the window end (plus
+              // nothing extra: lateness is already in the watermark)
+              state.setTimeoutTimestamp(math.max(
+                (s.t0Us + win) / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            } else if (state.exists) state.remove()
+            out.iterator
+          }
       }
   }
 

@@ -784,6 +784,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("T10: funnel episodes — complete emits immediately, expiry " +
+      "emits on timeout, state is freed, re-anchor opens a new episode") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamOps.streamingFunnelEpisodes(
+      in.toDF().selectExpr("user_id", "event_type", "ts")
+        .as[graft.streaming.TagEvent],
+      Seq("view", "click", "purchase"), windowSec = 100L,
+      lateness = "5 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("t10f_out").start()
+    def rows = spark.table("t10f_out")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("depth"),
+        r.getAs[Boolean]("complete"))).toSeq
+    try {
+      // u1 completes inside one batch -> immediate complete episode
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "view", 0.0),
+        Ev(t("2024-01-01 10:00:10"), 1, "click", 0.0),
+        Ev(t("2024-01-01 10:00:20"), 1, "purchase", 0.0),
+        // u2 reaches depth 2, window open
+        Ev(t("2024-01-01 10:00:00"), 2, "view", 0.0),
+        Ev(t("2024-01-01 10:00:30"), 2, "click", 0.0))
+      q.processAllAvailable()
+      assert(rows.contains((1L, 3, true)), rows.toString)
+      assert(!rows.exists(_._1 == 2L), "open chain must not emit yet")
+      // advance the watermark far past u2's window -> timeout emission
+      in.addData(Ev(t("2024-01-01 10:30:00"), 99, "error", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-01-01 10:31:00"), 99, "error", 0.0))
+      q.processAllAvailable()
+      assert(rows.contains((2L, 2, false)), rows.toString)
+      // u1's slot was freed at completion: a later view re-anchors a
+      // SECOND episode, closed in-line by a beyond-window event
+      in.addData(
+        Ev(t("2024-01-01 10:32:00"), 1, "view", 0.0),
+        Ev(t("2024-01-01 10:35:00"), 1, "view", 0.0)) // > t0+100s: closes
+      q.processAllAvailable()
+      assert(rows.count(_._1 == 1L) == 2, rows.toString)
+      assert(rows.contains((1L, 1, false)), rows.toString)
+    } finally q.stop()
+  }
+
   test("T9: streamingFunnel converges to the batch windowFunnel") {
     implicit val ctx = spark.sqlContext
     // real corpus, event-time-ordered delivery in three batches —
