@@ -303,4 +303,43 @@ class SimilaritySpec extends SparkSuite {
       cosineSimilarity(col("a"), col("b")).as("c")).head()
     assert(math.abs(got.getDouble(0) - got.getDouble(1)) < 1e-3)
   }
+
+  test("kmeans-IVF recall laws on the real corpus: monotone in nprobe, " +
+      "exhaustive probe equals brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = Engine.table(spark, sf, "embeddings")
+    val dir = tmpDir("recall_idx")
+    Similarity.ivfBuildIndexKMeans(emb, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = graft.plans.TopKPerGroup.topKPerGroup(
+        queries.crossJoin(emb.select(col("vec_id"),
+            col("embedding").as("cv")))
+          .select(col("qid"), col("vec_id"),
+            graft.functions.VectorSim.cosine(col("cv"),
+              col("qvec")).as("cos")),
+        keys = Seq(col("qid")), order = Seq(desc("cos"), asc("vec_id")),
+        k = 10).collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(np: Int): Double = {
+      val ivf = Similarity.ivfProbeBatch(spark, dir, queries, k = 10,
+          nprobe = np)
+        .select(col("qid"), col("vec_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val r = ivf.map { case (q, s) => s.intersect(brute(q)).size / 10.0 }
+      r.sum / r.size
+    }
+    val curve = Seq(2, 8, 32).map(np => np -> recall(np))
+    // monotone in nprobe
+    assert(curve.sliding(2).forall {
+      case Seq((_, a), (_, b)) => a <= b + 1e-9
+      case _ => true
+    }, curve.toString)
+    // probing every bucket IS brute force — exactly
+    assert(curve.last._2 == 1.0, curve.toString)
+    // the near-uniform synthetic corpus is IVF's worst case; even so,
+    // a quarter of the buckets must recover a solid majority
+    assert(curve(1)._2 >= 0.5, curve.toString)
+  }
 }
