@@ -79,6 +79,80 @@ object Behavior {
       .select(col("u"), col("f.depth").as("depth"), col("f.t0").as("t0_us"))
   }
 
+  /** ALL funnel episodes per user — the batch twin of
+    * [[graft.streaming.StreamOps.streamingFunnelEpisodes]]: the greedy
+    * chain emits and resets on completion (depth = k) or when an
+    * event beyond the open window closes it, and the next step-1
+    * event anchors a fresh episode. Returns (user, episode depth, t0,
+    * complete); an open trailing chain is reported incomplete (in
+    * streaming it is still pending — the differential law compares
+    * closed episodes plus final state). Same single-shuffle shape as
+    * [[windowFunnel]]; the scan carries the episode list through the
+    * fold, bounded by the user's episode count. */
+  def funnelEpisodes(events: DataFrame, userCol: String, stepCol: String,
+      tsCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty)
+    val win = windowSec * 1000000L
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col(stepCol) === s, lit(i)).otherwise(acc)
+      }
+    val k = steps.length
+    val emptyEp = array().cast("array<struct<t0:bigint,depth:int>>")
+    events
+      .select(col(userCol).as("u"), epochUs(col(tsCol)).as("t"),
+        stepIdx.as("si"))
+      .filter(col("si") >= 0)
+      .groupBy("u")
+      .agg(sort_array(collect_list(struct(col("t"), col("si")))).as("ev"))
+      .select(col("u"),
+        aggregate(col("ev"),
+          struct(lit(0L).as("t0"), lit(0).as("depth"), lit(0L).as("last"),
+            emptyEp.as("eps")),
+          (acc, e) => {
+            val t = e.getField("t"); val si = e.getField("si")
+            val open = acc.getField("depth") > 0
+            // close an expired chain, then run the per-event greedy step
+            val closed = when(open && t > acc.getField("t0") + win,
+              struct(lit(0L).as("t0"), lit(0).as("depth"),
+                lit(0L).as("last"),
+                concat(acc.getField("eps"),
+                  array(struct(acc.getField("t0").as("t0"),
+                    acc.getField("depth").as("depth")))).as("eps")))
+            val cur = coalesce(closed, acc)
+            val curOpen = cur.getField("depth") > 0
+            val start = when(!curOpen && si === 0,
+              struct(t.as("t0"), lit(1).as("depth"), t.as("last"),
+                cur.getField("eps").as("eps")))
+            val advanced = when(curOpen &&
+                si === cur.getField("depth") &&
+                t > cur.getField("last") &&
+                t <= cur.getField("t0") + win,
+              when(cur.getField("depth") + 1 === k,
+                // complete: emit the episode, free the slot
+                struct(lit(0L).as("t0"), lit(0).as("depth"),
+                  lit(0L).as("last"),
+                  concat(cur.getField("eps"),
+                    array(struct(cur.getField("t0").as("t0"),
+                      lit(k).as("depth")))).as("eps")))
+                .otherwise(struct(cur.getField("t0").as("t0"),
+                  (cur.getField("depth") + 1).as("depth"),
+                  t.as("last"), cur.getField("eps").as("eps"))))
+            coalesce(start, advanced, cur)
+          }).as("f"))
+      .select(col("u"),
+        posexplode(when(col("f.depth") > 0,
+            concat(col("f.eps"), array(struct(col("f.t0").as("t0"),
+              col("f.depth").as("depth")))))
+          .otherwise(col("f.eps"))),
+        size(col("f.eps")).as("__nClosed"))
+      .select(col("u"), col("col.depth").as("depth"),
+        col("col.t0").as("t0_us"),
+        (col("col.depth") === k).as("complete"),
+        (col("pos") < col("__nClosed") || col("col.depth") === k)
+          .as("closed"))
+  }
+
   /** Funnel depth histogram: users whose greedy chain reached EXACTLY
     * depth d, for d in 1..k. The standard funnel report row. */
   def funnelCounts(events: DataFrame, userCol: String, stepCol: String,

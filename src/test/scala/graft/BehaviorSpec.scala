@@ -138,6 +138,30 @@ class BehaviorSpec extends SparkSuite {
     assert(got.toSeq == Seq(("a", "b", 2L), ("c", "d", 1L)))
   }
 
+  test("funnelEpisodes: completion frees the slot, expiry splits, " +
+      "trailing chain reported open") {
+    val e = ev(
+      // u1: complete chain, then a second chain that expires, then an
+      // open trailing chain
+      (1L, "a", "2024-01-01 00:00:00", 1),
+      (1L, "b", "2024-01-01 00:00:10", 2),
+      (1L, "c", "2024-01-01 00:00:20", 3), // episode 1: complete
+      (1L, "a", "2024-01-01 00:01:00", 4),
+      (1L, "b", "2024-01-01 00:01:30", 5), // episode 2: depth 2...
+      (1L, "a", "2024-01-01 00:10:00", 6), // ...expired by this event
+      (2L, "b", "2024-01-01 00:00:00", 7)) // no step-1: no episodes
+    val got = graft.operators.Behavior.funnelEpisodes(
+        e, "user_id", "event_type", "ts", Seq("a", "b", "c"), 100L)
+      .orderBy("u", "t0_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3, true, true), // complete, closed
+      (1L, 2, false, true), // expired at depth 2, closed
+      (1L, 1, false, false))) // trailing open chain
+  }
+
   test("lastTouchAttribution: horizon, ties, latest-touch-wins") {
     import spark.implicits._
     val e = Seq(

@@ -827,6 +827,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("T9: streaming funnel episodes equal the batch episodes operator " +
+      "on the real corpus once the watermark passes every window") {
+    implicit val ctx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val ev = Engine.table(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamOps.streamingFunnelEpisodes(
+      in.toDF().toDF("user_id", "event_type", "ts")
+        .as[graft.streaming.TagEvent],
+      steps, windowSec = 3600L, lateness = "1 second")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("t9ep_out").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { batch =>
+        in.addData(batch.toSeq); q.processAllAvailable()
+      }
+      // push the watermark far past the last window so every pending
+      // chain times out and emits (two hops: advance, then fire)
+      val far = new Timestamp(ev.map(_._3.getTime).max + 10L * 3600 * 1000)
+      in.addData((999999L, "error", far)); q.processAllAvailable()
+      in.addData((999999L, "error",
+        new Timestamp(far.getTime + 3600 * 1000)))
+      q.processAllAvailable()
+      val streamed = spark.table("t9ep_out")
+        .filter($"user_id" =!= 999999L)
+        .select("user_id", "depth", "t0_us", "complete")
+      val batchEps = graft.operators.Behavior.funnelEpisodes(
+          Engine.table(spark, sf, "events"), "user_id", "event_type",
+          "ts", steps, 3600L)
+        .select(col("u").as("user_id"), col("depth"), col("t0_us"),
+          col("complete"))
+      assertSameRows(streamed, batchEps)
+    } finally q.stop()
+  }
+
   test("T9: streamingFunnel converges to the batch windowFunnel") {
     implicit val ctx = spark.sqlContext
     // real corpus, event-time-ordered delivery in three batches —
