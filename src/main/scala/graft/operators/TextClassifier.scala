@@ -128,6 +128,146 @@ object TextClassifier {
     w
   }
 
+  /** Sentinel "pair partner" collecting gradient terms in the same
+    * aggregation as the Hessian pairs. */
+  private val GradSentinel = -2
+
+  /** Ridge-regularized Newton (IRLS) training — the fast path when the
+    * ACTIVE feature set is small (bounded vocabulary): one job per
+    * iteration emits gradient AND Hessian partials through a single
+    * (f1, f2)-keyed exact-decimal aggregation (the gradient rides the
+    * [[GradSentinel]] partner), the driver solves the dense
+    * (p+ridge I) system by deterministic Gaussian elimination, and the
+    * observed train-set error early-stops. Converges in ~3 iterations
+    * where first-order methods need tens — but materializes
+    * |actives|^2 pairs per document, so callers gate on `maxActive`
+    * (default 512 -> <=262k Hessian cells) and fall back to
+    * [[trainLogistic]] beyond it. Pick by the measured rule
+    * iters_1st x n vs iters_newton x n x |actives|^2: on the
+    * 5k-doc/32-feature conformance corpus Adagrad's ~25 cheap jobs
+    * beat Newton's ~3 heavy ones (4.4s vs 7.0s isolated), so Newton's
+    * niche is fewer documents with richer per-document features, or
+    * per-job fixed overhead (a busy shared cluster) dominating row
+    * throughput. Ridge keeps the step finite on
+    * separable data (plain Newton diverges there: the MLE is at
+    * infinity). Bit-deterministic end to end: decimal partials, fixed
+    * elimination order. */
+  def trainLogisticNewton(docs: DataFrame, idCol: String, featCol: String,
+      labelCol: String, iters: Int = 8, ridge: Double = 1e-3,
+      maxActive: Int = 512): Map[Int, Double] = {
+    val data = docs.select(col(idCol).as("id"), col(featCol).as("fx"),
+      col(labelCol).cast("double").as("y")).cache()
+    try {
+      val actives = data.select(explode(col("fx")).as("f"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      require(actives.length <= maxActive,
+        s"${actives.length} active features > $maxActive: " +
+          "use trainLogistic (Adagrad) for wide feature spaces")
+      val p = actives.length
+      val pos = actives.zipWithIndex.toMap
+      var w = Map.empty[Int, Double].withDefaultValue(0.0)
+      var zeroStreak = 0
+      var it = 0
+      while (it < iters && zeroStreak < 2) {
+        it += 1
+        val watch = org.apache.spark.sql.Observation()
+        // materialize residual/curvature BEFORE the pair explosion —
+        // projection collapse would otherwise re-evaluate the HOF
+        // margin fold once per pair row (the verify-guide trap)
+        val residuals = data
+          .withColumn("m", marginCol(w, "fx"))
+          .withColumn("pr", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+          .withColumn("r", col("pr") - col("y"))
+          .withColumn("d", col("pr") * (lit(1.0) - col("pr")))
+          .observe(watch, sum(((col("m") > 0.0) =!= (col("y") === 1.0))
+            .cast("long")).as("wrong"))
+          .select(col("fx"), col("r"), col("d"))
+          .cache()
+        val cells =
+          try residuals
+            .select(explode(col("fx")).as("f1"), col("fx"), col("r"),
+              col("d"))
+            .select(col("f1"),
+              explode(concat(col("fx"), array(lit(GradSentinel))))
+                .as("f2"),
+              col("r"), col("d"))
+            .select(col("f1"), col("f2"),
+              when(col("f2") === GradSentinel, col("r"))
+                .otherwise(col("d")).as("v"))
+            .groupBy("f1", "f2").agg(dsum12(col("v")).as("s"))
+            .collect()
+          finally residuals.unpersist()
+        val h = Array.ofDim[Double](p, p)
+        val g = new Array[Double](p)
+        cells.foreach { row =>
+          val i = pos(row.getInt(0))
+          val f2 = row.getInt(1)
+          if (f2 == GradSentinel) g(i) += row.getDouble(2)
+          else h(i)(pos(f2)) += row.getDouble(2)
+        }
+        var i = 0
+        while (i < p) {
+          h(i)(i) += ridge
+          g(i) += ridge * w(actives(i))
+          i += 1
+        }
+        val step = solveDense(h, g)
+        w = actives.zipWithIndex.map { case (f, j) =>
+          f -> (w(f) - step(j))
+        }.toMap.withDefaultValue(0.0)
+        val wrong = watch.get.getOrElse("wrong", null) match {
+          case l: java.lang.Long => l.longValue
+          case _ => 0L
+        }
+        zeroStreak = if (wrong == 0L) zeroStreak + 1 else 0
+      }
+      w
+    } finally { data.unpersist(); () }
+  }
+
+  /** In-place Gaussian elimination with partial pivoting — fixed
+    * operation order, so the solve is bit-deterministic. Mutates its
+    * inputs; returns the solution. */
+  private def solveDense(a: Array[Array[Double]], b: Array[Double])
+      : Array[Double] = {
+    val n = b.length
+    var col0 = 0
+    while (col0 < n) {
+      var piv = col0
+      var r = col0 + 1
+      while (r < n) {
+        if (math.abs(a(r)(col0)) > math.abs(a(piv)(col0))) piv = r
+        r += 1
+      }
+      if (piv != col0) {
+        val t = a(piv); a(piv) = a(col0); a(col0) = t
+        val tb = b(piv); b(piv) = b(col0); b(col0) = tb
+      }
+      val d = a(col0)(col0)
+      r = col0 + 1
+      while (r < n) {
+        val factor = a(r)(col0) / d
+        if (factor != 0.0) {
+          var c = col0
+          while (c < n) { a(r)(c) -= factor * a(col0)(c); c += 1 }
+          b(r) -= factor * b(col0)
+        }
+        r += 1
+      }
+      col0 += 1
+    }
+    val x = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = b(i)
+      var c = i + 1
+      while (c < n) { s -= a(i)(c) * x(c); c += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
+
   /** Score documents with a trained model: adds `margin`, `prob`, and
     * `pred` (margin > 0). Entirely map-side ([[marginCol]]) — scoring
     * a 100 TB corpus is one shuffle-free scan. */

@@ -25,6 +25,30 @@ class TextClassifierSpec extends SparkSuite {
     assert(wrong == 0, s"$wrong misclassified")
   }
 
+  test("Newton training separates the planted rule in few iterations " +
+      "and is bit-deterministic under different partitionings") {
+    val feats = planted(sf)
+    val w = TextClassifier.trainLogisticNewton(feats, "doc_id", "fx", "y")
+    val wrong = TextClassifier.scoreLogistic(feats, "fx", w, Seq("doc_id"))
+      .join(feats.select("doc_id", "y"), "doc_id")
+      .filter(col("pred") =!= (col("y") === 1.0))
+      .count()
+    assert(wrong == 0, s"$wrong misclassified")
+    val w2 = TextClassifier.trainLogisticNewton(
+      feats.repartition(5), "doc_id", "fx", "y")
+    assert(w == w2, "Newton weights must not depend on layout")
+  }
+
+  test("Newton refuses wide feature spaces instead of exploding pairs") {
+    import spark.implicits._
+    val many = (0 until 600).map(i => (i.toLong, Seq(i, -1)))
+      .toDF("doc_id", "fx").withColumn("y", lit(0.0))
+    intercept[IllegalArgumentException] {
+      TextClassifier.trainLogisticNewton(many, "doc_id", "fx", "y",
+        maxActive = 512)
+    }
+  }
+
   test("training is bit-deterministic under different partitionings") {
     val feats = planted(sf)
     val w1 = TextClassifier.trainLogistic(
