@@ -1245,6 +1245,57 @@ object ExtQueries {
           ON o.o_custkey = c.c_custkey)
       ORDER BY rule"""))
 
+  /** SCD2 point-in-time correctness ([[graft.operators.Warehouse
+    * .scd2Merge]], reference docs/数据模型.md:41-46): build version-2
+    * rows for a third of the customer dimension effective 1998-01-01,
+    * then join orders to the segment EFFECTIVE AT each order date
+    * (equi-join on the key, date-range residual — the plan stays a
+    * key-hash join). The oracle constructs the same version history
+    * directly. Lexicographic ISO-date strings follow the reference's
+    * dt convention. */
+  val q_scd2_point_in_time = QuerySpec(
+    "q_scd2_point_in_time", Seq("J1", "A6", "P4", "F9"),
+    (s, d) => {
+      import graft.operators.Warehouse
+      val cust = Engine.table(s, d, "customer")
+      val dim0 = cust.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"),
+        lit("1990-01-01").as("valid_from"),
+        lit("9999-12-31").as("valid_to"))
+      val changes = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"),
+          concat(col("c_mktsegment"), lit("_V2")).as("seg"),
+          lit("1998-01-01").as("eff"))
+      val dim = Warehouse.scd2Merge(dim0, changes, "k", Seq("seg"), "eff")
+      Engine.table(s, d, "orders")
+        .select(col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+          col("o_totalprice"))
+        .join(dim, col("o_custkey") === col("k") &&
+          col("od") >= col("valid_from") && col("od") < col("valid_to"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.dsum2(col("o_totalprice")).as("revenue"))
+        .orderBy("seg")
+    },
+    Some("""
+      WITH dim AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg, '1990-01-01' AS vf,
+          CASE WHEN c_custkey % 3 = 0 THEN '1998-01-01'
+               ELSE '9999-12-31' END AS vt
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_mktsegment || '_V2', '1998-01-01',
+               '9999-12-31'
+        FROM customer WHERE c_custkey % 3 = 0),
+      o AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+                   o_totalprice FROM orders)
+      SELECT seg, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue
+      FROM o JOIN dim ON o_custkey = k AND od >= vf AND od < vt
+      GROUP BY seg ORDER BY seg"""))
+
   val q_versioned_merge = QuerySpec(
     "q_versioned_merge", Seq("S9", "J5", "J6"),
     (s, d) => {
@@ -1332,5 +1383,5 @@ object ExtQueries {
     q_range_join, q_bigwhere_join, q_bloom_prefilter_join,
     q_window_analytic, q_collect_agg, q_collection_funcs,
     q_string_funcs2, q_approx_topk, q_merge_upsert, q_merge_sql,
-    q_quality_checks, q_not_in_null)
+    q_quality_checks, q_not_in_null, q_scd2_point_in_time)
 }
