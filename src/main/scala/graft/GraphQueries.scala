@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Link-graph centrality conformance queries.
+  *
+  * The graph is planted ([[Graph.plantedLinkGraph]]): node ids are
+  * customer keys, out-degrees cycle through (1,2,4,5) so their lcm is
+  * 20 and the damping constant 0.85/20 = 0.0425 terminates — the
+  * preconditions of [[Graph.pageRankExact]]'s bit-reproducible
+  * arithmetic hold by construction, and the DuckDB oracle runs the
+  * SAME three power-iteration rounds as three chained CTEs over the
+  * same planted edges. Hash equality of (id, pr) across engines is
+  * the proof the distributed join/aggregate recurrence is exact.
+  */
+object GraphQueries {
+
+  /** Planted-graph damped PageRank, 3 exact iterations. */
+  val q_link_pagerank = QuerySpec(
+    "q_link_pagerank", Seq("J1", "J3", "A1", "A6", "X3"),
+    (s, d) => {
+      val edges = Graph.plantedLinkGraph(Engine.table(s, d, "customer"))
+      Graph.pageRankExact(edges, iterations = 3)
+        .orderBy("id")
+    },
+    Some("""WITH params AS (SELECT count(*) AS n FROM customer),
+      e AS (
+        SELECT c_custkey AS src,
+               1 + (c_custkey*31 + t.j*97) % p.n AS dst
+        FROM customer, params p, generate_series(1,5) AS t(j)
+        WHERE t.j <= CASE c_custkey%4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                                      WHEN 2 THEN 4 ELSE 5 END),
+      nodes AS (SELECT DISTINCT src AS id FROM e
+                UNION SELECT DISTINCT dst FROM e),
+      d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      w AS (SELECT e.src, e.dst, CAST(20 // d.deg AS BIGINT) AS w
+            FROM e JOIN d USING (src)),
+      r0 AS (SELECT id, CAST(1.00 AS DECIMAL(18,2)) AS pr FROM nodes),
+      r1 AS (SELECT nd.id, 0.15 + 0.0425 * COALESCE(c.m, 0) AS pr
+             FROM nodes nd LEFT JOIN (
+               SELECT w.dst AS id, SUM(r0.pr * w.w) AS m
+               FROM w JOIN r0 ON w.src = r0.id GROUP BY w.dst) c USING (id)),
+      r2 AS (SELECT nd.id, 0.15 + 0.0425 * COALESCE(c.m, 0) AS pr
+             FROM nodes nd LEFT JOIN (
+               SELECT w.dst AS id, SUM(r1.pr * w.w) AS m
+               FROM w JOIN r1 ON w.src = r1.id GROUP BY w.dst) c USING (id)),
+      r3 AS (SELECT nd.id, 0.15 + 0.0425 * COALESCE(c.m, 0) AS pr
+             FROM nodes nd LEFT JOIN (
+               SELECT w.dst AS id, SUM(r2.pr * w.w) AS m
+               FROM w JOIN r2 ON w.src = r2.id GROUP BY w.dst) c USING (id))
+      SELECT id, CAST(pr AS DOUBLE) AS pr FROM r3 ORDER BY id"""))
+
+  def all: Seq[QuerySpec] = Seq(q_link_pagerank)
+}

@@ -708,7 +708,8 @@ object Queries {
   def all: Seq[QuerySpec] =
     relational ++ RefConformance.all ++ ExtQueries.all ++
       TpchQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
-      CurationQueries.all ++ ModelQueries.all ++ BehaviorQueries.all
+      CurationQueries.all ++ ModelQueries.all ++ BehaviorQueries.all ++
+      GraphQueries.all
 
   def byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Link-graph centrality for corpus quality weighting.
+  *
+  * Web-scale training corpora weight documents by the link structure
+  * of their source pages (the CommonCrawl lineage: PageRank-family
+  * scores decide crawl priority and downstream sampling weight).
+  * The reference's profile layer computes per-entity statistical
+  * weights the same way any iterative aggregation does (reference
+  * docs/画像开发方案.md:4 derives tag weights from behavior graphs);
+  * this operator is the graph-side counterpart: damped PageRank
+  * (Page et al. 1999) as K rounds of join + partial-aggregate.
+  *
+  * Scale shape per iteration (the classic distributed formulation):
+  * one shuffle join of the rank vector with the edge list on `src`
+  * (the edge list is hash-partitioned on `src` ONCE and
+  * localCheckpoint'd — every iteration reuses the same partitioning,
+  * so only the small rank vector moves), one partial+final aggregate
+  * keyed by `dst`, and a left join back onto the node set. All
+  * shuffle keys are 8-byte ids; document payloads never enter the
+  * loop. Lineage is cut per iteration (localCheckpoint) so replay
+  * cost on executor loss stays O(1) in the iteration count, same as
+  * [[Dedup.connectedComponents]].
+  *
+  * Two arithmetic modes:
+  *
+  *  - [[pageRank]] — doubles, for production rank-ordering (absolute
+  *    low-order bits are partitioning-dependent, as with any
+  *    floating-point sum).
+  *  - [[pageRankExact]] — decimal arithmetic that is bit-reproducible
+  *    on ANY partitioning and matches an independent engine running
+  *    the same recurrence. Division never happens: out-degree weights
+  *    are scaled to integers by S = lcm(distinct out-degrees), and
+  *    the damping step folds d/S into one terminating-decimal
+  *    constant. Per-iteration result scale grows by scale(d/S), and
+  *    every intermediate decimal type is sized to hold the exact
+  *    value (never capped to Spark's 38-digit ceiling), so no
+  *    rounding occurs anywhere. Requires d/S to be a terminating
+  *    decimal and bounded iterations — the differential-validation
+  *    mode for planted graphs, not the 100 TB path.
+  *
+  * Dangling nodes (no out-edges) keep receiving rank but their own
+  * mass is not redistributed — the simplified recurrence
+  * `pr'(v) = (1-d) + d * Σ_{u→v} pr(u)/deg(u)`, stated over node set
+  * = src ∪ dst of the edge list. Parallel edges count once per
+  * occurrence (weight multiplicity).
+  */
+object Graph {
+
+  private def prep(edges: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = edges.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // partitioned on src once; every iteration's join reuses it
+    val weighted = e.join(deg, Seq("src"))
+      .repartition(par, col("src"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    (weighted, nodes, deg)
+  }
+
+  /** Damped PageRank over doubles: (id, pr) for every node in
+    * src ∪ dst after `iterations` rounds from uniform pr=1. */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val (weighted, nodes, _) = prep(edges, srcCol, dstCol)
+    var ranks = nodes.withColumn("pr", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contrib = weighted
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("deg")).as("m"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0)))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  private def lcm(a: Long, b: Long): Long = {
+    @annotation.tailrec def gcd(x: Long, y: Long): Long =
+      if (y == 0) x else gcd(y, x % y)
+    a / gcd(a, b) * b
+  }
+
+  /** Bit-exact damped PageRank (see class doc): decimal arithmetic
+    * with LCM-scaled integer edge weights and a terminating d/S
+    * damping constant; throws if the degree profile or damping make
+    * exactness impossible. `damping` is a ratio of small integers,
+    * e.g. (85, 100). Output pr is DOUBLE cast from the exact decimal
+    * (equal decimals cast to equal doubles). */
+  def pageRankExact(edges: DataFrame, iterations: Int,
+      damping: (Int, Int) = (85, 100),
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val (weighted, nodes, deg) = prep(edges, srcCol, dstCol)
+    // distinct out-degree VALUES — bounded collect (a degree histogram
+    // has at most a few hundred distinct values on any real graph;
+    // guard anyway so a pathological graph fails loudly, not slowly)
+    val degs = deg.select("deg").distinct().limit(1001)
+      .collect().map(_.getLong(0))
+    require(degs.length <= 1000,
+      "pageRankExact: > 1000 distinct out-degrees; use pageRank (double)")
+    if (degs.isEmpty)
+      return nodes.withColumn("pr", lit(1.0)) // no edges: pr stays init
+    val s = degs.reduce(lcm)
+    require(s > 0 && s <= 1000000L,
+      s"pageRankExact: degree lcm $s too large for exact weights; " +
+        "use pageRank (double)")
+    val (dNum, dDen) = damping
+    require(dNum > 0 && dDen > dNum, "damping must be in (0, 1)")
+    // d/S = dNum / (dDen * S) must terminate: strip 2s and 5s, then
+    // the remaining denominator must divide the numerator's factors
+    val dOverS = {
+      val exact = BigDecimal(dNum) / BigDecimal(dDen * s)
+      require((exact * BigDecimal(dDen * s)).toBigIntExact
+          .contains(BigInt(dNum)),
+        s"pageRankExact: $dNum/(${dDen}*$s) is not a terminating decimal")
+      exact.underlying.stripTrailingZeros
+    }
+    val oneMinusD = BigDecimal(dDen - dNum) / BigDecimal(dDen)
+    val inc = dOverS.scale.max(1)
+    val finalScale = 2 + inc * iterations
+    require(finalScale <= 18,
+      s"pageRankExact: $iterations iterations need scale $finalScale > 18")
+    // integer weight w = S / deg, exact by construction of S
+    val w = weighted.withColumn("w",
+      (lit(s) / col("deg")).cast(DecimalType(7, 0)))
+    var prScale = 2
+    var ranks = nodes.withColumn("pr",
+      lit(java.math.BigDecimal.ONE).cast(DecimalType(8, 2)))
+    for (_ <- 1 to iterations) {
+      // type walkthrough (int digits of pr bounded by 6, of the
+      // summed mass by 12):
+      //   pr (prScale+6, prScale) * w (7,0) -> (prScale+14, prScale)
+      //   sum adds 10 digits of headroom -> (prScale+24, prScale);
+      //   the value needs at most 12 int digits, so cast the mass
+      //   down to (prScale+12, prScale) BEFORE multiplying by dOverS
+      //   — without it the multiply's p1+p2+1 crosses Spark's 38-cap
+      //   at scale 14 and the precision-loss rule rounds the last
+      //   digit away. With it the multiply peaks at precision
+      //   (finalScale-inc)+12+inc+scale(dOverS)+1 <= 31: never capped,
+      //   never rounded.
+      val contrib = w
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") * col("w")).as("m"))
+      val mTight = coalesce(col("m"), lit(java.math.BigDecimal.ZERO))
+        .cast(DecimalType(prScale + 12, prScale))
+      prScale += inc
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(oneMinusD.underlying) + lit(dOverS) * mTight)
+            .cast(DecimalType(prScale + 6, prScale)).as("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("pr").cast("double").as("pr"))
+  }
+
+  /** The planted link graph both conformance sides construct from the
+    * customer table: node ids are customer keys, out-degree of node i
+    * is CASE i%4 of (1,2,4,5) — degrees chosen so lcm = 20 and
+    * d/S = 0.85/20 = 0.0425 terminates — and the j-th out-edge of i
+    * points at `1 + (i*31 + j*97) % n`. Deterministic, SQL-
+    * expressible, degree-controlled: the exact-arithmetic contract
+    * above holds by construction. */
+  def plantedLinkGraph(customer: DataFrame, keyCol: String = "c_custkey")
+      : DataFrame = {
+    val n = customer.count() // one scalar to the driver; oracle uses
+                             // the same count as a scalar subquery
+    val degOf = expr(s"CASE CAST($keyCol AS BIGINT) % 4 " +
+      "WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 5 END")
+    customer.select(col(keyCol).cast("long").as("src"),
+        explode(sequence(lit(1), degOf.cast("int"))).as("j"))
+      .select(col("src"),
+        (lit(1L) + (col("src") * 31 + col("j") * 97) % lit(n)).as("dst"))
+  }
+}

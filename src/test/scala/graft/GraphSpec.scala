@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** PageRank laws: exactness, conservation, structural fixed points. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val planted =
+    Graph.plantedLinkGraph(Engine.table(spark, sf, "customer"))
+      .localCheckpoint()
+
+  test("cycle graph: every node is exactly 1.0 at every iteration") {
+    // on a directed cycle each node has one in- and one out-edge, so
+    // uniform rank is the recurrence's fixed point: (1-d) + d*1 = 1
+    val n = 17
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val pr = Graph.pageRankExact(edges, iterations = 4).collect()
+    assert(pr.length == n)
+    pr.foreach(r => assert(r.getDouble(1) == 1.0,
+      s"node ${r.getLong(0)} drifted to ${r.getDouble(1)}"))
+  }
+
+  test("mass conservation: sum(pr') == (1-d)*n + d*sum(pr) sans dangling") {
+    // the planted graph has one dangling node (the max dst is never a
+    // src when keys start at 0) — restrict to a sub-fixture with none:
+    // a cycle union a star whose hub and leaves all link back
+    val edges = ((0 until 8).map(i => (i.toLong, ((i + 1) % 8).toLong)) ++
+      (8 until 12).map(i => (i.toLong, 20L)) ++ Seq((20L, 8L)))
+      .toDF("src", "dst")
+    val n = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst"))).distinct().count()
+    var expected = BigDecimal(n)
+    val got1 = Graph.pageRankExact(edges, iterations = 1)
+      .agg(sum("pr")).head.getDouble(0)
+    expected = BigDecimal("0.15") * n + BigDecimal("0.85") * expected
+    assert(math.abs(got1 - expected.toDouble) < 1e-9)
+  }
+
+  test("exact mode is partitioning-invariant to the bit") {
+    val a = Graph.pageRankExact(planted, 3).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Graph.pageRankExact(planted.repartition(7, col("dst")), 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("double mode agrees with exact mode to float tolerance") {
+    val ex = Graph.pageRankExact(planted, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val db = Graph.pageRank(planted, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ex.keySet == db.keySet)
+    ex.foreach { case (id, v) =>
+      assert(math.abs(v - db(id)) < 1e-9, s"node $id: $v vs ${db(id)}") }
+  }
+
+  test("exact mode rejects non-terminating damping/degree profiles") {
+    val e3 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L),
+      (3L, 0L)).toDF("src", "dst") // out-degree 3 -> lcm 3, 0.85/3 repeats
+    intercept[IllegalArgumentException] {
+      Graph.pageRankExact(e3, 2)
+    }
+  }
+
+  test("empty edge set: ranks stay at init for declared nodes") {
+    val pr = Graph.pageRankExact(Seq.empty[(Long, Long)].toDF("src", "dst"), 2)
+    assert(pr.isEmpty) // no edges -> no nodes in src+dst universe
+  }
+}
