@@ -931,7 +931,7 @@ object ExtQueries {
 
   /** Run `body` with [[graft.plans.AggRouteRewrite]] active (same
     * inject/pin/restore protocol as q_agg_route). */
-  private def withAggRouting[T](s: SparkSession)(
+  private[graft] def withAggRouting[T](s: SparkSession)(
       body: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val exp = s.experimental

@@ -709,7 +709,7 @@ object Queries {
     relational ++ RefConformance.all ++ ExtQueries.all ++
       TpchQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
       CurationQueries.all ++ ModelQueries.all ++ BehaviorQueries.all ++
-      GraphQueries.all
+      GraphQueries.all ++ CubeQueries.all
 
   def byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

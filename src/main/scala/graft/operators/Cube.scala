@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cuboid-lattice materialization — the Kylin cube BUILD, to pair
+  * with [[graft.plans.AggRouting]]'s cube ANSWERING (reference
+  * docs/olap.md:24: the MOLAP layer precomputes group-bys and
+  * answers queries from them).
+  *
+  * The scale property this module exists for: the fact table is
+  * scanned ONCE, for the base cuboid only. Every coarser cuboid is
+  * computed from its smallest already-materialized ancestor by exact
+  * re-aggregation (sum of sums, sum of counts, min of mins, max of
+  * maxes) — Kylin's by-layer build. At 100 TB the base cuboid is one
+  * full-scan aggregation; the rest of the lattice costs aggregations
+  * over progressively tiny summaries (a 6-row cuboid is derived from
+  * a 15 000-row parent, not from 600 M fact rows). Parent selection
+  * uses MEASURED row counts of the cuboids built so far, not dim
+  * arity — a high-cardinality two-dim cuboid can be a worse parent
+  * than a low-cardinality three-dim one.
+  *
+  * Every materialized cuboid is registered as a routing summary
+  * (with its row count, so [[graft.plans.AggRouteRewrite]] answers
+  * each query from the SMALLEST subsuming cuboid), making the pair
+  * build-once / route-everything: the user keeps writing aggregates
+  * against the fact table.
+  *
+  * Measure kinds are exactly the decomposable set routing accepts;
+  * measure columns of every cuboid are cast to the base cuboid's
+  * declared types so re-aggregation up the lattice can't widen
+  * decimals round by round.
+  */
+object Cube {
+
+  sealed trait MKind
+  case object MSum extends MKind
+  case object MCountAll extends MKind
+  case object MCountCol extends MKind
+  case object MMin extends MKind
+  case object MMax extends MKind
+
+  /** One cube measure: `name` is the cuboid column; `input` the fact
+    * expression (ignored for MCountAll). */
+  final case class MeasureDef(name: String, kind: MKind,
+      input: Column = lit(1)) {
+    /** Aggregate from raw fact rows. */
+    def base: Column = (kind match {
+      case MSum => sum(input)
+      case MCountAll => count(lit(1))
+      case MCountCol => count(input)
+      case MMin => min(input)
+      case MMax => max(input)
+    }).as(name)
+    /** Exact re-aggregate from a parent cuboid's column. */
+    def combine: Column = (kind match {
+      case MSum | MCountAll | MCountCol => sum(col(name))
+      case MMin => min(col(name))
+      case MMax => max(col(name))
+    }).as(name)
+    /** Canonical fact-side aggregate for route registration. */
+    def canonical: Column = kind match {
+      case MSum => sum(input)
+      case MCountAll => count(lit(1))
+      case MCountCol => count(input)
+      case MMin => min(input)
+      case MMax => max(input)
+    }
+  }
+
+  /** Build manifest entry: `parentDims` is None iff the cuboid was
+    * aggregated from the fact table itself. */
+  final case class Built(dims: Seq[String], table: String, rows: Long,
+      parentDims: Option[Seq[String]])
+
+  /** Materialize `cuboids` (each a subset of fact columns) as managed
+    * tables `<tablePrefix><dims joined by _>`, building each from its
+    * smallest materialized ancestor, and register every one as a
+    * routing summary. Existing tables are overwritten. Returns the
+    * build manifest in build order (descending dim count). */
+  def build(fact: DataFrame, measures: Seq[MeasureDef],
+      cuboids: Seq[Seq[String]], tablePrefix: String,
+      register: Boolean = true): Seq[Built] = {
+    require(cuboids.nonEmpty, "no cuboids requested")
+    require(measures.nonEmpty, "no measures declared")
+    val spark = fact.sparkSession
+    val ordered = cuboids.sortBy(-_.length)
+    // the widest requested cuboid decides the declared measure types
+    // (sum of DECIMAL(18,2) -> DECIMAL(28,2) etc.); every cuboid is
+    // cast to these so lattice depth never widens a type
+    val declared = fact.groupBy(ordered.head.map(col): _*)
+      .agg(measures.head.base, measures.tail.map(_.base): _*)
+      .schema.fields.map(f => f.name -> f.dataType).toMap
+    val built = scala.collection.mutable.ArrayBuffer.empty[Built]
+    for (dims <- ordered) {
+      require(dims.nonEmpty, "empty cuboid (grand total) not supported")
+      val parent = built.filter(b => dims.forall(b.dims.contains))
+        .sortBy(_.rows).headOption
+      val (src, aggs) = parent match {
+        case Some(p) =>
+          (spark.table(p.table), measures.map(_.combine))
+        case None => (fact, measures.map(_.base))
+      }
+      val out = src.groupBy(dims.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(dims.map(col) ++ measures.map(m =>
+          col(m.name).cast(declared(m.name)).as(m.name)): _*)
+      val tbl = tablePrefix + dims.map(_.replaceAll("[^A-Za-z0-9]", ""))
+        .mkString("_")
+      Warehouse.dropManaged(spark, tbl)
+      out.write.format("parquet").saveAsTable(tbl)
+      // one count per cuboid, over the just-written summary (never the
+      // fact): sizes drive both parent selection above and smallest-
+      // cuboid routing below
+      val rows = spark.table(tbl).count()
+      if (register)
+        graft.plans.AggRouting.register(fact, spark.table(tbl), dims,
+          measures.map(m => m.canonical -> m.name).toMap, rows)
+      built += Built(dims, tbl, rows, parent.map(_.dims))
+    }
+    built.toSeq
+  }
+}

@@ -63,7 +63,11 @@ object AggRouting {
       /** lower-cased fact column name -> canonical fact attribute,
         * for rebinding query expressions before semantic compare */
       factAttrs: Map[String, Attribute],
-      summaryPlan: LogicalPlan)
+      summaryPlan: LogicalPlan,
+      /** summary row count, if known — the rewrite prefers the
+        * SMALLEST subsuming summary (the Kylin cuboid-selection
+        * rule); unknown sizes sort last */
+      rows: Long = Long.MaxValue)
 
   private val routes = new java.util.concurrent.CopyOnWriteArrayList[Route]
 
@@ -117,7 +121,7 @@ object AggRouting {
     * summary table must contain one row per distinct dims-group of
     * the fact (i.e. be the result of `fact.groupBy(dims).agg(...)`). */
   def register(fact: DataFrame, summary: DataFrame, dims: Seq[String],
-      measures: Map[Column, String]): Unit = {
+      measures: Map[Column, String], rows: Long = Long.MaxValue): Unit = {
     val paths = scanPaths(fact)
     require(paths.nonEmpty, "fact must scan a file relation")
     val factAttrs = fact.queryExecution.analyzed.output
@@ -134,7 +138,7 @@ object AggRouting {
       canonical(fact, c) -> sumCol
     }
     routes.add(Route(paths, dimMap, canon, factAttrs,
-      EliminateSubqueryAliases(summary.queryExecution.analyzed)))
+      EliminateSubqueryAliases(summary.queryExecution.analyzed), rows))
   }
 
   /** INCREMENTAL summary maintenance — the Kylin segment-build shape:
@@ -267,7 +271,11 @@ object AggRouteRewrite extends Rule[LogicalPlan] {
     if (!enabled || routes.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        routes.view.flatMap(r => route(agg, r)).headOption.getOrElse(agg)
+        // smallest subsuming summary wins (Kylin's cuboid selection):
+        // among the routes whose dims/measures/filters all match, the
+        // one with the fewest rows re-aggregates the least data
+        routes.sortBy(_.rows).iterator.map(r => route(agg, r))
+          .collectFirst { case Some(p) => p }.getOrElse(agg)
     }
   }
 

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.operators.Cube
+
+/** The cube lattice's two contracts: built-from-parent (fact scanned
+  * once) and routed-to-smallest-cuboid. */
+class CubeSpec extends SparkSuite {
+
+  private lazy val manifest = CubeQueries.ensureCube(spark, sf)
+
+  test("only the base cuboid reads the fact; parents shrink monotonically") {
+    val base = manifest.head
+    assert(base.parentDims.isEmpty, "widest cuboid must scan the fact")
+    manifest.tail.foreach { b =>
+      assert(b.parentDims.nonEmpty,
+        s"cuboid ${b.dims} re-scanned the fact")
+      val parent = manifest.find(_.dims == b.parentDims.get).get
+      assert(b.dims.forall(parent.dims.contains))
+      assert(parent.rows >= b.rows,
+        s"parent ${parent.dims} (${parent.rows}) smaller than child " +
+          s"${b.dims} (${b.rows})")
+    }
+  }
+
+  test("the {returnflag} cuboid sits on a depth-3 derivation chain") {
+    def depth(dims: Seq[String]): Int =
+      manifest.find(_.dims == dims).get.parentDims
+        .map(p => 1 + depth(p)).getOrElse(0)
+    assert(depth(Seq("l_returnflag")) == 3,
+      "expected fact -> base -> {rf,ls,sd} -> {rf,ls} -> {rf}")
+  }
+
+  test("measure types are identical across every cuboid") {
+    val schemas = manifest.map(b => spark.table(b.table).schema
+      .filter(f => Set("n", "cnt_qty", "s_qty", "s_disc", "mn_qty",
+        "mx_qty").contains(f.name))
+      .map(f => f.name -> f.dataType).toMap)
+    assert(schemas.distinct.size == 1,
+      s"cuboid measure types diverge: ${schemas.distinct}")
+  }
+
+  private def scannedPaths = {
+    val df = CubeQueries.q_cube_route.run(spark, sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.map(_.toString) }.flatten
+  }
+
+  test("q_cube_route scans the smallest subsuming cuboid, not the fact") {
+    val suf = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val paths = scannedPaths
+    assert(paths.nonEmpty)
+    assert(paths.forall(_.contains(s"cube_${suf}_lsuppkey")),
+      s"expected the {l_suppkey} cuboid scan, got $paths")
+  }
+
+  test("grouping subsumed by two cuboids picks the fewer-row one") {
+    // group by (rf, ls): subsumed by base, {rf,ls,sd} and {rf,ls};
+    // the 6-row {rf,ls} cuboid must win
+    manifest // force build+registration
+    val exp = spark.experimental
+    val prior = exp.extraOptimizations
+    if (!prior.contains(graft.plans.AggRouteRewrite))
+      exp.extraOptimizations = prior :+ graft.plans.AggRouteRewrite
+    try withSQLConf("spark.graft.aggRouting.enabled" -> "true") {
+      val df = Engine.table(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val paths = plan.collect { case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString) }.flatten
+      val suf = sf.replaceAll("[^A-Za-z0-9]", "_")
+      assert(paths.nonEmpty && paths.forall(
+        _.contains(s"cube_${suf}_lreturnflag_llinestatus")),
+        s"expected the 6-row {rf,ls} cuboid, got $paths")
+    } finally exp.extraOptimizations = prior
+  }
+
+  test("route answers equal the naive fact aggregate exactly") {
+    val routed = CubeQueries.q_cube_route.run(spark, sf)
+    val naive = Engine.table(spark, sf, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.dsum2(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy("l_suppkey")
+    assertSameRows(routed, naive)
+  }
+
+  test("MeasureDef rejects nothing it cannot combine exactly") {
+    // every MKind has a combine; the compile-time sealed trait is the
+    // guard — this pins the decomposition table stays total
+    val kinds: Seq[Cube.MKind] = Seq(Cube.MSum, Cube.MCountAll,
+      Cube.MCountCol, Cube.MMin, Cube.MMax)
+    kinds.foreach { k =>
+      val m = Cube.MeasureDef("x", k, col("l_quantity"))
+      assert(m.combine != null && m.base != null)
+    }
+  }
+}
