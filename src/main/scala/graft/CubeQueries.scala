@@ -67,18 +67,20 @@ object CubeQueries {
   }
 
   /** Normalized projection of one cuboid for the union output. */
-  private def shaped(s: SparkSession, b: Cube.Built): DataFrame = {
-    val t = s.table(b.table)
+  private def shapedDf(dims: Seq[String], t: DataFrame): DataFrame = {
     def dim(name: String, tpe: String) =
-      (if (b.dims.contains(name)) col(name) else lit(null))
+      (if (dims.contains(name)) col(name) else lit(null))
         .cast(tpe).as(name)
-    t.select(lit(b.dims.map(_.stripPrefix("l_")).mkString("+")).as("cuboid"),
+    t.select(lit(dims.map(_.stripPrefix("l_")).mkString("+")).as("cuboid"),
       dim(RF, "string"), dim(LS, "string"), dim(SD, "date"),
       dim(SK, "bigint"),
       col("n"), col("cnt_qty"), col("s_qty").cast("double").as("s_qty"),
       col("s_disc").cast("double").as("s_disc"),
       col("mn_qty"), col("mx_qty"))
   }
+
+  private def shaped(s: SparkSession, b: Cube.Built): DataFrame =
+    shapedDf(b.dims, s.table(b.table))
 
   /** Five cuboids' full contents vs direct aggregation of the fact. */
   val q_cube_build = QuerySpec(
@@ -140,5 +142,56 @@ object CubeQueries {
               MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
             FROM lineitem GROUP BY $SK ORDER BY $SK"""))
 
-  def all: Seq[QuerySpec] = Seq(q_cube_build, q_cube_route)
+  /** Whole-lattice incremental maintenance: the base cuboid is built
+    * from the PRE-cutoff fact only, the post-cutoff rows arrive as a
+    * delta folded in by [[graft.plans.AggRouting.maintainSummary]]
+    * (the fact is never rescanned), and the coarser cuboids are
+    * re-derived from the maintained base — summaries feeding
+    * summaries, as in the build. The oracle aggregates the FULL raw
+    * fact directly in DuckDB: hash equality proves maintained ==
+    * rebuilt for every cuboid in the output. */
+  val q_cube_maintain = QuerySpec(
+    "q_cube_maintain", Seq("A1", "A2", "A6", "A7", "S4"),
+    (s, d) => {
+      val fact = Engine.table(s, d, "lineitem")
+      val cutoff = lit("1996-01-01").cast("timestamp_ntz")
+      val baseDims = Seq(RF, LS, SD, SK)
+      val ms = measures
+      val baseAggs = ms.map(_.base)
+      val oldBase = fact.filter(col(SD) < cutoff)
+        .groupBy(baseDims.map(col): _*)
+        .agg(baseAggs.head, baseAggs.tail: _*)
+      val delta = fact.filter(col(SD) >= cutoff)
+      val maintained = Cube.maintainLattice(baseDims, oldBase, delta,
+        ms, Seq(Seq(RF, SD), Seq(RF, LS), Seq(SK)))
+      Seq(Seq(RF, SD), Seq(RF, LS), Seq(SK))
+        .map(dims => shapedDf(dims, maintained(dims)))
+        .reduce(_.unionByName(_))
+        .orderBy("cuboid", RF, LS, SD, SK)
+    },
+    Some {
+      def one(tag: String, rf: Boolean, ls: Boolean, sd: Boolean,
+          sk: Boolean): String = {
+        def d(on: Boolean, c: String, t: String) =
+          if (on) s"CAST($c AS $t)" else s"CAST(NULL AS $t)"
+        val dims = Seq(rf -> RF, ls -> LS, sd -> SD, sk -> SK)
+          .filter(_._1).map(_._2)
+        s"""SELECT '$tag' AS cuboid,
+              ${d(rf, RF, "VARCHAR")} AS $RF, ${d(ls, LS, "VARCHAR")} AS $LS,
+              ${d(sd, SD, "DATE")} AS $SD, ${d(sk, SK, "BIGINT")} AS $SK,
+              COUNT(*) AS n, COUNT(l_quantity) AS cnt_qty,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_qty,
+              CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS s_disc,
+              MIN(l_quantity) AS mn_qty, MAX(l_quantity) AS mx_qty
+            FROM lineitem GROUP BY ${dims.mkString(", ")}"""
+      }
+      Seq(one("returnflag+shipdate", rf = true, ls = false, sd = true, sk = false),
+        one("returnflag+linestatus", rf = true, ls = true, sd = false, sk = false),
+        one("suppkey", rf = false, ls = false, sd = false, sk = true))
+        .mkString("", " UNION ALL ",
+          s" ORDER BY cuboid, $RF, $LS, $SD, $SK")
+    })
+
+  def all: Seq[QuerySpec] = Seq(q_cube_build, q_cube_route, q_cube_maintain)
 }

@@ -120,4 +120,53 @@ object Cube {
     }
     built.toSeq
   }
+
+  /** Derive a coarser cuboid's contents from a parent cuboid's
+    * contents by exact re-aggregation (the same combine the lattice
+    * build uses). `parent` must contain `dims` plus every measure
+    * column. */
+  def derive(parent: DataFrame, dims: Seq[String],
+      measures: Seq[MeasureDef]): DataFrame =
+    parent.groupBy(dims.map(col): _*)
+      .agg(measures.head.combine, measures.tail.map(_.combine): _*)
+
+  /** Incremental maintenance of a whole lattice — the Kylin segment
+    * build generalized to every cuboid: fold the delta into the BASE
+    * cuboid only ([[graft.plans.AggRouting.maintainSummary]]: one
+    * aggregation of the delta, one summary-sized combine — the fact
+    * is never rescanned), then re-derive each coarser cuboid from its
+    * smallest maintained ancestor. Descendant maintenance therefore
+    * costs aggregations over summaries, exactly like the build; and
+    * because every measure combines exactly, maintained lattice ==
+    * lattice rebuilt from the full fact, row for row.
+    *
+    * @param baseDims    the base cuboid's dims (must cover every
+    *                    requested cuboid)
+    * @param baseSummary the base cuboid's current contents
+    *                    (`baseDims ++ measure names` columns)
+    * @param delta       new fact rows to fold in
+    * @param cuboids     descendant cuboids to re-derive
+    * @return dims -> maintained contents, including the base
+    */
+  def maintainLattice(baseDims: Seq[String], baseSummary: DataFrame,
+      delta: DataFrame, measures: Seq[MeasureDef],
+      cuboids: Seq[Seq[String]]): Map[Seq[String], DataFrame] = {
+    require(cuboids.forall(_.forall(baseDims.contains)),
+      "every cuboid must be a subset of the base dims")
+    val canonical = measures.map(m => m.canonical -> m.name).toMap
+    val base = graft.plans.AggRouting.maintainSummary(
+      baseSummary, delta, baseDims, canonical)
+    val done = scala.collection.mutable.LinkedHashMap[Seq[String],
+      DataFrame](baseDims -> base)
+    // derive small-from-small: among the maintained frames, pick the
+    // ancestor with the fewest dims beyond the child's (the in-memory
+    // stand-in for the build's measured-rows rule)
+    for (dims <- cuboids.sortBy(-_.length)) {
+      val parent = done.filter { case (d, _) => dims.forall(d.contains) }
+        .toSeq.sortBy(_._1.length).headOption
+        .getOrElse(baseDims -> base)
+      done += dims -> derive(parent._2, dims, measures)
+    }
+    done.toMap
+  }
 }

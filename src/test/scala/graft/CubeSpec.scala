@@ -97,6 +97,34 @@ class CubeSpec extends SparkSuite {
     assertSameRows(routed, naive)
   }
 
+  test("maintained lattice equals rebuilt lattice for every cuboid") {
+    val fact = Engine.table(spark, sf, "lineitem")
+    val cutoff = lit("1996-01-01").cast("timestamp_ntz")
+    val baseDims = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+      "l_suppkey")
+    val ms = Seq(
+      Cube.MeasureDef("n", Cube.MCountAll),
+      Cube.MeasureDef("s_qty", Cube.MSum,
+        graft.functions.dec2(col("l_quantity"))),
+      Cube.MeasureDef("mn_qty", Cube.MMin, col("l_quantity")),
+      Cube.MeasureDef("mx_qty", Cube.MMax, col("l_quantity")))
+    val baseAggs = ms.map(_.base)
+    val oldBase = fact.filter(col("l_shipdate") < cutoff)
+      .groupBy(baseDims.map(col): _*).agg(baseAggs.head, baseAggs.tail: _*)
+    val delta = fact.filter(col("l_shipdate") >= cutoff)
+    val children = Seq(Seq("l_returnflag", "l_linestatus"),
+      Seq("l_suppkey"))
+    val maintained = Cube.maintainLattice(baseDims, oldBase, delta, ms,
+      children)
+    (children :+ baseDims).foreach { dims =>
+      val rebuilt = fact.groupBy(dims.map(col): _*)
+        .agg(baseAggs.head, baseAggs.tail: _*)
+        .select(maintained(dims).columns.map(c =>
+          col(c).cast(maintained(dims).schema(c).dataType)): _*)
+      assertSameRows(maintained(dims), rebuilt)
+    }
+  }
+
   test("MeasureDef rejects nothing it cannot combine exactly") {
     // every MKind has a combine; the compile-time sealed trait is the
     // guard — this pins the decomposition table stays total
