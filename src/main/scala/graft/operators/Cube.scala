@@ -39,6 +39,16 @@ object Cube {
   case object MCountCol extends MKind
   case object MMin extends MKind
   case object MMax extends MKind
+  /** Mergeable approximate-distinct sketch (Datasketches HLL — the
+    * Druid/Kylin sketch measure): the base cuboid stores a serialized
+    * sketch per group; coarser cuboids union the sketches (register
+    * max-merge — associative and lossless over the register state, so
+    * a sketch derived through ANY lattice path estimates identically
+    * to one built from the fact). Routing never uses these — sketch
+    * estimates are approximate, and routing promises exactness — but
+    * any cuboid can answer approx-distinct at its grain by
+    * `hll_sketch_estimate` without rescanning anything. */
+  case object MHllSketch extends MKind
 
   /** One cube measure: `name` is the cuboid column; `input` the fact
     * expression (ignored for MCountAll). */
@@ -51,21 +61,27 @@ object Cube {
       case MCountCol => count(input)
       case MMin => min(input)
       case MMax => max(input)
+      case MHllSketch => hll_sketch_agg(input)
     }).as(name)
     /** Exact re-aggregate from a parent cuboid's column. */
     def combine: Column = (kind match {
       case MSum | MCountAll | MCountCol => sum(col(name))
       case MMin => min(col(name))
       case MMax => max(col(name))
+      case MHllSketch => hll_union_agg(col(name))
     }).as(name)
-    /** Canonical fact-side aggregate for route registration. */
+    /** Canonical fact-side aggregate (route registration + delta
+      * maintenance both compare against this). */
     def canonical: Column = kind match {
       case MSum => sum(input)
       case MCountAll => count(lit(1))
       case MCountCol => count(input)
       case MMin => min(input)
       case MMax => max(input)
+      case MHllSketch => hll_sketch_agg(input)
     }
+    /** Sketches are approximate; routing promises exactness. */
+    def routable: Boolean = kind != MHllSketch
   }
 
   /** Build manifest entry: `parentDims` is None iff the cuboid was
@@ -113,9 +129,11 @@ object Cube {
       // fact): sizes drive both parent selection above and smallest-
       // cuboid routing below
       val rows = spark.table(tbl).count()
-      if (register)
+      val routable = measures.filter(_.routable)
+        .map(m => m.canonical -> m.name)
+      if (register && routable.nonEmpty)
         graft.plans.AggRouting.register(fact, spark.table(tbl), dims,
-          measures.map(m => m.canonical -> m.name).toMap, rows)
+          routable.toMap, rows)
       built += Built(dims, tbl, rows, parent.map(_.dims))
     }
     built.toSeq

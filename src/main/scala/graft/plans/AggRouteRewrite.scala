@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllSketchAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -109,6 +109,9 @@ object AggRouting {
       // bitmap id-set measures combine exactly via OR-merge — the
       // Kylin precise-count-distinct cube measure (docs/olap.md:24)
       case _: graft.functions.BitmapBuildAgg => ae
+      // HLL sketches union-combine losslessly over register state
+      // (max-merge) — maintainable, though never routed (approximate)
+      case _: HllSketchAgg => ae
       case other => throw new IllegalArgumentException(
         s"no exact re-aggregation for ${other.prettyName}; " +
           "register sum/count/min/max/bitmap_build measures")
@@ -185,6 +188,8 @@ object AggRouting {
           case _: Max => fmax(fcol(name))
           case _: graft.functions.BitmapBuildAgg =>
             graft.functions.Bitmap64.bitmapMerge(fcol(name))
+          case _: HllSketchAgg =>
+            org.apache.spark.sql.functions.hll_union_agg(fcol(name))
           case other => throw new IllegalArgumentException(
             s"no exact combine for ${other.prettyName}")
         }

@@ -125,11 +125,44 @@ class CubeSpec extends SparkSuite {
     }
   }
 
+  test("HLL sketch measure: estimates survive lattice derivation and " +
+      "maintenance unchanged") {
+    val fact = Engine.table(spark, sf, "lineitem")
+    val baseDims = Seq("l_returnflag", "l_linestatus")
+    val ms = Seq(
+      Cube.MeasureDef("n", Cube.MCountAll),
+      Cube.MeasureDef("hll_supp", Cube.MHllSketch, col("l_suppkey")))
+    val baseAggs = ms.map(_.base)
+    val base = fact.groupBy(baseDims.map(col): _*)
+      .agg(baseAggs.head, baseAggs.tail: _*)
+    // derive {rf} from the base by sketch union; compare estimates to
+    // a sketch built directly from the fact at {rf} grain
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("l_returnflag"),
+        hll_sketch_estimate(col("hll_supp")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val derived = est(Cube.derive(base, Seq("l_returnflag"), ms))
+    val direct = est(fact.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_agg(col("l_suppkey")).as("hll_supp")))
+    assert(derived == direct,
+      s"union-derived sketch estimates drifted: $derived vs $direct")
+    // maintenance: delta fold-in then re-derivation gives the same
+    // estimates as a full rebuild
+    val cutoff = lit("1996-01-01").cast("timestamp_ntz")
+    val oldBase = fact.filter(col("l_shipdate") < cutoff)
+      .groupBy(baseDims.map(col): _*).agg(baseAggs.head, baseAggs.tail: _*)
+    val delta = fact.filter(col("l_shipdate") >= cutoff)
+    val maintained = Cube.maintainLattice(baseDims, oldBase, delta, ms,
+      Seq(Seq("l_returnflag")))
+    assert(est(maintained(Seq("l_returnflag"))) == direct)
+  }
+
   test("MeasureDef rejects nothing it cannot combine exactly") {
     // every MKind has a combine; the compile-time sealed trait is the
     // guard — this pins the decomposition table stays total
     val kinds: Seq[Cube.MKind] = Seq(Cube.MSum, Cube.MCountAll,
-      Cube.MCountCol, Cube.MMin, Cube.MMax)
+      Cube.MCountCol, Cube.MMin, Cube.MMax, Cube.MHllSketch)
     kinds.foreach { k =>
       val m = Cube.MeasureDef("x", k, col("l_quantity"))
       assert(m.combine != null && m.base != null)
