@@ -51,5 +51,52 @@ object GraphQueries {
                FROM w JOIN r2 ON w.src = r2.id GROUP BY w.dst) c USING (id))
       SELECT id, CAST(pr AS DOUBLE) AS pr FROM r3 ORDER BY id"""))
 
-  def all: Seq[QuerySpec] = Seq(q_link_pagerank)
+  /** Centrality-gated curation: the planted link graph over document
+    * ids, PageRank as the per-document quality weight, and a keep
+    * decision at a fixed rank threshold — the CommonCrawl-style
+    * "crawl-graph rank decides what enters the corpus" gate, joined
+    * back onto the documents table. Inner join: rank nodes that are
+    * not document ids (the one dst-only node) drop out. */
+  val q_centrality_gate = QuerySpec(
+    "q_centrality_gate", Seq("J1", "A1", "A6", "P3", "X3"),
+    (s, d) => {
+      val docs = Engine.table(s, d, "documents")
+      val edges = Graph.plantedLinkGraph(docs, "doc_id")
+      Graph.pageRankExact(edges, iterations = 3)
+        .join(docs, col("id") === col("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("pr"), (col("pr") >= 0.8).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH params AS (SELECT count(*) AS n FROM documents),
+      e AS (
+        SELECT doc_id AS src,
+               1 + (doc_id*31 + t.j*97) % p.n AS dst
+        FROM documents, params p, generate_series(1,5) AS t(j)
+        WHERE t.j <= CASE doc_id%4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                                   WHEN 2 THEN 4 ELSE 5 END),
+      nodes AS (SELECT DISTINCT src AS id FROM e
+                UNION SELECT DISTINCT dst FROM e),
+      d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      w AS (SELECT e.src, e.dst, CAST(20 // d.deg AS BIGINT) AS w
+            FROM e JOIN d USING (src)),
+      r0 AS (SELECT id, CAST(1.00 AS DECIMAL(18,2)) AS pr FROM nodes),
+      r1 AS (SELECT nd.id, 0.15 + 0.0425 * COALESCE(c.m, 0) AS pr
+             FROM nodes nd LEFT JOIN (
+               SELECT w.dst AS id, SUM(r0.pr * w.w) AS m
+               FROM w JOIN r0 ON w.src = r0.id GROUP BY w.dst) c USING (id)),
+      r2 AS (SELECT nd.id, 0.15 + 0.0425 * COALESCE(c.m, 0) AS pr
+             FROM nodes nd LEFT JOIN (
+               SELECT w.dst AS id, SUM(r1.pr * w.w) AS m
+               FROM w JOIN r1 ON w.src = r1.id GROUP BY w.dst) c USING (id)),
+      r3 AS (SELECT nd.id, 0.15 + 0.0425 * COALESCE(c.m, 0) AS pr
+             FROM nodes nd LEFT JOIN (
+               SELECT w.dst AS id, SUM(r2.pr * w.w) AS m
+               FROM w JOIN r2 ON w.src = r2.id GROUP BY w.dst) c USING (id))
+      SELECT doc_id, source, n_chars, CAST(pr AS DOUBLE) AS pr,
+             CAST(pr AS DOUBLE) >= 0.8 AS keep
+      FROM r3 JOIN documents ON r3.id = documents.doc_id
+      ORDER BY doc_id"""))
+
+  def all: Seq[QuerySpec] = Seq(q_link_pagerank, q_centrality_gate)
 }
