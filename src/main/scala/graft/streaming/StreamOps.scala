@@ -533,6 +533,52 @@ object StreamOps {
       }
       .start()
 
+  /** [[summaryMaintenanceSink]] for a whole cuboid LATTICE — the
+    * real-time Kylin cube: each micro-batch folds into the BASE
+    * cuboid only ([[graft.operators.Cube.maintainLattice]]: delta agg
+    * + summary-sized combine, fact history never rescanned), then the
+    * descendant cuboids are re-derived from the maintained base and
+    * each committed as one [[graft.operators.VersionedTable]] version
+    * under `<latticeRoot>/<dims joined by _>`, exactly-once via the
+    * batch-id key. The base commits LAST: a reader (or a crash-replay)
+    * observing base version N therefore knows every descendant is at
+    * least at N, and the idempotent re-commit of descendants on
+    * replay converges them. Per-trigger cost: one micro-batch
+    * aggregation plus aggregations over summary-sized frames. */
+  def latticeMaintenanceSink(fact: DataFrame, latticeRoot: String,
+      baseDims: Seq[String],
+      measures: Seq[graft.operators.Cube.MeasureDef],
+      cuboids: Seq[Seq[String]],
+      checkpoint: String, intervalMs: Long = 500): StreamingQuery =
+    fact.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Cube, VersionedTable}
+        val spark = batch.sparkSession
+        def rootOf(dims: Seq[String]) = latticeRoot + "/" +
+          dims.map(_.replaceAll("[^A-Za-z0-9]", "")).mkString("_")
+        val baseAggs = measures.map(_.base)
+        val lattice: Map[Seq[String], DataFrame] =
+          if (VersionedTable.versions(spark, rootOf(baseDims)).isEmpty) {
+            val base = batch.groupBy(baseDims.map(col): _*)
+              .agg(baseAggs.head, baseAggs.tail: _*)
+            Map(baseDims -> base) ++ cuboids.map(d =>
+              d -> Cube.derive(base, d, measures))
+          } else Cube.maintainLattice(baseDims,
+            VersionedTable.read(spark, rootOf(baseDims)), batch,
+            measures, cuboids)
+        cuboids.foreach { d =>
+          VersionedTable.commit(spark, rootOf(d), lattice(d),
+            overwrite = true, idempotencyKey = Some(s"cub-$batchId"))
+        }
+        VersionedTable.commit(spark, rootOf(baseDims), lattice(baseDims),
+          overwrite = true, idempotencyKey = Some(s"cub-$batchId"))
+        ()
+      }
+      .start()
+
   /** Streaming ANN index maintenance: each micro-batch of embedding
     * changes (insert/delete rows, [[graft.operators.VersionedTable]]
     * CDC shape) upserts into a persisted IVF index via

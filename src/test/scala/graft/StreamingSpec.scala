@@ -749,6 +749,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming lattice maintenance: every cuboid == batch rebuild") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Cube
+    val root = tmpDir("latsink")
+    val in = MemoryStream[(String, String, Long)]
+    val baseDims = Seq("d1", "d2")
+    val ms = Seq(
+      Cube.MeasureDef("n", Cube.MCountAll),
+      Cube.MeasureDef("sum_qty", Cube.MSum, col("qty")),
+      Cube.MeasureDef("mx", Cube.MMax, col("qty")))
+    val children = Seq(Seq("d1"), Seq("d2"))
+    val q = StreamOps.latticeMaintenanceSink(
+      in.toDF.toDF("d1", "d2", "qty"), root, baseDims, ms, children,
+      tmpDir("latsinkck"), intervalMs = 50)
+    val fed = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    def feed(rows: (String, String, Long)*): Unit = {
+      fed ++= rows; in.addData(rows); q.processAllAvailable()
+    }
+    try {
+      feed(("a", "x", 10L), ("a", "y", 5L), ("b", "x", 7L))
+      feed(("a", "x", 2L), ("c", "z", 100L))
+      feed(("b", "y", 1L))
+      val full = fed.toSeq.toDF("d1", "d2", "qty")
+      (children :+ baseDims).foreach { dims =>
+        val path = root + "/" + dims.mkString("_")
+        val maintained = graft.operators.VersionedTable
+          .read(spark, path).orderBy(dims.map(col): _*)
+        val baseAggs = ms.map(_.base)
+        val rebuilt = full.groupBy(dims.map(col): _*)
+          .agg(baseAggs.head, baseAggs.tail: _*)
+          .select(maintained.columns.map(c =>
+            col(c).cast(maintained.schema(c).dataType)): _*)
+          .orderBy(dims.map(col): _*)
+        assertSameRows(maintained, rebuilt)
+      }
+    } finally q.stop()
+  }
+
   test("T7: streamingFunnel greedy semantics across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
