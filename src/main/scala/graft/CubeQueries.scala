@@ -193,5 +193,41 @@ object CubeQueries {
           s" ORDER BY cuboid, $RF, $LS, $SD, $SK")
     })
 
-  def all: Seq[QuerySpec] = Seq(q_cube_build, q_cube_route, q_cube_maintain)
+  /** A three-set dashboard rollup answered ENTIRELY from the lattice:
+    * every member of [[Cube.groupingSets]] individually routes to its
+    * smallest subsuming cuboid ({rf,ls} -> the 6-row cuboid, {rf} ->
+    * the 3-row one, {ls} -> the 2000-row {ls,sk} cuboid) — zero fact
+    * scans, pinned in CubeSpec. The oracle computes the same three
+    * group-bys from raw lineitem. */
+  val q_cube_rollup = QuerySpec(
+    "q_cube_rollup", Seq("A1", "A6", "A10", "S4"),
+    (s, d) => {
+      ensureCube(s, d)
+      ExtQueries.withAggRouting(s) {
+        Cube.groupingSets(Engine.table(s, d, "lineitem"), Seq(RF, LS),
+          Seq(Seq(RF, LS), Seq(RF), Seq(LS)),
+          Seq(Cube.MeasureDef("n", Cube.MCountAll),
+            Cube.MeasureDef("s_qty", Cube.MSum, dec2(col("l_quantity")))))
+          .select(col("grouping_set"), col(RF), col(LS), col("n"),
+            col("s_qty").cast("double").as("s_qty"))
+          .orderBy("grouping_set", RF, LS)
+      }
+    },
+    Some(s"""SELECT grouping_set, $RF, $LS, n, s_qty FROM (
+        SELECT '$RF+$LS' AS grouping_set, CAST($RF AS VARCHAR) AS $RF,
+               CAST($LS AS VARCHAR) AS $LS, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_qty
+        FROM lineitem GROUP BY $RF, $LS
+        UNION ALL
+        SELECT '$RF', CAST($RF AS VARCHAR), CAST(NULL AS VARCHAR),
+               COUNT(*), CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem GROUP BY $RF
+        UNION ALL
+        SELECT '$LS', CAST(NULL AS VARCHAR), CAST($LS AS VARCHAR),
+               COUNT(*), CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem GROUP BY $LS)
+      ORDER BY grouping_set, $RF, $LS"""))
+
+  def all: Seq[QuerySpec] =
+    Seq(q_cube_build, q_cube_route, q_cube_maintain, q_cube_rollup)
 }

@@ -139,6 +139,33 @@ object Cube {
     built.toSeq
   }
 
+  /** A GROUPING-SETS aggregate phrased so EVERY member can route onto
+    * the lattice: one aggregate per grouping set (each individually
+    * eligible for [[graft.plans.AggRouteRewrite]]'s smallest-cuboid
+    * rewrite — Spark's native grouping-sets plan goes through Expand,
+    * which routing cannot see through), absent dims null-filled, plus
+    * a `grouping_set` tag column. With routing enabled and a lattice
+    * registered, a k-set dashboard rollup over a 100 TB fact becomes
+    * k aggregations over cuboid-sized summaries and zero fact scans.
+    * Dim columns must be string-typed or explicitly castable to
+    * string (the null-fill type). */
+  def groupingSets(fact: DataFrame, allDims: Seq[String],
+      sets: Seq[Seq[String]], measures: Seq[MeasureDef]): DataFrame = {
+    require(sets.nonEmpty && sets.forall(_.nonEmpty),
+      "each grouping set must name at least one dim")
+    val aggs = measures.map(_.base)
+    sets.map { set =>
+      val tagged = fact.groupBy(set.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      tagged.select(
+        lit(set.mkString("+")).as("grouping_set") +:
+          allDims.map(d =>
+            (if (set.contains(d)) col(d) else lit(null))
+              .cast("string").as(d)) ++:
+          measures.map(m => col(m.name)): _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Derive a coarser cuboid's contents from a parent cuboid's
     * contents by exact re-aggregation (the same combine the lattice
     * build uses). `parent` must contain `dims` plus every measure

@@ -158,6 +158,17 @@ class CubeSpec extends SparkSuite {
     assert(est(maintained(Seq("l_returnflag"))) == direct)
   }
 
+  test("q_cube_rollup: every grouping set answered from a cuboid, " +
+      "zero fact scans") {
+    val df = CubeQueries.q_cube_rollup.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val suf = sf.replaceAll("[^A-Za-z0-9]", "_")
+    assert(!plan.contains("lineitem"),
+      s"rollup must not touch the fact:\n$plan")
+    assert(plan.contains(s"cube_${suf}_"),
+      "rollup members must scan cuboid tables")
+  }
+
   test("MeasureDef rejects nothing it cannot combine exactly") {
     // every MKind has a combine; the compile-time sealed trait is the
     // guard — this pins the decomposition table stays total
