@@ -51,6 +51,21 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  /** localCheckpoint, then REBUILD the frame from the checkpointed
+    * RDD. The rebuild is load-bearing: `LogicalRDD.fromDataset`
+    * propagates the origin plan's ESTIMATED statistics into the
+    * checkpoint (SPARK-39834), and in an iterative join loop those
+    * size-in-bytes estimates compound multiplicatively every round —
+    * by iteration ~40 the estimate is a million-digit BigInteger and
+    * Catalyst's stats visitor spends minutes per round multiplying
+    * it (observed: a 21-node graph took >10 min). Re-creating the
+    * DataFrame from the RDD resets stats to defaults, at the cost of
+    * one lazy row conversion over the (id, rank) pair per read. */
+  private def checkpointFresh(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   private def prep(edges: DataFrame, srcCol: String, dstCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val spark = edges.sparkSession
@@ -81,13 +96,46 @@ object Graph {
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") / col("deg")).as("m"))
-      ranks = nodes.join(contrib, Seq("id"), "left")
+      ranks = checkpointFresh(nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0)))
-            .as("pr"))
-        .localCheckpoint()
+            .as("pr")))
     }
     ranks
+  }
+
+  /** [[pageRank]] with convergence stopping — the production path:
+    * iterate until the largest per-node rank change falls below
+    * `tol` (read with one tiny aggregate over the just-checkpointed
+    * blocks, the same pattern as
+    * [[Dedup.connectedComponents]]'s convergence probe) or `maxIter`
+    * is hit. Returns (ranks, iterations run). */
+  def pageRankConverged(edges: DataFrame, tol: Double = 1e-6,
+      maxIter: Int = 50, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst")
+      : (DataFrame, Int) = {
+    require(tol > 0 && maxIter >= 1)
+    val (weighted, nodes, _) = prep(edges, srcCol, dstCol)
+    var ranks = nodes.withColumn("pr", lit(1.0))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val contrib = weighted
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("deg")).as("m"))
+      val next = checkpointFresh(nodes.join(contrib, Seq("id"), "left")
+        .join(ranks.withColumnRenamed("pr", "prev"), Seq("id"))
+        .select(col("id"), col("prev"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0)))
+            .as("pr")))
+      converged = next
+        .agg(max(abs(col("pr") - col("prev"))).as("d"))
+        .head.getDouble(0) < tol
+      ranks = next.select("id", "pr")
+      iter += 1
+    }
+    (ranks, iter)
   }
 
   private def lcm(a: Long, b: Long): Long = {
@@ -161,11 +209,10 @@ object Graph {
       val mTight = coalesce(col("m"), lit(java.math.BigDecimal.ZERO))
         .cast(DecimalType(prScale + 12, prScale))
       prScale += inc
-      ranks = nodes.join(contrib, Seq("id"), "left")
+      ranks = checkpointFresh(nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(oneMinusD.underlying) + lit(dOverS) * mTight)
-            .cast(DecimalType(prScale + 6, prScale)).as("pr"))
-        .localCheckpoint()
+            .cast(DecimalType(prScale + 6, prScale)).as("pr")))
     }
     ranks.select(col("id"), col("pr").cast("double").as("pr"))
   }

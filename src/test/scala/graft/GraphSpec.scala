@@ -57,6 +57,33 @@ class GraphSpec extends SparkSuite {
       assert(math.abs(v - db(id)) < 1e-9, s"node $id: $v vs ${db(id)}") }
   }
 
+  test("pageRankConverged: stops before maxIter and the fixed point " +
+      "is stable under one more iteration") {
+    // convergence rate is damping-bound (~0.85^k), so tol drives the
+    // iteration count: 1e-3 needs ~40 rounds regardless of graph size
+    val edges = ((0 until 8).map(i => (i.toLong, ((i + 1) % 8).toLong)) ++
+      (8 until 12).map(i => (i.toLong, 20L)) ++ Seq((20L, 8L)))
+      .toDF("src", "dst")
+    val (pr, iters) = Graph.pageRankConverged(edges, tol = 1e-3,
+      maxIter = 60)
+    assert(iters > 3 && iters < 60, s"unexpected iteration count $iters")
+    val oneMore = Graph.pageRank(edges, iters + 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pr.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - oneMore(r.getLong(0))) < 1e-2)
+    }
+  }
+
+  test("parallel edges carry weight multiplicity") {
+    // 0 -> 1 twice and 0 -> 2 once: node 1 receives 2/3 of 0's mass
+    val edges = Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L))
+      .toDF("src", "dst")
+    val pr = Graph.pageRank(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - (0.15 + 0.85 * (2.0 / 3))) < 1e-12)
+    assert(math.abs(pr(2L) - (0.15 + 0.85 * (1.0 / 3))) < 1e-12)
+  }
+
   test("exact mode rejects non-terminating damping/degree profiles") {
     val e3 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L),
       (3L, 0L)).toDF("src", "dst") // out-degree 3 -> lcm 3, 0.85/3 repeats
