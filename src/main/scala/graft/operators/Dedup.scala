@@ -483,11 +483,16 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nbr"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+      // Graph.checkpointFresh, not bare localCheckpoint: checkpoint
+      // stats inherit the joined plan's ESTIMATES and compound
+      // multiplicatively per round (see Graph.scala) — harmless at
+      // the 3-6 rounds this corpus converges in, pathological on the
+      // high-diameter graphs the maxIter bound exists for
+      val next = Graph.checkpointFresh(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nbr"), col("label")))
+              .as("label")))
       // labels only ever decrease, so convergence = no row changed this
       // round; the filter scans next's just-checkpointed blocks (one
       // tiny local job), replacing the old per-round decimal label-sum
@@ -567,8 +572,8 @@ object Dedup {
     // round, not two
     var prevSig = sig(e)
     while (!stable && iter < hardCap) {
-      val next = smallStar(largeStar(e))
-        .repartition(par, col("u")).localCheckpoint()
+      val next = Graph.checkpointFresh(smallStar(largeStar(e))
+        .repartition(par, col("u"))) // fresh stats per round (see above)
       val nextSig = sig(next)
       stable = nextSig == prevSig
       prevSig = nextSig

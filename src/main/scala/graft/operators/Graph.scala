@@ -61,7 +61,7 @@ object Graph {
     * it (observed: a 21-node graph took >10 min). Re-creating the
     * DataFrame from the RDD resets stats to defaults, at the cost of
     * one lazy row conversion over the (id, rank) pair per read. */
-  private def checkpointFresh(df: DataFrame): DataFrame = {
+  private[operators] def checkpointFresh(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
