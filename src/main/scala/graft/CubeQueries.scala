@@ -46,10 +46,11 @@ object CubeQueries {
     Seq(RF, LS, SD, SK), Seq(RF, LS, SD), Seq(RF, SD), Seq(LS, SK),
     Seq(RF, LS), Seq(SK), Seq(RF))
 
-  private val cubeReady =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  @volatile private var manifests =
-    Map.empty[String, Seq[Cube.Built]]
+  // computeIfAbsent (not a separate ready-set + map) so a concurrent
+  // caller losing the insert race BLOCKS until the winner's build
+  // publishes the manifest, instead of reading a not-yet-present key
+  private val cubes = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Cube.Built]]()
 
   /** Build the lattice once per JVM per scale dir; cuboids register
     * themselves as routing summaries with measured row counts. */
@@ -57,13 +58,11 @@ object CubeQueries {
       : Seq[Cube.Built] = {
     val suf = d.replaceAll("[^A-Za-z0-9]", "_")
     val prefix = s"dws.cube_${suf}_"
-    if (cubeReady.add(prefix)) {
+    cubes.computeIfAbsent(prefix, _ => {
       s.sql("CREATE DATABASE IF NOT EXISTS dws")
-      val m = Cube.build(Engine.table(s, d, "lineitem"), measures,
+      Cube.build(Engine.table(s, d, "lineitem"), measures,
         lattice, prefix)
-      manifests = manifests + (prefix -> m)
-    }
-    manifests(prefix)
+    })
   }
 
   /** Normalized projection of one cuboid for the union output. */

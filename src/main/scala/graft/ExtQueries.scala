@@ -730,9 +730,12 @@ object ExtQueries {
               UNION ALL SELECT k, st, tp FROM ins)
             ORDER BY k"""))
 
-  /** One-time-per-JVM-per-scale-dir guard for the routing fixture. */
+  /** One-time-per-JVM-per-scale-dir guard for the routing fixture.
+    * computeIfAbsent blocks a concurrent caller losing the insert race
+    * until the winner's build finishes — a bare ready-set would let the
+    * loser query the summary table mid-build. */
   private val aggRouteReady =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Build `dws.agg_route_<sf>` (a (returnflag, linestatus, shipdate)
     * summary of lineitem) and register its route once per JVM per
@@ -742,7 +745,7 @@ object ExtQueries {
     val fact = Engine.table(s, d, "lineitem")
     val suf = d.replaceAll("[^A-Za-z0-9]", "_")
     val tbl = s"dws.agg_route_$suf"
-    if (aggRouteReady.add(tbl)) {
+    aggRouteReady.computeIfAbsent(tbl, _ => {
       s.sql("CREATE DATABASE IF NOT EXISTS dws")
       Warehouse.dropManaged(s, tbl)
       fact.groupBy("l_returnflag", "l_linestatus", "l_shipdate")
@@ -765,7 +768,8 @@ object ExtQueries {
           count(col("l_quantity")) -> "cnt_qty",
           min(col("l_quantity")) -> "mn_qty",
           max(col("l_quantity")) -> "mx_qty"))
-    }
+      java.lang.Boolean.TRUE
+    })
     fact
   }
 
@@ -966,7 +970,7 @@ object ExtQueries {
     val fact = Engine.table(s, d, "events")
     val suf = d.replaceAll("[^A-Za-z0-9]", "_")
     val tbl = s"dws.audience_route_$suf"
-    if (aggRouteReady.add(tbl)) {
+    aggRouteReady.computeIfAbsent(tbl, _ => {
       s.sql("CREATE DATABASE IF NOT EXISTS dws")
       Warehouse.dropManaged(s, tbl)
       fact.groupBy("event_type")
@@ -978,7 +982,8 @@ object ExtQueries {
         measures = Map(
           bitmapBuild(col("user_id")) -> "bm_users",
           count(lit(1)) -> "cnt"))
-    }
+      java.lang.Boolean.TRUE
+    })
     fact
   }
 

@@ -89,6 +89,22 @@ object Cube {
   final case class Built(dims: Seq[String], table: String, rows: Long,
       parentDims: Option[Seq[String]])
 
+  /** Collision-proof table/path suffix for a dim list. INJECTIVE by
+    * construction — ASCII alphanumerics pass through, '_' escapes to
+    * "_u", any other char to "_x<hex>_", and dims join on "_d" — so
+    * Seq("a_b") vs Seq("ab"), or Seq("x_y","z") vs Seq("x","y_z"),
+    * mangle to distinct names (the previous strip-non-alnum mangle
+    * silently collided those onto one table and overwrote it). The
+    * escape char '_' never occurs bare, so the encoding parses back
+    * unambiguously; output is a valid [A-Za-z0-9_]* identifier. */
+  private[graft] def mangle(dims: Seq[String]): String =
+    dims.map(_.flatMap {
+      case c if (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') => c.toString
+      case '_' => "_u"
+      case c => "_x%04x_".format(c.toInt)
+    }).mkString("_d")
+
   /** Materialize `cuboids` (each a subset of fact columns) as managed
     * tables `<tablePrefix><dims joined by _>`, building each from its
     * smallest materialized ancestor, and register every one as a
@@ -99,6 +115,11 @@ object Cube {
       register: Boolean = true): Seq[Built] = {
     require(cuboids.nonEmpty, "no cuboids requested")
     require(measures.nonEmpty, "no measures declared")
+    // mangle is injective, so mangled-name uniqueness == dim-list
+    // uniqueness; a duplicated dim list would silently overwrite its
+    // twin's table mid-build
+    require(cuboids.map(mangle).distinct.size == cuboids.size,
+      s"duplicate cuboid dim lists: ${cuboids.mkString("; ")}")
     val spark = fact.sparkSession
     val ordered = cuboids.sortBy(-_.length)
     // the widest requested cuboid decides the declared measure types
@@ -121,8 +142,7 @@ object Cube {
         .agg(aggs.head, aggs.tail: _*)
         .select(dims.map(col) ++ measures.map(m =>
           col(m.name).cast(declared(m.name)).as(m.name)): _*)
-      val tbl = tablePrefix + dims.map(_.replaceAll("[^A-Za-z0-9]", ""))
-        .mkString("_")
+      val tbl = tablePrefix + mangle(dims)
       Warehouse.dropManaged(spark, tbl)
       out.write.format("parquet").saveAsTable(tbl)
       // one count per cuboid, over the just-written summary (never the

@@ -572,8 +572,15 @@ object Dedup {
     // round, not two
     var prevSig = sig(e)
     while (!stable && iter < hardCap) {
-      val next = Graph.checkpointFresh(smallStar(largeStar(e))
-        .repartition(par, col("u"))) // fresh stats per round (see above)
+      // no repartition before the checkpoint: checkpointFresh's rebuild
+      // (createDataFrame over the checkpointed RDD) reports UNKNOWN
+      // partitioning to Catalyst, so a pre-checkpoint repartition(u)
+      // bought the next round nothing — its exchange was pure waste
+      // (next round's groupBy re-shuffles regardless). Partition count
+      // stays bounded: smallStar's union of two aggregated frames is
+      // ≤ 2×shuffle.partitions per round, never compounding.
+      val next = Graph.checkpointFresh(smallStar(largeStar(e)))
+        // fresh stats per round (see checkpointFresh doc)
       val nextSig = sig(next)
       stable = nextSig == prevSig
       prevSig = nextSig

@@ -116,6 +116,10 @@ object Graph {
       : (DataFrame, Int) = {
     require(tol > 0 && maxIter >= 1)
     val (weighted, nodes, _) = prep(edges, srcCol, dstCol)
+    // empty edge set: node set is empty too — the convergence probe's
+    // max-over-nothing would be a NULL row (NPE at getDouble); mirror
+    // pageRankExact's empty guard and return the init ranks directly
+    if (nodes.isEmpty) return (nodes.withColumn("pr", lit(1.0)), 0)
     var ranks = nodes.withColumn("pr", lit(1.0))
     var iter = 0
     var converged = false
@@ -205,14 +209,29 @@ object Graph {
       val contrib = w
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("pr") * col("w")).as("m"))
-      val mTight = coalesce(col("m"), lit(java.math.BigDecimal.ZERO))
-        .cast(DecimalType(prScale + 12, prScale))
+        .agg(sum(col("pr") * col("w")).as("m"), count(lit(1)).as("nc"))
+      // overflow must THROW, never silently degrade: a NULL m on a node
+      // that HAS in-edges (nc set) is a non-ANSI decimal-sum overflow —
+      // the old coalesce would have turned it into rank (1-d). Nodes
+      // with no in-edges (nc null from the left join) legitimately get
+      // zero mass.
+      val mRaw = when(col("nc").isNotNull && col("m").isNull,
+          raise_error(lit("pageRankExact: decimal overflow in the mass " +
+            "sum (in-degree exceeded the 12-digit headroom); " +
+            "use pageRank (double)")))
+        .otherwise(coalesce(col("m"), lit(java.math.BigDecimal.ZERO)))
+      val mTight = mRaw.cast(DecimalType(prScale + 12, prScale))
       prScale += inc
       ranks = checkpointFresh(nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(oneMinusD.underlying) + lit(dOverS) * mTight)
             .cast(DecimalType(prScale + 6, prScale)).as("pr")))
+      // the two remaining non-ANSI casts (mass down to 12 int digits,
+      // pr to 6) overflow to NULL; one tiny scan over the checkpointed
+      // blocks turns that into an error instead of a wrong rank
+      require(ranks.filter(col("pr").isNull).isEmpty,
+        "pageRankExact: decimal overflow (a rank or mass exceeded its " +
+          "integer-digit headroom); use pageRank (double)")
     }
     ranks.select(col("id"), col("pr").cast("double").as("pr"))
   }

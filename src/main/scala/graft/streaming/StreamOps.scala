@@ -558,7 +558,7 @@ object StreamOps {
         import graft.operators.{Cube, VersionedTable}
         val spark = batch.sparkSession
         def rootOf(dims: Seq[String]) = latticeRoot + "/" +
-          dims.map(_.replaceAll("[^A-Za-z0-9]", "")).mkString("_")
+          graft.operators.Cube.mangle(dims) // collision-proof (see Cube)
         val baseAggs = measures.map(_.base)
         val lattice: Map[Seq[String], DataFrame] =
           if (VersionedTable.versions(spark, rootOf(baseDims)).isEmpty) {

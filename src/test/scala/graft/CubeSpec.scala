@@ -11,6 +11,33 @@ class CubeSpec extends SparkSuite {
 
   private lazy val manifest = CubeQueries.ensureCube(spark, sf)
 
+  test("mangle is collision-proof on underscore-ambiguous dim lists") {
+    // each pair collided under the old strip-non-alnum mangle
+    val ambiguous = Seq(
+      Seq("a_b") -> Seq("ab"),
+      Seq("x_y", "z") -> Seq("x", "y_z"),
+      Seq("x", "y_z") -> Seq("x", "y", "z"),
+      Seq("a-b") -> Seq("ab"))
+    ambiguous.foreach { case (l, r) =>
+      assert(Cube.mangle(l) != Cube.mangle(r),
+        s"$l and $r mangle to the same name ${Cube.mangle(l)}")
+    }
+    // output stays a plain identifier (table-name and path safe)
+    ambiguous.flatMap(p => Seq(p._1, p._2)).foreach { dims =>
+      assert(Cube.mangle(dims).matches("[A-Za-z0-9_]+"), Cube.mangle(dims))
+    }
+  }
+
+  test("build rejects duplicate cuboid dim lists instead of overwriting") {
+    val fact = Engine.table(spark, sf, "lineitem").limit(10)
+    val ex = intercept[IllegalArgumentException] {
+      Cube.build(fact, Seq(Cube.MeasureDef("n", Cube.MCountAll)),
+        Seq(Seq("l_returnflag"), Seq("l_returnflag")), "dws.cube_dup_t_",
+        register = false)
+    }
+    assert(ex.getMessage.contains("duplicate cuboid"))
+  }
+
   test("only the base cuboid reads the fact; parents shrink monotonically") {
     val base = manifest.head
     assert(base.parentDims.isEmpty, "widest cuboid must scan the fact")
@@ -56,8 +83,9 @@ class CubeSpec extends SparkSuite {
     val suf = sf.replaceAll("[^A-Za-z0-9]", "_")
     val paths = scannedPaths
     assert(paths.nonEmpty)
-    assert(paths.forall(_.contains(s"cube_${suf}_lsuppkey")),
-      s"expected the {l_suppkey} cuboid scan, got $paths")
+    val want = s"cube_${suf}_" + graft.operators.Cube.mangle(Seq("l_suppkey"))
+    assert(paths.forall(_.contains(want)),
+      s"expected the {l_suppkey} cuboid scan ($want), got $paths")
   }
 
   test("grouping subsumed by two cuboids picks the fewer-row one") {
@@ -79,9 +107,10 @@ class CubeSpec extends SparkSuite {
       val paths = plan.collect { case s: FileSourceScanExec =>
         s.relation.location.rootPaths.map(_.toString) }.flatten
       val suf = sf.replaceAll("[^A-Za-z0-9]", "_")
-      assert(paths.nonEmpty && paths.forall(
-        _.contains(s"cube_${suf}_lreturnflag_llinestatus")),
-        s"expected the 6-row {rf,ls} cuboid, got $paths")
+      val want = s"cube_${suf}_" +
+        graft.operators.Cube.mangle(Seq("l_returnflag", "l_linestatus"))
+      assert(paths.nonEmpty && paths.forall(_.contains(want)),
+        s"expected the 6-row {rf,ls} cuboid ($want), got $paths")
     } finally exp.extraOptimizations = prior
   }
 

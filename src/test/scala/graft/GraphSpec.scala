@@ -96,4 +96,27 @@ class GraphSpec extends SparkSuite {
     val pr = Graph.pageRankExact(Seq.empty[(Long, Long)].toDF("src", "dst"), 2)
     assert(pr.isEmpty) // no edges -> no nodes in src+dst universe
   }
+
+  test("pageRankConverged: empty edge set returns without NPE") {
+    val (pr, iters) = Graph.pageRankConverged(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(pr.isEmpty && iters == 0)
+  }
+
+  test("exact mode throws on decimal overflow instead of degrading") {
+    // a 2M-fan-in star: every leaf points at node 0, so node 0's mass
+    // sum is ~2e6 * w (w = lcm/deg = 1) * pr — with pr growing each
+    // round the 6-integer-digit pr headroom is exceeded; the old code
+    // silently returned rank (1-d) for the hub, the contract is THROW
+    val n = 2000000L
+    val leaves = spark.range(1, n + 1)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    // keep out-degrees in {1}: lcm 1, damping 0.85 terminates
+    val ex = intercept[Exception] {
+      Graph.pageRankExact(leaves, 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(ex).exists(_.contains("overflow")), ex.getMessage)
+  }
 }

@@ -774,7 +774,7 @@ class StreamingSpec extends SparkSuite {
       feed(("b", "y", 1L))
       val full = fed.toSeq.toDF("d1", "d2", "qty")
       (children :+ baseDims).foreach { dims =>
-        val path = root + "/" + dims.mkString("_")
+        val path = root + "/" + graft.operators.Cube.mangle(dims)
         val maintained = graft.operators.VersionedTable
           .read(spark, path).orderBy(dims.map(col): _*)
         val baseAggs = ms.map(_.base)
