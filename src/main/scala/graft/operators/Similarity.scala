@@ -144,19 +144,22 @@ object Similarity {
       hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
     bucketed.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/vectors")
-    // centroid = per-(bucket, dimension) mean: posexplode rows so the
-    // mean is a partially-aggregated groupBy (map-side combine shrinks
-    // the shuffle to buckets*dim rows per partition) — never an
+    // centroid = per-bucket vector mean as ONE typed aggregate
+    // ([[graft.functions.VecSumCountAgg]], map-side partial combine):
+    // the shuffle carries one (dim·8B + count) buffer per bucket per
+    // partition — not the buckets×dim exploded rows of a
+    // posexplode/groupBy(bucket, pos) formulation, and never an
     // in-memory materialization of a whole bucket
     val spark = embeddings.sparkSession
     spark.read.parquet(s"$indexDir/vectors")
       .select(col("bucket"),
-        posexplode(transform(col(vecCol), _.cast("double"))))
-      .groupBy("bucket", "pos").agg(avg("col").as("m"))
+        transform(col(vecCol), _.cast("double")).as("dv"))
       .groupBy("bucket")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
+      .agg(graft.functions.VecSumCountAgg.vecSumCount(col("dv"), dim)
+        .as("sc"))
+      .filter(col("sc.n") > 0)
+      .select(col("bucket"),
+        transform(col("sc.sums"), x => x / col("sc.n")).as("centroid"))
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
@@ -203,7 +206,11 @@ object Similarity {
 
   private[graft] def kmeansCentroids(train0: DataFrame,
       nCentroids: Int, iters: Int,
-      sampleFraction: Double = 1.0): DataFrame = {
+      sampleFraction: Double = 1.0,
+      // test hook only: forces the distributed Lloyd path on a small
+      // planted set so its semantics can be differenced against the
+      // local loop (production callers never pass it)
+      localTrainMax: Long = localKmeansTrainMax): DataFrame = {
     val spark = train0.sparkSession
     val train = (if (sampleFraction < 1.0)
       train0.filter(pmod(xxhash64(col("id")), lit(1000)) <
@@ -217,18 +224,23 @@ object Similarity {
     // loop's input, no second job
     val probe = train
       .select(xxhash64(col("id")).as("h"), col("id"), col("nv"))
-      .limit((localKmeansTrainMax + 1).toInt).collect()
-    if (probe.length <= localKmeansTrainMax)
+      .limit((localTrainMax + 1).toInt).collect()
+    if (probe.length <= localTrainMax)
       return localKmeans(spark, probe, nCentroids, iters)
 
     // The centroid table lives DRIVER-SIDE through the Lloyd loop: it
     // is tiny by construction (k ≤ 65,536 at dim 64 is 32 MiB — the
     // bound [[broadcastCentroids]] already documents, and every
     // iteration already collected it there to broadcast). Each
-    // iteration is then ONE distributed job — broadcast-kernel assign
-    // fused with the per-(bucket, dimension) partial mean, collected —
-    // instead of the previous cache + count + collect trio whose fixed
-    // job overhead dominated at small scale.
+    // iteration is ONE distributed job: broadcast-kernel assign fused
+    // with a per-bucket (Σ vector, count) typed aggregate
+    // ([[graft.functions.VecSumCountAgg]], map-side partial combine),
+    // collected as k ROWS. The earlier posexplode formulation shuffled
+    // n×dim exploded rows per iteration and collected k×dim Row
+    // objects (~4.2 M at the k=65 536 × dim 64 ceiling) — a real wall
+    // on the un-sampled 100 TB path; this one shuffles one
+    // (dim·8B + 8B) buffer per bucket per partition and the collect is
+    // k rows regardless of dim×k.
     // deterministic init: the nCentroids training vectors with the
     // smallest id-hash (a seeded random draw both runs agree on)
     var cents: Array[(Long, Array[Double])] = train
@@ -239,20 +251,14 @@ object Similarity {
     for (_ <- 1 to iters if cents.nonEmpty) {
       val bc = spark.sparkContext.broadcast(
         graft.functions.CentroidTopK.centroids(cents))
-      val means = train
-        .withColumn("bucket", element_at(
-          graft.functions.CentroidTopK.centroidTopK(bc, col("nv"), 1), 1))
-        .select(col("bucket"), posexplode(col("nv")))
-        .groupBy("bucket", "pos").agg(avg("col").as("m"))
-        .collect()
-      // buckets that attracted no vectors drop out, as before
-      cents = means.groupBy(_.getLong(0)).toArray.sortBy(_._1)
-        .map { case (b, rows) =>
-          val dim = rows.length
-          val v = new Array[Double](dim)
-          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
-          (b, v)
-        }
+      val means = meansFrame(train, bc, cents.head._2.length).collect()
+      // buckets that attracted no vectors drop out, as before (a
+      // bucket whose every row was skipped — wrong dim / NaN — too)
+      cents = means.flatMap { r =>
+        val n = r.getLong(2)
+        if (r.isNullAt(0) || n == 0L) None
+        else Some((r.getLong(0), r.getSeq[Double](1).toArray.map(_ / n)))
+      }.sortBy(_._1)
     }
     val out = spark.createDataFrame(
         cents.toSeq.map { case (b, v) => (b, v.toSeq) })
@@ -260,6 +266,24 @@ object Similarity {
     out.count()
     out
   }
+
+  /** One Lloyd iteration's distributed mean-update frame:
+    * (bucket, sums, n) with nearest-centroid assignment via the
+    * broadcast kernel and the per-bucket vector sum as a single typed
+    * aggregate — no posexplode, no per-dimension rows. Factored out so
+    * SimilaritySpec can pin the plan shape (exactly one aggregate, no
+    * Generate node). */
+  private[graft] def meansFrame(train: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.CentroidTopK.Centroids],
+      dim: Int): DataFrame =
+    train
+      .withColumn("bucket", element_at(
+        graft.functions.CentroidTopK.centroidTopK(bc, col("nv"), 1), 1))
+      .groupBy("bucket")
+      .agg(graft.functions.VecSumCountAgg.vecSumCount(col("nv"), dim)
+        .as("sc"))
+      .select(col("bucket"), col("sc.sums").as("sums"), col("sc.n").as("n"))
 
   /** Driver-local Lloyd loop for bounded training sets: one collect,
     * then iters × (argmax assign + mean) in memory. Mirrors the

@@ -342,4 +342,79 @@ class SimilaritySpec extends SparkSuite {
     // a quarter of the buckets must recover a solid majority
     assert(curve(1)._2 >= 0.5, curve.toString)
   }
+
+  /** The (id, nv) unit-vector training frame both k-means paths see. */
+  private lazy val kmeansTrain = clustered.select(col("vec_id").as("id"),
+    Similarity.normalized(col("embedding")).as("nv"))
+
+  test("distributed Lloyd path == local path on the planted clusters") {
+    // localTrainMax = 0 forces the distributed loop on the same 200
+    // vectors the local loop trains on; identical init (smallest
+    // id-hash) and identical skip rules mean the centroid SETS must
+    // agree to summation-order tolerance
+    val local = Similarity.kmeansCentroids(kmeansTrain, 10, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val dist = Similarity.kmeansCentroids(kmeansTrain, 10, 3,
+        localTrainMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(dist.keySet == local.keySet,
+      s"bucket sets diverge: ${dist.keySet} vs ${local.keySet}")
+    dist.foreach { case (b, v) =>
+      val lv = local(b)
+      assert(v.length == lv.length)
+      v.zip(lv).foreach { case (a, c) =>
+        assert(math.abs(a - c) < 1e-9, s"bucket $b centroid diverges")
+      }
+    }
+  }
+
+  test("distributed Lloyd iteration plan: one typed aggregate, " +
+      "no posexplode, no per-dimension rows") {
+    val cents = Array.tabulate(4)(i =>
+      (i.toLong, Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)))
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.CentroidTopK.centroids(cents))
+    val frame = Similarity.meansFrame(kmeansTrain, bc, 64)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"mean update must not explode vectors into rows:\n$plan")
+    assert(plan.contains("vec_sum_count"),
+      s"expected the VecSumCountAgg aggregate:\n$plan")
+    // and it computes the right thing: sums/n == per-bucket mean
+    val viaAgg = frame.collect().map { r =>
+      val n = r.getLong(2)
+      r.getLong(0) -> r.getSeq[Double](1).map(_ / n)
+    }.toMap
+    val naive = kmeansTrain
+      .withColumn("bucket", element_at(
+        graft.functions.CentroidTopK.centroidTopK(bc, col("nv"), 1), 1))
+      .select(col("bucket"), posexplode(col("nv")))
+      .groupBy("bucket", "pos").agg(avg("col").as("m"))
+      .collect().groupBy(_.getLong(0)).map { case (b, rows) =>
+        b -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    assert(viaAgg.keySet == naive.keySet)
+    viaAgg.foreach { case (b, v) =>
+      v.zip(naive(b)).foreach { case (a, c) =>
+        assert(math.abs(a - c) < 1e-9, s"bucket $b mean diverges")
+      }
+    }
+  }
+
+  test("vec_sum_count skips wrong-dim and NaN vectors, counts the rest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0)),
+      (1L, Seq(3.0, 4.0)),
+      (1L, Seq(Double.NaN, 1.0)), // skipped: NaN
+      (1L, Seq(1.0, 2.0, 3.0)),   // skipped: wrong dim
+      (2L, Seq(5.0, 6.0))).toDF("b", "v")
+    val out = df.groupBy("b")
+      .agg(graft.functions.VecSumCountAgg.vecSumCount(col("v"), 2).as("sc"))
+      .select(col("b"), col("sc.sums"), col("sc.n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1), r.getLong(2)))).toMap
+    assert(out(1L) == ((Seq(4.0, 6.0), 2L)), out(1L).toString)
+    assert(out(2L) == ((Seq(5.0, 6.0), 1L)), out(2L).toString)
+  }
 }
