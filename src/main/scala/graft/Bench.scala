@@ -34,6 +34,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the app-status stores retain per-execution metrics and plan
+      // graphs even with the UI off; at 183 queries × 3 runs × several
+      // jobs each, the default retention (1000 executions/jobs/stages)
+      // is tens of MB of old-gen ballast that taxes every query run
+      // late in the suite — part of the shared-JVM inflation that
+      // phantom-flagged dd_ngram_block/dd_incremental in r10/r11
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Engine.configure(spark)
@@ -73,6 +83,17 @@ object Bench {
     // reported as -1 and listed in "errors".
     val errorDetails = scala.collection.mutable.Map[String, String]()
     val runs = names.map { n =>
+      // sweep the previous query's leaked storage before timing this
+      // one: iterative operators (connected components, PageRank, BPE,
+      // the classifier) localCheckpoint per round, and those blocks sit
+      // in the block manager until their RDD is GC'd AND the async
+      // ContextCleaner gets scheduled — across 183 queries that backlog
+      // is exactly the GC contamination the r10/r11 phantom regressions
+      // kept re-flagging. Every cache in this engine is query-local
+      // (no QuerySpec depends on another query's cached frame), so a
+      // blanket unpersist is semantics-free here.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()

@@ -49,6 +49,21 @@ object Engine {
     // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
     // rejects; read as Long and convert in `table` below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ObjectHashAggregate (every bitmap/HLL/vector typed aggregate)
+    // falls back to SORT-BASED aggregation once a partition's hash map
+    // exceeds this many groups — the fallback is its only spill
+    // mechanism. The default of 128 meant any typed rollup past toy
+    // cardinality silently SORTED its whole input partition (measured:
+    // q_agg_route_incremental's ~15k-group bitmap build, 2.36s → 1.74s
+    // isolated at sf0.1 with the raise). Raising it trades that spill
+    // safety for hash speed, which is the right trade for this engine:
+    // typed aggregates here group at DIMENSION grain (≤ ~100k groups),
+    // never id grain, and the buffers are compact (chunked-sparse
+    // bitmaps, dim-64 sum vectors, HLL registers) — 1M groups × KB
+    // buffers stays well inside one executor's aggregation budget.
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "1000000")
     // rollup/cube after a join trips the ambiguous-self-join guard (the
     // Expand node duplicates grouping attributes); our self-joins all
     // rename columns first, so the guard only produces false positives.
