@@ -97,9 +97,74 @@ object ScaleProbe {
     // curve, the reason 100 TB and 10 GB learn on similar tables
     val bpeVocab = operators.Bpe.wordCounts(docs).count()
 
+    // ---- round-12 family probes (r11 verdict item 5) ----
+    val events = Engine.table(spark, d, "events")
+    val nEvents = events.count()
+
+    // funnel: the per-user collected in-funnel array is windowFunnel's
+    // only unbounded quantity — its MAX is the task-memory bound, the
+    // total is the single shuffle's row count
+    val funnelSteps = Seq("view", "click", "purchase")
+    val perUser = events
+      .filter(col("event_type").isin(funnelSteps: _*))
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+    val funnelMaxUser = perUser.agg(max("c")).head().getLong(0)
+    val funnelRows = perUser.agg(sum("c")).head().getLong(0)
+
+    // PageRank on the conformance link graph: per-iteration join work
+    // is bounded by max (src, salt) shard size (out-degree skew, salted
+    // at prep) and the mass aggregate's map-side combine handles
+    // in-degree skew — so max in-degree is reported, not feared
+    val cust = Engine.table(spark, d, "customer")
+    val edges = operators.Graph.plantedLinkGraph(cust).localCheckpoint()
+    val nEdges = edges.count()
+    val (weighted, _, _) =
+      operators.Graph.prep(edges, "src", "dst", 65536L)
+    val prMaxShard = weighted.groupBy("src", "salt").count()
+      .agg(max("count")).head().getLong(0)
+    val prMaxInDeg = edges.groupBy("dst").count()
+      .agg(max("count")).head().getLong(0)
+    val prIters = operators.Graph.pageRankConverged(edges, tol = 1e-4)._2
+
+    // cuboid lattice: the fact is scanned once for the base cuboid;
+    // every other build/maintenance step is bounded by these summary
+    // row counts (base first, then the whole lattice)
+    val li = Engine.table(spark, d, "lineitem")
+    val nFact = li.count()
+    val cubeBase = li.groupBy("l_returnflag", "l_linestatus",
+        "l_shipdate", "l_suppkey")
+      .agg(count(lit(1))).count()
+    val cubeBase3 = li.groupBy("l_returnflag", "l_linestatus",
+        "l_shipdate").agg(count(lit(1))).count()
+
+    // inverted index: postings rows (the build shuffle + index size),
+    // vocabulary (shard fan-out), max document frequency (the hottest
+    // posting list = the worst single probe's row count)
+    val postings = docs.select(col("doc_id"),
+        explode(graft.functions.wordTokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val postRows = postings.count()
+    val vocab = postings.select("token").distinct().count()
+    val maxDf = postings.groupBy("token").count()
+      .agg(max("count")).head().getLong(0)
+
     Map(
       "n_docs" -> docs.count(),
       "n_vecs" -> emb.count(),
+      "n_events" -> nEvents,
+      "n_edges" -> nEdges,
+      "n_fact" -> nFact,
+      "funnel_rows" -> funnelRows,
+      "funnel_max_user" -> funnelMaxUser,
+      "pagerank_max_shard" -> prMaxShard,
+      "pagerank_max_indeg" -> prMaxInDeg,
+      "pagerank_iters" -> prIters.toLong,
+      "cube_base_rows" -> cubeBase,
+      "cube_base3_rows" -> cubeBase3,
+      "index_postings" -> postRows,
+      "index_vocab" -> vocab,
+      "index_max_df" -> maxDf,
       "bpe_vocab" -> bpeVocab,
       "minhash_cand" -> minhashCand,
       "minhash_cand_t08" -> minhashCandT08,
@@ -133,8 +198,12 @@ object ScaleProbe {
       case Seq((d1, m1), (d2, m2)) =>
         def base(k: String): String =
           if (k.startsWith("embed_") || k.startsWith("semantic_")) "n_vecs"
+          else if (k.startsWith("funnel_")) "n_events"
+          else if (k.startsWith("pagerank_")) "n_edges"
+          else if (k.startsWith("cube_")) "n_fact"
           else "n_docs"
-        val exps = m1.keys.filterNot(Set("n_docs", "n_vecs")).toSeq.sorted
+        val denoms = Set("n_docs", "n_vecs", "n_events", "n_edges", "n_fact")
+        val exps = m1.keys.filterNot(denoms).toSeq.sorted
           .map { k =>
             val nr = m2(base(k)).toDouble / m1(base(k))
             val e =

@@ -66,42 +66,78 @@ object Graph {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
-  private def prep(edges: DataFrame, srcCol: String, dstCol: String)
+  /** Out-degree above which a source's edge rows are spread across
+    * salt shards (ceil(deg/threshold), capped at defaultParallelism).
+    * Power-law graphs put a constant FRACTION of all edges on a few
+    * hub sources; the per-iteration ranks⋈edges join keys on src, and
+    * because the edge side is partitioned ONCE and checkpointed (the
+    * design that keeps iterations shuffling only the rank vector),
+    * AQE's skew-join splitting can never help — it only splits live
+    * shuffle outputs. So the skew fix must be structural: hot sources'
+    * edges carry a salt = hash(dst) % shards at prep time, and each
+    * iteration the (tiny) rank row of a hot source is EXPANDED to one
+    * row per shard (the J11 expansion-join pattern) — every edge still
+    * joins exactly one rank row, results are unchanged, and no task
+    * sees more than ~threshold edges of any one source. The dst-keyed
+    * mass aggregate needs no such treatment: in-degree hubs collapse
+    * map-side in the partial aggregate. */
+  private val hotOutDegreeShard = 65536L
+
+  private[graft] def prep(edges: DataFrame, srcCol: String,
+      dstCol: String, saltThreshold: Long)
       : (DataFrame, DataFrame, DataFrame) = {
     val spark = edges.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // partitioned on src once; every iteration's join reuses it
+    // shards per source: 1 for everyone below the threshold, capped at
+    // the parallelism (more shards than tasks buys nothing)
+    val nsh = least(ceil(col("deg").cast("double") / saltThreshold),
+      lit(par.toLong)).cast("long")
+    // partitioned on (src, salt) once; every iteration's join reuses it
     val weighted = e.join(deg, Seq("src"))
-      .repartition(par, col("src"))
+      .withColumn("nsh", nsh)
+      .withColumn("salt", pmod(xxhash64(col("dst")), col("nsh")))
+      .repartition(par, col("src"), col("salt"))
       .localCheckpoint()
+    // nodes carry their shard count (1 for dst-only nodes) so the loop
+    // can expand rank rows without a per-iteration join against deg
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
+      .join(deg.select(col("src").as("id"), nsh.as("nsh")), Seq("id"),
+        "left")
+      .select(col("id"), coalesce(col("nsh"), lit(1L)).as("nsh"))
       .localCheckpoint()
     (weighted, nodes, deg)
   }
 
+  /** One rank row per (source, salt shard): the tiny side of the
+    * iteration join, expanded to meet the salted edge partitioning. */
+  private def expandRanks(ranks: DataFrame): DataFrame =
+    ranks.select(col("id").as("src"), col("pr"),
+      explode(sequence(lit(0L), col("nsh") - 1)).as("salt"))
+
   /** Damped PageRank over doubles: (id, pr) for every node in
     * src ∪ dst after `iterations` rounds from uniform pr=1. */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      saltThreshold: Long = hotOutDegreeShard): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val (weighted, nodes, _) = prep(edges, srcCol, dstCol)
+    val (weighted, nodes, _) = prep(edges, srcCol, dstCol, saltThreshold)
     var ranks = nodes.withColumn("pr", lit(1.0))
     for (_ <- 1 to iterations) {
       val contrib = weighted
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(expandRanks(ranks), Seq("src", "salt"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") / col("deg")).as("m"))
       ranks = checkpointFresh(nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("nsh"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0)))
             .as("pr")))
     }
-    ranks
+    ranks.select("id", "pr")
   }
 
   /** [[pageRank]] with convergence stopping — the production path:
@@ -112,34 +148,36 @@ object Graph {
     * is hit. Returns (ranks, iterations run). */
   def pageRankConverged(edges: DataFrame, tol: Double = 1e-6,
       maxIter: Int = 50, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst")
+      srcCol: String = "src", dstCol: String = "dst",
+      saltThreshold: Long = hotOutDegreeShard)
       : (DataFrame, Int) = {
     require(tol > 0 && maxIter >= 1)
-    val (weighted, nodes, _) = prep(edges, srcCol, dstCol)
+    val (weighted, nodes, _) = prep(edges, srcCol, dstCol, saltThreshold)
     // empty edge set: node set is empty too — the convergence probe's
     // max-over-nothing would be a NULL row (NPE at getDouble); mirror
     // pageRankExact's empty guard and return the init ranks directly
-    if (nodes.isEmpty) return (nodes.withColumn("pr", lit(1.0)), 0)
+    if (nodes.isEmpty)
+      return (nodes.select("id").withColumn("pr", lit(1.0)), 0)
     var ranks = nodes.withColumn("pr", lit(1.0))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val contrib = weighted
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(expandRanks(ranks), Seq("src", "salt"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") / col("deg")).as("m"))
       val next = checkpointFresh(nodes.join(contrib, Seq("id"), "left")
-        .join(ranks.withColumnRenamed("pr", "prev"), Seq("id"))
-        .select(col("id"), col("prev"),
+        .join(ranks.select(col("id"), col("pr").as("prev")), Seq("id"))
+        .select(col("id"), col("nsh"), col("prev"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0)))
             .as("pr")))
       converged = next
         .agg(max(abs(col("pr") - col("prev"))).as("d"))
         .head.getDouble(0) < tol
-      ranks = next.select("id", "pr")
+      ranks = next.select("id", "nsh", "pr")
       iter += 1
     }
-    (ranks, iter)
+    (ranks.select("id", "pr"), iter)
   }
 
   private def lcm(a: Long, b: Long): Long = {
@@ -156,9 +194,11 @@ object Graph {
     * (equal decimals cast to equal doubles). */
   def pageRankExact(edges: DataFrame, iterations: Int,
       damping: (Int, Int) = (85, 100),
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      saltThreshold: Long = hotOutDegreeShard): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val (weighted, nodes, deg) = prep(edges, srcCol, dstCol)
+    val (weighted, nodes, deg) =
+      prep(edges, srcCol, dstCol, saltThreshold)
     // distinct out-degree VALUES — bounded collect (a degree histogram
     // has at most a few hundred distinct values on any real graph;
     // guard anyway so a pathological graph fails loudly, not slowly)
@@ -166,8 +206,8 @@ object Graph {
       .collect().map(_.getLong(0))
     require(degs.length <= 1000,
       "pageRankExact: > 1000 distinct out-degrees; use pageRank (double)")
-    if (degs.isEmpty)
-      return nodes.withColumn("pr", lit(1.0)) // no edges: pr stays init
+    if (degs.isEmpty) // no edges: pr stays init
+      return nodes.select("id").withColumn("pr", lit(1.0))
     val s = degs.reduce(lcm)
     require(s > 0 && s <= 1000000L,
       s"pageRankExact: degree lcm $s too large for exact weights; " +
@@ -207,7 +247,7 @@ object Graph {
       //   (finalScale-inc)+12+inc+scale(dOverS)+1 <= 31: never capped,
       //   never rounded.
       val contrib = w
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(expandRanks(ranks), Seq("src", "salt"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") * col("w")).as("m"), count(lit(1)).as("nc"))
       // overflow must THROW, never silently degrade: a NULL m on a node
@@ -223,7 +263,7 @@ object Graph {
       val mTight = mRaw.cast(DecimalType(prScale + 12, prScale))
       prScale += inc
       ranks = checkpointFresh(nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("nsh"),
           (lit(oneMinusD.underlying) + lit(dOverS) * mTight)
             .cast(DecimalType(prScale + 6, prScale)).as("pr")))
       // the two remaining non-ANSI casts (mass down to 12 int digits,

@@ -103,6 +103,58 @@ class GraphSpec extends SparkSuite {
     assert(pr.isEmpty && iters == 0)
   }
 
+  /** Power-law fixture: hub node 0 owns 32% of all edges (out-degree
+    * 2 000 — 2^4·5^3, so the exact mode's lcm with the background's
+    * degree 10 is 2000 and d/S = 0.000425 terminates at scale 6);
+    * 425 background sources of out-degree 10. */
+  private lazy val hubGraph = {
+    val hub = spark.range(1, 2001)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    val bg = spark.range(1, 426)
+      .select(col("id").as("src"),
+        explode(sequence(lit(1), lit(10))).as("j"))
+      .select(col("src"), (col("src") * 13 + col("j") * 101) % 2000 + 1)
+      .toDF("src", "dst")
+    hub.unionByName(bg)
+  }
+
+  test("hub-skew: salted prep bounds any one source's edges per task") {
+    val (weighted, nodes, _) = Graph.prep(hubGraph, "src", "dst",
+      saltThreshold = 128L)
+    val par = spark.sparkContext.defaultParallelism
+    val perShard = weighted.groupBy("src", "salt").count()
+    val maxShard = perShard.agg(max("count")).head.getLong(0)
+    // the hub's 2k edges must spread across min(ceil(2000/128), par)
+    // shards; xxhash64(dst) balance gives each ~deg/shards rows
+    val shards = math.min(math.ceil(2000.0 / 128).toLong, par.toLong)
+    assert(maxShard <= 2 * (2000 / shards),
+      s"hub shard of $maxShard rows — salting did not engage")
+    assert(maxShard < 2000, "hub edges not split at all")
+    // every node knows its shard count; dst-only nodes get 1
+    val nsh = nodes.filter(col("id") === 0L).head.getLong(1)
+    assert(nsh == shards, s"hub nsh $nsh != $shards")
+    assert(nodes.filter(col("nsh") === 1L).count() >= 2000)
+  }
+
+  test("hub-skew: salted and unsalted exact PageRank agree to the bit; " +
+      "double mode to float tolerance") {
+    // exact mode is partitioning-invariant by construction, so salted
+    // == unsalted proves the expansion join pairs every edge with
+    // exactly one rank row (no dup, no drop)
+    val salted = Graph.pageRankExact(hubGraph, 2, saltThreshold = 128L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = Graph.pageRankExact(hubGraph, 2,
+        saltThreshold = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(salted.size == plain.size && salted.keySet == plain.keySet)
+    salted.foreach { case (id, pr) => assert(pr == plain(id), s"node $id") }
+    val dSalted = Graph.pageRank(hubGraph, 2, saltThreshold = 128L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    dSalted.foreach { case (id, pr) =>
+      assert(math.abs(pr - plain(id)) < 1e-9, s"node $id double mode")
+    }
+  }
+
   test("exact mode throws on decimal overflow instead of degrading") {
     // a 2M-fan-in star: every leaf points at node 0, so node 0's mass
     // sum is ~2e6 * w (w = lcm/deg = 1) * pr — with pr growing each
