@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only 10× spot-bench of the headline tail (r11 verdict item 7):
+  * one data point an order of magnitude above the per-round bench SF,
+  * to validate that the measured SCALE.md exponents actually
+  * extrapolate before anyone claims 100×.
+  *
+  * The driver ships no sf1 testdata, so this builds a DERIVED 10×
+  * replica of sf0.1 under ./target/scalebench/sf10x (10 copies per
+  * table, keys offset per copy). Replication is honesty-preserving per
+  * operator family:
+  *  - documents: copy 0 is verbatim; copies 1-9 suffix every token
+  *    with a copy tag, so WITHIN-copy near-dup structure replicates
+  *    (10× the planted clusters — linear, like a real 10× crawl) while
+  *    cross-copy shingles never collide (a verbatim 10× replica would
+  *    instead plant 45 exact dups of every document — a 100× candidate
+  *    blow-up no real corpus has). Vocabulary opens 31 → ~310, the
+  *    Heaps-law direction.
+  *  - embeddings: ids offset; vectors rotated by copy index (norms and
+  *    pairwise-distance distribution preserved, no spurious exact
+  *    duplicates).
+  *  - orders / lineitem: keys offset; l_suppkey offset per copy too —
+  *    TPC-H sf1 has 10× the suppliers of sf0.1, and suppkey drives the
+  *    base-cuboid cardinality, so scaling it is the honest choice.
+  *
+  * Usage: runMain graft.ScaleBench [query ...] (defaults to the five
+  * tail queries). Prints one SCALE10X line per query with t(sf0.1),
+  * t(10x), the ratio, and the implied exponent log10(ratio).
+  */
+object ScaleBench {
+
+  private val defaults = Seq("q_bm25_index_maint", "q_versioned_merge",
+    "q_embed_ivf_upsert", "q_dedup_ngram_block", "q_cube_maintain")
+
+  private def force(df: DataFrame): Unit = {
+    df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+    ()
+  }
+
+  private def buildReplica(spark: SparkSession, src: String,
+      out: String): Unit = {
+    val dir = new java.io.File(out)
+    if (new java.io.File(dir, "_OK").exists()) return
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+
+    def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      (0 until 10).map(i => f(base, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    copies("documents") { (df, i) =>
+      val d = df.withColumn("doc_id", col("doc_id") + i * 10000000L)
+      if (i == 0) d
+      else d.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", "$1c" + i))
+    }
+    copies("embeddings") { (df, i) =>
+      val d = df.withColumn("vec_id", col("vec_id") + i * 10000000L)
+      if (i == 0) d
+      else d.withColumn("embedding", concat(
+        slice(col("embedding"), i + 1, 64 - i),
+        slice(col("embedding"), 1, i)))
+    }
+    copies("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + i * 1000000000L)
+        .withColumn("o_custkey", col("o_custkey") + i * 10000000L)
+    }
+    copies("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + i * 1000000000L)
+        .withColumn("l_partkey", col("l_partkey") + i * 10000000L)
+        .withColumn("l_suppkey", col("l_suppkey") + i * 100000L)
+    }
+    new java.io.File(dir, "_OK").createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq else defaults
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Engine.configure(spark)
+
+    val base = "/root/testdata/sf0.1"
+    val big = "target/scalebench/sf10x"
+    buildReplica(spark, base, big)
+
+    // JIT/codegen warm at tiny scale
+    val warm = "/root/testdata/sf0.001"
+    names.foreach { n =>
+      try force(SparkEntry.queries(n)(spark, warm))
+      catch { case _: Throwable => () }
+    }
+
+    def best(n: String, d: String, runs: Int): Double =
+      (1 to runs).map { _ =>
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+        val t0 = System.nanoTime()
+        force(SparkEntry.queries(n)(spark, d))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    names.foreach { n =>
+      val t1 = best(n, base, 2)
+      val t10 = best(n, big, 2)
+      val ratio = t10 / t1
+      println(f"""SCALE10X {"q":"$n","t_sf01":$t1%.2f,"t_10x":$t10%.2f,""" +
+        f""""ratio":$ratio%.2f,"exponent":${math.log10(ratio)}%.2f}""")
+    }
+    spark.stop()
+  }
+}
