@@ -118,9 +118,10 @@ object ScaleProbe {
     val cust = Engine.table(spark, d, "customer")
     val edges = operators.Graph.plantedLinkGraph(cust).localCheckpoint()
     val nEdges = edges.count()
-    val (weighted, _, _) =
-      operators.Graph.prep(edges, "src", "dst", 65536L)
-    val prMaxShard = weighted.groupBy("src", "salt").count()
+    val pr = operators.Graph.prep(edges, "src", "dst", 65536L)
+    val shardKeys = if (pr.salted) Seq("src", "salt") else Seq("src")
+    val prMaxShard = pr.weighted
+      .groupBy(shardKeys.map(col): _*).count()
       .agg(max("count")).head().getLong(0)
     val prMaxInDeg = edges.groupBy("dst").count()
       .agg(max("count")).head().getLong(0)

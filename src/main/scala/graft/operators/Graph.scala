@@ -83,14 +83,51 @@ object Graph {
     * map-side in the partial aggregate. */
   private val hotOutDegreeShard = 65536L
 
+  /** Prep result: `salted` is false when no source crosses the shard
+    * threshold — then `weighted`/`nodes` carry no salt columns and the
+    * loops keep the exact pre-salting plan shape (no per-iteration
+    * Generate, single-key join): the skew machinery costs nothing on
+    * the graphs that don't need it. */
+  private[graft] final case class Prepped(weighted: DataFrame,
+      nodes: DataFrame, deg: DataFrame, salted: Boolean) {
+    /** The rank side of the iteration join, keyed to match `weighted`:
+      * expanded to one row per (source, salt shard) when salted. */
+    def ranksSide(ranks: DataFrame): DataFrame =
+      if (salted)
+        ranks.select(col("id").as("src"), col("pr"),
+          explode(sequence(lit(0L), col("nsh") - 1)).as("salt"))
+      else ranks.select(col("id").as("src"), col("pr"))
+    def joinKeys: Seq[String] =
+      if (salted) Seq("src", "salt") else Seq("src")
+    /** Rank-frame columns carried through the loop. */
+    def rankCols: Seq[Column] =
+      if (salted) Seq(col("id"), col("nsh")) else Seq(col("id"))
+  }
+
   private[graft] def prep(edges: DataFrame, srcCol: String,
-      dstCol: String, saltThreshold: Long)
-      : (DataFrame, DataFrame, DataFrame) = {
+      dstCol: String, saltThreshold: Long): Prepped = {
     val spark = edges.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // one tiny driver probe decides whether any source needs sharding;
+    // deg is computed (and reused) either way
+    val maxDeg = deg.agg(max("deg")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val nodes0 = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+    if (maxDeg <= saltThreshold) {
+      // partitioned on src once; every iteration's join reuses it
+      val weighted = e.join(deg, Seq("src"))
+        .repartition(par, col("src"))
+        .localCheckpoint()
+      return Prepped(weighted, nodes0.localCheckpoint(), deg,
+        salted = false)
+    }
     // shards per source: 1 for everyone below the threshold, capped at
     // the parallelism (more shards than tasks buys nothing)
     val nsh = least(ceil(col("deg").cast("double") / saltThreshold),
@@ -103,21 +140,13 @@ object Graph {
       .localCheckpoint()
     // nodes carry their shard count (1 for dst-only nodes) so the loop
     // can expand rank rows without a per-iteration join against deg
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
+    val nodes = nodes0
       .join(deg.select(col("src").as("id"), nsh.as("nsh")), Seq("id"),
         "left")
       .select(col("id"), coalesce(col("nsh"), lit(1L)).as("nsh"))
       .localCheckpoint()
-    (weighted, nodes, deg)
+    Prepped(weighted, nodes, deg, salted = true)
   }
-
-  /** One rank row per (source, salt shard): the tiny side of the
-    * iteration join, expanded to meet the salted edge partitioning. */
-  private def expandRanks(ranks: DataFrame): DataFrame =
-    ranks.select(col("id").as("src"), col("pr"),
-      explode(sequence(lit(0L), col("nsh") - 1)).as("salt"))
 
   /** Damped PageRank over doubles: (id, pr) for every node in
     * src ∪ dst after `iterations` rounds from uniform pr=1. */
@@ -125,17 +154,17 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst",
       saltThreshold: Long = hotOutDegreeShard): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val (weighted, nodes, _) = prep(edges, srcCol, dstCol, saltThreshold)
-    var ranks = nodes.withColumn("pr", lit(1.0))
+    val p = prep(edges, srcCol, dstCol, saltThreshold)
+    var ranks = p.nodes.withColumn("pr", lit(1.0))
     for (_ <- 1 to iterations) {
-      val contrib = weighted
-        .join(expandRanks(ranks), Seq("src", "salt"))
+      val contrib = p.weighted
+        .join(p.ranksSide(ranks), p.joinKeys)
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") / col("deg")).as("m"))
-      ranks = checkpointFresh(nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"), col("nsh"),
+      ranks = checkpointFresh(p.nodes.join(contrib, Seq("id"), "left")
+        .select(p.rankCols :+
           (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0)))
-            .as("pr")))
+            .as("pr"): _*))
     }
     ranks.select("id", "pr")
   }
@@ -152,29 +181,30 @@ object Graph {
       saltThreshold: Long = hotOutDegreeShard)
       : (DataFrame, Int) = {
     require(tol > 0 && maxIter >= 1)
-    val (weighted, nodes, _) = prep(edges, srcCol, dstCol, saltThreshold)
+    val p = prep(edges, srcCol, dstCol, saltThreshold)
     // empty edge set: node set is empty too — the convergence probe's
     // max-over-nothing would be a NULL row (NPE at getDouble); mirror
     // pageRankExact's empty guard and return the init ranks directly
-    if (nodes.isEmpty)
-      return (nodes.select("id").withColumn("pr", lit(1.0)), 0)
-    var ranks = nodes.withColumn("pr", lit(1.0))
+    if (p.nodes.isEmpty)
+      return (p.nodes.select("id").withColumn("pr", lit(1.0)), 0)
+    var ranks = p.nodes.withColumn("pr", lit(1.0))
     var iter = 0
     var converged = false
+    val carry = p.rankCols :+ col("pr")
     while (!converged && iter < maxIter) {
-      val contrib = weighted
-        .join(expandRanks(ranks), Seq("src", "salt"))
+      val contrib = p.weighted
+        .join(p.ranksSide(ranks), p.joinKeys)
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") / col("deg")).as("m"))
-      val next = checkpointFresh(nodes.join(contrib, Seq("id"), "left")
+      val next = checkpointFresh(p.nodes.join(contrib, Seq("id"), "left")
         .join(ranks.select(col("id"), col("pr").as("prev")), Seq("id"))
-        .select(col("id"), col("nsh"), col("prev"),
+        .select(p.rankCols ++ Seq(col("prev"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0)))
-            .as("pr")))
+            .as("pr")): _*))
       converged = next
         .agg(max(abs(col("pr") - col("prev"))).as("d"))
         .head.getDouble(0) < tol
-      ranks = next.select("id", "nsh", "pr")
+      ranks = next.select(carry: _*)
       iter += 1
     }
     (ranks.select("id", "pr"), iter)
@@ -197,8 +227,8 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst",
       saltThreshold: Long = hotOutDegreeShard): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val (weighted, nodes, deg) =
-      prep(edges, srcCol, dstCol, saltThreshold)
+    val p = prep(edges, srcCol, dstCol, saltThreshold)
+    val deg = p.deg
     // distinct out-degree VALUES — bounded collect (a degree histogram
     // has at most a few hundred distinct values on any real graph;
     // guard anyway so a pathological graph fails loudly, not slowly)
@@ -207,7 +237,7 @@ object Graph {
     require(degs.length <= 1000,
       "pageRankExact: > 1000 distinct out-degrees; use pageRank (double)")
     if (degs.isEmpty) // no edges: pr stays init
-      return nodes.select("id").withColumn("pr", lit(1.0))
+      return p.nodes.select("id").withColumn("pr", lit(1.0))
     val s = degs.reduce(lcm)
     require(s > 0 && s <= 1000000L,
       s"pageRankExact: degree lcm $s too large for exact weights; " +
@@ -229,10 +259,10 @@ object Graph {
     require(finalScale <= 18,
       s"pageRankExact: $iterations iterations need scale $finalScale > 18")
     // integer weight w = S / deg, exact by construction of S
-    val w = weighted.withColumn("w",
+    val w = p.weighted.withColumn("w",
       (lit(s) / col("deg")).cast(DecimalType(7, 0)))
     var prScale = 2
-    var ranks = nodes.withColumn("pr",
+    var ranks = p.nodes.withColumn("pr",
       lit(java.math.BigDecimal.ONE).cast(DecimalType(8, 2)))
     for (_ <- 1 to iterations) {
       // type walkthrough (int digits of pr bounded by 6, of the
@@ -247,32 +277,42 @@ object Graph {
       //   (finalScale-inc)+12+inc+scale(dOverS)+1 <= 31: never capped,
       //   never rounded.
       val contrib = w
-        .join(expandRanks(ranks), Seq("src", "salt"))
+        .join(p.ranksSide(ranks), p.joinKeys)
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("pr") * col("w")).as("m"), count(lit(1)).as("nc"))
-      // overflow must THROW, never silently degrade: a NULL m on a node
-      // that HAS in-edges (nc set) is a non-ANSI decimal-sum overflow —
-      // the old coalesce would have turned it into rank (1-d). Nodes
-      // with no in-edges (nc null from the left join) legitimately get
-      // zero mass.
-      val mRaw = when(col("nc").isNotNull && col("m").isNull,
-          raise_error(lit("pageRankExact: decimal overflow in the mass " +
-            "sum (in-degree exceeded the 12-digit headroom); " +
+        .agg(sum(col("pr") * col("w")).as("m"), count(lit(1)).as("nc"),
+          count(col("pr") * col("w")).as("nn"))
+      // overflow must THROW, never silently degrade — detected INSIDE
+      // expressions this iteration already evaluates (no extra jobs):
+      //  - m NULL while nc > 0: the mass sum itself overflowed (the old
+      //    coalesce would have turned that into rank (1-d));
+      //  - nn < nc: some pr*w INPUT was null, i.e. a previous round's
+      //    pr cast overflowed on a node with out-edges (non-ANSI sum
+      //    would silently SKIP the null and lose its mass).
+      // Nodes with no in-edges (nc null from the left join)
+      // legitimately get zero mass. The one case neither counter sees —
+      // an overflowed pr on a node with NO out-edges — is caught by the
+      // single post-loop null scan below.
+      val overflow = col("nc").isNotNull &&
+        (col("m").isNull || col("nn") < col("nc"))
+      val mRaw = when(overflow,
+          raise_error(lit("pageRankExact: decimal overflow (mass sum " +
+            "or a prior rank exceeded its integer-digit headroom); " +
             "use pageRank (double)")))
         .otherwise(coalesce(col("m"), lit(java.math.BigDecimal.ZERO)))
       val mTight = mRaw.cast(DecimalType(prScale + 12, prScale))
       prScale += inc
-      ranks = checkpointFresh(nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"), col("nsh"),
+      ranks = checkpointFresh(p.nodes.join(contrib, Seq("id"), "left")
+        .select(p.rankCols :+
           (lit(oneMinusD.underlying) + lit(dOverS) * mTight)
-            .cast(DecimalType(prScale + 6, prScale)).as("pr")))
-      // the two remaining non-ANSI casts (mass down to 12 int digits,
-      // pr to 6) overflow to NULL; one tiny scan over the checkpointed
-      // blocks turns that into an error instead of a wrong rank
-      require(ranks.filter(col("pr").isNull).isEmpty,
-        "pageRankExact: decimal overflow (a rank or mass exceeded its " +
-          "integer-digit headroom); use pageRank (double)")
+            .cast(DecimalType(prScale + 6, prScale)).as("pr"): _*))
     }
+    // last line of defense (one tiny scan, once): a cast overflow in
+    // the FINAL round, or on a sink node whose pr never feeds a mass
+    // sum, surfaces as a null rank here instead of silently landing in
+    // the output
+    require(ranks.filter(col("pr").isNull).isEmpty,
+      "pageRankExact: decimal overflow (a rank exceeded its " +
+        "integer-digit headroom); use pageRank (double)")
     ranks.select(col("id"), col("pr").cast("double").as("pr"))
   }
 

@@ -119,8 +119,9 @@ class GraphSpec extends SparkSuite {
   }
 
   test("hub-skew: salted prep bounds any one source's edges per task") {
-    val (weighted, nodes, _) = Graph.prep(hubGraph, "src", "dst",
-      saltThreshold = 128L)
+    val p = Graph.prep(hubGraph, "src", "dst", saltThreshold = 128L)
+    assert(p.salted, "hub out-degree 2000 must cross threshold 128")
+    val (weighted, nodes) = (p.weighted, p.nodes)
     val par = spark.sparkContext.defaultParallelism
     val perShard = weighted.groupBy("src", "salt").count()
     val maxShard = perShard.agg(max("count")).head.getLong(0)
@@ -134,6 +135,10 @@ class GraphSpec extends SparkSuite {
     val nsh = nodes.filter(col("id") === 0L).head.getLong(1)
     assert(nsh == shards, s"hub nsh $nsh != $shards")
     assert(nodes.filter(col("nsh") === 1L).count() >= 2000)
+    // below the threshold, prep keeps the unsalted single-key shape:
+    // no salt column, no per-iteration Generate for normal graphs
+    val up = Graph.prep(hubGraph, "src", "dst", saltThreshold = 65536L)
+    assert(!up.salted && !up.weighted.columns.contains("salt"))
   }
 
   test("hub-skew: salted and unsalted exact PageRank agree to the bit; " +
@@ -156,19 +161,35 @@ class GraphSpec extends SparkSuite {
   }
 
   test("exact mode throws on decimal overflow instead of degrading") {
-    // a 2M-fan-in star: every leaf points at node 0, so node 0's mass
-    // sum is ~2e6 * w (w = lcm/deg = 1) * pr — with pr growing each
-    // round the 6-integer-digit pr headroom is exceeded; the old code
-    // silently returned rank (1-d) for the hub, the contract is THROW
+    // a 2M-fan-in star: every leaf points at node 0, so node 0's rank
+    // (0.15 + 0.85 * 2e6 at iteration 1) exceeds the 6-integer-digit
+    // pr headroom; the old code silently returned a wrong rank, the
+    // contract is THROW. Out-degrees stay {1}: lcm 1, 0.85 terminates.
     val n = 2000000L
     val leaves = spark.range(1, n + 1)
       .select(col("id").as("src"), lit(0L).as("dst"))
-    // keep out-degrees in {1}: lcm 1, damping 0.85 terminates
-    val ex = intercept[Exception] {
-      Graph.pageRankExact(leaves, 3).collect()
-    }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
-    assert(messages(ex).exists(_.contains("overflow")), ex.getMessage)
+    // path 1 — overflow lands in the OUTPUT (hub is a sink, 1
+    // iteration): the post-loop null scan raises
+    val ex1 = intercept[Exception] {
+      Graph.pageRankExact(leaves, 1).collect()
+    }
+    assert(messages(ex1).exists(_.contains("overflow")), ex1.getMessage)
+    // path 2 — the overflowed rank would FEED a later mass sum (hub
+    // has an out-edge): the in-aggregate nn<nc counter raises at the
+    // next iteration instead of silently dropping the hub's mass
+    val withOut = leaves
+      .unionByName(Seq((0L, 1L)).toDF("src", "dst"))
+    val ex2 = intercept[Exception] {
+      Graph.pageRankExact(withOut, 3).collect()
+    }
+    assert(messages(ex2).exists(_.contains("overflow")), ex2.getMessage)
+    // a TRANSIENT sink-node overflow that cannot influence the final
+    // ranks (recomputed from incoming mass next round) self-heals: by
+    // iteration 2 the leaves' rank is 0.15 and the hub's mass fits
+    val ok = Graph.pageRankExact(leaves, 2)
+      .filter(col("id") === 0L).head.getDouble(1)
+    assert(math.abs(ok - (0.15 + 0.85 * 0.15 * n)) < 1e-6)
   }
 }
