@@ -69,6 +69,9 @@ object ScaleBench {
       df.withColumn("o_orderkey", col("o_orderkey") + i * 1000000000L)
         .withColumn("o_custkey", col("o_custkey") + i * 10000000L)
     }
+    copies("customer") { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + i * 10000000L)
+    }
     copies("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + i * 1000000000L)
         .withColumn("l_partkey", col("l_partkey") + i * 10000000L)
@@ -112,11 +115,17 @@ object ScaleBench {
       }.min
 
     names.foreach { n =>
-      val t1 = best(n, base, 2)
-      val t10 = best(n, big, 2)
-      val ratio = t10 / t1
-      println(f"""SCALE10X {"q":"$n","t_sf01":$t1%.2f,"t_10x":$t10%.2f,""" +
-        f""""ratio":$ratio%.2f,"exponent":${math.log10(ratio)}%.2f}""")
+      try {
+        val t1 = best(n, base, 2)
+        val t10 = best(n, big, 2)
+        val ratio = t10 / t1
+        println(f"""SCALE10X {"q":"$n","t_sf01":$t1%.2f,"t_10x":$t10%.2f,""" +
+          f""""ratio":$ratio%.2f,"exponent":${math.log10(ratio)}%.2f}""")
+      } catch { case e: Throwable =>
+        // one query's replica gap must not kill the rest of the probe
+        println(s"""SCALE10X {"q":"$n","error":"${e.getClass.getSimpleName}: ${
+          String.valueOf(e.getMessage).replaceAll("[\\s\"\\\\]+", " ").take(160)}"}""")
+      }
     }
     spark.stop()
   }

@@ -478,17 +478,21 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 1
+    // rolling checkpoint, not bare localCheckpoint: (a) the rebuild
+    // resets checkpoint stats that inherit the joined plan's ESTIMATES
+    // and compound multiplicatively per round (see Graph.scala) —
+    // harmless at the 3-6 rounds this corpus converges in, pathological
+    // on the high-diameter graphs the maxIter bound exists for; (b) the
+    // previous round's blocks are released as each new round
+    // materializes, so the loop holds ~2 label vectors in storage, not
+    // maxIter of them
+    val roll = new Graph.RollingCheckpoint
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr"))
-      // Graph.checkpointFresh, not bare localCheckpoint: checkpoint
-      // stats inherit the joined plan's ESTIMATES and compound
-      // multiplicatively per round (see Graph.scala) — harmless at
-      // the 3-6 rounds this corpus converges in, pathological on the
-      // high-diameter graphs the maxIter bound exists for
-      val next = Graph.checkpointFresh(
+      val next = roll(
         labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"), col("label").as("prev"),
             least(col("label"), coalesce(col("nbr"), col("label")))
@@ -571,16 +575,18 @@ object Dedup {
     // sig(e) — it IS last round's sig(next); one convergence job per
     // round, not two
     var prevSig = sig(e)
+    // rolling: fresh stats per round (see Graph.RollingCheckpoint) and
+    // the previous round's edge blocks released as each round lands
+    val roll = new Graph.RollingCheckpoint
     while (!stable && iter < hardCap) {
-      // no repartition before the checkpoint: checkpointFresh's rebuild
+      // no repartition before the checkpoint: the rebuild
       // (createDataFrame over the checkpointed RDD) reports UNKNOWN
       // partitioning to Catalyst, so a pre-checkpoint repartition(u)
       // bought the next round nothing — its exchange was pure waste
       // (next round's groupBy re-shuffles regardless). Partition count
       // stays bounded: smallStar's union of two aggregated frames is
       // ≤ 2×shuffle.partitions per round, never compounding.
-      val next = Graph.checkpointFresh(smallStar(largeStar(e)))
-        // fresh stats per round (see checkpointFresh doc)
+      val next = roll(smallStar(largeStar(e)))
       val nextSig = sig(next)
       stable = nextSig == prevSig
       prevSig = nextSig

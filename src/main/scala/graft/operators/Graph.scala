@@ -66,6 +66,25 @@ object Graph {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** Iterative-loop checkpoint hygiene: each round's localCheckpoint
+    * blocks live in the block manager until GC plus the async
+    * ContextCleaner get around to them — a K-iteration loop on a
+    * billion-node graph otherwise holds K copies of the rank vector in
+    * storage. Tracks the last checkpointed RDD and releases it the
+    * moment the NEXT round's checkpoint has materialized (localCheckpoint
+    * is eager, so the new blocks no longer depend on the old ones),
+    * capping loop storage at ~2 rounds. The final round's blocks are
+    * deliberately kept — the returned frame reads them. */
+  private[operators] final class RollingCheckpoint {
+    private var prev: org.apache.spark.rdd.RDD[_] = _
+    def apply(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint() // eager: materialized on return
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = cp.rdd
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+  }
+
   /** Out-degree above which a source's edge rows are spread across
     * salt shards (ceil(deg/threshold), capped at defaultParallelism).
     * Power-law graphs put a constant FRACTION of all edges on a few
@@ -156,12 +175,13 @@ object Graph {
     require(iterations >= 1, "iterations must be >= 1")
     val p = prep(edges, srcCol, dstCol, saltThreshold)
     var ranks = p.nodes.withColumn("pr", lit(1.0))
+    val roll = new RollingCheckpoint
     for (_ <- 1 to iterations) {
       val contrib = p.weighted
         .join(p.ranksSide(ranks), p.joinKeys)
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") / col("deg")).as("m"))
-      ranks = checkpointFresh(p.nodes.join(contrib, Seq("id"), "left")
+      ranks = roll(p.nodes.join(contrib, Seq("id"), "left")
         .select(p.rankCols :+
           (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0)))
             .as("pr"): _*))
@@ -191,12 +211,13 @@ object Graph {
     var iter = 0
     var converged = false
     val carry = p.rankCols :+ col("pr")
+    val roll = new RollingCheckpoint
     while (!converged && iter < maxIter) {
       val contrib = p.weighted
         .join(p.ranksSide(ranks), p.joinKeys)
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") / col("deg")).as("m"))
-      val next = checkpointFresh(p.nodes.join(contrib, Seq("id"), "left")
+      val next = roll(p.nodes.join(contrib, Seq("id"), "left")
         .join(ranks.select(col("id"), col("pr").as("prev")), Seq("id"))
         .select(p.rankCols ++ Seq(col("prev"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0)))
@@ -264,6 +285,7 @@ object Graph {
     var prScale = 2
     var ranks = p.nodes.withColumn("pr",
       lit(java.math.BigDecimal.ONE).cast(DecimalType(8, 2)))
+    val roll = new RollingCheckpoint
     for (_ <- 1 to iterations) {
       // type walkthrough (int digits of pr bounded by 6, of the
       // summed mass by 12):
@@ -301,7 +323,7 @@ object Graph {
         .otherwise(coalesce(col("m"), lit(java.math.BigDecimal.ZERO)))
       val mTight = mRaw.cast(DecimalType(prScale + 12, prScale))
       prScale += inc
-      ranks = checkpointFresh(p.nodes.join(contrib, Seq("id"), "left")
+      ranks = roll(p.nodes.join(contrib, Seq("id"), "left")
         .select(p.rankCols :+
           (lit(oneMinusD.underlying) + lit(dOverS) * mTight)
             .cast(DecimalType(prScale + 6, prScale)).as("pr"): _*))

@@ -58,6 +58,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(exec.contains("*(1)"), exec)
   }
 
+  test("typed aggregates plan as ObjectHashAggregate with the raised " +
+      "sort-fallback threshold (the r12 q_agg_route_incremental fix)") {
+    // the default threshold of 128 groups silently degraded every
+    // bitmap/HLL/vector typed aggregate past toy cardinality into a
+    // full partition sort; Engine.configure must keep it raised
+    Engine.configure(spark)
+    assert(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+      == "1000000")
+    // and a typed aggregate over thousands of groups really takes the
+    // ObjectHashAggregate path
+    val li = Engine.table(spark, sf, "lineitem")
+    val plan = executedPlan(li.groupBy("l_suppkey")
+      .agg(graft.functions.Bitmap64.bitmapBuild(col("l_orderkey"))
+        .as("bm")))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort (O5)") {
     val plan = Queries.q_topk.run(spark, sf)
       .queryExecution.executedPlan.toString
