@@ -129,9 +129,12 @@ object Graph {
     val par = spark.sparkContext.defaultParallelism
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // checkpointed: deg is read by the max-degree probe below, the
+    // weighted join, and (exact mode) the distinct-degree collect —
+    // without this each use re-runs the full edge shuffle
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // one tiny driver probe decides whether any source needs sharding;
-    // deg is computed (and reused) either way
+      .localCheckpoint()
+    // one tiny driver probe decides whether any source needs sharding
     val maxDeg = deg.agg(max("deg")).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
