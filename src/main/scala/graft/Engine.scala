@@ -34,6 +34,11 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // static conf, consumed only by the Thrift JDBC endpoint
+      // (graft.Serve): every JDBC connection shares THIS session's
+      // state, so registered temp views and the routing rule are
+      // visible to BI clients; harmless otherwise
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

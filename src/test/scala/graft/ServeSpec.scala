@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The serving daemon end to end: a real Thrift JDBC endpoint in this
+  * JVM, queried with the stock Hive JDBC driver — the path a BI tool
+  * takes. Covers the last reference serving role (docs/bi.md:5,
+  * docs/olap.md:17): SQL over JDBC answered by the engine, dashboard
+  * aggregates routed onto the cuboid lattice. */
+class ServeSpec extends SparkSuite {
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  test("JDBC client gets engine answers; dashboard agg routes to the " +
+      "lattice-backed result") {
+    val port = freePort()
+    val server = Serve.start(spark, port, sf)
+    try {
+      // the server binds asynchronously; poll the socket
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val url = s"jdbc:hive2://localhost:$port/default"
+      var conn: java.sql.Connection = null
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (conn == null) {
+        try conn = java.sql.DriverManager.getConnection(url, "graft", "")
+        catch {
+          case e: Exception =>
+            if (System.nanoTime() > deadline) throw e
+            Thread.sleep(500)
+        }
+      }
+      try {
+        // 1) plain SQL over JDBC == DataFrame API on the same session
+        val st = conn.createStatement()
+        val rs = st.executeQuery(
+          "SELECT l_returnflag, COUNT(*) AS n, " +
+            "MIN(l_quantity) AS mn FROM lineitem " +
+            "GROUP BY l_returnflag ORDER BY l_returnflag")
+        val viaJdbc = Iterator.continually(rs)
+          .takeWhile(_.next())
+          .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+          .toList
+        val viaApi = Engine.table(spark, sf, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), min("l_quantity").as("mn"))
+          .orderBy("l_returnflag")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .toList
+        assert(viaJdbc == viaApi, s"jdbc $viaJdbc != api $viaApi")
+        assert(viaJdbc.nonEmpty)
+
+        // 2) the Kylin move: a fact-table dashboard aggregate served
+        // over JDBC matches the raw-fact answer (routing is enabled
+        // daemon-wide; CubeSpec pins that this exact shape scans the
+        // {l_suppkey} cuboid, not the fact)
+        val rs2 = st.executeQuery(
+          "SELECT l_suppkey, COUNT(*) AS n FROM lineitem " +
+            "GROUP BY l_suppkey ORDER BY l_suppkey LIMIT 5")
+        val routed = Iterator.continually(rs2).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getLong(2))).toList
+        val naive = Engine.table(spark, sf, "lineitem")
+          .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+          .orderBy("l_suppkey").limit(5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+        assert(routed == naive, s"routed $routed != naive $naive")
+      } finally conn.close()
+    } finally {
+      server.stop()
+      // the daemon flips these session-wide; restore for other suites
+      spark.conf.unset("spark.graft.aggRouting.enabled")
+      val exp = spark.experimental
+      exp.extraOptimizations = exp.extraOptimizations
+        .filterNot(_ == graft.plans.AggRouteRewrite)
+    }
+  }
+}
