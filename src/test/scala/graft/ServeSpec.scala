@@ -67,6 +67,29 @@ class ServeSpec extends SparkSuite {
           .orderBy("l_suppkey").limit(5)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toList
         assert(routed == naive, s"routed $routed != naive $naive")
+        // 3) concurrent dashboards: N parallel connections, each its
+        // own statement, all answered correctly (the daemon's only
+        // per-query state is Spark's scheduler — this pins that the
+        // shared singleSession state is safe under concurrency)
+        val expected = viaApi.map(_._2).sum
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        try {
+          val futures = (1 to 8).map { _ =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                val c = java.sql.DriverManager.getConnection(url, "graft", "")
+                try {
+                  val r = c.createStatement()
+                    .executeQuery("SELECT COUNT(*) FROM lineitem")
+                  r.next(); r.getLong(1)
+                } finally c.close()
+              }
+            })
+          }
+          futures.foreach(f =>
+            assert(f.get(60, java.util.concurrent.TimeUnit.SECONDS)
+              == expected))
+        } finally pool.shutdownNow()
       } finally conn.close()
     } finally {
       server.stop()
