@@ -377,4 +377,81 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       }
     })
   }
+
+  test("PageRank salting is invisible on random graphs: exact mode " +
+      "bit-equal, double mode to 1e-9, any threshold") {
+    // small dense-ish random graphs: self-loops, parallel edges,
+    // dangling nodes, and hub nodes all occur; saltThreshold=1 forces
+    // EVERY source onto the salted path, Long.MaxValue forces none
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        s <- Gen.chooseNum(0L, 7L)
+        d <- Gen.chooseNum(0L, 7L)
+      } yield (s, d))
+    check(forAll(edgeGen) { es =>
+      val df = es.toDF("src", "dst")
+      // degrees ≤ 64 and lcm(1..) can repeat — keep exactness by
+      // capping: only run exact mode when its preconditions hold
+      val degs = es.groupBy(_._1).map(_._2.size).toSet
+      val lcmOk =
+        try {
+          val l = degs.foldLeft(1L)((a, b) =>
+            a / BigInt(a).gcd(BigInt(b)).toLong * b)
+          val dOverS = BigDecimal(85) / BigDecimal(100L * l)
+          (dOverS * BigDecimal(100L * l)).toBigIntExact.contains(BigInt(85)) &&
+            2 + dOverS.underlying.stripTrailingZeros.scale.max(1) * 2 <= 18
+        } catch { case _: Throwable => false }
+      val salted = graft.operators.Graph
+        .pageRank(df, 2, saltThreshold = 1L)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val plain = graft.operators.Graph
+        .pageRank(df, 2, saltThreshold = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val doubleOk = salted.keySet == plain.keySet &&
+        salted.forall { case (k, v) => math.abs(v - plain(k)) < 1e-9 }
+      val exactOk = !lcmOk || {
+        val se = graft.operators.Graph
+          .pageRankExact(df, 2, saltThreshold = 1L)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val pe = graft.operators.Graph
+          .pageRankExact(df, 2, saltThreshold = Long.MaxValue)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        se == pe
+      }
+      doubleOk && exactOk
+    })
+  }
+
+  test("vec_sum_count equals a driver-side sum on random vectors " +
+      "with nulls, NaNs, and ragged dims") {
+    val vecGen: Gen[List[(Long, Option[List[Double]])]] =
+      Gen.nonEmptyListOf(for {
+        b <- Gen.chooseNum(0L, 2L)
+        v <- Gen.option(Gen.oneOf(
+          Gen.listOfN(3, Gen.chooseNum(-10.0, 10.0)),
+          Gen.listOfN(2, Gen.chooseNum(-10.0, 10.0)),   // wrong dim
+          Gen.const(List(Double.NaN, 1.0, 2.0))))       // NaN
+      } yield (b, v))
+    check(forAll(vecGen) { rows =>
+      val df = rows.toDF("b", "v")
+      val out = df.groupBy("b")
+        .agg(graft.functions.VecSumCountAgg.vecSumCount(col("v"), 3)
+          .as("sc"))
+        .select(col("b"), col("sc.sums"), col("sc.n"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getLong(2))))
+        .toMap
+      val ref = rows.groupBy(_._1).map { case (b, rs) =>
+        val good = rs.flatMap(_._2)
+          .filter(v => v.length == 3 && !v.exists(_.isNaN))
+        b -> ((0 until 3).map(i => good.map(_(i)).sum), good.size.toLong)
+      }
+      out.keySet == ref.keySet && out.forall { case (b, (sums, n)) =>
+        val (rs, rn) = ref(b)
+        n == rn && sums.zip(rs).forall { case (a, c) =>
+          math.abs(a - c) < 1e-6
+        }
+      }
+    })
+  }
 }
