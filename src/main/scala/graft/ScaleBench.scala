@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   *    TPC-H sf1 has 10× the suppliers of sf0.1, and suppkey drives the
   *    base-cuboid cardinality, so scaling it is the honest choice.
   *
-  * Usage: runMain graft.ScaleBench [query ...] (defaults to the five
-  * tail queries). Prints one SCALE10X line per query with t(sf0.1),
-  * t(10x), the ratio, and the implied exponent log10(ratio).
+  * Usage: runMain graft.ScaleBench [-factor=N] [query ...] (defaults:
+  * factor 10, the five tail queries). Prints one SCALE10X line per
+  * query with t(sf0.1), t(Nx), the ratio, and the implied exponent
+  * log_N(ratio).
   */
 object ScaleBench {
 
@@ -41,7 +42,7 @@ object ScaleBench {
   }
 
   private def buildReplica(spark: SparkSession, src: String,
-      out: String): Unit = {
+      out: String, factor: Int): Unit = {
     val dir = new java.io.File(out)
     if (new java.io.File(dir, "_OK").exists()) return
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
@@ -49,7 +50,7 @@ object ScaleBench {
 
     def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      (0 until 10).map(i => f(base, i)).reduce(_ unionByName _)
+      (0 until factor).map(i => f(base, i)).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     copies("documents") { (df, i) =>
@@ -60,10 +61,11 @@ object ScaleBench {
     }
     copies("embeddings") { (df, i) =>
       val d = df.withColumn("vec_id", col("vec_id") + i * 10000000L)
-      if (i == 0) d
+      val rot = i % 63 // rotation must stay inside the 64-dim vector
+      if (rot == 0) d
       else d.withColumn("embedding", concat(
-        slice(col("embedding"), i + 1, 64 - i),
-        slice(col("embedding"), 1, i)))
+        slice(col("embedding"), rot + 1, 64 - rot),
+        slice(col("embedding"), 1, rot)))
     }
     copies("orders") { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + i * 1000000000L)
@@ -82,7 +84,12 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val names = if (args.nonEmpty) args.toSeq else defaults
+    val factor = args.collectFirst {
+      case a if a.startsWith("-factor=") => a.stripPrefix("-factor=").toInt
+    }.getOrElse(10)
+    require(factor >= 2, "factor must be >= 2")
+    val qArgs = args.filterNot(_.startsWith("-"))
+    val names = if (qArgs.nonEmpty) qArgs.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,8 +101,8 @@ object ScaleBench {
     Engine.configure(spark)
 
     val base = "/root/testdata/sf0.1"
-    val big = "target/scalebench/sf10x"
-    buildReplica(spark, base, big)
+    val big = s"target/scalebench/sf${factor}x"
+    buildReplica(spark, base, big, factor)
 
     // JIT/codegen warm at tiny scale
     val warm = "/root/testdata/sf0.001"
@@ -119,8 +126,10 @@ object ScaleBench {
         val t1 = best(n, base, 2)
         val t10 = best(n, big, 2)
         val ratio = t10 / t1
-        println(f"""SCALE10X {"q":"$n","t_sf01":$t1%.2f,"t_10x":$t10%.2f,""" +
-          f""""ratio":$ratio%.2f,"exponent":${math.log10(ratio)}%.2f}""")
+        val exp = math.log(ratio) / math.log(factor.toDouble)
+        println(f"""SCALE10X {"q":"$n","factor":$factor,""" +
+          f""""t_sf01":$t1%.2f,"t_big":$t10%.2f,""" +
+          f""""ratio":$ratio%.2f,"exponent":$exp%.2f}""")
       } catch { case e: Throwable =>
         // one query's replica gap must not kill the rest of the probe
         println(s"""SCALE10X {"q":"$n","error":"${e.getClass.getSimpleName}: ${
