@@ -188,9 +188,12 @@ object Dedup {
     * size/position pruning), exposed for the scale probe
     * ([[graft.ScaleProbe]]): candidate growth vs corpus growth is the
     * empirical subquadraticity evidence. Input schema (blk, id, sh). */
-  private[graft] def ngramCandidates(base: DataFrame,
+  /** Prefix-row derivation of [[ngramCandidates]] — (blk, tok, id, sz,
+    * rn) for each document's rarest-first prefix tokens. Exposed
+    * pre-checkpoint so PlanShapeSpec can pin its shape (df via partial
+    * aggregation, the only window per-document). */
+  private[graft] def ngramPrefix(base: DataFrame,
       threshold: Double): DataFrame = {
-    val docs = base
     val toks = base.select(col("blk"), col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("tok"))
     val prefixLen = col("sz") - ceil(col("sz") * threshold) + 1
@@ -203,29 +206,32 @@ object Dedup {
     // (and broadcastable when the df table is small)
     val dfreq = toks.groupBy("blk", "tok")
       .agg(count(lit(1)).as("df"))
-    val prefix = toks
+    toks
       .join(dfreq, Seq("blk", "tok"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("blk", "id").orderBy(col("df"), col("tok"))))
       .filter(col("rn") <= prefixLen)
       .select("blk", "tok", "id", "sz", "rn")
-    // single-aggregation bucket-mate pairing (the shape of
-    // Similarity.bucketMatePairs): a (blk, tok) self-join would
-    // evaluate the whole prefix derivation — shingle explode, df join,
-    // prefix window — TWICE, once per join side. Collect each prefix
-    // bucket's (id, sz, rn) entries with one partially-aggregated
-    // groupBy and emit the pairs by double explode instead. Bucket
-    // occupancy is the token's df within the block, already the
-    // quantity the rarest-first prefix selection minimizes; a hot
-    // bucket pairs O(df²) under either shape.
-    val buckets = prefix.groupBy("blk", "tok")
-      .agg(collect_list(struct(col("id"), col("sz"), col("rn"))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      // explicit-width repartition: one row per prefix bucket is tiny
-      // in bytes, and AQE's size-based coalescing would otherwise run
-      // the (CPU-bound) pair expansion on a single partition
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col("blk"), col("tok"))
+  }
+
+  private[graft] def ngramCandidates(base: DataFrame,
+      threshold: Double): DataFrame = {
+    val prefix = ngramPrefix(base, threshold)
+    // SPILLABLE bucket-mate pairing: checkpoint the prefix rows (only
+    // (blk, tok, id, sz, rn) — 8-40 B columns, never payloads) and
+    // sort-merge self-join on (blk, tok). The checkpoint means the
+    // prefix derivation — shingle explode, df join, prefix window —
+    // is evaluated ONCE and both join sides read the materialized
+    // rows; the SMJ sorts externally, so task memory is one bucket's
+    // run, not the corpus. The earlier shape (groupBy + collect_list +
+    // double explode) held EVERY prefix bucket's entry array in a
+    // task's hash-agg buffers concurrently — non-spillable by
+    // construction, and the r12 100× probe measured it OOMing an
+    // 8 GiB heap at 500k docs under the conformance dials. A hot
+    // bucket still pairs O(df²) under either shape (CPU, streamed);
+    // AQE's skew-join splitting applies to the SMJ if one bucket
+    // dominates a partition.
+    val pfx = prefix.localCheckpoint()
     // J>=t needs overlap o >= t/(1+t)*(|A|+|B|) (PPJoin, Xiao et al.
     // WWW 2008); both pruning filters below are necessary conditions,
     // so candidate recall stays 100%:
@@ -234,13 +240,10 @@ object Dedup {
     //    contribute at most min(|A|-p_a, |B|-p_b)+1 overlap
     val oMin = ceil((col("sz_a") + col("sz_b")) *
       (threshold / (1 + threshold)))
-    buckets
-      .select(explode(col("xs")).as("a"), col("xs"))
-      .select(col("a.id").as("id_a"), col("a.sz").as("sz_a"),
-        col("a.rn").as("p_a"), explode(col("xs")).as("b"))
-      .select(col("id_a"), col("sz_a"), col("p_a"),
-        col("b.id").as("id_b"), col("b.sz").as("sz_b"),
-        col("b.rn").as("p_b"))
+    pfx.select(col("blk"), col("tok"), col("id").as("id_a"),
+        col("sz").as("sz_a"), col("rn").as("p_a"))
+      .join(pfx.select(col("blk"), col("tok"), col("id").as("id_b"),
+        col("sz").as("sz_b"), col("rn").as("p_b")), Seq("blk", "tok"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("sz_a"), col("sz_b")) >=
         ceil(greatest(col("sz_a"), col("sz_b")) * threshold))

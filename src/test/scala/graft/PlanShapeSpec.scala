@@ -459,24 +459,38 @@ class PlanShapeSpec extends SparkSuite {
 
   test("ngramJaccardPairs: document frequency is a partial-aggregated " +
       "groupBy, not a (blk, tok) window over the exploded tokens") {
-    val df = graft.operators.Dedup.ngramJaccardPairs(
-      Engine.table(spark, sf, "documents"), blockCol = "source",
-      threshold = 0.5)
-    val plan = df.queryExecution.sparkPlan.toString
+    // the prefix derivation (inspected pre-checkpoint — the candidate
+    // pairing checkpoints it, which hides its plan from the final frame)
+    val docs = Engine.table(spark, sf, "documents")
+    val base = docs.select(col("source").as("blk"),
+      col("doc_id").as("id"),
+      graft.operators.Dedup.wordShingles(col("text"), 2).as("sh"))
+    val prefixPlan = graft.operators.Dedup.ngramPrefix(base, 0.5)
+      .queryExecution.sparkPlan.toString
     // a count-over-Window partitioned on (blk, tok) funnels every
     // occurrence of a Zipfian hot token into one task with no map-side
     // combine — the straggler/OOM shape at corpus scale
     assert(!"windowspecdefinition\\(blk#\\d+, tok#\\d+".r
-        .findFirstIn(plan).isDefined,
-      s"df must not be a (blk, tok) window:\n${plan.take(3000)}")
-    // the only window left is the per-document prefix rank (bounded
+        .findFirstIn(prefixPlan).isDefined,
+      s"df must not be a (blk, tok) window:\n${prefixPlan.take(3000)}")
+    // the only window is the per-document prefix rank (bounded
     // partitions: one document's tokens)
     assert("windowspecdefinition\\(blk#\\d+, id#\\d+".r
-        .findFirstIn(plan).isDefined,
-      s"per-document prefix rank window expected:\n${plan.take(3000)}")
+        .findFirstIn(prefixPlan).isDefined,
+      s"per-document prefix rank window expected:\n${prefixPlan.take(3000)}")
     // and the df aggregate is partial+final (map-side combine)
-    assert("partial_count".r.findFirstIn(plan).isDefined,
-      s"df groupBy must partial-aggregate:\n${plan.take(3000)}")
+    assert("partial_count".r.findFirstIn(prefixPlan).isDefined,
+      s"df groupBy must partial-aggregate:\n${prefixPlan.take(3000)}")
+    // the candidate pairing must be a spill-safe JOIN over the
+    // checkpointed prefix, never a collect_list bucket aggregation
+    // whose per-bucket arrays all live in one task's hash-agg buffers
+    // (measured OOM at the 100x probe)
+    val candPlan = graft.operators.Dedup.ngramCandidates(base, 0.5)
+      .queryExecution.sparkPlan.toString
+    assert(!candPlan.contains("collect_list"),
+      s"pairing must not collect buckets:\n${candPlan.take(3000)}")
+    assert(candPlan.contains("Join"),
+      s"pairing must be a join:\n${candPlan.take(3000)}")
   }
 
   test("hot-key dedup stages are partial aggregates, not windows: " +
