@@ -17,6 +17,11 @@ class ServeSpec extends SparkSuite {
   test("JDBC client gets engine answers; dashboard agg routes to the " +
       "lattice-backed result") {
     val port = freePort()
+    // the thrift server mutates session confs on the SHARED suite
+    // session (observed: spark.sql.datetime.java8API.enabled flips to
+    // true, which makes Row.getDate throw for every later date-typed
+    // suite) — snapshot and restore around the daemon
+    val confBefore = spark.conf.getAll
     val server = Serve.start(spark, port, sf)
     try {
       // the server binds asynchronously; poll the socket
@@ -93,11 +98,22 @@ class ServeSpec extends SparkSuite {
       } finally conn.close()
     } finally {
       server.stop()
-      // the daemon flips these session-wide; restore for other suites
-      spark.conf.unset("spark.graft.aggRouting.enabled")
+      // the daemon flips state session-wide; restore for other suites
       val exp = spark.experimental
       exp.extraOptimizations = exp.extraOptimizations
         .filterNot(_ == graft.plans.AggRouteRewrite)
+      val confAfter = spark.conf.getAll
+      (confAfter.keySet ++ confBefore.keySet).foreach { k =>
+        (confBefore.get(k), confAfter.get(k)) match {
+          case (Some(v0), cur) if !cur.contains(v0) =>
+            try spark.conf.set(k, v0)
+            catch { case _: Exception => () } // static conf: skip
+          case (None, Some(_)) =>
+            try spark.conf.unset(k)
+            catch { case _: Exception => () }
+          case _ => ()
+        }
+      }
     }
   }
 }
