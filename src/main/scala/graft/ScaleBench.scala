@@ -61,11 +61,22 @@ object ScaleBench {
     }
     copies("embeddings") { (df, i) =>
       val d = df.withColumn("vec_id", col("vec_id") + i * 10000000L)
+      // rotation (63 distinct) × global negation (2) = 126 distinct
+      // isometries; a bare `i % 63` made copies i and i+63 bit-identical
+      // at factor > 63, planting exact-duplicate vectors — the precise
+      // artifact this replication exists to avoid. Both moves preserve
+      // norms and the pairwise-distance distribution within a copy.
       val rot = i % 63 // rotation must stay inside the 64-dim vector
-      if (rot == 0) d
+      val neg = (i / 63) % 2 == 1
+      require(i < 126, "embedding replica: only 126 distinct isometries " +
+        "(rotation x negation); raise the family before factor > 126")
+      val rotated = if (rot == 0) d
       else d.withColumn("embedding", concat(
         slice(col("embedding"), rot + 1, 64 - rot),
         slice(col("embedding"), 1, rot)))
+      if (!neg) rotated
+      else rotated.withColumn("embedding",
+        transform(col("embedding"), x => -x))
     }
     copies("orders") { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + i * 1000000000L)

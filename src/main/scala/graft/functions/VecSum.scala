@@ -19,11 +19,14 @@ final class VecAcc(val dim: Int) {
 
   def add(v: ArrayData, isFloat: Boolean): Unit = {
     // mirror the driver-local Lloyd loop's skip rule exactly
-    // (Similarity.localKmeans): wrong-dim or NaN-carrying vectors are
-    // ignored, never partially summed
+    // (Similarity.localKmeans): wrong-dim, null-element, or
+    // NaN-carrying vectors are ignored, never partially summed.
+    // (Without the isNullAt check a null slot reads as the zeroed
+    // backing value — the row would count with a silent 0.0.)
     if (v.numElements() != dim) return
     var i = 0
     while (i < dim) {
+      if (v.isNullAt(i)) return
       val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       if (x != x) return
       i += 1

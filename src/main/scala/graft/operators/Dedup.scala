@@ -184,10 +184,6 @@ object Dedup {
       base.select(col("id"), col("sh")), threshold)
   }
 
-  /** Candidate stage of [[ngramJaccardPairs]] (prefix filter + PPJoin
-    * size/position pruning), exposed for the scale probe
-    * ([[graft.ScaleProbe]]): candidate growth vs corpus growth is the
-    * empirical subquadraticity evidence. Input schema (blk, id, sh). */
   /** Prefix-row derivation of [[ngramCandidates]] — (blk, tok, id, sz,
     * rn) for each document's rarest-first prefix tokens. Exposed
     * pre-checkpoint so PlanShapeSpec can pin its shape (df via partial
@@ -214,8 +210,13 @@ object Dedup {
       .select("blk", "tok", "id", "sz", "rn")
   }
 
+  /** Candidate stage of [[ngramJaccardPairs]] (prefix filter + PPJoin
+    * size/position pruning), exposed for the scale probe
+    * ([[graft.ScaleProbe]]): candidate growth vs corpus growth is the
+    * empirical subquadraticity evidence. Input schema (blk, id, sh). */
   private[graft] def ngramCandidates(base: DataFrame,
       threshold: Double): DataFrame = {
+    val par = base.sparkSession.sparkContext.defaultParallelism
     val prefix = ngramPrefix(base, threshold)
     // SPILLABLE bucket-mate pairing: checkpoint the prefix rows (only
     // (blk, tok, id, sz, rn) — 8-40 B columns, never payloads) and
@@ -231,6 +232,11 @@ object Dedup {
     // bucket still pairs O(df²) under either shape (CPU, streamed);
     // AQE's skew-join splitting applies to the SMJ if one bucket
     // dominates a partition.
+    // Block lifecycle: checkpoint blocks are freed by the async
+    // ContextCleaner once the returned frame is unreferenced (Bench
+    // additionally sweeps persistent RDDs between queries); note the
+    // checkpoint also makes CONSTRUCTING this frame run the prefix
+    // derivation eagerly.
     val pfx = prefix.localCheckpoint()
     // J>=t needs overlap o >= t/(1+t)*(|A|+|B|) (PPJoin, Xiao et al.
     // WWW 2008); both pruning filters below are necessary conditions,
@@ -240,10 +246,18 @@ object Dedup {
     //    contribute at most min(|A|-p_a, |B|-p_b)+1 overlap
     val oMin = ceil((col("sz_a") + col("sz_b")) *
       (threshold / (1 + threshold)))
+    // explicit-width repartition on BOTH join sides: prefix rows are
+    // tiny in bytes, and AQE's size-based coalescing would otherwise
+    // collapse the join to 1-2 partitions and run the (CPU-bound)
+    // O(df²) pair expansion + PPJoin filters nearly single-threaded.
+    // A user-specified repartition is exempt from AQE coalescing and
+    // already satisfies the join's clustering, so no extra exchange.
     pfx.select(col("blk"), col("tok"), col("id").as("id_a"),
         col("sz").as("sz_a"), col("rn").as("p_a"))
+      .repartition(par, col("blk"), col("tok"))
       .join(pfx.select(col("blk"), col("tok"), col("id").as("id_b"),
-        col("sz").as("sz_b"), col("rn").as("p_b")), Seq("blk", "tok"))
+        col("sz").as("sz_b"), col("rn").as("p_b"))
+        .repartition(par, col("blk"), col("tok")), Seq("blk", "tok"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("sz_a"), col("sz_b")) >=
         ceil(greatest(col("sz_a"), col("sz_b")) * threshold))
@@ -872,9 +886,10 @@ object Dedup {
           seed = 42L + p).as("bucket"))
         .withColumn("probe", lit(p))
     }.reduce(_ unionByName _)
-    // single-aggregation bucket-mate pairing (see
-    // Similarity.bucketMatePairs) — replaces the former self-join,
-    // which scanned and signed the corpus twice
+    // spillable bucket-mate pairing (see Similarity.bucketMatePairs):
+    // signatures computed once into a checkpoint of ~20 B rows, then a
+    // sort-merge self-join — never a naive self-join (signs the corpus
+    // twice) nor a collect_list aggregation (non-spillable buffers)
     Similarity.bucketMatePairs(probed, ordered = false)
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))

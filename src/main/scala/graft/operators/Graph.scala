@@ -51,30 +51,31 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
-  /** localCheckpoint, then REBUILD the frame from the checkpointed
-    * RDD. The rebuild is load-bearing: `LogicalRDD.fromDataset`
-    * propagates the origin plan's ESTIMATED statistics into the
-    * checkpoint (SPARK-39834), and in an iterative join loop those
-    * size-in-bytes estimates compound multiplicatively every round —
-    * by iteration ~40 the estimate is a million-digit BigInteger and
-    * Catalyst's stats visitor spends minutes per round multiplying
-    * it (observed: a 21-node graph took >10 min). Re-creating the
-    * DataFrame from the RDD resets stats to defaults, at the cost of
-    * one lazy row conversion over the (id, rank) pair per read. */
-  private[operators] def checkpointFresh(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-  }
-
-  /** Iterative-loop checkpoint hygiene: each round's localCheckpoint
-    * blocks live in the block manager until GC plus the async
-    * ContextCleaner get around to them — a K-iteration loop on a
-    * billion-node graph otherwise holds K copies of the rank vector in
-    * storage. Tracks the last checkpointed RDD and releases it the
-    * moment the NEXT round's checkpoint has materialized (localCheckpoint
-    * is eager, so the new blocks no longer depend on the old ones),
-    * capping loop storage at ~2 rounds. The final round's blocks are
-    * deliberately kept — the returned frame reads them. */
+  /** Iterative-loop checkpoint hygiene, two concerns in one helper
+    * (every iterative loop in the engine routes through it — PageRank
+    * ×3, label propagation, star contraction):
+    *
+    * 1. STATS — localCheckpoint, then REBUILD the frame from the
+    *    checkpointed RDD. The rebuild is load-bearing:
+    *    `LogicalRDD.fromDataset` propagates the origin plan's
+    *    ESTIMATED statistics into the checkpoint (SPARK-39834), and in
+    *    an iterative join loop those size-in-bytes estimates compound
+    *    multiplicatively every round — by iteration ~40 the estimate
+    *    is a million-digit BigInteger and Catalyst's stats visitor
+    *    spends minutes per round multiplying it (observed: a 21-node
+    *    graph took >10 min). Re-creating the DataFrame from the RDD
+    *    resets stats to defaults, at the cost of one lazy row
+    *    conversion over the (id, rank) pair per read.
+    *
+    * 2. STORAGE — each round's localCheckpoint blocks live in the
+    *    block manager until GC plus the async ContextCleaner get
+    *    around to them — a K-iteration loop on a billion-node graph
+    *    otherwise holds K copies of the rank vector in storage. Tracks
+    *    the last checkpointed RDD and releases it the moment the NEXT
+    *    round's checkpoint has materialized (localCheckpoint is eager,
+    *    so the new blocks no longer depend on the old ones), capping
+    *    loop storage at ~2 rounds. The final round's blocks are
+    *    deliberately kept — the returned frame reads them. */
   private[operators] final class RollingCheckpoint {
     private var prev: org.apache.spark.rdd.RDD[_] = _
     def apply(df: DataFrame): DataFrame = {

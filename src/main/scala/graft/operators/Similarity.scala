@@ -59,35 +59,46 @@ object Similarity {
       .limit(k)
   }
 
-  /** Candidate pairs among LSH bucket-mates via ONE aggregation rather
-    * than a (probe, bucket) self-join: collect the ids per bucket, then
-    * emit the pairs with a double explode. The self-join form evaluates
-    * the whole probed branch twice (two scans + signature computations,
-    * plus a join exchange per side); this shape computes signatures
-    * once and pays a single partially-aggregated shuffle of
-    * (probe, bucket, id). Bucket-mate lists are bounded by the
-    * [[planesFor]] sizing rule (expected O(1) occupancy at any corpus
-    * size); a pathologically hot bucket (mass-identical vectors) must
-    * be collapsed or re-split upstream (see Dedup.resplitOversized) —
-    * the same precondition the self-join shape had, where such a bucket
-    * goes quadratic instead.
+  /** Candidate pairs among LSH bucket-mates, SPILLABLE: checkpoint the
+    * (probe, bucket, id) rows — signatures computed ONCE, ~20 B/row,
+    * never the embeddings — and sort-merge self-join on (probe,
+    * bucket). The checkpoint is what a naive self-join lacks (it would
+    * scan and sign the corpus twice, once per join side); the SMJ is
+    * what the earlier collect_list shape lacked — its per-bucket id
+    * arrays all sat in one task's hash-agg buffers, non-spillable by
+    * construction (the exact shape the r12 100× ngram probe measured
+    * OOMing, Dedup.ngramCandidates), while the SMJ sorts externally so
+    * task memory is one bucket's run. Bucket-mate pair counts stay
+    * bounded by the [[planesFor]] sizing rule (expected O(1) occupancy
+    * at any corpus size); a pathologically hot bucket (mass-identical
+    * vectors) must be collapsed or re-split upstream (see
+    * Dedup.resplitOversized) — the same precondition every shape had,
+    * where such a bucket goes quadratic instead.
     *
     * `ordered=true` keeps both (a,b) and (b,a) — the kNN-join needs
     * each vector's neighbor list; `false` keeps a<b only (dedup pairs).
-    * Output is deduped across probes and repartitioned wide on the pair
-    * key (explicit width: pair rows are tiny in bytes, and AQE's
-    * size-based coalescing would run the downstream cosine verify
-    * nearly single-threaded). */
+    * Both join sides carry an explicit-width repartition (bucket rows
+    * are tiny in bytes, and AQE's size-based coalescing would run the
+    * CPU-bound pair expansion nearly single-threaded); output is
+    * deduped across probes and repartitioned wide on the pair key for
+    * the same reason. Checkpoint blocks are freed by the async
+    * ContextCleaner once the returned frame is unreferenced (Bench
+    * additionally sweeps persistent RDDs between queries); the
+    * checkpoint makes CONSTRUCTION eager — callers build this frame
+    * only when about to run it. */
   private[graft] def bucketMatePairs(probed: DataFrame,
       ordered: Boolean): DataFrame = {
     val par = probed.sparkSession.sparkContext.defaultParallelism
-    val pairs = probed.groupBy("probe", "bucket")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
+    val rows = probed.select(col("probe"), col("bucket"), col("id"))
+      .localCheckpoint()
+    val a = rows.withColumnRenamed("id", "id_a")
+      .repartition(par, col("probe"), col("bucket"))
+    val b = rows.withColumnRenamed("id", "id_b")
+      .repartition(par, col("probe"), col("bucket"))
+    val pairs = a.join(b, Seq("probe", "bucket"))
     (if (ordered) pairs.filter(col("id_a") =!= col("id_b"))
      else pairs.filter(col("id_a") < col("id_b")))
+      .select("id_a", "id_b")
       .repartition(par, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
@@ -246,6 +257,9 @@ object Similarity {
     var cents: Array[(Long, Array[Double])] = train
       .orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
       .select("nv").collect().zipWithIndex
+      // same skip rule as the assignment pass: a null-element seed
+      // would unbox to a silent 0.0 coordinate
+      .filter(!_._1.getSeq[Any](0).contains(null))
       .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
 
     for (_ <- 1 to iters if cents.nonEmpty) {
@@ -296,6 +310,11 @@ object Similarity {
       iters: Int): DataFrame = {
     val rows = collected
       .sortBy(r => (r.getLong(0), String.valueOf(r.get(1))))
+      // null-element vectors are dropped BEFORE unboxing — Scala
+      // unboxes a boxed null to 0.0 silently, which would both seed
+      // and train on a phantom zero coordinate (same skip rule as
+      // VecAcc.add on the distributed path)
+      .filter(!_.getSeq[Any](2).contains(null))
       .map(_.getSeq[Double](2).toArray)
     var cents: Array[(Long, Array[Double])] =
       rows.take(nCentroids).zipWithIndex.map { case (v, i) => (i.toLong, v) }

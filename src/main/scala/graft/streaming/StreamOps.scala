@@ -562,6 +562,32 @@ object StreamOps {
         val baseAggs = measures.map(_.base)
         val lattice: Map[Seq[String], DataFrame] =
           if (VersionedTable.versions(spark, rootOf(baseDims)).isEmpty) {
+            // layout guard: an EMPTY base path plus versioned state
+            // under names this run does not recognize means the root
+            // holds a lattice maintained under a different dim-name
+            // encoding (the name mangle changed in r12) or different
+            // dim lists — folding this stream's batches into a fresh
+            // base would silently drop that history from every answer.
+            // Fail loudly with a migration pointer instead.
+            val expected = (cuboids :+ baseDims)
+              .map(graft.operators.Cube.mangle).toSet
+            val rootPath = new org.apache.hadoop.fs.Path(latticeRoot)
+            val fs = rootPath.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(rootPath)) {
+              val stray = fs.listStatus(rootPath).filter(_.isDirectory)
+                .map(_.getPath.getName).filterNot(expected.contains)
+                .filter(n => VersionedTable
+                  .versions(spark, s"$latticeRoot/$n").nonEmpty)
+              require(stray.isEmpty,
+                s"latticeMaintenanceSink: $latticeRoot holds versioned " +
+                  s"cuboid state under unrecognized names " +
+                  s"(${stray.take(5).mkString(", ")}) — a lattice from " +
+                  "a different dim-name encoding or dim list. Starting " +
+                  "fresh here would silently drop that history; rename " +
+                  "the directories to the current Cube.mangle names or " +
+                  "point latticeRoot at a fresh location.")
+            }
             val base = batch.groupBy(baseDims.map(col): _*)
               .agg(baseAggs.head, baseAggs.tail: _*)
             Map(baseDims -> base) ++ cuboids.map(d =>

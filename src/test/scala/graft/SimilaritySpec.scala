@@ -404,11 +404,12 @@ class SimilaritySpec extends SparkSuite {
   test("vec_sum_count skips wrong-dim and NaN vectors, counts the rest") {
     import spark.implicits._
     val df = Seq(
-      (1L, Seq(1.0, 2.0)),
-      (1L, Seq(3.0, 4.0)),
-      (1L, Seq(Double.NaN, 1.0)), // skipped: NaN
-      (1L, Seq(1.0, 2.0, 3.0)),   // skipped: wrong dim
-      (2L, Seq(5.0, 6.0))).toDF("b", "v")
+      (1L, Seq[java.lang.Double](1.0, 2.0)),
+      (1L, Seq[java.lang.Double](3.0, 4.0)),
+      (1L, Seq[java.lang.Double](Double.NaN, 1.0)), // skipped: NaN
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0)),   // skipped: wrong dim
+      (1L, Seq[java.lang.Double](null, 7.0)),       // skipped: null slot
+      (2L, Seq[java.lang.Double](5.0, 6.0))).toDF("b", "v")
     val out = df.groupBy("b")
       .agg(graft.functions.VecSumCountAgg.vecSumCount(col("v"), 2).as("sc"))
       .select(col("b"), col("sc.sums"), col("sc.n"))
