@@ -18,16 +18,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Semantics:
   *  - a manifest version is COMMITTED iff its `#END:<n>` terminator
-  *    matches its line count — a torn write is ignored by readers and
-  *    its number is simply skipped by the next writer;
+  *    matches its line count; manifests become visible atomically WITH
+  *    their content (hard link on local FS, tmp+rename elsewhere), so
+  *    a torn slot cannot exist mid-protocol — a torn file is crash
+  *    debris, ignored by readers and cleared by the next writer;
   *  - readers resolve the highest committed version (or an explicit
   *    `asOf`) and read exactly the data dirs it lists → snapshot
   *    isolation: a reader planned at version v never sees later
   *    commits, and concurrent commits never disturb running reads
   *    (data dirs are immutable, never rewritten in place);
-  *  - writers claim the next version number with an atomic
-  *    create-if-absent — optimistic concurrency, losers retry with the
-  *    next number; data lands fully under `data/` BEFORE the manifest
+  *  - writers claim STRICTLY version latest_committed + 1 with an
+  *    atomic create-if-absent — optimistic concurrency: winning the
+  *    slot proves no commit landed since the writer read `latest` (so
+  *    its rebase is fresh — no lost updates), and losers re-read and
+  *    retry; data lands fully under `data/` BEFORE the manifest
   *    install, so a crash at any point leaves either an invisible
   *    orphan dir or a complete commit;
   *  - rollback is a NEW version that re-lists an old version's dirs
@@ -82,23 +86,26 @@ object VersionedTable {
       .sorted
   }
 
-  /** Highest manifest NUMBER present, committed or torn — the next
-    * claimable slot is one past this (a torn writer's number is burned,
-    * never reused, so its eventual content can't resurrect). */
-  private def highestManifestNumber(f: FileSystem, root: String): Long = {
-    val dir = new Path(root, logDir)
-    if (!f.exists(dir)) return 0L
-    f.listStatus(dir).toSeq
-      .flatMap(s => parseVersion(s.getPath.getName))
-      .maxOption.getOrElse(0L)
-  }
 
   /** Claim the next version number and install a manifest whose dir
     * list is `dirsFor(latestCommittedVersion)`. The create-if-absent is
     * the CAS; crucially the dir list is RECOMPUTED on every retry, so a
     * writer that loses the race rebases onto the winner's snapshot
     * instead of silently dropping it (the lost-update a log-of-
-    * snapshots protocol must rule out). */
+    * snapshots protocol must rule out).
+    *
+    * The claimed slot is STRICTLY latest_committed + 1 — this is
+    * load-bearing: winning the slot CAS then PROVES no commit landed
+    * between reading `latest` and publishing, because an intervening
+    * commit would have taken exactly this slot. (An earlier version
+    * skipped past the highest manifest NUMBER present, torn or not; a
+    * writer that stalled after reading `latest` could then claim a slot
+    * ABOVE commits it never read and publish a stale dir list as the
+    * newest snapshot — a lost update, caught by the PropertySpec racing-
+    * appenders law.) Since [[publishManifest]] makes slots visible
+    * atomically WITH their content on every filesystem, a torn slot can
+    * only be debris from a pre-protocol writer crash; it is deleted and
+    * the same slot retried, never skipped. */
   private def commitManifest(spark: SparkSession, root: String,
       dirsFor: Option[Long] => Seq[String]): Long = {
     val f = fs(spark, root)
@@ -110,29 +117,43 @@ object VersionedTable {
       val body = (if (dirs.isEmpty) s"${endMark}0\n"
         else dirs.mkString("\n") + s"\n$endMark${dirs.size}\n")
         .getBytes("UTF-8")
-      val v = math.max(latest.getOrElse(0L),
-        highestManifestNumber(f, root)) + 1
+      val v = latest.getOrElse(0L) + 1
       if (publishManifest(f, root, v, body)) committed = v
-      // else: lost the race (or found a torn writer) — rebase, retry
+      else {
+        // lost the race: either a competitor committed this slot
+        // (rebase onto it next round) or the slot holds a TORN file —
+        // impossible mid-protocol, so it is debris from a crashed
+        // pre-rename-protocol writer; clear it so the slot frees up
+        // (deleting is safe: torn ⇒ never committed ⇒ no reader
+        // trusts it, and any data dir it named is unreferenced)
+        val slot = manifestPath(root, v)
+        if (f.exists(slot) && readManifest(f, root, v).isEmpty)
+          f.delete(slot, false)
+      }
     }
     committed
   }
 
   /** Publish a version slot ATOMICALLY WITH ITS CONTENT — the property
     * the whole protocol rests on: a slot must never be visible without
-    * its body (a claim-then-write gap lets a competing writer rebase
-    * onto the old snapshot while the claimed slot is still empty, then
-    * win with a later number — a lost update).
+    * its FULL body. (An earlier HDFS path used `create(overwrite=false)`
+    * and streamed the body into the claimed slot; that makes the slot
+    * visible-but-torn while writing, which forced slot-number skipping
+    * at claim time — the jump that produced the lost-update race
+    * [[commitManifest]] documents. Both paths now make visibility and
+    * content one atomic step, so torn slots cannot exist mid-protocol
+    * and the claim can be strict latest+1.)
     *
-    *  - On HDFS-like stores, `create(path, overwrite=false)` is an
-    *    atomic namespace operation carrying the stream, so writing the
-    *    body into it directly is safe: a torn body (writer died) has no
-    *    `#END` terminator and the slot's number is burned.
-    *  - On the LOCAL filesystem that create is check-then-act, so two
-    *    racers can both pass the exists check and one body silently
-    *    replaces the other. There the body is written to a private tmp
+    *  - On the LOCAL filesystem the body is written to a private tmp
     *    file and published with a HARD LINK — `link(2)` fails with
     *    EEXIST atomically at the syscall level.
+    *  - On HDFS-like stores the body is written to a dot-prefixed tmp
+    *    file in the log dir (invisible to [[parseVersion]]) and
+    *    published with `rename`, an atomic namespace operation that
+    *    fails when the destination exists. (Object stores whose rename
+    *    is copy-then-delete need a coordination layer for multi-writer
+    *    commits — the same caveat every rename-CAS table format
+    *    carries.)
     *
     * Returns false when the slot was already taken (caller rebases). */
   private def publishManifest(f: FileSystem, root: String, v: Long,
@@ -151,13 +172,15 @@ object VersionedTable {
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally java.nio.file.Files.delete(tmp)
     } else {
-      try {
-        val out = f.create(slot, false)
-        try out.write(body) finally out.close()
-        true
-      } catch {
-        case _: java.io.IOException if f.exists(slot) => false
-      }
+      val tmp = new Path(root, s"$logDir/.${slot.getName}." +
+        s"${java.util.UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(body) finally out.close()
+      val won =
+        try f.rename(tmp, slot)
+        catch { case _: java.io.IOException => false }
+      if (!won) f.delete(tmp, false)
+      won
     }
   }
 

@@ -246,6 +246,41 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     * predicate-delete / predicate-update operations leaves the table
     * equal to the same sequence applied to a plain in-memory map —
     * and the intermediate snapshots stay time-travelable. */
+  test("versioned table: racing concurrent appenders never lose an " +
+      "update — every commit lands, distinct versions, union snapshot") {
+    import graft.operators.VersionedTable
+    import spark.implicits._
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    // the lost-update scenario the manifest CAS must rule out: N
+    // writers race append commits; a loser that rebased onto a stale
+    // snapshot would publish a manifest missing the winner's dir
+    val root = tmpDir("vtab_race")
+    val n = 8
+    val pool = ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(n))
+    try {
+      val futures = (1 to n).map { i =>
+        Future(VersionedTable.commit(spark, root,
+          Seq((i.toLong, s"w$i")).toDF("k", "s")))(pool)
+      }
+      implicit val ec: ExecutionContext = pool
+      val versions = Await.result(
+        Future.sequence(futures), 180.seconds)
+      assert(versions.toSet.size == n, s"version collision: $versions")
+      val committed = VersionedTable.versions(spark, root)
+      assert(committed.size == n, s"committed: $committed")
+      // the final snapshot carries EVERY writer's rows
+      val got = VersionedTable.read(spark, root)
+        .as[(Long, String)].collect().toSet
+      assert(got == (1 to n).map(i => (i.toLong, s"w$i")).toSet, got)
+      // monotone history: version k's snapshot has exactly k dirs'
+      // worth of rows (each commit appended exactly one writer)
+      val latest = committed.max
+      assert(VersionedTable.read(spark, root, Some(latest)).count() == n)
+    } finally pool.shutdown()
+  }
+
   test("versioned table == reference map under random DML sequences") {
     sealed trait Op
     case class Upsert(rows: List[(Long, Long)]) extends Op
