@@ -281,6 +281,27 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     } finally pool.shutdown()
   }
 
+  test("versioned table: torn-manifest crash debris at the claim slot " +
+      "is cleared and the slot reused, never skipped") {
+    import graft.operators.VersionedTable
+    import spark.implicits._
+    val root = tmpDir("vtab_torn")
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("k", "s")) // v1
+    // plant pre-protocol crash debris: a slot file with no #END
+    // terminator at the next claim slot (v2)
+    val torn = new java.io.File(root, "_vlog/v00002.manifest")
+    torn.getParentFile.mkdirs()
+    java.nio.file.Files.write(torn.toPath,
+      "data/half-written\n".getBytes("UTF-8"))
+    assert(VersionedTable.versions(spark, root) == Seq(1L)) // torn ≠ committed
+    val v = VersionedTable.commit(spark, root, Seq((2L, "b")).toDF("k", "s"))
+    // the slot was reclaimed (not burned past), and the snapshot chain
+    // is intact — the debris's phantom dir never resurrects
+    assert(v == 2L, s"expected slot 2 reclaimed, got $v")
+    assert(VersionedTable.read(spark, root).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("versioned table == reference map under random DML sequences") {
     sealed trait Op
     case class Upsert(rows: List[(Long, Long)]) extends Op
