@@ -453,7 +453,20 @@ object Similarity {
     * the batch's seq and survives its own tombstone (tseq <= seq).
     * Single maintainer at a time (like compaction); probes stay
     * snapshot-consistent per scan. PQ code tables are NOT maintained
-    * here — re-encode after compaction. Returns the batch seq. */
+    * here — re-encode after compaction. Returns the batch seq.
+    *
+    * CRASH-IDEMPOTENT: each batch lands in its own `__batch=<seq>`
+    * partition directory under `vectors_delta/` / `tombstones/`,
+    * written with per-directory OVERWRITE, and the seq counter file is
+    * the commit point (written last). A maintainer that dies mid-batch
+    * leaves the counter unadvanced, so the at-least-once redelivery
+    * (foreachBatch, [[graft.streaming.StreamOps.annIndexSink]])
+    * recomputes the SAME seq and overwrites the partial directories
+    * instead of appending duplicates. (The previous layout appended
+    * into the base `vectors/` table; a crash between the append and
+    * the counter write made the retry duplicate every inserted row at
+    * the same seq, and the tombstone resolve keeps ALL rows of the
+    * winning seq — duplicate ids in probe results.) */
   def ivfUpsert(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       changes: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", changeCol: String = "change"): Long = {
@@ -469,40 +482,59 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         normalized(col(vecCol)).as("nv"))
     assignNearest(ins, cents)
-      .select(col("id").as(idCol), col("v").as(vecCol),
-        lit(seq).as("__seq"), col("bucket"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$indexDir/vectors")
+      .select(col("id").as(idCol), col("v").as(vecCol), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/vectors_delta/__batch=$seq")
     // every changed id is superseded at this seq (deletes die; the
     // batch's own inserts survive the <= comparison)
     changes.select(col(idCol)).distinct()
-      .withColumn("__tseq", lit(seq))
-      .write.mode("append").parquet(s"$indexDir/tombstones")
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/tombstones/__batch=$seq")
+    // commit point: the counter names the highest COMPLETE batch
     java.nio.file.Files.write(seqFile, seq.toString.getBytes("UTF-8"))
     seq
   }
 
-  /** The index's LIVE vector set: base + maintenance appends,
-    * last-writer-wins by seq, tombstoned rows dropped. A never-
+  /** Any parquet part file under `dir` (driver-side walk, bounded by
+    * batches-since-compaction × buckets-touched)? Guards the delta
+    * reads: a delete-only history has tombstone rows but possibly not
+    * one inserted vector, and schema inference needs at least one
+    * file. */
+  private[operators] def hasParquetFile(dir: java.io.File): Boolean = {
+    if (!dir.exists()) return false
+    val kids = dir.listFiles()
+    if (kids == null) return false
+    kids.exists(f =>
+      (f.isFile && f.getName.endsWith(".parquet")) ||
+        (f.isDirectory && hasParquetFile(f)))
+  }
+
+  /** The index's LIVE vector set: base ∪ per-batch delta partitions,
+    * last-writer-wins by seq (base rows are seq 0, a delta row's seq is
+    * its `__batch` partition value — a directory name, so a partial
+    * rewrite can't lie about it), tombstoned rows dropped. A never-
     * maintained index takes the raw-scan path untouched (zero overlay
-    * cost); maintained indexes read with schema merge (base files
-    * predate the seq column) and anti-resolve against the broadcast
-    * tombstone list (bounded by churn since the last [[ivfCompact]]). */
+    * cost); the tombstone resolve is a broadcast join (bounded by churn
+    * since the last [[ivfCompact]]). Bucket filters prune partitions of
+    * BOTH the base and every delta batch (bucket is a partition column
+    * in each). */
   private def resolvedVectors(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String): DataFrame = {
     val maintained = new java.io.File(s"$indexDir/_maint").exists()
-    if (!maintained) return spark.read.parquet(s"$indexDir/vectors")
-    val raw0 = spark.read.option("mergeSchema", "true")
-      .parquet(s"$indexDir/vectors")
-    // a delete-only maintenance history never appended a seq column
+    val base = spark.read.parquet(s"$indexDir/vectors")
+    if (!maintained) return base
     val raw =
-      if (raw0.columns.contains("__seq"))
-        raw0.withColumn("__seq", coalesce(col("__seq"), lit(0L)))
-      else raw0.withColumn("__seq", lit(0L))
-    val tDir = new java.io.File(s"$indexDir/tombstones")
-    if (!tDir.exists()) return raw.drop("__seq")
+      if (!hasParquetFile(new java.io.File(s"$indexDir/vectors_delta")))
+        base.withColumn("__seq", lit(0L))
+      else base.withColumn("__seq", lit(0L)).unionByName(
+        spark.read.parquet(s"$indexDir/vectors_delta")
+          .withColumn("__seq", col("__batch").cast("long"))
+          .drop("__batch"))
+    if (!hasParquetFile(new java.io.File(s"$indexDir/tombstones")))
+      return raw.drop("__seq")
     val tmax = spark.read.parquet(s"$indexDir/tombstones")
-      .groupBy(idCol).agg(max(col("__tseq")).as("__tmax"))
+      .groupBy(idCol)
+      .agg(max(col("__batch").cast("long")).as("__tmax"))
     raw.join(broadcast(tmax), Seq(idCol), "left")
       .filter(col("__tmax").isNull || col("__tmax") <= col("__seq"))
       .drop("__tmax", "__seq")
@@ -523,6 +555,7 @@ object Similarity {
     rmrf(new java.io.File(s"$indexDir/vectors"))
     new java.io.File(staged)
       .renameTo(new java.io.File(s"$indexDir/vectors"))
+    rmrf(new java.io.File(s"$indexDir/vectors_delta"))
     rmrf(new java.io.File(s"$indexDir/tombstones"))
     rmrf(new java.io.File(s"$indexDir/_maint"))
   }

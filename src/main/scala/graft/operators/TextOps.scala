@@ -403,14 +403,17 @@ object TextOps {
   }
 
   /** Incrementally maintain the inverted index from a document change
-    * feed — the same CDC lifecycle as the IVF index
-    * ([[graft.operators.Similarity.ivfUpsert]]): `changes` carries the
-    * document columns plus `change` ∈ insert|delete (an update is its
-    * delete+insert pair). Inserts tokenize ONLY the changed documents
-    * and append sharded postings + doc-length rows stamped with the
-    * batch seq; every changed id becomes an (id, seq) tombstone
-    * resolved at query time by last-writer-wins (the batch's own
-    * inserts survive their tombstone via `tseq <= seq`).
+    * feed — the same CDC lifecycle AND crash-idempotence protocol as
+    * the IVF index ([[graft.operators.Similarity.ivfUpsert]]):
+    * `changes` carries the document columns plus `change` ∈
+    * insert|delete (an update is its delete+insert pair). Inserts
+    * tokenize ONLY the changed documents and land sharded postings +
+    * doc-length rows in per-batch `__batch=<seq>` partition dirs
+    * (overwrite-idempotent under at-least-once redelivery; the seq
+    * counter file is the commit point); every changed id becomes an
+    * (id, seq) tombstone resolved at query time by last-writer-wins
+    * (the batch's own inserts survive their tombstone via
+    * `tseq <= seq`).
     * [[invertedIndexCompact]] physically reclaims. Returns the batch
     * seq. */
   def invertedIndexUpsert(spark: org.apache.spark.sql.SparkSession,
@@ -425,19 +428,23 @@ object TextOps {
     else 0L) + 1
     val ins = changes.filter(col(changeCol) === "insert")
       .select(col(idCol), wordTokens(col(textCol)).as("__w"))
+    // per-batch `__batch=<seq>` partition dirs written with OVERWRITE,
+    // seq-file commit written last — identical crash-idempotence
+    // protocol to Similarity.ivfUpsert: a maintainer that dies before
+    // the counter write leaves the retry recomputing the SAME seq and
+    // overwriting the partial dirs instead of appending duplicates
     ins.select(col(idCol), explode(col("__w")).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .withColumn("__seq", lit(seq))
       .withColumn("shard", pmod(xxhash64(col("token")), lit(shards.toLong)))
       .repartition(col("shard"))
-      .write.mode("append").partitionBy("shard")
-      .parquet(s"$indexDir/postings")
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$indexDir/postings_delta/__batch=$seq")
     ins.select(col(idCol), size(col("__w")).cast("long").as("dl"))
-      .withColumn("__seq", lit(seq))
-      .write.mode("append").parquet(s"$indexDir/doclen")
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/doclen_delta/__batch=$seq")
     changes.select(col(idCol)).distinct()
-      .withColumn("__tseq", lit(seq))
-      .write.mode("append").parquet(s"$indexDir/tombstones")
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/tombstones/__batch=$seq")
     java.nio.file.Files.write(seqFile, seq.toString.getBytes("UTF-8"))
     seq
   }
@@ -458,6 +465,7 @@ object TextOps {
       partBy.fold(writer)(p => writer.partitionBy(p)).parquet(staged)
       rmrf(new java.io.File(s"$indexDir/$sub"))
       new java.io.File(staged).renameTo(new java.io.File(s"$indexDir/$sub"))
+      rmrf(new java.io.File(s"$indexDir/${sub}_delta"))
       ()
     }
     rewrite("postings", Some("shard"))
@@ -469,23 +477,30 @@ object TextOps {
     rmrf(new java.io.File(s"$indexDir/_maint"))
   }
 
-  /** A maintained index table's LIVE rows: base + appends,
-    * last-writer-wins against the broadcast tombstone list (bounded by
-    * churn since the last compaction). Never-maintained indexes return
-    * the raw read untouched. */
+  /** A maintained index table's LIVE rows: base ∪ per-batch delta
+    * partitions (`<path>_delta/__batch=<seq>`; base rows are seq 0, a
+    * delta row's seq is its partition-directory value), last-writer-
+    * wins against the broadcast tombstone list (bounded by churn since
+    * the last compaction). Never-maintained indexes return the raw
+    * read untouched; shard filters prune partitions of the base and
+    * every delta batch alike. */
   private def resolveLive(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, path: String, idCol: String): DataFrame = {
-    if (!new java.io.File(s"$indexDir/_maint").exists())
-      return spark.read.parquet(path)
-    val raw0 = spark.read.option("mergeSchema", "true").parquet(path)
+    val base = spark.read.parquet(path)
+    if (!new java.io.File(s"$indexDir/_maint").exists()) return base
     val raw =
-      if (raw0.columns.contains("__seq"))
-        raw0.withColumn("__seq", coalesce(col("__seq"), lit(0L)))
-      else raw0.withColumn("__seq", lit(0L))
-    val tDir = new java.io.File(s"$indexDir/tombstones")
-    if (!tDir.exists()) return raw.drop("__seq")
+      if (!Similarity.hasParquetFile(new java.io.File(s"${path}_delta")))
+        base.withColumn("__seq", lit(0L))
+      else base.withColumn("__seq", lit(0L)).unionByName(
+        spark.read.parquet(s"${path}_delta")
+          .withColumn("__seq", col("__batch").cast("long"))
+          .drop("__batch"))
+    if (!Similarity.hasParquetFile(
+        new java.io.File(s"$indexDir/tombstones")))
+      return raw.drop("__seq")
     val tmax = spark.read.parquet(s"$indexDir/tombstones")
-      .groupBy(idCol).agg(max(col("__tseq")).as("__tmax"))
+      .groupBy(idCol)
+      .agg(max(col("__batch").cast("long")).as("__tmax"))
     raw.join(broadcast(tmax), Seq(idCol), "left")
       .filter(col("__tmax").isNull || col("__tmax") <= col("__seq"))
       .drop("__tmax", "__seq")

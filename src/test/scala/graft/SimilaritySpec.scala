@@ -87,6 +87,19 @@ class SimilaritySpec extends SparkSuite {
       (20L, qArr, "insert"))
       .toDF("vec_id", "embedding", "change")
     Similarity.ivfUpsert(spark, dir, changes)
+    // crash-retry: rewind the commit point (maintainer died after the
+    // batch dirs landed, before the counter write) and re-deliver the
+    // same batch — the overwrite-idempotent delta layout must leave NO
+    // duplicate ids in the live set (the old append layout doubled
+    // every inserted row at the same seq here)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_maint/seq"), "0".getBytes("UTF-8"))
+    Similarity.ivfUpsert(spark, dir, changes)
+    val wide = Similarity.ivfProbe(spark, dir, q, k = 1000, nprobe = 10)
+      .collect().map(_.getLong(0))
+    assert(wide.length == wide.distinct.length,
+      s"duplicate ids in live set after crash-retry: " +
+        s"${wide.diff(wide.distinct).toSeq}")
     val after = probeIds()
     assert(after.contains(900L), s"inserted vector must be findable: $after")
     assert(after.contains(20L), s"updated vector must rank top: $after")

@@ -196,6 +196,15 @@ class TextOpsSpec extends SparkSuite {
       .toDF("doc_id", "text").withColumn("change", lit("insert"))
     graft.operators.TextOps.invertedIndexUpsert(spark, dir,
       inserts.unionByName(deletes).unionByName(updDel).unionByName(updIns))
+    // crash-retry: rewind the commit point (as if the maintainer died
+    // after writing the batch dirs but before the counter) and
+    // re-deliver the same batch — the overwrite-idempotent layout must
+    // converge to the same index, not double every posting and doc
+    // length (BM25 scores below would shift if it did)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_maint/seq"), "0".getBytes("UTF-8"))
+    graft.operators.TextOps.invertedIndexUpsert(spark, dir,
+      inserts.unionByName(deletes).unionByName(updDel).unionByName(updIns))
     // the live corpus the index should now represent: base minus the
     // deletes minus the updated doc, plus ALL inserts (inserts that
     // also match the delete predicate were never deleted — they were
