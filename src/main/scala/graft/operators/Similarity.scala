@@ -473,10 +473,7 @@ object Similarity {
     val maint = new java.io.File(s"$indexDir/_maint")
     maint.mkdirs()
     val seqFile = java.nio.file.Paths.get(s"$indexDir/_maint/seq")
-    val seq = (if (java.nio.file.Files.exists(seqFile))
-      new String(java.nio.file.Files.readAllBytes(seqFile), "UTF-8")
-        .trim.toLong
-    else 0L) + 1
+    val seq = committedSeq(indexDir) + 1
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val ins = changes.filter(col(changeCol) === "insert")
       .select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -518,21 +515,38 @@ object Similarity {
     * since the last [[ivfCompact]]). Bucket filters prune partitions of
     * BOTH the base and every delta batch (bucket is a partition column
     * in each). */
+  /** Highest COMMITTED maintenance batch (the seq counter file); a
+    * `__batch` directory above it is a crashed writer's partial batch,
+    * awaiting its redelivery. */
+  private[operators] def committedSeq(indexDir: String): Long = {
+    val seqFile = java.nio.file.Paths.get(s"$indexDir/_maint/seq")
+    if (java.nio.file.Files.exists(seqFile))
+      new String(java.nio.file.Files.readAllBytes(seqFile), "UTF-8")
+        .trim.toLong
+    else 0L
+  }
+
   private def resolvedVectors(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String): DataFrame = {
     val maintained = new java.io.File(s"$indexDir/_maint").exists()
     val base = spark.read.parquet(s"$indexDir/vectors")
     if (!maintained) return base
+    // read-committed: partitions above the counter are a crashed
+    // writer's partial batch — the `__batch <= committed` filter
+    // PRUNES them (partition column), so probes never see a torn batch
+    val committed = committedSeq(indexDir)
     val raw =
       if (!hasParquetFile(new java.io.File(s"$indexDir/vectors_delta")))
         base.withColumn("__seq", lit(0L))
       else base.withColumn("__seq", lit(0L)).unionByName(
         spark.read.parquet(s"$indexDir/vectors_delta")
+          .filter(col("__batch").cast("long") <= committed)
           .withColumn("__seq", col("__batch").cast("long"))
           .drop("__batch"))
     if (!hasParquetFile(new java.io.File(s"$indexDir/tombstones")))
       return raw.drop("__seq")
     val tmax = spark.read.parquet(s"$indexDir/tombstones")
+      .filter(col("__batch").cast("long") <= committed)
       .groupBy(idCol)
       .agg(max(col("__batch").cast("long")).as("__tmax"))
     raw.join(broadcast(tmax), Seq(idCol), "left")

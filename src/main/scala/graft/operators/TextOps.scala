@@ -422,10 +422,7 @@ object TextOps {
       changeCol: String = "change"): Long = {
     new java.io.File(s"$indexDir/_maint").mkdirs()
     val seqFile = java.nio.file.Paths.get(s"$indexDir/_maint/seq")
-    val seq = (if (java.nio.file.Files.exists(seqFile))
-      new String(java.nio.file.Files.readAllBytes(seqFile), "UTF-8")
-        .trim.toLong
-    else 0L) + 1
+    val seq = Similarity.committedSeq(indexDir) + 1
     val ins = changes.filter(col(changeCol) === "insert")
       .select(col(idCol), wordTokens(col(textCol)).as("__w"))
     // per-batch `__batch=<seq>` partition dirs written with OVERWRITE,
@@ -488,17 +485,22 @@ object TextOps {
       indexDir: String, path: String, idCol: String): DataFrame = {
     val base = spark.read.parquet(path)
     if (!new java.io.File(s"$indexDir/_maint").exists()) return base
+    // read-committed: `__batch` partitions above the seq counter are a
+    // crashed writer's partial batch — pruned, never queried
+    val committed = Similarity.committedSeq(indexDir)
     val raw =
       if (!Similarity.hasParquetFile(new java.io.File(s"${path}_delta")))
         base.withColumn("__seq", lit(0L))
       else base.withColumn("__seq", lit(0L)).unionByName(
         spark.read.parquet(s"${path}_delta")
+          .filter(col("__batch").cast("long") <= committed)
           .withColumn("__seq", col("__batch").cast("long"))
           .drop("__batch"))
     if (!Similarity.hasParquetFile(
         new java.io.File(s"$indexDir/tombstones")))
       return raw.drop("__seq")
     val tmax = spark.read.parquet(s"$indexDir/tombstones")
+      .filter(col("__batch").cast("long") <= committed)
       .groupBy(idCol)
       .agg(max(col("__batch").cast("long")).as("__tmax"))
     raw.join(broadcast(tmax), Seq(idCol), "left")

@@ -94,6 +94,10 @@ class SimilaritySpec extends SparkSuite {
     // every inserted row at the same seq here)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_maint/seq"), "0".getBytes("UTF-8"))
+    // read-committed while crashed: the partial batch sits on disk but
+    // the counter says nothing committed — probes must not see it
+    assert(!probeIds().contains(900L),
+      "uncommitted batch visible to a probe")
     Similarity.ivfUpsert(spark, dir, changes)
     val wide = Similarity.ivfProbe(spark, dir, q, k = 1000, nprobe = 10)
       .collect().map(_.getLong(0))
