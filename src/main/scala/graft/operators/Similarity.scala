@@ -254,12 +254,15 @@ object Similarity {
     // k rows regardless of dim×k.
     // deterministic init: the nCentroids training vectors with the
     // smallest id-hash (a seeded random draw both runs agree on)
+    // null-element vectors are excluded BEFORE the limit — the same
+    // order as localKmeans (filter at collection, then take k), so
+    // both paths seed the same k centroids; filtering after the limit
+    // would silently under-seed whenever a null vector hashed into the
+    // first k
     var cents: Array[(Long, Array[Double])] = train
+      .filter(!exists(col("nv"), _.isNull))
       .orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
       .select("nv").collect().zipWithIndex
-      // same skip rule as the assignment pass: a null-element seed
-      // would unbox to a silent 0.0 coordinate
-      .filter(!_._1.getSeq[Any](0).contains(null))
       .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
 
     for (_ <- 1 to iters if cents.nonEmpty) {
@@ -488,33 +491,34 @@ object Similarity {
       .write.mode("overwrite")
       .parquet(s"$indexDir/tombstones/__batch=$seq")
     // commit point: the counter names the highest COMPLETE batch
-    java.nio.file.Files.write(seqFile, seq.toString.getBytes("UTF-8"))
+    writeSeq(indexDir, seq)
     seq
   }
 
-  /** Any parquet part file under `dir` (driver-side walk, bounded by
-    * batches-since-compaction × buckets-touched)? Guards the delta
-    * reads: a delete-only history has tombstone rows but possibly not
-    * one inserted vector, and schema inference needs at least one
-    * file. */
+  /** Any parquet part file VISIBLE TO SPARK'S READER under `dir`
+    * (driver-side walk, bounded by batches-since-compaction ×
+    * buckets-touched)? Guards the delta reads: a delete-only history
+    * has tombstone rows but possibly not one inserted vector, and
+    * schema inference needs at least one file. Hidden paths
+    * (`_temporary` staging, dot-files) are skipped exactly as Spark's
+    * file index skips them — counting them would send the reader into
+    * a dir it then finds empty (AnalysisException on a crashed batch's
+    * staging debris). */
   private[operators] def hasParquetFile(dir: java.io.File): Boolean = {
     if (!dir.exists()) return false
     val kids = dir.listFiles()
     if (kids == null) return false
-    kids.exists(f =>
-      (f.isFile && f.getName.endsWith(".parquet")) ||
+    kids.exists { f =>
+      // Spark's listing rule: underscore/dot names are hidden UNLESS
+      // they contain '=' (partition dirs — __batch=N must survive)
+      val n = f.getName
+      val hidden =
+        (n.startsWith("_") || n.startsWith(".")) && !n.contains("=")
+      !hidden && ((f.isFile && n.endsWith(".parquet")) ||
         (f.isDirectory && hasParquetFile(f)))
+    }
   }
 
-  /** The index's LIVE vector set: base ∪ per-batch delta partitions,
-    * last-writer-wins by seq (base rows are seq 0, a delta row's seq is
-    * its `__batch` partition value — a directory name, so a partial
-    * rewrite can't lie about it), tombstoned rows dropped. A never-
-    * maintained index takes the raw-scan path untouched (zero overlay
-    * cost); the tombstone resolve is a broadcast join (bounded by churn
-    * since the last [[ivfCompact]]). Bucket filters prune partitions of
-    * BOTH the base and every delta batch (bucket is a partition column
-    * in each). */
   /** Highest COMMITTED maintenance batch (the seq counter file); a
     * `__batch` directory above it is a crashed writer's partial batch,
     * awaiting its redelivery. */
@@ -526,20 +530,46 @@ object Similarity {
     else 0L
   }
 
-  private def resolvedVectors(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, idCol: String): DataFrame = {
-    val maintained = new java.io.File(s"$indexDir/_maint").exists()
-    val base = spark.read.parquet(s"$indexDir/vectors")
-    if (!maintained) return base
-    // read-committed: partitions above the counter are a crashed
-    // writer's partial batch — the `__batch <= committed` filter
-    // PRUNES them (partition column), so probes never see a torn batch
+  /** Advance the seq counter ATOMICALLY (tmp + ATOMIC_MOVE). The
+    * counter is the maintenance protocol's commit point and is read by
+    * every probe, so an in-place truncate-then-write would leave a
+    * zero-length file on a crash mid-write — bricking both probes and
+    * the redelivery that is supposed to repair the crash. */
+  private[operators] def writeSeq(indexDir: String, seq: Long): Unit = {
+    val seqFile = java.nio.file.Paths.get(s"$indexDir/_maint/seq")
+    val tmp = seqFile.resolveSibling(
+      s".seq.${java.util.UUID.randomUUID()}.tmp")
+    java.nio.file.Files.write(tmp, seq.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, seqFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** A maintained index table's LIVE rows — the shared resolve for
+    * every per-batch-delta index (IVF vectors here, BM25 postings and
+    * doc lengths in [[graft.operators.TextOps]]): base ∪ committed
+    * `__batch=<seq>` delta partitions under `<basePath>_delta/` (base
+    * rows are seq 0; a delta row's seq is its partition-directory
+    * value — a directory name, so a partial rewrite can't lie about
+    * it), last-writer-wins against the broadcast tombstone list
+    * (bounded by churn since the last compaction). Read-committed:
+    * `__batch` partitions above the seq counter are a crashed writer's
+    * partial batch — the filter is on a partition column, so they are
+    * PRUNED outright, never scanned. Never-maintained indexes return
+    * the raw base untouched; bucket/shard filters prune partitions of
+    * the base and every delta batch alike. */
+  private[operators] def resolveDeltaTable(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      basePath: String, idCol: String): DataFrame = {
+    val base = spark.read.parquet(basePath)
+    if (!new java.io.File(s"$indexDir/_maint").exists()) return base
     val committed = committedSeq(indexDir)
     val raw =
-      if (!hasParquetFile(new java.io.File(s"$indexDir/vectors_delta")))
+      if (!hasParquetFile(new java.io.File(s"${basePath}_delta")))
         base.withColumn("__seq", lit(0L))
       else base.withColumn("__seq", lit(0L)).unionByName(
-        spark.read.parquet(s"$indexDir/vectors_delta")
+        spark.read.parquet(s"${basePath}_delta")
           .filter(col("__batch").cast("long") <= committed)
           .withColumn("__seq", col("__batch").cast("long"))
           .drop("__batch"))
@@ -554,9 +584,29 @@ object Similarity {
       .drop("__tmax", "__seq")
   }
 
+  private def resolvedVectors(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String): DataFrame =
+    resolveDeltaTable(spark, indexDir, s"$indexDir/vectors", idCol)
+
   /** Physically reclaim tombstoned rows: rewrite the live vector set
     * as a fresh base (seq resets), clear tombstones and the seq
-    * counter. Offline single-writer op, like any compaction. */
+    * counter. Offline single-writer op, like any compaction.
+    *
+    * Crash-ordering: after the base swap, the maintenance overlay
+    * (tombstones + deltas, still on disk) re-applies IDEMPOTENTLY over
+    * the compacted base — an id inserted at seq N exists in the base
+    * at seq 0 and in its delta at seq N; the tombstone at N kills the
+    * base copy and keeps the delta copy, one row either way. The
+    * `_maint` dir is therefore removed FIRST among the cleanups (the
+    * reader's maintained?-switch): once it is gone, readers take the
+    * base-only path and the leftover overlay dirs are inert garbage —
+    * removed next, and any survivor of a crash here is invisible
+    * (stale `__batch` dirs sit above a fresh index's counter until
+    * that seq is re-reached, at which point the upsert OVERWRITES the
+    * dir before committing it). Deleting tombstones or deltas BEFORE
+    * `_maint` instead would create windows where the overlay
+    * half-applies (e.g. tombstones without deltas kill every
+    * recently-upserted id). */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String = "vec_id"): Unit = {
     val staged = s"$indexDir/vectors_compacting"
@@ -569,9 +619,9 @@ object Similarity {
     rmrf(new java.io.File(s"$indexDir/vectors"))
     new java.io.File(staged)
       .renameTo(new java.io.File(s"$indexDir/vectors"))
-    rmrf(new java.io.File(s"$indexDir/vectors_delta"))
-    rmrf(new java.io.File(s"$indexDir/tombstones"))
     rmrf(new java.io.File(s"$indexDir/_maint"))
+    rmrf(new java.io.File(s"$indexDir/tombstones"))
+    rmrf(new java.io.File(s"$indexDir/vectors_delta"))
   }
 
   /** Batched IVF probe: ANN top-k for a whole DataFrame of query

@@ -442,13 +442,25 @@ object TextOps {
     changes.select(col(idCol)).distinct()
       .write.mode("overwrite")
       .parquet(s"$indexDir/tombstones/__batch=$seq")
-    java.nio.file.Files.write(seqFile, seq.toString.getBytes("UTF-8"))
+    Similarity.writeSeq(indexDir, seq) // atomic commit point
     seq
   }
 
   /** Physically reclaim tombstoned index rows: rewrite the live
     * postings and doc lengths as a fresh base, refresh the stored
-    * stats, clear the maintenance state. */
+    * stats, clear the maintenance state.
+    *
+    * Crash-ordering (same argument as
+    * [[graft.operators.Similarity.ivfCompact]]): every base swap
+    * happens while the full overlay (tombstones + BOTH deltas) is
+    * still on disk, over which the resolve re-applies idempotently —
+    * so a crash between the two swaps leaves one table compacted and
+    * the other not, both reading correctly. `_maint` is removed FIRST
+    * among the cleanups (the reader's maintained?-switch); after that
+    * the leftover overlay dirs are inert and removed last. Stats are
+    * rewritten before `_maint` goes away — while `_maint` exists the
+    * query path recomputes stats live, so the stored file is only read
+    * after the switch. */
   def invertedIndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String = "doc_id"): Unit = {
     def rmrf(f: java.io.File): Unit = {
@@ -462,7 +474,6 @@ object TextOps {
       partBy.fold(writer)(p => writer.partitionBy(p)).parquet(staged)
       rmrf(new java.io.File(s"$indexDir/$sub"))
       new java.io.File(staged).renameTo(new java.io.File(s"$indexDir/$sub"))
-      rmrf(new java.io.File(s"$indexDir/${sub}_delta"))
       ()
     }
     rewrite("postings", Some("shard"))
@@ -470,43 +481,18 @@ object TextOps {
     spark.read.parquet(s"$indexDir/doclen")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
-    rmrf(new java.io.File(s"$indexDir/tombstones"))
     rmrf(new java.io.File(s"$indexDir/_maint"))
+    rmrf(new java.io.File(s"$indexDir/tombstones"))
+    rmrf(new java.io.File(s"$indexDir/postings_delta"))
+    rmrf(new java.io.File(s"$indexDir/doclen_delta"))
   }
 
-  /** A maintained index table's LIVE rows: base ∪ per-batch delta
-    * partitions (`<path>_delta/__batch=<seq>`; base rows are seq 0, a
-    * delta row's seq is its partition-directory value), last-writer-
-    * wins against the broadcast tombstone list (bounded by churn since
-    * the last compaction). Never-maintained indexes return the raw
-    * read untouched; shard filters prune partitions of the base and
-    * every delta batch alike. */
+  /** A maintained index table's LIVE rows — see
+    * [[graft.operators.Similarity.resolveDeltaTable]] (shared with the
+    * IVF index; identical delta layout and read-committed rules). */
   private def resolveLive(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, path: String, idCol: String): DataFrame = {
-    val base = spark.read.parquet(path)
-    if (!new java.io.File(s"$indexDir/_maint").exists()) return base
-    // read-committed: `__batch` partitions above the seq counter are a
-    // crashed writer's partial batch — pruned, never queried
-    val committed = Similarity.committedSeq(indexDir)
-    val raw =
-      if (!Similarity.hasParquetFile(new java.io.File(s"${path}_delta")))
-        base.withColumn("__seq", lit(0L))
-      else base.withColumn("__seq", lit(0L)).unionByName(
-        spark.read.parquet(s"${path}_delta")
-          .filter(col("__batch").cast("long") <= committed)
-          .withColumn("__seq", col("__batch").cast("long"))
-          .drop("__batch"))
-    if (!Similarity.hasParquetFile(
-        new java.io.File(s"$indexDir/tombstones")))
-      return raw.drop("__seq")
-    val tmax = spark.read.parquet(s"$indexDir/tombstones")
-      .filter(col("__batch").cast("long") <= committed)
-      .groupBy(idCol)
-      .agg(max(col("__batch").cast("long")).as("__tmax"))
-    raw.join(broadcast(tmax), Seq(idCol), "left")
-      .filter(col("__tmax").isNull || col("__tmax") <= col("__seq"))
-      .drop("__tmax", "__seq")
-  }
+      indexDir: String, path: String, idCol: String): DataFrame =
+    Similarity.resolveDeltaTable(spark, indexDir, path, idCol)
 
   /** Common-token ratio: the fraction of a document's tokens that fall
     * in the corpus's top-`topN` vocabulary — the cheap stand-in for a

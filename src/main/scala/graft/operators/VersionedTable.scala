@@ -94,18 +94,26 @@ object VersionedTable {
     * instead of silently dropping it (the lost-update a log-of-
     * snapshots protocol must rule out).
     *
-    * The claimed slot is STRICTLY latest_committed + 1 — this is
-    * load-bearing: winning the slot CAS then PROVES no commit landed
-    * between reading `latest` and publishing, because an intervening
-    * commit would have taken exactly this slot. (An earlier version
-    * skipped past the highest manifest NUMBER present, torn or not; a
-    * writer that stalled after reading `latest` could then claim a slot
-    * ABOVE commits it never read and publish a stale dir list as the
-    * newest snapshot — a lost update, caught by the PropertySpec racing-
-    * appenders law.) Since [[publishManifest]] makes slots visible
-    * atomically WITH their content on every filesystem, a torn slot can
-    * only be debris from a pre-protocol writer crash; it is deleted and
-    * the same slot retried, never skipped. */
+    * The claimed slot is the first free slot above latest_committed,
+    * skipping only TORN files — this is load-bearing two ways:
+    *
+    *  - No slot-number jumps past commits: an earlier version claimed
+    *    one past the highest manifest NUMBER present; a writer that
+    *    stalled after reading `latest` could then claim a slot ABOVE
+    *    commits it never read and publish a stale dir list as the
+    *    newest snapshot — a lost update, caught by the PropertySpec
+    *    racing-appenders law. Skipping a TORN slot preserves the
+    *    freshness proof because torn debris can NEVER become committed
+    *    ([[publishManifest]] makes slots visible atomically WITH their
+    *    content, and nothing ever writes into an existing slot file) —
+    *    so every committed manifest still sits at a slot some writer
+    *    claimed as latest+next, and winning a claim proves no commit
+    *    landed in between.
+    *
+    *  - No deletions on the claim path: torn debris (a pre-protocol
+    *    writer's crash) is SKIPPED, its number burned, never deleted —
+    *    a delete-then-retry would be a check-then-act race where a
+    *    stalled loser deletes the slot a competitor just committed. */
   private def commitManifest(spark: SparkSession, root: String,
       dirsFor: Option[Long] => Seq[String]): Long = {
     val f = fs(spark, root)
@@ -117,20 +125,28 @@ object VersionedTable {
       val body = (if (dirs.isEmpty) s"${endMark}0\n"
         else dirs.mkString("\n") + s"\n$endMark${dirs.size}\n")
         .getBytes("UTF-8")
-      val v = latest.getOrElse(0L) + 1
+      var v = latest.getOrElse(0L) + 1
+      // burn past torn debris (readManifest: exists but no terminator)
+      while (f.exists(manifestPath(root, v)) &&
+          readManifest(f, root, v).isEmpty)
+        v += 1
       if (publishManifest(f, root, v, body)) committed = v
-      else {
-        // lost the race: either a competitor committed this slot
-        // (rebase onto it next round) or the slot holds a TORN file —
-        // impossible mid-protocol, so it is debris from a crashed
-        // pre-rename-protocol writer; clear it so the slot frees up
-        // (deleting is safe: torn ⇒ never committed ⇒ no reader
-        // trusts it, and any data dir it named is unreferenced)
-        val slot = manifestPath(root, v)
-        if (f.exists(slot) && readManifest(f, root, v).isEmpty)
-          f.delete(slot, false)
-      }
+      // else: a competitor committed a slot first — rebase, retry
     }
+    // best-effort sweep of stale publish tmp files (a writer crashing
+    // between tmp-create and rename leaks one per attempt, and nothing
+    // else walks them). Age-gated a full hour so a live competitor's
+    // in-flight tmp is never touched — and even if one were swept, its
+    // rename just fails and that writer retries as a lost race.
+    try {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000L
+      f.listStatus(new Path(root, logDir)).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(".") && n.endsWith(".tmp") &&
+            s.getModificationTime < cutoff)
+          f.delete(s.getPath, false)
+      }
+    } catch { case _: java.io.IOException => () }
     committed
   }
 

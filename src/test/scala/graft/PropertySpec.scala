@@ -281,8 +281,8 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     } finally pool.shutdown()
   }
 
-  test("versioned table: torn-manifest crash debris at the claim slot " +
-      "is cleared and the slot reused, never skipped") {
+  test("versioned table: torn-manifest crash debris burns its slot " +
+      "number — skipped, never deleted, never resurrected") {
     import graft.operators.VersionedTable
     import spark.implicits._
     val root = tmpDir("vtab_torn")
@@ -295,9 +295,13 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       "data/half-written\n".getBytes("UTF-8"))
     assert(VersionedTable.versions(spark, root) == Seq(1L)) // torn ≠ committed
     val v = VersionedTable.commit(spark, root, Seq((2L, "b")).toDF("k", "s"))
-    // the slot was reclaimed (not burned past), and the snapshot chain
-    // is intact — the debris's phantom dir never resurrects
-    assert(v == 2L, s"expected slot 2 reclaimed, got $v")
+    // the torn slot is burned (deleting it on the claim path would be
+    // a check-then-act race against a competitor committing it); the
+    // commit lands one past it with the chain intact, and the debris's
+    // phantom dir never resurrects
+    assert(v == 3L, s"expected torn slot 2 burned, commit at 3, got $v")
+    assert(torn.exists(), "debris must not be deleted by the claim path")
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 3L))
     assert(VersionedTable.read(spark, root).as[(Long, String)]
       .collect().toSet == Set((1L, "a"), (2L, "b")))
   }
