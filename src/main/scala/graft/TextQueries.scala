@@ -293,19 +293,26 @@ object TextQueries {
     * oracles): raw fingerprint pairs over the raw small-vocab testdata
     * are hash-family-specific ("pairs sharing an 11-char run" is
     * nearly ALL pairs there), so instead each document is rewritten to
-    * a doc-unique 70-char string (id + md5(id, text) + its reverse —
-    * no cross-doc 11-char runs), and docs with doc_id < 40 get a twin
-    * at doc_id + 500000 sharing the VERBATIM 32-char md5 hex run.
+    * a doc-unique 70-char string (id + two INDEPENDENT md5s of the
+    * doc: md5(id||text) and md5(text||id) — no cross-doc 11-char
+    * runs), and docs with doc_id < 40 get a twin at doc_id + 500000
+    * sharing the VERBATIM 32-char md5(id||text) hex run.
     * The winnowing guarantee (Schleimer 2003: any shared run of
     * length >= w+k-1 chars yields a shared fingerprint per window
     * inside it) forces >= ceil(22/4) = 6 >= minShared shared
     * fingerprints per planted pair, while unrelated rewritten docs
-    * would need three independent >= 8-hex-char hash collisions that
-    * winnowing also selects on both sides to produce a false pair —
+    * would need three independent >= 8-hex-char substring collisions
+    * between independent hashes that winnowing also selects on both
+    * sides ((~4096/16^8)^3 ~ 1e-18 per pair) to produce a false pair —
     * so the planted twins are EXACTLY the answer, stated by the
-    * oracle without any engine-side math. The raw-corpus semantics
-    * (incl. the load-bearing maxDf stop-fingerprint cap) stay pinned
-    * in TextOpsSpec. */
+    * oracle without any engine-side math. An earlier construction used
+    * reverse(md5) as the second half; that is palindromic around the
+    * separator, so two docs whose md5s share a 5-hex SUFFIX share an
+    * 11-char run ("...3cc89|T|98cc3...") — at sf0.1 two such pairs
+    * exist and crossed minShared=3. Independent hashes kill that
+    * failure mode (suffix agreement no longer mirrors across the
+    * boundary). The raw-corpus semantics (incl. the load-bearing
+    * maxDf stop-fingerprint cap) stay pinned in TextOpsSpec. */
   /** The planted corpus described above, shared with
     * [[graft.ScaleProbe]] so the probe measures EXACTLY the shipped
     * construction (a drifted copy would silently measure a different
@@ -313,9 +320,10 @@ object TextQueries {
   private[graft] def winnowPlantedCorpus(
       src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def fp = md5(concat(col("doc_id").cast("string"), col("text")))
+    def fp2 = md5(concat(col("text"), col("doc_id").cast("string")))
     val base = src.select(col("doc_id"),
       concat(lit("D"), col("doc_id").cast("string"), lit("H"), fp,
-        lit("T"), reverse(fp)).as("text"))
+        lit("T"), fp2).as("text"))
     val planted = src.filter(col("doc_id") < 40)
       .select((col("doc_id") + 500000).as("doc_id"),
         concat(lit("P"), col("doc_id").cast("string"), lit("Z"), fp)
