@@ -36,7 +36,15 @@ package graft
   */
 class ConfigInvarianceSpec extends SparkSuite {
 
-  private val subset: Seq[String] = Seq(
+  /** With GRAFT_INVARIANCE_FULL=1 the sweep covers the ENTIRE catalog
+    * (all SparkEntry.queries) instead of the curated subset — ~4
+    * catalog passes at sf0.001, too slow for the default suite but the
+    * right periodic bug hunt (run it after adding a kernel or an
+    * operator family). */
+  private val fullCatalog: Boolean =
+    sys.env.get("GRAFT_INVARIANCE_FULL").contains("1")
+
+  private val curated: Seq[String] = Seq(
     // salting / skew (result must not see the salt)
     "q_salted_agg", "q_salted_null_join", "q_skew_split_join",
     // custom physical operator (top-k quota; tie discipline)
@@ -62,6 +70,9 @@ class ConfigInvarianceSpec extends SparkSuite {
     "q_cube_rollup",
     // binary decode via mapPartitions
     "q_multimodal_features")
+
+  private val subset: Seq[String] =
+    if (fullCatalog) SparkEntry.queries.keys.toSeq.sorted else curated
 
   private def canon(name: String): Array[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
