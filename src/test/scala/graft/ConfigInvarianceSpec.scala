@@ -71,8 +71,12 @@ class ConfigInvarianceSpec extends SparkSuite {
     // binary decode via mapPartitions
     "q_multimodal_features")
 
-  private val subset: Seq[String] =
-    if (fullCatalog) SparkEntry.queries.keys.toSeq.sorted else curated
+  private val subset: Seq[String] = {
+    val s = if (fullCatalog) SparkEntry.queries.keys.toSeq.sorted else curated
+    info(s"invariance sweep over ${s.length} queries " +
+      (if (fullCatalog) "(FULL catalog)" else "(curated subset)"))
+    s
+  }
 
   private def canon(name: String): Array[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
