@@ -41,17 +41,34 @@ object ScaleBench {
     ()
   }
 
+  /** Tables covered by the legacy single `_OK` marker (the original
+    * wave-1/2 replica set); newer tables get per-table `_OK_<name>`
+    * markers so extending the probe to another family never forces a
+    * rebuild of an existing (expensive at 100×) replica. */
+  private val legacyTables =
+    Set("documents", "embeddings", "orders", "customer", "lineitem")
+
   private def buildReplica(spark: SparkSession, src: String,
       out: String, factor: Int): Unit = {
     val dir = new java.io.File(out)
-    if (new java.io.File(dir, "_OK").exists()) return
-    org.apache.commons.io.FileUtils.deleteQuietly(dir)
-    dir.mkdirs()
+    val legacyOk = new java.io.File(dir, "_OK").exists()
+    if (!legacyOk) {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      dir.mkdirs()
+    }
 
     def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
+      val marker = new java.io.File(dir, s"_OK_$name")
+      if (marker.exists() || (legacyOk && legacyTables(name))) return
+      // events goes through Engine.table so TIMESTAMP(NANOS) testdata
+      // is converted once here and the replica holds plain micros.
+      val base =
+        if (name == "events") Engine.table(spark, src, name)
+        else spark.read.parquet(s"$src/$name.parquet")
       (0 until factor).map(i => f(base, i)).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      marker.createNewFile()
+      ()
     }
     copies("documents") { (df, i) =>
       val d = df.withColumn("doc_id", col("doc_id") + i * 10000000L)
@@ -89,6 +106,31 @@ object ScaleBench {
       df.withColumn("l_orderkey", col("l_orderkey") + i * 1000000000L)
         .withColumn("l_partkey", col("l_partkey") + i * 10000000L)
         .withColumn("l_suppkey", col("l_suppkey") + i * 100000L)
+    }
+    // events: a factor-× crawl window has factor-× the users in the
+    // SAME time range — ids offset per copy, timestamps verbatim, so
+    // per-user behavior (sessions, funnels, as-of lookups) replicates
+    // linearly and window partitions stay user-bounded.
+    copies("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + i * 1000000000L)
+        .withColumn("user_id", col("user_id") + i * 10000000L)
+    }
+    // dims matching the fact-key offsets above (TPC-H scales suppliers
+    // and parts with SF, so the honest replica does too)
+    copies("supplier") { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + i * 100000L)
+    }
+    copies("part") { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + i * 10000000L)
+    }
+    // nation/region are SF-independent in TPC-H: verbatim single copy
+    for (name <- Seq("nation", "region")) {
+      val marker = new java.io.File(dir, s"_OK_$name")
+      if (!marker.exists()) {
+        spark.read.parquet(s"$src/$name.parquet")
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+        marker.createNewFile()
+      }
     }
     new java.io.File(dir, "_OK").createNewFile()
     ()
