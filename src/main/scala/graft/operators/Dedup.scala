@@ -878,19 +878,24 @@ object Dedup {
   def embeddingNearDupPairs(embeddings: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id",
       dim: Int = 64, planes: Int = 12, probes: Int = 4,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95, maxBucket: Int = 64): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     val probed = (0 until probes).map { p =>
       embeddings.select(col(idCol).as("id"),
         Similarity.hyperplaneSignature(col(vecCol), dim, planes,
-          seed = 42L + p).as("bucket"))
+          seed = 42L + p).as("bucket"),
+        Similarity.hyperplaneSignature(col(vecCol), dim, planes = 16,
+          seed = 9000L + p).as("sub"))
         .withColumn("probe", lit(p))
     }.reduce(_ unionByName _)
     // spillable bucket-mate pairing (see Similarity.bucketMatePairs):
-    // signatures computed once into a checkpoint of ~20 B rows, then a
+    // signatures computed once into a checkpoint of ~28 B rows, then a
     // sort-merge self-join — never a naive self-join (signs the corpus
-    // twice) nor a collect_list aggregation (non-spillable buffers)
-    Similarity.bucketMatePairs(probed, ordered = false)
+    // twice) nor a collect_list aggregation (non-spillable buffers).
+    // cap = the occupancy guard: pairs stay O(n·cap·probes) even if
+    // `planes` is undersized for the corpus (near pairs keep equal sub
+    // bits, so threshold-grade recall is untouched)
+    Similarity.bucketMatePairs(probed, ordered = false, cap = maxBucket)
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

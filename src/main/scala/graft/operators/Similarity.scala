@@ -70,10 +70,29 @@ object Similarity {
     * OOMing, Dedup.ngramCandidates), while the SMJ sorts externally so
     * task memory is one bucket's run. Bucket-mate pair counts stay
     * bounded by the [[planesFor]] sizing rule (expected O(1) occupancy
-    * at any corpus size); a pathologically hot bucket (mass-identical
-    * vectors) must be collapsed or re-split upstream (see
-    * Dedup.resplitOversized) — the same precondition every shape had,
-    * where such a bucket goes quadratic instead.
+    * at any corpus size) — and, independently of caller sizing, by the
+    * `cap` guard below; a pathologically hot bucket of MASS-IDENTICAL
+    * vectors (equal sub-signatures, unsplittable) must still be
+    * collapsed upstream (exact dedup first — semanticDedup step 1).
+    *
+    * `cap > 0` enables the occupancy guard and requires a `sub` column
+    * in `probed` (a deep LSH sub-signature of the SAME vector, computed
+    * in the same pass as `bucket`): any (probe, bucket) group larger
+    * than `cap` gets ceil(log2(sz/cap)) of its sub-signature bits
+    * folded into the bucket key, dropping EXPECTED occupancy to ~cap —
+    * so total candidate pairs are O(n·cap·probes) no matter how the
+    * caller sized `planes` (the r12 100× probe measured the unguarded
+    * form OOMing at planes=10 over 200k vectors: n²·probes/2^planes ≈
+    * 156M pairs). Near pairs (θ→0) keep equal sub bits with probability
+    * (1-θ/π)^bits ≈ 1, so recall at dedup/kNN-grade similarity is
+    * untouched; unrelated bucket-mates split ~uniformly — exactly the
+    * pair work the guard exists to prune. The oversized-group list is
+    * broadcast: ≤ n·probes/cap rows by construction, driver-safe at any
+    * corpus size. Groups at or under `cap` keep their key bits
+    * verbatim, so when no group exceeds `cap` the output is identical
+    * to the unguarded form. (A folded key `b·2^16+sub` colliding with a
+    * cold key merely MERGES two buckets — extra verified-downstream
+    * candidates, never lost ones.)
     *
     * `ordered=true` keeps both (a,b) and (b,a) — the kNN-join needs
     * each vector's neighbor list; `false` keeps a<b only (dedup pairs).
@@ -87,10 +106,28 @@ object Similarity {
     * checkpoint makes CONSTRUCTION eager — callers build this frame
     * only when about to run it. */
   private[graft] def bucketMatePairs(probed: DataFrame,
-      ordered: Boolean): DataFrame = {
+      ordered: Boolean, cap: Int = 0): DataFrame = {
     val par = probed.sparkSession.sparkContext.defaultParallelism
-    val rows = probed.select(col("probe"), col("bucket"), col("id"))
-      .localCheckpoint()
+    val baseCols =
+      if (cap > 0) Seq(col("probe"), col("bucket"), col("id"), col("sub"))
+      else Seq(col("probe"), col("bucket"), col("id"))
+    val rows0 = probed.select(baseCols: _*).localCheckpoint()
+    val rows =
+      if (cap <= 0) rows0
+      else {
+        val oversized = rows0.groupBy("probe", "bucket")
+          .agg(count(lit(1)).as("__sz"))
+          .filter(col("__sz") > cap)
+          .select(col("probe"), col("bucket"),
+            ceil(log2(col("__sz").cast("double") / cap))
+              .cast("int").as("__p"))
+        rows0.join(broadcast(oversized), Seq("probe", "bucket"), "left")
+          .withColumn("bucket",
+            when(col("__p").isNull, col("bucket"))
+              .otherwise(col("bucket") * 65536L + col("sub").bitwiseAND(
+                expr("shiftleft(CAST(1 AS BIGINT), least(__p, 16)) - 1"))))
+          .drop("__p", "sub")
+      }
     val a = rows.withColumnRenamed("id", "id_a")
       .repartition(par, col("probe"), col("bucket"))
     val b = rows.withColumnRenamed("id", "id_b")
@@ -108,21 +145,31 @@ object Similarity {
     * different seeds raises recall.
     *
     * Shape for 100 TB: the bucket-mate pairing carries ONLY (probe,
-    * bucket, id) — never the embeddings — candidate pairs are deduped
-    * across probes, then the vectors join back once per side for a
-    * single cosine evaluation per pair (same candidates-then-verify
-    * shape as the dedup operators). */
+    * bucket, id, sub) — never the embeddings — candidate pairs are
+    * deduped across probes, then the vectors join back once per side
+    * for a single cosine evaluation per pair (same candidates-then-
+    * verify shape as the dedup operators). `maxBucket` is the
+    * occupancy guard (see [[bucketMatePairs]]): candidate pairs stay
+    * O(n·maxBucket·probes) even when `planes` is undersized for the
+    * corpus — size `planes` with [[planesFor]] anyway; the guard is a
+    * bound, not a substitute for pruning. */
   def lshKnnJoin(embeddings: DataFrame, k: Int, dim: Int = 64,
-      planes: Int = 10, probes: Int = 2,
+      planes: Int = 10, probes: Int = 2, maxBucket: Int = 64,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // per-probe `sub` (independent seeds, disjoint from the primary
+    // 42L+p family) feeds the bucketMatePairs occupancy guard; an
+    // independent sub per probe decorrelates the rare near-pair split
+    // across probes, so multi-probe recall buys back guard losses too
     val probed = (0 until probes).map { p =>
       embeddings.select(col(idCol).as("id"),
         hyperplaneSignature(col(vecCol), dim, planes, seed = 42L + p)
-          .as("bucket"))
+          .as("bucket"),
+        hyperplaneSignature(col(vecCol), dim, planes = 16,
+          seed = 9000L + p).as("sub"))
         .withColumn("probe", lit(p))
     }.reduce(_ unionByName _)
-    val pairs = bucketMatePairs(probed, ordered = true)
+    val pairs = bucketMatePairs(probed, ordered = true, cap = maxBucket)
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")),
         Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")),

@@ -172,6 +172,76 @@ class SimilaritySpec extends SparkSuite {
       s"label agreement ${agree.toDouble / total}; chance is 0.1")
   }
 
+  test("bucketMatePairs occupancy cap bounds a hot bucket's pair " +
+      "blow-up; near-identical mates survive the split") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val n = 1000
+    // one pathological (probe, bucket) group holding the WHOLE corpus —
+    // the shape an undersized `planes` produces (the r12 100x knn probe
+    // OOMed on exactly this, at planes=10 over 200k vectors). sub = a
+    // real 16-plane signature: isotropic rows split ~uniformly, the
+    // planted near-identical pair (ids 0/1) keeps equal bits.
+    val vecs = {
+      val base = Array.fill(64)(rng.nextGaussian().toFloat)
+      (0 until n).map { i =>
+        val v = if (i <= 1) base.map(_ + i * 1e-4f)
+                else Array.fill(64)(rng.nextGaussian().toFloat)
+        (i.toLong, v)
+      }.toDF("id", "embedding")
+    }
+    val probed = vecs.select(col("id"), lit(0L).as("bucket"),
+        Similarity.hyperplaneSignature(col("embedding"), 64, 16,
+          seed = 9000L).as("sub"))
+      .withColumn("probe", lit(0))
+    val capped = Similarity.bucketMatePairs(probed, ordered = false,
+      cap = 16)
+    val cnt = capped.count()
+    // uncapped = n(n-1)/2 = 499,500; cap folds ceil(log2(1000/16)) = 6
+    // sub bits -> 64 groups of ~16 -> ~8k expected pairs
+    assert(cnt < 40000, s"cap did not bound pair count: $cnt")
+    assert(cnt > 0)
+    assert(capped.filter(col("id_a") === 0 && col("id_b") === 1)
+      .count() == 1, "near-identical pair must survive the sub-split")
+  }
+
+  test("occupancy cap is inert when no bucket exceeds it") {
+    val probed = clustered.select(col("vec_id").as("id"),
+        Similarity.hyperplaneSignature(col("embedding"), 64, 8,
+          seed = 42L).as("bucket"),
+        Similarity.hyperplaneSignature(col("embedding"), 64, 16,
+          seed = 9000L).as("sub"))
+      .withColumn("probe", lit(0))
+    val unguarded = Similarity.bucketMatePairs(
+      probed.drop("sub"), ordered = true)
+    val guarded = Similarity.bucketMatePairs(probed, ordered = true,
+      cap = 100000)
+    assert(guarded.count() == unguarded.count())
+    assert(guarded.exceptAll(unguarded).count() == 0)
+    assert(unguarded.exceptAll(guarded).count() == 0)
+  }
+
+  test("lshKnnJoin with undersized planes stays cluster-faithful " +
+      "under the occupancy guard") {
+    // planes=2 -> 4 primary buckets for 200 vectors (occupancy ~50,
+    // far over maxBucket=16): the guard must engage, and the tight
+    // clusters (tiny pairwise angle -> equal sub bits) must still
+    // dominate each vector's neighbor list
+    val knn = Similarity.lshKnnJoin(clustered, k = 3, planes = 2,
+      probes = 2, maxBucket = 16)
+    val labels = clustered.select(col("vec_id"), col("label"))
+    val joined = knn
+      .join(labels.withColumnRenamed("vec_id", "id_a")
+        .withColumnRenamed("label", "label_a"), Seq("id_a"))
+      .join(labels.withColumnRenamed("vec_id", "id_b")
+        .withColumnRenamed("label", "label_b"), Seq("id_b"))
+    val agree = joined.filter(col("label_a") === col("label_b")).count()
+    val total = joined.count()
+    assert(total > 0)
+    assert(agree.toDouble / total > 0.8,
+      s"label agreement ${agree.toDouble / total}; chance is 0.1")
+  }
+
   test("planesFor keeps background LSH buckets O(1): rule values, " +
       "clamps, and an empirical bucket-size check on random vectors") {
     import spark.implicits._
