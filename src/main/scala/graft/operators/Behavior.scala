@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   *    ClickHouse's windowFunnel/sequenceMatch use. The scan itself is
   *    a codegen'd higher-order `aggregate`, so the whole funnel is one
   *    partial/final hash agg + a map — k-step funnels do NOT pay k
-  *    shuffles.
+  *    shuffles. The collect is a BOUNDED earliest-N typed aggregate
+  *    ([[graft.functions.EarliestEventsAgg]]), so one pathological
+  *    bot key can't grow a task buffer without limit.
   */
 object Behavior {
 
@@ -41,9 +43,21 @@ object Behavior {
     * which is what makes it oracle-checkable cross-engine — unlike
     * backtracking "does any chain exist" variants. One hash agg on the
     * user key; the in-array scan is a Catalyst higher-order function.
+    *
+    * `maxEventsPerUser` bounds the per-user collected timeline (the
+    * one open-ended buffer in this shape — the r12 scale probe
+    * measured real per-user arrays flat at ~65 as users scale with
+    * events, leaving a single pathological bot key as the residual
+    * task-memory risk): [[graft.functions.EarliestEventsAgg]] keeps
+    * the EARLIEST cap pairs with map-side eviction, so a bot's raw
+    * event count never reaches the shuffle. For any user at or under
+    * the cap the result is bit-identical to the unbounded collect;
+    * an over-cap user is evaluated on the earliest `cap` in-funnel
+    * events — the exact prefix the leftmost-greedy chain reads first.
     */
   def windowFunnel(events: DataFrame, userCol: String, stepCol: String,
-      tsCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+      tsCol: String, steps: Seq[String], windowSec: Long,
+      maxEventsPerUser: Int = 1 << 20): DataFrame = {
     require(steps.nonEmpty)
     val win = windowSec * 1000000L
     val stepIdx = steps.zipWithIndex
@@ -56,7 +70,8 @@ object Behavior {
         stepIdx.as("si"))
       .filter(col("si") >= 0)
       .groupBy("u")
-      .agg(sort_array(collect_list(struct(col("t"), col("si")))).as("ev"))
+      .agg(graft.functions.EarliestEventsAgg
+        .earliestEvents(col("t"), col("si"), maxEventsPerUser).as("ev"))
       .select(col("u"),
         aggregate(col("ev"),
           struct(lit(0L).as("t0"), lit(0).as("depth"), lit(0L).as("last")),
@@ -88,9 +103,11 @@ object Behavior {
     * streaming it is still pending — the differential law compares
     * closed episodes plus final state). Same single-shuffle shape as
     * [[windowFunnel]]; the scan carries the episode list through the
-    * fold, bounded by the user's episode count. */
+    * fold, bounded by the user's episode count. `maxEventsPerUser`
+    * bounds the per-user timeline exactly as in [[windowFunnel]]. */
   def funnelEpisodes(events: DataFrame, userCol: String, stepCol: String,
-      tsCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+      tsCol: String, steps: Seq[String], windowSec: Long,
+      maxEventsPerUser: Int = 1 << 20): DataFrame = {
     require(steps.nonEmpty)
     val win = windowSec * 1000000L
     val stepIdx = steps.zipWithIndex
@@ -104,7 +121,8 @@ object Behavior {
         stepIdx.as("si"))
       .filter(col("si") >= 0)
       .groupBy("u")
-      .agg(sort_array(collect_list(struct(col("t"), col("si")))).as("ev"))
+      .agg(graft.functions.EarliestEventsAgg
+        .earliestEvents(col("t"), col("si"), maxEventsPerUser).as("ev"))
       .select(col("u"),
         aggregate(col("ev"),
           struct(lit(0L).as("t0"), lit(0).as("depth"), lit(0L).as("last"),

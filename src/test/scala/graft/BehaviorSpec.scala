@@ -109,6 +109,49 @@ class BehaviorSpec extends SparkSuite {
     assertSameRows(a, b)
   }
 
+  test("earliest_events equals sort_array(collect_list) for every " +
+      "under-cap group on real events") {
+    val e = Engine.table(spark, sf, "events")
+      .select(col("user_id").as("u"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .otherwise(2).as("si"))
+    val bounded = e.groupBy("u")
+      .agg(graft.functions.EarliestEventsAgg
+        .earliestEvents(col("t"), col("si"), 1 << 20).as("ev"))
+    val unbounded = e.groupBy("u")
+      .agg(sort_array(collect_list(struct(col("t"), col("si"))))
+        .as("ev"))
+    assertSameRows(bounded, unbounded)
+  }
+
+  test("a pathological bot key is capped map-side; other users' " +
+      "funnels are untouched") {
+    import spark.implicits._
+    // bot: 50k step-0 events (well over the cap of 1000); normal user:
+    // a clean 3-step chain
+    val bot = (0 until 50000).map(i =>
+      (99L, "a", s"2024-01-01 ${"%02d".format(i % 24)}:00:00", i.toLong))
+    val normal = Seq(
+      (1L, "a", "2024-01-01 00:00:00", 100000L),
+      (1L, "b", "2024-01-01 00:00:10", 100001L),
+      (1L, "c", "2024-01-01 00:00:20", 100002L))
+    val e = ev((bot ++ normal): _*)
+    val d = Behavior.windowFunnel(e, "user_id", "event_type", "ts",
+        steps, 100L, maxEventsPerUser = 1000)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // normal user bit-identical; the bot is evaluated on its earliest
+    // 1000 step-0 events — chain enters (depth 1) and never advances
+    assert(d == Map(1L -> 3, 99L -> 1))
+    // and the bounded result is the same no matter how the bot's
+    // events are partitioned (map-side eviction must be order-safe)
+    val d2 = Behavior.windowFunnel(e.repartition(13), "user_id",
+        "event_type", "ts", steps, 100L, maxEventsPerUser = 1000)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d2 == d)
+  }
+
   test("retentionCohort: offsets and cohort sizes") {
     val e = ev(
       (1L, "x", "2024-01-01 10:00:00", 1),
