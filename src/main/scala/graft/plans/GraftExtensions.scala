@@ -33,8 +33,8 @@ import org.apache.spark.sql.internal.SQLConf
   *  - SQL names for the text/similarity kernel family (word_shingles /
   *    minhash_sig / simhash64 / winnow_fps / unit_norm / dot_sim /
   *    cosine_sim / qcos_sim / hyperplane_lsh / token_chunks /
-  *    bpe_encode) — the dedup/ANN/tokenizer building blocks as plain
-  *    SQL functions.
+  *    bpe_encode / earliest_events) — the dedup/ANN/tokenizer/funnel
+  *    building blocks as plain SQL functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -104,6 +104,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       litInt(a(3), "hyperplane_lsh").toLong))
     reg(ext, "token_chunks", 3)(a => TokenChunks(a(0),
       litInt(a(1), "token_chunks"), litInt(a(2), "token_chunks")))
+    // earliest_events(t, si, cap): the bounded per-group timeline
+    // aggregate behind windowFunnel/funnelEpisodes, as SQL — a
+    // SQL-first user building a funnel gets the same bot-proof bound
+    reg(ext, "earliest_events", 3)(a =>
+      graft.functions.EarliestEventsAgg(a(0), a(1),
+        litInt(a(2), "earliest_events")))
     // bpe_encode(text, 'a b,c d,...'): merge table as a literal —
     // ranked pairs comma-separated, the two symbols space-separated
     // (symbols never contain spaces; '</w>' is fine)

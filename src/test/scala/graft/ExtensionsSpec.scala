@@ -500,4 +500,20 @@ class ExtensionsSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("literal"))
   }
+
+  test("earliest_events as SQL: bounded, sorted, group-keyed") {
+    import spark.implicits._
+    Seq((1L, 30L, 1), (1L, 10L, 0), (1L, 20L, 2),
+        (2L, 5L, 0), (2L, 5L, 1))
+      .toDF("u", "t", "si").createOrReplaceTempView("t_ee")
+    val rows = spark.sql(
+      """SELECT u, earliest_events(t, si, 2) AS ev
+         FROM t_ee GROUP BY u ORDER BY u""").collect()
+    def pairs(r: org.apache.spark.sql.Row) =
+      r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getLong(0), e.getInt(1)))
+    // cap=2 keeps the earliest two by (t, si), ascending
+    assert(pairs(rows(0)) == Seq((10L, 0), (20L, 2)))
+    assert(pairs(rows(1)) == Seq((5L, 0), (5L, 1)))
+  }
 }
