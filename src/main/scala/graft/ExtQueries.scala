@@ -1310,25 +1310,30 @@ object ExtQueries {
       val b = col("k") % 10
       val root = java.nio.file.Files
         .createTempDirectory("graft_vtab_m").toString
-      VersionedTable.commit(s, root, o.filter(b <= 4))
-      VersionedTable.commit(s, root, o.filter(b >= 7))
+      // track the RETURNED versions rather than assuming 1..5: a
+      // predicate op that touches no dir (e.g. on a zero-row split)
+      // returns the CURRENT version instead of committing an empty
+      // one, so hardcoded numbers would read versions that never
+      // exist — the labels stay v1..v5 for the oracle either way
+      val v1 = VersionedTable.commit(s, root, o.filter(b <= 4))
+      val v2 = VersionedTable.commit(s, root, o.filter(b >= 7))
       val source = o.filter(b.isin(0, 1))
           .withColumn("v", col("v") + 100000)
         .unionByName(o.filter(b === 7).withColumn("v", lit(-1L)))
         .unionByName(o.filter(b === 5))
-      VersionedTable.merge(s, root, source, Seq("k"),
+      val v3 = VersionedTable.merge(s, root, source, Seq("k"),
         deleteMatched = Some(col("v") === -1))
-      VersionedTable.deleteWhere(s, root, col("k") % 10 === 8)
-      VersionedTable.updateWhere(s, root, col("k") % 10 === 9,
+      val v4 = VersionedTable.deleteWhere(s, root, col("k") % 10 === 8)
+      val v5 = VersionedTable.updateWhere(s, root, col("k") % 10 === 9,
         Map("v" -> (col("v") + 7)))
-      def snap(v: Long) = VersionedTable.read(s, root, Some(v))
+      def snap(label: String, v: Long) = VersionedTable.read(s, root, Some(v))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
-        .select(lit(s"v$v").as("label"), col("n"), col("sv"))
-      val cdc = VersionedTable.changesBetween(s, root, 2L, 3L)
+        .select(lit(label).as("label"), col("n"), col("sv"))
+      val cdc = VersionedTable.changesBetween(s, root, v2, v3)
         .groupBy(concat(lit("cdc_"), col("change")).as("label"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
-      snap(1).unionByName(snap(2)).unionByName(snap(3))
-        .unionByName(snap(4)).unionByName(snap(5))
+      snap("v1", v1).unionByName(snap("v2", v2)).unionByName(snap("v3", v3))
+        .unionByName(snap("v4", v4)).unionByName(snap("v5", v5))
         .unionByName(cdc).orderBy("label")
     },
     Some("""WITH q AS (SELECT o_orderkey % 10 AS b,

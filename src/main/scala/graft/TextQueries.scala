@@ -460,6 +460,18 @@ object TextQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_annplant_v1_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Query vector 0's embedding as doubles, or None when the corpus
+    * has no vec_id 0 — the zero-row-split case every ANN query must
+    * tolerate (a probe against data that never arrived returns no
+    * neighbors, it doesn't crash the pipeline). `take(1)`, never
+    * `head()`: head throws on empty. */
+  private def queryVec0(emb: org.apache.spark.sql.DataFrame)
+      : Option[Seq[Double]] =
+    emb.filter(col("vec_id") === 0).take(1).headOption.map { row =>
+      row.getSeq[Float](row.fieldIndex("embedding"))
+        .map(_.toDouble).toSeq
+    }
+
   /** Shared DuckDB fragment: expected top-10 ids for query vector 0
     * over the planted corpus — itself plus planted copies 1..9 (the
     * 10th planted copy ranks 11th). */
@@ -502,14 +514,15 @@ object TextQueries {
     "q_embed_ivf_topk", Seq("E-sim"),
     (s, d) => {
       val emb = Engine.table(s, d, "embeddings")
-      val row = emb.filter(col("vec_id") === 0).head()
-      val q = row.getSeq[Float](row.fieldIndex("embedding"))
-        .map(_.toDouble).toSeq
-      val dir = annIndexDir(d)
-      if (!new java.io.File(s"$dir/centroids").exists())
-        Similarity.ivfBuildIndexKMeans(plantedAnnCorpus(emb), dir)
-      Similarity.ivfProbe(s, dir, q, k = 10)
-        .select(col("vec_id").cast("long")).orderBy("vec_id")
+      queryVec0(emb) match {
+        case None => emb.select(col("vec_id").cast("long")).limit(0)
+        case Some(q) =>
+          val dir = annIndexDir(d)
+          if (!new java.io.File(s"$dir/centroids").exists())
+            Similarity.ivfBuildIndexKMeans(plantedAnnCorpus(emb), dir)
+          Similarity.ivfProbe(s, dir, q, k = 10)
+            .select(col("vec_id").cast("long")).orderBy("vec_id")
+      }
     },
     Some(s"""SELECT vec_id FROM ($duckTop10Q0) ORDER BY vec_id"""))
 
@@ -526,7 +539,13 @@ object TextQueries {
     "q_embed_ivf_upsert", Seq("E-sim"),
     (s, d) => {
       val emb = Engine.table(s, d, "embeddings")
-      val row = emb.filter(col("vec_id") === 0).head()
+      val row0 = emb.filter(col("vec_id") === 0).take(1).headOption
+      if (row0.isEmpty) {
+        // zero-row corpus: no query vector, no index — empty lifecycle
+        emb.select(col("vec_id").cast("long"),
+          lit("none").as("phase")).limit(0)
+      } else {
+      val row = row0.get
       val qArr = row.getSeq[Float](row.fieldIndex("embedding"))
       val q = qArr.map(_.toDouble).toSeq
       val dir = java.nio.file.Files
@@ -558,6 +577,7 @@ object TextQueries {
           compacted.schema)
         .unionByName(compacted)
         .orderBy("phase", "vec_id")
+      }
     },
     Some("""WITH ids AS (
               SELECT CAST(0 AS BIGINT) AS vec_id        -- the query itself
@@ -602,14 +622,15 @@ object TextQueries {
     "q_embed_pq_topk", Seq("E-sim"),
     (s, d) => {
       val emb = Engine.table(s, d, "embeddings")
-      val all = plantedAnnCorpus(emb)
-      val row = emb.filter(col("vec_id") === 0).head()
-      val q = row.getSeq[Float](row.fieldIndex("embedding"))
-        .map(_.toDouble).toSeq
-      val cb = Similarity.pqTrain(emb)
-      val codes = Similarity.pqEncodeTable(all, cb)
-      Similarity.pqTopKRerank(all, codes, cb, q, k = 10)
-        .select(col("vec_id").cast("long")).orderBy("vec_id")
+      queryVec0(emb) match {
+        case None => emb.select(col("vec_id").cast("long")).limit(0)
+        case Some(q) =>
+          val all = plantedAnnCorpus(emb)
+          val cb = Similarity.pqTrain(emb)
+          val codes = Similarity.pqEncodeTable(all, cb)
+          Similarity.pqTopKRerank(all, codes, cb, q, k = 10)
+            .select(col("vec_id").cast("long")).orderBy("vec_id")
+      }
     },
     Some(s"""SELECT vec_id FROM ($duckTop10Q0) ORDER BY vec_id"""))
 
@@ -621,17 +642,18 @@ object TextQueries {
     "q_embed_ivfpq_topk", Seq("E-sim"),
     (s, d) => {
       val emb = Engine.table(s, d, "embeddings")
-      val row = emb.filter(col("vec_id") === 0).head()
-      val q = row.getSeq[Float](row.fieldIndex("embedding"))
-        .map(_.toDouble).toSeq
-      val dir = annIndexDir(d)
-      if (!new java.io.File(s"$dir/centroids").exists())
-        Similarity.ivfBuildIndexKMeans(plantedAnnCorpus(emb), dir)
-      val cb = Similarity.pqTrain(emb)
-      if (!new java.io.File(s"$dir/codes").exists())
-        Similarity.ivfPqBuild(s, dir, cb)
-      Similarity.ivfPqProbe(s, dir, cb, q, k = 10)
-        .select(col("vec_id").cast("long")).orderBy("vec_id")
+      queryVec0(emb) match {
+        case None => emb.select(col("vec_id").cast("long")).limit(0)
+        case Some(q) =>
+          val dir = annIndexDir(d)
+          if (!new java.io.File(s"$dir/centroids").exists())
+            Similarity.ivfBuildIndexKMeans(plantedAnnCorpus(emb), dir)
+          val cb = Similarity.pqTrain(emb)
+          if (!new java.io.File(s"$dir/codes").exists())
+            Similarity.ivfPqBuild(s, dir, cb)
+          Similarity.ivfPqProbe(s, dir, cb, q, k = 10)
+            .select(col("vec_id").cast("long")).orderBy("vec_id")
+      }
     },
     Some(s"""SELECT vec_id FROM ($duckTop10Q0) ORDER BY vec_id"""))
 

@@ -200,8 +200,7 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     val bucketed = embeddings.select(col(idCol), col(vecCol),
       hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
-    bucketed.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$indexDir/vectors")
+    writePartitionedBase(bucketed, "bucket", s"$indexDir/vectors")
     // centroid = per-bucket vector mean as ONE typed aggregate
     // ([[graft.functions.VecSumCountAgg]], map-side partial combine):
     // the shuffle carries one (dim·8B + count) buffer per bucket per
@@ -238,10 +237,10 @@ object Similarity {
     val centroids = kmeansCentroids(vecs.select("id", "nv"),
       nCentroids, iters, sampleFraction)
 
-    assignNearest(vecs.select(col("id"), col("v"), col("nv")), centroids)
-      .select(col("id").as(idCol), col("v").as(vecCol), col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$indexDir/vectors")
+    writePartitionedBase(
+      assignNearest(vecs.select(col("id"), col("v"), col("nv")), centroids)
+        .select(col("id").as(idCol), col("v").as(vecCol), col("bucket")),
+      "bucket", s"$indexDir/vectors")
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
     centroids.unpersist()
     ()
@@ -403,24 +402,36 @@ object Similarity {
     out
   }
 
-  /** Collect the (small-by-construction) centroid table and ship it as
-    * ONE torrent broadcast for the [[graft.functions.CentroidTopK]]
-    * kernel. The collect is bounded: nCentroids ≤ 65,536 at dim 64 is
-    * 32 MiB — the same order as any broadcast-join build side. */
-  private def broadcastCentroids(vecs: DataFrame, centroids: DataFrame)
-      : org.apache.spark.broadcast.Broadcast[
-        graft.functions.CentroidTopK.Centroids] = {
+  /** Collect the (small-by-construction) centroid table driver-side.
+    * The collect is bounded: nCentroids ≤ 65,536 at dim 64 is 32 MiB —
+    * the same order as any broadcast-join build side. */
+  private def collectCentroids(centroids: DataFrame)
+      : Array[(Long, Array[Double])] =
     // bucket is LONG from the builders but reads back INT when it came
     // through a partition column (small values type-infer) — accept both
-    val cents = centroids.select("bucket", "centroid").collect()
+    centroids.select("bucket", "centroid").collect()
       .map(r => (r.get(0) match {
         case i: java.lang.Integer => i.longValue()
         case l: java.lang.Long => l.longValue()
       }, r.getSeq[Double](1).toArray))
-    require(cents.nonEmpty, "assignNearest: empty centroid table")
+
+  /** Ship collected centroids as ONE torrent broadcast for the
+    * [[graft.functions.CentroidTopK]] kernel. */
+  private def broadcastCentroids(vecs: DataFrame,
+      cents: Array[(Long, Array[Double])])
+      : org.apache.spark.broadcast.Broadcast[
+        graft.functions.CentroidTopK.Centroids] =
     vecs.sparkSession.sparkContext.broadcast(
       graft.functions.CentroidTopK.centroids(cents))
-  }
+
+  /** The empty assignment: `vecs`'s columns plus a long `bucket`,
+    * zero rows. An empty centroid table can only come from an empty
+    * (or all-null-vector) training corpus — k-means seeds from the
+    * corpus itself — so there is nothing comparable to assign; a
+    * zero-row split at 100 TB (a quiet hour, a new tenant) must
+    * degrade to an empty index, not throw. */
+  private def emptyAssigned(vecs: DataFrame): DataFrame =
+    vecs.filter(lit(false)).withColumn("bucket", lit(0L))
 
   /** Argmax-cosine assignment as a PURE MAP: one fused
     * [[graft.functions.CentroidTopK]] kernel pass per row against the
@@ -432,7 +443,9 @@ object Similarity {
     * deterministic, and measure-zero on real data. */
   private[graft] def assignNearest(vecs: DataFrame,
       centroids: DataFrame): DataFrame = {
-    val bc = broadcastCentroids(vecs, centroids)
+    val cents = collectCentroids(centroids)
+    if (cents.isEmpty) return emptyAssigned(vecs)
+    val bc = broadcastCentroids(vecs, cents)
     vecs.withColumn("bucket", element_at(
       graft.functions.CentroidTopK.centroidTopK(bc, col("nv"), 1), 1))
   }
@@ -451,7 +464,9 @@ object Similarity {
     * |vecs|·65,536 row blow-up. */
   private[graft] def assignNearestK(vecs: DataFrame,
       centroids: DataFrame, k: Int): DataFrame = {
-    val bc = broadcastCentroids(vecs, centroids)
+    val cents = collectCentroids(centroids)
+    if (cents.isEmpty) return emptyAssigned(vecs).select("id", "nv", "bucket")
+    val bc = broadcastCentroids(vecs, cents)
     vecs.withColumn("bucket", explode(
         graft.functions.CentroidTopK.centroidTopK(bc, col("nv"), k)))
       .select("id", "nv", "bucket")
@@ -478,7 +493,7 @@ object Similarity {
     // partition-column values read back type-inferred (INT when small)
     val buckets = near.collect().map(_.get(0))
     resolvedVectors(spark, indexDir, idCol)
-      .filter(col("bucket").isin(buckets: _*)) // partition-pruned scan
+      .filter(bucketIn(buckets)) // partition-pruned scan
       .select(col(idCol), cosineSimilarity(col(vecCol), q).as("cos"))
       .orderBy(desc("cos"), asc(idCol))
       .limit(k)
@@ -565,6 +580,34 @@ object Similarity {
         (f.isDirectory && hasParquetFile(f)))
     }
   }
+
+  /** Partitioned overwrite that stays READABLE at zero rows: Spark's
+    * dynamic `partitionBy` writer emits no data file for an empty
+    * frame (only `_SUCCESS`), so a later unguarded read of the
+    * directory fails schema inference (UNABLE_TO_INFER_SCHEMA) — and
+    * at 100 TB some filtered build or compaction of a fully-churned
+    * table WILL produce zero rows. When no parquet file landed,
+    * append one zero-row file carrying the full schema (the partition
+    * column rides along as a data column; with no partition
+    * directories present there is nothing for it to conflict with,
+    * and readers already accept the column from either source). Base
+    * tables only — per-batch DELTA dirs must NOT get the backstop
+    * file: an empty batch's root-level file next to a sibling batch's
+    * `bucket=`/`shard=` subdirs would give Spark's partition
+    * discovery conflicting depths, and the delta readers are already
+    * guarded by [[hasParquetFile]]. */
+  private[operators] def writePartitionedBase(df: DataFrame,
+      partCol: String, path: String): Unit = {
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    if (!hasParquetFile(new java.io.File(path)))
+      df.limit(0).write.mode("append").parquet(path)
+  }
+
+  /** `bucket ∈ buckets` that tolerates an EMPTY probe list (an empty
+    * index has no centroids, so no bucket is ever near): `isin()`
+    * with zero operands is not a filter Spark accepts. */
+  private def bucketIn(buckets: Array[Any]): Column =
+    if (buckets.isEmpty) lit(false) else col("bucket").isin(buckets: _*)
 
   /** Highest COMMITTED maintenance batch (the seq counter file); a
     * `__batch` directory above it is a crashed writer's partial batch,
@@ -657,8 +700,8 @@ object Similarity {
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String = "vec_id"): Unit = {
     val staged = s"$indexDir/vectors_compacting"
-    resolvedVectors(spark, indexDir, idCol)
-      .write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    writePartitionedBase(resolvedVectors(spark, indexDir, idCol),
+      "bucket", staged)
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmrf)
       f.delete(); ()
@@ -704,7 +747,7 @@ object Similarity {
     // (bounded by 2^planes / nCentroids, so the collect is tiny)
     val buckets = probed.select("bucket").distinct().collect().map(_.get(0))
     val vecs = resolvedVectors(spark, indexDir, idCol)
-      .filter(col("bucket").isin(buckets: _*))
+      .filter(bucketIn(buckets))
     val scored = vecs.join(broadcast(probed), Seq("bucket"))
       .select(col("qid"), col(idCol),
         cosineSimilarity(col(vecCol), col("qv")).as("cos"))
@@ -778,12 +821,12 @@ object Similarity {
   def ivfPqBuild(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, cb: graft.functions.ProductQuant.Codebook,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
-    spark.read.parquet(s"$indexDir/vectors")
-      .select(col(idCol), col("bucket"),
-        graft.functions.ProductQuant.pqEncode(col(vecCol), cb)
-          .as("pq_code"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$indexDir/codes")
+    writePartitionedBase(
+      spark.read.parquet(s"$indexDir/vectors")
+        .select(col(idCol), col("bucket"),
+          graft.functions.ProductQuant.pqEncode(col(vecCol), cb)
+            .as("pq_code")),
+      "bucket", s"$indexDir/codes")
 
   /** IVF-PQ probe: centroid top-`nprobe` picks the buckets (tiny table,
     * driver-side), the PRUNED codes scan is ADC-scored and overfetched,
@@ -801,7 +844,7 @@ object Similarity {
     val buckets = near.collect().map(_.get(0))
     val lut = graft.functions.ProductQuant.buildLut(query, cb)
     val cand = spark.read.parquet(s"$indexDir/codes")
-      .filter(col("bucket").isin(buckets: _*)) // partition-pruned scan
+      .filter(bucketIn(buckets)) // partition-pruned scan
       .select(col(idCol),
         graft.functions.ProductQuant.pqAdc(col("pq_code"), lut, cb.ksub)
           .as("adc"))
@@ -809,7 +852,7 @@ object Similarity {
       .limit(k * overfetch)
       .select(idCol)
     spark.read.parquet(s"$indexDir/vectors")
-      .filter(col("bucket").isin(buckets: _*)) // pruned again
+      .filter(bucketIn(buckets)) // pruned again
       .join(broadcast(cand), Seq(idCol))
       .select(col(idCol), cosineSimilarity(col(vecCol), q).as("cos"))
       .orderBy(desc("cos"), asc(idCol))

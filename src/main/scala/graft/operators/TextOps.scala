@@ -362,12 +362,13 @@ object TextOps {
     dl.write.mode("overwrite").parquet(s"$indexDir/doclen")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
-    base.select(col(idCol), explode(col("__w")).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .withColumn("shard", pmod(xxhash64(col("token")), lit(shards.toLong)))
-      .repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$indexDir/postings")
+    Similarity.writePartitionedBase(
+      base.select(col(idCol), explode(col("__w")).as("token"))
+        .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+        .withColumn("shard",
+          pmod(xxhash64(col("token")), lit(shards.toLong)))
+        .repartition(col("shard")),
+      "shard", s"$indexDir/postings")
   }
 
   /** BM25 top-k answered FROM the persisted inverted index: reads the
@@ -470,8 +471,10 @@ object TextOps {
     def rewrite(sub: String, partBy: Option[String]): Unit = {
       val staged = s"$indexDir/${sub}_compacting"
       val live = resolveLive(spark, indexDir, s"$indexDir/$sub", idCol)
-      val writer = live.write.mode("overwrite")
-      partBy.fold(writer)(p => writer.partitionBy(p)).parquet(staged)
+      partBy match {
+        case Some(p) => Similarity.writePartitionedBase(live, p, staged)
+        case None => live.write.mode("overwrite").parquet(staged)
+      }
       rmrf(new java.io.File(s"$indexDir/$sub"))
       new java.io.File(staged).renameTo(new java.io.File(s"$indexDir/$sub"))
       ()
