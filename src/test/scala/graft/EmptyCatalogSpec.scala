@@ -32,11 +32,23 @@ class EmptyCatalogSpec extends SparkSuite {
     dir
   }
 
-  test("every catalog query tolerates a zero-row corpus") {
+  /** One-row twin: the FIRST row of each normalized table. The other
+    * degenerate boundary a 100 TB split hits — one-row partitions,
+    * variance-of-one stats, groups of size 1 everywhere. */
+  private lazy val oneRowDir: String = {
+    val dir = tmpDir("graft_onerow_sf")
+    Engine.tableNames.foreach { t =>
+      Engine.table(spark, sf, t).limit(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private def sweep(dir: String, what: String): Unit = {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val failures = names.flatMap { n =>
       try {
-        SparkEntry.queries(n)(spark, emptyDir).collect()
+        SparkEntry.queries(n)(spark, dir).collect()
         None
       } catch {
         case e: Throwable =>
@@ -47,6 +59,14 @@ class EmptyCatalogSpec extends SparkSuite {
     }
     assert(failures.isEmpty,
       s"${failures.length}/${names.length} catalog queries throw on " +
-        s"empty input:\n  ${failures.mkString("\n  ")}")
+        s"$what input:\n  ${failures.mkString("\n  ")}")
+  }
+
+  test("every catalog query tolerates a zero-row corpus") {
+    sweep(emptyDir, "empty")
+  }
+
+  test("every catalog query tolerates a single-row corpus") {
+    sweep(oneRowDir, "single-row")
   }
 }
