@@ -279,35 +279,115 @@ object Behavior {
       .orderBy("k", "d")
   }
 
+  /** A single-task global ntile is acceptable up to this many rows:
+    * ≤ 2^20 user-grain summary rows at ~32 B each is one ~32 MiB sort
+    * in a lone window task — the same memory class as the
+    * broadcast/driver bounds documented across the operators. Above
+    * it, [[rfmSegments]] switches to [[ntileExact]] so no single task
+    * ever holds the whole frame. */
+  private[graft] val ntileWindowMax: Long = 1L << 20
+
+  /** Exact `ntile(buckets)` over a TOTAL order WITHOUT the
+    * single-partition window Spark plans for a global ntile (which
+    * serializes the whole frame through one task — a wall once the
+    * frame outgrows one executor). Two-phase distributed rank — the
+    * same move as [[TextOps.packSequences]]' prefix sum, generalized
+    * from the id domain to an arbitrary unique sort key:
+    *   1. `repartitionByRange` on the sort key, pinned with ONE
+    *      localCheckpoint so the counts job and the rank job below
+    *      see the SAME physical partitioning (range boundaries come
+    *      from a sample; a re-planned exchange could move rows);
+    *   2. per-partition row counts — one row per partition, the
+    *      packSequences/IVF-centroid driver bound — prefix-summed on
+    *      the driver into partition offsets;
+    *   3. per-partition row_number + the partition's offset = exact
+    *      global position, then ntile's fill rule (the first
+    *      n mod buckets tiles take one extra row) applied
+    *      arithmetically.
+    * The sort key must be UNIQUE (callers append a tie-break column,
+    * as any deterministic ntile already must): uniqueness is what
+    * makes the result independent of where the sampled range
+    * boundaries happen to land, and is why no key can hot-spot one
+    * range partition. */
+  private[graft] def ntileExact(df: DataFrame, n: Long,
+      order: Seq[Column], buckets: Int, outCol: String): DataFrame = {
+    require(buckets > 0, s"ntileExact: buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val parted = df.repartitionByRange(parts, order: _*).localCheckpoint()
+    val withP = parted.withColumn("__p", spark_partition_id())
+    val counts = withP.groupBy("__p").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
+    require(acc == n,
+      s"ntileExact: counted $acc rows but caller passed n=$n")
+    import spark.implicits._
+    val offDf = offs.toSeq.toDF("__p", "__off")
+    val win = Window.partitionBy("__p").orderBy(order: _*)
+    val q = n / buckets
+    val r = n % buckets
+    val qq = math.max(q, 1L) // the otherwise-branch is unreachable at q=0
+    withP.join(broadcast(offDf), Seq("__p"))
+      .withColumn("__pos", col("__off") + row_number().over(win))
+      .withColumn(outCol,
+        when(col("__pos") <= lit(r * (q + 1)),
+            expr(s"(__pos + $q) div ${q + 1}")) // ceil(pos / (q+1))
+          .otherwise(lit(r) +
+            expr(s"(__pos - ${r * (q + 1)} + $qq - 1) div $qq"))
+          .cast("long"))
+      .drop("__p", "__off", "__pos")
+  }
+
   /** RFM segmentation — the canonical statistical profile tag
     * (统计类标签, reference docs/画像简介.md:9-14: recency 最近一次
     * 消费, frequency 消费频率, monetary 消费金额): per-user recency /
     * frequency / monetary from conversion events, each cut into
     * `buckets` quantiles by ntile (ties broken on the user key, so
     * the cut is deterministic), reported as segment sizes. Shape: one
-    * user-keyed conditional agg, three rank windows over the (already
+    * user-keyed conditional agg, three rank cuts over the (already
     * user-grain) summary — never over raw events — and a tiny final
-    * agg on the segment grain. The ntile windows are global (exact
-    * equal-count cuts need a total order); at extreme user counts
-    * swap them for broadcast boundary-cuts from
-    * [[Relational.sortedPercentiles]] — same tags, no global sort. */
+    * agg on the segment grain. Up to [[ntileWindowMax]] users the
+    * cuts are plain global-ntile windows (one bounded sort task);
+    * above it they switch to the distributed [[ntileExact]] — same
+    * tags bit-for-bit (the switch is pinned by a differencing test),
+    * no task ever holds the full user summary. `windowMax` is a test
+    * hook to force the distributed path on a small fixture;
+    * production callers never pass it. */
   def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
       convType: String, valueCol: String, asOf: String,
-      buckets: Int): DataFrame = {
+      buckets: Int, windowMax: Long = ntileWindowMax): DataFrame = {
     val asOfD = to_date(lit(asOf))
-    val p = events.filter(col("event_type") === convType)
+    val p0 = events.filter(col("event_type") === convType)
       .groupBy(col(userCol).as("u"))
       .agg(max(col(tsCol).cast("date")).as("last_d"),
         count(lit(1)).as("f"),
         sum(graft.functions.dec2(col(valueCol))).as("m0"))
       .select(col("u"), datediff(asOfD, col("last_d")).as("r"),
         col("f"), col("m0").cast("double").as("m"))
-    def q(order: Column*) =
-      ntile(buckets).over(Window.orderBy(order: _*)).cast("long")
-    p.select(
-        q(col("r").desc, col("u")).as("r_quintile"),
-        q(col("f"), col("u")).as("f_quintile"),
-        q(col("m"), col("u")).as("m_quintile"))
+    // pin the user summary once: both paths consume it more than once
+    // (the size probe here, then three cuts)
+    val p = p0.localCheckpoint()
+    val n = p.count()
+    val rOrd = Seq(col("r").desc, col("u"))
+    val fOrd = Seq(col("f"), col("u"))
+    val mOrd = Seq(col("m"), col("u"))
+    val tagged =
+      if (n <= windowMax) {
+        def q(order: Seq[Column]) =
+          ntile(buckets).over(Window.orderBy(order: _*)).cast("long")
+        p.select(
+          q(rOrd).as("r_quintile"),
+          q(fOrd).as("f_quintile"),
+          q(mOrd).as("m_quintile"))
+      } else {
+        val t = ntileExact(ntileExact(ntileExact(
+          p, n, rOrd, buckets, "r_quintile"),
+          n, fOrd, buckets, "f_quintile"),
+          n, mOrd, buckets, "m_quintile")
+        t.select("r_quintile", "f_quintile", "m_quintile")
+      }
+    tagged
       .groupBy("r_quintile", "f_quintile", "m_quintile")
       .agg(count(lit(1)).as("users"))
       .orderBy("r_quintile", "f_quintile", "m_quintile")

@@ -259,4 +259,52 @@ class BehaviorSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(4))).toMap
     assert(got == Map(1L -> "active", 2L -> "churned", 3L -> "at_risk"))
   }
+
+  /** Heavy-tie purchase fixture for the ntile paths: most users buy
+    * once (f=1 dominates — the real-data shape that would hot-spot a
+    * value-only range cut), counts not divisible by the bucket count,
+    * some users sharing a purchase date and amount. */
+  private def rfmEvents(nUsers: Int) = {
+    import spark.implicits._
+    (1 to nUsers).flatMap { u =>
+      val buys = if (u % 17 == 0) 4 else if (u % 5 == 0) 2 else 1
+      (1 to buys).map { i =>
+        (u.toLong, "purchase",
+          f"2024-01-${(u % 27) + 1}%02d 00:00:00",
+          (u * 10 + i).toLong, s"${(u % 7) * 25 + i}.50")
+      }
+    }.toDF("user_id", "event_type", "tss", "event_id", "value")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("tss")).as("ts"), col("event_id"), col("value"))
+  }
+
+  test("rfmSegments: distributed ntileExact path equals the window path") {
+    for (nUsers <- Seq(97, 500); buckets <- Seq(5, 7)) {
+      val e = rfmEvents(nUsers)
+      def run(windowMax: Long) = Behavior.rfmSegments(e, "user_id", "ts",
+          "purchase", "value", "2024-01-31", buckets, windowMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val win = run(Long.MaxValue) // force the global-window path
+      val dist = run(0L)           // force the distributed rank path
+      assert(dist == win,
+        s"nUsers=$nUsers buckets=$buckets: distributed != window")
+    }
+  }
+
+  test("ntileExact matches the ntile window on n not divisible by b") {
+    import spark.implicits._
+    // unique compound key (v, id) with heavy ties in v
+    val df = (1 to 103).map(i => (i.toLong, (i % 4).toLong))
+      .toDF("id", "v")
+    val got = Behavior.ntileExact(df, 103L,
+        Seq(col("v"), col("id")), 5, "t")
+      .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val want = df.select(col("id"),
+        ntile(5).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("v"), col("id"))).cast("long").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }
