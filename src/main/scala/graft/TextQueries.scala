@@ -467,9 +467,10 @@ object TextQueries {
     * `head()`: head throws on empty. */
   private def queryVec0(emb: org.apache.spark.sql.DataFrame)
       : Option[Seq[Double]] =
-    emb.filter(col("vec_id") === 0).take(1).headOption.map { row =>
-      row.getSeq[Float](row.fieldIndex("embedding"))
-        .map(_.toDouble).toSeq
+    emb.filter(col("vec_id") === 0).take(1).headOption.flatMap { row =>
+      // a null embedding on the query row is dirty data, not a query
+      Option(row.getSeq[Float](row.fieldIndex("embedding")))
+        .map(_.map(_.toDouble).toSeq)
     }
 
   /** Shared DuckDB fragment: expected top-10 ids for query vector 0
@@ -540,13 +541,14 @@ object TextQueries {
     (s, d) => {
       val emb = Engine.table(s, d, "embeddings")
       val row0 = emb.filter(col("vec_id") === 0).take(1).headOption
+        .flatMap(row => // null embedding = dirty data, same as absent
+          Option(row.getSeq[Float](row.fieldIndex("embedding"))))
       if (row0.isEmpty) {
         // zero-row corpus: no query vector, no index — empty lifecycle
         emb.select(col("vec_id").cast("long"),
           lit("none").as("phase")).limit(0)
       } else {
-      val row = row0.get
-      val qArr = row.getSeq[Float](row.fieldIndex("embedding"))
+      val qArr = row0.get
       val q = qArr.map(_.toDouble).toSeq
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ivf_up").toString

@@ -48,12 +48,20 @@ object ProductQuant {
       vecCol: String = "embedding", idCol: String = "vec_id"): Codebook = {
     import org.apache.spark.sql.functions._
     val dsub = dim / m
+    // null / null-element vectors are excluded BEFORE the limit (same
+    // rule and ordering as the k-means trainers): filtering after the
+    // limit would silently shrink the sample whenever a dirty vector
+    // hashed into the first sampleN
     val sample = embeddings
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
       .select(transform(col(vecCol), _.cast("double")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
       .map(normalize)
     val cells = new Array[Double](m * ksub * dsub)
+    // an all-dirty (or empty) corpus trains nothing: a zero codebook
+    // ADC-scores everything 0.0 — probes degrade, never throw
+    if (sample.isEmpty) return Codebook(dim, m, ksub, cells)
     for (s <- 0 until m) {
       val subs = sample.map(_.slice(s * dsub, (s + 1) * dsub))
       val cents = lloyd(subs, ksub, iters)

@@ -359,11 +359,15 @@ object Similarity {
       iters: Int): DataFrame = {
     val rows = collected
       .sortBy(r => (r.getLong(0), String.valueOf(r.get(1))))
-      // null-element vectors are dropped BEFORE unboxing — Scala
-      // unboxes a boxed null to 0.0 silently, which would both seed
-      // and train on a phantom zero coordinate (same skip rule as
-      // VecAcc.add on the distributed path)
-      .filter(!_.getSeq[Any](2).contains(null))
+      // null vectors and null-element vectors are dropped BEFORE
+      // unboxing — Scala unboxes a boxed null to 0.0 silently, which
+      // would both seed and train on a phantom zero coordinate (same
+      // skip rule as VecAcc.add on the distributed path; the whole-
+      // null case is real dirty data, not just a degenerate fixture)
+      .filter { r =>
+        val s = r.getSeq[Any](2)
+        s != null && !s.contains(null)
+      }
       .map(_.getSeq[Double](2).toArray)
     var cents: Array[(Long, Array[Double])] =
       rows.take(nCentroids).zipWithIndex.map { case (v, i) => (i.toLong, v) }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 /** Full-catalog degenerate-input sweep: every `SparkEntry.queries`
   * entry runs against a ZERO-ROW twin of the testdata (same schemas,
@@ -62,11 +63,40 @@ class EmptyCatalogSpec extends SparkSuite {
         s"$what input:\n  ${failures.mkString("\n  ")}")
   }
 
+  /** Null-dirty twin: every NON-KEY column nulled on a deterministic
+    * third of rows (keyed on the table's lead id column + the column
+    * name, so the pattern is stable across runs). Key/id columns stay
+    * non-null — operators with a documented non-null-id contract
+    * (e.g. packSequences) fail FAST on null ids by design, and dirty
+    * real-world data loses values and payloads far more often than
+    * primary keys. */
+  private lazy val nulledDir: String = {
+    val dir = tmpDir("graft_nulled_sf")
+    Engine.tableNames.foreach { t =>
+      val df = Engine.table(spark, sf, t)
+      val key = df.columns.head
+      val keepNonNull = (c: String) =>
+        c.endsWith("key") || c.endsWith("_id") || c == "l_linenumber"
+      val dirty = df.columns.map { c =>
+        if (keepNonNull(c)) col(c)
+        else when(
+          pmod(xxhash64(col(key).cast("string"), lit(c)), lit(3)) === 0,
+          lit(null).cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+      }
+      df.select(dirty: _*).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
   test("every catalog query tolerates a zero-row corpus") {
     sweep(emptyDir, "empty")
   }
 
   test("every catalog query tolerates a single-row corpus") {
     sweep(oneRowDir, "single-row")
+  }
+
+  test("every catalog query tolerates a null-dirty corpus") {
+    sweep(nulledDir, "null-dirty")
   }
 }
