@@ -244,6 +244,15 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Groups at or below this many rows sort in one window task: 2^22
+    * narrow (group, value) rows is a ~100 MB spill-managed per-task
+    * sort — fine. Groups ABOVE it leave the window path for the
+    * distributed rank in [[sortedPercentiles]], which removes the
+    * per-group parallelism floor (one task per group) that would
+    * otherwise make an exact percentile over a 2-billion-row group a
+    * single multi-hour task at 100 TB. */
+  private[graft] val percentileHugeGroupMin: Long = 1L << 22
+
   /** Exact interpolated percentiles — Spark `percentile` / DuckDB
     * `quantile_cont` semantics: linear interpolation
     * `v_lo + (v_hi - v_lo) * frac` at position `p * (n - 1)` — computed
@@ -256,27 +265,57 @@ object Relational {
     * and GC thrash at scale, and it cannot spill. The sort shape
     * shuffles narrow (group, value) rows once and sorts via Spark's
     * spill-capable external sorter, then keeps only the 1-2 rows per
-    * group that bracket each requested rank. For few huge groups the
-    * sort inherits the group-count parallelism floor — the documented
-    * 100 TB route for quantiles stays `approx_percentile`; this is the
-    * exact path that degrades gracefully instead of OOMing.
+    * group that bracket each requested rank.
+    *
+    * Groups larger than `hugeGroupMin` additionally leave the window
+    * shape (whose per-group sort is one task) for a per-group
+    * distributed rank ([[rankHugeGroups]]) — range-repartitioned
+    * sub-sorts + driver-side prefix offsets, the same two-phase move
+    * as [[graft.operators.Behavior.ntileExact]] — so ONE giant group
+    * no longer means one giant task. Routing is by an exact group
+    * count (one narrow aggregate over the input); by pigeonhole at
+    * most n / hugeGroupMin groups can be huge, which is what bounds
+    * the driver-side offset state. Both paths produce identical
+    * (group, value, rank, n) rows, so results are bitwise those of
+    * the single-path form (pinned against the built-in `percentile`
+    * in RewriteEquivalenceSpec/PropertySpec). `hugeGroupMin` is a
+    * test hook; production callers keep the default.
     *
     * Nulls are excluded per SQL percentile semantics; a group whose
     * values are ALL null is dropped (built-in would emit a null row).
     * `ps` = (fraction, output column name) pairs; one sort serves all
     * fractions over the same value column. */
   def sortedPercentiles(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
+      valueCol: String, ps: Seq[(Double, String)],
+      hugeGroupMin: Long = percentileHugeGroupMin): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (p, _) => p >= 0 && p <= 1 },
       s"fractions must be in [0,1]: $ps")
     val gs = groupCols.map(col)
     val base = df.filter(col(valueCol).isNotNull)
       .select((gs :+ col(valueCol).cast("double").as("__v")): _*)
-    val wOrd = Window.partitionBy(gs: _*).orderBy(col("__v"))
-    val wAll = Window.partitionBy(gs: _*)
-    val ranked = base
-      .withColumn("__rn", (row_number().over(wOrd) - 1).cast("long"))
-      .withColumn("__n", count(lit(1)).over(wAll))
+
+    def windowRanked(in: DataFrame): DataFrame = {
+      val wOrd = Window.partitionBy(gs: _*).orderBy(col("__v"))
+      val wAll = Window.partitionBy(gs: _*)
+      in.withColumn("__rn", (row_number().over(wOrd) - 1).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wAll))
+    }
+
+    // route by exact group size: one narrow (group, count) aggregate;
+    // its max is one row back. maxN is null on empty input.
+    val nByG = base.groupBy(gs: _*).agg(count(lit(1)).as("__n"))
+    val maxN = nByG.agg(max(col("__n"))).head()
+    val ranked =
+      if (maxN.isNullAt(0) || maxN.getLong(0) <= hugeGroupMin)
+        windowRanked(base)
+      else {
+        val huge = nByG.filter(col("__n") > hugeGroupMin)
+        val hugeKeys = huge.select(gs: _*) // ≤ n / hugeGroupMin rows
+        val small = base.join(broadcast(hugeKeys), groupCols, "left_anti")
+        val big = base.join(broadcast(hugeKeys), groupCols, "left_semi")
+        windowRanked(small)
+          .unionByName(rankHugeGroups(big, groupCols, huge))
+      }
     def target(i: Int): Column =
       lit(ps(i)._1) * (col("__n") - 1).cast("double")
     val needed = ps.indices.map(i =>
@@ -299,6 +338,57 @@ object Relational {
           (t - floor(t).cast("double")) * col(s"__hi_$i")).as(name)
     }
     bracketed.select(outs: _*)
+  }
+
+  /** Per-group 0-based value rank for the HUGE groups of
+    * [[sortedPercentiles]], with no per-group parallelism floor:
+    * range-repartition on (group, value, salt) — the salt (a unique
+    * per-row id) spreads a single hot VALUE across partitions, which
+    * a (group, value) range key alone cannot — pin the partitioning
+    * with one localCheckpoint, count rows per (partition, group)
+    * (bounded: a group spans contiguous range partitions, so the
+    * collect is ≤ #partitions + #huge-groups rows), prefix-sum those
+    * into per-(partition, group) offsets on the driver, then local
+    * row_number + offset = exact global rank within the group. Rows
+    * with equal values may take their block of ranks in any order —
+    * contiguous by construction — which is invisible to percentile
+    * bracketing (the bracketed values are equal). Returns the same
+    * (group..., __v, __rn, __n) shape as the window path;
+    * `hugeN` = (group..., __n) for exactly these groups. */
+  private def rankHugeGroups(in: DataFrame, groupCols: Seq[String],
+      hugeN: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = in.sparkSession
+    val gs = groupCols.map(col)
+    val parts = spark.sparkContext.defaultParallelism
+    val parted = in.withColumn("__salt", monotonically_increasing_id())
+      .repartitionByRange(parts, (gs :+ col("__v") :+ col("__salt")): _*)
+      .localCheckpoint() // the counts job and the rank job below must
+                         // see the SAME physical partitioning
+    val withP = parted.withColumn("__p", spark_partition_id())
+    val counts = withP.groupBy((col("__p") +: gs): _*)
+      .agg(count(lit(1)).as("__c")).collect()
+    val acc = scala.collection.mutable.Map.empty[Seq[Any], Long]
+    val offRows = counts.sortBy(_.getInt(0)).map { r =>
+      val k = groupCols.indices.map(i => r.get(i + 1))
+      val o = acc.getOrElse(k, 0L)
+      acc(k) = o + r.getLong(groupCols.length + 1)
+      Row.fromSeq((r.getInt(0) +: k) :+ o)
+    }
+    val offSchema = StructType(
+      StructField("__p", IntegerType, nullable = false) +:
+        groupCols.map(c => in.schema(c)) :+
+        StructField("__off", LongType, nullable = false))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows.toSeq, 1), offSchema)
+    val win = Window.partitionBy((col("__p") +: gs): _*)
+      .orderBy(col("__v"), col("__salt"))
+    withP.join(broadcast(offDf), "__p" +: groupCols)
+      .withColumn("__rn",
+        (col("__off") + row_number().over(win) - 1).cast("long"))
+      .join(broadcast(hugeN), groupCols)
+      .select((gs :+ col("__v") :+ col("__rn") :+ col("__n")): _*)
   }
 
   /** Runtime-filter (Bloom-prefiltered) shuffle join: build a Bloom

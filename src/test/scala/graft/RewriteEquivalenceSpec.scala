@@ -45,6 +45,24 @@ class RewriteEquivalenceSpec extends SparkSuite {
     assertSameRows(sorted, builtin)
   }
 
+  test("sortedPercentiles huge-group rank path == window path (bitwise)") {
+    val li = Engine.table(spark, sf, "lineitem")
+    val ps = Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50",
+      0.9 -> "p90", 1.0 -> "p100")
+    val window = Relational.sortedPercentiles(li, Seq("l_returnflag"),
+      "l_extendedprice", ps) // all groups under the default threshold
+    // force EVERY group through rankHugeGroups
+    val allHuge = Relational.sortedPercentiles(li, Seq("l_returnflag"),
+      "l_extendedprice", ps, hugeGroupMin = 0L)
+    assertSameRows(allHuge, window)
+    // mixed routing: group 'A' (the largest) over the threshold, the
+    // others under it — both paths' outputs union into one result
+    val mid = li.filter(col("l_returnflag") === "A").count() - 1
+    val mixed = Relational.sortedPercentiles(li, Seq("l_returnflag"),
+      "l_extendedprice", ps, hugeGroupMin = mid)
+    assertSameRows(mixed, window)
+  }
+
   test("union-fused join == two joins unioned (docs/sql调优.md:59-71)") {
     val li = Engine.table(spark, sf, "lineitem")
     val p = Engine.table(spark, sf, "part").select("p_partkey", "p_brand")
