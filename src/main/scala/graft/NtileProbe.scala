@@ -61,6 +61,29 @@ object NtileProbe {
         s"n=$n: distributed ntile != window ntile: $distSeg vs $winSeg")
       println(s"""NTILEPROBE {"n":$n,"window_sec":${f"$tWin%.2f"},""" +
         s""""distributed_sec":${f"$tDist%.2f"},"equal":true}""")
+
+      // same frame, exact percentiles: 3 groups of n/3 rows each (all
+      // above the 2^22 huge-group threshold at the default probe
+      // sizes), near-unique values — the shape whose window form is
+      // one sort task per group
+      val pdf = spark.range(n).select((col("id") % 3).as("g"),
+        (col("id") * 2654435761L % 1000003).cast("double").as("v"))
+        .localCheckpoint()
+      val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("g").collect().map(_.toSeq).toSeq
+      val (winP, tWinP) = timed {
+        rows(graft.operators.Relational.sortedPercentiles(
+          pdf, Seq("g"), "v", ps, hugeGroupMin = Long.MaxValue))
+      }
+      val (distP, tDistP) = timed {
+        rows(graft.operators.Relational.sortedPercentiles(
+          pdf, Seq("g"), "v", ps, hugeGroupMin = 0L))
+      }
+      require(winP == distP,
+        s"n=$n: huge-group percentile != window percentile")
+      println(s"""PCTPROBE {"n":$n,"window_sec":${f"$tWinP%.2f"},""" +
+        s""""distributed_sec":${f"$tDistP%.2f"},"equal":true}""")
     }
     spark.stop()
   }
