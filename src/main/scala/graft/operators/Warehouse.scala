@@ -64,15 +64,18 @@ object Warehouse {
   /** Accumulating-snapshot upsert (reference docs/数据模型.md:21-25):
     * new measurements for existing keys replace old rows. Partition-
     * level merge: only partitions carrying updates are rewritten.
-    * `versionCol` decides the winner (latest wins). */
+    * `versionCol` decides the winner (latest wins). Winner selection
+    * is the bounded-heap [[graft.plans.TopKPerGroup]] (k=1), not a
+    * row_number window: partial heaps reduce each key MAP-SIDE, so a
+    * hot key with a deep version history costs one buffered row per
+    * input partition instead of one window task holding its whole
+    * history. (Ties on `versionCol` were order-dependent under the
+    * window form too — the contract is a unique version per key.) */
   def upsertByKey(existing: DataFrame, updates: DataFrame,
-      keys: Seq[String], versionCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(desc(versionCol))
-    existing.unionByName(updates)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+      keys: Seq[String], versionCol: String): DataFrame =
+    graft.plans.TopKPerGroup.topKPerGroup(
+      existing.unionByName(updates), keys.map(col),
+      Seq(desc(versionCol)), 1)
 
   /** Write a table BUCKETED (and sorted) by its join key: two tables
     * bucketed the same way co-locate their keys, so a later join needs
@@ -127,8 +130,13 @@ object Warehouse {
     val src =
       if (!assertSourceUnique) source
       else {
-        val w = Window.partitionBy(keys.map(col): _*)
-        source.withColumn("__n", count(lit(1)).over(w))
+        // per-key counts as a partial-aggregating groupBy joined back,
+        // NOT a count window: the window form funnels each key's rows
+        // into one task — and the pathological key is exactly the one
+        // this assertion exists to catch
+        val nByKey = source.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+        source.join(nByKey, keys)
           .filter(when(col("__n") > 1, raise_error(concat(
               lit("mergeInto: duplicate source key ("),
               concat_ws(",", keys.map(k => col(k).cast("string")): _*),
