@@ -208,7 +208,7 @@ object Similarity {
     // posexplode/groupBy(bucket, pos) formulation, and never an
     // in-memory materialization of a whole bucket
     val spark = embeddings.sparkSession
-    spark.read.parquet(s"$indexDir/vectors")
+    spark.read.parquet(baseWithSwapFallback(s"$indexDir/vectors"))
       .select(col("bucket"),
         transform(col(vecCol), _.cast("double")).as("dv"))
       .groupBy("bucket")
@@ -607,6 +607,86 @@ object Similarity {
       df.limit(0).write.mode("append").parquet(path)
   }
 
+  private[operators] def rmrfDir(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrfDir)
+    f.delete(); ()
+  }
+
+  // ----------------------------------------- compaction base swap
+  //
+  // Shared by every compaction that replaces a live base directory
+  // with a staged rewrite (IVF vectors here; BM25 postings and doc
+  // lengths in TextOps). The live base is NEVER deleted in place —
+  // an rmrf that dies half-way leaves a partially-listed directory
+  // that READS as silently missing rows under the (still correct)
+  // overlay. Instead both sides of the swap are atomic renames:
+  //
+  //   1. staged rewrite lands fully at `<base>_compacting`;
+  //   2. live base renamed ASIDE to `<base>_precompact`  (ATOMIC_MOVE);
+  //   3. staged renamed IN to `<base>`                   (ATOMIC_MOVE);
+  //   4. aside copy deleted (inert once the base exists again).
+  //
+  // Crash windows, all readable:
+  //   - during 1: base + overlay intact, the partial staged dir is
+  //     debris ([[recoverCompactSwap]] clears it, and the next
+  //     staged write overwrites it anyway);
+  //   - between 2 and 3: the base is momentarily ABSENT — readers
+  //     fall back ([[baseWithSwapFallback]]) to the aside copy (the
+  //     exact pre-swap base, still correct under the on-disk
+  //     overlay, which is only cleaned up after the swap), and the
+  //     next compaction first completes the swap (the aside rename
+  //     happens only after the staged write finished, so a present
+  //     aside dir PROVES the staged rewrite is complete);
+  //   - during/after 4: base is the compacted data; a surviving
+  //     aside dir or overlay is inert (the overlay re-applies
+  //     idempotently over the compacted base) and is reclaimed by
+  //     the compaction tail / the next recovery.
+
+  /** Steps 2–4 above. Call [[recoverCompactSwap]] first (clears any
+    * previous crash's debris so the renames cannot hit an existing
+    * target). */
+  private[operators] def swapCompactedBase(basePath: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Paths.get(basePath)
+    val aside = Paths.get(s"${basePath}_precompact")
+    Files.move(base, aside, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(s"${basePath}_compacting"), base,
+      StandardCopyOption.ATOMIC_MOVE)
+    rmrfDir(aside.toFile)
+  }
+
+  /** Repair a compaction that crashed mid-swap, then clear swap
+    * debris — run at the START of every compaction (and harmless on
+    * a clean index). */
+  private[operators] def recoverCompactSwap(basePath: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = new java.io.File(basePath)
+    val staged = new java.io.File(s"${basePath}_compacting")
+    val aside = new java.io.File(s"${basePath}_precompact")
+    if (!base.exists() && staged.exists())
+      // crashed between the two swap renames; the staged rewrite is
+      // complete (the aside rename only runs after it) — finish it
+      Files.move(staged.toPath, Paths.get(basePath),
+        StandardCopyOption.ATOMIC_MOVE)
+    if (new java.io.File(basePath).exists()) {
+      if (aside.exists()) rmrfDir(aside)
+      if (staged.exists()) rmrfDir(staged)
+    }
+  }
+
+  /** The readable form of a possibly-mid-swap base: the base itself
+    * when it has data; otherwise the pre-swap aside copy (correct
+    * under the overlay, which outlives the swap); otherwise the
+    * completed staged rewrite (equally correct — the overlay
+    * re-applies idempotently). Read-only: readers never repair. */
+  private[operators] def baseWithSwapFallback(basePath: String): String =
+    if (hasParquetFile(new java.io.File(basePath))) basePath
+    else if (hasParquetFile(new java.io.File(s"${basePath}_precompact")))
+      s"${basePath}_precompact"
+    else if (hasParquetFile(new java.io.File(s"${basePath}_compacting")))
+      s"${basePath}_compacting"
+    else basePath
+
   /** `bucket ∈ buckets` that tolerates an EMPTY probe list (an empty
     * index has no centroids, so no bucket is ever near): `isin()`
     * with zero operands is not a filter Spark accepts. */
@@ -656,7 +736,7 @@ object Similarity {
   private[operators] def resolveDeltaTable(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       basePath: String, idCol: String): DataFrame = {
-    val base = spark.read.parquet(basePath)
+    val base = spark.read.parquet(baseWithSwapFallback(basePath))
     if (!new java.io.File(s"$indexDir/_maint").exists()) return base
     val committed = committedSeq(indexDir)
     val raw =
@@ -686,9 +766,12 @@ object Similarity {
     * as a fresh base (seq resets), clear tombstones and the seq
     * counter. Offline single-writer op, like any compaction.
     *
-    * Crash-ordering: after the base swap, the maintenance overlay
-    * (tombstones + deltas, still on disk) re-applies IDEMPOTENTLY over
-    * the compacted base — an id inserted at seq N exists in the base
+    * Crash-ordering: the base swap itself is two atomic renames with
+    * read-time fallback and start-of-compaction repair (see
+    * [[swapCompactedBase]] — the base is never deleted in place), and
+    * after the swap the maintenance overlay (tombstones + deltas,
+    * still on disk) re-applies IDEMPOTENTLY over the compacted base —
+    * an id inserted at seq N exists in the base
     * at seq 0 and in its delta at seq N; the tombstone at N kills the
     * base copy and keeps the delta copy, one row either way. The
     * `_maint` dir is therefore removed FIRST among the cleanups (the
@@ -703,19 +786,13 @@ object Similarity {
     * recently-upserted id). */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String = "vec_id"): Unit = {
-    val staged = s"$indexDir/vectors_compacting"
+    recoverCompactSwap(s"$indexDir/vectors")
     writePartitionedBase(resolvedVectors(spark, indexDir, idCol),
-      "bucket", staged)
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
-    rmrf(new java.io.File(s"$indexDir/vectors"))
-    new java.io.File(staged)
-      .renameTo(new java.io.File(s"$indexDir/vectors"))
-    rmrf(new java.io.File(s"$indexDir/_maint"))
-    rmrf(new java.io.File(s"$indexDir/tombstones"))
-    rmrf(new java.io.File(s"$indexDir/vectors_delta"))
+      "bucket", s"$indexDir/vectors_compacting")
+    swapCompactedBase(s"$indexDir/vectors")
+    rmrfDir(new java.io.File(s"$indexDir/_maint"))
+    rmrfDir(new java.io.File(s"$indexDir/tombstones"))
+    rmrfDir(new java.io.File(s"$indexDir/vectors_delta"))
   }
 
   /** Batched IVF probe: ANN top-k for a whole DataFrame of query
@@ -826,7 +903,7 @@ object Similarity {
       indexDir: String, cb: graft.functions.ProductQuant.Codebook,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
     writePartitionedBase(
-      spark.read.parquet(s"$indexDir/vectors")
+      spark.read.parquet(baseWithSwapFallback(s"$indexDir/vectors"))
         .select(col(idCol), col("bucket"),
           graft.functions.ProductQuant.pqEncode(col(vecCol), cb)
             .as("pq_code")),
@@ -855,7 +932,7 @@ object Similarity {
       .orderBy(desc("adc"), asc(idCol))
       .limit(k * overfetch)
       .select(idCol)
-    spark.read.parquet(s"$indexDir/vectors")
+    spark.read.parquet(baseWithSwapFallback(s"$indexDir/vectors"))
       .filter(bucketIn(buckets)) // pruned again
       .join(broadcast(cand), Seq(idCol))
       .select(col(idCol), cosineSimilarity(col(vecCol), q).as("cos"))

@@ -456,7 +456,10 @@ object TextOps {
     * happens while the full overlay (tombstones + BOTH deltas) is
     * still on disk, over which the resolve re-applies idempotently —
     * so a crash between the two swaps leaves one table compacted and
-    * the other not, both reading correctly. `_maint` is removed FIRST
+    * the other not, both reading correctly. Each swap is itself
+    * crash-atomic ([[graft.operators.Similarity.swapCompactedBase]]:
+    * rename-aside + rename-in, never an in-place delete of the live
+    * base), with read-time fallback and start-of-compaction repair. `_maint` is removed FIRST
     * among the cleanups (the reader's maintained?-switch); after that
     * the leftover overlay dirs are inert and removed last. Stats are
     * rewritten before `_maint` goes away — while `_maint` exists the
@@ -464,30 +467,26 @@ object TextOps {
     * after the switch. */
   def invertedIndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String = "doc_id"): Unit = {
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
     def rewrite(sub: String, partBy: Option[String]): Unit = {
-      val staged = s"$indexDir/${sub}_compacting"
-      val live = resolveLive(spark, indexDir, s"$indexDir/$sub", idCol)
+      val base = s"$indexDir/$sub"
+      Similarity.recoverCompactSwap(base)
+      val staged = s"${base}_compacting"
+      val live = resolveLive(spark, indexDir, base, idCol)
       partBy match {
         case Some(p) => Similarity.writePartitionedBase(live, p, staged)
         case None => live.write.mode("overwrite").parquet(staged)
       }
-      rmrf(new java.io.File(s"$indexDir/$sub"))
-      new java.io.File(staged).renameTo(new java.io.File(s"$indexDir/$sub"))
-      ()
+      Similarity.swapCompactedBase(base)
     }
     rewrite("postings", Some("shard"))
     rewrite("doclen", None)
     spark.read.parquet(s"$indexDir/doclen")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
-    rmrf(new java.io.File(s"$indexDir/_maint"))
-    rmrf(new java.io.File(s"$indexDir/tombstones"))
-    rmrf(new java.io.File(s"$indexDir/postings_delta"))
-    rmrf(new java.io.File(s"$indexDir/doclen_delta"))
+    Similarity.rmrfDir(new java.io.File(s"$indexDir/_maint"))
+    Similarity.rmrfDir(new java.io.File(s"$indexDir/tombstones"))
+    Similarity.rmrfDir(new java.io.File(s"$indexDir/postings_delta"))
+    Similarity.rmrfDir(new java.io.File(s"$indexDir/doclen_delta"))
   }
 
   /** A maintained index table's LIVE rows — see

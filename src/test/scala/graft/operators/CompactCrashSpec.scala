@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Crash-window coverage for the compaction base swap
+  * ([[Similarity.swapCompactedBase]]): the live base directory is
+  * replaced by two atomic renames, never an in-place delete, so a
+  * maintainer dying at ANY instruction of a compaction leaves every
+  * reader correct and the next compaction able to finish the job.
+  * These tests construct the exact on-disk states of each crash
+  * window by running the swap's own steps by hand. */
+class CompactCrashSpec extends graft.SparkSuite {
+
+  /** Tiny clustered vectors (dim 8) — enough for a deterministic
+    * probe, small enough that each lifecycle job is milliseconds. */
+  private lazy val vecs = {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val centers = Array.fill(4, 8)(rng.nextGaussian())
+    (0 until 40).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def maintainedIvf(): (String, Seq[Double]) = {
+    import spark.implicits._
+    val dir = tmpDir("ivf_crash")
+    Similarity.ivfBuildIndexKMeans(vecs, dir, nCentroids = 4, iters = 2)
+    val row = vecs.filter(col("vec_id") === 0).head()
+    val qArr = row.getSeq[Float](1)
+    // overlay: one insert + one delete, so compaction has real work
+    Similarity.ivfUpsert(spark, dir, Seq(
+        (900L, qArr, "insert"), (4L, qArr, "delete"))
+      .toDF("vec_id", "embedding", "change"))
+    (dir, qArr.map(_.toDouble).toSeq)
+  }
+
+  private def probeIds(dir: String, q: Seq[Double]): Set[Long] =
+    Similarity.ivfProbe(spark, dir, q, k = 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+
+  test("IVF compaction crash BETWEEN the swap renames: probes read the " +
+      "aside copy, the retry completes the swap, no debris survives") {
+    val (dir, q) = maintainedIvf()
+    val before = probeIds(dir, q)
+    assert(before.contains(900L) && !before.contains(4L))
+    // by-hand replay of ivfCompact up to the instruction between the
+    // two renames: staged rewrite complete, base renamed aside
+    Similarity.writePartitionedBase(
+      Similarity.resolveDeltaTable(spark, dir, s"$dir/vectors", "vec_id"),
+      "bucket", s"$dir/vectors_compacting")
+    Files.move(Paths.get(s"$dir/vectors"),
+      Paths.get(s"$dir/vectors_precompact"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(!new java.io.File(s"$dir/vectors").exists())
+    // a probe in the crash window must still see the live set
+    assert(probeIds(dir, q) == before,
+      "probe wrong while the base is renamed aside")
+    // the retried compaction repairs, then compacts normally
+    Similarity.ivfCompact(spark, dir)
+    assert(probeIds(dir, q) == before, "live set changed by recovery")
+    Seq("vectors_precompact", "vectors_compacting", "_maint",
+        "tombstones", "vectors_delta").foreach { d =>
+      assert(!new java.io.File(s"$dir/$d").exists(), s"debris: $d")
+    }
+  }
+
+  test("IVF compaction crash DURING the staged write: base wins over " +
+      "the partial staged dir, the retry clears it") {
+    val (dir, q) = maintainedIvf()
+    val before = probeIds(dir, q)
+    // a stale, WRONG staged dir (subset of the live rows) with the
+    // base intact — readers must prefer the base unconditionally
+    Similarity.writePartitionedBase(
+      Similarity.resolveDeltaTable(spark, dir, s"$dir/vectors", "vec_id")
+        .limit(1),
+      "bucket", s"$dir/vectors_compacting")
+    assert(probeIds(dir, q) == before,
+      "partial staged dir leaked into a probe")
+    Similarity.ivfCompact(spark, dir)
+    assert(probeIds(dir, q) == before)
+    assert(!new java.io.File(s"$dir/vectors_compacting").exists())
+  }
+
+  test("inverted-index compaction crash between the swap renames: " +
+      "BM25 reads the aside copy, the retry completes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark scan join"), (2L, "join filter"),
+      (3L, "scan scan scan"), (4L, "filter join spark"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("inv_crash")
+    TextOps.buildInvertedIndex(docs, dir, shards = 4)
+    TextOps.invertedIndexUpsert(spark, dir, Seq(
+        (5L, "join join", "insert"), (3L, "", "delete"))
+      .toDF("doc_id", "text", "change"), shards = 4)
+    def top(): Seq[(Long, Double)] =
+      TextOps.bm25TopKIndexed(spark, dir, Seq("join", "scan"), k = 10,
+        shards = 4).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val before = top()
+    assert(before.map(_._1).contains(5L) && !before.map(_._1).contains(3L))
+    // crash window on the postings swap
+    Similarity.writePartitionedBase(
+      Similarity.resolveDeltaTable(spark, dir, s"$dir/postings", "doc_id"),
+      "shard", s"$dir/postings_compacting")
+    Files.move(Paths.get(s"$dir/postings"),
+      Paths.get(s"$dir/postings_precompact"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(top() == before, "BM25 wrong while postings renamed aside")
+    TextOps.invertedIndexCompact(spark, dir)
+    assert(top() == before, "BM25 changed by recovery")
+    Seq("postings_precompact", "postings_compacting", "doclen_precompact",
+        "doclen_compacting", "_maint", "tombstones", "postings_delta",
+        "doclen_delta").foreach { d =>
+      assert(!new java.io.File(s"$dir/$d").exists(), s"debris: $d")
+    }
+  }
+}
