@@ -692,12 +692,24 @@ object StreamOps {
     q.awaitTermination()
     val fs = new org.apache.hadoop.fs.Path(finalDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(finalDir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(stagingDir),
-      new org.apache.hadoop.fs.Path(finalDir))
+    val finalPath = new org.apache.hadoop.fs.Path(finalDir)
+    // swap by rename-aside, never an in-place delete of the live table:
+    // a replay dying mid-delete would leave a PARTIALLY deleted final
+    // dir that reads as silently missing rows. With the aside rename, a
+    // crash at any point leaves the old table, the new table, or a
+    // missing dir (fail-stop — and re-running the replay, the operation
+    // that got here in the first place, repairs it). Aside debris from
+    // an earlier crash is cleared first so the rename cannot nest into
+    // an existing directory (Hadoop rename-into-dir semantics).
+    val aside = new org.apache.hadoop.fs.Path(
+      finalDir.stripSuffix("/") + "__replaced")
+    fs.delete(aside, true)
+    if (fs.exists(finalPath)) fs.rename(finalPath, aside)
+    fs.rename(new org.apache.hadoop.fs.Path(stagingDir), finalPath)
     // drop the FileStreamSink transaction log: its absolute paths point
     // at the staging dir; after the swap the table is a plain parquet dir
-    fs.delete(new org.apache.hadoop.fs.Path(finalDir, "_spark_metadata"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(finalPath, "_spark_metadata"), true)
+    fs.delete(aside, true)
   }
 
   /** T9: batch↔stream differential validation (docs/实时数仓.md:118-124):
