@@ -114,7 +114,7 @@ object CurationQueries {
     "q_bm25_indexed", Seq("E-text", "A12", "S2"),
     (s, d) => {
       val dir = invIndexDir(d)
-      if (!new java.io.File(s"$dir/stats").exists())
+      if (!graft.operators.Similarity.isBuilt(dir, "invidx"))
         TextOps.buildInvertedIndex(Engine.table(s, d, "documents"), dir)
       TextOps.bm25TopKIndexed(s, dir, bm25Terms, k = 10,
         k1 = bm25K1, b = bm25B)

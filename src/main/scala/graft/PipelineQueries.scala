@@ -282,11 +282,16 @@ object PipelineQueries {
     (s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
-      if (!new java.io.File(dir).exists())
+      // completion-marker guard, not dir-exists: the dir exists from
+      // the first task commit, so a crashed build would otherwise be
+      // mistaken for a complete one and silently skip files
+      if (!graft.operators.Similarity.isBuilt(dir, "zorder")) {
         graft.operators.Layout.writeZOrdered(
           Engine.table(s, d, "events")
             .withColumn("y", pmod(col("event_id"), lit(4096))),
           dir, "user_id", "y", nFiles = 16)
+        graft.operators.Similarity.markBuilt(dir, "zorder")
+      }
       s.read.parquet(dir)
         .filter(col("user_id").between(100, 160) &&
           col("y").between(1000, 1300))
@@ -314,12 +319,13 @@ object PipelineQueries {
     (s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_fileidx_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
-      if (!new java.io.File(s"$dir/idx").exists()) {
+      if (!graft.operators.Similarity.isBuilt(dir, "fileidx")) {
         Engine.table(s, d, "events")
           .repartitionByRange(16, col("user_id"))
           .write.mode("overwrite").parquet(s"$dir/data")
         graft.operators.Layout.buildFileIndex(s, s"$dir/data", "user_id",
           s"$dir/idx")
+        graft.operators.Similarity.markBuilt(dir, "fileidx")
       }
       graft.operators.Layout.indexedScan(s, s"$dir/data", s"$dir/idx",
           "user_id", Seq(5, 42, 97))
@@ -343,12 +349,13 @@ object PipelineQueries {
     (s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_filestats_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
-      if (!new java.io.File(s"$dir/stats").exists()) {
+      if (!graft.operators.Similarity.isBuilt(dir, "filestats")) {
         Engine.table(s, d, "events")
           .repartitionByRange(16, col("user_id"))
           .write.mode("overwrite").parquet(s"$dir/data")
         graft.operators.Layout.buildFileStats(s, s"$dir/data", "user_id",
           s"$dir/stats")
+        graft.operators.Similarity.markBuilt(dir, "filestats")
       }
       graft.operators.Layout.statsRangeScan(s, s"$dir/data", s"$dir/stats",
           "user_id", 100L, 160L)

@@ -519,7 +519,7 @@ object TextQueries {
         case None => emb.select(col("vec_id").cast("long")).limit(0)
         case Some(q) =>
           val dir = annIndexDir(d)
-          if (!new java.io.File(s"$dir/centroids").exists())
+          if (!Similarity.isBuilt(dir))
             Similarity.ivfBuildIndexKMeans(plantedAnnCorpus(emb), dir)
           Similarity.ivfProbe(s, dir, q, k = 10)
             .select(col("vec_id").cast("long")).orderBy("vec_id")
@@ -601,7 +601,7 @@ object TextQueries {
     (s, d) => {
       val emb = Engine.table(s, d, "embeddings")
       val dir = annIndexDir(d)
-      if (!new java.io.File(s"$dir/centroids").exists())
+      if (!Similarity.isBuilt(dir))
         Similarity.ivfBuildIndexKMeans(plantedAnnCorpus(emb), dir)
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -648,10 +648,10 @@ object TextQueries {
         case None => emb.select(col("vec_id").cast("long")).limit(0)
         case Some(q) =>
           val dir = annIndexDir(d)
-          if (!new java.io.File(s"$dir/centroids").exists())
+          if (!Similarity.isBuilt(dir))
             Similarity.ivfBuildIndexKMeans(plantedAnnCorpus(emb), dir)
           val cb = Similarity.pqTrain(emb)
-          if (!new java.io.File(s"$dir/codes").exists())
+          if (!Similarity.isBuilt(dir, "codes"))
             Similarity.ivfPqBuild(s, dir, cb)
           Similarity.ivfPqProbe(s, dir, cb, q, k = 10)
             .select(col("vec_id").cast("long")).orderBy("vec_id")

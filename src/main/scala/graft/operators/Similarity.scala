@@ -198,6 +198,7 @@ object Similarity {
   def ivfBuildIndex(embeddings: DataFrame, indexDir: String,
       dim: Int = 64, planes: Int = 8,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    clearBuilt(indexDir)
     val bucketed = embeddings.select(col(idCol), col(vecCol),
       hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
     writePartitionedBase(bucketed, "bucket", s"$indexDir/vectors")
@@ -218,6 +219,7 @@ object Similarity {
       .select(col("bucket"),
         transform(col("sc.sums"), x => x / col("sc.n")).as("centroid"))
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    markBuilt(indexDir)
   }
 
   /** IVF index build with K-MEANS coarse quantization (the standard IVF
@@ -231,6 +233,7 @@ object Similarity {
   def ivfBuildIndexKMeans(embeddings: DataFrame, indexDir: String,
       nCentroids: Int = 32, iters: Int = 3, sampleFraction: Double = 1.0,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    clearBuilt(indexDir)
     val vecs = embeddings.select(col(idCol).as("id"),
       col(vecCol).as("v"),
       normalized(col(vecCol)).as("nv"))
@@ -243,7 +246,7 @@ object Similarity {
       "bucket", s"$indexDir/vectors")
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
     centroids.unpersist()
-    ()
+    markBuilt(indexDir)
   }
 
   /** Distributed k-means over (id, nv) unit vectors: deterministic
@@ -612,6 +615,37 @@ object Similarity {
     f.delete(); ()
   }
 
+  // --------------------------------------------- build-completion marker
+  //
+  // Persisted-artifact builds (IVF index, PQ codes, inverted index,
+  // layout rewrites) are MULTI-JOB, and their output dirs exist from
+  // the first job's commit — so "dir exists" cannot distinguish a
+  // finished build from one whose writer died between jobs (or mid-job:
+  // an overwrite deletes the old data before the new data commits), and
+  // a crashed half-build silently serves missing rows to every later
+  // query that trusts the cache. Builders clear the marker before
+  // touching the artifact and create it (atomic file create) only after
+  // the LAST job landed; cache guards ask [[isBuilt]] instead of
+  // File.exists, so a crashed build is simply rebuilt.
+
+  /** Has `artifact` under `dir` been built TO COMPLETION? */
+  def isBuilt(dir: String, artifact: String = "index"): Boolean =
+    new java.io.File(dir, s"_graft_built_$artifact").exists()
+
+  private[graft] def clearBuilt(dir: String,
+      artifact: String = "index"): Unit = {
+    new java.io.File(dir, s"_graft_built_$artifact").delete(); ()
+  }
+
+  private[graft] def markBuilt(dir: String,
+      artifact: String = "index"): Unit = {
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"_graft_built_$artifact"),
+      Array.emptyByteArray)
+    ()
+  }
+
   // ----------------------------------------- compaction base swap
   //
   // Shared by every compaction that replaces a live base directory
@@ -901,13 +935,16 @@ object Similarity {
     * before any full-precision vector is touched. */
   def ivfPqBuild(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, cb: graft.functions.ProductQuant.Codebook,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    clearBuilt(indexDir, "codes")
     writePartitionedBase(
       spark.read.parquet(baseWithSwapFallback(s"$indexDir/vectors"))
         .select(col(idCol), col("bucket"),
           graft.functions.ProductQuant.pqEncode(col(vecCol), cb)
             .as("pq_code")),
       "bucket", s"$indexDir/codes")
+    markBuilt(indexDir, "codes")
+  }
 
   /** IVF-PQ probe: centroid top-`nprobe` picks the buckets (tiny table,
     * driver-side), the PRUNED codes scan is ADC-scored and overfetched,
@@ -950,7 +987,7 @@ object Similarity {
     // across probes requires opting in with a stable path
     val dir = Option(indexDir).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ivf").toString)
-    if (!new java.io.File(s"$dir/centroids").exists())
+    if (!isBuilt(dir))
       ivfBuildIndex(embeddings, dir, dim, planes, vecCol, idCol)
     ivfProbe(spark, dir, query, k, nprobe, vecCol, idCol)
   }

@@ -356,6 +356,7 @@ object TextOps {
   def buildInvertedIndex(docs: DataFrame, indexDir: String,
       shards: Int = 64, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
+    Similarity.clearBuilt(indexDir, "invidx")
     val w = wordTokens(col(textCol))
     val base = docs.select(col(idCol), w.as("__w"))
     val dl = base.select(col(idCol), size(col("__w")).cast("long").as("dl"))
@@ -369,6 +370,7 @@ object TextOps {
           pmod(xxhash64(col("token")), lit(shards.toLong)))
         .repartition(col("shard")),
       "shard", s"$indexDir/postings")
+    Similarity.markBuilt(indexDir, "invidx")
   }
 
   /** BM25 top-k answered FROM the persisted inverted index: reads the

@@ -84,6 +84,31 @@ class CompactCrashSpec extends graft.SparkSuite {
     assert(!new java.io.File(s"$dir/vectors_compacting").exists())
   }
 
+  test("crashed index BUILD (artifact dir exists, no completion marker): " +
+      "the cache guard rebuilds instead of trusting the partial dir") {
+    val dir = tmpDir("ivf_build_crash")
+    Similarity.ivfBuildIndex(vecs, dir, dim = 8, planes = 4)
+    assert(Similarity.isBuilt(dir))
+    val row = vecs.filter(col("vec_id") === 0).head()
+    val q = row.getSeq[Float](1).map(_.toDouble).toSeq
+    val truth = Similarity.bruteForceTopK(vecs, q, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    // simulate a build that died during the centroids job: the dir
+    // exists (first task commit created it) but holds no data, and the
+    // completion marker was never written
+    Similarity.clearBuilt(dir)
+    val cents = new java.io.File(s"$dir/centroids")
+    cents.listFiles().foreach(Similarity.rmrfDir)
+    assert(cents.exists(), "fixture must keep the empty dir")
+    // the dir-exists guard this replaces would have probed the empty
+    // centroids table and returned zero rows; the marker guard rebuilds
+    val got = Similarity.ivfTopK(vecs, q, k = 5, dim = 8, planes = 4,
+        nprobe = 16, indexDir = dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == truth, s"got=$got truth=$truth")
+    assert(Similarity.isBuilt(dir), "rebuild must re-mark completion")
+  }
+
   test("inverted-index compaction crash between the swap renames: " +
       "BM25 reads the aside copy, the retry completes") {
     import spark.implicits._
