@@ -357,19 +357,33 @@ object TextOps {
       shards: Int = 64, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
     Similarity.clearBuilt(indexDir, "invidx")
-    val w = wordTokens(col(textCol))
-    val base = docs.select(col(idCol), w.as("__w"))
-    val dl = base.select(col(idCol), size(col("__w")).cast("long").as("dl"))
-    dl.write.mode("overwrite").parquet(s"$indexDir/doclen")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$indexDir/stats")
+    val spark = docs.sparkSession
+    // ONE tokenize pass over the corpus text (the earlier shape ran
+    // three — doclen, stats, and postings each re-derived the
+    // tokenize from source, tripling the text scan a 100 TB build is
+    // bound by): postings land first, then doc lengths are the
+    // per-doc tf sum of the WRITTEN postings (sum(tf) == token count
+    // by construction), and corpus stats aggregate the written doc
+    // lengths. Only the id column is re-read from the corpus (a
+    // column-pruned scan, no text bytes) to restore zero-token docs,
+    // which have no postings rows but must still count in n_docs.
     Similarity.writePartitionedBase(
-      base.select(col(idCol), explode(col("__w")).as("token"))
+      docs.select(col(idCol), explode(wordTokens(col(textCol))).as("token"))
         .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
         .withColumn("shard",
           pmod(xxhash64(col("token")), lit(shards.toLong)))
         .repartition(col("shard")),
       "shard", s"$indexDir/postings")
+    docs.select(col(idCol))
+      .join(spark.read.parquet(s"$indexDir/postings")
+          .groupBy(col(idCol)).agg(sum(col("tf")).as("__dl")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__dl"), lit(0L))
+        .cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/doclen")
+    spark.read.parquet(s"$indexDir/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
     Similarity.markBuilt(indexDir, "invidx")
   }
 
@@ -427,20 +441,35 @@ object TextOps {
     val seqFile = java.nio.file.Paths.get(s"$indexDir/_maint/seq")
     val seq = Similarity.committedSeq(indexDir) + 1
     val ins = changes.filter(col(changeCol) === "insert")
-      .select(col(idCol), wordTokens(col(textCol)).as("__w"))
     // per-batch `__batch=<seq>` partition dirs written with OVERWRITE,
     // seq-file commit written last — identical crash-idempotence
     // protocol to Similarity.ivfUpsert: a maintainer that dies before
     // the counter write leaves the retry recomputing the SAME seq and
-    // overwriting the partial dirs instead of appending duplicates
-    ins.select(col(idCol), explode(col("__w")).as("token"))
+    // overwriting the partial dirs instead of appending duplicates.
+    // One tokenize pass, like the build: doclen rows derive from the
+    // WRITTEN postings delta (+ an id-only re-read for zero-token
+    // inserts) instead of re-tokenizing the batch.
+    ins.select(col(idCol),
+        explode(wordTokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
       .withColumn("shard", pmod(xxhash64(col("token")), lit(shards.toLong)))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$indexDir/postings_delta/__batch=$seq")
-    ins.select(col(idCol), size(col("__w")).cast("long").as("dl"))
-      .write.mode("overwrite")
+    val postingsDelta = s"$indexDir/postings_delta/__batch=$seq"
+    // an empty/all-zero-token batch writes NO parquet into the delta
+    // dir (delta dirs get no schema backstop by design) — skip the
+    // readback and stamp dl=0 directly
+    val dlRows =
+      if (Similarity.hasParquetFile(new java.io.File(postingsDelta)))
+        ins.select(col(idCol))
+          .join(spark.read.parquet(postingsDelta)
+              .groupBy(col(idCol)).agg(sum(col("tf")).as("__dl")),
+            Seq(idCol), "left")
+          .select(col(idCol), coalesce(col("__dl"), lit(0L))
+            .cast("long").as("dl"))
+      else ins.select(col(idCol), lit(0L).as("dl"))
+    dlRows.write.mode("overwrite")
       .parquet(s"$indexDir/doclen_delta/__batch=$seq")
     changes.select(col(idCol)).distinct()
       .write.mode("overwrite")
