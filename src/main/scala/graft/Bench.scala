@@ -65,7 +65,8 @@ object Bench {
     // run once at the bench SF so timings reflect steady-state cost
     Seq("q_embed_ivf_topk", "q_embed_ivfpq_topk", "q_ref_decomposed_verbatim",
         "q_bucketed_join", "q_zorder_box", "q_cube_build",
-        "q_cube_route").foreach { n =>
+        "q_cube_route", "q_bm25_indexed", "q_index_point",
+        "q_index_range").foreach { n =>
       try force(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }
     }
