@@ -198,7 +198,8 @@ object Similarity {
   def ivfBuildIndex(embeddings: DataFrame, indexDir: String,
       dim: Int = 64, planes: Int = 8,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
-    clearBuilt(indexDir)
+    resetForRebuild(indexDir, "index", s"$indexDir/vectors",
+      Seq("_maint", "tombstones", "vectors_delta"))
     val bucketed = embeddings.select(col(idCol), col(vecCol),
       hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
     writePartitionedBase(bucketed, "bucket", s"$indexDir/vectors")
@@ -233,7 +234,8 @@ object Similarity {
   def ivfBuildIndexKMeans(embeddings: DataFrame, indexDir: String,
       nCentroids: Int = 32, iters: Int = 3, sampleFraction: Double = 1.0,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
-    clearBuilt(indexDir)
+    resetForRebuild(indexDir, "index", s"$indexDir/vectors",
+      Seq("_maint", "tombstones", "vectors_delta"))
     val vecs = embeddings.select(col(idCol).as("id"),
       col(vecCol).as("v"),
       normalized(col(vecCol)).as("nv"))
@@ -631,6 +633,24 @@ object Similarity {
   /** Has `artifact` under `dir` been built TO COMPLETION? */
   def isBuilt(dir: String, artifact: String = "index"): Boolean =
     new java.io.File(dir, s"_graft_built_$artifact").exists()
+
+  /** Start-of-REBUILD reset shared by the index builders: clear the
+    * completion marker (so a crash mid-rebuild reads as not-built),
+    * finish any crashed compaction swap on the base (the rebuild's
+    * overwrite needs the base AT its path, not renamed aside), and
+    * discard the maintenance overlay — a rebuild is a NEW truth, and
+    * leaving the old `_maint`/tombstones/delta state in place would
+    * have [[resolveDeltaTable]] re-applying STALE tombstones and delta
+    * rows on top of the fresh base (a delete from the previous
+    * generation silently erasing a freshly indexed row). Marker first:
+    * every later crash point then reads as an incomplete build. */
+  private[operators] def resetForRebuild(indexDir: String,
+      artifact: String, basePath: String,
+      overlayDirs: Seq[String]): Unit = {
+    clearBuilt(indexDir, artifact)
+    recoverCompactSwap(basePath)
+    overlayDirs.foreach(d => rmrfDir(new java.io.File(s"$indexDir/$d")))
+  }
 
   private[graft] def clearBuilt(dir: String,
       artifact: String = "index"): Unit = {

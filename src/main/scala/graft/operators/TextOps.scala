@@ -356,7 +356,13 @@ object TextOps {
   def buildInvertedIndex(docs: DataFrame, indexDir: String,
       shards: Int = 64, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
-    Similarity.clearBuilt(indexDir, "invidx")
+    // rebuild = new truth: drop the completion marker first, finish
+    // any crashed compaction swap, discard the old maintenance
+    // overlay (stale tombstones/deltas re-applied over a fresh base
+    // would silently erase freshly indexed docs)
+    Similarity.resetForRebuild(indexDir, "invidx", s"$indexDir/postings",
+      Seq("_maint", "tombstones", "postings_delta", "doclen_delta"))
+    Similarity.recoverCompactSwap(s"$indexDir/doclen")
     val spark = docs.sparkSession
     // ONE tokenize pass over the corpus text (the earlier shape ran
     // three — doclen, stats, and postings each re-derived the

@@ -84,6 +84,39 @@ class CompactCrashSpec extends graft.SparkSuite {
     assert(!new java.io.File(s"$dir/vectors_compacting").exists())
   }
 
+  test("index REBUILD over a previously MAINTAINED index discards the " +
+      "stale overlay (old tombstones must not erase fresh rows)") {
+    import spark.implicits._
+    // IVF: maintain (delete 4, insert 900), then rebuild from the
+    // original corpus — the rebuild's truth has 4 and lacks 900
+    val (dir, q) = maintainedIvf()
+    val maint = probeIds(dir, q)
+    assert(maint.contains(900L) && !maint.contains(4L))
+    Similarity.ivfBuildIndexKMeans(vecs, dir, nCentroids = 4, iters = 2)
+    val wide = Similarity.ivfProbe(spark, dir, q, k = 1000, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(wide.contains(4L),
+      "stale tombstone from the pre-rebuild generation erased a fresh row")
+    assert(!wide.contains(900L),
+      "stale delta row from the pre-rebuild generation leaked in")
+    // inverted index: delete doc 3, rebuild full — doc 3 scores again
+    val docs = Seq(
+      (1L, "spark scan join"), (2L, "join filter"),
+      (3L, "scan scan scan"), (4L, "filter join spark"))
+      .toDF("doc_id", "text")
+    val idir = tmpDir("inv_rebuild")
+    TextOps.buildInvertedIndex(docs, idir, shards = 4)
+    TextOps.invertedIndexUpsert(spark, idir,
+      Seq((3L, "", "delete")).toDF("doc_id", "text", "change"), shards = 4)
+    def ids(): Set[Long] =
+      TextOps.bm25TopKIndexed(spark, idir, Seq("scan"), k = 10,
+        shards = 4).collect().map(_.getLong(0)).toSet
+    assert(!ids().contains(3L))
+    TextOps.buildInvertedIndex(docs, idir, shards = 4)
+    assert(ids().contains(3L),
+      "stale tombstone survived the inverted-index rebuild")
+  }
+
   test("crashed index BUILD (artifact dir exists, no completion marker): " +
       "the cache guard rebuilds instead of trusting the partial dir") {
     val dir = tmpDir("ivf_build_crash")
