@@ -84,6 +84,55 @@ class CompactCrashSpec extends graft.SparkSuite {
     assert(!new java.io.File(s"$dir/vectors_compacting").exists())
   }
 
+  test("compaction crash AFTER the base swap, BEFORE the cleanups: the " +
+      "overlay re-applies idempotently over the compacted base") {
+    import spark.implicits._
+    // IVF: swap completed, _maint/tombstones/deltas all still on disk
+    val (dir, q) = maintainedIvf()
+    val before = probeIds(dir, q)
+    Similarity.writePartitionedBase(
+      Similarity.resolveDeltaTable(spark, dir, s"$dir/vectors", "vec_id"),
+      "bucket", s"$dir/vectors_compacting")
+    Similarity.swapCompactedBase(s"$dir/vectors")
+    // the compacted base now holds the RESOLVED rows; the stale
+    // overlay must not double-apply (delta rows re-union but the
+    // tombstone keeps exactly one copy; deleted ids are gone from the
+    // base and the tombstone kills nothing)
+    assert(probeIds(dir, q) == before,
+      "overlay did not re-apply idempotently over the compacted base")
+    val wide = Similarity.ivfProbe(spark, dir, q, k = 1000, nprobe = 4)
+      .collect().map(_.getLong(0))
+    assert(wide.length == wide.distinct.length,
+      s"duplicate ids: ${wide.diff(wide.distinct).toSeq}")
+    // the retried compaction finishes the job
+    Similarity.ivfCompact(spark, dir)
+    assert(probeIds(dir, q) == before)
+    // inverted index: postings swapped, doclen NOT, overlay intact —
+    // the mixed state the crash-ordering argument explicitly covers
+    val docs = Seq(
+      (1L, "spark scan join"), (2L, "join filter"),
+      (3L, "scan scan scan"), (4L, "filter join spark"))
+      .toDF("doc_id", "text")
+    val idir = tmpDir("inv_mixed")
+    TextOps.buildInvertedIndex(docs, idir, shards = 4)
+    TextOps.invertedIndexUpsert(spark, idir, Seq(
+        (5L, "join join scan", "insert"), (3L, "", "delete"))
+      .toDF("doc_id", "text", "change"), shards = 4)
+    def top(): Seq[(Long, Double)] =
+      TextOps.bm25TopKIndexed(spark, idir, Seq("join", "scan"), k = 10,
+        shards = 4).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val want = top()
+    Similarity.writePartitionedBase(
+      Similarity.resolveDeltaTable(spark, idir, s"$idir/postings", "doc_id"),
+      "shard", s"$idir/postings_compacting")
+    Similarity.swapCompactedBase(s"$idir/postings")
+    assert(top() == want,
+      "postings-compacted / doclen-raw mixed state answered wrong")
+    TextOps.invertedIndexCompact(spark, idir)
+    assert(top() == want)
+  }
+
   test("index REBUILD over a previously MAINTAINED index discards the " +
       "stale overlay (old tombstones must not erase fresh rows)") {
     import spark.implicits._
