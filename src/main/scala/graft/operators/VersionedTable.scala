@@ -75,6 +75,21 @@ object VersionedTable {
     else None
   }
 
+  /** Committed manifests are IMMUTABLE — publish is create-only
+    * (nothing ever writes into an existing slot) and slot numbers are
+    * never reused (claims go strictly upward; vacuum only deletes) —
+    * so "is slot v committed?" can be verified ONCE per JVM. Without
+    * the memo every [[versions]] call re-opens and re-reads EVERY
+    * manifest, making the commit path O(total commits) file reads per
+    * commit: O(n²) metadata I/O over a table's lifetime, the wall
+    * Delta's `_last_checkpoint` exists to avoid. The listing itself
+    * still runs every call (it is what notices vacuumed-away and
+    * freshly committed slots); only the torn-or-committed VERDICT is
+    * memoized, and a torn slot can never become committed later, so a
+    * negative is simply re-checked on the next call. */
+  private val verifiedCommitted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+
   /** All committed version numbers, ascending. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
@@ -82,7 +97,13 @@ object VersionedTable {
     if (!f.exists(dir)) return Seq.empty
     f.listStatus(dir).toSeq
       .flatMap(s => parseVersion(s.getPath.getName))
-      .filter(v => readManifest(f, root, v).isDefined)
+      .filter { v =>
+        verifiedCommitted.contains((root, v)) || {
+          val ok = readManifest(f, root, v).isDefined
+          if (ok) verifiedCommitted.add((root, v))
+          ok
+        }
+      }
       .sorted
   }
 
