@@ -376,23 +376,62 @@ object Warehouse {
       target: org.apache.hadoop.fs.Path,
       staleLockMs: Long = 30 * 60 * 1000L)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(target, mergeLockName)
+    // the lease carries its owner's identity so RELEASE can verify
+    // ownership: an unconditional delete would let a writer whose
+    // stale-looking lease was broken mid-run delete the BREAKER's
+    // fresh lock on exit, cascading the double-writer window onward
+    val ownerId = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lock, false) // atomic create-exclusive
-        try out.write(
-          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
-            .getBytes("UTF-8"))
+        try out.write(s"$ownerId\n".getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+    def lockOwner(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
     var acquired = tryAcquire()
     if (!acquired) {
       val age = try System.currentTimeMillis() -
         fs.getFileStatus(lock).getModificationTime
       catch { case _: java.io.FileNotFoundException => Long.MaxValue }
       if (age > staleLockMs) {
-        fs.delete(lock, false)
-        acquired = tryAcquire()
+        // break by ATOMIC RENAME to a unique name, not delete: with
+        // delete, two waiters that both saw the stale lease could
+        // interleave as (A deletes, A acquires, B deletes A's FRESH
+        // lock, B acquires) — two live writers. The rename can only
+        // succeed for ONE breaker; the loser's rename throws (source
+        // gone) and it falls through to a fair create-exclusive.
+        val broken = new org.apache.hadoop.fs.Path(target,
+          s".$mergeLockName.broken.$ownerId")
+        val stole = try fs.rename(lock, broken)
+          catch { case _: java.io.IOException => false }
+        if (stole) {
+          // re-verify on the STOLEN file: between our age check and
+          // the rename, the stale lease may have been broken and
+          // re-acquired by someone else — then we just stole a LIVE
+          // lease and must give it back, never proceed on it
+          val stolenAge = try System.currentTimeMillis() -
+            fs.getFileStatus(broken).getModificationTime
+          catch { case _: java.io.IOException => Long.MaxValue }
+          if (stolenAge > staleLockMs) {
+            fs.delete(broken, false)
+            acquired = tryAcquire()
+          } else if (!fs.rename(broken, lock))
+            // a third waiter acquired while we held the stolen live
+            // lease — the giveback cannot land; fail LOUDLY (the live
+            // holder must be assumed running; proceeding or silently
+            // swallowing would put two writers on the table)
+            throw new java.io.IOException(
+              s"merge lock: stole a live lease at $lock and could not " +
+                "restore it (another writer acquired meanwhile); " +
+                "manual check required")
+        } else acquired = tryAcquire()
       }
     }
     if (!acquired)
@@ -400,7 +439,7 @@ object Warehouse {
         s"merge lock held by another writer: $lock (a writer dead " +
           s"longer than ${staleLockMs / 60000} min is broken automatically)")
     try body
-    finally fs.delete(lock, false)
+    finally if (lockOwner().forall(_ == ownerId)) fs.delete(lock, false)
   }
 
   /** Everything up to (and including) the merge manifest install: roll

@@ -151,7 +151,10 @@ class WarehouseSpec extends SparkSuite {
         Seq("k"), "ver", "dt")
     }
     assert(err.getMessage.contains("merge lock"), err.getMessage)
-    // loser touched nothing
+    // loser touched nothing — including the HOLDER'S lease (release
+    // is ownership-verified; an unconditional delete here would open
+    // the table to a third writer while the holder still runs)
+    assert(lock.exists, "fail-fast must not delete the live lease")
     assert(spark.read.parquet(dir).collect()
       .map(r => r.getString(1)).toSeq == Seq("a"))
     // the holder died: a lease past the stale window is broken
