@@ -59,51 +59,50 @@ object VersionedTable {
       name.stripPrefix("v").stripSuffix(".manifest").toLongOption
     else None
 
+  /** Committed manifests are IMMUTABLE — publish is create-only
+    * (nothing ever writes into an existing slot) and slot numbers are
+    * never reused (claims go strictly upward; vacuum only deletes) —
+    * so a parsed-committed manifest's dir list can be cached for the
+    * JVM's lifetime. Without it, [[versions]] re-reads EVERY manifest
+    * per call and keyed commits scan every manifest's CONTENT per
+    * re-delivery check: O(total commits) file opens per operation,
+    * O(n²) metadata I/O over a table's lifetime — the wall Delta's
+    * `_last_checkpoint` exists to avoid. Only the COMMITTED verdict is
+    * cached; a torn slot can never become committed later but its
+    * number CAN stay torn forever, so negatives simply re-read.
+    * Existence (vacuumed-away slots) is still checked per call. */
+  private val committedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+
   /** Data dirs of a committed manifest; None if absent or torn. */
   private def readManifest(f: FileSystem, root: String,
       v: Long): Option[Seq[String]] = {
     val p = manifestPath(root, v)
     if (!f.exists(p)) return None
+    val cached = committedCache.get((root, v))
+    if (cached != null) return Some(cached)
     val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty).toSeq
     if (lines.isEmpty || !lines.last.startsWith(endMark)) return None
     val dirs = lines.dropRight(1)
-    if (lines.last.stripPrefix(endMark).toIntOption.contains(dirs.size))
+    if (lines.last.stripPrefix(endMark).toIntOption.contains(dirs.size)) {
+      committedCache.put((root, v), dirs)
       Some(dirs)
-    else None
+    } else None
   }
 
-  /** Committed manifests are IMMUTABLE — publish is create-only
-    * (nothing ever writes into an existing slot) and slot numbers are
-    * never reused (claims go strictly upward; vacuum only deletes) —
-    * so "is slot v committed?" can be verified ONCE per JVM. Without
-    * the memo every [[versions]] call re-opens and re-reads EVERY
-    * manifest, making the commit path O(total commits) file reads per
-    * commit: O(n²) metadata I/O over a table's lifetime, the wall
-    * Delta's `_last_checkpoint` exists to avoid. The listing itself
-    * still runs every call (it is what notices vacuumed-away and
-    * freshly committed slots); only the torn-or-committed VERDICT is
-    * memoized, and a torn slot can never become committed later, so a
-    * negative is simply re-checked on the next call. */
-  private val verifiedCommitted =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
-
-  /** All committed version numbers, ascending. */
+  /** All committed version numbers, ascending. (Cheap per call: the
+    * committed-manifest cache above reduces each already-seen slot to
+    * one existence check.) */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
     val dir = new Path(root, logDir)
     if (!f.exists(dir)) return Seq.empty
     f.listStatus(dir).toSeq
       .flatMap(s => parseVersion(s.getPath.getName))
-      .filter { v =>
-        verifiedCommitted.contains((root, v)) || {
-          val ok = readManifest(f, root, v).isDefined
-          if (ok) verifiedCommitted.add((root, v))
-          ok
-        }
-      }
+      .filter(v => readManifest(f, root, v).isDefined)
       .sorted
   }
 
