@@ -81,10 +81,12 @@ object MediaCodec {
     out
   }
 
-  /** Strict 24bpp BI_RGB decoder; None on any structural mismatch.
-    * Handles both bottom-up (height > 0) and top-down (height < 0)
-    * row orders — channel sums are row-order invariant anyway. */
-  def decodeBmp24(bytes: Array[Byte]): Option[BmpSummary] = {
+  /** Validated 24bpp BI_RGB geometry: (width, height, dataOffset,
+    * rowSize, topDown). None on any structural mismatch — the strict
+    * validations [[decodeBmp24]] documents, factored so pixel-access
+    * consumers (the perceptual hash) share them. */
+  private def bmpGeom(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int, Boolean)] = {
     if (bytes == null || bytes.length < BmpHeaderBytes) return None
     if (bytes(0) != 'B' || bytes(1) != 'M') return None
     val dataOffset = i32(bytes, 10)
@@ -101,21 +103,73 @@ object MediaCodec {
     if (dataOffset < BmpHeaderBytes ||
         dataOffset.toLong + rowSize.toLong * height > bytes.length)
       return None
-    var (sr, sg, sb) = (0L, 0L, 0L)
-    var y = 0
-    while (y < height) {
-      val base = dataOffset + y * rowSize
-      var x = 0
-      while (x < width) {
-        sb += bytes(base + x * 3) & 0xff
-        sg += bytes(base + x * 3 + 1) & 0xff
-        sr += bytes(base + x * 3 + 2) & 0xff
-        x += 1
-      }
-      y += 1
-    }
-    Some(BmpSummary(width, height, sr, sg, sb))
+    Some((width, height, dataOffset, rowSize, rawHeight < 0))
   }
+
+  /** Strict 24bpp BI_RGB decoder; None on any structural mismatch.
+    * Handles both bottom-up (height > 0) and top-down (height < 0)
+    * row orders — channel sums are row-order invariant anyway. */
+  def decodeBmp24(bytes: Array[Byte]): Option[BmpSummary] = {
+    bmpGeom(bytes).map { case (width, height, dataOffset, rowSize, _) =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < height) {
+        val base = dataOffset + y * rowSize
+        var x = 0
+        while (x < width) {
+          sb += bytes(base + x * 3) & 0xff
+          sg += bytes(base + x * 3 + 1) & 0xff
+          sr += bytes(base + x * 3 + 2) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      BmpSummary(width, height, sr, sg, sb)
+    }
+  }
+
+  /** 64-bit difference hash (dHash) of a 24bpp BMP: point-sample a
+    * 9×8 luminance grid (block centers, nearest pixel), bit
+    * (row*8 + col) = luma(col+1, row) > luma(col, row). All-INTEGER
+    * comparisons, so two perceptually identical images hash
+    * bitwise-equal with a PROOF, not a float knife-edge: a uniform
+    * brightness shift adds the same constant to both sides of every
+    * comparison (block-mean variants need exact rational comparisons
+    * for the same guarantee). Gradient direction — what dHash
+    * captures — survives brightness/contrast drift; that is why it is
+    * the standard near-dup image fingerprint. None for anything that
+    * is not a structurally valid 24bpp BMP (the PNG path decompresses
+    * to the same pixel layout and can adopt this sampler later).
+    * Orientation-normalized: a bottom-up and a top-down encoding of
+    * the SAME image hash identically. */
+  def bmpDHash64(bytes: Array[Byte]): Option[Long] =
+    bmpGeom(bytes).map { case (w, h, dataOffset, rowSize, topDown) =>
+      def lumaAt(x: Int, yImg: Int): Int = {
+        val yStore = if (topDown) yImg else h - 1 - yImg
+        val base = dataOffset + yStore * rowSize + x * 3
+        // r + g + b: any fixed positive channel combination works —
+        // integer keeps the shift-invariance argument exact
+        (bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+          (bytes(base + 2) & 0xff)
+      }
+      def sampleX(g: Int): Int = math.min((2 * g + 1) * w / 18, w - 1)
+      def sampleY(g: Int): Int = math.min((2 * g + 1) * h / 16, h - 1)
+      var hash = 0L
+      var row = 0
+      while (row < 8) {
+        val y = sampleY(row)
+        var colLuma = lumaAt(sampleX(0), y)
+        var col = 0
+        while (col < 8) {
+          val next = lumaAt(sampleX(col + 1), y)
+          if (next > colLuma) hash |= 1L << (row * 8 + col)
+          colLuma = next
+          col += 1
+        }
+        row += 1
+      }
+      hash
+    }
 
   // ------------------------------------------------------------- PNG
 

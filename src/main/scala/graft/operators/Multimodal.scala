@@ -90,6 +90,47 @@ object Multimodal {
     media.withColumn(payloadCol, resize(col(payloadCol)))
   }
 
+  /** Perceptual image fingerprints over media batches: one (media_id,
+    * phash) row per input, phash NULL for payloads that are not
+    * structurally valid images ([[MediaCodec.bmpDHash64]] — strict, so
+    * text bytes can never produce a phash). Same mapPartitions batch
+    * shape as [[extractFeatures]]. The hash is the standard dHash
+    * near-dup fingerprint: byte-level COPIES and uniform
+    * brightness-shifted copies collide exactly (integer-exact — see
+    * the codec doc), unrelated images collide with ~2⁻⁶⁴ probability.
+    *
+    * 100 TB shape for the dedup built on it: the decode is map-only;
+    * the dedup is one exchange of (8-byte hash, id) — the exact-dedup
+    * cost class, nothing pairwise. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = true)))
+    val enc = ExpressionEncoder(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        Row(r.getLong(0),
+          MediaCodec.bmpDHash64(payload)
+            .map(java.lang.Long.valueOf).orNull)
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-dup image dedup: keep the smallest media_id per
+    * dHash class; rows whose payload is not a decodable image keep
+    * themselves (null hash never groups). min_by-style single
+    * exchange on the 8-byte hash — hot-hash-proof (a viral image
+    * duplicated a billion times collapses map-side). */
+  def imageDedup(media: DataFrame): DataFrame = {
+    val hashed = perceptualHash(media)
+    val survivors = hashed.filter(col("phash").isNotNull)
+      .groupBy("phash").agg(min(col("media_id")).as("media_id"))
+      .select("media_id")
+    hashed.filter(col("phash").isNull).select("media_id")
+      .unionByName(survivors)
+  }
+
   /** Feature extraction over media batches: mapPartitions so a real
     * decoder could amortize codec init per partition (the Scala analogue
     * of mapInPandas batch shape). Output keeps the id + a fixed-width

@@ -227,6 +227,57 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaCodec.decodeWavPcm16(wav.take(wav.length - 3)).isEmpty)
   }
 
+  test("bmpDHash64: brightness-shift invariant, orientation-normalized, " +
+      "content-sensitive, strict") {
+    def grad(shift: Int) = MediaCodec.encodeBmp24(12, 9, (x, y) => (
+      (x * 37 + y * 11) % 200 + shift,
+      (y * 29 + x * 5) % 200 + shift,
+      (x * y * 3) % 200 + shift))
+    val base = MediaCodec.bmpDHash64(grad(0))
+    assert(base.nonEmpty)
+    // different BYTES, same picture: uniform brightness shift
+    assert(MediaCodec.bmpDHash64(grad(5)) == base)
+    assert(!java.util.Arrays.equals(grad(0), grad(5)))
+    // different content: hash moves
+    val other = MediaCodec.encodeBmp24(12, 9, (x, y) => (
+      (x * 151 + y * 83) % 200, (y * 97) % 200, (x * 13) % 200))
+    assert(MediaCodec.bmpDHash64(other) != base)
+    // a top-down encoding of the SAME pixels hashes identically:
+    // flip the stored rows and negate the height field
+    val bu = grad(0)
+    val td = bu.clone()
+    val rowSize = ((12 * 3 + 3) / 4) * 4
+    (0 until 9).foreach { y =>
+      System.arraycopy(bu, 54 + (9 - 1 - y) * rowSize,
+        td, 54 + y * rowSize, rowSize)
+    }
+    val hNeg = -9
+    td(22) = hNeg.toByte; td(23) = (hNeg >> 8).toByte
+    td(24) = (hNeg >> 16).toByte; td(25) = (hNeg >> 24).toByte
+    assert(MediaCodec.bmpDHash64(td) == base, "orientation changed the hash")
+    // strictness: text and null never hash
+    assert(MediaCodec.bmpDHash64("BM not a bitmap".getBytes).isEmpty)
+    assert(MediaCodec.bmpDHash64(null).isEmpty)
+  }
+
+  test("imageDedup: byte-different brightness copies collapse; " +
+      "non-image payloads keep themselves") {
+    def img(cls: Int, shift: Int) = MediaCodec.encodeBmp24(
+      10 + cls, 9, (x, y) => (
+        (x * (31 + 13 * cls) + y * 17) % 200 + shift,
+        (y * 23 + x * 7) % 200 + shift,
+        (cls * 97 + x * 53) % 200 + shift))
+    val rows = Seq(
+      (1L, img(0, 0)), (2L, img(0, 3)),   // class 0: bytes differ
+      (3L, img(1, 0)), (4L, img(1, 2)),   // class 1
+      (5L, "not an image at all".getBytes),
+      (6L, "also not an image".getBytes)) // non-images both survive
+      .toDF("media_id", "payload")
+    val kept = Multimodal.imageDedup(rows)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L, 6L), s"kept=$kept")
+  }
+
   test("extractFeatures routes real media to the codec, text to the stub") {
     val rows = Seq(
       (1L, MediaCodec.encodeBmp24(2, 2, (_, _) => (10, 20, 30))),
