@@ -313,11 +313,27 @@ object Dedup {
     * fans out. */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
-      nBands: Int = 4): DataFrame = {
+      nBands: Int = 4): DataFrame =
+    fingerprintHammingPairs(
+      docs.select(col(idCol).as("id"),
+        SimHash64.simhash64(wordTokens(col(textCol))).as("fp")),
+      maxHamming, nBands)
+
+  /** All (id_a < id_b) pairs of 64-bit fingerprints within
+    * `maxHamming`, by pigeonhole banding: split the word into `nBands`
+    * bands — a pair within the radius must share at least one clean
+    * band when `nBands > maxHamming` — self-join per band, popcount-
+    * verify. The fingerprint-agnostic core of [[simHashPairs]], shared
+    * with the image dHash near-dup path
+    * ([[Multimodal.imageNearDupPairs]]): `fps` carries (id, fp). The
+    * band-width envelope rule travels with it — keys are `64/nBands`
+    * bits, so occupancy goes quadratic at corpus scale once the width
+    * drops below ~12 bits (see [[simHashNearDupPairs]]). */
+  def fingerprintHammingPairs(fps: DataFrame, maxHamming: Int,
+      nBands: Int): DataFrame = {
     require(nBands >= 1 && nBands <= 64, s"nBands must be 1..64: $nBands")
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val fp = docs.select(col(idCol).as("id"),
-      SimHash64.simhash64(wordTokens(col(textCol))).as("fp"))
+    val par = fps.sparkSession.sparkContext.defaultParallelism
+    val fp = fps.select(col("id"), col("fp"))
     // band i covers bits [i*w, i*w+w) (last band takes the remainder)
     val w = 64 / nBands
     val bandCols = (0 until nBands).map { b =>

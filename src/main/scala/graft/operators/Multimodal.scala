@@ -131,6 +131,26 @@ object Multimodal {
       .unionByName(survivors)
   }
 
+  /** Image NEAR-dup pairs within a dHash Hamming radius — the real
+    * near-dup case (recompressed, brightness-drifted, lightly edited
+    * copies whose hashes differ in a few bits). Pigeonhole banding
+    * over the 64-bit hash (`nBands = maxHamming + 1`; a pair within
+    * the radius must share one clean band), popcount verify — the
+    * shared [[Dedup.fingerprintHammingPairs]] core, so the SimHash
+    * scale envelope travels with it: radius ≤ 4 keeps band keys ≥ 12
+    * bits (beyond that the band key space is too small to prune at
+    * corpus scale — cluster on a stronger descriptor instead).
+    * Non-image payloads (null hash) never pair. Output: (id_a, id_b,
+    * hamming), id_a < id_b. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 4,
+      s"dHash banding envelope is maxHamming in [0,4], got $maxHamming")
+    Dedup.fingerprintHammingPairs(
+      perceptualHash(media).filter(col("phash").isNotNull)
+        .select(col("media_id").as("id"), col("phash").as("fp")),
+      maxHamming, nBands = maxHamming + 1)
+  }
+
   /** Feature extraction over media batches: mapPartitions so a real
     * decoder could amortize codec init per partition (the Scala analogue
     * of mapInPandas batch shape). Output keeps the id + a fixed-width

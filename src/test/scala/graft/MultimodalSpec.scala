@@ -278,6 +278,33 @@ class MultimodalSpec extends SparkSuite {
     assert(kept == Set(1L, 3L, 5L, 6L), s"kept=$kept")
   }
 
+  test("imageNearDupPairs: pigeonhole banding finds pairs within the " +
+      "Hamming radius and misses beyond it; non-images never pair") {
+    // monotone-in-x luma gradient; the bump at the (col 0, row 0)
+    // sample point flips EXACTLY dHash bit 0 (ground truth pinned by
+    // direct hash calls so the fixture cannot drift silently)
+    def img(bump: Int) = MediaCodec.encodeBmp24(18, 16, (x, y) => (
+      x * 3 + y + (if (x < 2 && y < 2) bump else 0),
+      y * 2, x * 2))
+    val h0 = MediaCodec.bmpDHash64(img(0)).get
+    val h1 = MediaCodec.bmpDHash64(img(120)).get
+    assert(java.lang.Long.bitCount(h0 ^ h1) == 1,
+      s"fixture drifted: hamming=${java.lang.Long.bitCount(h0 ^ h1)}")
+    val rows = Seq(
+      (1L, img(0)), (2L, img(120)),
+      (3L, "never an image".getBytes))
+      .toDF("media_id", "payload")
+    val at1 = Multimodal.imageNearDupPairs(rows, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(at1.toSeq == Seq((1L, 2L, 1)), s"at1=${at1.toSeq}")
+    assert(Multimodal.imageNearDupPairs(rows, maxHamming = 0)
+      .collect().isEmpty, "radius 0 must miss a 1-bit pair")
+    // the banding envelope is enforced, not silently degraded
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(rows, maxHamming = 5)
+    }
+  }
+
   test("extractFeatures routes real media to the codec, text to the stub") {
     val rows = Seq(
       (1L, MediaCodec.encodeBmp24(2, 2, (_, _) => (10, 20, 30))),
