@@ -141,7 +141,14 @@ object Multimodal {
     * bits (beyond that the band key space is too small to prune at
     * corpus scale — cluster on a stronger descriptor instead).
     * Non-image payloads (null hash) never pair. Output: (id_a, id_b,
-    * hamming), id_a < id_b. */
+    * hamming), id_a < id_b.
+    *
+    * Mass-identical caveat (same as every bucket-pairing blocker):
+    * ids sharing ONE hash are unsplittable bucket-mates, so a viral
+    * image duplicated a billion times makes this id-level output
+    * quadratic within the class. Collapse exact classes first
+    * ([[imageDedup]]) or use [[imageNearDupClasses]], which pairs
+    * DISTINCT hashes and stays linear in distinct content. */
   def imageNearDupPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 4,
       s"dHash banding envelope is maxHamming in [0,4], got $maxHamming")
@@ -149,6 +156,25 @@ object Multimodal {
       perceptualHash(media).filter(col("phash").isNotNull)
         .select(col("media_id").as("id"), col("phash").as("fp")),
       maxHamming, nBands = maxHamming + 1)
+  }
+
+  /** Near-dup CLASS pairs over DISTINCT hashes — the scale form of
+    * [[imageNearDupPairs]]: a class of a billion identical copies is
+    * ONE row in the banding join, and a near-pair between two big
+    * classes is one (fp_a, fp_b) row instead of |A|×|B| id pairs.
+    * Output: (fp_a, fp_b, hamming); join [[perceptualHash]] on either
+    * side for members (or keep classes as the unit of curation — drop
+    * whole classes, keep one representative per class). */
+  def imageNearDupClasses(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 4,
+      s"dHash banding envelope is maxHamming in [0,4], got $maxHamming")
+    Dedup.fingerprintHammingPairs(
+      perceptualHash(media).filter(col("phash").isNotNull)
+        .select(col("phash").as("id")).distinct()
+        .withColumn("fp", col("id")),
+      maxHamming, nBands = maxHamming + 1)
+      .select(col("id_a").as("fp_a"), col("id_b").as("fp_b"),
+        col("hamming"))
   }
 
   /** Feature extraction over media batches: mapPartitions so a real

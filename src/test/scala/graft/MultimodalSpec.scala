@@ -303,6 +303,17 @@ class MultimodalSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Multimodal.imageNearDupPairs(rows, maxHamming = 5)
     }
+    // the CLASS form collapses mass-identical copies: 5 extra byte-
+    // identical copies of each image add zero rows to the class join
+    val crowded = rows.unionByName(
+      (10L to 14L).map(i => (i, img(0))).toDF("media_id", "payload"))
+      .unionByName(
+        (20L to 24L).map(i => (i, img(120))).toDF("media_id", "payload"))
+    val classes = Multimodal.imageNearDupClasses(crowded, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(classes.length == 1 && classes.head._3 == 1,
+      s"classes=${classes.toSeq}")
+    assert(Set(classes.head._1, classes.head._2) == Set(h0, h1))
   }
 
   test("extractFeatures routes real media to the codec, text to the stub") {
