@@ -863,19 +863,21 @@ object TextQueries {
                    CAST(100 * (1 + doc_id % 50) AS BIGINT) AS max_abs
             FROM documents ORDER BY media_id"""))
 
-  /** Perceptual near-dup IMAGE dedup end-to-end: plant one real 24-bit
-    * BMP per document whose CONTENT is keyed by `doc_id % 25` — so
-    * every class holds one plain copy and one copy with a uniform +3
-    * brightness shift (different BYTES, same picture; byte-level
-    * equality never fires). The dHash fingerprint is integer-exact
-    * under the shift ([[graft.operators.MediaCodec.bmpDHash64]]), so
-    * the survivor set is closed-form: the min doc_id of each class.
-    * Decode is map-only; the dedup is one exchange on the 8-byte
-    * hash — the exact-dedup cost class at any corpus size. */
+  /** Perceptual near-dup IMAGE dedup end-to-end: plant one real image
+    * per document whose CONTENT is keyed by `doc_id % 25` — every
+    * class holds one plain copy encoded as an uncompressed BMP and one
+    * copy with a uniform +3 brightness shift encoded as a
+    * zlib-compressed PNG (different bytes, different CONTAINER, same
+    * picture; byte-level equality never fires). The dHash fingerprint
+    * is container-independent and integer-exact under the shift
+    * ([[graft.operators.MediaCodec.imageDHash64]]), so the survivor
+    * set is closed-form: the min doc_id of each class. Decode is
+    * map-only; the dedup is one exchange on the 8-byte hash — the
+    * exact-dedup cost class at any corpus size. */
   val q_multimodal_phash_dedup = QuerySpec(
     "q_multimodal_phash_dedup", Seq("E-mm", "E-dedup", "U5"),
     (s, d) => {
-      val mkBmp = udf { id: Long =>
+      val mkImg = udf { id: Long =>
         val cls = (id % 25).toInt
         val w = 9 + cls % 5
         val h = 8 + cls % 4
@@ -883,15 +885,18 @@ object TextQueries {
         // class-specific gradient frequencies; the mod-200 wraps put
         // sign changes at class-specific sample columns, so the 25
         // classes land on distinct hashes (checked by the oracle)
-        MediaCodec.encodeBmp24(w, h, (x, y) => (
+        val px = (x: Int, y: Int) => (
           (x * (31 + 13 * (cls % 7)) + y * 17) % 200 + shift,
           (y * (23 + 19 * (cls % 5)) + x * 7) % 200 + shift,
-          (cls * 97 + x * 53 + y * 29) % 200 + shift))
+          (cls * 97 + x * 53 + y * 29) % 200 + shift)
+        if (id % 2 == 1) MediaCodec.encodePng(w, h, px)
+        else MediaCodec.encodeBmp24(w, h, px)
       }
       val media = Engine.table(s, d, "documents").select(
         col("doc_id").cast("long").as("media_id"),
-        lit("image/bmp").as("media_type"),
-        mkBmp(col("doc_id")).as("payload"),
+        when(col("doc_id") % 2 === 1, "image/png")
+          .otherwise("image/bmp").as("media_type"),
+        mkImg(col("doc_id")).as("payload"),
         map().cast("map<string,string>").as("meta"))
       Multimodal.imageDedup(media)
         .select(col("media_id")).orderBy("media_id")

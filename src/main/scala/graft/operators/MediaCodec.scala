@@ -138,38 +138,46 @@ object MediaCodec {
     * for the same guarantee). Gradient direction — what dHash
     * captures — survives brightness/contrast drift; that is why it is
     * the standard near-dup image fingerprint. None for anything that
-    * is not a structurally valid 24bpp BMP (the PNG path decompresses
-    * to the same pixel layout and can adopt this sampler later).
+    * is not a structurally valid 24bpp BMP ([[pngDHash64]] runs the
+    * SAME sampler over reconstructed PNG pixels — [[imageDHash64]]
+    * dispatches across both containers).
     * Orientation-normalized: a bottom-up and a top-down encoding of
     * the SAME image hash identically. */
   def bmpDHash64(bytes: Array[Byte]): Option[Long] =
     bmpGeom(bytes).map { case (w, h, dataOffset, rowSize, topDown) =>
-      def lumaAt(x: Int, yImg: Int): Int = {
+      dHash64At(w, h, (x, yImg) => {
         val yStore = if (topDown) yImg else h - 1 - yImg
         val base = dataOffset + yStore * rowSize + x * 3
         // r + g + b: any fixed positive channel combination works —
         // integer keeps the shift-invariance argument exact
         (bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
           (bytes(base + 2) & 0xff)
-      }
-      def sampleX(g: Int): Int = math.min((2 * g + 1) * w / 18, w - 1)
-      def sampleY(g: Int): Int = math.min((2 * g + 1) * h / 16, h - 1)
-      var hash = 0L
-      var row = 0
-      while (row < 8) {
-        val y = sampleY(row)
-        var colLuma = lumaAt(sampleX(0), y)
-        var col = 0
-        while (col < 8) {
-          val next = lumaAt(sampleX(col + 1), y)
-          if (next > colLuma) hash |= 1L << (row * 8 + col)
-          colLuma = next
-          col += 1
-        }
-        row += 1
-      }
-      hash
+      })
     }
+
+  /** The dHash bit loop over any luma accessor in IMAGE orientation
+    * (y = 0 is the top row) — format-independent, so the same picture
+    * in different containers hashes identically. */
+  private def dHash64At(w: Int, h: Int,
+      lumaAt: (Int, Int) => Int): Long = {
+    def sampleX(g: Int): Int = math.min((2 * g + 1) * w / 18, w - 1)
+    def sampleY(g: Int): Int = math.min((2 * g + 1) * h / 16, h - 1)
+    var hash = 0L
+    var row = 0
+    while (row < 8) {
+      val y = sampleY(row)
+      var colLuma = lumaAt(sampleX(0), y)
+      var col = 0
+      while (col < 8) {
+        val next = lumaAt(sampleX(col + 1), y)
+        if (next > colLuma) hash |= 1L << (row * 8 + col)
+        colLuma = next
+        col += 1
+      }
+      row += 1
+    }
+    hash
+  }
 
   // ------------------------------------------------------------- PNG
 
@@ -250,6 +258,38 @@ object MediaCodec {
     * structural or CRC mismatch returns None — never a wrong decode.
     * Alpha (type 6) is parsed but excluded from the channel sums. */
   def decodePng(bytes: Array[Byte]): Option[BmpSummary] = {
+    pngPixels(bytes).map { case (width, height, bpp, raw) =>
+      val stride = width * bpp
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < height) {
+        val base = y * (1 + stride) + 1
+        var x = 0
+        while (x < stride) {
+          val v = raw(base + x) & 0xff
+          (x % bpp) match {
+            case 0 => sr += v
+            case 1 => sg += v
+            case 2 => sb += v
+            case _ => // alpha: excluded from sums
+          }
+          x += 1
+        }
+        y += 1
+      }
+      BmpSummary(width, height, sr, sg, sb)
+    }
+  }
+
+  /** Reconstructed PNG pixel buffer: (width, height, bytesPerPixel,
+    * raw) where `raw` is the unfiltered scanline stream (each row is
+    * one leading filter byte — now meaningless — followed by
+    * `width*bpp` reconstructed samples, top-down). The strict parse +
+    * zlib inflate + filter reconstruction previously inlined in
+    * [[decodePng]], factored so pixel-access consumers (the
+    * perceptual hash) share it. */
+  private def pngPixels(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.length < PngSig.length + 12) return None
     var i = 0
     while (i < PngSig.length) {
@@ -315,7 +355,6 @@ object MediaCodec {
       val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
-    var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0
     while (y < height) {
       val base = y * (1 + stride) + 1
@@ -334,20 +373,32 @@ object MediaCodec {
           case 3 => (a + b) / 2
           case 4 => paeth(a, b, c)
         }
-        val v = ((raw(base + x) & 0xff) + add) & 0xff
-        raw(base + x) = v.toByte
-        (x % bpp) match {
-          case 0 => sr += v
-          case 1 => sg += v
-          case 2 => sb += v
-          case _ => // alpha: excluded from sums
-        }
+        raw(base + x) = (((raw(base + x) & 0xff) + add) & 0xff).toByte
         x += 1
       }
       y += 1
     }
-    Some(BmpSummary(width, height, sr, sg, sb))
+    Some((width, height, bpp, raw))
   }
+
+  /** [[bmpDHash64]]'s fingerprint for a PNG payload: the SAME sampler
+    * over the reconstructed pixel buffer, so the same picture in
+    * either container hashes IDENTICALLY (alpha, when present, is
+    * excluded from luma exactly as it is excluded from sums). */
+  def pngDHash64(bytes: Array[Byte]): Option[Long] =
+    pngPixels(bytes).map { case (w, h, bpp, raw) =>
+      val stride = w * bpp
+      dHash64At(w, h, (x, y) => {
+        val base = y * (1 + stride) + 1 + x * bpp
+        (raw(base) & 0xff) + (raw(base + 1) & 0xff) +
+          (raw(base + 2) & 0xff)
+      })
+    }
+
+  /** Container-independent perceptual fingerprint: BMP or PNG, same
+    * pixels → same hash. */
+  def imageDHash64(bytes: Array[Byte]): Option[Long] =
+    bmpDHash64(bytes).orElse(pngDHash64(bytes))
 
   // ------------------------------------------------------------- WAV
 

@@ -92,7 +92,7 @@ object Multimodal {
 
   /** Perceptual image fingerprints over media batches: one (media_id,
     * phash) row per input, phash NULL for payloads that are not
-    * structurally valid images ([[MediaCodec.bmpDHash64]] — strict, so
+    * structurally valid images ([[MediaCodec.imageDHash64]]: BMP or PNG, strict, so
     * text bytes can never produce a phash). Same mapPartitions batch
     * shape as [[extractFeatures]]. The hash is the standard dHash
     * near-dup fingerprint: byte-level COPIES and uniform
@@ -111,7 +111,7 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         Row(r.getLong(0),
-          MediaCodec.bmpDHash64(payload)
+          MediaCodec.imageDHash64(payload)
             .map(java.lang.Long.valueOf).orNull)
       }
     }(enc)

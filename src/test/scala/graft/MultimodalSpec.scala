@@ -278,6 +278,27 @@ class MultimodalSpec extends SparkSuite {
     assert(kept == Set(1L, 3L, 5L, 6L), s"kept=$kept")
   }
 
+  test("imageDHash64 is container-independent: the same picture in BMP " +
+      "and PNG hashes identically; formats alone never collide") {
+    val px = (x: Int, y: Int) =>
+      ((x * 37 + y * 11) % 200, (y * 29 + x * 5) % 200, (x * y * 3) % 200)
+    val bmp = MediaCodec.encodeBmp24(12, 9, px)
+    val png = MediaCodec.encodePng(12, 9, px)
+    val hb = MediaCodec.imageDHash64(bmp)
+    val hp = MediaCodec.imageDHash64(png)
+    assert(hb.nonEmpty && hb == hp,
+      s"container changed the perceptual hash: bmp=$hb png=$hp")
+    // a DIFFERENT picture in the same PNG container must not collide
+    val other = MediaCodec.encodePng(12, 9, (x, y) =>
+      ((x * 151 + y * 83) % 200, (y * 97) % 200, (x * 13) % 200))
+    assert(MediaCodec.imageDHash64(other) != hb)
+    // brightness invariance holds through the PNG path too
+    val pngShift = MediaCodec.encodePng(12, 9, (x, y) => {
+      val (r, g, b) = px(x, y); (r + 4, g + 4, b + 4)
+    })
+    assert(MediaCodec.imageDHash64(pngShift) == hb)
+  }
+
   test("imageNearDupPairs: pigeonhole banding finds pairs within the " +
       "Hamming radius and misses beyond it; non-images never pair") {
     // monotone-in-x luma gradient; the bump at the (col 0, row 0)
