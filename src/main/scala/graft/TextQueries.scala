@@ -906,6 +906,40 @@ object TextQueries {
                             WHERE d2.doc_id % 25 = d.doc_id % 25)
             ORDER BY media_id"""))
 
+  /** Gain-invariant AUDIO dedup end-to-end, the WAV twin of
+    * [[q_multimodal_phash_dedup]]: one PCM-16 waveform per document
+    * keyed by `doc_id % 25` (class-specific period/phase/length), odd
+    * ids carrying an exact ×3 gain (different bytes, same sound
+    * shape; no clipping, so the envelope hash's integer
+    * gain-invariance holds by proof —
+    * [[graft.operators.MediaCodec.wavEnvelopeHash64]]). Survivor set
+    * closed-form: the min doc_id per class. */
+  val q_multimodal_audio_dedup = QuerySpec(
+    "q_multimodal_audio_dedup", Seq("E-mm", "E-dedup", "U5"),
+    (s, d) => {
+      val mkWav = udf { id: Long =>
+        val cls = (id % 25).toInt
+        val gain = if (id % 2 == 1) 3 else 1
+        val n = 130 + (cls % 7) * 13
+        val samples = Array.tabulate[Short](n) { i =>
+          val base = ((i * (3 + cls % 5) + cls * 17) % 351) - 175
+          (base * gain).toShort
+        }
+        MediaCodec.encodeWavPcm16(8000 + (cls % 3) * 4000, 1, samples)
+      }
+      val media = Engine.table(s, d, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("audio/wav").as("media_type"),
+        mkWav(col("doc_id")).as("payload"),
+        map().cast("map<string,string>").as("meta"))
+      Multimodal.audioDedup(media)
+        .select(col("media_id")).orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id FROM documents d
+            WHERE doc_id = (SELECT min(doc_id) FROM documents d2
+                            WHERE d2.doc_id % 25 = d.doc_id % 25)
+            ORDER BY media_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q_text_token_stats, q_text_token_budget, q_text_quality,
     q_text_langid, q_text_fingerprint, q_text_normalize,
@@ -919,5 +953,5 @@ object TextQueries {
     q_embed_ivfpq_topk, q_dedup_semantic, q_multimodal_features,
     q_multimodal_frames, q_multimodal_decode_bmp,
     q_multimodal_decode_png, q_multimodal_decode_wav,
-    q_multimodal_phash_dedup)
+    q_multimodal_phash_dedup, q_multimodal_audio_dedup)
 }

@@ -434,7 +434,12 @@ object MediaCodec {
   /** Strict PCM-16 RIFF/WAVE decoder; walks the chunk list (fmt may
     * be followed by LIST/fact/etc. before data). None on any
     * structural mismatch or non-PCM-16 stream. */
-  def decodeWavPcm16(bytes: Array[Byte]): Option[WavSummary] = {
+  /** Validated PCM-16 RIFF/WAVE geometry: (sampleRate, channels,
+    * dataOffset, nSamples) — the strict validations [[decodeWavPcm16]]
+    * documents, factored so sample-access consumers (the envelope
+    * hash) share them. */
+  private def wavGeom(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 44) return None
     if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
         bytes(3) != 'F') return None
@@ -463,19 +468,60 @@ object MediaCodec {
     }
     if (sampleRate <= 0 || channels <= 0 || dataOff < 0) return None
     if (dataLen % (2 * channels) != 0) return None
-    val n = dataLen / 2
-    var sumAbs = 0L
-    var maxAbs = 0
-    var i = 0
-    while (i < n) {
-      val v = u16(bytes, dataOff + i * 2).toShort.toInt
-      val a = math.abs(v)
-      sumAbs += a
-      if (a > maxAbs) maxAbs = a
-      i += 1
-    }
-    Some(WavSummary(sampleRate, channels, n / channels, sumAbs, maxAbs))
+    Some((sampleRate, channels, dataOff, dataLen / 2))
   }
+
+  def decodeWavPcm16(bytes: Array[Byte]): Option[WavSummary] = {
+    wavGeom(bytes).map { case (sampleRate, channels, dataOff, n) =>
+      var sumAbs = 0L
+      var maxAbs = 0
+      var i = 0
+      while (i < n) {
+        val v = u16(bytes, dataOff + i * 2).toShort.toInt
+        val a = math.abs(v)
+        sumAbs += a
+        if (a > maxAbs) maxAbs = a
+        i += 1
+      }
+      WavSummary(sampleRate, channels, n / channels, sumAbs, maxAbs)
+    }
+  }
+
+  /** 64-bit envelope difference hash of a PCM-16 WAV — the audio twin
+    * of the image dHash: split the (channel-interleaved) sample stream
+    * into 65 equal segments, e_k = Σ|sample| over segment k (exact
+    * Long), bit k = e(k+1) > e(k). The envelope SHAPE is the
+    * fingerprint, so a copy at a different volume collides: an exact
+    * gain change (s' = g·s, integer g, no clipping) scales every
+    * segment energy by the same factor and every integer comparison is
+    * PROVABLY unchanged (real-world resampled/re-encoded gain is
+    * approximately invariant — use [[graft.operators.Dedup
+    * .fingerprintHammingPairs]] with a small radius there). Strict:
+    * None for anything that is not a valid PCM-16 WAV. */
+  def wavEnvelopeHash64(bytes: Array[Byte]): Option[Long] =
+    wavGeom(bytes).map { case (_, _, dataOff, n) =>
+      val e = new Array[Long](65)
+      var k = 0
+      while (k < 65) {
+        val lo = (k.toLong * n / 65).toInt
+        val hi = ((k + 1).toLong * n / 65).toInt
+        var s = 0L
+        var i = lo
+        while (i < hi) {
+          s += math.abs(u16(bytes, dataOff + i * 2).toShort.toInt)
+          i += 1
+        }
+        e(k) = s
+        k += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (e(b + 1) > e(b)) hash |= 1L << b
+        b += 1
+      }
+      hash
+    }
 
   // ------------------------------------------------- feature dispatch
 

@@ -102,17 +102,30 @@ object Multimodal {
     * 100 TB shape for the dedup built on it: the decode is map-only;
     * the dedup is one exchange of (8-byte hash, id) — the exact-dedup
     * cost class, nothing pairwise. */
-  def perceptualHash(media: DataFrame): DataFrame = {
+  def perceptualHash(media: DataFrame): DataFrame =
+    fingerprintTable(media, "phash", MediaCodec.imageDHash64)
+
+  /** Audio fingerprints — [[perceptualHash]]'s twin over the WAV
+    * envelope hash ([[MediaCodec.wavEnvelopeHash64]]): volume-scaled
+    * copies collide (gain-invariance is integer-exact for exact
+    * gains); null for anything that is not a PCM-16 WAV. */
+  def audioHash(media: DataFrame): DataFrame =
+    fingerprintTable(media, "ahash", MediaCodec.wavEnvelopeHash64)
+
+  /** (media_id, <hashCol>) via a strict per-payload fingerprint, the
+    * shared mapPartitions plumbing of [[perceptualHash]] /
+    * [[audioHash]]. */
+  private def fingerprintTable(media: DataFrame, hashCol: String,
+      fingerprint: Array[Byte] => Option[Long]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
-      StructField("phash", LongType, nullable = true)))
+      StructField(hashCol, LongType, nullable = true)))
     val enc = ExpressionEncoder(outSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         Row(r.getLong(0),
-          MediaCodec.imageDHash64(payload)
-            .map(java.lang.Long.valueOf).orNull)
+          fingerprint(payload).map(java.lang.Long.valueOf).orNull)
       }
     }(enc)
   }
@@ -122,12 +135,19 @@ object Multimodal {
     * themselves (null hash never groups). min_by-style single
     * exchange on the 8-byte hash — hot-hash-proof (a viral image
     * duplicated a billion times collapses map-side). */
-  def imageDedup(media: DataFrame): DataFrame = {
-    val hashed = perceptualHash(media)
-    val survivors = hashed.filter(col("phash").isNotNull)
-      .groupBy("phash").agg(min(col("media_id")).as("media_id"))
+  def imageDedup(media: DataFrame): DataFrame =
+    dedupByHash(perceptualHash(media), "phash")
+
+  /** [[imageDedup]]'s audio twin: volume-scaled WAV copies collapse
+    * to the smallest media_id; non-audio rows keep themselves. */
+  def audioDedup(media: DataFrame): DataFrame =
+    dedupByHash(audioHash(media), "ahash")
+
+  private def dedupByHash(hashed: DataFrame, hashCol: String): DataFrame = {
+    val survivors = hashed.filter(col(hashCol).isNotNull)
+      .groupBy(hashCol).agg(min(col("media_id")).as("media_id"))
       .select("media_id")
-    hashed.filter(col("phash").isNull).select("media_id")
+    hashed.filter(col(hashCol).isNull).select("media_id")
       .unionByName(survivors)
   }
 

@@ -337,6 +337,31 @@ class MultimodalSpec extends SparkSuite {
     assert(Set(classes.head._1, classes.head._2) == Set(h0, h1))
   }
 
+  test("wavEnvelopeHash64: exact gain-invariant, shape-sensitive, strict; " +
+      "audioDedup collapses volume-scaled copies") {
+    def wav(gain: Int, period: Int) = MediaCodec.encodeWavPcm16(8000, 1,
+      Array.tabulate[Short](180)(i => (((i * period) % 351 - 175) * gain)
+        .toShort))
+    val h1 = MediaCodec.wavEnvelopeHash64(wav(1, 7))
+    assert(h1.nonEmpty)
+    // same sound at 3x the volume: every segment energy scales by 3,
+    // every integer comparison is unchanged — bitwise-equal hash
+    assert(MediaCodec.wavEnvelopeHash64(wav(3, 7)) == h1)
+    // a different envelope shape moves the hash
+    assert(MediaCodec.wavEnvelopeHash64(wav(1, 11)) != h1)
+    // strictness: text and truncation never hash
+    assert(MediaCodec.wavEnvelopeHash64("RIFFraff".getBytes).isEmpty)
+    assert(MediaCodec.wavEnvelopeHash64(null).isEmpty)
+    val rows = Seq(
+      (1L, wav(1, 7)), (2L, wav(3, 7)),    // volume copies, bytes differ
+      (3L, wav(1, 11)),                    // different sound survives
+      (4L, "definitely not audio".getBytes))
+      .toDF("media_id", "payload")
+    assert(!java.util.Arrays.equals(wav(1, 7), wav(3, 7)))
+    val kept = Multimodal.audioDedup(rows).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), s"kept=$kept")
+  }
+
   test("extractFeatures routes real media to the codec, text to the stub") {
     val rows = Seq(
       (1L, MediaCodec.encodeBmp24(2, 2, (_, _) => (10, 20, 30))),
