@@ -308,6 +308,29 @@ object StreamOps {
         "left_anti")
       .drop("__fp")
 
+  /** Streaming PERCEPTUAL media dedup: in-window copies of the same
+    * image/audio collapse on the strict perceptual fingerprint
+    * (container-independent image dHash, gain-invariant WAV envelope
+    * hash — [[graft.operators.MediaCodec]]), so re-encoded /
+    * brightness-shifted / volume-scaled redeliveries dedupe even
+    * though their BYTES differ; state is watermark-bounded exactly
+    * like [[streamDedup]]. Rows that are not decodable media (null
+    * fingerprint) PASS THROUGH un-deduped — null keys would otherwise
+    * all collapse into one row under dropDuplicates' null-equality. */
+  def streamMediaDedup(media: DataFrame, tsCol: String,
+      lateness: String): DataFrame = {
+    val fp = udf((p: Array[Byte]) =>
+      graft.operators.MediaCodec.imageDHash64(p)
+        .orElse(graft.operators.MediaCodec.wavEnvelopeHash64(p))
+        .map(java.lang.Long.valueOf).orNull)
+    val hashed = media.withColumn("__mh", fp(col("payload")))
+      .withWatermark(tsCol, lateness)
+    hashed.filter(col("__mh").isNotNull)
+      .dropDuplicatesWithinWatermark("__mh")
+      .unionByName(hashed.filter(col("__mh").isNull))
+      .drop("__mh")
+  }
+
   /** Streaming EMBEDDING dedup against a static corpus: each
     * micro-batch of arriving vectors is cut down to the rows with no
     * cosine-near-duplicate in `corpus`

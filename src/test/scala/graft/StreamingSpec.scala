@@ -7,12 +7,56 @@ import graft.streaming.StreamOps
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+case class MediaEv(ts: Timestamp, media_id: Long, payload: Array[Byte])
+
 /** Structured-Streaming semantics from SURVEY.md §2.9, driven through
   * MemoryStream (same IncrementalExecution as Kafka in production). */
 class StreamingSpec extends SparkSuite {
   import spark.implicits._
 
   private def t(s: String) = Timestamp.valueOf(s)
+
+  test("streamMediaDedup: perceptual copies collapse (cross-container, " +
+      "brightness-shifted); non-media rows pass through un-deduped") {
+    import graft.operators.MediaCodec
+    implicit val ctx = spark.sqlContext
+    val px = (x: Int, y: Int) =>
+      ((x * 37 + y * 11) % 200, (y * 29) % 200, (x * 13) % 200)
+    val bmp = MediaCodec.encodeBmp24(12, 9, px)
+    // the same picture, different container AND +4 brightness — the
+    // bytes share nothing, only the perceptual fingerprint matches
+    val pngShift = MediaCodec.encodePng(12, 9, (x, y) => {
+      val (r, g, b) = px(x, y); (r + 4, g + 4, b + 4)
+    })
+    val other = MediaCodec.encodeBmp24(12, 9, (x, y) =>
+      ((x * 151) % 200, (y * 97) % 200, 13))
+    val in = MemoryStream[MediaEv]
+    val out = StreamOps.streamMediaDedup(in.toDF(), "ts", "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("smd_out").start()
+    try {
+      in.addData(
+        MediaEv(t("2024-01-01 10:00:00"), 1, bmp),
+        MediaEv(t("2024-01-01 10:00:01"), 2, pngShift),
+        MediaEv(t("2024-01-01 10:00:02"), 3, other),
+        MediaEv(t("2024-01-01 10:00:03"), 4, "not media".getBytes),
+        MediaEv(t("2024-01-01 10:00:04"), 5, "also not media".getBytes))
+      q.processAllAvailable()
+      val ids = spark.table("smd_out").collect()
+        .map(_.getAs[Long]("media_id")).toSet
+      // exactly ONE of the perceptual twins {1, 2} survives; the
+      // distinct image and both non-media rows all pass
+      assert((ids & Set(1L, 2L)).size == 1, s"ids=$ids")
+      assert(Set(3L, 4L, 5L).subsetOf(ids), s"ids=$ids")
+      assert(ids.size == 4, s"ids=$ids")
+      // a later redelivery of the surviving twin (same window) dedupes
+      in.addData(MediaEv(t("2024-01-01 10:00:05"), 6, bmp))
+      q.processAllAvailable()
+      assert(!spark.table("smd_out").collect()
+        .map(_.getAs[Long]("media_id")).contains(6L),
+        "in-window perceptual redelivery leaked through")
+    } finally q.stop()
+  }
 
   test("T3: tumbling window with allowed lateness admits late-but-in-grace rows") {
     implicit val ctx = spark.sqlContext
