@@ -197,6 +197,37 @@ object Multimodal {
         col("hamming"))
   }
 
+  /** Shot-boundary detection over a frame-packed video payload — the
+    * video leg of the perceptual family: [[sampleFrames]] splits the
+    * payload into fixed-width frames, each frame gets the perceptual
+    * image hash, and a boundary is a consecutive-frame Hamming
+    * distance of at least `minHamming` (scene content changed;
+    * within-shot motion moves few dHash gradient bits, a cut moves
+    * many). Output: (media_id, frame_idx, hamming) per boundary, where
+    * frame_idx is the FIRST frame of the new shot.
+    *
+    * Scale shape: framing + hashing are map-only; the lag comparison
+    * windows per media_id ordered by frame_idx — partition size is one
+    * video's frame count, never the corpus. Undecodable frames (null
+    * hash) are skipped, so one corrupt frame yields at most one
+    * (real, content-changed) boundary, not a crash. */
+  def shotBoundaries(media: DataFrame, frameBytes: Int,
+      minHamming: Int = 8, everyNth: Int = 1): DataFrame = {
+    val fp = udf((p: Array[Byte]) =>
+      MediaCodec.imageDHash64(p).map(java.lang.Long.valueOf).orNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    sampleFrames(media, frameBytes, everyNth)
+      .withColumn("__fh", fp(col("frame")))
+      .filter(col("__fh").isNotNull)
+      .withColumn("__prev", lag(col("__fh"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("hamming",
+        bit_count(col("__fh").bitwiseXOR(col("__prev"))).cast("int"))
+      .filter(col("hamming") >= minHamming)
+      .select(col("media_id"), col("frame_idx"), col("hamming"))
+  }
+
   /** Feature extraction over media batches: mapPartitions so a real
     * decoder could amortize codec init per partition (the Scala analogue
     * of mapInPandas batch shape). Output keeps the id + a fixed-width

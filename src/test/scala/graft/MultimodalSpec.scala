@@ -362,6 +362,31 @@ class MultimodalSpec extends SparkSuite {
     assert(kept == Set(1L, 3L, 4L), s"kept=$kept")
   }
 
+  test("shotBoundaries: cuts between distinct scenes detected, " +
+      "within-shot brightness drift ignored, corrupt frame skipped") {
+    // three "scenes" as distinct gradients; scene repeats are
+    // brightness-drifted (within-shot lighting change — NOT a cut)
+    def frame(scene: Int, drift: Int) = MediaCodec.encodeBmp24(16, 12,
+      (x, y) => (
+        (x * (29 + scene * 53) + y * 11) % 200 + drift,
+        (y * (17 + scene * 31) + x * 7) % 200 + drift,
+        (scene * 71 + x * 13 + y * 3) % 200 + drift))
+    val f0 = frame(0, 0)
+    val fb = frame(0, 0).length // all frames same byte size
+    assert(frame(1, 0).length == fb && frame(2, 0).length == fb)
+    val video = f0 ++ frame(0, 2) ++ frame(0, 4) ++ // shot A (drifting)
+      frame(1, 0) ++ frame(1, 3) ++                 // cut -> shot B
+      frame(2, 0)                                   // cut -> shot C
+    val corrupt = java.util.Arrays.copyOf(f0, fb)   // truncated mid-video
+    corrupt(0) = 'X'
+    val video2 = f0 ++ corrupt ++ frame(1, 0)       // corrupt frame skipped
+    val rows = Seq((1L, video), (2L, video2)).toDF("media_id", "payload")
+    val cuts = Multimodal.shotBoundaries(rows, frameBytes = fb,
+        minHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cuts == Set((1L, 3), (1L, 5), (2L, 2)), s"cuts=$cuts")
+  }
+
   test("extractFeatures routes real media to the codec, text to the stub") {
     val rows = Seq(
       (1L, MediaCodec.encodeBmp24(2, 2, (_, _) => (10, 20, 30))),
