@@ -47,10 +47,28 @@ object BaselineRefresh {
     val updates = named.map(n => n -> bench(n)).toMap
     val merged = base ++ adds ++ updates
     val changed = (adds.keySet ++ updates.keySet).toSeq.sorted
-    if (changed.isEmpty) { println("baseline unchanged"); return }
     val sf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
       .findFirstMatchIn(baseText).map(_.group(1)).getOrElse("")
-    val body = merged.toSeq.sortBy(_._1)
+    // carry the bench run's box-calibration alongside the times it
+    // produced (Bench relaxes its gate by calib ratio, so the baseline
+    // must record the calibration of the box state its numbers came
+    // from). "__calib" has no q_ prefix, so the query-map regexes in
+    // Bench and here never see it as a query. A run that only seeds or
+    // refreshes the calibration (no query changes) still writes.
+    val benchCalib = "\"calib\"\\s*:\\s*([0-9.]+)".r
+      .findFirstMatchIn(java.nio.file.Files.readString(benchPath))
+      .map(_.group(1).toDouble)
+    val baseCalib = "\"__calib\"\\s*:\\s*([0-9.]+)".r
+      .findFirstMatchIn(baseText).map(_.group(1).toDouble)
+    val calibOut = benchCalib.orElse(baseCalib)
+    if (changed.isEmpty && calibOut == baseCalib) {
+      println("baseline unchanged"); return
+    }
+    if (changed.isEmpty)
+      println(f"__calib only: ${baseCalib.getOrElse(-1.0)}%.2f -> " +
+        f"${calibOut.getOrElse(-1.0)}%.2f")
+    val body = (merged.toSeq.sortBy(_._1) ++
+        calibOut.map("__calib" -> _).toSeq)
       .map { case (k, v) => f"""  "$k": $v%.4f""" }.mkString(",\n")
     val comment = "Per-query bench baseline (seconds, best-of-3, " +
       "local[32], sf0.1). Bench flags a query when it exceeds BOTH 2x " +

@@ -71,6 +71,22 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // ---- box calibration: a fixed CPU-bound reference workload
+    // (200M codegen'd xxhash64 sums — no IO, no shuffle) timed like a
+    // query. The shared box's speed drifts by tens of percent between
+    // runs (observed 77s → 106s full-suite swings on identical code),
+    // which the absolute regression gate misreads as per-query
+    // regressions. The calibration ratio vs the baseline's recorded
+    // __calib RELAXES the gate on a slower box (clamped, and never
+    // tightens it on a faster one), so the gate flags code, not
+    // weather.
+    val calib = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(4000000000L)
+        .select(sum(xxhash64(col("id")))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     // ---- timed runs: best of 3 per query — single-shot numbers swing
     // 30%+ on GC/JIT noise, which reads as a phantom regression when
     // rounds are diffed. A System.gc() before each query drains the
@@ -127,9 +143,17 @@ object Bench {
         .findAllMatchIn(java.nio.file.Files.readString(f))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
+    // gate relaxation from calibration: >= 1 (a slower box widens the
+    // thresholds proportionally), clamped at 3x so a truly broken box
+    // cannot mask everything; 1.0 when the baseline predates __calib.
+    // queriesOf-style q_ filters keep "__calib" out of the query maps.
+    val adj = baseline.get("__calib") match {
+      case Some(bc) if bc > 0 => math.min(3.0, math.max(1.0, calib / bc))
+      case _ => 1.0
+    }
     val rawRegressions = results.collect {
       case (n, t) if t >= 0 && baseline.get(n).exists(b =>
-        t > 2 * b && t > b + 1.0) => (n, t, baseline(n))
+        t > 2 * b * adj && t > b * adj + 1.0) => (n, t, baseline(n))
     }
 
     // ---- SELF-ADJUDICATION: a shared-JVM breach is re-measured in a
@@ -193,7 +217,7 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val regressions = rawRegressions.filter { case (n, _, b) =>
-      isolatedTimes.get(n).forall(t => t > 2 * b && t > b + 1.0)
+      isolatedTimes.get(n).forall(t => t > 2 * b * adj && t > b * adj + 1.0)
     }
     // isolation is systematically FASTER than the shared JVM (the
     // 3-5x GC-contamination factor), so an isolated time that merely
@@ -203,7 +227,7 @@ object Bench {
     // for the next round's Profile pass.
     val isolatedWarn = rawRegressions.collect {
       case (n, _, b) if isolatedTimes.get(n).exists(t =>
-        t > 1.5 * b && !(t > 2 * b && t > b + 1.0)) =>
+        t > 1.5 * b * adj && !(t > 2 * b * adj && t > b * adj + 1.0)) =>
         (n, isolatedTimes(n), b)
     }
     // The driver keeps only the last ~2000 chars of stdout and parses
@@ -253,7 +277,9 @@ object Bench {
             case (n, t, b) =>
               "\"" + n + "\":[" + fmt(t, 2) + "," + fmt(b, 2) + "]"
           }.mkString(""","isolated_warn":{""", ",", "}"))
-      val extra = gate + (if (short) "" else s""","unit":"sec","sf":"$sfDir"""")
+      val extra = gate + (if (short) "" else
+        s""","unit":"sec","sf":"$sfDir","calib":${fmt(calib, 2)}""" +
+          s""","calib_adjust":${fmt(adj, 2)}""")
       val errs = if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
