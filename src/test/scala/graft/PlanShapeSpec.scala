@@ -583,6 +583,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("perceptual image dedup costs exactly one exchange (E-mm/E-dedup)") {
+    import spark.implicits._
+    import graft.operators.{MediaCodec, Multimodal}
+    val rows = (0L to 40L).map { i =>
+      (i, MediaCodec.encodeBmp24(10, 9, (x, y) =>
+        (((i % 5) * 37 + x * 11 + y).toInt % 200, x * 7 % 200, y * 13 % 200)))
+    }.toDF("media_id", "payload")
+    // AQE's toString prints the Initial Plan after the Final Plan —
+    // count exchanges in the FINAL plan only
+    val plan = executedPlan(Multimodal.imageDedup(rows))
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"imageDedup must cost ONE hash exchange (the 8-byte-hash " +
+        s"dedup), found $exchanges:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("gap-fill windows partition on the series key, never globally") {
     import spark.implicits._
     val obs = Engine.table(spark, sf, "events")

@@ -26,6 +26,35 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       v <- Gen.chooseNum(-100L, 100L)
     } yield (k, s, v))
 
+  test("fingerprintHammingPairs equals brute force on random fingerprints " +
+      "(pigeonhole completeness at every radius in the envelope)") {
+    // clustered fingerprints: a base word plus 0-6 random bit flips,
+    // so pairs exist at every radius (uniform random 64-bit words are
+    // almost never within Hamming 4 of each other)
+    val fpsGen: Gen[List[Long]] = for {
+      bases <- Gen.nonEmptyListOf(Gen.long)
+      out <- Gen.listOfN(math.min(bases.size * 3, 24), for {
+        b <- Gen.oneOf(bases)
+        nf <- Gen.chooseNum(0, 6)
+        flips <- Gen.listOfN(nf, Gen.chooseNum(0, 63))
+      } yield flips.foldLeft(b)((w, i) => w ^ (1L << i)))
+    } yield out
+    check(forAll(fpsGen, Gen.chooseNum(0, 4)) { (fps, r) =>
+      fps.isEmpty || {
+        val rows = fps.zipWithIndex
+          .map { case (fp, i) => (i.toLong, fp) }
+        val want = (for {
+          (a, ia) <- rows; (b, ib) <- rows
+          if a < b && java.lang.Long.bitCount(ia ^ ib) <= r
+        } yield (a, b)).toSet
+        val got = Dedup.fingerprintHammingPairs(
+            rows.toDF("id", "fp"), maxHamming = r, nBands = r + 1)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        got == want
+      }
+    })
+  }
+
   test("salted aggregation equals plain aggregation on random data") {
     check(forAll(rowsGen) { rows =>
       rows.isEmpty || {
