@@ -88,8 +88,13 @@ object Snapshot {
     * 账户的月平均余额 is the doc's example): one row per (entity,
     * period) over a DENSE period spine `[start, end]`, with the
     * running `balance` carried forward through periods with no
-    * activity. Deltas BEFORE `start` fold into the opening balance
-    * (clamped to the first period); deltas after `end` are excluded.
+    * activity. Every delta is SNAPPED DOWN to its containing spine
+    * period (a raw event-dated delta mid-period counts in that
+    * period — it must not silently vanish because its date is not a
+    * period start; pre-truncated callers see identical behavior).
+    * Deltas BEFORE `start` fold into the opening balance (clamped to
+    * the first period); deltas at or past `end + step` (beyond the
+    * last period's extent) are excluded.
     *
     * Output: entity cols, `period`, `period_delta` (that period's
     * activity, 0 when none), `balance` (cumulative through the
@@ -108,8 +113,12 @@ object Snapshot {
       step: Column = expr("interval '1' month")): DataFrame = {
     val ek = entityCols.map(col)
     val sums = deltas
-      .filter(col(periodCol) <= end)
-      .withColumn("__p", greatest(col(periodCol), start))
+      .filter(col(periodCol) < end + step)
+      // snap to the greatest spine period <= the (start-clamped)
+      // delta date — a per-row scan of the |periods| array, O(|P|)
+      // with |P| = months/days of the window, trivially codegen'd
+      .withColumn("__p", array_max(filter(sequence(start, end, step),
+        p => p <= greatest(col(periodCol), start))))
       .groupBy(ek :+ col("__p"): _*)
       .agg(sum(col(deltaCol)).as("__d"))
     val spine = sums.select(ek: _*).distinct()

@@ -99,4 +99,29 @@ class SnapshotSpec extends SparkSuite {
       ("b", "2024-02-01", 0.0, 7.0),
       ("b", "2024-03-01", 0.0, 7.0)))
   }
+
+  test("periodic: RAW event-dated deltas snap to their containing " +
+      "period instead of silently vanishing between spine points") {
+    val deltas = Seq(
+      ("a", "2024-01-15", 3.0),  // mid-January: counts in Jan
+      ("a", "2024-02-28", 4.0),  // end of February: counts in Feb
+      ("a", "2024-03-20", 2.0),  // mid-LAST-period: still counts
+      ("a", "2024-04-02", 9.0),  // past the last period's extent: out
+      ("b", "2023-12-25", 6.0))  // before start: opening balance
+      .toDF("e", "d", "amt")
+      .select(col("e"), col("d").cast("date").as("p"),
+        col("amt").cast("decimal(18,2)").as("amt"))
+    val out = Snapshot.periodic(deltas, Seq("e"), "p", "amt",
+        lit("2024-01-01").cast("date"), lit("2024-03-01").cast("date"))
+      .orderBy("e", "period").collect().map(r =>
+        (r.getString(0), r.getDate(1).toString,
+          r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 3.0, 3.0),
+      ("a", "2024-02-01", 4.0, 7.0),
+      ("a", "2024-03-01", 2.0, 9.0),
+      ("b", "2024-01-01", 6.0, 6.0),
+      ("b", "2024-02-01", 0.0, 6.0),
+      ("b", "2024-03-01", 0.0, 6.0)), out.toSeq.toString)
+  }
 }
