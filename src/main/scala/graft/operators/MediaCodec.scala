@@ -155,6 +155,31 @@ object MediaCodec {
       })
     }
 
+  /** REAL nearest-neighbor downsample of a 24bpp BMP by an integer
+    * `factor`: output pixel (x, y) is input pixel (x·f, y·f), output
+    * dims ceil(w/f) × ceil(h/f), re-encoded as a bottom-up BMP. None
+    * for anything that is not a structurally valid 24bpp BMP — the
+    * strict-parse contract of every codec here. (PNG payloads resize
+    * by the same sampler over [[pngDHash64]]'s reconstruction path if
+    * ever needed; the operator-level resize dispatches only what it
+    * can decode and passes the rest through.) */
+  def bmpResizeNearest(bytes: Array[Byte], factor: Int)
+      : Option[Array[Byte]] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    bmpGeom(bytes).map { case (w, h, dataOffset, rowSize, topDown) =>
+      val ow = (w + factor - 1) / factor
+      val oh = (h + factor - 1) / factor
+      encodeBmp24(ow, oh, (ox, oy) => {
+        val x = math.min(ox * factor, w - 1)
+        val yImg = math.min(oy * factor, h - 1)
+        val yStore = if (topDown) yImg else h - 1 - yImg
+        val base = dataOffset + yStore * rowSize + x * 3
+        ((bytes(base + 2) & 0xff), (bytes(base + 1) & 0xff),
+          (bytes(base) & 0xff))
+      })
+    }
+  }
+
   /** The dHash bit loop over any luma accessor in IMAGE orientation
     * (y = 0 is the top row) — format-independent, so the same picture
     * in different containers hashes identically. */

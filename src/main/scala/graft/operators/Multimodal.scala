@@ -78,7 +78,8 @@ object Multimodal {
   /** Resize stub: keep every `factor`-th byte of a frame/payload (a
     * real implementation bilinear-resamples decoded pixels; the
     * operator shape — map-only, fixed reduction factor, binary in/out —
-    * is identical). */
+    * is identical). [[resizeImages]] is the REAL path for payloads the
+    * codecs can decode. */
   def resizePayload(media: DataFrame, factor: Int,
       payloadCol: String = "payload"): DataFrame = {
     val resize = udf { bytes: Array[Byte] =>
@@ -86,6 +87,20 @@ object Multimodal {
       else bytes.zipWithIndex.collect {
         case (b, i) if i % factor == 0 => b
       }
+    }
+    media.withColumn(payloadCol, resize(col(payloadCol)))
+  }
+
+  /** REAL image downsample: decodable 24bpp BMP payloads are
+    * nearest-neighbor resized by `factor`
+    * ([[MediaCodec.bmpResizeNearest]] — actual pixels, not the byte
+    * stub) and re-encoded; anything the codec cannot strictly decode
+    * passes through UNCHANGED (a curation pipeline must not corrupt
+    * payloads it cannot parse). Map-only at any corpus size. */
+  def resizeImages(media: DataFrame, factor: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    val resize = udf { bytes: Array[Byte] =>
+      MediaCodec.bmpResizeNearest(bytes, factor).getOrElse(bytes)
     }
     media.withColumn(payloadCol, resize(col(payloadCol)))
   }

@@ -387,6 +387,25 @@ class MultimodalSpec extends SparkSuite {
     assert(cuts == Set((1L, 3), (1L, 5), (2L, 2)), s"cuts=$cuts")
   }
 
+  test("resizeImages: real nearest-neighbor pixel downsample with exact " +
+      "dims and channel sums; undecodable payloads pass through") {
+    // px(x, y) encodes its own coordinates, so the resized image's
+    // channel sums have a closed form over the sampled grid
+    val src = MediaCodec.encodeBmp24(11, 7, (x, y) => (x * 2, y * 3, 40))
+    val rows = Seq((1L, src), (2L, "not an image".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.resizeImages(rows, factor = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val s = MediaCodec.decodeBmp24(out(1L)).get
+    assert(s.width == 4 && s.height == 3, s) // ceil(11/3) x ceil(7/3)
+    // sampled xs = {0,3,6,9}, ys = {0,3,6}: sums are exact
+    assert(s.sumR == 3 * Seq(0, 3, 6, 9).map(_ * 2).sum, s)
+    assert(s.sumG == 4 * Seq(0, 3, 6).map(_ * 3).sum, s)
+    assert(s.sumB == 40L * 12, s)
+    assert(java.util.Arrays.equals(out(2L), "not an image".getBytes),
+      "undecodable payload must pass through unchanged")
+  }
+
   test("extractFeatures routes real media to the codec, text to the stub") {
     val rows = Seq(
       (1L, MediaCodec.encodeBmp24(2, 2, (_, _) => (10, 20, 30))),
