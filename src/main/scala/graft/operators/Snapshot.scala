@@ -112,15 +112,27 @@ object Snapshot {
       periodCol: String, deltaCol: String, start: Column, end: Column,
       step: Column = expr("interval '1' month")): DataFrame = {
     val ek = entityCols.map(col)
-    val sums = deltas
+    // snapping uses higher-order array functions, which Spark
+    // evaluates INTERPRETED (no codegen) — so it must not run per raw
+    // fact row. Reduce to (entity, raw date) grain first (partial+
+    // final hash agg, codegen'd, map-side combine), then snap the
+    // grain rows — at 100 TB the HOF touches |entities|×|dates| rows,
+    // not the fact table. The period array itself is built once and
+    // broadcast as a one-row frame.
+    val periods = deltas.sparkSession.range(1)
+      .select(sequence(start, end, step).as("__periods"))
+    val dayGrain = deltas
       .filter(col(periodCol) < end + step)
-      // snap to the greatest spine period <= the (start-clamped)
-      // delta date — a per-row scan of the |periods| array, O(|P|)
-      // with |P| = months/days of the window, trivially codegen'd
-      .withColumn("__p", array_max(filter(sequence(start, end, step),
-        p => p <= greatest(col(periodCol), start))))
+      .groupBy(ek :+ col(periodCol).as("__pd"): _*)
+      .agg(sum(col(deltaCol)).as("__d0"))
+    val sums = dayGrain
+      .crossJoin(broadcast(periods))
+      // snap to the greatest spine period <= the (start-clamped) date
+      .withColumn("__p", array_max(filter(col("__periods"),
+        p => p <= greatest(col("__pd"), start))))
+      .drop("__periods")
       .groupBy(ek :+ col("__p"): _*)
-      .agg(sum(col(deltaCol)).as("__d"))
+      .agg(sum(col("__d0")).as("__d"))
     val spine = sums.select(ek: _*).distinct()
       .withColumn("period", explode(sequence(start, end, step)))
     val joinKeys = entityCols :+ "period"
