@@ -55,20 +55,27 @@ object BaselineRefresh {
     // from). "__calib" has no q_ prefix, so the query-map regexes in
     // Bench and here never see it as a query. A run that only seeds or
     // refreshes the calibration (no query changes) still writes.
-    val benchCalib = "\"calib\"\\s*:\\s*([0-9.]+)".r
-      .findFirstMatchIn(java.nio.file.Files.readString(benchPath))
-      .map(_.group(1).toDouble)
-    val baseCalib = "\"__calib\"\\s*:\\s*([0-9.]+)".r
-      .findFirstMatchIn(baseText).map(_.group(1).toDouble)
-    val calibOut = benchCalib.orElse(baseCalib)
-    if (changed.isEmpty && calibOut == baseCalib) {
+    val benchText = java.nio.file.Files.readString(benchPath)
+    def leg(benchKey: String, baseKey: String): Option[(String, Double)] = {
+      val benchV = ("\"" + benchKey + "\"\\s*:\\s*([0-9.]+)").r
+        .findFirstMatchIn(benchText).map(_.group(1).toDouble)
+      val baseV = ("\"" + baseKey + "\"\\s*:\\s*([0-9.]+)").r
+        .findFirstMatchIn(baseText).map(_.group(1).toDouble)
+      benchV.orElse(baseV).map(baseKey -> _)
+    }
+    // both calibration legs ride along with the times they calibrated
+    val calibOut = Seq(leg("calib", "__calib"),
+      leg("calib_io", "__calib_io")).flatten
+    val calibBase = Seq("__calib", "__calib_io").flatMap { k =>
+      ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r
+        .findFirstMatchIn(baseText).map(m => k -> m.group(1).toDouble)
+    }
+    if (changed.isEmpty && calibOut == calibBase) {
       println("baseline unchanged"); return
     }
     if (changed.isEmpty)
-      println(f"__calib only: ${baseCalib.getOrElse(-1.0)}%.2f -> " +
-        f"${calibOut.getOrElse(-1.0)}%.2f")
-    val body = (merged.toSeq.sortBy(_._1) ++
-        calibOut.map("__calib" -> _).toSeq)
+      println(s"calibration only: $calibBase -> $calibOut")
+    val body = (merged.toSeq.sortBy(_._1) ++ calibOut)
       .map { case (k, v) => f"""  "$k": $v%.4f""" }.mkString(",\n")
     val comment = "Per-query bench baseline (seconds, best-of-3, " +
       "local[32], sf0.1). Bench flags a query when it exceeds BOTH 2x " +

@@ -71,21 +71,49 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // ---- box calibration: a fixed CPU-bound reference workload
-    // (200M codegen'd xxhash64 sums — no IO, no shuffle) timed like a
-    // query. The shared box's speed drifts by tens of percent between
+    // ---- box calibration: fixed reference workloads timed like
+    // queries. The shared box's speed drifts by tens of percent between
     // runs (observed 77s → 106s full-suite swings on identical code),
     // which the absolute regression gate misreads as per-query
     // regressions. The calibration ratio vs the baseline's recorded
     // __calib RELAXES the gate on a slower box (clamped, and never
     // tightens it on a faster one), so the gate flags code, not
-    // weather.
+    // weather. Two legs, because box weather comes in two kinds:
+    //  - CPU leg: spark.range(CalibRows) codegen'd xxhash64 sum — no
+    //    IO, no shuffle; sees scheduler/CPU contention.
+    //  - IO leg: full-column hash scan of the fixed sf0.01 lineitem +
+    //    a 256 MB tempfile write with fsync — sees disk/page-cache
+    //    contention, which the CPU leg is blind to (r12's one
+    //    confirmed "breach", q_dedup_incremental at 4.6x its mid-round
+    //    time with calib flat at 1.0, had exactly this signature).
+    // The gate relaxes by max(cpuAdj, ioAdj).
+    val CalibRows = 4000000000L // 4B rows; keep in sync with the CPU leg
     val calib = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(4000000000L)
+      spark.range(CalibRows)
         .select(sum(xxhash64(col("id")))).collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    val calibIo = {
+      val ioDir = "/root/testdata/sf0.01"
+      val scan = new java.io.File(ioDir, "lineitem.parquet").exists()
+      val buf = new Array[Byte](1 << 20)
+      new java.util.Random(42).nextBytes(buf)
+      (1 to 3).map { i =>
+        val t0 = System.nanoTime()
+        if (scan) force(spark.read.parquet(s"$ioDir/lineitem.parquet"))
+        val tmp = java.io.File.createTempFile(s"graft_calib_io_$i", ".bin")
+        try {
+          val out = new java.io.FileOutputStream(tmp)
+          try {
+            var written = 0L
+            while (written < (256L << 20)) { out.write(buf); written += buf.length }
+            out.getFD.sync()
+          } finally out.close()
+        } finally tmp.delete()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
 
     // ---- timed runs: best of 3 per query — single-shot numbers swing
     // 30%+ on GC/JIT noise, which reads as a phantom regression when
@@ -146,11 +174,15 @@ object Bench {
     // gate relaxation from calibration: >= 1 (a slower box widens the
     // thresholds proportionally), clamped at 3x so a truly broken box
     // cannot mask everything; 1.0 when the baseline predates __calib.
-    // queriesOf-style q_ filters keep "__calib" out of the query maps.
-    val adj = baseline.get("__calib") match {
-      case Some(bc) if bc > 0 => math.min(3.0, math.max(1.0, calib / bc))
-      case _ => 1.0
-    }
+    // queriesOf-style q_ filters keep "__calib*" out of the query maps.
+    // The wider of the CPU and IO legs wins: either kind of weather
+    // legitimately slows real queries.
+    def legAdj(key: String, now: Double): Double =
+      baseline.get(key) match {
+        case Some(bc) if bc > 0 => math.min(3.0, math.max(1.0, now / bc))
+        case _ => 1.0
+      }
+    val adj = math.max(legAdj("__calib", calib), legAdj("__calib_io", calibIo))
     val rawRegressions = results.collect {
       case (n, t) if t >= 0 && baseline.get(n).exists(b =>
         t > 2 * b * adj && t > b * adj + 1.0) => (n, t, baseline(n))
@@ -279,7 +311,7 @@ object Bench {
           }.mkString(""","isolated_warn":{""", ",", "}"))
       val extra = gate + (if (short) "" else
         s""","unit":"sec","sf":"$sfDir","calib":${fmt(calib, 2)}""" +
-          s""","calib_adjust":${fmt(adj, 2)}""")
+          s""","calib_io":${fmt(calibIo, 2)},"calib_adjust":${fmt(adj, 2)}""")
       val errs = if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum

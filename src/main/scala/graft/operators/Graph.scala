@@ -109,7 +109,8 @@ object Graph {
     * Generate, single-key join): the skew machinery costs nothing on
     * the graphs that don't need it. */
   private[graft] final case class Prepped(weighted: DataFrame,
-      nodes: DataFrame, deg: DataFrame, salted: Boolean) {
+      nodes: DataFrame, deg: DataFrame, salted: Boolean,
+      degHist: Array[Long]) {
     /** The rank side of the iteration join, keyed to match `weighted`:
       * expanded to one row per (source, salt shard) when salted. */
     def ranksSide(ranks: DataFrame): DataFrame =
@@ -130,16 +131,24 @@ object Graph {
     val par = spark.sparkContext.defaultParallelism
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    // checkpointed: deg is read by the max-degree probe below, the
-    // weighted join, and (exact mode) the distinct-degree collect —
-    // without this each use re-runs the full edge shuffle
+    // checkpointed: deg is read by the degree-histogram probe below
+    // and the weighted join — without this each use re-runs the full
+    // edge shuffle
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    // one tiny driver probe decides whether any source needs sharding
-    val maxDeg = deg.agg(max("deg")).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    // ONE driver probe serves both consumers: the max degree (salting
+    // decision, = hist.max when the histogram is complete) and the
+    // distinct degree VALUES (pageRankExact's lcm — it previously ran
+    // its own collect, a whole extra job on every call). A degree
+    // histogram has at most a few hundred distinct values on any real
+    // graph; if it overflows the 1001 cap (pathological), fall back to
+    // a dedicated max probe — only then does the second job run.
+    val degHist = deg.select("deg").distinct().limit(1001)
+      .collect().map(_.getLong(0))
+    val maxDeg =
+      if (degHist.isEmpty) 0L
+      else if (degHist.length <= 1000) degHist.max
+      else deg.agg(max("deg")).head().getLong(0)
     val nodes0 = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -149,7 +158,7 @@ object Graph {
         .repartition(par, col("src"))
         .localCheckpoint()
       return Prepped(weighted, nodes0.localCheckpoint(), deg,
-        salted = false)
+        salted = false, degHist)
     }
     // shards per source: 1 for everyone below the threshold, capped at
     // the parallelism (more shards than tasks buys nothing)
@@ -168,7 +177,7 @@ object Graph {
         "left")
       .select(col("id"), coalesce(col("nsh"), lit(1L)).as("nsh"))
       .localCheckpoint()
-    Prepped(weighted, nodes, deg, salted = true)
+    Prepped(weighted, nodes, deg, salted = true, degHist)
   }
 
   /** Damped PageRank over doubles: (id, pr) for every node in
@@ -206,10 +215,10 @@ object Graph {
       : (DataFrame, Int) = {
     require(tol > 0 && maxIter >= 1)
     val p = prep(edges, srcCol, dstCol, saltThreshold)
-    // empty edge set: node set is empty too — the convergence probe's
-    // max-over-nothing would be a NULL row (NPE at getDouble); mirror
-    // pageRankExact's empty guard and return the init ranks directly
-    if (p.nodes.isEmpty)
+    // empty edge set: node set is empty too (degHist is free — prep
+    // already collected it) — the convergence probe's max-over-nothing
+    // would be NULL; return the init ranks directly
+    if (p.degHist.isEmpty)
       return (p.nodes.select("id").withColumn("pr", lit(1.0)), 0)
     var ranks = p.nodes.withColumn("pr", lit(1.0))
     var iter = 0
@@ -221,14 +230,22 @@ object Graph {
         .join(p.ranksSide(ranks), p.joinKeys)
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") / col("deg")).as("m"))
+      // the convergence probe rides the checkpoint's materialization
+      // as an observed metric (CollectMetrics accumulates during the
+      // localCheckpoint action) — fused, it costs ZERO extra jobs; as
+      // a separate max-aggregate it doubled the loop's job count,
+      // which on small graphs was most of the wall time
+      val obs = org.apache.spark.sql.Observation()
       val next = roll(p.nodes.join(contrib, Seq("id"), "left")
         .join(ranks.select(col("id"), col("pr").as("prev")), Seq("id"))
         .select(p.rankCols ++ Seq(col("prev"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0)))
-            .as("pr")): _*))
-      converged = next
-        .agg(max(abs(col("pr") - col("prev"))).as("d"))
-        .head.getDouble(0) < tol
+            .as("pr")): _*)
+        .observe(obs, max(abs(col("pr") - col("prev"))).as("d")))
+      converged = obs.get.get("d") match {
+        case Some(d: Double) => d < tol
+        case _ => true // null max ⇔ empty rank frame: nothing to move
+      }
       ranks = next.select(carry: _*)
       iter += 1
     }
@@ -253,12 +270,10 @@ object Graph {
       saltThreshold: Long = hotOutDegreeShard): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val p = prep(edges, srcCol, dstCol, saltThreshold)
-    val deg = p.deg
-    // distinct out-degree VALUES — bounded collect (a degree histogram
-    // has at most a few hundred distinct values on any real graph;
-    // guard anyway so a pathological graph fails loudly, not slowly)
-    val degs = deg.select("deg").distinct().limit(1001)
-      .collect().map(_.getLong(0))
+    // distinct out-degree VALUES, collected once by prep's histogram
+    // probe (bounded; the cap makes a pathological graph fail loudly,
+    // not slowly)
+    val degs = p.degHist
     require(degs.length <= 1000,
       "pageRankExact: > 1000 distinct out-degrees; use pageRank (double)")
     if (degs.isEmpty) // no edges: pr stays init
@@ -289,7 +304,16 @@ object Graph {
     var prScale = 2
     var ranks = p.nodes.withColumn("pr",
       lit(java.math.BigDecimal.ONE).cast(DecimalType(8, 2)))
-    val roll = new RollingCheckpoint
+    // No per-iteration checkpoint here: the scale-18 guard above caps
+    // exact mode at ≤4 iterations (0.0425 → 4 digits/round), so the
+    // whole recurrence compiles into ONE plan over the checkpointed
+    // weighted/nodes frames — neither the SPARK-39834 stats
+    // compounding (needs ~40 rounds to bite) nor lineage depth is a
+    // concern, and dropping the K eager checkpoint jobs roughly halves
+    // the job count of a 3-iteration run (the sf0.1 bench's
+    // link_pagerank/centrality_gate are fixed job overhead, not data).
+    // One checkpoint at the END materializes the result for the null
+    // scan + caller's action.
     for (_ <- 1 to iterations) {
       // type walkthrough (int digits of pr bounded by 6, of the
       // summed mass by 12):
@@ -327,16 +351,19 @@ object Graph {
         .otherwise(coalesce(col("m"), lit(java.math.BigDecimal.ZERO)))
       val mTight = mRaw.cast(DecimalType(prScale + 12, prScale))
       prScale += inc
-      ranks = roll(p.nodes.join(contrib, Seq("id"), "left")
+      ranks = p.nodes.join(contrib, Seq("id"), "left")
         .select(p.rankCols :+
           (lit(oneMinusD.underlying) + lit(dOverS) * mTight)
-            .cast(DecimalType(prScale + 6, prScale)).as("pr"): _*))
+            .cast(DecimalType(prScale + 6, prScale)).as("pr"): _*)
     }
-    // last line of defense (one tiny scan, once): a cast overflow in
-    // the FINAL round, or on a sink node whose pr never feeds a mass
-    // sum, surfaces as a null rank here instead of silently landing in
-    // the output
-    require(ranks.filter(col("pr").isNull).isEmpty,
+    // last line of defense: a cast overflow in the FINAL round, or on
+    // a sink node whose pr never feeds a mass sum, surfaces as a null
+    // rank — counted as an observed metric DURING the end checkpoint's
+    // materialization (zero extra jobs) instead of a separate scan
+    val nullProbe = org.apache.spark.sql.Observation()
+    ranks = new RollingCheckpoint()(ranks.observe(nullProbe,
+      count(when(col("pr").isNull, 1)).as("nulls")))
+    require(nullProbe.get.get("nulls").contains(0L),
       "pageRankExact: decimal overflow (a rank exceeded its " +
         "integer-digit headroom); use pageRank (double)")
     ranks.select(col("id"), col("pr").cast("double").as("pr"))

@@ -93,8 +93,13 @@ object Snapshot {
     * period — it must not silently vanish because its date is not a
     * period start; pre-truncated callers see identical behavior).
     * Deltas BEFORE `start` fold into the opening balance (clamped to
-    * the first period); deltas at or past `end + step` (beyond the
-    * last period's extent) are excluded.
+    * the first period); deltas at or past `last_period + step` (beyond
+    * the last spine period's extent) are excluded. When `end` is not
+    * aligned to the step grid the last spine period is BELOW `end`
+    * (e.g. start=Jan 1, end=Mar 15, monthly → last period Mar 1,
+    * extent ends Apr 1), so the exact bound is the last element of
+    * `sequence(start, end, step)` plus one step — NOT `end + step`,
+    * which would over-include Apr 1–Apr 14 deltas into Mar 1.
     *
     * Output: entity cols, `period`, `period_delta` (that period's
     * activity, 0 when none), `balance` (cumulative through the
@@ -122,11 +127,19 @@ object Snapshot {
     val periods = deltas.sparkSession.range(1)
       .select(sequence(start, end, step).as("__periods"))
     val dayGrain = deltas
+      // cheap over-approximate bound on the RAW fact rows (scalar
+      // compare, codegen'd); the exact grid-aligned bound needs the
+      // periods array, so it is applied below at day grain instead
       .filter(col(periodCol) < end + step)
       .groupBy(ek :+ col(periodCol).as("__pd"): _*)
       .agg(sum(col(deltaCol)).as("__d0"))
     val sums = dayGrain
       .crossJoin(broadcast(periods))
+      // exact bound: past the LAST SPINE PERIOD's extent. When `end`
+      // is off the step grid, end + step over-includes (last period +
+      // step is the true extent end); day grain is small enough for
+      // the array_max HOF.
+      .filter(col("__pd") < array_max(col("__periods")) + step)
       // snap to the greatest spine period <= the (start-clamped) date
       .withColumn("__p", array_max(filter(col("__periods"),
         p => p <= greatest(col("__pd"), start))))

@@ -70,16 +70,27 @@ object VersionedTable {
     * `_last_checkpoint` exists to avoid. Only the COMMITTED verdict is
     * cached; a torn slot can never become committed later but its
     * number CAN stay torn forever, so negatives simply re-read.
-    * Existence (vacuumed-away slots) is still checked per call. */
+    * Existence (vacuumed-away slots) is still checked per call.
+    *
+    * "Never reused" holds within one table GENERATION: if the root is
+    * dropped and recreated (or restored from backup) in the same JVM,
+    * slot numbers DO come back — so the cache key includes the
+    * manifest file's identity (length + mtime). A recreated v00001 has
+    * a different length or mtime than the cached generation's, misses,
+    * and is re-read; the handful of dead entries a drop leaves behind
+    * are bounded by commit count and never consulted again. */
   private val committedCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), Seq[String]]()
 
   /** Data dirs of a committed manifest; None if absent or torn. */
   private def readManifest(f: FileSystem, root: String,
       v: Long): Option[Seq[String]] = {
     val p = manifestPath(root, v)
-    if (!f.exists(p)) return None
-    val cached = committedCache.get((root, v))
+    val st = try f.getFileStatus(p) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
+    val key = (root, v, st.getLen, st.getModificationTime)
+    val cached = committedCache.get(key)
     if (cached != null) return Some(cached)
     val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -88,7 +99,7 @@ object VersionedTable {
     if (lines.isEmpty || !lines.last.startsWith(endMark)) return None
     val dirs = lines.dropRight(1)
     if (lines.last.stripPrefix(endMark).toIntOption.contains(dirs.size)) {
-      committedCache.put((root, v), dirs)
+      committedCache.put(key, dirs)
       Some(dirs)
     } else None
   }

@@ -439,7 +439,20 @@ object Warehouse {
         s"merge lock held by another writer: $lock (a writer dead " +
           s"longer than ${staleLockMs / 60000} min is broken automatically)")
     try body
-    finally if (lockOwner().forall(_ == ownerId)) fs.delete(lock, false)
+    finally {
+      // Release ONLY on a positive ownership read. lockOwner() returns
+      // None both for "absent" and for a transient read FAILURE — and
+      // after our lease was broken as stale, the file may be another
+      // writer's LIVE lock; deleting on a failed read would reopen the
+      // double-writer window the ownership check exists to close. So:
+      // retry the read a few times; if it never succeeds, leave the
+      // lock for the stale-age breaker (worst case: a staleLockMs wait
+      // for the next writer, never a second live writer).
+      val owner = Iterator.range(0, 3)
+        .map(_ => lockOwner())
+        .collectFirst { case Some(o) => o }
+      if (owner.contains(ownerId)) fs.delete(lock, false)
+    }
   }
 
   /** Everything up to (and including) the merge manifest install: roll

@@ -335,6 +335,33 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       .collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("versioned table: drop-and-recreate in one JVM never serves the " +
+      "dead generation's cached manifest") {
+    import graft.operators.VersionedTable
+    import spark.implicits._
+    val root = tmpDir("vtab_regen")
+    // generation 1: commit, then READ (populates the committed-manifest
+    // cache for (root, v1))
+    VersionedTable.commit(spark, root, Seq((1L, "gen1")).toDF("k", "s"))
+    assert(VersionedTable.read(spark, root).as[(Long, String)]
+      .collect().toSet == Set((1L, "gen1")))
+    // drop the table root entirely and recreate it: slot numbers reuse
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(root))
+    // mtime resolution can be 1s on some filesystems; the manifest
+    // LENGTH differs here anyway (different dir name), but don't rely
+    // on timing in the test
+    VersionedTable.commit(spark, root, Seq((2L, "gen2")).toDF("k", "s"))
+    // a (root, version)-keyed cache would return gen1's dir list here:
+    // either wrong rows or a read failure on the deleted gen1 data dir
+    assert(VersionedTable.read(spark, root).as[(Long, String)]
+      .collect().toSet == Set((2L, "gen2")),
+      "recreated table must read its own generation, not the cache")
+  }
+
   test("versioned table == reference map under random DML sequences") {
     sealed trait Op
     case class Upsert(rows: List[(Long, Long)]) extends Op
