@@ -823,6 +823,48 @@ object TextQueries {
                    CAST(w * h * ((doc_id*7) % 250) AS BIGINT) AS sum_b
             FROM g ORDER BY media_id"""))
 
+  /** REAL JPEG decode end-to-end through the JDK ImageIO path: plant
+    * one uniform GRAYSCALE JPEG per document (quality 1.0). Uniform
+    * gray is the provably-lossless corner of the lossy codec — the
+    * YCbCr roundtrip is the identity for r=g=b and a constant block's
+    * DC-only DCT quantizes losslessly — so dims AND exact channel sums
+    * are closed-form oracle arithmetic, same strength as the BMP/PNG
+    * decode oracles. feature(0) = 1 proves the real codec path. */
+  val q_multimodal_decode_jpeg = QuerySpec(
+    "q_multimodal_decode_jpeg", Seq("E-mm"),
+    (s, d) => {
+      val mkJpg = udf { id: Long =>
+        val w = (2 + id % 7).toInt
+        val h = (1 + id % 5).toInt
+        val v = ((id * 11) % 256).toInt
+        MediaCodec.encodeJpeg(w, h, (_, _) => (v, v, v))
+      }
+      val media = Engine.table(s, d, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("image/jpeg").as("media_type"),
+        mkJpg(col("doc_id")).as("payload"),
+        map().cast("map<string,string>").as("meta"))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("long").as("kind"),
+          element_at(col("feature"), 2).cast("long").as("width"),
+          element_at(col("feature"), 3).cast("long").as("height"),
+          element_at(col("feature"), 4).cast("long").as("sum_r"),
+          element_at(col("feature"), 5).cast("long").as("sum_g"),
+          element_at(col("feature"), 6).cast("long").as("sum_b"))
+        .orderBy("media_id")
+    },
+    Some("""WITH g AS (SELECT doc_id,
+                 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+                 (doc_id * 11) % 256 AS v
+               FROM documents)
+            SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS kind,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(w * h * v AS BIGINT) AS sum_r,
+                   CAST(w * h * v AS BIGINT) AS sum_g,
+                   CAST(w * h * v AS BIGINT) AS sum_b
+            FROM g ORDER BY media_id"""))
+
   /** REAL audio decode end-to-end: plant one PCM-16 WAV square wave
     * per document (amplitude/rate/length derived from doc_id), decode
     * through the production feature path, and check format fields and
@@ -863,17 +905,22 @@ object TextQueries {
                    CAST(100 * (1 + doc_id % 50) AS BIGINT) AS max_abs
             FROM documents ORDER BY media_id"""))
 
-  /** Perceptual near-dup IMAGE dedup end-to-end: plant one real image
-    * per document whose CONTENT is keyed by `doc_id % 25` — every
-    * class holds one plain copy encoded as an uncompressed BMP and one
-    * copy with a uniform +3 brightness shift encoded as a
-    * zlib-compressed PNG (different bytes, different CONTAINER, same
-    * picture; byte-level equality never fires). The dHash fingerprint
-    * is container-independent and integer-exact under the shift
-    * ([[graft.operators.MediaCodec.imageDHash64]]), so the survivor
-    * set is closed-form: the min doc_id of each class. Decode is
-    * map-only; the dedup is one exchange on the 8-byte hash — the
-    * exact-dedup cost class at any corpus size. */
+  /** Perceptual near-dup IMAGE dedup end-to-end across ALL THREE
+    * containers: plant one real image per document whose CONTENT is
+    * keyed by `doc_id % 25` — each class is a grayscale gradient with
+    * a class-specific x-frequency, carried as an uncompressed BMP
+    * (id%3=0), a zlib-compressed PNG with a uniform +3 brightness
+    * shift (id%3=1), or a LOSSY quality-1.0 JPEG (id%3=2). Different
+    * bytes, different containers, same picture; byte equality never
+    * fires. The dHash is container-independent: integer-exact for the
+    * lossless pair and for the brightness shift, and stable through
+    * the JPEG roundtrip because the fixture is grayscale (no chroma
+    * error) with x-steps of ≥17 gray levels (≥51 in r+g+b luma) at
+    * every sample comparison — orders of magnitude above quality-1.0
+    * reconstruction error. Survivor set closed-form: the min doc_id
+    * of each class. Decode is map-only; the dedup is one exchange on
+    * the 8-byte hash — the exact-dedup cost class at any corpus
+    * size. */
   val q_multimodal_phash_dedup = QuerySpec(
     "q_multimodal_phash_dedup", Seq("E-mm", "E-dedup", "U5"),
     (s, d) => {
@@ -881,21 +928,25 @@ object TextQueries {
         val cls = (id % 25).toInt
         val w = 9 + cls % 5
         val h = 8 + cls % 4
-        val shift = if (id % 2 == 1) 3 else 0
-        // class-specific gradient frequencies; the mod-200 wraps put
-        // sign changes at class-specific sample columns, so the 25
-        // classes land on distinct hashes (checked by the oracle)
-        val px = (x: Int, y: Int) => (
-          (x * (31 + 13 * (cls % 7)) + y * 17) % 200 + shift,
-          (y * (23 + 19 * (cls % 5)) + x * 7) % 200 + shift,
-          (cls * 97 + x * 53 + y * 29) % 200 + shift)
-        if (id % 2 == 1) MediaCodec.encodePng(w, h, px)
-        else MediaCodec.encodeBmp24(w, h, px)
+        val shift = if (id % 3 == 1) 3 else 0
+        // class-distinct x-step (17 + 2*cls: no two classes share a
+        // gradient); mod-199 wraps keep every adjacent-sample luma
+        // difference at least 17 gray levels from zero
+        val px = (x: Int, y: Int) => {
+          val g = (cls * 53 + x * (17 + 2 * cls) + y * 18) % 199 + shift
+          (g, g, g)
+        }
+        (id % 3) match {
+          case 0 => MediaCodec.encodeBmp24(w, h, px)
+          case 1 => MediaCodec.encodePng(w, h, px)
+          case _ => MediaCodec.encodeJpeg(w, h, px)
+        }
       }
       val media = Engine.table(s, d, "documents").select(
         col("doc_id").cast("long").as("media_id"),
-        when(col("doc_id") % 2 === 1, "image/png")
-          .otherwise("image/bmp").as("media_type"),
+        when(col("doc_id") % 3 === 0, "image/bmp")
+          .when(col("doc_id") % 3 === 1, "image/png")
+          .otherwise("image/jpeg").as("media_type"),
         mkImg(col("doc_id")).as("payload"),
         map().cast("map<string,string>").as("meta"))
       Multimodal.imageDedup(media)
@@ -952,6 +1003,7 @@ object TextQueries {
     q_embed_pq_topk,
     q_embed_ivfpq_topk, q_dedup_semantic, q_multimodal_features,
     q_multimodal_frames, q_multimodal_decode_bmp,
-    q_multimodal_decode_png, q_multimodal_decode_wav,
+    q_multimodal_decode_png, q_multimodal_decode_jpeg,
+    q_multimodal_decode_wav,
     q_multimodal_phash_dedup, q_multimodal_audio_dedup)
 }

@@ -420,10 +420,115 @@ object MediaCodec {
       })
     }
 
-  /** Container-independent perceptual fingerprint: BMP or PNG, same
-    * pixels → same hash. */
+  // ------------------------------------------------------------ JPEG
+
+  /** Strict JPEG decode via the JDK's bundled ImageIO plugin (public
+    * `javax.imageio` API — the same pure-JDK dependency MediaCodecSpec
+    * already uses to cross-validate the PNG codec). Real crawl corpora
+    * are overwhelmingly JPEG, so the perceptual image family must not
+    * no-op on the dominant container. Strict-parse contract as
+    * everywhere here: magic sniff (FF D8 FF) before any decode work,
+    * bounded dimensions, any reader error → None, never a wrong
+    * decode. The stream is wrapped in a MemoryCacheImageInputStream so
+    * executors never touch ImageIO's temp-file disk cache.
+    *
+    * JPEG is lossy: unlike BMP/PNG, a JPEG copy of a picture decodes
+    * to APPROXIMATELY the source pixels, so cross-container hash
+    * equality holds when the picture's luma gradients at the dHash
+    * sample points exceed the codec's reconstruction error (small at
+    * high quality; exact for uniform grayscale blocks, where the
+    * YCbCr roundtrip is the identity and a constant block's DC-only
+    * DCT quantizes losslessly at quality 1.0). */
+  def decodeJpegImage(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8 ||
+        (bytes(2) & 0xff) != 0xff) return None
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+    if (!it.hasNext) return None
+    val reader = it.next()
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(in, true, true)
+      val w = reader.getWidth(0)
+      val h = reader.getHeight(0)
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) None
+      else Option(reader.read(0))
+    } catch { case _: Exception => None }
+    finally { reader.dispose(); in.close() }
+  }
+
+  /** JPEG channel sums in [[BmpSummary]] form — the decode-dispatch
+    * member for the feature path. */
+  def decodeJpeg(bytes: Array[Byte]): Option[BmpSummary] =
+    decodeJpegImage(bytes).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      BmpSummary(w, h, sr, sg, sb)
+    }
+
+  /** [[bmpDHash64]]'s fingerprint for a JPEG payload: the SAME sampler
+    * over the ImageIO-decoded pixels. */
+  def jpegDHash64(bytes: Array[Byte]): Option[Long] =
+    decodeJpegImage(bytes).map { img =>
+      dHash64At(img.getWidth, img.getHeight, (x, y) => {
+        val rgb = img.getRGB(x, y)
+        ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      })
+    }
+
+  /** Encode a JPEG at explicit `quality` (1.0 = least lossy; the JDK
+    * writer disables chroma subsampling there) — fixture/test support
+    * for the decode path above, same role as [[encodeBmp24]] /
+    * [[encodePng]]. */
+  def encodeJpeg(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int),
+      quality: Float = 1.0f): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Container-independent perceptual fingerprint: BMP, PNG, or JPEG —
+    * same pixels → same hash (exactly for the lossless containers;
+    * within gradient margin for JPEG, see [[decodeJpegImage]]). */
   def imageDHash64(bytes: Array[Byte]): Option[Long] =
-    bmpDHash64(bytes).orElse(pngDHash64(bytes))
+    bmpDHash64(bytes).orElse(pngDHash64(bytes)).orElse(jpegDHash64(bytes))
 
   // ------------------------------------------------------------- WAV
 
@@ -556,13 +661,14 @@ object MediaCodec {
   val KindImage = 1f
   val KindAudio = 2f
 
-  /** Real decode dispatch: BMP → [1, w, h, sumR, sumG, sumB],
+  /** Real decode dispatch: BMP/PNG/JPEG → [1, w, h, sumR, sumG, sumB],
     * WAV → [2, rate, channels, frames, sumAbs, maxAbs], anything
     * else → None (caller falls back to the stub histogram). Sums are
     * exact in Float up to 2^24 — beyond that they are approximate
     * feature values, which is what a feature vector is. */
   def decodeFeatures(payload: Array[Byte]): Option[Array[Float]] =
-    decodeBmp24(payload).orElse(decodePng(payload)).map { b =>
+    decodeBmp24(payload).orElse(decodePng(payload))
+      .orElse(decodeJpeg(payload)).map { b =>
       Array(KindImage, b.width.toFloat, b.height.toFloat,
         b.sumR.toFloat, b.sumG.toFloat, b.sumB.toFloat)
     }.orElse(decodeWavPcm16(payload).map { w =>

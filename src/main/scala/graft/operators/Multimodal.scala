@@ -107,7 +107,8 @@ object Multimodal {
 
   /** Perceptual image fingerprints over media batches: one (media_id,
     * phash) row per input, phash NULL for payloads that are not
-    * structurally valid images ([[MediaCodec.imageDHash64]]: BMP or PNG, strict, so
+    * structurally valid images ([[MediaCodec.imageDHash64]]: BMP, PNG,
+    * or JPEG, strict, so
     * text bytes can never produce a phash). Same mapPartitions batch
     * shape as [[extractFeatures]]. The hash is the standard dHash
     * near-dup fingerprint: byte-level COPIES and uniform

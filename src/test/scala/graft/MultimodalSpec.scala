@@ -299,6 +299,64 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaCodec.imageDHash64(pngShift) == hb)
   }
 
+  test("JPEG decode: uniform grayscale roundtrips EXACTLY at quality 1.0 " +
+      "(identity YCbCr + DC-only lossless quantization)") {
+    for (v <- Seq(0, 7, 63, 128, 200, 255); (w, h) <- Seq((8, 8), (11, 5), (3, 17))) {
+      val jpg = MediaCodec.encodeJpeg(w, h, (_, _) => (v, v, v))
+      val got = MediaCodec.decodeJpeg(jpg)
+      assert(got.contains(MediaCodec.BmpSummary(
+        w, h, w.toLong * h * v, w.toLong * h * v, w.toLong * h * v)),
+        s"uniform gray v=$v ${w}x$h: $got")
+    }
+  }
+
+  test("jpegDHash64 equals the lossless containers' hash on " +
+      "margin-guarded grayscale gradients; strict on non-JPEG") {
+    for (cls <- 0 until 25) {
+      val w = 9 + cls % 5
+      val h = 8 + cls % 4
+      // grayscale kills chroma error entirely; the x-step of 25 gray
+      // levels (75 in r+g+b luma) dwarfs quality-1.0 reconstruction
+      // error, so no dHash comparison can flip
+      val px = (x: Int, y: Int) => {
+        val g = (cls * 53 + x * 25 + y * 18) % 199
+        (g, g, g)
+      }
+      val hb = MediaCodec.bmpDHash64(MediaCodec.encodeBmp24(w, h, px))
+      val hj = MediaCodec.jpegDHash64(MediaCodec.encodeJpeg(w, h, px))
+      assert(hb.nonEmpty && hb == hj, s"cls=$cls bmp=$hb jpeg=$hj")
+      assert(MediaCodec.imageDHash64(MediaCodec.encodeJpeg(w, h, px)) == hb)
+    }
+    // strictness: text, PNG bytes, and truncated JPEG all reject
+    assert(MediaCodec.decodeJpeg("not an image at all".getBytes).isEmpty)
+    val png = MediaCodec.encodePng(6, 6, (x, y) => (x, y, 0))
+    assert(MediaCodec.decodeJpeg(png).isEmpty)
+    val jpg = MediaCodec.encodeJpeg(8, 8, (_, _) => (99, 99, 99))
+    assert(MediaCodec.decodeJpeg(jpg.take(jpg.length / 2)).isEmpty)
+  }
+
+  test("phash-dedup fixture law: every class collides across BMP, " +
+      "shifted PNG, and JPEG; all 25 classes land on distinct hashes") {
+    // the exact fixture family q_multimodal_phash_dedup plants — pinned
+    // here so the closed-form survivor oracle cannot drift silently
+    val hashes = (0 until 25).map { cls =>
+      val w = 9 + cls % 5
+      val h = 8 + cls % 4
+      def px(shift: Int) = (x: Int, y: Int) => {
+        val g = (cls * 53 + x * (17 + 2 * cls) + y * 18) % 199 + shift
+        (g, g, g)
+      }
+      val hb = MediaCodec.imageDHash64(MediaCodec.encodeBmp24(w, h, px(0)))
+      val hp = MediaCodec.imageDHash64(MediaCodec.encodePng(w, h, px(3)))
+      val hj = MediaCodec.imageDHash64(MediaCodec.encodeJpeg(w, h, px(0)))
+      assert(hb.nonEmpty && hb == hp && hb == hj,
+        s"cls=$cls containers diverge: bmp=$hb png+3=$hp jpeg=$hj")
+      hb.get
+    }
+    assert(hashes.distinct.size == 25,
+      s"class hash collision: ${hashes.zipWithIndex.groupBy(_._1).filter(_._2.size > 1)}")
+  }
+
   test("imageNearDupPairs: pigeonhole banding finds pairs within the " +
       "Hamming radius and misses beyond it; non-images never pair") {
     // monotone-in-x luma gradient; the bump at the (col 0, row 0)
