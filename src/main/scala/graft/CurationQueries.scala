@@ -160,13 +160,24 @@ object CurationQueries {
           k = 10, k1 = bm25K1, b = bm25B, shards = 8)
         .withColumn("phase", lit("maintained")).collect()
       TextOps.invertedIndexCompact(s, dir)
-      val compacted = TextOps.bm25TopKIndexed(s, dir, bm25Terms,
+      val compactedDf = TextOps.bm25TopKIndexed(s, dir, bm25Terms,
           k = 10, k1 = bm25K1, b = bm25B, shards = 8)
         .withColumn("phase", lit("compacted"))
-      compacted.sparkSession.createDataFrame(
-          compacted.sparkSession.sparkContext.parallelize(
-            maintained.toSeq), compacted.schema)
-        .unionByName(compacted)
+      // both phases are k-row results: collect them and DELETE the
+      // per-run temp index before returning (a lazy frame would still
+      // read the dir). Leaving the dirs behind leaked ~hundreds of
+      // small files per timed run into /tmp — 85 dead index trees
+      // found after 12 rounds, exactly the kind of filesystem weather
+      // the bench's IO calibration leg exists to catch.
+      val compacted = compactedDf.collect()
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      rmrf(new java.io.File(dir))
+      s.createDataFrame(
+          s.sparkContext.parallelize(maintained.toSeq ++ compacted.toSeq),
+          compactedDf.schema)
         .orderBy("phase", "doc_id")
     },
     Some {

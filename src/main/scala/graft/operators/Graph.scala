@@ -81,7 +81,10 @@ object Graph {
     def apply(df: DataFrame): DataFrame = {
       val cp = df.localCheckpoint() // eager: materialized on return
       if (prev != null) prev.unpersist(blocking = false)
-      prev = cp.rdd
+      // the PERSISTED rdd is the LogicalRDD's internal one — cp.rdd is
+      // a fresh conversion wrapper whose unpersist would free nothing
+      // (see [[Checkpoints]]; this was exactly that bug until r13)
+      prev = Checkpoints.underlying(cp).getOrElse(cp.rdd)
       cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
     }
   }

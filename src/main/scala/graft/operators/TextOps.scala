@@ -380,16 +380,22 @@ object TextOps {
           pmod(xxhash64(col("token")), lit(shards.toLong)))
         .repartition(col("shard")),
       "shard", s"$indexDir/postings")
-    docs.select(col(idCol))
+    // doclen is materialized ONCE (localCheckpoint) and serves both
+    // consumers — the doclen write and the stats aggregate — instead
+    // of writing parquet and immediately reading it back (a whole
+    // extra scheduled job per build on what is a lifecycle-constant-
+    // bound operation at any corpus size)
+    val dl = docs.select(col(idCol))
       .join(spark.read.parquet(s"$indexDir/postings")
           .groupBy(col(idCol)).agg(sum(col("tf")).as("__dl")),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__dl"), lit(0L))
         .cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$indexDir/doclen")
-    spark.read.parquet(s"$indexDir/doclen")
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .localCheckpoint()
+    dl.write.mode("overwrite").parquet(s"$indexDir/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
+    Checkpoints.release(dl)
     Similarity.markBuilt(indexDir, "invidx")
   }
 
@@ -516,10 +522,24 @@ object TextOps {
       Similarity.swapCompactedBase(base)
     }
     rewrite("postings", Some("shard"))
-    rewrite("doclen", None)
-    spark.read.parquet(s"$indexDir/doclen")
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // the doclen rewrite materializes the live rows once; the same
+    // checkpointed frame feeds the staged write AND the stats refresh
+    // (reading the just-swapped parquet back was an extra job; the
+    // checkpoint holds exactly the rows the swap published, so the
+    // crash-ordering argument is unchanged — stats still land before
+    // _maint is removed)
+    val liveDl = {
+      val base = s"$indexDir/doclen"
+      Similarity.recoverCompactSwap(base)
+      val staged = s"${base}_compacting"
+      val live = resolveLive(spark, indexDir, base, idCol).localCheckpoint()
+      live.write.mode("overwrite").parquet(staged)
+      Similarity.swapCompactedBase(base)
+      live
+    }
+    liveDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
+    Checkpoints.release(liveDl)
     Similarity.rmrfDir(new java.io.File(s"$indexDir/_maint"))
     Similarity.rmrfDir(new java.io.File(s"$indexDir/tombstones"))
     Similarity.rmrfDir(new java.io.File(s"$indexDir/postings_delta"))
