@@ -227,6 +227,58 @@ object CubeQueries {
         FROM lineitem GROUP BY $LS)
       ORDER BY grouping_set, $RF, $LS"""))
 
+  private val budgetCubes = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Cube.Built]]()
+
+  /** Budget-selected lattice (HRU greedy, [[Cube.selectCuboids]]):
+    * base {rf,ls,sd,sk} + whatever candidates fit 2× the base's
+    * sketched row count. Built once per JVM per scale dir under its
+    * own prefix so the full-lattice queries stay isolated. */
+  private[graft] def ensureBudgetCube(s: SparkSession, d: String)
+      : Seq[Cube.Built] = {
+    val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+    val prefix = s"dws.cubebgt_${suf}_"
+    budgetCubes.computeIfAbsent(prefix, _ => {
+      s.sql("CREATE DATABASE IF NOT EXISTS dws")
+      val fact = Engine.table(s, d, "lineitem")
+      val base = Seq(RF, LS, SD, SK)
+      val est = fact.agg(approx_count_distinct(
+        struct(base.map(col): _*))).head().getLong(0)
+      Cube.buildBudgeted(fact, measures, base,
+        Seq(Seq(RF, SD), Seq(LS, SK), Seq(RF, LS), Seq(SK), Seq(RF)),
+        maxRows = est * 2, tablePrefix = prefix)
+    })
+  }
+
+  /** A dashboard aggregate answered from the BUDGET-SELECTED lattice
+    * ([[Cube.buildBudgeted]]): Kylin's practical capability is not
+    * "materialize the requested lattice" but "choose what to
+    * materialize under a budget" (HRU greedy over sketched cuboid
+    * sizes; reference docs/olap.md:24). The query's grain routes onto
+    * the selected sub-lattice — any grain whose exact cuboid was cut
+    * by the budget still answers through a selected ancestor — and
+    * the oracle is the naive SQL on raw lineitem. */
+  val q_cube_budget = QuerySpec(
+    "q_cube_budget", Seq("A1", "A6", "A10", "S4"),
+    (s, d) => {
+      ensureBudgetCube(s, d)
+      ExtQueries.withAggRouting(s) {
+        Engine.table(s, d, "lineitem")
+          .groupBy(RF, LS)
+          .agg(count(lit(1)).as("n"),
+            dsum2(col("l_quantity")).as("sum_qty"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+          .orderBy(RF, LS)
+      }
+    },
+    Some(s"""SELECT $RF, $LS, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_qty,
+              MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+            FROM lineitem GROUP BY $RF, $LS ORDER BY $RF, $LS"""))
+
   def all: Seq[QuerySpec] =
-    Seq(q_cube_build, q_cube_route, q_cube_maintain, q_cube_rollup)
+    Seq(q_cube_build, q_cube_route, q_cube_maintain, q_cube_rollup,
+      q_cube_budget)
 }

@@ -19,6 +19,26 @@ object PipelineQueries {
        FROM (SELECT doc_id, string_split(text, ' ') AS w
              FROM documents)"""
 
+  /** Brute-force jaccard >= 0.8 pairs in posting-list form (see
+    * TextQueries.duckJaccardCtes for the equivalence argument) — the
+    * all-pairs list_intersect form was infeasible in DuckDB at the
+    * sf0.1 oracle sweep. */
+  private val duckPairCtes =
+    s"""sh_t AS ($duckBigrams),
+        n_t AS (SELECT doc_id, len(sh) AS n FROM sh_t),
+        u_t AS (SELECT doc_id, unnest(sh) AS g FROM sh_t),
+        p AS (
+          SELECT c.id_a, c.id_b
+          FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS common
+                FROM u_t a JOIN u_t b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2) c
+          JOIN n_t na ON c.id_a = na.doc_id
+          JOIN n_t nb ON c.id_b = nb.doc_id
+          WHERE c.common::DOUBLE /
+                (na.n + nb.n - c.common)::DOUBLE >= 0.8)"""
+
   /** Near-dup pairs → connected components → (id, cluster_id). The
     * Spark side chains [[Dedup.minHashLshPairs]] (recall ≈ 1 at j>=0.8
     * with 16 bands × 3 rows — the math is pinned at
@@ -33,12 +53,7 @@ object PipelineQueries {
           numHashes = 48, bands = 16, threshold = 0.8))
       .orderBy("id"),
     Some(s"""WITH RECURSIVE
-             sh AS ($duckBigrams),
-             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                   WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                         len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
-                         >= 0.8),
+             $duckPairCtes,
              e AS (SELECT id_a AS src, id_b AS dst FROM p
                    UNION ALL SELECT id_b, id_a FROM p),
              reach AS (
@@ -63,12 +78,7 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE
-             sh AS ($duckBigrams),
-             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                   WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                         len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
-                         >= 0.8),
+             $duckPairCtes,
              e AS (SELECT id_a AS src, id_b AS dst FROM p
                    UNION ALL SELECT id_b, id_a FROM p),
              reach AS (

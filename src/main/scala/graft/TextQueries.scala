@@ -24,6 +24,34 @@ object TextQueries {
        FROM (SELECT doc_id, source, string_split(text, ' ') AS w
              FROM documents)"""
 
+  /** Brute-force Jaccard pairs in POSTING-LIST form: unnest the
+    * shingle sets, self-join on the shingle, count common shingles per
+    * pair, and derive jaccard = common / (|A| + |B| − common). EXACTLY
+    * the same truth set as the per-pair
+    * `list_intersect/list_distinct(list_concat)` form (a pair with
+    * zero common shingles has jaccard 0 and can never pass a positive
+    * threshold; the arithmetic divides the same integers, so the
+    * doubles are bit-identical — cross-checked equal at sf0.01), but
+    * Σ df(g)² join rows instead of n²/2 list intersections: the sf0.1
+    * oracle sweep runs this in seconds where the all-pairs form was
+    * infeasible (12.5M list intersections). `pairCond` further
+    * restricts which (a, b) pairs are considered (blocking). */
+  private def duckJaccardCtes(pairCond: String = ""): String =
+    s"""sh_t AS ($duckShingles),
+        n_t AS (SELECT doc_id, len(sh) AS n FROM sh_t),
+        u_t AS (SELECT doc_id, source, unnest(sh) AS g FROM sh_t),
+        jp AS (
+          SELECT c.id_a, c.id_b,
+                 c.common::DOUBLE /
+                 (na.n + nb.n - c.common)::DOUBLE AS jaccard
+          FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS common
+                FROM u_t a JOIN u_t b
+                  ON a.g = b.g AND a.doc_id < b.doc_id $pairCond
+                GROUP BY 1, 2) c
+          JOIN n_t na ON c.id_a = na.doc_id
+          JOIN n_t nb ON c.id_b = nb.doc_id)"""
+
   // -------------------------------------------------------- text analysis
 
   val q_text_token_stats = QuerySpec(
@@ -204,13 +232,8 @@ object TextQueries {
     (s, d) => Dedup.minHashLshPairs(Engine.table(s, d, "documents"),
         numHashes = 48, bands = 16, threshold = 0.8)
       .orderBy("id_a", "id_b"),
-    Some(s"""WITH s AS ($duckShingles)
-             SELECT id_a, id_b, jaccard FROM (
-               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                      len(list_intersect(a.sh, b.sh))::DOUBLE /
-                      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
-                        AS jaccard
-               FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+    Some(s"""WITH ${duckJaccardCtes()}
+             SELECT id_a, id_b, jaccard FROM jp
              WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
 
   /** Blocked n-gram Jaccard (exact within a blocking key). */
@@ -219,14 +242,8 @@ object TextQueries {
     (s, d) => Dedup.ngramJaccardPairs(Engine.table(s, d, "documents"),
         blockCol = "source", threshold = 0.5)
       .orderBy("id_a", "id_b"),
-    Some(s"""WITH s AS ($duckShingles)
-             SELECT id_a, id_b, jaccard FROM (
-               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                      len(list_intersect(a.sh, b.sh))::DOUBLE /
-                      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
-                        AS jaccard
-               FROM s a JOIN s b
-                 ON a.source = b.source AND a.doc_id < b.doc_id) p
+    Some(s"""WITH ${duckJaccardCtes("AND a.source = b.source")}
+             SELECT id_a, id_b, jaccard FROM jp
              WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
 
   /** Incremental ingestion dedup ([[Dedup.dedupAgainstCorpus]]): the
@@ -245,16 +262,23 @@ object TextQueries {
           threshold = 0.8)
         .select("doc_id", "source").orderBy("doc_id")
     },
-    Some(s"""WITH s AS ($duckShingles),
+    Some(s"""WITH sh_t AS ($duckShingles),
+             n_t AS (SELECT doc_id, len(sh) AS n FROM sh_t),
+             u_t AS (SELECT doc_id, unnest(sh) AS g FROM sh_t),
              b AS (SELECT doc_id, source, md5(text) AS fp FROM documents
                    WHERE doc_id % 10 = 0),
              cfp AS (SELECT DISTINCT md5(text) AS fp FROM documents
                      WHERE doc_id % 10 <> 0),
-             near AS (SELECT DISTINCT n.doc_id FROM s n JOIN s o
-                        ON n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
-                       AND len(list_intersect(n.sh, o.sh))::DOUBLE /
-                           len(list_distinct(list_concat(n.sh, o.sh)))::DOUBLE
-                             >= 0.8),
+             near AS (SELECT DISTINCT c.nid AS doc_id
+                      FROM (SELECT a.doc_id AS nid, o.doc_id AS oid,
+                                   COUNT(*) AS common
+                            FROM u_t a JOIN u_t o ON a.g = o.g
+                             AND a.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+                            GROUP BY 1, 2) c
+                      JOIN n_t na ON c.nid = na.doc_id
+                      JOIN n_t no ON c.oid = no.doc_id
+                      WHERE c.common::DOUBLE /
+                            (na.n + no.n - c.common)::DOUBLE >= 0.8),
              firsts AS (SELECT doc_id FROM (
                  SELECT doc_id, row_number() OVER (PARTITION BY fp
                    ORDER BY doc_id) AS rn FROM b) x WHERE rn = 1)
@@ -278,13 +302,8 @@ object TextQueries {
     (s, d) => Dedup.simHashNearDupPairs(Engine.table(s, d, "documents"),
         maxHamming = 8, threshold = 0.8)
       .orderBy("id_a", "id_b"),
-    Some(s"""WITH s AS ($duckShingles)
-             SELECT id_a, id_b, jaccard FROM (
-               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                      len(list_intersect(a.sh, b.sh))::DOUBLE /
-                      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
-                        AS jaccard
-               FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+    Some(s"""WITH ${duckJaccardCtes()}
+             SELECT id_a, id_b, jaccard FROM jp
              WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
 
   /** Partial-overlap pairs via winnowed rolling-hash fingerprints,

@@ -159,6 +159,90 @@ object Cube {
     built.toSeq
   }
 
+  /** Benefit-ranked cuboid selection under a ROW BUDGET — the classic
+    * greedy of Harinarayan/Rajaraman/Ullman, "Implementing Data Cubes
+    * Efficiently" (SIGMOD '96), over MEASURED (sketched) cuboid sizes.
+    * Kylin's practical capability is not "materialize the requested
+    * lattice" but "choose which cuboids to materialize under a
+    * budget": a 12-dim fact must not imply 2^12 tables.
+    *
+    * Sizes: one chunked pass over the fact computes
+    * `approx_count_distinct` of every candidate's dim tuple (64
+    * sketches per aggregate job — k candidates cost ceil(k/64) fact
+    * scans, each a map-side-partial HLL agg, no shuffle growth; at
+    * 100 TB you run this once per cube design, not per query). The
+    * base cuboid (widest, covering every candidate) is always
+    * selected — it is the fallback ancestor that keeps every query
+    * answerable off the fact.
+    *
+    * Greedy: per round, pick the unselected candidate with the
+    * largest total benefit, where benefit = Σ over candidate queries
+    * q ⊆ c of (rows of q's current cheapest selected ancestor − rows
+    * of c), counting only improvements; stop when the budget is
+    * exhausted or no candidate both fits and helps. The greedy is
+    * (1 − 1/e)-optimal for this objective — the known guarantee.
+    *
+    * Returns the selected dim lists (base first, then selection
+    * order) with their estimated rows — feed to [[build]]. */
+  def selectCuboids(fact: DataFrame, baseDims: Seq[String],
+      candidates: Seq[Seq[String]], maxRows: Long): Seq[Built] = {
+    require(baseDims.nonEmpty, "baseDims must be non-empty")
+    val cands = candidates.map(_.distinct).filter(_.nonEmpty).distinct
+      .filterNot(_.sorted == baseDims.sorted)
+    require(cands.forall(_.forall(baseDims.contains)),
+      "every candidate must be a subset of baseDims")
+    val all = baseDims +: cands
+    // sketched sizes, 64 candidates per aggregate pass
+    val est: Map[Seq[String], Long] = all.grouped(64).flatMap { chunk =>
+      val aggs = chunk.zipWithIndex.map { case (dims, i) =>
+        approx_count_distinct(struct(dims.map(col): _*)).as(s"c$i")
+      }
+      val row = fact.agg(aggs.head, aggs.tail: _*).head()
+      chunk.zipWithIndex.map { case (dims, i) => dims -> row.getLong(i) }
+    }.toMap
+    val baseRows = est(baseDims)
+    require(baseRows <= maxRows,
+      s"base cuboid alone (~$baseRows rows) exceeds the budget $maxRows")
+    val selected = scala.collection.mutable.LinkedHashMap[Seq[String], Long](
+      baseDims -> baseRows)
+    var budget = maxRows - baseRows
+    // cheapest selected ancestor a query grain can be answered from
+    def coverCost(q: Seq[String]): Long =
+      selected.collect { case (d, r) if q.forall(d.contains) => r }.min
+    var done = false
+    while (!done) {
+      val scored = cands
+        .filterNot(selected.contains)
+        .filter(est(_) <= budget)
+        .map { c =>
+          val rows = est(c)
+          val benefit = cands.iterator
+            .filter(q => q.forall(c.contains))
+            .map(q => math.max(0L, coverCost(q) - rows)).sum
+          (c, benefit)
+        }
+        .filter(_._2 > 0)
+      scored.sortBy { case (c, b) => (-b, est(c), mangle(c)) }
+        .headOption match {
+        case Some((c, _)) =>
+          selected += c -> est(c)
+          budget -= est(c)
+        case None => done = true
+      }
+    }
+    selected.map { case (d, r) => Built(d, "", r, None) }.toSeq
+  }
+
+  /** [[selectCuboids]] then [[build]]: materialize the budget-selected
+    * sub-lattice and register it for routing. */
+  def buildBudgeted(fact: DataFrame, measures: Seq[MeasureDef],
+      baseDims: Seq[String], candidates: Seq[Seq[String]],
+      maxRows: Long, tablePrefix: String,
+      register: Boolean = true): Seq[Built] =
+    build(fact, measures,
+      selectCuboids(fact, baseDims, candidates, maxRows).map(_.dims),
+      tablePrefix, register)
+
   /** A GROUPING-SETS aggregate phrased so EVERY member can route onto
     * the lattice: one aggregate per grouping set (each individually
     * eligible for [[graft.plans.AggRouteRewrite]]'s smallest-cuboid

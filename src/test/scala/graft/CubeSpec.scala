@@ -52,6 +52,75 @@ class CubeSpec extends SparkSuite {
     }
   }
 
+  test("selectCuboids: HRU greedy under a row budget — base always in, " +
+      "budget respected, the highest-benefit candidate picked first") {
+    import spark.implicits._
+    // controlled cardinalities: a∈{0,1}, b∈{0..9}, c∈{0..99}; 2000 rows
+    val fact = spark.range(2000).select(
+      (col("id") % 2).as("a"), (col("id") % 10).as("b"),
+      (col("id") % 100).as("c")).toDF()
+    val base = Seq("a", "b", "c") // ~200 distinct (a,b,c) combos (c determines b? no: 2000 rows, (a,b,c) has lcm structure)
+    val cands = Seq(Seq("a", "b"), Seq("b", "c"), Seq("a"), Seq("b"), Seq("c"))
+    // generous budget: everything helpful fits
+    val allIn = Cube.selectCuboids(fact, base, cands, maxRows = 1000000L)
+    assert(allIn.head.dims == base, "base cuboid must be selected first")
+    assert(allIn.map(_.rows).sum <= 1000000L)
+    // every candidate that strictly improves over the base should be in
+    assert(allIn.map(_.dims).toSet.size == allIn.size)
+    // tight budget: base (~200) + room for ~one small cuboid. The
+    // greedy must pick a candidate whose TOTAL benefit over remaining
+    // queries is maximal, and never overshoot the budget.
+    val baseRows = allIn.find(_.dims == base).get.rows
+    val tight = Cube.selectCuboids(fact, base, cands,
+      maxRows = baseRows + 25)
+    assert(tight.head.dims == base)
+    assert(tight.map(_.rows).sum <= baseRows + 25,
+      s"budget overshoot: $tight")
+    // with ≤25 rows of headroom only {a} (2 rows) and {b} (10 rows)
+    // and {a,b} (20 rows) fit individually; {a,b} answers three of the
+    // five candidate grains ({a,b},{a},{b}) at ≤20 rows — the greedy's
+    // first pick must be {a,b}, the max-benefit choice.
+    assert(tight.map(_.dims).contains(Seq("a", "b")),
+      s"expected the max-benefit {a,b} cuboid, got: ${tight.map(_.dims)}")
+    // base alone over budget fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Cube.selectCuboids(fact, base, cands, maxRows = 1L)
+    }
+    assert(ex.getMessage.contains("exceeds the budget"))
+  }
+
+  test("buildBudgeted: routing still answers every candidate grain, " +
+      "results equal the naive fact aggregate") {
+    val fact = Engine.table(spark, sf, "lineitem")
+    val measures = Seq(Cube.MeasureDef("n", Cube.MCountAll),
+      Cube.MeasureDef("s_qty", Cube.MSum,
+        col("l_quantity").cast("decimal(18,2)")))
+    val base = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+    val cands = Seq(Seq("l_returnflag", "l_linestatus"),
+      Seq("l_suppkey"), Seq("l_returnflag"))
+    // budget chosen so SOME but not necessarily all candidates fit:
+    // 2x the base estimate leaves room for the small dim cuboids
+    val est = fact.agg(approx_count_distinct(
+      struct(base.map(col): _*))).head().getLong(0)
+    val built = Cube.buildBudgeted(fact, measures, base, cands,
+      maxRows = est * 2, tablePrefix = "dws.cube_bgt_t_")
+    assert(built.head.dims == base)
+    // a grain NOT materialized still answers through an ancestor:
+    // compare the routed result for every candidate grain to the
+    // naive aggregate
+    cands.foreach { dims =>
+      val routed = ExtQueries.withAggRouting(spark) {
+        fact.groupBy(dims.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .orderBy(dims.map(col): _*)
+      }.collect().toSeq
+      val naive = fact.groupBy(dims.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .orderBy(dims.map(col): _*).collect().toSeq
+      assert(routed == naive, s"grain $dims diverged under routing")
+    }
+  }
+
   test("the {returnflag} cuboid sits on a depth-3 derivation chain") {
     def depth(dims: Seq[String]): Int =
       manifest.find(_.dims == dims).get.parentDims
