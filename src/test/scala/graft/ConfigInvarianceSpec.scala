@@ -66,10 +66,14 @@ class ConfigInvarianceSpec extends SparkSuite {
     "q_pack_sequences",
     // iterative loops claimed bit-deterministic
     "q_quality_classifier", "q_link_pagerank",
-    // cuboid-lattice routing
-    "q_cube_rollup",
+    // cuboid-lattice routing (incl. the budget-selected sub-lattice)
+    "q_cube_rollup", "q_cube_budget",
     // binary decode via mapPartitions
-    "q_multimodal_features")
+    "q_multimodal_features",
+    // perceptual media dedup (3-container dHash incl. lossy JPEG) and
+    // the envelope-hash audio twin — the r12 media family was covered
+    // by the full sweep only
+    "q_multimodal_phash_dedup", "q_multimodal_audio_dedup")
 
   private val subset: Seq[String] = {
     val s = if (fullCatalog) SparkEntry.queries.keys.toSeq.sorted else curated

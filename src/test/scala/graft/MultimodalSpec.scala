@@ -53,6 +53,54 @@ class MultimodalSpec extends SparkSuite {
     assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("media operators tolerate degenerate inputs: zero-row, " +
+      "single-row, and null-dirty media tables") {
+    val schema = "media_id BIGINT, media_type STRING, payload BINARY, " +
+      "meta MAP<STRING,STRING>"
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val bmp = MediaCodec.encodeBmp24(9, 8, (x, y) => (x * 20, y * 20, 5))
+    val wav = MediaCodec.encodeWavPcm16(8000, 1,
+      Array.tabulate[Short](130)(i => ((i % 7) * 40 - 120).toShort))
+    val single = Seq((1L, "image/bmp", bmp, Map.empty[String, String]))
+      .toDF("media_id", "media_type", "payload", "meta")
+    val dirty = Seq(
+      (1L, "image/bmp", bmp, Map.empty[String, String]),
+      (2L, null.asInstanceOf[String], null.asInstanceOf[Array[Byte]],
+        null.asInstanceOf[Map[String, String]]),
+      (3L, "audio/wav", wav, Map.empty[String, String]),
+      (4L, "text/plain", "not media".getBytes, Map.empty[String, String]))
+      .toDF("media_id", "media_type", "payload", "meta")
+    for (m <- Seq(empty, single, dirty)) {
+      // dedups: null/undecodable payloads keep themselves; decodable
+      // singletons survive; nothing throws
+      val img = Multimodal.imageDedup(m).collect()
+      assert(img.length == m.count(), "imageDedup must keep every " +
+        "row of a table with no duplicate content")
+      val aud = Multimodal.audioDedup(m).collect()
+      assert(aud.length == m.count())
+      // near-dup classes: no pairs on degenerate corpora, no throw
+      assert(Multimodal.imageNearDupClasses(m, maxHamming = 2)
+        .collect() != null)
+      // shot boundaries: payloads here are not frame-packed video, so
+      // no boundaries — and no crash on null payloads
+      assert(Multimodal.shotBoundaries(m, frameBytes = 64).collect()
+        .isEmpty)
+      // resize: BMP rows shrink, everything else passes through byte-
+      // identical (nulls stay null)
+      val resized = Multimodal.resizeImages(m, factor = 3)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload"))
+        .toMap
+      if (m eq dirty) {
+        assert(resized(2L) == null)
+        assert(resized(4L).toSeq == "not media".getBytes.toSeq)
+        assert(resized(1L).length < bmp.length)
+        assert(resized(3L).toSeq == wav.toSeq)
+      }
+    }
+  }
+
   test("stubDecode is deterministic in payload bytes") {
     val a = Multimodal.stubDecode("same bytes".getBytes)
     val b = Multimodal.stubDecode("same bytes".getBytes)
