@@ -165,20 +165,14 @@ object CurationQueries {
         .withColumn("phase", lit("compacted"))
       // both phases are k-row results: collect them and DELETE the
       // per-run temp index before returning (a lazy frame would still
-      // read the dir). Leaving the dirs behind leaked ~hundreds of
-      // small files per timed run into /tmp — 85 dead index trees
-      // found after 12 rounds, exactly the kind of filesystem weather
-      // the bench's IO calibration leg exists to catch.
-      val compacted = compactedDf.collect()
-      def rmrf(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmrf)
-        f.delete(); ()
-      }
-      rmrf(new java.io.File(dir))
-      s.createDataFrame(
-          s.sparkContext.parallelize(maintained.toSeq ++ compacted.toSeq),
-          compactedDf.schema)
-        .orderBy("phase", "doc_id")
+      // read the dir) — Engine.collectAndClean, the lifecycle-query
+      // contract; 85 dead index trees had accumulated over 12 rounds.
+      Engine.collectAndClean(
+        s.createDataFrame(
+            s.sparkContext.parallelize(maintained.toSeq),
+            compactedDf.schema)
+          .unionByName(compactedDf)
+          .orderBy("phase", "doc_id"), dir)
     },
     Some {
       val liveTok =

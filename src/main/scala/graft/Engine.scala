@@ -94,6 +94,25 @@ object Engine {
       new java.util.WeakHashMap[SparkSession,
         scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
+  /** Finish a lifecycle query that staged state under a per-run temp
+    * dir: collect the (small) result, DELETE the dir, and return the
+    * rows as a local frame with the original schema. Lifecycle
+    * queries (versioned-table DML, index maintenance) MUST route
+    * through this — returning a lazy frame that still reads the dir
+    * forces the caller to leak it, and 12 rounds of bench/verify runs
+    * had accumulated 80+ dead table roots each for four such queries
+    * (hundreds of small files apiece: real filesystem weather). */
+  def collectAndClean(df: DataFrame, tmpDir: String): DataFrame = {
+    val rows = df.collect()
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(tmpDir))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows.toSeq), df.schema)
+  }
+
   /** Read one testdata table, normalizing types the raw files can't
     * express in Spark (ns-precision timestamps → microsecond TIMESTAMP,
     * truncating like DuckDB's TIMESTAMP_NS→TIMESTAMP cast does).

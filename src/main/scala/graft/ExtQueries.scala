@@ -1144,8 +1144,9 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("qty"))
         .select(lit(v).as("version"), col("n"), col("qty"))
-      agg(1).unionByName(agg(2)).unionByName(agg(3)).unionByName(agg(4))
-        .orderBy("version")
+      Engine.collectAndClean(
+        agg(1).unionByName(agg(2)).unionByName(agg(3)).unionByName(agg(4))
+          .orderBy("version"), root)
     },
     Some("""WITH q AS (SELECT CAST(l_quantity AS BIGINT) AS q
                        FROM lineitem)
@@ -1332,9 +1333,10 @@ object ExtQueries {
       val cdc = VersionedTable.changesBetween(s, root, v2, v3)
         .groupBy(concat(lit("cdc_"), col("change")).as("label"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
-      snap("v1", v1).unionByName(snap("v2", v2)).unionByName(snap("v3", v3))
-        .unionByName(snap("v4", v4)).unionByName(snap("v5", v5))
-        .unionByName(cdc).orderBy("label")
+      Engine.collectAndClean(
+        snap("v1", v1).unionByName(snap("v2", v2)).unionByName(snap("v3", v3))
+          .unionByName(snap("v4", v4)).unionByName(snap("v5", v5))
+          .unionByName(cdc).orderBy("label"), root)
     },
     Some("""WITH q AS (SELECT o_orderkey % 10 AS b,
                               CAST(o_custkey AS BIGINT) AS v

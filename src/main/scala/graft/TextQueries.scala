@@ -593,11 +593,12 @@ object TextQueries {
       val compacted = Similarity.ivfProbe(s, dir, q, k = 8, nprobe = 256)
         .select(col("vec_id").cast("long").as("vec_id"))
         .withColumn("phase", lit("compacted"))
-      compacted.sparkSession.createDataFrame(
-          compacted.sparkSession.sparkContext.parallelize(live.toSeq),
-          compacted.schema)
-        .unionByName(compacted)
-        .orderBy("phase", "vec_id")
+      Engine.collectAndClean(
+        compacted.sparkSession.createDataFrame(
+            compacted.sparkSession.sparkContext.parallelize(live.toSeq),
+            compacted.schema)
+          .unionByName(compacted)
+          .orderBy("phase", "vec_id"), dir)
       }
     },
     Some("""WITH ids AS (

@@ -25,8 +25,30 @@ trait SparkSuite extends AnyFunSuite {
     }
   }
 
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Per-run temp dir, deleted on JVM exit along with any /tmp index
+    * caches the engine derived from its path (q_bm25_indexed &co key
+    * their persistent caches on the corpus dir — useful across rounds
+    * for the REAL testdata dirs, pure debris for a test's throwaway
+    * corpus; 100+ dead cache trees had accumulated over 12 rounds). */
+  def tmpDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      rmrf(new java.io.File(dir))
+      // derived caches embed the corpus path with non-alnums mangled
+      val mangled = dir.replaceAll("[^A-Za-z0-9]", "_")
+      Option(new java.io.File(
+          System.getProperty("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_") &&
+          f.getName.contains(mangled))
+        .foreach(rmrf)
+    }))
+    dir
+  }
 
   /** Run `f` with SQL confs set, restoring previous values after. */
   def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
