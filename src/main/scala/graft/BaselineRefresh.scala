@@ -56,14 +56,23 @@ object BaselineRefresh {
     // Bench and here never see it as a query. A run that only seeds or
     // refreshes the calibration (no query changes) still writes.
     val benchText = java.nio.file.Files.readString(benchPath)
+    // Calibration legs are part of the baseline's IDENTITY: they must
+    // describe the box state the committed per-query times came from.
+    // So an existing leg is only overwritten under an explicit
+    // `-calib` (a deliberate whole-state refresh, done together with
+    // the query times it calibrates); otherwise legs are SEEDED when
+    // absent and preserved when present — `-new`-style additions on a
+    // temporarily slow box must not re-stamp the whole baseline's
+    // calibration.
+    val refreshCalib = args.contains("-calib")
     def leg(benchKey: String, baseKey: String): Option[(String, Double)] = {
       val benchV = ("\"" + benchKey + "\"\\s*:\\s*([0-9.]+)").r
         .findFirstMatchIn(benchText).map(_.group(1).toDouble)
       val baseV = ("\"" + baseKey + "\"\\s*:\\s*([0-9.]+)").r
         .findFirstMatchIn(baseText).map(_.group(1).toDouble)
-      benchV.orElse(baseV).map(baseKey -> _)
+      (if (refreshCalib) benchV.orElse(baseV)
+       else baseV.orElse(benchV)).map(baseKey -> _)
     }
-    // both calibration legs ride along with the times they calibrated
     val calibOut = Seq(leg("calib", "__calib"),
       leg("calib_io", "__calib_io")).flatten
     val calibBase = Seq("__calib", "__calib_io").flatMap { k =>

@@ -800,11 +800,16 @@ object Dedup {
     // map-side and no (nv, id) join bucket is ever hot. The
     // localCheckpoint pins the collapse so the k-means loop, the
     // assignment, and the final anti-join don't re-run it.
+    // the rep COUNT (feeds the derived cluster count below) rides the
+    // checkpoint's materialization as an observed metric — previously
+    // a separate count() job over the checkpointed frame
+    val repCount = org.apache.spark.sql.Observation()
     val reps = vecs.groupBy(col("nv")).agg(min(col("id")).as("id"))
       .select(col("id"), col("nv"))
       .repartition(par) // AQE would coalesce the tiny-by-bytes agg
                         // output to 1-2 partitions, serializing the
                         // CPU-bound assignment/pair stages downstream
+      .observe(repCount, count(lit(1)).as("n"))
       .localCheckpoint()
     // ids are unique, so "not a keeper" needs only the id column —
     // an 8-byte-key anti-join against the checkpointed reps, instead
@@ -818,7 +823,10 @@ object Dedup {
     //    count() job; callers at known scale pass nClusters explicitly.
     val k =
       if (nClusters > 0) nClusters
-      else derivedClusterCount(reps.count())
+      else derivedClusterCount(repCount.get.get("n") match {
+        case Some(n: Long) => n
+        case _ => reps.count() // observation missing: fall back
+      })
     val centroids = Similarity.kmeansCentroids(reps, k, iters,
       sampleFraction)
     // soft (top-assignProbes) assignment closes the Voronoi-boundary

@@ -157,6 +157,26 @@ class CubeSpec extends SparkSuite {
       s"expected the {l_suppkey} cuboid scan ($want), got $paths")
   }
 
+  test("q_cube_budget routes onto the budget-selected lattice: zero " +
+      "fact scans") {
+    val df = CubeQueries.q_cube_budget.run(spark, sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val paths = plan.collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.map(_.toString) }.flatten
+    assert(paths.nonEmpty)
+    // when the full-lattice suite has ALSO registered its cuboids in
+    // this session, routing may legitimately pick an equally small one
+    // of those — the query's contract is zero FACT scans, not which
+    // registered lattice answered
+    assert(paths.forall(p => !p.contains("lineitem")),
+      s"expected only cuboid scans (no fact), got $paths")
+    assert(paths.exists(p => p.contains("cubebgt_") || p.contains("cube_")),
+      s"expected a cuboid-table scan, got $paths")
+  }
+
   test("grouping subsumed by two cuboids picks the fewer-row one") {
     // group by (rf, ls): subsumed by base, {rf,ls,sd} and {rf,ls};
     // the 6-row {rf,ls} cuboid must win

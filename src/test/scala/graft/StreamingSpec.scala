@@ -20,14 +20,21 @@ class StreamingSpec extends SparkSuite {
       "brightness-shifted); non-media rows pass through un-deduped") {
     import graft.operators.MediaCodec
     implicit val ctx = spark.sqlContext
-    val px = (x: Int, y: Int) =>
-      ((x * 37 + y * 11) % 200, (y * 29) % 200, (x * 13) % 200)
+    // grayscale keeps the JPEG member's luma exact through the lossy
+    // codec (no chroma error; x-steps of 75 in r+g+b luma dwarf the
+    // quality-1.0 reconstruction error — same margins as the batch
+    // phash-dedup fixture)
+    val px = (x: Int, y: Int) => {
+      val g = (x * 25 + y * 18) % 199; (g, g, g)
+    }
     val bmp = MediaCodec.encodeBmp24(12, 9, px)
     // the same picture, different container AND +4 brightness — the
     // bytes share nothing, only the perceptual fingerprint matches
     val pngShift = MediaCodec.encodePng(12, 9, (x, y) => {
       val (r, g, b) = px(x, y); (r + 4, g + 4, b + 4)
     })
+    // and a LOSSY third container of the same picture
+    val jpg = MediaCodec.encodeJpeg(12, 9, px)
     val other = MediaCodec.encodeBmp24(12, 9, (x, y) =>
       ((x * 151) % 200, (y * 97) % 200, 13))
     val in = MemoryStream[MediaEv]
@@ -40,13 +47,15 @@ class StreamingSpec extends SparkSuite {
         MediaEv(t("2024-01-01 10:00:01"), 2, pngShift),
         MediaEv(t("2024-01-01 10:00:02"), 3, other),
         MediaEv(t("2024-01-01 10:00:03"), 4, "not media".getBytes),
-        MediaEv(t("2024-01-01 10:00:04"), 5, "also not media".getBytes))
+        MediaEv(t("2024-01-01 10:00:04"), 5, "also not media".getBytes),
+        MediaEv(t("2024-01-01 10:00:05"), 7, jpg))
       q.processAllAvailable()
       val ids = spark.table("smd_out").collect()
         .map(_.getAs[Long]("media_id")).toSet
-      // exactly ONE of the perceptual twins {1, 2} survives; the
-      // distinct image and both non-media rows all pass
-      assert((ids & Set(1L, 2L)).size == 1, s"ids=$ids")
+      // exactly ONE of the perceptual triplet {1, 2, 7} (BMP, shifted
+      // PNG, lossy JPEG) survives; the distinct image and both
+      // non-media rows all pass
+      assert((ids & Set(1L, 2L, 7L)).size == 1, s"ids=$ids")
       assert(Set(3L, 4L, 5L).subsetOf(ids), s"ids=$ids")
       assert(ids.size == 4, s"ids=$ids")
       // a later redelivery of the surviving twin (same window) dedupes
