@@ -309,6 +309,71 @@ object CurationQueries {
                     md5(COALESCE(k.clean, '')) AS fp
              FROM a LEFT JOIN k USING (doc_id) ORDER BY a.doc_id"""))
 
+  /** EXACT substring dedup at arbitrary alignment
+    * ([[TextOps.dedupSubstrings]], the Lee et al. 2022 ExactSubstr
+    * operator): the same 10-token boilerplate is INSERTED at a
+    * per-doc offset (after doc_id%3+1 tokens) on every 5th doc —
+    * shifted alignments that fixed-window span dedup provably misses
+    * (see TextOpsSpec) — and the operator must strip every occurrence
+    * except the corpus-first, along with any organically repeated
+    * ≥8-token span. The oracle replays the identical seed-coverage
+    * construction (sliding 8-gram md5s, row_number first-occurrence,
+    * coverage expansion) in DuckDB; clean text compared by md5. */
+  val q_dedup_substring = QuerySpec(
+    "q_dedup_substring", Seq("E-dedup", "E-text", "U5"),
+    (s, d) => {
+      val w = split(col("text"), " ")
+      val m = (col("doc_id") % 3 + 1).cast("int")
+      val planted = Engine.table(s, d, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat_ws(" ",
+              concat(slice(w, lit(1), m), split(lit(boiler), " "),
+                slice(w, m + 1, greatest(size(w) - m, lit(0))))))
+            .otherwise(col("text")))
+      TextOps.dedupSubstrings(planted, k = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text")).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH planted AS (
+               SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN array_to_string(
+                     w[1:m] || string_split('$boiler', ' ') ||
+                     w[(m+1):len(w)], ' ')
+                   ELSE array_to_string(w, ' ') END AS text
+               FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                            CAST(doc_id % 3 + 1 AS BIGINT) AS m
+                     FROM documents)),
+             tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM planted),
+             win AS (SELECT doc_id, i AS start,
+                       md5(array_to_string(w[(i+1):(i+8)], ' ')) AS g
+                     FROM tok, LATERAL unnest(
+                       range(0, greatest(len(w) - 7, 0))) t(i)),
+             r AS (SELECT doc_id, start,
+                     row_number() OVER (PARTITION BY g
+                       ORDER BY doc_id, start) AS rn
+                   FROM win),
+             rp AS (SELECT DISTINCT doc_id, pos FROM (
+                      SELECT doc_id,
+                             unnest(range(start, start + 8)) AS pos
+                      FROM r WHERE rn > 1)),
+             pos AS (SELECT doc_id, i AS pos, w[CAST(i+1 AS BIGINT)] AS tok
+                     FROM tok, LATERAL unnest(range(0, len(w))) t(i)),
+             kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+                      LEFT JOIN rp ON p.doc_id = rp.doc_id
+                                  AND p.pos = rp.pos
+                      WHERE rp.pos IS NULL),
+             k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nk,
+                     string_agg(tok, ' ' ORDER BY pos) AS clean
+                   FROM kept GROUP BY doc_id)
+             SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                    CAST(len(w) - COALESCE(nk, 0) AS BIGINT) AS n_removed,
+                    md5(COALESCE(clean, '')) AS fp
+             FROM tok t LEFT JOIN k USING (doc_id)
+             ORDER BY t.doc_id"""))
+
   /** Per-domain quality floor ([[TextOps.qualityPercentileGate]]):
     * keep docs at/above their own source's 25th-percentile lexical
     * diversity. The oracle recomputes the identical exact-percentile
@@ -478,7 +543,8 @@ object CurationQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_repetition_stats, q_bm25_topk, q_common_token_ratio,
-    q_pack_sequences, q_mixture_sample, q_dedup_spans, q_shuffle_export,
+    q_pack_sequences, q_mixture_sample, q_dedup_spans, q_dedup_substring,
+    q_shuffle_export,
     q_quality_gate, q_source_cap, q_temperature_mixture,
     q_bpe_learn, q_bpe_encode, q_quality_classifier, q_bm25_indexed,
     q_bm25_index_maint)

@@ -748,4 +748,80 @@ object TextOps {
       k: Int = 8, w: Int = 4): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.Winnow.winnow(col(textCol), k, w).as("fps"))
+
+  /** EXACT substring dedup at ARBITRARY alignment — the
+    * "deduplicating training data" operator (Lee et al. 2022,
+    * ExactSubstr): any token span of length ≥ `k` that occurs more
+    * than once in the corpus (at ANY offset, within or across
+    * documents) is removed everywhere except its first occurrence.
+    * [[dedupSpans]] (C4-style) cuts the corpus into FIXED
+    * non-overlapping windows, so a license header shifted by one
+    * token between two pages never collides; this operator slides.
+    *
+    * Formulation (seed coverage): every SLIDING k-token window is
+    * fingerprinted; the first occurrence of each fingerprint — min
+    * (doc, start) — is the keeper; a token position is removed iff
+    * some NON-first window covers it. A duplicated span of length
+    * L ≥ k is covered by L−k+1 duplicated windows, so the whole
+    * non-first span is removed and the first occurrence survives
+    * intact (its windows are all keepers unless they also occur even
+    * earlier). Tokens are whitespace fields — the same cut rule as
+    * [[chunkDocuments]]/[[packSequences]].
+    *
+    * Scale shape: the window fingerprints are computed MAP-SIDE as
+    * one array per document (a `transform` over starts — n·k token
+    * reads per doc, the scan-dominant cost any k-gram pass pays; at
+    * 100 TB swap the md5-of-slice for a rolling-hash Expression) and
+    * posexploded WITHOUT the token array, so window rows carry
+    * (doc, start, 16-byte md5) only. The keeper is a partial-
+    * aggregated min(struct(doc, start)) on the fingerprint — a
+    * boilerplate span occurring in millions of documents collapses
+    * map-side; NEVER a window-function ranking. Non-first windows
+    * expand to covered positions (×k, bounded), distinct on
+    * (doc, pos) partial-aggregates, and the reassembly is per-doc
+    * grain. Output: (doc_id, n_tokens, n_removed, clean_text).
+    */
+  def dedupSubstrings(docs: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"substring threshold k must be >= 2, got $k")
+    val toks = docs.select(col(idCol),
+      split(col(textCol), " ").as("__w"))
+    // per-doc window fingerprints, computed before the explode so the
+    // token array never rides along window rows
+    val grams = toks.select(col(idCol),
+      when(size(col("__w")) >= k,
+        transform(sequence(lit(0), size(col("__w")) - k),
+          i => md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k))))))
+        .otherwise(array().cast("array<string>")).as("__gs"))
+    val windows = grams.select(col(idCol),
+      posexplode(col("__gs")).as(Seq("start", "__g")))
+    // first occurrence of each fingerprint = min (doc, start)
+    val firsts = windows.groupBy(col("__g"))
+      .agg(min(struct(col(idCol), col("start"))).as("__f"))
+      .select(col("__g"), col("__f")(idCol).as(idCol),
+        col("__f")("start").as("start"))
+    // windows that are NOT their fingerprint's first occurrence
+    val removedWins = windows.join(firsts,
+      Seq("__g", idCol, "start"), "left_anti")
+    val removedPos = removedWins
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val positions = toks.select(col(idCol),
+      posexplode(col("__w")).as(Seq("pos", "__t")))
+    val kept = positions.join(removedPos, Seq(idCol, "pos"), "left_anti")
+    val keptAgg = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("__nk"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("__t")))),
+          x => x.getField("__t")),
+        " ").as("clean_text"))
+    toks.select(col(idCol), size(col("__w")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nk"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -51,7 +51,7 @@ class ConfigInvarianceSpec extends SparkSuite {
     "q_topk_per_group",
     // dedup kernel family (minhash / simhash / winnow / shingle / k-means)
     "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_winnow",
-    "q_dedup_ngram_block", "q_dedup_semantic",
+    "q_dedup_ngram_block", "q_dedup_semantic", "q_dedup_substring",
     // ANN probes (CentroidTopK / ProductQuant / HyperplaneLSH)
     "q_embed_ivf_topk", "q_embed_pq_topk", "q_embed_knn_lsh",
     // exact-distinct bitmaps (TypedImperativeAggregate merge order)

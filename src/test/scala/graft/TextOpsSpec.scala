@@ -224,4 +224,57 @@ class TextOpsSpec extends SparkSuite {
     assertSameRows(graft.operators.TextOps.bm25TopKIndexed(
       spark, dir, terms, k = 10), expected)
   }
+
+  test("dedupSubstrings: shifted duplicate spans are removed at ANY " +
+      "alignment (the case fixed-window dedupSpans provably misses); " +
+      "first occurrence survives intact; sub-k docs untouched") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // 10 tokens
+    def uniq(d: Int, n: Int) = (1 to n).map(i => s"u${d}_$i").mkString(" ")
+    val docs = Seq(
+      // doc 1: boilerplate at offset 0 — the corpus-FIRST occurrence
+      (1L, s"$boiler ${uniq(1, 12)}"),
+      // doc 2: the SAME boilerplate shifted by 3 tokens
+      (2L, s"${uniq(2, 3)} $boiler ${uniq(2, 9).replace("u2_", "v2_")}"),
+      // doc 3: shifted by 7 — a different alignment again
+      (3L, s"${uniq(3, 7)} $boiler"),
+      // doc 4: no duplication, shorter than k
+      (4L, "w x y z"),
+      // doc 5: internal self-repeat of an 8-token run
+      (5L, {
+        val run = (1 to 8).map(i => s"r$i").mkString(" ")
+        s"$run ${uniq(5, 4)} $run"
+      })).toDF("doc_id", "text")
+    val out = TextOps.dedupSubstrings(docs, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 keeps everything (it IS the first occurrence)
+    assert(out(1L)._2 == 0, s"first occurrence lost tokens: ${out(1L)}")
+    assert(out(1L)._3.startsWith(boiler))
+    // docs 2 and 3: exactly the 10 boilerplate tokens removed, the
+    // unique remainder intact and in order
+    assert(out(2L)._2 == 10, s"doc 2: ${out(2L)}")
+    assert(!out(2L)._3.contains("b1") && out(2L)._3.contains("u2_3"))
+    assert(out(3L)._2 == 10, s"doc 3: ${out(3L)}")
+    assert(out(3L)._3 == uniq(3, 7))
+    // doc 4: under k tokens, untouched
+    assert(out(4L) == ((4L, 0L, "w x y z")))
+    // doc 5: the second copy of the internal 8-token run removed
+    assert(out(5L)._2 == 8, s"doc 5: ${out(5L)}")
+    // CONTRAST: fixed non-overlapping 10-token windows MISS the
+    // shifted copies (doc 2's boilerplate straddles two windows whose
+    // contents match nothing in doc 1)
+    val spans = TextOps.dedupSpans(docs, spanTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1) - r.getLong(2))).toMap // n_spans - n_kept = dropped
+    assert(spans(2L) == 0L,
+      "fixed windows unexpectedly caught the shifted copy — fixture broken")
+    // plan discipline: first-occurrence selection is a partial agg,
+    // never a window ranking over the fingerprint
+    val plan = TextOps.dedupSubstrings(docs, k = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "dedupSubstrings must not rank fingerprints with a window function")
+  }
 }
