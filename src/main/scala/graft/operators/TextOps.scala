@@ -704,39 +704,51 @@ object TextOps {
     * it at the "three-sentence span" level; token windows are the
     * delimiter-free equivalent.
     *
-    * Scale shape: spans explode map-side; the only wide operations are
-    * keyed by the span's 16-byte md5 (a partial-aggregated min — NOT a
-    * window ranking: a boilerplate span occurring in millions of
-    * documents would funnel every occurrence into one window task,
-    * while the min collapses hot spans map-side) and by doc_id (the
-    * reassembly aggregate). The keeper test is a semi-join on the
-    * unique compound key (fp, doc, position), so no join bucket is
-    * ever hot. Span TEXT crosses the shuffle once per occurrence,
-    * which is the same volume as the scan itself. */
+    * Scale shape: the per-doc chunk array is built MAP-SIDE (the
+    * [[graft.functions.TokenChunks]] kernel) and only (doc, chunk_id,
+    * 16-byte md5) rows ever explode into a shuffle — span TEXT never
+    * leaves its partition. The keeper is a partial-aggregated
+    * min(struct(doc, chunk_id)) on the fingerprint — NOT a window
+    * ranking: a boilerplate span occurring in millions of documents
+    * collapses map-side. Removed chunk ids aggregate to one small
+    * sorted int array per affected doc (compact buffers) and the
+    * clean text is rebuilt map-side by filtering the chunk array by
+    * index. (The previous formulation shuffled chunk TEXT and
+    * collect_list'ed (chunk_id, text) structs per doc — the same
+    * buffer shape that OOM'd dedupSubstrings' first draft at the 100×
+    * replica, since ObjectHashAggregate holds per-task group maps in
+    * memory up to the raised sort-fallback threshold.) */
   def dedupSpans(docs: DataFrame, spanTokens: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val spans = chunkDocuments(docs, spanTokens, 0, textCol, idCol)
-      .withColumn("__fp", md5(col("chunk_text")))
+    val base = docs.select(col(idCol),
+      graft.functions.TokenChunks.tokenChunks(
+        split(col(textCol), " "), spanTokens, spanTokens).as("__cs"))
+    val fpRows = base
+      .select(col(idCol),
+        posexplode(transform(col("__cs"), c => md5(c)))
+          .as(Seq("chunk_id", "__fp")))
     // first occurrence of each span = min (doc, position), struct order
-    val firsts = spans.groupBy(col("__fp"))
+    val firsts = fpRows.groupBy(col("__fp"))
       .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"))
       .select(col("__fp"), col("__first")(idCol).as(idCol),
         col("__first")("chunk_id").as("chunk_id"))
-    val kept = spans.join(firsts, Seq("__fp", idCol, "chunk_id"),
-      "left_semi")
-    val keptAgg = kept.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_kept"),
-      array_join(
-        transform(
-          array_sort(collect_list(
-            struct(col("chunk_id"), col("chunk_text")))),
-          x => x.getField("chunk_text")),
-        " ").as("clean_text"))
-    spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
-      .join(keptAgg, Seq(idCol), "left")
-      .select(col(idCol), col("n_spans"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    val removed = fpRows
+      .join(firsts, Seq("__fp", idCol, "chunk_id"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("chunk_id"))).as("__rm"))
+    // size(null) is -1 under the engine's pinned ansi=false (legacy
+    // sizeOfNull) — coalesce the ARRAY, not the size
+    base.join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__cs")).cast("long").as("n_spans"),
+        (size(col("__cs")) -
+          size(coalesce(col("__rm"), array().cast("array<int>"))))
+          .cast("long").as("n_kept"),
+        when(col("__rm").isNull, array_join(col("__cs"), " "))
+          .otherwise(array_join(
+            filter(col("__cs"), (_, i) =>
+              not(array_contains(col("__rm"), i))),
+            " ")).as("clean_text"))
   }
 
   /** Winnowed rolling-hash fingerprints ([[graft.functions.Winnow]]):
@@ -778,8 +790,19 @@ object TextOps {
     * boilerplate span occurring in millions of documents collapses
     * map-side; NEVER a window-function ranking. Non-first windows
     * expand to covered positions (×k, bounded), distinct on
-    * (doc, pos) partial-aggregates, and the reassembly is per-doc
-    * grain. Output: (doc_id, n_tokens, n_removed, clean_text).
+    * (doc, pos) partial-aggregates. Reassembly: removed POSITIONS
+    * aggregate to one small int array per affected doc (compact
+    * buffers — a doc's removals are bounded by its own length) and
+    * join back onto the token-array frame; the clean text is rebuilt
+    * MAP-SIDE by filtering the original array by index. Token text
+    * therefore never enters a shuffle or an aggregation buffer at all
+    * — the first formulation collect_list'ed (pos, token) structs per
+    * doc and OOM'd an 8 GiB JVM at the 100× replica (500k docs),
+    * because ObjectHashAggregate holds its per-task group map in
+    * memory up to the (deliberately raised) sort-fallback threshold;
+    * position-only state is ~50 bytes per removed token instead of
+    * the whole document. Output: (doc_id, n_tokens, n_removed,
+    * clean_text).
     */
   def dedupSubstrings(docs: DataFrame, k: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -787,14 +810,20 @@ object TextOps {
     val toks = docs.select(col(idCol),
       split(col(textCol), " ").as("__w"))
     // per-doc window fingerprints, computed before the explode so the
-    // token array never rides along window rows
+    // token array never rides along window rows. 16-BYTE BINARY md5
+    // (not the 32-char hex) — halves every downstream key. The window
+    // rows are localCheckpoint'd because BOTH the first-occurrence
+    // aggregate and the non-first anti-join consume them: without it
+    // the fingerprint pass (the scan-dominant interpreted HOF) runs
+    // twice end-to-end.
     val grams = toks.select(col(idCol),
       when(size(col("__w")) >= k,
         transform(sequence(lit(0), size(col("__w")) - k),
-          i => md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k))))))
-        .otherwise(array().cast("array<string>")).as("__gs"))
+          i => unhex(md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))))
+        .otherwise(array().cast("array<binary>")).as("__gs"))
     val windows = grams.select(col(idCol),
       posexplode(col("__gs")).as(Seq("start", "__g")))
+      .localCheckpoint()
     // first occurrence of each fingerprint = min (doc, start)
     val firsts = windows.groupBy(col("__g"))
       .agg(min(struct(col(idCol), col("start"))).as("__f"))
@@ -803,25 +832,27 @@ object TextOps {
     // windows that are NOT their fingerprint's first occurrence
     val removedWins = windows.join(firsts,
       Seq("__g", idCol, "start"), "left_anti")
-    val removedPos = removedWins
+    // one small sorted int-array of removed positions per AFFECTED doc
+    val removedArr = removedWins
       .select(col(idCol),
         explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
-      .distinct()
-    val positions = toks.select(col(idCol),
-      posexplode(col("__w")).as(Seq("pos", "__t")))
-    val kept = positions.join(removedPos, Seq(idCol, "pos"), "left_anti")
-    val keptAgg = kept.groupBy(col(idCol)).agg(
-      count(lit(1)).as("__nk"),
-      array_join(
-        transform(
-          array_sort(collect_list(struct(col("pos"), col("__t")))),
-          x => x.getField("__t")),
-        " ").as("clean_text"))
-    toks.select(col(idCol), size(col("__w")).cast("long").as("n_tokens"))
-      .join(keptAgg, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__nk"), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("pos"))).as("__rm"))
+    // size(null) is -1 under the engine's pinned ansi=false (legacy
+    // sizeOfNull) — coalesce the ARRAY, not the size
+    // NOTE: `windows`' checkpoint blocks stay persisted — the returned
+    // (lazy) plan reads them; releasing here would drop data a
+    // lineage-truncated checkpoint cannot recompute. The session's
+    // storage sweep reclaims them once the caller's action is done.
+    toks.join(removedArr, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        size(coalesce(col("__rm"), array().cast("array<int>")))
           .cast("long").as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        when(col("__rm").isNull, concat_ws(" ", col("__w")))
+          .otherwise(array_join(
+            filter(col("__w"), (_, i) =>
+              not(array_contains(col("__rm"), i))),
+            " ")).as("clean_text"))
   }
 }
