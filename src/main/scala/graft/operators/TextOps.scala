@@ -809,21 +809,7 @@ object TextOps {
     require(k >= 2, s"substring threshold k must be >= 2, got $k")
     val toks = docs.select(col(idCol),
       split(col(textCol), " ").as("__w"))
-    // per-doc window fingerprints, computed before the explode so the
-    // token array never rides along window rows. 16-BYTE BINARY md5
-    // (not the 32-char hex) — halves every downstream key. The window
-    // rows are localCheckpoint'd because BOTH the first-occurrence
-    // aggregate and the non-first anti-join consume them: without it
-    // the fingerprint pass (the scan-dominant interpreted HOF) runs
-    // twice end-to-end.
-    val grams = toks.select(col(idCol),
-      when(size(col("__w")) >= k,
-        transform(sequence(lit(0), size(col("__w")) - k),
-          i => unhex(md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))))
-        .otherwise(array().cast("array<binary>")).as("__gs"))
-    val windows = grams.select(col(idCol),
-      posexplode(col("__gs")).as(Seq("start", "__g")))
-      .localCheckpoint()
+    val windows = substringWindows(toks, k, idCol)
     // first occurrence of each fingerprint = min (doc, start)
     val firsts = windows.groupBy(col("__g"))
       .agg(min(struct(col(idCol), col("start"))).as("__f"))
@@ -832,7 +818,77 @@ object TextOps {
     // windows that are NOT their fingerprint's first occurrence
     val removedWins = windows.join(firsts,
       Seq("__g", idCol, "start"), "left_anti")
-    // one small sorted int-array of removed positions per AFFECTED doc
+    substringReassemble(toks, removedWins, k, idCol)
+  }
+
+  /** [[dedupSubstrings]] against an EXISTING corpus — the incremental
+    * twin: a window whose fingerprint already exists in `corpusGrams`
+    * (one binary `g` column, the output of [[substringGrams]] over
+    * everything ingested so far) is removed on EVERY occurrence in
+    * the batch (its true first occurrence lives in the corpus), and
+    * batch-internal duplicates keep their batch-first occurrence —
+    * exactly [[dedupSubstrings]] over corpus-then-batch, restricted
+    * to the batch. Same fingerprint-only shuffles. */
+  def dedupSubstringsAgainstCorpus(corpusGrams: DataFrame,
+      docs: DataFrame, k: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"substring threshold k must be >= 2, got $k")
+    val toks = docs.select(col(idCol),
+      split(col(textCol), " ").as("__w"))
+    val windows = substringWindows(toks, k, idCol)
+    val firsts = windows.groupBy(col("__g"))
+      .agg(min(struct(col(idCol), col("start"))).as("__f"))
+      .select(col("__g"), col("__f")(idCol).as(idCol),
+        col("__f")("start").as("start"))
+    val nonFirst = windows.join(firsts,
+      Seq("__g", idCol, "start"), "left_anti")
+    val inCorpus = windows.join(
+      corpusGrams.select(col("g").as("__g")), Seq("__g"), "left_semi")
+    val removedWins = nonFirst.select(col(idCol), col("start"))
+      .unionByName(inCorpus.select(col(idCol), col("start")))
+    substringReassemble(toks, removedWins, k, idCol)
+  }
+
+  /** The distinct window fingerprints of a document set — what a
+    * streaming ingester appends to its substring-fingerprint store
+    * after each batch (RAW batch text, not the cleaned output: the
+    * kept first occurrence defines the spans later arrivals must
+    * collide with). One binary `g` column. */
+  def substringGrams(docs: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    substringWindows(docs.select(col(idCol),
+        split(col(textCol), " ").as("__w")), k, idCol)
+      .select(col("__g").as("g")).distinct()
+
+  /** Sliding-window fingerprint rows (idCol, start, __g) — per-doc
+    * fingerprints computed BEFORE the explode so the token array
+    * never rides along window rows; 16-BYTE BINARY md5 (not the
+    * 32-char hex) halves every downstream key. localCheckpoint'd
+    * because both the first-occurrence aggregate and the non-first
+    * anti-join consume the rows: without it the fingerprint pass (the
+    * scan-dominant interpreted HOF) runs twice end-to-end. The blocks
+    * stay persisted for the returned lazy plan (a lineage-truncated
+    * checkpoint cannot recompute); the session's storage sweep
+    * reclaims them. */
+  private def substringWindows(toks: DataFrame, k: Int,
+      idCol: String): DataFrame = {
+    val grams = toks.select(col(idCol),
+      when(size(col("__w")) >= k,
+        transform(sequence(lit(0), size(col("__w")) - k),
+          i => unhex(md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))))
+        .otherwise(array().cast("array<binary>")).as("__gs"))
+    grams.select(col(idCol),
+      posexplode(col("__gs")).as(Seq("start", "__g")))
+      .localCheckpoint()
+  }
+
+  /** Position-only reassembly shared by the substring-dedup variants:
+    * removed windows expand to covered positions, aggregate to one
+    * small sorted int array per affected doc, and the clean text is
+    * rebuilt MAP-SIDE by index-filtering the original token array —
+    * token text never enters a shuffle or an aggregation buffer. */
+  private def substringReassemble(toks: DataFrame, removedWins: DataFrame,
+      k: Int, idCol: String): DataFrame = {
     val removedArr = removedWins
       .select(col(idCol),
         explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
@@ -840,10 +896,6 @@ object TextOps {
       .agg(array_sort(collect_set(col("pos"))).as("__rm"))
     // size(null) is -1 under the engine's pinned ansi=false (legacy
     // sizeOfNull) — coalesce the ARRAY, not the size
-    // NOTE: `windows`' checkpoint blocks stay persisted — the returned
-    // (lazy) plan reads them; releasing here would drop data a
-    // lineage-truncated checkpoint cannot recompute. The session's
-    // storage sweep reclaims them once the caller's action is done.
     toks.join(removedArr, Seq(idCol), "left")
       .select(col(idCol),
         size(col("__w")).cast("long").as("n_tokens"),

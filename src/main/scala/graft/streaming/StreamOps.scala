@@ -357,6 +357,53 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming EXACT-SUBSTRING dedup — the incremental twin of
+    * [[graft.operators.TextOps.dedupSubstrings]]: each micro-batch is
+    * cleaned against every window fingerprint seen in EARLIER batches
+    * ([[graft.operators.TextOps.dedupSubstringsAgainstCorpus]] — a
+    * span whose first occurrence arrived an hour ago is cut from
+    * every later arrival) plus batch-internal first-wins, then the
+    * RAW batch's fingerprints land in the store for the batches after
+    * it. foreachBatch, because the seed-coverage plan is a multi-pass
+    * batch plan per micro-batch (the [[streamEmbeddingDedupSink]]
+    * rationale).
+    *
+    * Crash idempotence (the [[graft.operators.TextOps
+    * .invertedIndexUpsert]] protocol): fingerprints land in per-batch
+    * `__batch=<id>` dirs written with OVERWRITE, and the store read
+    * EXCLUDES the current batch id — a redelivered batch neither
+    * collides with its own earlier attempt's fingerprints nor appends
+    * duplicates. Store growth is one distinct-fingerprint set per
+    * batch (16 bytes per distinct window); compact offline by
+    * rewriting the union when dirs accumulate. */
+  def streamSubstringDedupSink(stream: DataFrame, fpDir: String,
+      k: Int, checkpoint: String, textCol: String = "text",
+      idCol: String = "doc_id")(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = Option(new java.io.File(fpDir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("__batch=") &&
+            f.getName != s"__batch=$batchId")
+          .map(_.getPath)
+        val store =
+          if (prior.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType.fromDDL("g BINARY"))
+          else spark.read.parquet(prior.toSeq: _*)
+        sink(graft.operators.TextOps.dedupSubstringsAgainstCorpus(
+          store, batch, k, textCol, idCol))
+        graft.operators.TextOps.substringGrams(batch, k, textCol, idCol)
+          .write.mode("overwrite").parquet(s"$fpDir/__batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Stream-stream inner join on a key plus an EVENT-TIME interval:
     * right rows within `[leftTs, leftTs + window]` of a matching left
     * row (the ad impression→click attribution shape). Both sides carry

@@ -335,6 +335,48 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       .collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("dedupSubstrings == an independent in-memory seed-coverage " +
+      "model on random tiny-vocab corpora") {
+    import graft.operators.TextOps
+    val k = 3
+    // tiny vocabulary forces genuine duplicated k-grams at arbitrary
+    // alignments, including within-doc self-repeats
+    val docGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.chooseNum(1, 10)
+      texts <- Gen.listOfN(n, Gen.chooseNum(0, 18).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("p", "q", "r", "s", "t"))
+          .map(_.mkString(" "))))
+    } yield texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+    def model(docs: List[(Long, String)])
+        : Map[Long, (Long, Long, String)] = {
+      val wins = for {
+        (id, t) <- docs
+        w = t.split(" ", -1)
+        s <- 0 to w.length - k
+      } yield (id, s, w.slice(s, s + k).mkString(" "))
+      val first = wins.groupBy(_._3)
+        .map { case (g, occ) => g -> occ.minBy(o => (o._1, o._2)) }
+      val removed = wins.filter(o => first(o._3) != o)
+        .flatMap(o => (o._2 until o._2 + k).map(p => (o._1, p))).toSet
+      docs.map { case (id, t) =>
+        val w = t.split(" ", -1)
+        val kept = w.zipWithIndex
+          .collect { case (tok, i) if !removed((id, i)) => tok }
+        id -> (w.length.toLong, (w.length - kept.length).toLong,
+          kept.mkString(" "))
+      }.toMap
+    }
+    check(forAll(docGen) { docs =>
+      docs.isEmpty || {
+        val got = TextOps.dedupSubstrings(docs.toDF("doc_id", "text"), k)
+          .collect()
+          .map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+        got == model(docs)
+      }
+    })
+  }
+
   test("versioned table: drop-and-recreate in one JVM never serves the " +
       "dead generation's cached manifest") {
     import graft.operators.VersionedTable

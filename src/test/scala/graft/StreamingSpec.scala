@@ -174,6 +174,57 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming exact-substring dedup: a span first seen in batch 1 " +
+      "is cut from batch 2 at a shifted alignment; stream == batch law") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.TextOps
+    val boiler = (1 to 10).map(i => s"s$i").mkString(" ")
+    def uniq(d: Int, n: Int) = (1 to n).map(i => s"d${d}_$i").mkString(" ")
+    val b1 = Seq(
+      (1L, s"$boiler ${uniq(1, 12)}"),
+      (2L, uniq(2, 15)))
+    val b2 = Seq(
+      // the batch-1 boilerplate again, SHIFTED — and batch-internal
+      // twins of a fresh 8-token run
+      (3L, s"${uniq(3, 4)} $boiler"),
+      (4L, {
+        val run = (1 to 8).map(i => s"t$i").mkString(" ")
+        s"$run ${uniq(4, 3)}"
+      }),
+      (5L, (1 to 8).map(i => s"t$i").mkString(" ")))
+    val in = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = StreamOps.streamSubstringDedupSink(
+      in.toDF().toDF("doc_id", "text"), tmpDir("ssd_fp"), k = 8,
+      checkpoint = tmpDir("ssd_ckpt")) { cleaned =>
+      out.synchronized {
+        out ++= cleaned.select("doc_id", "n_removed", "clean_text")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      }
+    }
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = out.sortBy(_._1).toList
+    // the batch law: streaming over (b1, b2) == batch dedupSubstrings
+    // over the concatenated corpus (arrival order == id order here)
+    import spark.implicits._
+    val expected = TextOps
+      .dedupSubstrings((b1 ++ b2).toDF("doc_id", "text"), k = 8)
+      .select("doc_id", "n_removed", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toList
+    assert(got == expected,
+      s"stream/batch diverged:\n  stream=$got\n  batch =$expected")
+    // and the cross-batch shifted span really was cut
+    assert(got.find(_._1 == 3L).get._2 == 10)
+    assert(!got.find(_._1 == 3L).get._3.contains("s1"))
+    // batch-internal first-wins inside batch 2
+    assert(got.find(_._1 == 4L).get._2 == 0)
+    assert(got.find(_._1 == 5L).get._2 == 8)
+  }
+
   test("T5: drift filter keeps business-date rows from widened partitions") {
     val rows = Seq(
       ("2024-01-01", t("2024-01-01 23:59:58")), // correct partition
