@@ -242,11 +242,11 @@ object CubeQueries {
       s.sql("CREATE DATABASE IF NOT EXISTS dws")
       val fact = Engine.table(s, d, "lineitem")
       val base = Seq(RF, LS, SD, SK)
-      val est = fact.agg(approx_count_distinct(
-        struct(base.map(col): _*))).head().getLong(0)
-      Cube.buildBudgeted(fact, measures, base,
+      // budget = 2x the base's sketched size, resolved INSIDE the
+      // selection's own sizing pass (one fact sketch total)
+      Cube.buildBudgetedBy(fact, measures, base,
         Seq(Seq(RF, SD), Seq(LS, SK), Seq(RF, LS), Seq(SK), Seq(RF)),
-        maxRows = est * 2, tablePrefix = prefix)
+        budgetOf = _ * 2, tablePrefix = prefix)
     })
   }
 

@@ -26,4 +26,24 @@ private[graft] object Checkpoints {
     * they would recompute — so call only when the frame is done. */
   def release(df: DataFrame, blocking: Boolean = false): Unit =
     underlying(df).foreach(_.unpersist(blocking))
+
+  /** Read an observed metric with a BOUNDED wait. `Observation.get`
+    * blocks FOREVER if the listener bus drops the action's completion
+    * event (the shared queue has finite capacity under driver load) —
+    * a probe fused into a checkpoint must degrade to an explicit job,
+    * never hang. Returns None on timeout or a missing key; the caller
+    * runs its explicit fallback then. The observed dataset's action
+    * has ALREADY RETURNED at every call site (localCheckpoint is
+    * eager), so a healthy listener delivers within the first poll. */
+  def metric(obs: org.apache.spark.sql.Observation, key: String,
+      timeoutMs: Long = 60000L): Option[Any] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    // Observation.get is the only public accessor and it blocks
+    // without a timeout — bound it with a timed Await (the global EC's
+    // threads are daemons, so a timed-out waiter can't pin shutdown)
+    val fut = Future(obs.get)(scala.concurrent.ExecutionContext.global)
+    try Await.result(fut, timeoutMs.millis).get(key)
+    catch { case _: java.util.concurrent.TimeoutException => None }
+  }
 }

@@ -185,7 +185,16 @@ object Cube {
     * Returns the selected dim lists (base first, then selection
     * order) with their estimated rows — feed to [[build]]. */
   def selectCuboids(fact: DataFrame, baseDims: Seq[String],
-      candidates: Seq[Seq[String]], maxRows: Long): Seq[Built] = {
+      candidates: Seq[Seq[String]], maxRows: Long): Seq[Built] =
+    selectCuboidsBy(fact, baseDims, candidates, _ => maxRows)
+
+  /** [[selectCuboids]] with the budget given as a FUNCTION of the
+    * base cuboid's sketched row count (`budgetOf`), so callers that
+    * budget relative to the base ("2× the base") don't pay a second
+    * full-fact sketch pass just to learn the base size first. */
+  def selectCuboidsBy(fact: DataFrame, baseDims: Seq[String],
+      candidates: Seq[Seq[String]],
+      budgetOf: Long => Long): Seq[Built] = {
     require(baseDims.nonEmpty, "baseDims must be non-empty")
     val cands = candidates.map(_.distinct).filter(_.nonEmpty).distinct
       .filterNot(_.sorted == baseDims.sorted)
@@ -201,6 +210,7 @@ object Cube {
       chunk.zipWithIndex.map { case (dims, i) => dims -> row.getLong(i) }
     }.toMap
     val baseRows = est(baseDims)
+    val maxRows = budgetOf(baseRows)
     require(baseRows <= maxRows,
       s"base cuboid alone (~$baseRows rows) exceeds the budget $maxRows")
     val selected = scala.collection.mutable.LinkedHashMap[Seq[String], Long](
@@ -241,6 +251,16 @@ object Cube {
       register: Boolean = true): Seq[Built] =
     build(fact, measures,
       selectCuboids(fact, baseDims, candidates, maxRows).map(_.dims),
+      tablePrefix, register)
+
+  /** [[buildBudgeted]] with the budget relative to the base cuboid's
+    * sketched size (one sketch pass total). */
+  def buildBudgetedBy(fact: DataFrame, measures: Seq[MeasureDef],
+      baseDims: Seq[String], candidates: Seq[Seq[String]],
+      budgetOf: Long => Long, tablePrefix: String,
+      register: Boolean = true): Seq[Built] =
+    build(fact, measures,
+      selectCuboidsBy(fact, baseDims, candidates, budgetOf).map(_.dims),
       tablePrefix, register)
 
   /** A GROUPING-SETS aggregate phrased so EVERY member can route onto

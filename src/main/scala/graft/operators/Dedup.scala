@@ -823,9 +823,9 @@ object Dedup {
     //    count() job; callers at known scale pass nClusters explicitly.
     val k =
       if (nClusters > 0) nClusters
-      else derivedClusterCount(repCount.get.get("n") match {
+      else derivedClusterCount(Checkpoints.metric(repCount, "n") match {
         case Some(n: Long) => n
-        case _ => reps.count() // observation missing: fall back
+        case _ => reps.count() // listener event lost: explicit count
       })
     val centroids = Similarity.kmeansCentroids(reps, k, iters,
       sampleFraction)

@@ -245,9 +245,15 @@ object Graph {
           (lit(1.0 - damping) + lit(damping) * coalesce(col("m"), lit(0.0)))
             .as("pr")): _*)
         .observe(obs, max(abs(col("pr") - col("prev"))).as("d")))
-      converged = obs.get.get("d") match {
+      converged = Checkpoints.metric(obs, "d") match {
         case Some(d: Double) => d < tol
-        case _ => true // null max ⇔ empty rank frame: nothing to move
+        case Some(_) => true // null max ⇔ empty rank frame
+        case None => // listener event lost: explicit probe, never hang
+          next.agg(max(abs(col("pr") - col("prev"))).as("d"))
+            .head() match {
+            case r if r.isNullAt(0) => true
+            case r => r.getDouble(0) < tol
+          }
       }
       ranks = next.select(carry: _*)
       iter += 1
@@ -366,7 +372,12 @@ object Graph {
     val nullProbe = org.apache.spark.sql.Observation()
     ranks = new RollingCheckpoint()(ranks.observe(nullProbe,
       count(when(col("pr").isNull, 1)).as("nulls")))
-    require(nullProbe.get.get("nulls").contains(0L),
+    val nulls = Checkpoints.metric(nullProbe, "nulls") match {
+      case Some(n: Long) => n
+      case _ => // listener event lost: explicit scan, never hang
+        ranks.filter(col("pr").isNull).count()
+    }
+    require(nulls == 0L,
       "pageRankExact: decimal overflow (a rank exceeded its " +
         "integer-digit headroom); use pageRank (double)")
     ranks.select(col("id"), col("pr").cast("double").as("pr"))

@@ -720,9 +720,12 @@ object TextOps {
     * memory up to the raised sort-fallback threshold.) */
   def dedupSpans(docs: DataFrame, spanTokens: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // NULL text → an empty chunk array (0 spans, clean_text "") — not
+    // a null array, whose size() is -1 under the engine's ansi=false
     val base = docs.select(col(idCol),
-      graft.functions.TokenChunks.tokenChunks(
-        split(col(textCol), " "), spanTokens, spanTokens).as("__cs"))
+      coalesce(graft.functions.TokenChunks.tokenChunks(
+          split(col(textCol), " "), spanTokens, spanTokens),
+        array().cast("array<string>")).as("__cs"))
     val fpRows = base
       .select(col(idCol),
         posexplode(transform(col("__cs"), c => md5(c)))
@@ -808,7 +811,8 @@ object TextOps {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, s"substring threshold k must be >= 2, got $k")
     val toks = docs.select(col(idCol),
-      split(col(textCol), " ").as("__w"))
+      coalesce(split(col(textCol), " "),
+        array().cast("array<string>")).as("__w"))
     val windows = substringWindows(toks, k, idCol)
     // first occurrence of each fingerprint = min (doc, start)
     val firsts = windows.groupBy(col("__g"))
@@ -831,10 +835,23 @@ object TextOps {
     * to the batch. Same fingerprint-only shuffles. */
   def dedupSubstringsAgainstCorpus(corpusGrams: DataFrame,
       docs: DataFrame, k: Int, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    dedupSubstringsAgainstCorpusTracked(corpusGrams, docs, k, textCol,
+      idCol)._1
+
+  /** [[dedupSubstringsAgainstCorpus]] plus a handle on the
+    * checkpointed window rows, so a per-batch caller (the streaming
+    * sink) can RELEASE their storage once the batch's result is fully
+    * consumed — a long-lived stream must not accumulate one pinned
+    * window-fingerprint RDD per micro-batch. */
+  private[graft] def dedupSubstringsAgainstCorpusTracked(
+      corpusGrams: DataFrame, docs: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id")
+      : (DataFrame, DataFrame) = {
     require(k >= 2, s"substring threshold k must be >= 2, got $k")
     val toks = docs.select(col(idCol),
-      split(col(textCol), " ").as("__w"))
+      coalesce(split(col(textCol), " "),
+        array().cast("array<string>")).as("__w"))
     val windows = substringWindows(toks, k, idCol)
     val firsts = windows.groupBy(col("__g"))
       .agg(min(struct(col(idCol), col("start"))).as("__f"))
@@ -846,7 +863,7 @@ object TextOps {
       corpusGrams.select(col("g").as("__g")), Seq("__g"), "left_semi")
     val removedWins = nonFirst.select(col(idCol), col("start"))
       .unionByName(inCorpus.select(col(idCol), col("start")))
-    substringReassemble(toks, removedWins, k, idCol)
+    (substringReassemble(toks, removedWins, k, idCol), windows)
   }
 
   /** The distinct window fingerprints of a document set — what a
@@ -857,7 +874,9 @@ object TextOps {
   def substringGrams(docs: DataFrame, k: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     substringWindows(docs.select(col(idCol),
-        split(col(textCol), " ").as("__w")), k, idCol)
+        coalesce(split(col(textCol), " "),
+        array().cast("array<string>")).as("__w")), k, idCol,
+        checkpoint = false)
       .select(col("__g").as("g")).distinct()
 
   /** Sliding-window fingerprint rows (idCol, start, __g) — per-doc
@@ -871,15 +890,18 @@ object TextOps {
     * checkpoint cannot recompute); the session's storage sweep
     * reclaims them. */
   private def substringWindows(toks: DataFrame, k: Int,
-      idCol: String): DataFrame = {
+      idCol: String, checkpoint: Boolean = true): DataFrame = {
     val grams = toks.select(col(idCol),
       when(size(col("__w")) >= k,
         transform(sequence(lit(0), size(col("__w")) - k),
           i => unhex(md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))))
         .otherwise(array().cast("array<binary>")).as("__gs"))
-    grams.select(col(idCol),
+    val rows = grams.select(col(idCol),
       posexplode(col("__gs")).as(Seq("start", "__g")))
-      .localCheckpoint()
+    // single-consumer callers (substringGrams) skip the checkpoint:
+    // materializing a frame read exactly once is pure overhead AND
+    // pins blocks a long-lived streaming session would accumulate
+    if (checkpoint) rows.localCheckpoint() else rows
   }
 
   /** Position-only reassembly shared by the substring-dedup variants:

@@ -75,10 +75,17 @@ object VersionedTable {
     * "Never reused" holds within one table GENERATION: if the root is
     * dropped and recreated (or restored from backup) in the same JVM,
     * slot numbers DO come back — so the cache key includes the
-    * manifest file's identity (length + mtime). A recreated v00001 has
-    * a different length or mtime than the cached generation's, misses,
-    * and is re-read; the handful of dead entries a drop leaves behind
-    * are bounded by commit count and never consulted again. */
+    * manifest file's identity (length + mtime), and the writer makes
+    * LENGTH a discriminator on purpose: data-dir names are
+    * fixed-width uuids, so two generations' manifests would otherwise
+    * tie on length whenever their dir counts match, leaving
+    * coarse-mtime filesystems (1 s on some NFS/object stores) a real
+    * stale-hit window. [[commitManifest]] therefore appends a
+    * RANDOM-LENGTH nonce to the END line; a recreated v00001 now
+    * differs in length with ≥63/64 probability independent of mtime
+    * granularity (residual risk: same dir count AND same nonce length
+    * AND same mtime granule). Dead entries a drop leaves behind are
+    * bounded by commit count and never consulted again. */
   private val committedCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), Seq[String]]()
 
@@ -98,7 +105,11 @@ object VersionedTable {
     val lines = text.split("\n").filter(_.nonEmpty).toSeq
     if (lines.isEmpty || !lines.last.startsWith(endMark)) return None
     val dirs = lines.dropRight(1)
-    if (lines.last.stripPrefix(endMark).toIntOption.contains(dirs.size)) {
+    // END line is "#END:<count>" (legacy) or "#END:<count>:<nonce>"
+    // (the nonce varies the file length across table generations)
+    val count = lines.last.stripPrefix(endMark)
+      .takeWhile(_ != ':').toIntOption
+    if (count.contains(dirs.size)) {
       committedCache.put(key, dirs)
       Some(dirs)
     } else None
@@ -153,8 +164,17 @@ object VersionedTable {
     while (committed < 0) {
       val latest = versions(spark, root).lastOption
       val dirs = dirsFor(latest)
-      val body = (if (dirs.isEmpty) s"${endMark}0\n"
-        else dirs.mkString("\n") + s"\n$endMark${dirs.size}\n")
+      // random-LENGTH nonce (1..64 hex chars): makes the manifest's
+      // byte length a generation discriminator for the committed-
+      // manifest cache (see its scaladoc) — dir names are fixed-width,
+      // so without it a drop-and-recreate with the same dir count ties
+      // on length and only mtime granularity separates generations
+      val nonce = (java.util.UUID.randomUUID().toString +
+        java.util.UUID.randomUUID().toString).replace("-", "")
+        .take(1 + scala.util.Random.nextInt(64))
+      val end = s"$endMark${dirs.size}:$nonce\n"
+      val body = (if (dirs.isEmpty) end
+        else dirs.mkString("\n") + s"\n$end")
         .getBytes("UTF-8")
       var v = latest.getOrElse(0L) + 1
       // burn past torn debris (readManifest: exists but no terminator)

@@ -396,10 +396,15 @@ object StreamOps {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               org.apache.spark.sql.types.StructType.fromDDL("g BINARY"))
           else spark.read.parquet(prior.toSeq: _*)
-        sink(graft.operators.TextOps.dedupSubstringsAgainstCorpus(
-          store, batch, k, textCol, idCol))
+        val (cleaned, windows) = graft.operators.TextOps
+          .dedupSubstringsAgainstCorpusTracked(store, batch, k,
+            textCol, idCol)
+        sink(cleaned)
         graft.operators.TextOps.substringGrams(batch, k, textCol, idCol)
           .write.mode("overwrite").parquet(s"$fpDir/__batch=$batchId")
+        // the batch's checkpointed window rows are consumed; a
+        // long-lived stream must not pin one fingerprint RDD per batch
+        graft.operators.Checkpoints.release(windows)
         ()
       }
       .start()

@@ -393,9 +393,10 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       f.delete(); ()
     }
     rmrf(new java.io.File(root))
-    // mtime resolution can be 1s on some filesystems; the manifest
-    // LENGTH differs here anyway (different dir name), but don't rely
-    // on timing in the test
+    // dir names are fixed-width uuids, so generations with equal dir
+    // counts tie on the dirs' bytes — the writer's random-length END
+    // nonce is what varies the manifest length across generations
+    // (mtime resolution can be 1s on some filesystems)
     VersionedTable.commit(spark, root, Seq((2L, "gen2")).toDF("k", "s"))
     // a (root, version)-keyed cache would return gen1's dir list here:
     // either wrong rows or a read failure on the deleted gen1 data dir

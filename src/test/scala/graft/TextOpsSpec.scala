@@ -276,5 +276,17 @@ class TextOpsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       "dedupSubstrings must not rank fingerprints with a window function")
+    // NULL text: 0 tokens / 0 removed / empty clean text — never the
+    // size(null) = -1 artifact of the engine's ansi=false
+    val dirty = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val sub = TextOps.dedupSubstrings(dirty, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(sub(2L) == ((0L, 0L, "")), s"null text: ${sub(2L)}")
+    val sp = TextOps.dedupSpans(dirty, spanTokens = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(sp(2L) == ((0L, 0L, "")), s"null text spans: ${sp(2L)}")
   }
 }
