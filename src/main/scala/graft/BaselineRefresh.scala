@@ -74,8 +74,11 @@ object BaselineRefresh {
        else baseV.orElse(benchV)).map(baseKey -> _)
     }
     val calibOut = Seq(leg("calib", "__calib"),
-      leg("calib_io", "__calib_io")).flatten
-    val calibBase = Seq("__calib", "__calib_io").flatMap { k =>
+      leg("calib_io", "__calib_io"),
+      // the IO leg's workload shape (1 = scan+write, 0 = write-only);
+      // Bench refuses IO-relaxation when current shape differs
+      leg("calib_io_scan", "__calib_io_scan")).flatten
+    val calibBase = Seq("__calib", "__calib_io", "__calib_io_scan").flatMap { k =>
       ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r
         .findFirstMatchIn(baseText).map(m => k -> m.group(1).toDouble)
     }

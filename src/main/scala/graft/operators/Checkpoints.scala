@@ -36,14 +36,16 @@ private[graft] object Checkpoints {
     * has ALREADY RETURNED at every call site (localCheckpoint is
     * eager), so a healthy listener delivers within the first poll. */
   def metric(obs: org.apache.spark.sql.Observation, key: String,
-      timeoutMs: Long = 60000L): Option[Any] = {
-    import scala.concurrent.{Await, Future}
+      timeoutMs: Long = 10000L): Option[Any] = {
+    import scala.concurrent.Await
     import scala.concurrent.duration._
-    // Observation.get is the only public accessor and it blocks
-    // without a timeout — bound it with a timed Await (the global EC's
-    // threads are daemons, so a timed-out waiter can't pin shutdown)
-    val fut = Future(obs.get)(scala.concurrent.ExecutionContext.global)
-    try Await.result(fut, timeoutMs.millis).get(key)
-    catch { case _: java.util.concurrent.TimeoutException => None }
+    // Observation.future is the Promise's own Future (public in Spark
+    // 4.x): a timed Await on it blocks ONLY the calling thread and
+    // releases it on timeout — no worker thread is ever parked on a
+    // lost completion event, so repeated timeouts stay thread-bounded.
+    try {
+      val row = Await.result(obs.future, timeoutMs.millis)
+      row.schema.fieldNames.zip(row.toSeq).toMap.get(key)
+    } catch { case _: java.util.concurrent.TimeoutException => None }
   }
 }

@@ -87,6 +87,12 @@ class CubeSpec extends SparkSuite {
       Cube.selectCuboids(fact, base, cands, maxRows = 1L)
     }
     assert(ex.getMessage.contains("exceeds the budget"))
+    // order-permuted duplicates are ONE candidate: (a,b) and (b,a) must
+    // not both be selected (identical cuboids double-charging the budget)
+    val permuted = Cube.selectCuboids(fact, base,
+      Seq(Seq("a", "b"), Seq("b", "a"), Seq("c")), maxRows = 1000000L)
+    assert(permuted.map(_.dims.sorted).distinct.size == permuted.size,
+      s"permuted duplicate selected twice: ${permuted.map(_.dims)}")
   }
 
   test("buildBudgeted: routing still answers every candidate grain, " +
