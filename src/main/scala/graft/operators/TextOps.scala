@@ -747,11 +747,11 @@ object TextOps {
         (size(col("__cs")) -
           size(coalesce(col("__rm"), array().cast("array<int>"))))
           .cast("long").as("n_kept"),
+        // sorted-merge index filter (see substringReassemble) — __rm is
+        // array_sort'd above, the kernel's contract
         when(col("__rm").isNull, array_join(col("__cs"), " "))
-          .otherwise(array_join(
-            filter(col("__cs"), (_, i) =>
-              not(array_contains(col("__rm"), i))),
-            " ")).as("clean_text"))
+          .otherwise(graft.functions.DropByIndexJoin
+            .dropByIndexJoin(col("__cs"), col("__rm"))).as("clean_text"))
   }
 
   /** Winnowed rolling-hash fingerprints ([[graft.functions.Winnow]]):
@@ -881,21 +881,21 @@ object TextOps {
 
   /** Sliding-window fingerprint rows (idCol, start, __g) — per-doc
     * fingerprints computed BEFORE the explode so the token array
-    * never rides along window rows; 16-BYTE BINARY md5 (not the
-    * 32-char hex) halves every downstream key. localCheckpoint'd
-    * because both the first-occurrence aggregate and the non-first
-    * anti-join consume the rows: without it the fingerprint pass (the
-    * scan-dominant interpreted HOF) runs twice end-to-end. The blocks
-    * stay persisted for the returned lazy plan (a lineage-truncated
-    * checkpoint cannot recompute); the session's storage sweep
-    * reclaims them. */
+    * never rides along window rows; 16-BYTE BINARY rolling-hash
+    * fingerprints ([[graft.functions.KgramFingerprints]] — Rabin-Karp,
+    * one pass per doc instead of the O(n·k) interpreted md5-of-slice
+    * HOF this replaced; same key width, same plan shape).
+    * localCheckpoint'd because both the first-occurrence aggregate and
+    * the non-first anti-join consume the rows: without it the
+    * fingerprint pass (still the scan-dominant leg) runs twice
+    * end-to-end. The blocks stay persisted for the returned lazy plan
+    * (a lineage-truncated checkpoint cannot recompute); the session's
+    * storage sweep reclaims them. */
   private def substringWindows(toks: DataFrame, k: Int,
       idCol: String, checkpoint: Boolean = true): DataFrame = {
     val grams = toks.select(col(idCol),
-      when(size(col("__w")) >= k,
-        transform(sequence(lit(0), size(col("__w")) - k),
-          i => unhex(md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))))
-        .otherwise(array().cast("array<binary>")).as("__gs"))
+      graft.functions.KgramFingerprints
+        .kgramFingerprints(col("__w"), k).as("__gs"))
     val rows = grams.select(col(idCol),
       posexplode(col("__gs")).as(Seq("start", "__g")))
     // single-consumer callers (substringGrams) skip the checkpoint:
@@ -908,7 +908,11 @@ object TextOps {
     * removed windows expand to covered positions, aggregate to one
     * small sorted int array per affected doc, and the clean text is
     * rebuilt MAP-SIDE by index-filtering the original token array —
-    * token text never enters a shuffle or an aggregation buffer. */
+    * token text never enters a shuffle or an aggregation buffer. The
+    * index filter is the sorted-merge kernel
+    * [[graft.functions.DropByIndexJoin]] (O(n + |rm|) per doc — the
+    * `array_contains`-per-token lambda it replaced was O(n·|rm|),
+    * map-side quadratic exactly on mostly-duplicate long docs). */
   private def substringReassemble(toks: DataFrame, removedWins: DataFrame,
       k: Int, idCol: String): DataFrame = {
     val removedArr = removedWins
@@ -924,9 +928,7 @@ object TextOps {
         size(coalesce(col("__rm"), array().cast("array<int>")))
           .cast("long").as("n_removed"),
         when(col("__rm").isNull, concat_ws(" ", col("__w")))
-          .otherwise(array_join(
-            filter(col("__w"), (_, i) =>
-              not(array_contains(col("__rm"), i))),
-            " ")).as("clean_text"))
+          .otherwise(graft.functions.DropByIndexJoin
+            .dropByIndexJoin(col("__w"), col("__rm"))).as("clean_text"))
   }
 }

@@ -154,6 +154,50 @@ class TextOpsSpec extends SparkSuite {
     assert(viaExpr == direct)
   }
 
+  test("KgramFingerprints: rolling equals direct, boundaries distinct, " +
+      "equal windows collide across docs") {
+    import graft.functions.KgramFingerprints.kgramFingerprints
+    def fps(toks: Seq[String], k: Int): Seq[Seq[Byte]] =
+      Seq(Tuple1(toks)).toDF("w")
+        .select(kgramFingerprints(col("w"), k).as("g")).head()
+        .getSeq[Array[Byte]](0).map(_.toSeq)
+    // identical k-windows (any doc, any offset) fingerprint identically
+    val a = fps(Seq("x", "a", "b", "c", "y"), 3)
+    val b = fps(Seq("p", "q", "a", "b", "c"), 3)
+    assert(a(1) == b(2), "same window must collide at any offset")
+    // the ROLLED fingerprint equals the directly-initialized one: every
+    // window of one doc must equal the FIRST window (never rolled) of
+    // the doc starting there
+    val doc = Seq("t0", "t1", "t2", "t3", "t4", "t5")
+    val rolled = fps(doc, 3)
+    doc.indices.dropRight(2).foreach { i =>
+      assert(rolled(i) == fps(doc.drop(i), 3).head,
+        s"rolled window $i diverges from direct initialization")
+    }
+    // token boundaries matter: ["ab","c"] vs ["a","bc"] (same joined
+    // text) must NOT collide
+    assert(fps(Seq("ab", "c"), 2).head != fps(Seq("a", "bc"), 2).head)
+    // n < k yields empty; 16-byte keys
+    assert(fps(Seq("a"), 2).isEmpty && a.head.size == 16)
+  }
+
+  test("DropByIndexJoin equals the array_contains filter form") {
+    import graft.functions.DropByIndexJoin.dropByIndexJoin
+    val df = Seq(
+      (Seq("a", "b", "c", "d", "e"), Seq(0, 2, 4)),
+      (Seq("a", "b"), Seq.empty[Int]),
+      (Seq("a", "b"), Seq(0, 1)),
+      (Seq.empty[String], Seq.empty[Int]),
+      // duplicate + out-of-range removal indices are harmless
+      (Seq("a", "b", "c"), Seq(1, 1, 7))).toDF("w", "rm")
+    val both = df.select(
+      dropByIndexJoin(col("w"), col("rm")).as("kernel"),
+      array_join(filter(col("w"), (_, i) =>
+        not(array_contains(col("rm"), i))), " ").as("lambda")).collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"kernel='${r.getString(0)}' lambda='${r.getString(1)}'"))
+  }
+
   test("NormalizeText: NFC composition, ROOT lowercase, ws collapse") {
     import graft.functions.NormalizeText.normText
     def norm(s: String): String =
@@ -288,5 +332,34 @@ class TextOpsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
       .toMap
     assert(sp(2L) == ((0L, 0L, "")), s"null text spans: ${sp(2L)}")
+  }
+
+  test("dedupSubstrings: a mostly-duplicate LONG doc is linear, not a " +
+      "straggler, and reduces to exactly its first period") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // 25k tokens of which 99% are removals: a 250-token block repeated
+    // 100 times. This is the operator's target input and the worst case
+    // of both replaced forms — the O(n·k) md5-of-slice fingerprint HOF
+    // and the O(n·|rm|) array_contains reassembly (|rm| ≈ n makes the
+    // latter ~6e8 interpreted probes for THIS ONE ROW). The fused
+    // kernels are O(n); the generous wall bound separates the regimes
+    // by an order of magnitude without being load-flaky.
+    val block = (1 to 250).map(i => s"blk$i").mkString(" ")
+    val longDoc = Array.fill(100)(block).mkString(" ") // 25k tokens
+    val docs = ((1L, longDoc) +: (2L to 40L).map(d =>
+      d -> (1 to 50).map(i => s"d${d}_$i").mkString(" "))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = TextOps.dedupSubstrings(docs, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    // every window at start >= 250 duplicates the window one period
+    // earlier, so positions 250..24999 are covered: the clean text is
+    // exactly the first block
+    assert(out(1L)._1 == 25000L && out(1L)._2 == 24750L, s"${out(1L)._2}")
+    assert(out(1L)._3 == block, "clean text must be exactly one period")
+    (2L to 40L).foreach(d => assert(out(d)._2 == 0L, s"doc $d lost tokens"))
+    assert(sec < 30.0, f"mostly-duplicate long doc straggled: $sec%.1fs")
   }
 }
