@@ -374,40 +374,132 @@ object StreamOps {
     * EXCLUDES the current batch id — a redelivered batch neither
     * collides with its own earlier attempt's fingerprints nor appends
     * duplicates. Store growth is one distinct-fingerprint set per
-    * batch (16 bytes per distinct window); compact offline by
-    * rewriting the union when dirs accumulate. */
+    * batch; once `compactEvery` batch dirs accumulate, the NEXT batch
+    * compacts them into a single `__base` dir
+    * ([[compactSubstringFpStore]]) so store reads stay O(1) dirs on a
+    * long-running stream instead of degrading linearly in batch count.
+    * Compaction only ever absorbs dirs of OTHER batch ids — every id
+    * below the current one is checkpoint-committed, and the current
+    * (sole redeliverable) batch's fingerprints stay in their own
+    * overwrite-idempotent dir — so a redelivered batch still never
+    * sees its own earlier attempt, even straddling a compaction.
+    *
+    * All store I/O resolves through the Hadoop FileSystem of `fpDir`
+    * (the same way its parquet is written), so a non-local store path
+    * lists/compacts correctly — a `java.io.File` listing would
+    * silently read an empty store there and no-op the dedup. */
   def streamSubstringDedupSink(stream: DataFrame, fpDir: String,
       k: Int, checkpoint: String, textCol: String = "text",
-      idCol: String = "doc_id")(
-      sink: DataFrame => Unit): StreamingQuery =
+      idCol: String = "doc_id", compactEvery: Int = 16)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val prior = Option(new java.io.File(fpDir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("__batch=") &&
-            f.getName != s"__batch=$batchId")
-          .map(_.getPath)
-        val store =
-          if (prior.isEmpty)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType.fromDDL("g BINARY"))
-          else spark.read.parquet(prior.toSeq: _*)
-        val (cleaned, windows) = graft.operators.TextOps
-          .dedupSubstringsAgainstCorpusTracked(store, batch, k,
-            textCol, idCol)
-        sink(cleaned)
-        graft.operators.TextOps.substringGrams(batch, k, textCol, idCol)
-          .write.mode("overwrite").parquet(s"$fpDir/__batch=$batchId")
-        // the batch's checkpointed window rows are consumed; a
-        // long-lived stream must not pin one fingerprint RDD per batch
-        graft.operators.Checkpoints.release(windows)
-        ()
+        substringDedupBatch(batch, batchId, fpDir, k, textCol, idCol,
+          compactEvery)(sink)
       }
       .start()
+  }
+
+  /** One micro-batch of [[streamSubstringDedupSink]] — package-visible
+    * so the crash/redelivery laws can drive exact batch sequences the
+    * MemoryStream harness can't (a redelivered id straddling a
+    * compaction). */
+  private[graft] def substringDedupBatch(batch: DataFrame, batchId: Long,
+      fpDir: String, k: Int, textCol: String, idCol: String,
+      compactEvery: Int)(sink: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(fpDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverFpStoreSwap(fs, dir)
+    if (batchDirsOf(fs, dir, batchId).length >= compactEvery)
+      compactSubstringFpStore(spark, fpDir, excludeBatchId = Some(batchId))
+    val basePath = new org.apache.hadoop.fs.Path(dir, "__base")
+    val prior = (if (fs.exists(basePath)) Seq(basePath.toString) else Nil) ++
+      batchDirsOf(fs, dir, batchId).map(_.toString)
+    val store =
+      if (prior.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL("g BINARY"))
+      else spark.read.parquet(prior: _*)
+    val (cleaned, windows) = graft.operators.TextOps
+      .dedupSubstringsAgainstCorpusTracked(store, batch, k,
+        textCol, idCol)
+    sink(cleaned)
+    // the batch's fingerprints are already materialized in the
+    // checkpointed window rows — write THEM, never recompute the
+    // scan-dominant fingerprint pass over the raw batch
+    windows.select(col("__g").as("g")).distinct()
+      .write.mode("overwrite").parquet(s"$fpDir/__batch=$batchId")
+    // the batch's checkpointed window rows are consumed; a
+    // long-lived stream must not pin one fingerprint RDD per batch
+    graft.operators.Checkpoints.release(windows)
+    ()
+  }
+
+  /** The store's `__batch=` dirs, excluding `excludeBatchId`. */
+  private def batchDirsOf(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      excludeBatchId: Long): Array[org.apache.hadoop.fs.Path] =
+    (if (fs.exists(dir)) fs.listStatus(dir) else Array.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch=") &&
+        s.getPath.getName != s"__batch=$excludeBatchId")
+      .map(_.getPath)
+
+  /** Finish a fingerprint-store compaction that crashed mid-swap
+    * (harmless on a clean store): a missing `__base` with a completed
+    * `__base_compacting` is the only unreadable crash point — the
+    * staged rewrite is complete by construction (the base is only
+    * moved aside after it), so renaming it in restores the store;
+    * everything else is debris containing only rows the live dirs
+    * also hold. */
+  private def recoverFpStoreSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir, "__base")
+    val staged = new org.apache.hadoop.fs.Path(dir, "__base_compacting")
+    val aside = new org.apache.hadoop.fs.Path(dir, "__base_precompact")
+    if (!fs.exists(base) && fs.exists(staged)) fs.rename(staged, base)
+    if (fs.exists(base)) {
+      if (fs.exists(aside)) fs.delete(aside, true)
+      if (fs.exists(staged)) fs.delete(staged, true)
+    }
+    ()
+  }
+
+  /** Compact the substring fingerprint store: rewrite the union of the
+    * `__base` dir and every committed `__batch=` dir into a fresh
+    * distinct base, swap it in (stage → move base aside → move staged
+    * in — every crash point either recovers via
+    * [[recoverFpStoreSwap]] or leaves redundant-but-correct dirs),
+    * then drop the absorbed batch dirs. `excludeBatchId` names the
+    * one batch that may still be redelivered (the caller's in-flight
+    * batch) — its dir is never absorbed, which is what keeps the
+    * redelivery exclude-self read correct across a compaction. Safe
+    * to run offline between stream runs with `excludeBatchId = None`
+    * (no batch is in flight then). */
+  def compactSubstringFpStore(spark: SparkSession, fpDir: String,
+      excludeBatchId: Option[Long] = None): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(fpDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverFpStoreSwap(fs, dir)
+    val absorb = batchDirsOf(fs, dir,
+      excludeBatchId.getOrElse(Long.MinValue))
+    if (absorb.isEmpty) return
+    val base = new org.apache.hadoop.fs.Path(dir, "__base")
+    val staged = new org.apache.hadoop.fs.Path(dir, "__base_compacting")
+    val aside = new org.apache.hadoop.fs.Path(dir, "__base_precompact")
+    val srcs = (if (fs.exists(base)) Seq(base.toString) else Nil) ++
+      absorb.map(_.toString)
+    spark.read.parquet(srcs: _*).distinct()
+      .write.mode("overwrite").parquet(staged.toString)
+    if (fs.exists(base)) fs.rename(base, aside)
+    fs.rename(staged, base)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    absorb.foreach(p => fs.delete(p, true))
+  }
 
   /** Stream-stream inner join on a key plus an EVENT-TIME interval:
     * right rows within `[leftTs, leftTs + window]` of a matching left

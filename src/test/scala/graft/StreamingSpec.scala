@@ -225,6 +225,77 @@ class StreamingSpec extends SparkSuite {
     assert(got.find(_._1 == 5L).get._2 == 8)
   }
 
+  test("substring fingerprint-store compaction: cleaning identical to " +
+      "the uncompacted store, dir count bounded, redelivered batch " +
+      "idempotent across a compaction") {
+    import graft.operators.TextOps
+    import graft.streaming.StreamOps
+    val boiler = (1 to 10).map(i => s"c$i").mkString(" ")
+    def uniq(d: Int, n: Int) = (1 to n).map(i => s"e${d}_$i").mkString(" ")
+    // 6 batches: the batch-0 boilerplate recurs (shifted) in batches
+    // 2 and 5 — batch 5's duplicate is only caught if the compacted
+    // base really carries batch 0's fingerprints
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, s"$boiler ${uniq(1, 12)}")),
+      Seq((2L, uniq(2, 15))),
+      Seq((3L, s"${uniq(3, 4)} $boiler")),
+      Seq((4L, uniq(4, 14))),
+      Seq((5L, uniq(5, 13))),
+      Seq((6L, s"${uniq(6, 7)} $boiler")))
+    def run(fpRoot: String, compactEvery: Int,
+        redeliver: Option[Long] = None): Seq[Seq[(Long, Long, String)]] = {
+      val outs = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long, String)]]()
+      batches.zipWithIndex.foreach { case (rows, id) =>
+        def once(): Seq[(Long, Long, String)] = {
+          var got: Seq[(Long, Long, String)] = Nil
+          StreamOps.substringDedupBatch(rows.toDF("doc_id", "text"),
+            id.toLong, fpRoot, 8, "text", "doc_id", compactEvery) { c =>
+            got = c.select("doc_id", "n_removed", "clean_text").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+          }
+          got
+        }
+        val first = once()
+        // simulate a crash AFTER the batch dir landed but BEFORE the
+        // checkpoint committed: the same id is delivered again — and
+        // with compactEvery prior dirs present, the retry itself
+        // triggers a compaction, the exact straddle being pinned here
+        if (redeliver.contains(id.toLong)) {
+          val again = once()
+          assert(again == first,
+            s"redelivered batch $id diverged:\n 1st=$first\n 2nd=$again")
+        }
+        outs += first
+      }
+      outs.toSeq
+    }
+    val plain = run(tmpDir("fpc_plain"), compactEvery = 1000)
+    val rootOn = tmpDir("fpc_on")
+    val compacted = run(rootOn, compactEvery = 2)
+    assert(compacted == plain,
+      s"compaction changed cleaning:\n plain=$plain\n compact=$compacted")
+    // the law vs the batch operator over the concatenated corpus
+    val expected = TextOps
+      .dedupSubstrings(batches.flatten.toDF("doc_id", "text"), k = 8)
+      .select("doc_id", "n_removed", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(compacted.flatten.sortBy(_._1) == expected)
+    // batch 5's shifted boilerplate was cut FROM THE COMPACTED BASE
+    assert(compacted.last.head._2 == 10L, s"${compacted.last}")
+    // dir count bounded: at most compactEvery uncompacted batch dirs
+    // plus the just-written one survive, plus the compacted __base —
+    // never one dir per batch forever
+    val dirs = new java.io.File(rootOn).listFiles().map(_.getName)
+    assert(dirs.count(_.startsWith("__batch=")) <= 3,
+      s"batch dirs unbounded: ${dirs.sorted.mkString(",")}")
+    assert(dirs.contains("__base"), s"no compacted base: ${dirs.mkString(",")}")
+    // redelivery straddling a compaction stays idempotent
+    val redelivered = run(tmpDir("fpc_redeliver"), compactEvery = 2,
+      redeliver = Some(5L))
+    assert(redelivered == plain)
+  }
+
   test("T5: drift filter keeps business-date rows from widened partitions") {
     val rows = Seq(
       ("2024-01-01", t("2024-01-01 23:59:58")), // correct partition
