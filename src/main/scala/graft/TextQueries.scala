@@ -885,6 +885,58 @@ object TextQueries {
                    CAST(w * h * v AS BIGINT) AS sum_b
             FROM g ORDER BY media_id"""))
 
+  /** REAL video decode end-to-end — the last lake-mandate modality
+    * (reference docs/数据湖.md:4 "二进制(图像、音频、视频)"): plant one
+    * strict MJPEG/AVI per document (2-5 uniform-grayscale quality-1.0
+    * JPEG frames — the provably lossless corner, see
+    * [[q_multimodal_decode_jpeg]]), demux through the production RIFF
+    * parser ([[MediaCodec.aviMjpegFrames]]), decode every frame
+    * through the production JPEG path, and check frame count,
+    * geometry, and exact cross-frame channel sums against closed-form
+    * oracle arithmetic. n_decoded == n_frames proves no frame fell
+    * out of the real codec path. */
+  val q_multimodal_decode_video = QuerySpec(
+    "q_multimodal_decode_video", Seq("E-mm"),
+    (s, d) => {
+      val mkAvi = udf { id: Long =>
+        val w = (2 + id % 7).toInt
+        val h = (1 + id % 5).toInt
+        val f = (2 + id % 4).toInt
+        MediaCodec.encodeAviMjpeg(w, h, (0 until f).map { i =>
+          val v = ((id * 11 + i * 31) % 256).toInt
+          MediaCodec.encodeJpeg(w, h, (_, _) => (v, v, v))
+        })
+      }
+      val media = Engine.table(s, d, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("video/avi").as("media_type"),
+        mkAvi(col("doc_id")).as("payload"),
+        map().cast("map<string,string>").as("meta"))
+      Multimodal.videoSummary(media)
+        .select(col("media_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("n_decoded").cast("long").as("n_decoded"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    },
+    Some("""WITH g AS (SELECT doc_id, 2 + doc_id % 7 AS w,
+                 1 + doc_id % 5 AS h, 2 + doc_id % 4 AS f
+               FROM documents),
+            fr AS (SELECT doc_id, w, h, f,
+                     (doc_id * 11 + i * 31) % 256 AS v
+                   FROM g, LATERAL unnest(range(0, f)) t(i))
+            SELECT doc_id AS media_id,
+                   CAST(f AS BIGINT) AS n_frames,
+                   CAST(f AS BIGINT) AS n_decoded,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(SUM(w * h * v) AS BIGINT) AS sum_r,
+                   CAST(SUM(w * h * v) AS BIGINT) AS sum_g,
+                   CAST(SUM(w * h * v) AS BIGINT) AS sum_b
+            FROM fr GROUP BY doc_id, f, w, h ORDER BY media_id"""))
+
   /** REAL audio decode end-to-end: plant one PCM-16 WAV square wave
     * per document (amplitude/rate/length derived from doc_id), decode
     * through the production feature path, and check format fields and
@@ -1024,6 +1076,6 @@ object TextQueries {
     q_embed_ivfpq_topk, q_dedup_semantic, q_multimodal_features,
     q_multimodal_frames, q_multimodal_decode_bmp,
     q_multimodal_decode_png, q_multimodal_decode_jpeg,
-    q_multimodal_decode_wav,
+    q_multimodal_decode_video, q_multimodal_decode_wav,
     q_multimodal_phash_dedup, q_multimodal_audio_dedup)
 }

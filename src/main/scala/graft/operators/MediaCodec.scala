@@ -653,6 +653,161 @@ object MediaCodec {
       hash
     }
 
+  // ----------------------------------------------- AVI (MJPEG in RIFF)
+
+  /** Validated MJPEG/AVI geometry. */
+  final case class AviSummary(width: Int, height: Int, nFrames: Int,
+      fps: Int)
+
+  /** Encode a minimal strict MJPEG/AVI (RIFF — the WAV parser's
+    * container family; AVI layout per the public RIFF/AVI spec):
+    * `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    * LIST('movi' 00dc...))`, one 'vids'/'MJPG' stream, each frame an
+    * intact JPEG. Fixture/test support for [[aviMjpegFrames]], same
+    * role as [[encodeJpeg]] for the image path. */
+  def encodeAviMjpeg(width: Int, height: Int,
+      frames: Seq[Array[Byte]], fps: Int = 10): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && frames.nonEmpty)
+    require(frames.forall(f => f.length >= 3 && (f(0) & 0xff) == 0xff &&
+      (f(1) & 0xff) == 0xd8 && (f(2) & 0xff) == 0xff),
+      "every AVI frame must be a JPEG payload")
+    val bos = new GrowBuf
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def fourcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def chunk(id: String)(body: => Unit): Unit = {
+      fourcc(id)
+      val sizeAt = bos.size; w32(0)
+      body
+      val sz = bos.size - sizeAt - 4
+      if ((sz & 1) == 1) bos.write(0) // word alignment
+      bos.patch32(sizeAt, sz)
+    }
+    def list(tpe: String)(body: => Unit): Unit =
+      chunk("LIST") { fourcc(tpe); body }
+    val maxFrame = frames.map(_.length).max
+    chunk("RIFF") {
+      fourcc("AVI ")
+      list("hdrl") {
+        chunk("avih") {
+          w32(1000000 / fps); w32(maxFrame * fps); w32(0)
+          w32(0) // dwFlags: no idx1 is written, so no AVIF_HASINDEX
+          w32(frames.length); w32(0); w32(1); w32(maxFrame)
+          w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
+        }
+        list("strl") {
+          chunk("strh") {
+            fourcc("vids"); fourcc("MJPG")
+            w32(0); w32(0); w32(0)
+            w32(1); w32(fps) // scale / rate
+            w32(0); w32(frames.length); w32(maxFrame)
+            w32(-1); w32(0)
+            w16(0); w16(0); w16(width); w16(height) // rcFrame
+          }
+          chunk("strf") { // BITMAPINFOHEADER
+            w32(40); w32(width); w32(height)
+            w16(1); w16(24)
+            fourcc("MJPG")
+            w32(width * height * 3); w32(0); w32(0); w32(0); w32(0)
+          }
+        }
+      }
+      list("movi") {
+        frames.foreach(f => chunk("00dc") { bos.write(f) })
+      }
+    }
+    bos.toByteArray
+  }
+
+  /** Growable byte buffer with random-access size back-patching (the
+    * RIFF writer closes nested chunks after their bodies are known). */
+  private final class GrowBuf {
+    private var arr = new Array[Byte](256)
+    var size = 0
+    private def ensure(n: Int): Unit =
+      if (size + n > arr.length)
+        arr = java.util.Arrays.copyOf(arr,
+          math.max(arr.length * 2, size + n))
+    def write(b: Int): Unit = { ensure(1); arr(size) = b.toByte; size += 1 }
+    def write(bs: Array[Byte]): Unit = {
+      ensure(bs.length)
+      System.arraycopy(bs, 0, arr, size, bs.length)
+      size += bs.length
+    }
+    def patch32(at: Int, v: Int): Unit = put32(arr, at, v)
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(arr, size)
+  }
+
+  /** Strict MJPEG/AVI demux: the frame JPEGs plus validated geometry,
+    * None on ANY structural mismatch — wrong magic, non-'vids' or
+    * non-'MJPG' stream, chunk overrun, a movi entry that is not an
+    * intact JPEG, or a frame count disagreeing with the header. The
+    * frames feed [[decodeJpegImage]] / [[jpegDHash64]] unchanged —
+    * this parser only walks the container. */
+  def aviMjpegFrames(bytes: Array[Byte])
+      : Option[(AviSummary, IndexedSeq[Array[Byte]])] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != 'F') return None
+    val riffSz = i32(bytes, 4)
+    if (riffSz < 4 || 8 + riffSz > bytes.length) return None
+    if (bytes(8) != 'A' || bytes(9) != 'V' || bytes(10) != 'I' ||
+        bytes(11) != ' ') return None
+    var width = -1; var height = -1; var total = -1; var fps = -1
+    var vidsMjpg = false
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def fcc(at: Int): String = new String(bytes, at, 4, "US-ASCII")
+    // returns false on any structural violation
+    def walk(from: Int, to: Int, inHdrl: Boolean, inStrl: Boolean,
+        inMovi: Boolean): Boolean = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = fcc(pos)
+        val sz = i32(bytes, pos + 4)
+        if (sz < 0 || pos + 8 + sz > to) return false
+        val body = pos + 8
+        if (id == "LIST") {
+          if (sz < 4) return false
+          val tpe = fcc(body)
+          val ok = tpe match {
+            case "hdrl" => walk(body + 4, body + sz, true, false, false)
+            case "strl" if inHdrl =>
+              walk(body + 4, body + sz, false, true, false)
+            case "movi" => walk(body + 4, body + sz, false, false, true)
+            case _ => true // INFO etc.: structurally walked, ignored
+          }
+          if (!ok) return false
+        } else if (id == "avih" && inHdrl) {
+          if (sz < 40) return false
+          val usPerFrame = i32(bytes, body)
+          if (usPerFrame > 0) fps = math.max(1, 1000000 / usPerFrame)
+          total = i32(bytes, body + 16)
+          if (i32(bytes, body + 24) != 1) return false // exactly 1 stream
+          width = i32(bytes, body + 32)
+          height = i32(bytes, body + 36)
+        } else if (id == "strh" && inStrl) {
+          if (sz < 8) return false
+          if (fcc(body) != "vids" || fcc(body + 4) != "MJPG") return false
+          vidsMjpg = true
+        } else if (id == "strf" && inStrl) {
+          if (sz < 20 || fcc(body + 16) != "MJPG") return false
+        } else if ((id == "00dc" || id == "00db") && inMovi) {
+          if (sz < 3 || (bytes(body) & 0xff) != 0xff ||
+              (bytes(body + 1) & 0xff) != 0xd8 ||
+              (bytes(body + 2) & 0xff) != 0xff) return false
+          frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+      true
+    }
+    if (!walk(12, 8 + riffSz, false, false, false)) return None
+    if (!vidsMjpg || width <= 0 || height <= 0 || fps <= 0) return None
+    if (width > (1 << 20) || height > (1 << 20)) return None
+    if (total != frames.length || frames.isEmpty) return None
+    Some((AviSummary(width, height, frames.length, fps), frames.toIndexedSeq))
+  }
+
   // ------------------------------------------------- feature dispatch
 
   /** Kind tags leading the feature vector, so downstream consumers can

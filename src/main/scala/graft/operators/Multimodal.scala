@@ -228,12 +228,27 @@ object Multimodal {
     * hash) are skipped, so one corrupt frame yields at most one
     * (real, content-changed) boundary, not a crash. */
   def shotBoundaries(media: DataFrame, frameBytes: Int,
-      minHamming: Int = 8, everyNth: Int = 1): DataFrame = {
+      minHamming: Int = 8, everyNth: Int = 1): DataFrame =
+    boundariesOf(sampleFrames(media, frameBytes, everyNth), minHamming)
+
+  /** [[shotBoundaries]] over a REAL container: frames come from the
+    * strict MJPEG/AVI demux ([[sampleAviFrames]]) instead of
+    * fixed-width payload splitting; hashing and the lag comparison are
+    * the identical path. */
+  def shotBoundariesAvi(media: DataFrame, minHamming: Int = 8,
+      everyNth: Int = 1): DataFrame =
+    boundariesOf(sampleAviFrames(media, everyNth), minHamming)
+
+  /** The shared boundary detector: per-frame perceptual hash, then a
+    * lag comparison per media_id ordered by frame_idx (partition size
+    * is one video's frame count, never the corpus). */
+  private def boundariesOf(frames: DataFrame,
+      minHamming: Int): DataFrame = {
     val fp = udf((p: Array[Byte]) =>
       MediaCodec.imageDHash64(p).map(java.lang.Long.valueOf).orNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy("frame_idx")
-    sampleFrames(media, frameBytes, everyNth)
+    frames
       .withColumn("__fh", fp(col("frame")))
       .filter(col("__fh").isNotNull)
       .withColumn("__prev", lag(col("__fh"), 1).over(w))
@@ -242,6 +257,66 @@ object Multimodal {
         bit_count(col("__fh").bitwiseXOR(col("__prev"))).cast("int"))
       .filter(col("hamming") >= minHamming)
       .select(col("media_id"), col("frame_idx"), col("hamming"))
+  }
+
+  /** REAL video demux ([[sampleFrames]]'s container twin): every
+    * `everyNth` frame of a strict MJPEG/AVI payload
+    * ([[MediaCodec.aviMjpegFrames]]) as its own row, the frame being
+    * the intact per-frame JPEG (feeds the existing image decode/hash
+    * paths unchanged). Payloads that are not structurally valid
+    * MJPEG/AVI yield no rows — strict-parse, never a wrong demux.
+    * frame_idx is the index in the CONTAINER (so sampled outputs keep
+    * their true positions). Map-only flatMap at any corpus size. */
+  def sampleAviFrames(media: DataFrame, everyNth: Int = 1): DataFrame = {
+    require(everyNth >= 1)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    media.select("media_id", "payload").flatMap { r =>
+      MediaCodec.aviMjpegFrames(r.getAs[Array[Byte]]("payload")) match {
+        case None => Iterator.empty
+        case Some((_, frames)) =>
+          (0 until frames.length by everyNth).iterator.map(i =>
+            Row(r.getLong(0), i, frames(i)))
+      }
+    }(enc)
+  }
+
+  /** Per-video decode summary over the full real pipeline — demux
+    * ([[MediaCodec.aviMjpegFrames]]) then per-frame JPEG decode
+    * ([[MediaCodec.decodeJpeg]]): geometry plus exact channel sums
+    * ACROSS frames. NULL-summed rows never appear: a video whose
+    * container parses but whose frames don't decode is reported with
+    * n_decoded < n_frames and sums over the decoded subset. Not a
+    * valid AVI → no row (strict, like every codec here). Map-only. */
+  def videoSummary(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("n_decoded", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    media.select("media_id", "payload").flatMap { r =>
+      MediaCodec.aviMjpegFrames(r.getAs[Array[Byte]]("payload")) match {
+        case None => Iterator.empty
+        case Some((s, frames)) =>
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var decoded = 0
+          frames.foreach { f =>
+            MediaCodec.decodeJpeg(f).foreach { b =>
+              sr += b.sumR; sg += b.sumG; sb += b.sumB; decoded += 1
+            }
+          }
+          Iterator.single(Row(r.getLong(0), s.nFrames, decoded,
+            s.width, s.height, sr, sg, sb))
+      }
+    }(enc)
   }
 
   /** Feature extraction over media batches: mapPartitions so a real

@@ -493,6 +493,64 @@ class MultimodalSpec extends SparkSuite {
     assert(cuts == Set((1L, 3), (1L, 5), (2L, 2)), s"cuts=$cuts")
   }
 
+  test("AVI/MJPEG codec: roundtrip exact for uniform-gray quality-1.0 " +
+      "frames; strict parse rejects structural damage") {
+    def gray(v: Int) = MediaCodec.encodeJpeg(6, 4, (_, _) => (v, v, v))
+    val frames = Seq(gray(10), gray(200), gray(77))
+    val avi = MediaCodec.encodeAviMjpeg(6, 4, frames, fps = 5)
+    val (s, got) = MediaCodec.aviMjpegFrames(avi).get
+    assert(s.width == 6 && s.height == 4 && s.nFrames == 3 && s.fps == 5)
+    // the demuxed frames are the INTACT input JPEGs
+    got.zip(frames).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "frame bytes not intact") }
+    // and they decode exactly (uniform gray at q1.0 is lossless)
+    assert(MediaCodec.decodeJpeg(got(1)).get.sumR == 6L * 4 * 200)
+    // strictness: wrong magic, truncated, frame-count mismatch,
+    // non-JPEG movi entry, non-AVI RIFF (a WAV) all -> None
+    assert(MediaCodec.aviMjpegFrames(null).isEmpty)
+    assert(MediaCodec.aviMjpegFrames("RIFFnope".getBytes).isEmpty)
+    assert(MediaCodec.aviMjpegFrames(
+      java.util.Arrays.copyOf(avi, avi.length - 10)).isEmpty)
+    val wrongCount = avi.clone() // dwTotalFrames: avih body offset 16
+    val avihAt = new String(avi, "ISO-8859-1").indexOf("avih")
+    wrongCount(avihAt + 8 + 16) = 9
+    assert(MediaCodec.aviMjpegFrames(wrongCount).isEmpty,
+      "frame count disagreeing with header must fail strict parse")
+    assert(MediaCodec.aviMjpegFrames(
+      MediaCodec.encodeWavPcm16(8000, 1, Array[Short](1, 2))).isEmpty)
+    // a corrupted movi payload (JPEG magic destroyed) fails the walk
+    val noMagic = avi.clone()
+    val firstFrameAt = new String(avi, "ISO-8859-1").indexOf("00dc") + 8
+    noMagic(firstFrameAt) = 0
+    assert(MediaCodec.aviMjpegFrames(noMagic).isEmpty)
+  }
+
+  test("shotBoundariesAvi: cuts detected on a REAL container via the " +
+      "same per-frame hash path; non-AVI payloads yield no rows") {
+    // same scene construction as the packed-frame test, but carried as
+    // per-frame JPEGs inside a strict AVI container. Grayscale with
+    // >=17-level gradient steps (>=51 in r+g+b luma) at the dHash
+    // sample points — the JPEG-stable fixture regime.
+    def frame(scene: Int, drift: Int) = MediaCodec.encodeJpeg(16, 12,
+      (x, y) => {
+        val g = (x * (29 + scene * 53) + y * 18) % 199 + drift
+        (g, g, g)
+      })
+    val avi = MediaCodec.encodeAviMjpeg(16, 12, Seq(
+      frame(0, 0), frame(0, 2), frame(0, 4), // shot A (drifting)
+      frame(1, 0), frame(1, 3),              // cut -> shot B
+      frame(2, 0)))                          // cut -> shot C
+    val rows = Seq((1L, avi), (2L, "not a video".getBytes))
+      .toDF("media_id", "payload")
+    val cuts = Multimodal.shotBoundariesAvi(rows, minHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cuts == Set((1L, 3), (1L, 5)), s"cuts=$cuts")
+    // demux sampling keeps true container positions
+    val sampled = Multimodal.sampleAviFrames(rows, everyNth = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(sampled.toSeq.sorted == Seq((1L, 0), (1L, 2), (1L, 4)))
+  }
+
   test("resizeImages: real nearest-neighbor pixel downsample with exact " +
       "dims and channel sums; undecodable payloads pass through") {
     // px(x, y) encodes its own coordinates, so the resized image's
