@@ -128,39 +128,65 @@ object Graph {
       if (salted) Seq(col("id"), col("nsh")) else Seq(col("id"))
   }
 
+  /** `materialize = false` skips the weighted/nodes checkpoints: a
+    * caller whose whole iteration recurrence compiles into ONE final
+    * plan (pageRankExact, ≤4 rounds by the scale guard) re-reads both
+    * frames only within that single job, where Spark's exchange reuse
+    * computes each canonical subplan once — the two checkpoint jobs
+    * are pure fixed overhead there. Loops that checkpoint PER
+    * ITERATION (pageRank / pageRankConverged) must keep materialize =
+    * true or every iteration job re-runs the edge shuffle. The deg
+    * checkpoint always materializes — the salting decision needs its
+    * histogram before any plan is built. */
   private[graft] def prep(edges: DataFrame, srcCol: String,
-      dstCol: String, saltThreshold: Long): Prepped = {
+      dstCol: String, saltThreshold: Long,
+      materialize: Boolean = true): Prepped = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
     val spark = edges.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // checkpointed: deg is read by the degree-histogram probe below
     // and the weighted join — without this each use re-runs the full
-    // edge shuffle
+    // edge shuffle. The degree histogram RIDES the checkpoint
+    // materialization as an observed metric (observe fires on the
+    // eager localCheckpoint action) — one driver probe, ZERO extra
+    // jobs, serving both consumers: the max degree (salting decision,
+    // = hist.max when the histogram is complete) and the distinct
+    // degree VALUES (pageRankExact's lcm). A degree histogram has at
+    // most a few hundred distinct values on any real graph; the
+    // sorted-slice cap keeps a pathological graph's metric bounded
+    // (1001 entries, the same fail-loudly cap the old dedicated probe
+    // used) and only THEN does a second job (dedicated max) run.
+    val degObs = org.apache.spark.sql.Observation()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .observe(degObs,
+        slice(sort_array(collect_set(col("deg"))), 1, 1001).as("degs"))
       .localCheckpoint()
-    // ONE driver probe serves both consumers: the max degree (salting
-    // decision, = hist.max when the histogram is complete) and the
-    // distinct degree VALUES (pageRankExact's lcm — it previously ran
-    // its own collect, a whole extra job on every call). A degree
-    // histogram has at most a few hundred distinct values on any real
-    // graph; if it overflows the 1001 cap (pathological), fall back to
-    // a dedicated max probe — only then does the second job run.
-    val degHist = deg.select("deg").distinct().limit(1001)
-      .collect().map(_.getLong(0))
+    val degHist: Array[Long] = Checkpoints.metric(degObs, "degs") match {
+      case Some(s: scala.collection.Seq[_]) =>
+        s.map(String.valueOf(_).toLong).toArray
+      case _ => // listener event lost: explicit probe, never hang
+        deg.select("deg").distinct().limit(1001)
+          .collect().map(_.getLong(0))
+    }
     val maxDeg =
       if (degHist.isEmpty) 0L
       else if (degHist.length <= 1000) degHist.max
       else deg.agg(max("deg")).head().getLong(0)
-    val nodes0 = e.select(col("src").as("id"))
+    // src side from the checkpointed deg (already-distinct srcs) — the
+    // old `e.select(src) union e.select(dst)` re-ran the edge source
+    // (a Generate for the planted graphs) and shuffled 2|E| rows into
+    // the distinct instead of |dst| + |srcs|
+    val nodes0 = deg.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
     if (maxDeg <= saltThreshold) {
       // partitioned on src once; every iteration's join reuses it
-      val weighted = e.join(deg, Seq("src"))
-        .repartition(par, col("src"))
-        .localCheckpoint()
-      return Prepped(weighted, nodes0.localCheckpoint(), deg,
+      val weighted = ckpt(e.join(deg, Seq("src"))
+        .repartition(par, col("src")))
+      return Prepped(weighted, ckpt(nodes0), deg,
         salted = false, degHist)
     }
     // shards per source: 1 for everyone below the threshold, capped at
@@ -168,18 +194,16 @@ object Graph {
     val nsh = least(ceil(col("deg").cast("double") / saltThreshold),
       lit(par.toLong)).cast("long")
     // partitioned on (src, salt) once; every iteration's join reuses it
-    val weighted = e.join(deg, Seq("src"))
+    val weighted = ckpt(e.join(deg, Seq("src"))
       .withColumn("nsh", nsh)
       .withColumn("salt", pmod(xxhash64(col("dst")), col("nsh")))
-      .repartition(par, col("src"), col("salt"))
-      .localCheckpoint()
+      .repartition(par, col("src"), col("salt")))
     // nodes carry their shard count (1 for dst-only nodes) so the loop
     // can expand rank rows without a per-iteration join against deg
-    val nodes = nodes0
+    val nodes = ckpt(nodes0
       .join(deg.select(col("src").as("id"), nsh.as("nsh")), Seq("id"),
         "left")
-      .select(col("id"), coalesce(col("nsh"), lit(1L)).as("nsh"))
-      .localCheckpoint()
+      .select(col("id"), coalesce(col("nsh"), lit(1L)).as("nsh")))
     Prepped(weighted, nodes, deg, salted = true, degHist)
   }
 
@@ -278,7 +302,12 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst",
       saltThreshold: Long = hotOutDegreeShard): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val p = prep(edges, srcCol, dstCol, saltThreshold)
+    // materialize = false: the whole ≤4-round recurrence below compiles
+    // into ONE plan (no per-iteration checkpoints), so weighted/nodes
+    // are re-read only inside that single job where exchange reuse
+    // computes them once — the checkpoint jobs would be pure overhead
+    val p = prep(edges, srcCol, dstCol, saltThreshold,
+      materialize = false)
     // distinct out-degree VALUES, collected once by prep's histogram
     // probe (bounded; the cap makes a pathological graph fail loudly,
     // not slowly)
