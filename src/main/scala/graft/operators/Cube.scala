@@ -199,10 +199,9 @@ object Cube {
     // candidate identity is the dim SET: dedupe on the sorted dims so
     // order-permuted duplicates like (a,b)/(b,a) can't both be selected
     // and materialized as identical cuboids double-charging the budget
-    val seenSets = scala.collection.mutable.Set[Seq[String]]()
     val cands = candidates.map(_.distinct).filter(_.nonEmpty)
       .filterNot(_.sorted == baseDims.sorted)
-      .filter(c => seenSets.add(c.sorted))
+      .distinctBy(_.sorted)
     require(cands.forall(_.forall(baseDims.contains)),
       "every candidate must be a subset of baseDims")
     val all = baseDims +: cands

@@ -156,13 +156,16 @@ object Graph {
     // = hist.max when the histogram is complete) and the distinct
     // degree VALUES (pageRankExact's lcm). A degree histogram has at
     // most a few hundred distinct values on any real graph; the
-    // sorted-slice cap keeps a pathological graph's metric bounded
-    // (1001 entries, the same fail-loudly cap the old dedicated probe
-    // used) and only THEN does a second job (dedicated max) run.
+    // CAPPED distinct aggregate keeps a pathological graph's metric
+    // accumulator bounded at O(cap) — observe metrics cannot spill, so
+    // a plain collect_set would buffer the FULL set before any slice
+    // could trim it. Length 1001 = overflow signal (same fail-loudly
+    // cap the old dedicated probe used); only then does a second job
+    // (dedicated max) run.
     val degObs = org.apache.spark.sql.Observation()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .observe(degObs,
-        slice(sort_array(collect_set(col("deg"))), 1, 1001).as("degs"))
+      .observe(degObs, graft.functions.CappedDistinctLongs
+        .cappedDistinctLongs(col("deg"), cap = 1000).as("degs"))
       .localCheckpoint()
     val degHist: Array[Long] = Checkpoints.metric(degObs, "degs") match {
       case Some(s: scala.collection.Seq[_]) =>

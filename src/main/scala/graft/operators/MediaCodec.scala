@@ -764,7 +764,9 @@ object MediaCodec {
       while (pos + 8 <= to) {
         val id = fcc(pos)
         val sz = i32(bytes, pos + 4)
-        if (sz < 0 || pos + 8 + sz > to) return false
+        // Long arithmetic: a crafted sz near Int.MaxValue must fail the
+        // bound check, not wrap it negative and walk pos out of range
+        if (sz < 0 || 8L + sz > (to - pos).toLong) return false
         val body = pos + 8
         if (id == "LIST") {
           if (sz < 4) return false

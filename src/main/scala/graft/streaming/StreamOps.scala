@@ -413,6 +413,7 @@ object StreamOps {
     val spark = batch.sparkSession
     val dir = new org.apache.hadoop.fs.Path(fpDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    ensureFpStoreFormat(fs, dir)
     recoverFpStoreSwap(fs, dir)
     if (batchDirsOf(fs, dir, batchId).length >= compactEvery)
       compactSubstringFpStore(spark, fpDir, excludeBatchId = Some(batchId))
@@ -440,6 +441,41 @@ object StreamOps {
     ()
   }
 
+  /** The store's fingerprint scheme, stamped in a `_format` marker the
+    * first time a store is written. Fingerprints only work as EQUALITY
+    * classes, so every key in a store must come from one scheme: a
+    * store written by a different fingerprint function would
+    * left-semi-match NOTHING and the dedup would silently no-op.
+    * Mixed or marker-less non-empty stores fail LOUDLY instead. */
+  private val FpStoreFormat = "kgram-rk128-1"
+
+  private def ensureFpStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "_format")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(got == FpStoreFormat,
+        s"fingerprint store $dir was written with scheme '$got', this " +
+          s"build produces '$FpStoreFormat' — the keys are incompatible " +
+          "equality classes; point the sink at a fresh store")
+    } else {
+      val hasData = fs.exists(dir) && fs.listStatus(dir).exists { s =>
+        s.getPath.getName.startsWith("__batch=") ||
+          s.getPath.getName.startsWith("__base")
+      }
+      require(!hasData,
+        s"fingerprint store $dir predates format markers (its keys " +
+          "come from an older fingerprint scheme and would silently " +
+          "match nothing) — point the sink at a fresh store")
+      fs.mkdirs(dir)
+      val out = fs.create(marker, false)
+      try out.write(FpStoreFormat.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** The store's `__batch=` dirs, excluding `excludeBatchId`. */
   private def batchDirsOf(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
@@ -450,22 +486,31 @@ object StreamOps {
       .map(_.getPath)
 
   /** Finish a fingerprint-store compaction that crashed mid-swap
-    * (harmless on a clean store): a missing `__base` with a completed
-    * `__base_compacting` is the only unreadable crash point — the
-    * staged rewrite is complete by construction (the base is only
-    * moved aside after it), so renaming it in restores the store;
-    * everything else is debris containing only rows the live dirs
-    * also hold. */
+    * (harmless on a clean store). A missing `__base` with a COMPLETED
+    * `__base_compacting` (its writer's `_SUCCESS` marker present) is
+    * the crash point between the two swap renames — rename it in.
+    * Completion must be checked, not assumed: the FIRST-ever
+    * compaction has no base to move aside, so "base missing + staged
+    * present" also describes a crash in the middle of the staged
+    * write itself, where promoting the partial dir would wedge every
+    * later store read; a marker-less staged dir is debris (the batch
+    * dirs it was absorbing are all still live) and is dropped. A
+    * stranded `__base_precompact` with no base (cannot arise from the
+    * write order, defensive) is restored rather than deleted. */
   private def recoverFpStoreSwap(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Unit = {
     val base = new org.apache.hadoop.fs.Path(dir, "__base")
     val staged = new org.apache.hadoop.fs.Path(dir, "__base_compacting")
     val aside = new org.apache.hadoop.fs.Path(dir, "__base_precompact")
-    if (!fs.exists(base) && fs.exists(staged)) fs.rename(staged, base)
-    if (fs.exists(base)) {
-      if (fs.exists(aside)) fs.delete(aside, true)
-      if (fs.exists(staged)) fs.delete(staged, true)
-    }
+    if (!fs.exists(base) && fs.exists(staged) &&
+        fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
+      require(fs.rename(staged, base),
+        s"fingerprint store: cannot finish crashed swap $staged -> $base")
+    if (!fs.exists(base) && fs.exists(aside))
+      require(fs.rename(aside, base),
+        s"fingerprint store: cannot restore $aside -> $base")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (fs.exists(staged)) fs.delete(staged, true)
     ()
   }
 
@@ -495,8 +540,18 @@ object StreamOps {
       absorb.map(_.toString)
     spark.read.parquet(srcs: _*).distinct()
       .write.mode("overwrite").parquet(staged.toString)
-    if (fs.exists(base)) fs.rename(base, aside)
-    fs.rename(staged, base)
+    // Hadoop rename reports failure by RETURNING false — every rename
+    // must be checked, or the unconditional deletes below would destroy
+    // the only complete copy of the fingerprints. A require failure
+    // aborts the batch BEFORE any delete; the store stays readable
+    // (base/batch dirs untouched) and recovery clears the staged dir.
+    if (fs.exists(base))
+      require(fs.rename(base, aside),
+        s"fingerprint store: rename $base -> $aside failed; aborting " +
+          "compaction with the store intact")
+    require(fs.rename(staged, base),
+      s"fingerprint store: rename $staged -> $base failed; aborting " +
+        "compaction (recoverFpStoreSwap restores the aside copy)")
     if (fs.exists(aside)) fs.delete(aside, true)
     absorb.foreach(p => fs.delete(p, true))
   }

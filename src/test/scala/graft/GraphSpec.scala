@@ -192,4 +192,30 @@ class GraphSpec extends SparkSuite {
       .filter(col("id") === 0L).head.getDouble(1)
     assert(math.abs(ok - (0.15 + 0.85 * 0.15 * n)) < 1e-6)
   }
+
+  test("CappedDistinctLongs: exact sorted set below the cap, a bounded " +
+      "overflow signal above it, and works as an observed metric") {
+    import graft.functions.CappedDistinctLongs.cappedDistinctLongs
+    import spark.implicits._
+    // below cap: the exact sorted distinct set
+    val small = Seq(5L, 1L, 5L, 3L, 1L).toDF("x")
+      .agg(cappedDistinctLongs(col("x"), cap = 10)).head.getSeq[Long](0)
+    assert(small == Seq(1L, 3L, 5L))
+    // above cap: length cap+1 signals overflow, memory stays O(cap)
+    val big = spark.range(100000).toDF("x")
+      .agg(cappedDistinctLongs(col("x"), cap = 7)).head.getSeq[Long](0)
+    assert(big.length == 8, s"expected overflow length 8, got ${big.length}")
+    // as an observed metric riding a localCheckpoint (the Graph.prep
+    // fusion): delivered, exact, bounded
+    val obs = org.apache.spark.sql.Observation()
+    Seq(2L, 9L, 2L).toDF("x")
+      .observe(obs, cappedDistinctLongs(col("x"), cap = 1000).as("d"))
+      .localCheckpoint(eager = true)
+    val seen = graft.operators.Checkpoints.metric(obs, "d") match {
+      case Some(s: scala.collection.Seq[_]) =>
+        s.map(String.valueOf(_).toLong)
+      case other => fail(s"metric not delivered: $other")
+    }
+    assert(seen == Seq(2L, 9L))
+  }
 }

@@ -523,6 +523,15 @@ class MultimodalSpec extends SparkSuite {
     val firstFrameAt = new String(avi, "ISO-8859-1").indexOf("00dc") + 8
     noMagic(firstFrameAt) = 0
     assert(MediaCodec.aviMjpegFrames(noMagic).isEmpty)
+    // a crafted chunk size near Int.MaxValue must fail the bounds
+    // check, not wrap it negative and walk the parser out of range
+    val crafted = new java.io.ByteArrayOutputStream()
+    crafted.write("RIFF".getBytes); crafted.write(Array[Byte](16, 0, 0, 0))
+    crafted.write("AVI ".getBytes); crafted.write("JUNK".getBytes)
+    crafted.write(Array[Byte](-1, -1, -1, 0x7f)) // sz = Int.MaxValue
+    crafted.write(new Array[Byte](4))
+    assert(MediaCodec.aviMjpegFrames(crafted.toByteArray).isEmpty,
+      "overflowing chunk size must strict-fail, not throw")
   }
 
   test("shotBoundariesAvi: cuts detected on a REAL container via the " +

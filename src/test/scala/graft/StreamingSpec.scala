@@ -243,9 +243,12 @@ class StreamingSpec extends SparkSuite {
       Seq((5L, uniq(5, 13))),
       Seq((6L, s"${uniq(6, 7)} $boiler")))
     def run(fpRoot: String, compactEvery: Int,
-        redeliver: Option[Long] = None): Seq[Seq[(Long, Long, String)]] = {
+        redeliver: Option[Long] = None,
+        beforeBatch: Long => Unit = _ => ())
+        : Seq[Seq[(Long, Long, String)]] = {
       val outs = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long, String)]]()
       batches.zipWithIndex.foreach { case (rows, id) =>
+        beforeBatch(id.toLong)
         def once(): Seq[(Long, Long, String)] = {
           var got: Seq[(Long, Long, String)] = Nil
           StreamOps.substringDedupBatch(rows.toDF("doc_id", "text"),
@@ -294,6 +297,35 @@ class StreamingSpec extends SparkSuite {
     val redelivered = run(tmpDir("fpc_redeliver"), compactEvery = 2,
       redeliver = Some(5L))
     assert(redelivered == plain)
+    // a compaction that died MID STAGED WRITE (no _SUCCESS, no prior
+    // base — the first-compaction crash) must be treated as debris,
+    // never promoted to a base the store can't read: inject a partial
+    // staged dir into a live store and keep cleaning
+    val crashRoot = tmpDir("fpc_crash")
+    val partial = new java.io.File(crashRoot, "__base_compacting")
+    val crashed = run(crashRoot, compactEvery = 2, beforeBatch = { id =>
+      if (id == 3L) { // store is live (marker + batch dirs); crash now
+        assert(partial.mkdirs())
+        java.nio.file.Files.write(
+          new java.io.File(partial, "part-junk.parquet").toPath,
+          Array[Byte](1, 2, 3))
+      }
+    })
+    assert(crashed == plain,
+      "partial staged dir poisoned the store after a simulated crash")
+    assert(!partial.exists(), "partial staged debris not cleared")
+    assert(new java.io.File(crashRoot, "__base").exists())
+    // a marker-less store that already has data is a pre-upgrade
+    // fingerprint scheme: refuse loudly instead of silently matching
+    // nothing
+    val oldRoot = tmpDir("fpc_oldfmt")
+    assert(new java.io.File(oldRoot, "__batch=0").mkdirs())
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.substringDedupBatch(
+        batches.head.toDF("doc_id", "text"), 1L, oldRoot, 8,
+        "text", "doc_id", 1000)(_ => ())
+    }
+    assert(ex.getMessage.contains("fresh store"), ex.getMessage)
   }
 
   test("T5: drift filter keeps business-date rows from widened partitions") {
