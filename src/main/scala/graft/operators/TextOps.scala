@@ -380,23 +380,48 @@ object TextOps {
           pmod(xxhash64(col("token")), lit(shards.toLong)))
         .repartition(col("shard")),
       "shard", s"$indexDir/postings")
-    // doclen is materialized ONCE (localCheckpoint) and serves both
-    // consumers — the doclen write and the stats aggregate — instead
-    // of writing parquet and immediately reading it back (a whole
-    // extra scheduled job per build on what is a lifecycle-constant-
-    // bound operation at any corpus size)
+    // the corpus stats (n_docs, sum_dl) RIDE the doclen write as
+    // observed metrics and land from the driver — the previous shape
+    // (localCheckpoint + write + separate stats-agg job) scheduled two
+    // extra jobs per build on what is a lifecycle-constant-bound
+    // operation at any corpus size
     val dl = docs.select(col(idCol))
       .join(spark.read.parquet(s"$indexDir/postings")
           .groupBy(col(idCol)).agg(sum(col("tf")).as("__dl")),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__dl"), lit(0L))
         .cast("long").as("dl"))
-      .localCheckpoint()
-    dl.write.mode("overwrite").parquet(s"$indexDir/doclen")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$indexDir/stats")
-    Checkpoints.release(dl)
+    writeDoclenWithStats(spark, dl, s"$indexDir/doclen",
+      s"$indexDir/stats")
     Similarity.markBuilt(indexDir, "invidx")
+  }
+
+  /** Write a doclen frame and its 1-row corpus stats with ONE scan:
+    * (n_docs, sum_dl) ride the doclen write job as observed metrics;
+    * the stats parquet is then written from the driver-held values
+    * (a 1-row local-relation job — no second pass over doclen). The
+    * metric fallback (lost listener event) recomputes explicitly from
+    * the just-written parquet, never hangs. */
+  private def writeDoclenWithStats(
+      spark: org.apache.spark.sql.SparkSession, dl: DataFrame,
+      doclenPath: String, statsPath: String): Unit = {
+    val obs = org.apache.spark.sql.Observation()
+    dl.observe(obs, count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(doclenPath)
+    val statsDf = (Checkpoints.metric(obs, "n_docs"),
+        Checkpoints.metric(obs, "sum_dl")) match {
+      case (Some(n: Long), Some(s)) =>
+        import spark.implicits._
+        // sum over zero rows observes NULL; stats must store 0
+        Seq((n, Option(s).map(String.valueOf(_).toLong).getOrElse(0L)))
+          .toDF("n_docs", "sum_dl")
+      case _ => // listener event lost: explicit job, never hang
+        spark.read.parquet(doclenPath)
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+    }
+    statsDf.write.mode("overwrite").parquet(statsPath)
   }
 
   /** BM25 top-k answered FROM the persisted inverted index: reads the
@@ -412,12 +437,20 @@ object TextOps {
       k1: Double = 1.2, b: Double = 0.75, shards: Int = 64,
       idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty, "bm25TopKIndexed needs at least one query term")
-    // the terms' shard ids, via the engine's own hash (one tiny job —
-    // guarantees driver/executor hash agreement)
-    val shardIds = spark.range(1).select(
-        terms.map(t => pmod(xxhash64(lit(t)), lit(shards.toLong))
-          .as(s"s_$t")): _*)
-      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    // the terms' shard ids, evaluated DRIVER-SIDE through the very
+    // expression class executors run (interpreted XxHash64.eval —
+    // agreement by construction); the previous spark.range(1) form
+    // scheduled a whole job per probe just to hash a handful of
+    // literals
+    val shardIds = terms.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType)),
+        42L) // the SQL function's fixed seed (XxHash64's default)
+        .eval(null).asInstanceOf[Long]
+      ((h % shards) + shards) % shards // pmod
+    }.distinct
     val maintained = new java.io.File(s"$indexDir/_maint").exists()
     val tf = resolveLive(spark, indexDir, s"$indexDir/postings", idCol)
       .filter(col("shard").isin(shardIds: _*) &&
@@ -522,24 +555,19 @@ object TextOps {
       Similarity.swapCompactedBase(base)
     }
     rewrite("postings", Some("shard"))
-    // the doclen rewrite materializes the live rows once; the same
-    // checkpointed frame feeds the staged write AND the stats refresh
-    // (reading the just-swapped parquet back was an extra job; the
-    // checkpoint holds exactly the rows the swap published, so the
-    // crash-ordering argument is unchanged — stats still land before
-    // _maint is removed)
-    val liveDl = {
+    // the doclen rewrite carries the stats refresh as observed metrics
+    // on its staged-write job (writeDoclenWithStats — one scan, no
+    // checkpoint job, no read-back job; the crash-ordering argument is
+    // unchanged: stats still land before _maint is removed, and while
+    // _maint exists the query path recomputes stats live)
+    locally {
       val base = s"$indexDir/doclen"
       Similarity.recoverCompactSwap(base)
-      val staged = s"${base}_compacting"
-      val live = resolveLive(spark, indexDir, base, idCol).localCheckpoint()
-      live.write.mode("overwrite").parquet(staged)
+      writeDoclenWithStats(spark,
+        resolveLive(spark, indexDir, base, idCol),
+        s"${base}_compacting", s"$indexDir/stats")
       Similarity.swapCompactedBase(base)
-      live
     }
-    liveDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$indexDir/stats")
-    Checkpoints.release(liveDl)
     Similarity.rmrfDir(new java.io.File(s"$indexDir/_maint"))
     Similarity.rmrfDir(new java.io.File(s"$indexDir/tombstones"))
     Similarity.rmrfDir(new java.io.File(s"$indexDir/postings_delta"))
