@@ -522,6 +522,31 @@ class PlanShapeSpec extends SparkSuite {
       s"dedupSpans first-occurrence must partial-aggregate:\n${spans.take(2000)}")
   }
 
+  test("dedupSubstrings stays on the native kernels: no interpreted " +
+      "HOF fingerprints, no array_contains reassembly, no window") {
+    val docs = Engine.table(spark, sf, "documents")
+    // the O(n·k) md5-of-slice transform and the O(n·|rm|) per-token
+    // probe were the two pre-r14 interpreted hot loops — pin their
+    // replacements (KgramFingerprints / DropByIndexJoin kernels). The
+    // fingerprint pass hides behind dedupSubstrings' localCheckpoint,
+    // so it is pinned on substringGrams (same code path, no
+    // checkpoint); the reassembly is pinned on the full operator.
+    val fpPlan = graft.operators.TextOps.substringGrams(docs, k = 8)
+      .queryExecution.sparkPlan.toString.toLowerCase
+    assert(fpPlan.contains("kgramfingerprints"),
+      s"kgram kernel missing from the plan:\n${fpPlan.take(2000)}")
+    assert(!fpPlan.contains("md5("),
+      s"fingerprints must be the rolling-hash kernel:\n${fpPlan.take(2000)}")
+    val plan = graft.operators.TextOps.dedupSubstrings(docs, k = 8)
+      .queryExecution.sparkPlan.toString.toLowerCase
+    assert(!plan.contains("array_contains"),
+      s"reassembly must be the sorted-merge kernel:\n${plan.take(2000)}")
+    assert(plan.contains("dropbyindexjoin"),
+      s"drop-by-index kernel missing from the plan:\n${plan.take(2000)}")
+    assert(!plan.contains("windowspecdefinition"),
+      s"dedupSubstrings must not window:\n${plan.take(2000)}")
+  }
+
   test("BM25 keeps df/corpus stats broadcast; no cartesian product") {
     val plan = executedPlan(graft.operators.TextOps.bm25TopK(
       Engine.table(spark, sf, "documents"),
