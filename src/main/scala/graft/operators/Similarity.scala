@@ -424,6 +424,72 @@ object Similarity {
         case l: java.lang.Long => l.longValue()
       }, r.getSeq[Double](1).toArray))
 
+  // ---- persisted-centroid cache: a centroid table is tiny (≤2^planes
+  // rows), read-only between rebuilds (upsert/compact never touch it),
+  // and consulted by EVERY probe and upsert — without a cache each
+  // consult schedules a whole collect job just to re-read a table
+  // whose bytes have not changed. Keyed on the dir's file listing
+  // (name, length, mtime), so a rebuild (fresh files) misses and a
+  // non-local path (no java.io view) bypasses the cache entirely.
+  private val centroidCache =
+    new java.util.LinkedHashMap[String, Array[(Long, Array[Double])]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[(Long, Array[Double])]])
+          : Boolean = size() > 8
+    }
+
+  private def centroidSig(path: String): Option[String] = {
+    val d = new java.io.File(path)
+    if (!d.isDirectory) return None
+    Option(d.listFiles()).map(_.filter(_.isFile).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|"))
+  }
+
+  private[operators] def readCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Array[(Long, Array[Double])] =
+    centroidSig(path) match {
+      case Some(sig) =>
+        val key = s"$path@$sig"
+        val hit = centroidCache.synchronized(centroidCache.get(key))
+        if (hit != null) hit
+        else {
+          val v = collectCentroids(spark.read.parquet(path))
+          centroidCache.synchronized { centroidCache.put(key, v); () }
+          v
+        }
+      case None => collectCentroids(spark.read.parquet(path))
+    }
+
+  /** The probe's bucket selection, DRIVER-SIDE over cached centroids:
+    * top-`nprobe` by (cos desc, bucket asc) — the same sequential-fold
+    * cosine as [[graft.functions.VectorSim]] (identical doubles), the
+    * same ordering as the job it replaces. Returns boxed values whose
+    * runtime type matches the bucket partition column's inference
+    * (INT when every id fits) so `isin` prunes partitions unchanged. */
+  private def nearestBuckets(cents: Array[(Long, Array[Double])],
+      query: Seq[Double], nprobe: Int): Array[Any] = {
+    val q = query.toArray
+    def cos(a: Array[Double]): Double = {
+      if (a.length != q.length) return 0.0
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * q(i); na += a(i) * a(i); nb += q(i) * q(i); i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    val picked = cents.map { case (b, c) => (b, cos(c)) }
+      .sortBy { case (b, c) => (-c, b) }
+      .take(nprobe).map(_._1)
+    if (picked.forall(b => b >= Int.MinValue && b <= Int.MaxValue))
+      picked.map(b => Int.box(b.toInt): Any)
+    else picked.map(b => Long.box(b): Any)
+  }
+
   /** Ship collected centroids as ONE torrent broadcast for the
     * [[graft.functions.CentroidTopK]] kernel. */
   private def broadcastCentroids(vecs: DataFrame,
@@ -451,8 +517,12 @@ object Similarity {
     * k ≤ 65,536.) Exact dot ties take the lower bucket —
     * deterministic, and measure-zero on real data. */
   private[graft] def assignNearest(vecs: DataFrame,
-      centroids: DataFrame): DataFrame = {
-    val cents = collectCentroids(centroids)
+      centroids: DataFrame): DataFrame =
+    assignNearestC(vecs, collectCentroids(centroids))
+
+  /** [[assignNearest]] over pre-collected (possibly cached) centroids. */
+  private[graft] def assignNearestC(vecs: DataFrame,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
     if (cents.isEmpty) return emptyAssigned(vecs)
     val bc = broadcastCentroids(vecs, cents)
     vecs.withColumn("bucket", element_at(
@@ -496,11 +566,11 @@ object Similarity {
       query: Seq[Double], k: Int, nprobe: Int = 8,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val q = lit(query.toArray)
-    val near = spark.read.parquet(s"$indexDir/centroids")
-      .select(col("bucket"), cosineSimilarity(col("centroid"), q).as("c"))
-      .orderBy(desc("c"), asc("bucket")).limit(nprobe).select("bucket")
-    // partition-column values read back type-inferred (INT when small)
-    val buckets = near.collect().map(_.get(0))
+    // bucket selection driver-side over the cached centroid table —
+    // the previous form scheduled a whole collect job per probe to
+    // re-read a tiny read-only table (see readCentroids)
+    val buckets = nearestBuckets(
+      readCentroids(spark, s"$indexDir/centroids"), query, nprobe)
     resolvedVectors(spark, indexDir, idCol)
       .filter(bucketIn(buckets)) // partition-pruned scan
       .select(col(idCol), cosineSimilarity(col(vecCol), q).as("cos"))
@@ -548,11 +618,11 @@ object Similarity {
     maint.mkdirs()
     val seqFile = java.nio.file.Paths.get(s"$indexDir/_maint/seq")
     val seq = committedSeq(indexDir) + 1
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = readCentroids(spark, s"$indexDir/centroids")
     val ins = changes.filter(col(changeCol) === "insert")
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         normalized(col(vecCol)).as("nv"))
-    assignNearest(ins, cents)
+    assignNearestC(ins, cents)
       .select(col("id").as(idCol), col("v").as(vecCol), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/vectors_delta/__batch=$seq")
@@ -976,10 +1046,8 @@ object Similarity {
       query: Seq[Double], k: Int, nprobe: Int = 8, overfetch: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val q = lit(query.toArray)
-    val near = spark.read.parquet(s"$indexDir/centroids")
-      .select(col("bucket"), cosineSimilarity(col("centroid"), q).as("c"))
-      .orderBy(desc("c"), asc("bucket")).limit(nprobe).select("bucket")
-    val buckets = near.collect().map(_.get(0))
+    val buckets = nearestBuckets(
+      readCentroids(spark, s"$indexDir/centroids"), query, nprobe)
     val lut = graft.functions.ProductQuant.buildLut(query, cb)
     val cand = spark.read.parquet(s"$indexDir/codes")
       .filter(bucketIn(buckets)) // partition-pruned scan
