@@ -534,6 +534,28 @@ class MultimodalSpec extends SparkSuite {
       "overflowing chunk size must strict-fail, not throw")
   }
 
+  test("videoSummary: exact cross-frame sums; a frame that sniffs as " +
+      "JPEG but fails decode reports n_decoded < n_frames, not a crash") {
+    def gray(v: Int) = MediaCodec.encodeJpeg(5, 3, (_, _) => (v, v, v))
+    val good = MediaCodec.encodeAviMjpeg(5, 3, Seq(gray(10), gray(40)))
+    // magic-intact but structurally dead JPEG: passes the container's
+    // sniff (FF D8 FF), fails the full ImageIO decode
+    val deadJpeg = java.util.Arrays.copyOf(gray(99), 20)
+    val mixed = MediaCodec.encodeAviMjpeg(5, 3,
+      Seq(gray(10), deadJpeg, gray(40)))
+    val rows = Seq((1L, good), (2L, mixed), (3L, "text".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.videoSummary(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // uniform gray at q1.0 decodes exactly: sums are closed-form
+    assert(out(1L).getInt(1) == 2 && out(1L).getInt(2) == 2)
+    assert(out(1L).getLong(5) == 5L * 3 * (10 + 40))
+    assert(out(2L).getInt(1) == 3 && out(2L).getInt(2) == 2,
+      s"dead frame must be skipped, not counted: ${out(2L)}")
+    assert(out(2L).getLong(5) == 5L * 3 * (10 + 40))
+    assert(!out.contains(3L), "non-AVI payload must yield no row")
+  }
+
   test("shotBoundariesAvi: cuts detected on a REAL container via the " +
       "same per-frame hash path; non-AVI payloads yield no rows") {
     // same scene construction as the packed-frame test, but carried as
