@@ -503,8 +503,16 @@ object VersionedTable {
     val dirs = readManifest(f, root, baseV).get
     val srcKeys = source.select(keys.map(col): _*).distinct()
     // stats sidecars first: dirs whose key range can't intersect the
-    // source's are never opened at all (manifest-level data skipping)
-    val candidates = pruneDirsByKeyRange(spark, root, dirs, srcKeys, keys)
+    // source's are never opened at all (manifest-level data skipping).
+    // Range pruning costs one source-range aggregate job, which only
+    // pays for itself when there are enough dirs to skip — on a small
+    // manifest the touched-dir scan below prunes exactly at the same
+    // cost, so the sidecar pass is skipped entirely (at 100 TB the
+    // manifest is long and the pruning is what keeps the key scan off
+    // most of the table).
+    val candidates =
+      if (dirs.size <= 8) dirs
+      else pruneDirsByKeyRange(spark, root, dirs, srcKeys, keys)
     // then one key-column-pruned scan over the candidates → touched dirs
     val touched =
       if (candidates.isEmpty) Set.empty[String]
