@@ -133,11 +133,17 @@ object Graph {
     * plan (pageRankExact, ≤4 rounds by the scale guard) re-reads both
     * frames only within that single job, where Spark's exchange reuse
     * computes each canonical subplan once — the two checkpoint jobs
-    * are pure fixed overhead there. Loops that checkpoint PER
-    * ITERATION (pageRank / pageRankConverged) must keep materialize =
-    * true or every iteration job re-runs the edge shuffle. The deg
-    * checkpoint always materializes — the salting decision needs its
-    * histogram before any plan is built. */
+    * are pure fixed overhead there. The raw edge list is checkpointed
+    * INSTEAD (one job in place of two): weighted and nodes are then
+    * derived views of one frozen snapshot, so a nondeterministic or
+    * concurrently-changing edge source (a sample, a live table) cannot
+    * be observed differently by the two scans — the old per-frame
+    * checkpoints gave exactly that guarantee and bit-exact PageRank
+    * must keep it. Loops that checkpoint PER ITERATION (pageRank /
+    * pageRankConverged) keep materialize = true or every iteration job
+    * re-runs the edge shuffle. The deg checkpoint always materializes
+    * — the salting decision needs its histogram before any plan is
+    * built. */
   private[graft] def prep(edges: DataFrame, srcCol: String,
       dstCol: String, saltThreshold: Long,
       materialize: Boolean = true): Prepped = {
@@ -145,8 +151,9 @@ object Graph {
       if (materialize) df.localCheckpoint() else df
     val spark = edges.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    val e = if (materialize) e0 else e0.localCheckpoint()
     // checkpointed: deg is read by the degree-histogram probe below
     // and the weighted join — without this each use re-runs the full
     // edge shuffle. The degree histogram RIDES the checkpoint
@@ -308,7 +315,8 @@ object Graph {
     // materialize = false: the whole ≤4-round recurrence below compiles
     // into ONE plan (no per-iteration checkpoints), so weighted/nodes
     // are re-read only inside that single job where exchange reuse
-    // computes them once — the checkpoint jobs would be pure overhead
+    // computes them once; both derive from prep's single checkpointed
+    // edge snapshot, so the frames can never disagree on the input
     val p = prep(edges, srcCol, dstCol, saltThreshold,
       materialize = false)
     // distinct out-degree VALUES, collected once by prep's histogram

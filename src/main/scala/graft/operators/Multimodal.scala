@@ -288,9 +288,12 @@ object Multimodal {
     * ([[MediaCodec.aviMjpegFrames]]) then per-frame JPEG decode
     * ([[MediaCodec.decodeJpeg]]): geometry plus exact channel sums
     * ACROSS frames. NULL-summed rows never appear: a video whose
-    * container parses but whose frames don't decode is reported with
-    * n_decoded < n_frames and sums over the decoded subset. Not a
-    * valid AVI → no row (strict, like every codec here). Map-only. */
+    * container parses but whose frames don't decode — or decode to
+    * dimensions DISAGREEING with the container header (the row's
+    * width/height columns must describe the frames its sums came
+    * from) — is reported with n_decoded < n_frames and sums over the
+    * conforming subset. Not a valid AVI → no row (strict, like every
+    * codec here). Map-only. */
   def videoSummary(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -309,9 +312,11 @@ object Multimodal {
           var (sr, sg, sb) = (0L, 0L, 0L)
           var decoded = 0
           frames.foreach { f =>
-            MediaCodec.decodeJpeg(f).foreach { b =>
-              sr += b.sumR; sg += b.sumG; sb += b.sumB; decoded += 1
-            }
+            MediaCodec.decodeJpeg(f)
+              .filter(b => b.width == s.width && b.height == s.height)
+              .foreach { b =>
+                sr += b.sumR; sg += b.sumG; sb += b.sumB; decoded += 1
+              }
           }
           Iterator.single(Row(r.getLong(0), s.nFrames, decoded,
             s.width, s.height, sr, sg, sb))

@@ -472,8 +472,14 @@ object Similarity {
   private def nearestBuckets(cents: Array[(Long, Array[Double])],
       query: Seq[Double], nprobe: Int): Array[Any] = {
     val q = query.toArray
-    def cos(a: Array[Double]): Double = {
-      if (a.length != q.length) return 0.0
+    // the ORDERING replicates the job this replaces exactly, including
+    // its degenerate corners: Spark's desc ranks NaN largest (first),
+    // valid cosines next (descending), and a dim-mismatched centroid
+    // scored NULL by the VectorSim kernel LAST — scoring a mismatch
+    // 0.0 instead would let a corrupt centroid outrank every valid
+    // negative-cosine bucket. Ties break by bucket ascending.
+    def cos(a: Array[Double]): java.lang.Double = {
+      if (a.length != q.length) return null
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < a.length) {
@@ -483,7 +489,13 @@ object Similarity {
       if (denom == 0.0) 0.0 else dot / denom
     }
     val picked = cents.map { case (b, c) => (b, cos(c)) }
-      .sortBy { case (b, c) => (-c, b) }
+      .sortBy { case (b, c) =>
+        val rank =
+          if (c == null) (2, 0.0)                   // NULL: last
+          else if (c.isNaN) (0, 0.0)                // NaN: first (desc)
+          else (1, -c.doubleValue())                // valid: descending
+        (rank._1, rank._2, b)
+      }
       .take(nprobe).map(_._1)
     if (picked.forall(b => b >= Int.MinValue && b <= Int.MaxValue))
       picked.map(b => Int.box(b.toInt): Any)

@@ -452,28 +452,53 @@ object StreamOps {
   private def ensureFpStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Unit = {
     val marker = new org.apache.hadoop.fs.Path(dir, "_format")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val got =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      require(got == FpStoreFormat,
-        s"fingerprint store $dir was written with scheme '$got', this " +
-          s"build produces '$FpStoreFormat' — the keys are incompatible " +
-          "equality classes; point the sink at a fresh store")
-    } else {
-      val hasData = fs.exists(dir) && fs.listStatus(dir).exists { s =>
-        s.getPath.getName.startsWith("__batch=") ||
-          s.getPath.getName.startsWith("__base")
-      }
-      require(!hasData,
-        s"fingerprint store $dir predates format markers (its keys " +
-          "come from an older fingerprint scheme and would silently " +
-          "match nothing) — point the sink at a fresh store")
-      fs.mkdirs(dir)
-      val out = fs.create(marker, false)
-      try out.write(FpStoreFormat.getBytes("UTF-8")) finally out.close()
+    def hasData = fs.exists(dir) && fs.listStatus(dir).exists { s =>
+      s.getPath.getName.startsWith("__batch=") ||
+        s.getPath.getName.startsWith("__base")
     }
+    val got =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    got match {
+      case Some(FpStoreFormat) => ()
+      case Some("") if !hasData =>
+        // a crash between creating the marker and writing its content
+        // on a still-empty store: debris, restamp (the temp+rename
+        // write below makes this window near-impossible going forward,
+        // but a store wedged by an OLDER build must still recover)
+        fs.delete(marker, false)
+        stampFpFormat(fs, dir, marker)
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"fingerprint store $dir was written with scheme '$other', " +
+            s"this build produces '$FpStoreFormat' — the keys are " +
+            "incompatible equality classes; point the sink at a fresh store")
+      case None =>
+        require(!hasData,
+          s"fingerprint store $dir predates format markers (its keys " +
+            "come from an older fingerprint scheme and would silently " +
+            "match nothing) — point the sink at a fresh store")
+        fs.mkdirs(dir)
+        stampFpFormat(fs, dir, marker)
+    }
+  }
+
+  /** Write the format marker ATOMICALLY (temp file + rename): a crash
+    * mid-write must never leave a half-written marker that wedges a
+    * fresh store behind an incompatible-scheme error. */
+  private def stampFpFormat(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      marker: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"._format.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(FpStoreFormat.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, marker),
+      s"fingerprint store: cannot install format marker $marker")
   }
 
   /** The store's `__batch=` dirs, excluding `excludeBatchId`. */

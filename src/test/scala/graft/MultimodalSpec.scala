@@ -541,8 +541,11 @@ class MultimodalSpec extends SparkSuite {
     // magic-intact but structurally dead JPEG: passes the container's
     // sniff (FF D8 FF), fails the full ImageIO decode
     val deadJpeg = java.util.Arrays.copyOf(gray(99), 20)
+    // decodes fine but disagrees with the container header's 5x3 —
+    // must not be summed under that geometry
+    val wrongDims = MediaCodec.encodeJpeg(9, 9, (_, _) => (7, 7, 7))
     val mixed = MediaCodec.encodeAviMjpeg(5, 3,
-      Seq(gray(10), deadJpeg, gray(40)))
+      Seq(gray(10), deadJpeg, gray(40), wrongDims))
     val rows = Seq((1L, good), (2L, mixed), (3L, "text".getBytes))
       .toDF("media_id", "payload")
     val out = Multimodal.videoSummary(rows).collect()
@@ -550,8 +553,8 @@ class MultimodalSpec extends SparkSuite {
     // uniform gray at q1.0 decodes exactly: sums are closed-form
     assert(out(1L).getInt(1) == 2 && out(1L).getInt(2) == 2)
     assert(out(1L).getLong(5) == 5L * 3 * (10 + 40))
-    assert(out(2L).getInt(1) == 3 && out(2L).getInt(2) == 2,
-      s"dead frame must be skipped, not counted: ${out(2L)}")
+    assert(out(2L).getInt(1) == 4 && out(2L).getInt(2) == 2,
+      s"dead + wrong-dims frames must be skipped, not counted: ${out(2L)}")
     assert(out(2L).getLong(5) == 5L * 3 * (10 + 40))
     assert(!out.contains(3L), "non-AVI payload must yield no row")
   }

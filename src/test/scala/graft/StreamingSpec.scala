@@ -304,7 +304,13 @@ class StreamingSpec extends SparkSuite {
     val crashRoot = tmpDir("fpc_crash")
     val partial = new java.io.File(crashRoot, "__base_compacting")
     val crashed = run(crashRoot, compactEvery = 2, beforeBatch = { id =>
-      if (id == 3L) { // store is live (marker + batch dirs); crash now
+      // inject at batch 2: batches 0-1 made the store live (marker +
+      // dirs) but the FIRST compaction hasn't run yet, so __base does
+      // not exist — exactly the no-base + no-_SUCCESS debris branch
+      // the recovery guard exists for
+      if (id == 2L) {
+        assert(!new java.io.File(crashRoot, "__base").exists(),
+          "fixture broken: base already exists, branch not exercised")
         assert(partial.mkdirs())
         java.nio.file.Files.write(
           new java.io.File(partial, "part-junk.parquet").toPath,
