@@ -264,7 +264,8 @@ object VersionedTable {
     * for sequential re-delivery, not concurrent writers sharing a key. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       overwrite: Boolean = false,
-      idempotencyKey: Option[String] = None): Long = {
+      idempotencyKey: Option[String] = None,
+      mergeSchema: Boolean = false): Long = {
     val f = fs(spark, root)
     val dataDir = "data/" + idempotencyKey.map(k => s"k-$k")
       .getOrElse(java.util.UUID.randomUUID().toString)
@@ -275,6 +276,7 @@ object VersionedTable {
       // crash orphan from a previous attempt: unreferenced, rewrite
       f.delete(new Path(root, dataDir), true)
     }
+    if (!overwrite) checkSchemaEvolution(spark, root, df, mergeSchema)
     // data first, fully, into an immutable dir nobody references yet
     writeDataDir(spark, root, dataDir, df)
     commitManifest(spark, root, latest => {
@@ -285,9 +287,52 @@ object VersionedTable {
     })
   }
 
+  /** Write-side schema gate (the Delta-style evolution contract): an
+    * APPEND whose schema silently disagreed with the table's used to
+    * be undefined behavior at read time (the plain parquet reader
+    * adopts one arbitrary footer's schema, dropping the other commits'
+    * columns with no error). Now: an identical column set (by name,
+    * order-insensitive, types equal) always passes; NEW columns are
+    * an additive evolution, allowed only under an explicit
+    * `mergeSchema = true` (reads null-fill them for older dirs);
+    * dropping columns or changing a column's type is rejected loudly
+    * — those need an `overwrite` (a new table generation), never an
+    * append. Overwrites skip the gate: they define a fresh schema. */
+  private def checkSchemaEvolution(spark: SparkSession, root: String,
+      df: DataFrame, mergeSchema: Boolean): Unit = {
+    val current = versions(spark, root).lastOption
+      .map(v => read(spark, root, Some(v)).schema)
+      .getOrElse(return)
+    val cur = current.fields.map(fd => fd.name -> fd.dataType).toMap
+    val nxt = df.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+    val missing = cur.keySet -- nxt.keySet
+    val added = nxt.keySet -- cur.keySet
+    val retyped = (cur.keySet & nxt.keySet)
+      .filter(k => cur(k) != nxt(k))
+    require(missing.isEmpty && retyped.isEmpty,
+      s"commit schema is incompatible with the table's: " +
+        (if (missing.nonEmpty) s"missing [${missing.mkString(", ")}] " else "") +
+        (if (retyped.nonEmpty) s"retyped [${retyped.map(k =>
+          s"$k: ${cur(k).catalogString} -> ${nxt(k).catalogString}")
+          .mkString(", ")}] " else "") +
+        "— appends may only ADD columns (mergeSchema = true); " +
+        "use overwrite = true for a new table generation")
+    require(added.isEmpty || mergeSchema,
+      s"commit adds column(s) [${added.mkString(", ")}] to the table " +
+        "schema — pass mergeSchema = true to evolve additively " +
+        "(older snapshots' rows read the new columns as NULL)")
+  }
+
   /** Read the table at `asOf` (a committed version) or, by default,
     * the latest committed snapshot. The returned frame is pinned to
-    * that snapshot's immutable dirs — later commits never leak in. */
+    * that snapshot's immutable dirs — later commits never leak in.
+    * Schemas merge across dirs (parquet mergeSchema): after an
+    * additive evolution ([[commit]] with mergeSchema = true) the
+    * snapshot's schema is the UNION of its dirs' schemas, older dirs'
+    * rows reading the added columns as NULL — without it the reader
+    * adopts one arbitrary footer's schema and silently drops the
+    * evolved columns. A version whose dirs predate an evolution
+    * naturally time-travels to the narrower schema. */
   def read(spark: SparkSession, root: String,
       asOf: Option[Long] = None): DataFrame = {
     val f = fs(spark, root)
@@ -295,7 +340,7 @@ object VersionedTable {
       throw new IllegalStateException(s"no committed version under $root")))
     val dirs = readManifest(f, root, v).getOrElse(
       throw new IllegalArgumentException(s"version $v not committed"))
-    spark.read.parquet(
+    spark.read.option("mergeSchema", "true").parquet(
       dirs.map(d => new Path(root, d).toString): _*)
   }
 

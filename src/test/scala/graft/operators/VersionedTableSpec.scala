@@ -473,6 +473,44 @@ class VersionedTableSpec extends SparkSuite {
     assert(seen.last._1 == 4L && seen.last._2 == 1L)
   }
 
+  test("schema evolution: additive commit under mergeSchema null-fills " +
+      "older dirs; silent drift, drops, and retypes are rejected loudly") {
+    val root = tmpDir("vtabschema")
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    // silent widening without the flag: rejected, table untouched
+    val exAdd = intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, root,
+        Seq((2L, "b", 9L)).toDF("id", "s", "w"))
+    }
+    assert(exAdd.getMessage.contains("mergeSchema"), exAdd.getMessage)
+    // dropped column / retyped column: always rejected
+    val exDrop = intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, root, Seq(Tuple1(3L)).toDF("id"),
+        mergeSchema = true)
+    }
+    assert(exDrop.getMessage.contains("missing"), exDrop.getMessage)
+    val exType = intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, root,
+        Seq((4L, 5L)).toDF("id", "s"), mergeSchema = true)
+    }
+    assert(exType.getMessage.contains("retyped"), exType.getMessage)
+    // the additive evolution: new column lands; older rows read NULL
+    val v2 = VersionedTable.commit(spark, root,
+      Seq((2L, "b", 9L)).toDF("id", "s", "w"), mergeSchema = true)
+    val latest = VersionedTable.read(spark, root)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(latest.toSeq == Seq((1L, "a", None), (2L, "b", Some(9L))))
+    // time travel to the pre-evolution snapshot keeps the narrow schema
+    assert(VersionedTable.read(spark, root, Some(v2 - 1))
+      .columns.toSeq == Seq("id", "s"))
+    // column ORDER differences alone are not drift
+    VersionedTable.commit(spark, root,
+      Seq(("c", 3L, 7L)).toDF("s", "id", "w"))
+    assert(VersionedTable.read(spark, root).count() == 3)
+  }
+
   test("concurrent appenders both land; no lost update") {
     val root = tmpDir("vtabcc")
     VersionedTable.commit(spark, root, Seq((0L, "z")).toDF("id", "s"))
