@@ -1166,6 +1166,59 @@ object ExtQueries {
                    CAST(SUM(q) AS BIGINT) FROM q WHERE q <= 10
             ORDER BY version"""))
 
+  /** Versioned-table ADDITIVE SCHEMA EVOLUTION
+    * ([[graft.operators.VersionedTable.commit]] with mergeSchema):
+    * commit a narrow (k, v) snapshot, evolve it with an added `w`
+    * column, and read both the latest snapshot (older rows null-fill
+    * w — counted and summed to prove the merge-schema read) and the
+    * pre-evolution version (its narrow column set pinned via a
+    * column-count output). Closed-form over orders. */
+  val q_versioned_evolve = QuerySpec(
+    "q_versioned_evolve", Seq("S9", "S4"),
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val o = Engine.table(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
+      val b = col("k") % 10
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vtab_e").toString
+      val v1 = VersionedTable.commit(s, root, o.filter(b <= 3))
+      val v2 = VersionedTable.commit(s, root,
+        o.filter(b >= 8).withColumn("w", col("k") * 2),
+        mergeSchema = true)
+      val latest = VersionedTable.read(s, root, Some(v2))
+        .agg(count(lit(1)).as("n"),
+          count(col("w")).as("n_w"),
+          sum(col("w")).as("sum_w"),
+          sum(col("v")).as("sum_v"))
+        .select(lit("latest").as("label"), col("n"), col("n_w"),
+          col("sum_w"), col("sum_v"))
+      val before = VersionedTable.read(s, root, Some(v1))
+      val narrow = before
+        .agg(count(lit(1)).as("n"),
+          lit(before.columns.length.toLong).as("n_w"), // column COUNT
+          lit(-1L).as("sum_w"), sum(col("v")).as("sum_v"))
+        .select(lit("pre_evolution").as("label"), col("n"), col("n_w"),
+          col("sum_w"), col("sum_v"))
+      Engine.collectAndClean(
+        latest.unionByName(narrow).orderBy("label"), root)
+    },
+    Some("""WITH q AS (SELECT o_orderkey % 10 AS b,
+                              CAST(o_orderkey AS BIGINT) AS k,
+                              CAST(o_custkey AS BIGINT) AS v
+                       FROM orders)
+            SELECT 'latest' AS label,
+                   COUNT(*) AS n,
+                   CAST(COUNT(*) FILTER (b >= 8) AS BIGINT) AS n_w,
+                   CAST(SUM(k * 2) FILTER (b >= 8) AS BIGINT) AS sum_w,
+                   CAST(SUM(v) AS BIGINT) AS sum_v
+            FROM q WHERE b <= 3 OR b >= 8
+            UNION ALL
+            SELECT 'pre_evolution', COUNT(*), CAST(2 AS BIGINT),
+                   CAST(-1 AS BIGINT), CAST(SUM(v) AS BIGINT)
+            FROM q WHERE b <= 3
+            ORDER BY label"""))
+
   /** Versioned-table MERGE + CDC ([[graft.operators.VersionedTable]]
     * merge/changesBetween): two commits build the table, one merge
     * upserts/deletes/inserts in a single copy-on-write commit (v3), a
@@ -1382,7 +1435,7 @@ object ExtQueries {
             ORDER BY label"""))
 
   val all: Seq[QuerySpec] = Seq(
-    q_versioned_time_travel, q_versioned_merge,
+    q_versioned_time_travel, q_versioned_merge, q_versioned_evolve,
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
     q_union_fusion_rule, q_agg_route, q_agg_route_having,
