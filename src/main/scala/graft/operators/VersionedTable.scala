@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Minimal versioned table format: append/overwrite commits as numbered
@@ -87,11 +88,24 @@ object VersionedTable {
     * AND same mtime granule). Dead entries a drop leaves behind are
     * bounded by commit count and never consulted again. */
   private val committedCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long, Long), (Seq[String], Option[String])]()
 
   /** Data dirs of a committed manifest; None if absent or torn. */
   private def readManifest(f: FileSystem, root: String,
-      v: Long): Option[Seq[String]] = {
+      v: Long): Option[Seq[String]] =
+    readManifestFull(f, root, v).map(_._1)
+
+  private val schemaMark = "#SCHEMA:"
+
+  /** (data dirs, schema json) of a committed manifest. The schema line
+    * (written first, `#SCHEMA:<StructType.json>`) is the snapshot's
+    * authoritative column set — carried IN the commit point, so it is
+    * atomic with the dir list and immune to write/validate races; a
+    * manifest without one predates schema tracking (readers fall back
+    * to parquet schema merging). The END count covers data dirs only. */
+  private def readManifestFull(f: FileSystem, root: String,
+      v: Long): Option[(Seq[String], Option[String])] = {
     val p = manifestPath(root, v)
     val st = try f.getFileStatus(p) catch {
       case _: java.io.FileNotFoundException => return None
@@ -104,15 +118,27 @@ object VersionedTable {
       finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty).toSeq
     if (lines.isEmpty || !lines.last.startsWith(endMark)) return None
-    val dirs = lines.dropRight(1)
+    val schema = lines.find(_.startsWith(schemaMark))
+      .map(_.stripPrefix(schemaMark))
+    val dirs = lines.dropRight(1).filterNot(_.startsWith(schemaMark))
     // END line is "#END:<count>" (legacy) or "#END:<count>:<nonce>"
     // (the nonce varies the file length across table generations)
     val count = lines.last.stripPrefix(endMark)
       .takeWhile(_ != ':').toIntOption
     if (count.contains(dirs.size)) {
-      committedCache.put(key, dirs)
-      Some(dirs)
+      committedCache.put(key, (dirs, schema))
+      Some((dirs, schema))
     } else None
+  }
+
+  /** A committed snapshot's recorded schema (None: predates schema
+    * tracking). */
+  def snapshotSchema(spark: SparkSession, root: String,
+      v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, root)
+    readManifestFull(f, root, v).flatMap(_._2).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** All committed version numbers, ascending. (Cheap per call: the
@@ -157,13 +183,23 @@ object VersionedTable {
     *    a delete-then-retry would be a check-then-act race where a
     *    stalled loser deletes the slot a competitor just committed. */
   private def commitManifest(spark: SparkSession, root: String,
-      dirsFor: Option[Long] => Seq[String]): Long = {
+      dirsFor: Option[Long] => Seq[String],
+      schemaFor: Option[Long] =>
+        Option[org.apache.spark.sql.types.StructType] = _ => None): Long = {
     val f = fs(spark, root)
     f.mkdirs(new Path(root, logDir))
     var committed = -1L
     while (committed < 0) {
       val latest = versions(spark, root).lastOption
       val dirs = dirsFor(latest)
+      // schemaFor runs INSIDE the CAS loop with the same `latest` the
+      // dir list rebases onto: a commit that loses a race re-validates
+      // its schema against the WINNER's — two concurrent additive
+      // evolutions that disagree can never both install (the loser's
+      // re-validation throws), so a committed snapshot's dirs are
+      // always type-consistent with its recorded schema
+      val schemaLine = schemaFor(latest)
+        .map(s => s"$schemaMark${s.json}\n").getOrElse("")
       // random-LENGTH nonce (1..64 hex chars): makes the manifest's
       // byte length a generation discriminator for the committed-
       // manifest cache (see its scaladoc) — dir names are fixed-width,
@@ -173,8 +209,8 @@ object VersionedTable {
         java.util.UUID.randomUUID().toString).replace("-", "")
         .take(1 + scala.util.Random.nextInt(64))
       val end = s"$endMark${dirs.size}:$nonce\n"
-      val body = (if (dirs.isEmpty) end
-        else dirs.mkString("\n") + s"\n$end")
+      val body = (schemaLine + (if (dirs.isEmpty) end
+        else dirs.mkString("\n") + s"\n$end"))
         .getBytes("UTF-8")
       var v = latest.getOrElse(0L) + 1
       // burn past torn debris (readManifest: exists but no terminator)
@@ -276,7 +312,14 @@ object VersionedTable {
       // crash orphan from a previous attempt: unreferenced, rewrite
       f.delete(new Path(root, dataDir), true)
     }
-    if (!overwrite) checkSchemaEvolution(spark, root, df, mergeSchema)
+    def gate(latest: Option[Long]): StructType =
+      if (overwrite) normalize(df.schema)
+      else evolvedSchema(
+        latest.map(v => schemaOfVersion(spark, root, v,
+          readManifest(f, root, v).getOrElse(Seq.empty))),
+        df.schema, mergeSchema)
+    // fail fast BEFORE writing data the gate would reject...
+    gate(versions(spark, root).lastOption)
     // data first, fully, into an immutable dir nobody references yet
     writeDataDir(spark, root, dataDir, df)
     commitManifest(spark, root, latest => {
@@ -284,55 +327,94 @@ object VersionedTable {
         if (overwrite) Seq.empty
         else latest.flatMap(readManifest(f, root, _)).getOrElse(Seq.empty)
       base :+ dataDir
-    })
+    },
+      // ...and re-gate INSIDE the CAS loop: a commit rebased onto a
+      // competitor's (possibly schema-evolving) commit re-validates
+      // against what actually won, so racing incompatible evolutions
+      // cannot both install
+      latest => Some(gate(latest)))
   }
 
-  /** Write-side schema gate (the Delta-style evolution contract): an
-    * APPEND whose schema silently disagreed with the table's used to
-    * be undefined behavior at read time (the plain parquet reader
-    * adopts one arbitrary footer's schema, dropping the other commits'
-    * columns with no error). Now: an identical column set (by name,
-    * order-insensitive, types equal) always passes; NEW columns are
-    * an additive evolution, allowed only under an explicit
-    * `mergeSchema = true` (reads null-fill them for older dirs);
-    * dropping columns or changing a column's type is rejected loudly
-    * — those need an `overwrite` (a new table generation), never an
-    * append. Overwrites skip the gate: they define a fresh schema. */
-  private def checkSchemaEvolution(spark: SparkSession, root: String,
-      df: DataFrame, mergeSchema: Boolean): Unit = {
-    val current = versions(spark, root).lastOption
-      .map(v => read(spark, root, Some(v)).schema)
-      .getOrElse(return)
-    val cur = current.fields.map(fd => fd.name -> fd.dataType).toMap
-    val nxt = df.schema.fields.map(fd => fd.name -> fd.dataType).toMap
-    val missing = cur.keySet -- nxt.keySet
-    val added = nxt.keySet -- cur.keySet
-    val retyped = (cur.keySet & nxt.keySet)
-      .filter(k => cur(k) != nxt(k))
+  // ------------------------------------------------ snapshot schema
+
+  /** Everything-nullable view of a type: the stored table schema must
+    * accept rows from ANY commit, and nullability (top-level AND
+    * nested containsNull/valueContainsNull) varies freely with how a
+    * frame was built — it is never a type difference. */
+  private def asAllNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(fd =>
+      fd.copy(dataType = asAllNullable(fd.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(asAllNullable(a.elementType), true)
+    case m: MapType =>
+      MapType(asAllNullable(m.keyType), asAllNullable(m.valueType), true)
+    case other => other
+  }
+
+  private def normalize(s: StructType): StructType =
+    asAllNullable(s).asInstanceOf[StructType]
+
+  /** The snapshot's schema, inferred the expensive way (a merged
+    * parquet footer read) ONLY for pre-schema-tracking manifests —
+    * every manifest this code writes records it. */
+  private def schemaOfVersion(spark: SparkSession, root: String,
+      v: Long, dirs: Seq[String]): StructType =
+    snapshotSchema(spark, root, v).getOrElse(
+      normalize(spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => new Path(root, d).toString): _*).schema))
+
+  /** Read data dirs UNDER a known snapshot schema: explicit-schema
+    * parquet (zero footer inference; files missing an evolved column
+    * null-fill it, parquet resolves columns by name). */
+  private def readDirsAs(spark: SparkSession, root: String,
+      schema: StructType, dirs: Seq[String]): DataFrame =
+    spark.read.schema(schema)
+      .parquet(dirs.map(d => new Path(root, d).toString): _*)
+
+  /** The write-side schema gate + union (the Delta-style evolution
+    * contract): an identical column set (by name, order-insensitive,
+    * nullability-insensitive) always passes; NEW columns are an
+    * additive evolution, allowed only under an explicit `mergeSchema =
+    * true` (reads null-fill them for older dirs); dropping columns or
+    * changing a column's type is rejected loudly — those need an
+    * `overwrite` (a new table generation), never an append. Returns
+    * the snapshot schema the commit should record: current fields in
+    * their order, added fields appended in the frame's order. */
+  private def evolvedSchema(current: Option[StructType],
+      next0: StructType, mergeSchema: Boolean): StructType = {
+    val next = normalize(next0)
+    val cur = current.map(normalize).getOrElse(return next)
+    val curT = cur.fields.map(fd => fd.name -> fd.dataType).toMap
+    val nxtT = next.fields.map(fd => fd.name -> fd.dataType).toMap
+    val missing = curT.keySet -- nxtT.keySet
+    val added = next.fields.filterNot(fd => curT.contains(fd.name))
+    val retyped = (curT.keySet & nxtT.keySet)
+      .filter(k => curT(k) != nxtT(k))
     require(missing.isEmpty && retyped.isEmpty,
       s"commit schema is incompatible with the table's: " +
         (if (missing.nonEmpty) s"missing [${missing.mkString(", ")}] " else "") +
         (if (retyped.nonEmpty) s"retyped [${retyped.map(k =>
-          s"$k: ${cur(k).catalogString} -> ${nxt(k).catalogString}")
+          s"$k: ${curT(k).catalogString} -> ${nxtT(k).catalogString}")
           .mkString(", ")}] " else "") +
         "— appends may only ADD columns (mergeSchema = true); " +
         "use overwrite = true for a new table generation")
     require(added.isEmpty || mergeSchema,
-      s"commit adds column(s) [${added.mkString(", ")}] to the table " +
-        "schema — pass mergeSchema = true to evolve additively " +
-        "(older snapshots' rows read the new columns as NULL)")
+      s"commit adds column(s) [${added.map(_.name).mkString(", ")}] to " +
+        "the table schema — pass mergeSchema = true to evolve " +
+        "additively (older snapshots' rows read the new columns as NULL)")
+    StructType(cur.fields ++ added)
   }
 
   /** Read the table at `asOf` (a committed version) or, by default,
     * the latest committed snapshot. The returned frame is pinned to
-    * that snapshot's immutable dirs — later commits never leak in.
-    * Schemas merge across dirs (parquet mergeSchema): after an
-    * additive evolution ([[commit]] with mergeSchema = true) the
-    * snapshot's schema is the UNION of its dirs' schemas, older dirs'
-    * rows reading the added columns as NULL — without it the reader
-    * adopts one arbitrary footer's schema and silently drops the
-    * evolved columns. A version whose dirs predate an evolution
-    * naturally time-travels to the narrower schema. */
+    * that snapshot's immutable dirs — later commits never leak in —
+    * and to the snapshot's RECORDED schema (carried in its manifest):
+    * after an additive evolution ([[commit]] with mergeSchema = true)
+    * older dirs' rows read the added columns as NULL, a version whose
+    * dirs predate the evolution time-travels to its narrower schema,
+    * and because the schema comes from the manifest the read costs
+    * ZERO parquet footer inference. Manifests predating schema
+    * tracking fall back to a merged-footer read (never the
+    * arbitrary-first-footer schema that silently drops columns). */
   def read(spark: SparkSession, root: String,
       asOf: Option[Long] = None): DataFrame = {
     val f = fs(spark, root)
@@ -340,8 +422,11 @@ object VersionedTable {
       throw new IllegalStateException(s"no committed version under $root")))
     val dirs = readManifest(f, root, v).getOrElse(
       throw new IllegalArgumentException(s"version $v not committed"))
-    spark.read.option("mergeSchema", "true").parquet(
-      dirs.map(d => new Path(root, d).toString): _*)
+    snapshotSchema(spark, root, v) match {
+      case Some(s) => readDirsAs(spark, root, s, dirs)
+      case None => spark.read.option("mergeSchema", "true").parquet(
+        dirs.map(d => new Path(root, d).toString): _*)
+    }
   }
 
   /** Roll the table back to `v`'s content by committing a NEW version
@@ -351,7 +436,9 @@ object VersionedTable {
     val f = fs(spark, root)
     val dirs = readManifest(f, root, v).getOrElse(
       throw new IllegalArgumentException(s"version $v not committed"))
-    commitManifest(spark, root, _ => dirs)
+    // the restored content carries the RESTORED version's schema
+    commitManifest(spark, root, _ => dirs,
+      _ => snapshotSchema(spark, root, v))
   }
 
   // ------------------------------------------------- per-dir column stats
@@ -546,6 +633,12 @@ object VersionedTable {
     require(keys.nonEmpty, "merge needs at least one key column")
     val f = fs(spark, root)
     val dirs = readManifest(f, root, baseV).get
+    // every target read below goes through the snapshot's RECORDED
+    // schema: after an additive evolution a touched-dir set mixing
+    // pre- and post-evolution dirs (or consisting only of older,
+    // narrower dirs) must read — and REWRITE — the full table schema,
+    // or the rewrite silently drops the evolved column's data
+    val tableSchema = schemaOfVersion(spark, root, baseV, dirs)
     val srcKeys = source.select(keys.map(col): _*).distinct()
     // stats sidecars first: dirs whose key range can't intersect the
     // source's are never opened at all (manifest-level data skipping).
@@ -561,8 +654,7 @@ object VersionedTable {
     // then one key-column-pruned scan over the candidates → touched dirs
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else spark.read
-        .parquet(candidates.map(dd => new Path(root, dd).toString): _*)
+      else readDirsAs(spark, root, tableSchema, candidates)
         .select(keys.map(col): _*)
         .withColumn("__dir",
           regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
@@ -570,9 +662,10 @@ object VersionedTable {
         .select("__dir").distinct().collect().map(_.getString(0)).toSet
     val untouched = dirs.filterNot(touched)
     val target =
-      if (touched.isEmpty) source.limit(0)
-      else spark.read.parquet(
-        dirs.filter(touched).map(dd => new Path(root, dd).toString): _*)
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      else readDirsAs(spark, root, tableSchema, dirs.filter(touched))
     val targetKeys = target.select(keys.map(col): _*).distinct()
     val keptTarget = target.join(srcKeys, keys, "left_anti")
     val matchedSrc = source.join(targetKeys, keys, "left_semi")
@@ -584,12 +677,14 @@ object VersionedTable {
     val newDir = "data/" + idempotencyKey.map(k => s"k-$k")
       .getOrElse(java.util.UUID.randomUUID().toString)
     writeDataDir(spark, root, newDir, newRows)
+    // schema preserved: the closure's first-writer-wins check already
+    // guarantees the table hasn't moved (so it can't have evolved)
     commitManifest(spark, root, latest => {
       if (!latest.contains(baseV))
         throw new java.util.ConcurrentModificationException(
           s"merge read v$baseV but table is now at v$latest — rerun")
       untouched :+ newDir
-    })
+    }, _ => Some(tableSchema))
   }
 
   /** Predicate DELETE with the same dir-granularity copy-on-write as
@@ -630,16 +725,23 @@ object VersionedTable {
     val baseV = versions(spark, root).lastOption.getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val dirs = readManifest(f, root, baseV).get
-    val touched = spark.read
-      .parquet(dirs.map(dd => new Path(root, dd).toString): _*)
+    // snapshot-schema reads, as in merge: a rewrite spanning an
+    // additive evolution must carry the full table schema through
+    val tableSchema = schemaOfVersion(spark, root, baseV, dirs)
+    val touched = readDirsAs(spark, root, tableSchema, dirs)
       .filter(cond)
       .select(regexp_extract(input_file_name(), "/(data/[^/]+)/", 1)
         .as("__dir"))
       .distinct().collect().map(_.getString(0)).toSet
     if (touched.isEmpty) return baseV
     val untouched = dirs.filterNot(touched)
-    val newRows = rewrite(spark.read.parquet(
-      dirs.filter(touched).map(dd => new Path(root, dd).toString): _*))
+    val newRows = rewrite(
+      readDirsAs(spark, root, tableSchema, dirs.filter(touched)))
+    require(normalize(newRows.schema) == tableSchema,
+      s"rewrite changed the table schema (" +
+        s"${normalize(newRows.schema).catalogString} vs " +
+        s"${tableSchema.catalogString}) — an UPDATE may not retype or " +
+        "add columns; evolve via commit(mergeSchema = true) first")
     val newDir = "data/" + java.util.UUID.randomUUID().toString
     writeDataDir(spark, root, newDir, newRows)
     commitManifest(spark, root, latest => {
@@ -647,7 +749,7 @@ object VersionedTable {
         throw new java.util.ConcurrentModificationException(
           s"rewrite read v$baseV but table is now at v$latest — rerun")
       untouched :+ newDir
-    })
+    }, _ => Some(tableSchema))
   }
 
   /** Row-level CHANGES between two committed versions (CDC read):
@@ -669,10 +771,14 @@ object VersionedTable {
     val to = dirsOf(vTo)
     val onlyFrom = from.filterNot(to.toSet)
     val onlyTo = to.filterNot(from.toSet)
+    // both sides read under the TO version's schema (evolution is
+    // additive, so it subsumes the from version's): the exceptAll /
+    // unionByName below need one column set, and a from-side row
+    // null-fills an evolved column exactly as read(vFrom) would
+    val toSchema = schemaOfVersion(spark, root, vTo, to)
     def readDirs(dd: Seq[String]) =
       if (dd.isEmpty) None
-      else Some(spark.read.parquet(
-        dd.map(x => new Path(root, x).toString): _*))
+      else Some(readDirsAs(spark, root, toSchema, dd))
     (readDirs(onlyTo), readDirs(onlyFrom)) match {
       case (None, None) =>
         // identical dir lists: no changes; derive an empty frame with
@@ -701,8 +807,11 @@ object VersionedTable {
       throw new IllegalStateException(s"no committed version under $root"))
     val dirs = readManifest(f, root, baseV).get
     if (dirs.size <= 1 && nFiles <= 0) return baseV
-    val snap = spark.read.parquet(
-      dirs.map(dd => new Path(root, dd).toString): _*)
+    // snapshot-schema read: compacting an additively-evolved table
+    // must write the UNION schema, not an arbitrary first footer's —
+    // a narrow footer winning would erase the evolved column table-wide
+    val tableSchema = schemaOfVersion(spark, root, baseV, dirs)
+    val snap = readDirsAs(spark, root, tableSchema, dirs)
     val out = if (nFiles > 0) snap.coalesce(nFiles) else snap
     val newDir = "data/" + java.util.UUID.randomUUID().toString
     writeDataDir(spark, root, newDir, out)
@@ -711,7 +820,7 @@ object VersionedTable {
         throw new java.util.ConcurrentModificationException(
           s"compact read v$baseV but table is now at v$latest — rerun")
       Seq(newDir)
-    })
+    }, _ => Some(tableSchema))
   }
 
   /** OPTIMIZE ZORDER: rewrite the latest snapshot into one data dir
@@ -734,8 +843,9 @@ object VersionedTable {
     val baseV = versions(spark, root).lastOption.getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val dirs = readManifest(f, root, baseV).get
-    val snap = spark.read.parquet(
-      dirs.map(dd => new Path(root, dd).toString): _*)
+    // snapshot-schema read — same reason as [[compact]]
+    val tableSchema = schemaOfVersion(spark, root, baseV, dirs)
+    val snap = readDirsAs(spark, root, tableSchema, dirs)
     val perDim = math.min(bits, 63 / zCols.size)
     val ordered = snap
       .withColumn("__z",
@@ -750,7 +860,7 @@ object VersionedTable {
         throw new java.util.ConcurrentModificationException(
           s"optimize read v$baseV but table is now at v$latest — rerun")
       Seq(newDir)
-    })
+    }, _ => Some(tableSchema))
   }
 
   /** Incremental CDC consumer: process every version committed since

@@ -509,6 +509,29 @@ class VersionedTableSpec extends SparkSuite {
     VersionedTable.commit(spark, root,
       Seq(("c", 3L, 7L)).toDF("s", "id", "w"))
     assert(VersionedTable.read(spark, root).count() == 3)
+    // the REWRITE paths carry the evolved schema across the boundary:
+    // an update touching only a pre-evolution dir, then a compaction
+    // folding every dir into one, must both preserve w's data (a
+    // first-footer-schema read here would erase w table-wide)
+    VersionedTable.updateWhere(spark, root, col("id") === 1L,
+      Map("s" -> lit("a2")))
+    VersionedTable.compact(spark, root)
+    val after = VersionedTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(after.toSeq == Seq((1L, "a2", -1L), (2L, "b", 9L), (3L, "c", 7L)),
+      s"evolved column lost through rewrite/compact: ${after.toSeq}")
+    // CDC across the evolution boundary reads one unified column set
+    val cdc = VersionedTable.changesBetween(spark, root, v2, v2 + 1)
+    assert(cdc.columns.contains("w") && cdc.count() >= 1)
+    // merge across the boundary: the touched rewrite keeps w for rows
+    // the source never mentioned
+    VersionedTable.merge(spark, root,
+      Seq((1L, "a3", -5L)).toDF("id", "s", "w"), Seq("id"))
+    val merged = VersionedTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(merged.toSeq == Seq((1L, -5L), (2L, 9L), (3L, 7L)),
+      s"merge dropped evolved data: ${merged.toSeq}")
   }
 
   test("concurrent appenders both land; no lost update") {
