@@ -132,13 +132,17 @@ object VersionedTable {
   }
 
   /** A committed snapshot's recorded schema (None: predates schema
-    * tracking). */
+    * tracking). NOTE: the `#SCHEMA` manifest line is a table-FORMAT
+    * version bump — a pre-schema-tracking build reading a new manifest
+    * counts the line as a data dir and sees the slot as torn. Mixed
+    * old/new WRITERS on one table are therefore unsupported (the same
+    * caveat as any table-format upgrade); readers of this build parse
+    * both formats. */
   def snapshotSchema(spark: SparkSession, root: String,
-      v: Long): Option[org.apache.spark.sql.types.StructType] = {
+      v: Long): Option[StructType] = {
     val f = fs(spark, root)
     readManifestFull(f, root, v).flatMap(_._2).map(j =>
-      org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      DataType.fromJson(j).asInstanceOf[StructType])
   }
 
   /** All committed version numbers, ascending. (Cheap per call: the
@@ -184,8 +188,7 @@ object VersionedTable {
     *    stalled loser deletes the slot a competitor just committed. */
   private def commitManifest(spark: SparkSession, root: String,
       dirsFor: Option[Long] => Seq[String],
-      schemaFor: Option[Long] =>
-        Option[org.apache.spark.sql.types.StructType] = _ => None): Long = {
+      schemaFor: Option[Long] => Option[StructType] = _ => None): Long = {
     val f = fs(spark, root)
     f.mkdirs(new Path(root, logDir))
     var committed = -1L
@@ -337,13 +340,16 @@ object VersionedTable {
 
   // ------------------------------------------------ snapshot schema
 
-  /** Everything-nullable view of a type: the stored table schema must
-    * accept rows from ANY commit, and nullability (top-level AND
-    * nested containsNull/valueContainsNull) varies freely with how a
-    * frame was built — it is never a type difference. */
+  /** Everything-nullable, metadata-free view of a type: the stored
+    * table schema must accept rows from ANY commit; nullability
+    * (top-level AND nested containsNull/valueContainsNull) varies
+    * freely with how a frame was built, and column METADATA (comments,
+    * ML attributes) is dropped by ordinary projections (`withColumn`
+    * aliases carry none) — neither is ever a type difference. */
   private def asAllNullable(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(fd =>
-      fd.copy(dataType = asAllNullable(fd.dataType), nullable = true)))
+      fd.copy(dataType = asAllNullable(fd.dataType), nullable = true,
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
     case a: ArrayType => ArrayType(asAllNullable(a.elementType), true)
     case m: MapType =>
       MapType(asAllNullable(m.keyType), asAllNullable(m.valueType), true)
@@ -353,14 +359,22 @@ object VersionedTable {
   private def normalize(s: StructType): StructType =
     asAllNullable(s).asInstanceOf[StructType]
 
+  /** Inferred schemas of pre-schema-tracking versions, memoized:
+    * versions are immutable, and the merged-footer fallback is a
+    * whole-snapshot job a legacy table would otherwise pay once per
+    * gate evaluation (twice per commit: fail-fast + CAS). */
+  private val legacySchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]()
+
   /** The snapshot's schema, inferred the expensive way (a merged
     * parquet footer read) ONLY for pre-schema-tracking manifests —
     * every manifest this code writes records it. */
   private def schemaOfVersion(spark: SparkSession, root: String,
       v: Long, dirs: Seq[String]): StructType =
     snapshotSchema(spark, root, v).getOrElse(
-      normalize(spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => new Path(root, d).toString): _*).schema))
+      legacySchemaCache.computeIfAbsent((root, v), _ =>
+        normalize(spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(d => new Path(root, d).toString): _*).schema)))
 
   /** Read data dirs UNDER a known snapshot schema: explicit-schema
     * parquet (zero footer inference; files missing an evolved column
@@ -639,7 +653,25 @@ object VersionedTable {
     // narrower dirs) must read — and REWRITE — the full table schema,
     // or the rewrite silently drops the evolved column's data
     val tableSchema = schemaOfVersion(spark, root, baseV, dirs)
-    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // source alignment contract: extra source columns are REJECTED
+    // (merge never evolves the schema — evolve via commit(mergeSchema)
+    // first), missing columns null-fill — a merge replaces matched
+    // rows WHOLESALE, so a source lacking an evolved column upserts
+    // NULL for it, and a pure-insert batch predating an evolution
+    // keeps committing (it reads back null-filled, same as read())
+    val srcCols = source.columns.toSet
+    val extraSrc = srcCols -- tableSchema.fieldNames
+    require(extraSrc.isEmpty,
+      s"merge source carries column(s) [${extraSrc.mkString(", ")}] " +
+        "not in the table schema — evolve via commit(mergeSchema = " +
+        "true) first")
+    require(keys.forall(srcCols),
+      s"merge source is missing key column(s) " +
+        s"[${keys.filterNot(srcCols).mkString(", ")}]")
+    val alignedSource = source.select(tableSchema.fields.map(fd =>
+      if (srcCols(fd.name)) col(fd.name)
+      else lit(null).cast(fd.dataType).as(fd.name)): _*)
+    val srcKeys = alignedSource.select(keys.map(col): _*).distinct()
     // stats sidecars first: dirs whose key range can't intersect the
     // source's are never opened at all (manifest-level data skipping).
     // Range pruning costs one source-range aggregate job, which only
@@ -668,9 +700,9 @@ object VersionedTable {
       else readDirsAs(spark, root, tableSchema, dirs.filter(touched))
     val targetKeys = target.select(keys.map(col): _*).distinct()
     val keptTarget = target.join(srcKeys, keys, "left_anti")
-    val matchedSrc = source.join(targetKeys, keys, "left_semi")
+    val matchedSrc = alignedSource.join(targetKeys, keys, "left_semi")
     val updates = deleteMatched.fold(matchedSrc)(c => matchedSrc.filter(!c))
-    val inserts = source.join(targetKeys, keys, "left_anti")
+    val inserts = alignedSource.join(targetKeys, keys, "left_anti")
     val newRows = keptTarget
       .unionByName(updates.select(target.columns.map(col): _*))
       .unionByName(inserts.select(target.columns.map(col): _*))
@@ -771,14 +803,32 @@ object VersionedTable {
     val to = dirsOf(vTo)
     val onlyFrom = from.filterNot(to.toSet)
     val onlyTo = to.filterNot(from.toSet)
-    // both sides read under the TO version's schema (evolution is
-    // additive, so it subsumes the from version's): the exceptAll /
-    // unionByName below need one column set, and a from-side row
-    // null-fills an evolved column exactly as read(vFrom) would
+    // both sides read under the UNION of the two versions' schemas:
+    // appends only evolve additively, but rollback can commit a LATER
+    // version with a NARROWER schema, and reading the from-side dirs
+    // under a narrow to-schema would silently drop the evolved
+    // column's data from every delete row. The union subsumes both
+    // directions; a same-name type conflict across the two versions
+    // (only reachable via overwrite/rollback across generations) is a
+    // CDC the dir-diff cannot express — fail loudly.
     val toSchema = schemaOfVersion(spark, root, vTo, to)
+    val fromSchema = schemaOfVersion(spark, root, vFrom, from)
+    val conflict = fromSchema.fields.flatMap { fd =>
+      toSchema.fields.find(_.name == fd.name)
+        .filter(_.dataType != fd.dataType).map(t =>
+          s"${fd.name}: ${fd.dataType.catalogString} vs " +
+            t.dataType.catalogString)
+    }
+    require(conflict.isEmpty,
+      s"changesBetween($vFrom, $vTo): column types differ across the " +
+        s"versions [${conflict.mkString(", ")}] — a cross-generation " +
+        "diff has no row-level change representation")
+    val unified = StructType(toSchema.fields ++
+      fromSchema.fields.filterNot(fd =>
+        toSchema.fieldNames.contains(fd.name)))
     def readDirs(dd: Seq[String]) =
       if (dd.isEmpty) None
-      else Some(readDirsAs(spark, root, toSchema, dd))
+      else Some(readDirsAs(spark, root, unified, dd))
     (readDirs(onlyTo), readDirs(onlyFrom)) match {
       case (None, None) =>
         // identical dir lists: no changes; derive an empty frame with

@@ -532,6 +532,32 @@ class VersionedTableSpec extends SparkSuite {
       .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
     assert(merged.toSeq == Seq((1L, -5L), (2L, 9L), (3L, 7L)),
       s"merge dropped evolved data: ${merged.toSeq}")
+    // a NARROW source (predating the evolution) still merges: missing
+    // columns null-fill (a merge replaces matched rows wholesale), and
+    // a pure insert commits instead of throwing unresolved-column
+    VersionedTable.merge(spark, root,
+      Seq((9L, "ins"), (3L, "c2")).toDF("id", "s"), Seq("id"))
+    val narrow = VersionedTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(narrow.toSeq == Seq((1L, "a3", -5L), (2L, "b", 9L),
+      (3L, "c2", -1L), (9L, "ins", -1L)), s"narrow merge: ${narrow.toSeq}")
+    // extra source columns are rejected loudly, never silently dropped
+    val exExtra = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root,
+        Seq((9L, "x", 1L, 2L)).toDF("id", "s", "w", "zz"), Seq("id"))
+    }
+    assert(exExtra.getMessage.contains("zz"), exExtra.getMessage)
+    // rollback can NARROW a later version; CDC across that boundary
+    // must keep the evolved column's data on the delete rows
+    val wideV = VersionedTable.versions(spark, root).last
+    val narrowV = VersionedTable.rollback(spark, root, v2 - 1)
+    val cdcBack = VersionedTable.changesBetween(spark, root, wideV, narrowV)
+    assert(cdcBack.columns.contains("w"), cdcBack.columns.mkString(","))
+    val deletedW = cdcBack.filter(col("change") === "delete" &&
+      col("id") === 1L).collect().map(_.getAs[Any]("w"))
+    assert(deletedW.contains(-5L),
+      s"rollback-narrowing CDC lost evolved data: ${deletedW.toSeq}")
   }
 
   test("concurrent appenders both land; no lost update") {
