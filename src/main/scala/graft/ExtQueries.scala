@@ -378,6 +378,26 @@ object ExtQueries {
     },
     Some("SELECT * FROM supplier ORDER BY s_suppkey"))
 
+  /** S6: XML lake ingestion roundtrip — Spark 4's built-in XML
+    * datasource (the spark-xml package merged into core). Write the dim
+    * as one `<nation>` row element per record, read it back with the
+    * parquet schema (schema-on-write, same contract as the CSV path;
+    * XML text needs explicit types and omits null elements, which the
+    * schema restores). The reference's lake mandates semi-structured
+    * text ingestion alongside csv/json (docs/数据湖.md:28-31). */
+  val q_xml_roundtrip = QuerySpec(
+    "q_xml_roundtrip", Seq("S6"),
+    (s, d) => {
+      val n = Engine.table(s, d, "nation")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xml_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      n.write.mode("overwrite").option("rowTag", "nation")
+        .option("rootTag", "nations").xml(dir)
+      s.read.option("rowTag", "nation").schema(n.schema).xml(dir)
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT * FROM nation ORDER BY n_nationkey"))
+
   /** S6: JSON lake ingestion roundtrip. */
   val q_json_roundtrip = QuerySpec(
     "q_json_roundtrip", Seq("S6", "F11"),
@@ -1443,7 +1463,7 @@ object ExtQueries {
     q_audience_bitmap, q_bitmap_cd_rollup, q_global_dict_bitmap,
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
-    q_csv_roundtrip, q_json_roundtrip, q_orc_roundtrip,
+    q_csv_roundtrip, q_json_roundtrip, q_orc_roundtrip, q_xml_roundtrip,
     q_topk_per_group, q_asof_join,
     q_range_join, q_bigwhere_join, q_bloom_prefilter_join,
     q_window_analytic, q_collect_agg, q_collection_funcs,
