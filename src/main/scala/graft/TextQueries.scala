@@ -246,6 +246,48 @@ object TextQueries {
              SELECT id_a, id_b, jaccard FROM jp
              WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
 
+  /** Fuzzy record-linkage dedup ([[Dedup.fuzzyNearDupPairs]]):
+    * classical entity-resolution blocking + exact Levenshtein verify
+    * over an entity table with planted typo variants — one substitution
+    * inside the name body and one character deletion, both invariant to
+    * the last-3-chars blocking key. Blocking is part of the operator's
+    * semantics (recall is scoped to bucket-mates by design), so the
+    * oracle replays the IDENTICAL blocked join + edit distance in
+    * DuckDB — including the genuine same-suffix near-miss pairs the
+    * original key space happens to contain. */
+  val q_dedup_fuzzy = QuerySpec(
+    "q_dedup_fuzzy", Seq("E-dedup", "J1", "U5"),
+    (s, d) => {
+      val cust = Engine.table(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("rid"),
+          col("c_name").as("name"))
+      val subst = cust.filter(col("rid") < 50)
+        .select((col("rid") + 500000).as("rid"),
+          concat(substring(col("name"), 1, 3), lit("X"),
+            substring(col("name"), 5, 1000)).as("name"))
+      val del = cust.filter(col("rid") >= 50 && col("rid") < 100)
+        .select((col("rid") + 600000).as("rid"),
+          concat(substring(col("name"), 1, 10),
+            substring(col("name"), 12, 1000)).as("name"))
+      Dedup.fuzzyNearDupPairs(cust.unionByName(subst).unionByName(del),
+          "rid", "name", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS rid,
+                            c_name AS name FROM customer),
+            subst AS (SELECT rid + 500000 AS rid,
+                        substr(name, 1, 3) || 'X' || substr(name, 5) AS name
+                      FROM base WHERE rid < 50),
+            del AS (SELECT rid + 600000 AS rid,
+                      substr(name, 1, 10) || substr(name, 12) AS name
+                    FROM base WHERE rid >= 50 AND rid < 100),
+            recs AS (SELECT * FROM base UNION ALL SELECT * FROM subst
+                     UNION ALL SELECT * FROM del)
+            SELECT DISTINCT a.rid AS id_a, b.rid AS id_b
+            FROM recs a JOIN recs b ON right(a.name, 3) = right(b.name, 3)
+            WHERE a.rid < b.rid AND levenshtein(a.name, b.name) <= 1
+            ORDER BY id_a, id_b"""))
+
   /** Incremental ingestion dedup ([[Dedup.dedupAgainstCorpus]]): the
     * doc_id%10==0 slice arrives as a "new batch" against the rest as
     * corpus; survivors = batch minus exact corpus copies, minus
@@ -1068,6 +1110,7 @@ object TextQueries {
     q_text_langid, q_text_fingerprint, q_text_normalize,
     q_corpus_clean, q_decontaminate,
     q_dedup_exact, q_dedup_minhash_lsh, q_dedup_ngram_block,
+    q_dedup_fuzzy,
     q_dedup_incremental, q_dedup_embed_incremental, q_dedup_simhash,
     q_dedup_winnow,
     q_dedup_embedding, q_embed_topk_bruteforce, q_embed_knn_lsh,

@@ -49,6 +49,44 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
+  /** Fuzzy record-linkage near-dup pairs — classical entity resolution
+    * (Fellegi-Sunter style blocking + exact verify): candidates come
+    * from equi-joins on cheap deterministic blocking keys (one shuffle
+    * per blocking pass, never all-pairs), then exact Levenshtein edit
+    * distance verifies each bucket-mate pair. Multiple blocking passes
+    * trade cost for recall the standard way — a mutation inside one
+    * pass's key region is caught by another pass; choose keys whose
+    * value distribution keeps block sizes bounded at corpus scale
+    * (suffix/prefix fragments, phonetic codes, length buckets). The
+    * default single pass blocks on the last `3` characters, which is
+    * invariant to any edit occurring before the suffix. The verify uses
+    * the threshold form of `levenshtein` (early-exits once the running
+    * distance exceeds `maxDist` — O(maxDist·n) per pair instead of
+    * O(n²)), and exact integer edit distance makes the pair set
+    * engine-independent (DuckDB's `levenshtein` is the oracle). */
+  def fuzzyNearDupPairs(recs: DataFrame, idCol: String, nameCol: String,
+      maxDist: Int = 1,
+      blockers: Seq[Column => Column] = Seq(nm => substring(nm, -3, 3)))
+      : DataFrame = {
+    val base = recs.select(col(idCol).as("__id"), col(nameCol).as("__nm"))
+    val passes = blockers.map { bk =>
+      val keyed = base.select(col("__id"), col("__nm"),
+        bk(col("__nm")).as("__blk"))
+      val a = keyed.select(col("__blk"), col("__id").as("id_a"),
+        col("__nm").as("__nm_a"))
+      val b = keyed.select(col("__blk"), col("__id").as("id_b"),
+        col("__nm").as("__nm_b"))
+      a.join(b, Seq("__blk"))
+        .filter(col("id_a") < col("id_b") &&
+          levenshtein(col("__nm_a"), col("__nm_b"), maxDist) >= 0)
+        .select(col("id_a"), col("id_b"))
+    }
+    // union across passes, then one distinct: only VERIFIED pairs reach
+    // the dedup shuffle, so its width is the true match set, not the
+    // candidate volume
+    passes.reduce(_ unionByName _).distinct()
+  }
+
   /** Word-level k-shingles (n-grams joined by a space), distinct — a
     * native single-pass Expression ([[graft.functions.WordShingles]])
     * so the split-token child is evaluated once per row, not once per
