@@ -51,6 +51,62 @@ object CurationQueries {
                          CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
              FROM a ORDER BY doc_id"""))
 
+  /** CCNet-style LM quality scoring ([[TextOps.ngramLmScore]]): an
+    * add-one bigram LM trained on the even-doc_id half of the corpus
+    * scores every document's negative log-likelihood. All arithmetic is
+    * integer-exact (1e-9-units probabilities by BIGINT division,
+    * Mitchell piecewise-linear log2 in 1/1024 units), so the oracle
+    * replays the identical construction bit-for-bit — no floating `ln`
+    * on either side. */
+  val q_lm_score = QuerySpec(
+    "q_lm_score", Seq("E-text", "A1", "J3"),
+    (s, d) => {
+      val docs = Engine.table(s, d, "documents")
+      TextOps.ngramLmScore(docs, docs.filter(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS ($duckTok),
+             tr AS (SELECT w FROM tok WHERE doc_id % 2 = 0),
+             tb AS (SELECT unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS bg
+                    FROM tr WHERE len(w) >= 2),
+             c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12
+                     FROM tb GROUP BY 1),
+             c1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+                      CAST(SUM(c12) AS BIGINT) AS c1
+                    FROM c12 GROUP BY 1),
+             v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+                   FROM (SELECT unnest(w) AS t FROM tr)),
+             db AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id,
+                            unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1])) AS bg
+                          FROM tok WHERE len(w) >= 2)
+                    GROUP BY 1, 2),
+             pq AS (SELECT doc_id, tf, c12.c12,
+                      greatest((1000000000 * (COALESCE(c12.c12, 0) + 1))
+                               // (COALESCE(c1.c1, 0) + v.v), 1) AS pq
+                    FROM db LEFT JOIN c12 USING (bg)
+                            LEFT JOIN c1
+                              ON split_part(db.bg, ' ', 1) = c1.w1, v),
+             lg AS (SELECT doc_id, tf, c12,
+                      (length(bin(pq)) - 1) * 1024
+                      + CAST(floor(pq * 1024.0 /
+                          power(2, length(bin(pq)) - 1)) AS BIGINT)
+                      - 1024 AS l2q
+                    FROM pq),
+             sc AS (SELECT doc_id,
+                      CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                      CAST(SUM(CASE WHEN c12 IS NULL THEN tf ELSE 0 END)
+                        AS BIGINT) AS oov_bigrams,
+                      CAST(SUM(tf * (30579 - l2q)) AS BIGINT) AS nll_q1024
+                    FROM lg GROUP BY 1)
+             SELECT t.doc_id,
+                    COALESCE(n_bigrams, 0) AS n_bigrams,
+                    COALESCE(oov_bigrams, 0) AS oov_bigrams,
+                    COALESCE(nll_q1024, 0) AS nll_q1024
+             FROM tok t LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""))
+
   private val bm25Terms = Seq("join", "scan", "filter")
   private val bm25K1 = 1.2
   private val bm25B = 0.75
@@ -542,7 +598,7 @@ object CurationQueries {
       FROM documents ORDER BY doc_id"""))
 
   val all: Seq[QuerySpec] = Seq(
-    q_repetition_stats, q_bm25_topk, q_common_token_ratio,
+    q_repetition_stats, q_lm_score, q_bm25_topk, q_common_token_ratio,
     q_pack_sequences, q_mixture_sample, q_dedup_spans, q_dedup_substring,
     q_shuffle_export,
     q_quality_gate, q_source_cap, q_temperature_mixture,

@@ -281,6 +281,97 @@ object TextOps {
             col("__st.n_bigrams").cast("double")).as("dup_bigram_frac"))
   }
 
+  /** Mitchell's piecewise-linear log2 of a positive BIGINT, in 1/1024
+    * units (Mitchell 1962, "Computer Multiplication and Division Using
+    * Binary Logarithms"): floor(log2 x) from the binary-string length,
+    * plus a 10-bit linear mantissa. Every step is integer-exact —
+    * `bin()` length, multiplication below 2^52, division by a power of
+    * two (an IEEE exponent shift, lossless) — so the value is
+    * bitwise-identical in any engine, unlike floating `ln`, whose
+    * last-bit rounding is implementation-defined. Max error of the
+    * approximation is ~0.086 bits, irrelevant for quality ranking. */
+  private def mitchellLog2Q1024(x: Column): Column = {
+    val k = (length(bin(x)) - 1).cast("long")
+    val mant = floor(x.cast("double") * 1024d /
+      pow(lit(2.0), k.cast("double"))).cast("long") - 1024L
+    k * 1024L + mant
+  }
+
+  /** Mitchell-log2 of 1e9 in q1024 units (k=29, mantissa 883) — the
+    * scale constant that turns a 1e-9-units probability into NLL. */
+  private val Log2OneE9Q1024 = 30579L
+
+  /** CCNet-style n-gram language-model quality scoring (Wenzek et al.
+    * 2020 score documents with a KenLM trained on a reference corpus;
+    * this is the same pipeline shape with a distributed add-one bigram
+    * LM): train on `train`, score every document of `docs` with its
+    * negative log-likelihood — high NLL per bigram = out-of-domain or
+    * low-fluency text, the standard corpus-filtering signal.
+    *
+    * Engine-exact by construction: the smoothed probability
+    * (c12+1)/(c1+V) is scaled to 1e-9 units by BIGINT division, and the
+    * log2 is [[mitchellLog2Q1024]] — no floating `ln` anywhere, so the
+    * DuckDB oracle reproduces every bit (same determinism discipline as
+    * [[distinctiveTerms]] / [[bm25TopK]]).
+    *
+    * Scale shape: bigram/context counts are two narrow
+    * partially-aggregated shuffles over the train split; scoring
+    * re-aggregates per-doc bigram tf BEFORE joining the count tables,
+    * so the join input carries one row per distinct (doc, bigram) and
+    * the count tables behave like dimensions (AQE broadcasts them for
+    * small vocabularies; at web scale they shuffle-join on the bigram
+    * key, near-uniform by construction). Docs with <2 tokens surface
+    * with all-zero scores via the final left join. */
+  def ngramLmScore(docs: DataFrame, train: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // token arrays materialized as real columns first: slice/zip_with
+    // over a computed child would re-run the tokenizer regex per branch
+    val tokDocs = docs.select(col(idCol).as("__id"),
+      wordTokens(col(textCol)).as("__w"))
+    val tokTrain = train.select(wordTokens(col(textCol)).as("__w"))
+    def bgs(w: Column): Column = when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+
+    val c12 = tokTrain.select(explode(bgs(col("__w"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = c12
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vstats = tokTrain.select(explode(col("__w")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+
+    val db = tokDocs.select(col("__id"), explode(bgs(col("__w"))).as("bg"))
+      .groupBy("__id", "bg").agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+
+    // greatest(..,1): a corpus past ~1e9 train tokens can floor an
+    // unseen bigram's scaled probability to 0; clamp so log2 stays
+    // defined (the NLL saturates at the 1e-9 quantization floor)
+    val scored = db
+      .join(c12, Seq("bg"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vstats))
+      .withColumn("__pq", greatest(
+        expr("(1000000000L * (coalesce(c12, 0L) + 1L)) div (coalesce(c1, 0L) + v)"),
+        lit(1L)))
+      .withColumn("__nll",
+        (lit(Log2OneE9Q1024) - mitchellLog2Q1024(col("__pq"))) * col("tf"))
+      .groupBy("__id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(when(col("c12").isNull, col("tf")).otherwise(0L))
+          .as("oov_bigrams"),
+        sum(col("__nll")).as("nll_q1024"))
+
+    tokDocs.select(col("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("oov_bigrams"), lit(0L)).as("oov_bigrams"),
+        coalesce(col("nll_q1024"), lit(0L)).as("nll_q1024"))
+  }
+
   /** BM25 keyword retrieval: top-`k` documents for a fixed bag of query
     * terms, scored with the log-free BM25 variant
     * `idf = (N - df + 0.5) / (df + 0.5)` (same ranking family as
