@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Sampling, TextOps}
+import graft.functions.quantizedCosine
+import graft.operators.{Sampling, Similarity, TextOps}
 
 /** Round-4 corpus-curation conformance queries: repetition filtering,
   * BM25 keyword retrieval, vocabulary-coverage quality scoring,
@@ -120,7 +122,7 @@ object CurationQueries {
   /** The BM25 oracle parameterized over the tokenized-corpus CTE, so
     * the index-maintenance query can aim the SAME scoring SQL at a
     * reconstructed live corpus. */
-  private def bm25OracleSqlOver(tok: String): String = {
+  private def bm25OracleSqlOver(tok: String, limit: Int = 10): String = {
       val inList = bm25Terms.map("'" + _ + "'").mkString(", ")
       val scoreSum = bm25Terms.map(t =>
         s"COALESCE(MAX(CASE WHEN token = '$t' THEN s END), 0.0)")
@@ -146,7 +148,7 @@ object CurationQueries {
                         JOIN dft USING (token), st)
           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
                $scoreSum AS score
-          FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+          FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $limit"""
   }
 
   val q_bm25_topk = QuerySpec(
@@ -154,6 +156,71 @@ object CurationQueries {
     (s, d) => TextOps.bm25TopK(Engine.table(s, d, "documents"),
       bm25Terms, k = 10, k1 = bm25K1, b = bm25B),
     Some(bm25OracleSql))
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion
+    * ([[Similarity.rrfFuse]]): a BM25 keyword top-20 and an
+    * embedding-cosine top-20 (query = vec 0, ids linked doc_id=vec_id)
+    * fused with the standard 1/(60+rank) recipe — the RAG-era hybrid
+    * search every retrieval stack ships. Both legs are the
+    * already-oracle-gated rankings (q_bm25_topk / q_embed_topk_
+    * bruteforce); ranks are integers and RRF scores integer-quantized,
+    * so the fused list is engine-exact. Each leg's rank comes from a
+    * row_number over its own 20-row result — driver-sized, not a
+    * corpus-wide sort. */
+  val q_hybrid_rrf = QuerySpec(
+    "q_hybrid_rrf", Seq("E-sim", "E-text", "A12", "U1"),
+    (s, d) => {
+      val docs = Engine.table(s, d, "documents")
+      val emb = Engine.table(s, d, "embeddings")
+      val r1 = TextOps.bm25TopK(docs, bm25Terms, k = 20,
+          k1 = bm25K1, b = bm25B)
+        .select(col("doc_id").as("id"), row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))).as("rank"))
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val r2 = emb.crossJoin(broadcast(q0))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          quantizedCosine(col("embedding"), col("qv")).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(20)
+        .select(col("vec_id").as("id"), row_number().over(
+          Window.orderBy(desc("cos"), asc("vec_id"))).as("rank"))
+      Similarity.rrfFuse(Seq(r1, r2), kConst = 60)
+        .orderBy(desc("rrf_q"), asc("id"))
+        .limit(10)
+    },
+    Some(s"""WITH r1 AS (SELECT doc_id AS id, row_number() OVER
+                           (ORDER BY score DESC, doc_id) AS rank
+                         FROM (${bm25OracleSqlOver(duckTok, 20)})),
+             qz AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> round(x::DOUBLE * 1000)::BIGINT) AS q
+                    FROM embeddings),
+             cs AS (SELECT e.vec_id,
+                      CASE WHEN sqrt(na::DOUBLE)*sqrt(nb::DOUBLE) = 0
+                           THEN 0.0
+                           ELSE dot::DOUBLE /
+                                (sqrt(na::DOUBLE)*sqrt(nb::DOUBLE)) END AS cos
+                    FROM (SELECT e.vec_id,
+                            list_sum(list_transform(range(1, len(e.q)+1),
+                              i -> e.q[i] * q0.q[i]))::BIGINT AS dot,
+                            list_sum(list_transform(e.q, x -> x*x))::BIGINT AS na,
+                            list_sum(list_transform(q0.q, x -> x*x))::BIGINT AS nb
+                          FROM qz e, (SELECT q FROM qz WHERE vec_id=0) q0
+                          WHERE e.vec_id <> 0) e
+                    ORDER BY cos DESC, vec_id LIMIT 20),
+             r2 AS (SELECT vec_id AS id, row_number() OVER
+                      (ORDER BY cos DESC, vec_id) AS rank FROM cs),
+             u AS (SELECT id, 1000000000 // (60 + CAST(rank AS BIGINT)) AS rrf_q
+                   FROM r1
+                   UNION ALL
+                   SELECT id, 1000000000 // (60 + CAST(rank AS BIGINT))
+                   FROM r2)
+             SELECT CAST(id AS BIGINT) AS id,
+                    CAST(SUM(rrf_q) AS BIGINT) AS rrf_q,
+                    CAST(COUNT(*) AS BIGINT) AS n_runs
+             FROM u GROUP BY id ORDER BY rrf_q DESC, id LIMIT 10"""))
 
   /** Cache key for the persisted inverted index (same /tmp-persists-
     * across-rounds convention and versioning rule as the ANN index —
@@ -598,7 +665,8 @@ object CurationQueries {
       FROM documents ORDER BY doc_id"""))
 
   val all: Seq[QuerySpec] = Seq(
-    q_repetition_stats, q_lm_score, q_bm25_topk, q_common_token_ratio,
+    q_repetition_stats, q_lm_score, q_bm25_topk, q_hybrid_rrf,
+    q_common_token_ratio,
     q_pack_sequences, q_mixture_sample, q_dedup_spans, q_dedup_substring,
     q_shuffle_export,
     q_quality_gate, q_source_cap, q_temperature_mixture,

@@ -1077,6 +1077,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * fuse any number of ranked retrieval runs — e.g. a BM25 keyword leg
+    * and an embedding-similarity leg, the standard "hybrid search"
+    * recipe — into one ranking by summing 1/(kConst + rank) per run.
+    * Scores are held in 1e-9 integer units via BIGINT division, so the
+    * fused ranking is bitwise engine-independent (rank ties cannot
+    * drift the way float addition order can). Each run contributes one
+    * narrow (id, rank) frame; fusion is a union + one aggregate — at
+    * fleet scale runs are top-k lists, so this is dimension-sized work
+    * regardless of corpus size. */
+  def rrfFuse(runs: Seq[DataFrame], kConst: Int = 60,
+      idCol: String = "id", rankCol: String = "rank"): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    runs.map(_.select(col(idCol).cast("long").as("id"),
+        expr(s"1000000000L div (${kConst}L + CAST($rankCol AS BIGINT))")
+          .as("rrf_q")))
+      .reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(sum(col("rrf_q")).as("rrf_q"), count(lit(1)).as("n_runs"))
+  }
+
   /** Convenience build-if-absent + probe (fixture/test path). */
   def ivfTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
       dim: Int = 64, planes: Int = 8, nprobe: Int = 8,
