@@ -1239,6 +1239,83 @@ object ExtQueries {
             FROM q WHERE b <= 3
             ORDER BY label"""))
 
+  /** Versioned-table CHECK CONSTRAINTS
+    * ([[graft.operators.VersionedTable.addConstraint]], Delta `ALTER
+    * TABLE ... ADD CONSTRAINT` semantics): the full enforcement
+    * lifecycle, oracle-gated — add a constraint over a committed
+    * snapshot, prove a violating append / merge-upsert / UPDATE are all
+    * rejected WITHOUT publishing a version (the `p4_rejected` row
+    * counts the three refusals), prove valid writes still land with the
+    * constraint carried in every manifest, then drop it and land the
+    * formerly-rejected shape. Aggregates at five pinned phases must
+    * equal DuckDB recomputing the surviving row sets. */
+  val q_versioned_constraints = QuerySpec(
+    "q_versioned_constraints", Seq("S9", "S4"),
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val o = Engine.table(s, d, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("v"))
+      val b = col("k") % 10
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vtab_c").toString
+      VersionedTable.commit(s, root, o.filter(b <= 3))             // v1
+      VersionedTable.addConstraint(s, root, "v_pos", "v >= 0")     // v2
+      var rejected = 0L
+      def attempt(f: => Unit): Unit =
+        try { f; () } catch { case _: IllegalArgumentException =>
+          rejected += 1 }
+      attempt(VersionedTable.commit(s, root, o.filter(b === 8)
+        .withColumn("v", -col("v") - 1)))                 // rejected
+      VersionedTable.commit(s, root, o.filter(b === 8))            // v3
+      attempt(VersionedTable.merge(s, root,
+        o.filter(b === 0).withColumn("v", lit(-5L)),
+        keys = Seq("k")))                                 // rejected
+      attempt(VersionedTable.updateWhere(s, root, b === 1,
+        Map("v" -> lit(-7L))))                            // rejected
+      VersionedTable.dropConstraint(s, root, "v_pos")              // v4
+      VersionedTable.commit(s, root,
+        o.filter(b === 9).withColumn("v", -col("k")))              // v5
+      def snap(v: Long, label: String) = {
+        val cons = VersionedTable.constraintsOf(s, root, Some(v))
+          .size.toLong
+        VersionedTable.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+          .select(lit(label).as("label"), col("n"), col("sum_v"),
+            lit(cons).as("n_cons"))
+      }
+      val p4 = snap(3L, "p4_rejected")
+        .select(col("label"), lit(rejected).as("n"),
+          lit(0L).as("sum_v"), lit(1L).as("n_cons"))
+      Engine.collectAndClean(
+        snap(1L, "p1_initial").unionByName(snap(2L, "p2_constrained"))
+          .unionByName(snap(3L, "p3_appended")).unionByName(p4)
+          .unionByName(snap(5L, "p5_final")).orderBy("label"), root)
+    },
+    Some("""WITH q AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                              CAST(o_custkey AS BIGINT) AS v,
+                              o_orderkey % 10 AS b
+                       FROM orders)
+            SELECT 'p1_initial' AS label, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sum_v,
+                   CAST(0 AS BIGINT) AS n_cons FROM q WHERE b <= 3
+            UNION ALL
+            SELECT 'p2_constrained', COUNT(*), CAST(SUM(v) AS BIGINT),
+                   CAST(1 AS BIGINT) FROM q WHERE b <= 3
+            UNION ALL
+            SELECT 'p3_appended', COUNT(*), CAST(SUM(v) AS BIGINT),
+                   CAST(1 AS BIGINT) FROM q WHERE b <= 3 OR b = 8
+            UNION ALL
+            SELECT 'p4_rejected', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(1 AS BIGINT)
+            UNION ALL
+            SELECT 'p5_final', COUNT(*),
+                   CAST(SUM(CASE WHEN b = 9 THEN -k ELSE v END)
+                     AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM q WHERE b <= 3 OR b = 8 OR b = 9
+            ORDER BY label"""))
+
   /** Versioned-table MERGE + CDC ([[graft.operators.VersionedTable]]
     * merge/changesBetween): two commits build the table, one merge
     * upserts/deletes/inserts in a single copy-on-write commit (v3), a
@@ -1456,6 +1533,7 @@ object ExtQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_versioned_time_travel, q_versioned_merge, q_versioned_evolve,
+    q_versioned_constraints,
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
     q_union_fusion_rule, q_agg_route, q_agg_route_having,

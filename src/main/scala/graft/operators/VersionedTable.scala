@@ -89,7 +89,8 @@ object VersionedTable {
     * bounded by commit count and never consulted again. */
   private val committedCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, Long, Long, Long), (Seq[String], Option[String])]()
+      (String, Long, Long, Long),
+      (Seq[String], Option[String], Seq[(String, String)])]()
 
   /** Data dirs of a committed manifest; None if absent or torn. */
   private def readManifest(f: FileSystem, root: String,
@@ -97,15 +98,19 @@ object VersionedTable {
     readManifestFull(f, root, v).map(_._1)
 
   private val schemaMark = "#SCHEMA:"
+  private val constraintMark = "#CONSTRAINT:"
 
-  /** (data dirs, schema json) of a committed manifest. The schema line
-    * (written first, `#SCHEMA:<StructType.json>`) is the snapshot's
-    * authoritative column set — carried IN the commit point, so it is
-    * atomic with the dir list and immune to write/validate races; a
-    * manifest without one predates schema tracking (readers fall back
-    * to parquet schema merging). The END count covers data dirs only. */
+  /** (data dirs, schema json, constraints) of a committed manifest. The
+    * schema line (written first, `#SCHEMA:<StructType.json>`) is the
+    * snapshot's authoritative column set — carried IN the commit point,
+    * so it is atomic with the dir list and immune to write/validate
+    * races; a manifest without one predates schema tracking (readers
+    * fall back to parquet schema merging). `#CONSTRAINT:<name>:<expr>`
+    * lines carry the snapshot's CHECK constraints the same way (atomic
+    * with the data they gate — the same format-version caveat as the
+    * schema line applies). The END count covers data dirs only. */
   private def readManifestFull(f: FileSystem, root: String,
-      v: Long): Option[(Seq[String], Option[String])] = {
+      v: Long): Option[(Seq[String], Option[String], Seq[(String, String)])] = {
     val p = manifestPath(root, v)
     val st = try f.getFileStatus(p) catch {
       case _: java.io.FileNotFoundException => return None
@@ -120,14 +125,20 @@ object VersionedTable {
     if (lines.isEmpty || !lines.last.startsWith(endMark)) return None
     val schema = lines.find(_.startsWith(schemaMark))
       .map(_.stripPrefix(schemaMark))
-    val dirs = lines.dropRight(1).filterNot(_.startsWith(schemaMark))
+    val cons = lines.filter(_.startsWith(constraintMark)).map { l =>
+      val body = l.stripPrefix(constraintMark)
+      val cut = body.indexOf(':')
+      (body.take(cut), body.drop(cut + 1))
+    }
+    val dirs = lines.dropRight(1).filterNot(l =>
+      l.startsWith(schemaMark) || l.startsWith(constraintMark))
     // END line is "#END:<count>" (legacy) or "#END:<count>:<nonce>"
     // (the nonce varies the file length across table generations)
     val count = lines.last.stripPrefix(endMark)
       .takeWhile(_ != ':').toIntOption
     if (count.contains(dirs.size)) {
-      committedCache.put(key, (dirs, schema))
-      Some((dirs, schema))
+      committedCache.put(key, (dirs, schema, cons))
+      Some((dirs, schema, cons))
     } else None
   }
 
@@ -188,9 +199,15 @@ object VersionedTable {
     *    stalled loser deletes the slot a competitor just committed. */
   private def commitManifest(spark: SparkSession, root: String,
       dirsFor: Option[Long] => Seq[String],
-      schemaFor: Option[Long] => Option[StructType] = _ => None): Long = {
+      schemaFor: Option[Long] => Option[StructType] = _ => None,
+      constraintsFor: Option[Long] => Seq[(String, String)] = null): Long = {
     val f = fs(spark, root)
     f.mkdirs(new Path(root, logDir))
+    // default: CARRY the latest committed snapshot's constraint set
+    // forward — a write path never silently sheds table constraints
+    val consFor = Option(constraintsFor).getOrElse(
+      (l: Option[Long]) => l.flatMap(readManifestFull(f, root, _))
+        .map(_._3).getOrElse(Seq.empty))
     var committed = -1L
     while (committed < 0) {
       val latest = versions(spark, root).lastOption
@@ -203,6 +220,8 @@ object VersionedTable {
       // always type-consistent with its recorded schema
       val schemaLine = schemaFor(latest)
         .map(s => s"$schemaMark${s.json}\n").getOrElse("")
+      val consLines = consFor(latest)
+        .map { case (n, e) => s"$constraintMark$n:$e\n" }.mkString
       // random-LENGTH nonce (1..64 hex chars): makes the manifest's
       // byte length a generation discriminator for the committed-
       // manifest cache (see its scaladoc) — dir names are fixed-width,
@@ -212,7 +231,7 @@ object VersionedTable {
         java.util.UUID.randomUUID().toString).replace("-", "")
         .take(1 + scala.util.Random.nextInt(64))
       val end = s"$endMark${dirs.size}:$nonce\n"
-      val body = (schemaLine + (if (dirs.isEmpty) end
+      val body = (schemaLine + consLines + (if (dirs.isEmpty) end
         else dirs.mkString("\n") + s"\n$end"))
         .getBytes("UTF-8")
       var v = latest.getOrElse(0L) + 1
@@ -322,9 +341,13 @@ object VersionedTable {
           readManifest(f, root, v).getOrElse(Seq.empty))),
         df.schema, mergeSchema)
     // fail fast BEFORE writing data the gate would reject...
-    gate(versions(spark, root).lastOption)
-    // data first, fully, into an immutable dir nobody references yet
-    writeDataDir(spark, root, dataDir, df)
+    val entryLatest = versions(spark, root).lastOption
+    gate(entryLatest)
+    val entryCons = entryLatest.flatMap(readManifestFull(f, root, _))
+      .map(_._3).getOrElse(Seq.empty)
+    // data first, fully, into an immutable dir nobody references yet —
+    // CHECK constraints enforced as observed metrics of this write
+    writeDataDir(spark, root, dataDir, df, entryCons)
     commitManifest(spark, root, latest => {
       val base =
         if (overwrite) Seq.empty
@@ -335,7 +358,31 @@ object VersionedTable {
       // competitor's (possibly schema-evolving) commit re-validates
       // against what actually won, so racing incompatible evolutions
       // cannot both install
-      latest => Some(gate(latest)))
+      latest => Some(gate(latest)),
+      // constraints likewise: if the set moved since entry (a racing
+      // addConstraint won), re-validate the already-written dir against
+      // the newcomers — one column-pruned read of just this dir, only
+      // on an actual race
+      latest => {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+        val cons = latest.flatMap(readManifestFull(f, root, _))
+          .map(_._3).getOrElse(Seq.empty)
+        val newcomers = cons.filterNot(entryCons.toSet)
+        if (newcomers.nonEmpty) {
+          val back = spark.read.parquet(new Path(root, dataDir).toString)
+          newcomers.foreach { case (n, e) =>
+            val bad = back.filter(not(coalesce(expr(e), lit(true))))
+              .limit(1).count()
+            if (bad > 0) {
+              f.delete(new Path(root, dataDir), true)
+              throw new IllegalArgumentException(
+                s"CHECK constraint '$n' ($e), added concurrently, is " +
+                  "violated by this commit's data — commit rejected")
+            }
+          }
+        }
+        cons
+      })
   }
 
   // ------------------------------------------------ snapshot schema
@@ -450,9 +497,85 @@ object VersionedTable {
     val f = fs(spark, root)
     val dirs = readManifest(f, root, v).getOrElse(
       throw new IllegalArgumentException(s"version $v not committed"))
-    // the restored content carries the RESTORED version's schema
+    // the restored content carries the RESTORED version's schema AND
+    // constraint set (its data was validated under those constraints;
+    // the current set may reject rows the restored snapshot contains)
     commitManifest(spark, root, _ => dirs,
-      _ => snapshotSchema(spark, root, v))
+      _ => snapshotSchema(spark, root, v),
+      _ => constraintsOf(spark, root, Some(v)))
+  }
+
+  // ------------------------------------------------- CHECK constraints
+
+  /** The CHECK constraints of a committed snapshot (latest by default),
+    * in declaration order, as (name, SQL expression) pairs. */
+  def constraintsOf(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): Seq[(String, String)] = {
+    val f = fs(spark, root)
+    val v = asOf.orElse(versions(spark, root).lastOption)
+      .getOrElse(return Seq.empty)
+    readManifestFull(f, root, v).map(_._3).getOrElse(Seq.empty)
+  }
+
+  /** Add a table-level CHECK constraint (Delta `ALTER TABLE ... ADD
+    * CONSTRAINT` semantics): `exprSql` must hold for every row — NULL
+    * passes, only FALSE violates, so `NOT NULL` is the special case
+    * `addNotNull`. EXISTING data is validated first (one column-pruned
+    * scan of the current snapshot); every later write path ([[commit]],
+    * [[merge]], [[updateWhere]], streaming sinks riding them) then
+    * enforces the constraint as an observed metric of its own write job
+    * — a violating batch is rejected atomically, no version published,
+    * the written dir deleted. Validation runs INSIDE the CAS loop: an
+    * add racing other commits re-validates against the winner's
+    * snapshot, so a committed constraint is always true of the snapshot
+    * it lands on. Returns the new version. */
+  def addConstraint(spark: SparkSession, root: String,
+      name: String, exprSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name '$name' must be [A-Za-z0-9_]+")
+    require(exprSql.nonEmpty && !exprSql.contains("\n"),
+      "constraint expression must be non-empty single-line SQL")
+    val f = fs(spark, root)
+    commitManifest(spark, root,
+      latest => latest.flatMap(readManifest(f, root, _)).getOrElse(Seq.empty),
+      latest => latest.flatMap(v => snapshotSchema(spark, root, v)),
+      latest => {
+        val cur = latest.flatMap(readManifestFull(f, root, _))
+          .map(_._3).getOrElse(Seq.empty)
+        require(!cur.exists(_._1 == name),
+          s"constraint '$name' already exists")
+        latest.foreach { v =>
+          val bad = read(spark, root, Some(v))
+            .filter(not(coalesce(expr(exprSql), lit(true))))
+            .limit(1).count()
+          require(bad == 0,
+            s"existing rows violate CHECK constraint '$name' ($exprSql)" +
+              " — clean the data first (deleteWhere/updateWhere)")
+        }
+        cur :+ (name -> exprSql)
+      })
+  }
+
+  /** NOT NULL constraint sugar: `addConstraint("nn_<col>", "<col> IS
+    * NOT NULL")`. */
+  def addNotNull(spark: SparkSession, root: String, column: String): Long =
+    addConstraint(spark, root, s"nn_$column", s"$column IS NOT NULL")
+
+  /** Drop a CHECK constraint by name; later commits stop enforcing it.
+    * Returns the new version. */
+  def dropConstraint(spark: SparkSession, root: String,
+      name: String): Long = {
+    val f = fs(spark, root)
+    commitManifest(spark, root,
+      latest => latest.flatMap(readManifest(f, root, _)).getOrElse(Seq.empty),
+      latest => latest.flatMap(v => snapshotSchema(spark, root, v)),
+      latest => {
+        val cur = latest.flatMap(readManifestFull(f, root, _))
+          .map(_._3).getOrElse(Seq.empty)
+        require(cur.exists(_._1 == name), s"no constraint named '$name'")
+        cur.filterNot(_._1 == name)
+      })
   }
 
   // ------------------------------------------------- per-dir column stats
@@ -471,17 +594,38 @@ object VersionedTable {
     * (older writer) degrades to unpruned — stats are an optimization,
     * never a correctness input. */
   private def writeDataDir(spark: SparkSession, root: String,
-      dir: String, df: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, max, min}
+      dir: String, df: DataFrame,
+      constraints: Seq[(String, String)] = Seq.empty): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max, min, sum, when}
     import org.apache.spark.sql.types._
     val path = new Path(root, dir).toString
+    // fail with constraint context, not a bare resolution error, when a
+    // CHECK references a column the commit schema lacks (only reachable
+    // via overwrite-narrowing — append gates require all table columns)
+    constraints.foreach { case (n, e) =>
+      try df.select(expr(e))
+      catch { case ex: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($e) does not resolve against the " +
+            "commit schema — drop the constraint before narrowing the " +
+            "table", ex)
+      }
+    }
     val statable = df.schema.fields.filter(f => f.dataType match {
       case LongType | IntegerType | ShortType | ByteType | DoubleType |
            FloatType | StringType | DateType | TimestampType |
            TimestampNTZType | _: DecimalType => true
       case _ => false
     })
-    if (statable.isEmpty) {
+    // CHECK violations counted as observed metrics of the same write
+    // job as the stats sidecar — enforcement costs zero extra scans at
+    // any table size. SQL CHECK semantics: NULL passes, only an
+    // expression that is literally FALSE violates.
+    val consAggs = constraints.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L))
+        .as(s"viol:$n")
+    }
+    if (statable.isEmpty && consAggs.isEmpty) {
       df.write.mode(SaveMode.ErrorIfExists).parquet(path)
       return
     }
@@ -489,10 +633,22 @@ object VersionedTable {
       s"graft-stats-${java.util.UUID.randomUUID()}")
     val aggs = statable.flatMap(f => Seq(
       min(col(f.name)).cast("string").as(s"min:${f.name}"),
-      max(col(f.name)).cast("string").as(s"max:${f.name}")))
+      max(col(f.name)).cast("string").as(s"max:${f.name}"))) ++ consAggs
     df.observe(obs, aggs.head, aggs.tail: _*)
       .write.mode(SaveMode.ErrorIfExists).parquet(path)
     val metrics = obs.get
+    // constraints verdict FIRST: a rejected dir is deleted before any
+    // sidecar lands, so nothing ever references or half-describes it
+    constraints.foreach { case (n, e) =>
+      metrics.get(s"viol:$n") match {
+        case Some(c: Long) if c > 0 =>
+          fs(spark, root).delete(new Path(root, dir), true)
+          throw new IllegalArgumentException(
+            s"CHECK constraint '$n' ($e) violated by $c row(s) — " +
+              "commit rejected, no version published")
+        case _ => ()
+      }
+    }
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .createObjectNode()
     statable.foreach { f =>
@@ -708,7 +864,11 @@ object VersionedTable {
       .unionByName(inserts.select(target.columns.map(col): _*))
     val newDir = "data/" + idempotencyKey.map(k => s"k-$k")
       .getOrElse(java.util.UUID.randomUUID().toString)
-    writeDataDir(spark, root, newDir, newRows)
+    // constraints of baseV enforced on the rewrite (upserted rows can
+    // violate); the first-writer-wins check below means the set cannot
+    // have moved between validation and install
+    val consBase = constraintsOf(spark, root, Some(baseV))
+    writeDataDir(spark, root, newDir, newRows, consBase)
     // schema preserved: the closure's first-writer-wins check already
     // guarantees the table hasn't moved (so it can't have evolved)
     commitManifest(spark, root, latest => {
@@ -716,7 +876,7 @@ object VersionedTable {
         throw new java.util.ConcurrentModificationException(
           s"merge read v$baseV but table is now at v$latest — rerun")
       untouched :+ newDir
-    }, _ => Some(tableSchema))
+    }, _ => Some(tableSchema), _ => consBase)
   }
 
   /** Predicate DELETE with the same dir-granularity copy-on-write as
@@ -775,13 +935,16 @@ object VersionedTable {
         s"${tableSchema.catalogString}) — an UPDATE may not retype or " +
         "add columns; evolve via commit(mergeSchema = true) first")
     val newDir = "data/" + java.util.UUID.randomUUID().toString
-    writeDataDir(spark, root, newDir, newRows)
+    // UPDATE can SET a column into violation — enforce baseV's
+    // constraints on the rewrite (first-writer-wins pins the set)
+    val consBase = constraintsOf(spark, root, Some(baseV))
+    writeDataDir(spark, root, newDir, newRows, consBase)
     commitManifest(spark, root, latest => {
       if (!latest.contains(baseV))
         throw new java.util.ConcurrentModificationException(
           s"rewrite read v$baseV but table is now at v$latest — rerun")
       untouched :+ newDir
-    }, _ => Some(tableSchema))
+    }, _ => Some(tableSchema), _ => consBase)
   }
 
   /** Row-level CHANGES between two committed versions (CDC read):
@@ -864,13 +1027,18 @@ object VersionedTable {
     val snap = readDirsAs(spark, root, tableSchema, dirs)
     val out = if (nFiles > 0) snap.coalesce(nFiles) else snap
     val newDir = "data/" + java.util.UUID.randomUUID().toString
+    // content-identical rewrite of already-valid rows: constraints
+    // carried, not re-enforced (validation would be a free metric but
+    // a false rejection here could wedge maintenance; trust the gate
+    // that admitted the rows)
+    val consBase = constraintsOf(spark, root, Some(baseV))
     writeDataDir(spark, root, newDir, out)
     commitManifest(spark, root, latest => {
       if (!latest.contains(baseV))
         throw new java.util.ConcurrentModificationException(
           s"compact read v$baseV but table is now at v$latest — rerun")
       Seq(newDir)
-    }, _ => Some(tableSchema))
+    }, _ => Some(tableSchema), _ => consBase)
   }
 
   /** OPTIMIZE ZORDER: rewrite the latest snapshot into one data dir
@@ -904,13 +1072,15 @@ object VersionedTable {
       .sortWithinPartitions("__z")
       .drop("__z")
     val newDir = "data/" + java.util.UUID.randomUUID().toString
+    // content-identical rewrite: carry constraints, same as [[compact]]
+    val consBase = constraintsOf(spark, root, Some(baseV))
     writeDataDir(spark, root, newDir, ordered)
     commitManifest(spark, root, latest => {
       if (!latest.contains(baseV))
         throw new java.util.ConcurrentModificationException(
           s"optimize read v$baseV but table is now at v$latest — rerun")
       Seq(newDir)
-    }, _ => Some(tableSchema))
+    }, _ => Some(tableSchema), _ => consBase)
   }
 
   /** Incremental CDC consumer: process every version committed since

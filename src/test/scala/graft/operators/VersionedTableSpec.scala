@@ -574,4 +574,103 @@ class VersionedTableSpec extends SparkSuite {
       .select("id").collect().map(_.getLong(0)).toSet ==
       Set(0L, 1L, 2L))
   }
+
+  test("CHECK constraint: violating writes rejected on every path") {
+    val root = tmpDir("vtabck")
+    VersionedTable.commit(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "qty"))
+    val vAdd = VersionedTable.addConstraint(spark, root,
+      "qty_pos", "qty > 0")
+    assert(VersionedTable.constraintsOf(spark, root) ==
+      Seq("qty_pos" -> "qty > 0"))
+    // violating append: rejected, no version published, dir cleaned
+    val before = VersionedTable.versions(spark, root)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, root, Seq((3L, -5L)).toDF("id", "qty"))
+    }
+    assert(ex.getMessage.contains("qty_pos"))
+    assert(VersionedTable.versions(spark, root) == before,
+      "a rejected commit must not publish a version")
+    val orphanDirs = new java.io.File(s"$root/data").listFiles()
+      .count(_.isDirectory)
+    assert(orphanDirs == 1, "the rejected dir must be deleted")
+    // NULL passes (SQL CHECK semantics); valid rows pass
+    VersionedTable.commit(spark, root,
+      Seq((3L, Some(5L)), (4L, None)).toDF("id", "qty"))
+    // merge upserting a violation: rejected
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root,
+        Seq((1L, -1L)).toDF("id", "qty"), keys = Seq("id"))
+    }
+    // UPDATE setting a violation: rejected
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, root, col("id") === 1L,
+        Map("qty" -> lit(-9L)))
+    }
+    // DELETE cannot violate; constraint survives it and compaction
+    VersionedTable.deleteWhere(spark, root, col("id") === 2L)
+    VersionedTable.compact(spark, root)
+    assert(VersionedTable.constraintsOf(spark, root) ==
+      Seq("qty_pos" -> "qty > 0"))
+    // drop: the same violating append now lands
+    VersionedTable.dropConstraint(spark, root, "qty_pos")
+    VersionedTable.commit(spark, root, Seq((9L, -5L)).toDF("id", "qty"))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("qty") < 0).count() == 1L)
+    // rollback restores the RESTORED version's constraint set
+    VersionedTable.rollback(spark, root, vAdd)
+    assert(VersionedTable.constraintsOf(spark, root) ==
+      Seq("qty_pos" -> "qty > 0"))
+  }
+
+  test("addConstraint validates existing data and rejects dirty tables") {
+    val root = tmpDir("vtabckd")
+    VersionedTable.commit(spark, root,
+      Seq((1L, 10L), (2L, -1L)).toDF("id", "qty"))
+    val before = VersionedTable.versions(spark, root)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.addConstraint(spark, root, "qty_pos", "qty > 0")
+    }
+    assert(ex.getMessage.contains("existing rows"))
+    assert(VersionedTable.versions(spark, root) == before)
+    assert(VersionedTable.constraintsOf(spark, root).isEmpty)
+    // duplicate add / missing drop are loud
+    VersionedTable.addConstraint(spark, root, "id_pos", "id > 0")
+    intercept[IllegalArgumentException] {
+      VersionedTable.addConstraint(spark, root, "id_pos", "id > 0")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropConstraint(spark, root, "nope")
+    }
+  }
+
+  test("NOT NULL sugar; constraint survives additive schema evolution") {
+    val root = tmpDir("vtabnn")
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    VersionedTable.addNotNull(spark, root, "s")
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, root,
+        Seq((2L, None: Option[String])).toDF("id", "s"))
+    }
+    // additive evolution keeps the constraint; older rows unaffected
+    VersionedTable.commit(spark, root,
+      Seq((3L, "c", 1.5)).toDF("id", "s", "score"), mergeSchema = true)
+    assert(VersionedTable.constraintsOf(spark, root) ==
+      Seq("nn_s" -> "s IS NOT NULL"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, root,
+        Seq((4L, None: Option[String], 2.0)).toDF("id", "s", "score"))
+    }
+    // overwrite-narrowing past a constrained column is loud, not silent
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, root,
+        Seq(Tuple1(5L)).toDF("id"), overwrite = true)
+    }
+    assert(ex.getMessage.contains("nn_s"))
+    // dropping the constraint unblocks the new generation
+    VersionedTable.dropConstraint(spark, root, "nn_s")
+    VersionedTable.commit(spark, root,
+      Seq(Tuple1(5L)).toDF("id"), overwrite = true)
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("id"))
+  }
 }
