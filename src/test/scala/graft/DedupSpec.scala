@@ -244,4 +244,25 @@ class DedupSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((0L, 1L)), s"boundary pair not blocked: $got")
   }
+
+  test("fuzzyNearDupPairs: blocked Levenshtein matching, multi-pass recall") {
+    val recs = Seq(
+      (1L, "alpha-0001"), (2L, "alphx-0001"),   // substitution mid-name
+      (3L, "beta-0002"), (4L, "beta-0003"),     // edit INSIDE the suffix
+      (5L, "gamma-0005"), (6L, "gamma-9999"))   // distance 4: never a pair
+      .toDF("rid", "nm")
+    def pairs(blockers: Seq[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column]) =
+      Dedup.fuzzyNearDupPairs(recs, "rid", "nm", maxDist = 1,
+          blockers = blockers)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // single suffix pass: catches the substitution (suffix-invariant),
+    // misses the suffix edit — blocking recall is scoped by design
+    assert(pairs(Seq(nm => substring(nm, -3, 3))) == Set((1L, 2L)))
+    // a second (prefix) pass restores the missed pair; sets union
+    assert(pairs(Seq(nm => substring(nm, -3, 3),
+      nm => substring(nm, 1, 5))) == Set((1L, 2L), (3L, 4L)))
+    // maxDist is exact: distance-4 bucket-mates never pair
+    assert(!pairs(Seq(nm => substring(nm, 1, 5)))((5L, 6L)))
+  }
 }

@@ -505,4 +505,20 @@ class SimilaritySpec extends SparkSuite {
     assert(out(1L) == ((Seq(4.0, 6.0), 2L)), out(1L).toString)
     assert(out(2L) == ((Seq(5.0, 6.0), 1L)), out(2L).toString)
   }
+
+  test("rrfFuse: integer-quantized reciprocal rank fusion") {
+    import spark.implicits._
+    val run1 = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val run2 = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(run1, run2), kConst = 60)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val s1 = 1000000000L / 61L // rank 1
+    val s2 = 1000000000L / 62L // rank 2
+    assert(out(1L) == ((s1, 1L)))
+    assert(out(2L) == ((s2 + s1, 2L)), "both-runs id sums both legs")
+    assert(out(3L) == ((s2, 1L)))
+    // the both-runs id outranks either single-run id
+    assert(out(2L)._1 > out(1L)._1 && out(2L)._1 > out(3L)._1)
+  }
 }

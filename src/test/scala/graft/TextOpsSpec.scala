@@ -362,4 +362,27 @@ class TextOpsSpec extends SparkSuite {
     (2L to 40L).foreach(d => assert(out(d)._2 == 0L, s"doc $d lost tokens"))
     assert(sec < 30.0, f"mostly-duplicate long doc straggled: $sec%.1fs")
   }
+
+  test("ngramLmScore: closed-form NLL on a hand-computed bigram LM") {
+    import spark.implicits._
+    val train = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    // LM: c12(a b)=2, c12(b a)=1, c1(a)=2, c1(b)=1, V=2
+    val score = Seq(
+      (0L, "a b"),   // seen: pq=floor(1e9*3/4)=750000000 -> nll 477
+      (1L, "b b"),   // oov:  pq=floor(1e9*1/3)=333333333 -> nll 1660
+      (2L, "a"),     // <2 tokens: all zeros
+      (3L, "a b a b a b"))  // fluent: 3*(a b)@477 + 2*(b a)@?
+      .toDF("doc_id", "text")
+    val out = TextOps.ngramLmScore(score, train)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((1L, 0L, 477L)), out(0L).toString)
+    assert(out(1L) == ((1L, 1L, 1660L)), out(1L).toString)
+    assert(out(2L) == ((0L, 0L, 0L)), out(2L).toString)
+    // (b a): pq=floor(1e9*2/3)=666666666, k=29,
+    // mant=floor(666666666*1024/2^29)-1024=247, l2q=29943, nll=636
+    assert(out(3L) == ((5L, 0L, 3L * 477L + 2L * 636L)), out(3L).toString)
+    // the quality-filter property: garbage scores higher per-bigram NLL
+    assert(out(1L)._3 > out(0L)._3)
+  }
 }
