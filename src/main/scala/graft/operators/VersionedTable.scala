@@ -536,6 +536,12 @@ object VersionedTable {
       s"constraint name '$name' must be [A-Za-z0-9_]+")
     require(exprSql.nonEmpty && !exprSql.contains("\n"),
       "constraint expression must be non-empty single-line SQL")
+    // a zero-dir constraint-only manifest would have no schema to
+    // record and nothing to validate against — same contract as Delta:
+    // the table must exist first (an empty commit suffices)
+    require(versions(spark, root).nonEmpty,
+      "addConstraint needs a committed version — commit the table " +
+        "first (an empty frame works)")
     val f = fs(spark, root)
     commitManifest(spark, root,
       latest => latest.flatMap(readManifest(f, root, _)).getOrElse(Seq.empty),
@@ -566,6 +572,8 @@ object VersionedTable {
     * Returns the new version. */
   def dropConstraint(spark: SparkSession, root: String,
       name: String): Long = {
+    require(versions(spark, root).nonEmpty,
+      "dropConstraint needs a committed version")
     val f = fs(spark, root)
     commitManifest(spark, root,
       latest => latest.flatMap(readManifest(f, root, _)).getOrElse(Seq.empty),

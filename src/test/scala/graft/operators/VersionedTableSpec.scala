@@ -642,6 +642,12 @@ class VersionedTableSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       VersionedTable.dropConstraint(spark, root, "nope")
     }
+    // a constraint on a table with NO committed version is refused (a
+    // zero-dir manifest would poison the next commit's schema gate)
+    intercept[IllegalArgumentException] {
+      VersionedTable.addConstraint(spark, tmpDir("vtabck0"),
+        "v_pos", "v >= 0")
+    }
   }
 
   test("NOT NULL sugar; constraint survives additive schema evolution") {
