@@ -423,6 +423,101 @@ object Graph {
     ranks.select(col("id"), col("pr").cast("double").as("pr"))
   }
 
+  /** Bit-exact truncated Katz centrality (Katz 1953, "A new status
+    * index derived from sociometric analysis"): x_k = 1 + α · Aᵀ x_{k-1}
+    * over integer edge weights, run for a fixed small number of rounds.
+    * Unlike PageRank there is NO division by out-degree, so exact
+    * decimal arithmetic needs no degree-profile precondition — any
+    * weighted graph qualifies as long as α is a terminating decimal
+    * and the summed mass stays inside its 12 integer-digit headroom
+    * (overflow throws, never silently rounds — same discipline as
+    * [[pageRankExact]]). This is the engine's TextRank-family scorer:
+    * run over a token co-occurrence graph it ranks keywords the way
+    * Mihalcea & Tarau (2004) do, with the random-walk normalization
+    * replaced by the Katz attenuation so the recurrence is
+    * bit-reproducible in any engine (the DuckDB oracle replays the
+    * same chained rounds).
+    *
+    * Scale shape: one narrow checkpointed edge snapshot; per round one
+    * equi-join ranks⋈edges on src (AQE broadcasts vocabulary-sized
+    * rank frames) and one partially-aggregated sum keyed by dst — hub
+    * tokens combine map-side, no skew funnel. ≤5 rounds compile into
+    * one plan, no per-iteration checkpoints. Ids may be any
+    * equi-joinable type (token strings included). */
+  def katzCentralityExact(edges: DataFrame, iterations: Int,
+      alpha: (Int, Int) = (1, 100),
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: String = "w"): DataFrame = {
+    require(iterations >= 1 && iterations <= 5,
+      "katzCentralityExact: 1..5 iterations (scale grows per round)")
+    val (aNum, aDen) = alpha
+    require(aNum > 0 && aDen > aNum, "alpha must be in (0, 1)")
+    val aExact = {
+      val a = BigDecimal(aNum) / BigDecimal(aDen)
+      require((a * BigDecimal(aDen)).toBigIntExact.contains(BigInt(aNum)),
+        s"katzCentralityExact: $aNum/$aDen is not a terminating decimal")
+      a.underlying.stripTrailingZeros
+    }
+    val inc = aExact.scale.max(1)
+    // scale cap 8 (not pageRankExact's 18): Katz scores GROW with α
+    // above the inverse spectral radius, so pr carries 12 integer
+    // digits (vs 6) and the type walkthrough below needs the smaller
+    // scale budget to keep every multiply under precision 38 — past
+    // 38 Spark's precision-loss rule silently rounds scale away,
+    // which would break bit-exactness without any error
+    require(2 + inc * iterations <= 8,
+      s"katzCentralityExact: $iterations rounds at alpha scale $inc " +
+        "exceed decimal scale 8")
+    // w at (12,0): pr (s+12, s) * w (12, 0) -> (s+25, s) <= 31 for
+    // s <= 6, sum caps precision at 38 with scale PRESERVED; a long
+    // (20,0) weight would push the multiply past the cap
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast(DecimalType(12, 0)).as("w"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var prScale = 2
+    var ranks = nodes.withColumn("pr",
+      lit(java.math.BigDecimal.ONE).cast(DecimalType(8, 2)))
+    for (_ <- 1 to iterations) {
+      // same overflow counters as pageRankExact: m NULL with incoming
+      // edges = the mass sum overflowed; nn < nc = a prior pr cast
+      // overflowed and the non-ANSI sum would silently skip it
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") * col("w")).as("m"), count(lit(1)).as("nc"),
+          count(col("pr") * col("w")).as("nn"))
+      val overflow = col("nc").isNotNull &&
+        (col("m").isNull || col("nn") < col("nc"))
+      val mRaw = when(overflow,
+          raise_error(lit("katzCentralityExact: decimal overflow; " +
+            "lower alpha or iterations")))
+        .otherwise(coalesce(col("m"), lit(java.math.BigDecimal.ZERO)))
+      // 18 integer digits of mass headroom; pr itself carries 12 —
+      // geometric growth past either throws via the counters/null scan
+      val mTight = mRaw.cast(DecimalType(prScale + 18, prScale))
+      prScale += inc
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(java.math.BigDecimal.ONE) + lit(aExact) * mTight)
+            .cast(DecimalType(prScale + 12, prScale)).as("pr"))
+    }
+    // a cast overflow on a sink node never feeds a mass sum: surface
+    // as a null rank, counted during the end checkpoint (zero jobs)
+    val nullProbe = org.apache.spark.sql.Observation()
+    ranks = new RollingCheckpoint()(ranks.observe(nullProbe,
+      count(when(col("pr").isNull, 1)).as("nulls")))
+    val nulls = Checkpoints.metric(nullProbe, "nulls") match {
+      case Some(n: Long) => n
+      case _ => ranks.filter(col("pr").isNull).count()
+    }
+    require(nulls == 0L,
+      "katzCentralityExact: decimal overflow (a score exceeded its " +
+        "integer-digit headroom); lower alpha or iterations")
+    ranks
+  }
+
   /** The planted link graph both conformance sides construct from the
     * customer table: node ids are customer keys, out-degree of node i
     * is CASE i%4 of (1,2,4,5) — degrees chosen so lcm = 20 and

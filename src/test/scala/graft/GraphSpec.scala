@@ -218,4 +218,23 @@ class GraphSpec extends SparkSuite {
     }
     assert(seen == Seq(2L, 9L))
   }
+
+  test("katzCentralityExact: hand-computed 2-round recurrence, exact") {
+    import spark.implicits._
+    // undirected triangle-less graph: a-b (w=2), a-c (w=1)
+    val e = Seq(("a", "b", 2L), ("b", "a", 2L),
+      ("a", "c", 1L), ("c", "a", 1L)).toDF("src", "dst", "w")
+    // alpha 1/10: x1(a)=1+0.1*(2+1)=1.3, x1(b)=1.2, x1(c)=1.1
+    // x2(a)=1+0.1*(2*1.2+1*1.1)=1.35, x2(b)=1+0.1*2*1.3=1.26,
+    // x2(c)=1+0.1*1.3=1.13
+    val out = graft.operators.Graph
+      .katzCentralityExact(e, iterations = 2, alpha = (1, 10))
+      .collect().map(r => r.getString(0) ->
+        r.getDecimal(1).stripTrailingZeros.toPlainString).toMap
+    assert(out == Map("a" -> "1.35", "b" -> "1.26", "c" -> "1.13"), out)
+    // non-terminating alpha refused loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.katzCentralityExact(e, 2, alpha = (1, 3))
+    }
+  }
 }
