@@ -1316,6 +1316,57 @@ object ExtQueries {
             FROM q WHERE b <= 3 OR b = 8 OR b = 9
             ORDER BY label"""))
 
+  /** Versioned-table SHALLOW CLONE
+    * ([[graft.operators.VersionedTable.cloneShallow]], Delta CLONE
+    * semantics): metadata-only clone of a committed snapshot, then
+    * divergent writes on both sides — an append and a predicate DELETE
+    * on the clone (the delete rewrites CLONED dirs copy-on-write,
+    * proving absolute manifest references feed the same CoW machinery),
+    * an append on the source (isolation) — with the clone's
+    * time-traveled v1 still equal to the cloned snapshot. Aggregates at
+    * four phases against DuckDB set algebra. */
+  val q_versioned_clone = QuerySpec(
+    "q_versioned_clone", Seq("S9", "S4"),
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val o = Engine.table(s, d, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("v"))
+      val b = col("k") % 10
+      val parent = java.nio.file.Files
+        .createTempDirectory("graft_vtab_cl").toString
+      val src = s"$parent/src"
+      val dst = s"$parent/clone"
+      VersionedTable.commit(s, src, o.filter(b <= 4))        // src v1
+      VersionedTable.cloneShallow(s, src, dst)               // dst v1
+      VersionedTable.commit(s, dst, o.filter(b === 7))       // dst v2
+      VersionedTable.deleteWhere(s, dst, col("k") % 3 === 0) // dst v3
+      VersionedTable.commit(s, src, o.filter(b === 9))       // src v2
+      def agg(root: String, v: Long, label: String) =
+        VersionedTable.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+          .select(lit(label).as("label"), col("n"), col("sum_v"))
+      Engine.collectAndClean(
+        agg(src, 2L, "p1_source_latest")
+          .unionByName(agg(dst, 1L, "p2_clone_v1"))
+          .unionByName(agg(dst, 3L, "p3_clone_latest"))
+          .orderBy("label"), parent)
+    },
+    Some("""WITH q AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                              CAST(o_custkey AS BIGINT) AS v,
+                              o_orderkey % 10 AS b
+                       FROM orders)
+            SELECT 'p1_source_latest' AS label, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sum_v
+            FROM q WHERE b <= 4 OR b = 9
+            UNION ALL
+            SELECT 'p2_clone_v1', COUNT(*), CAST(SUM(v) AS BIGINT)
+            FROM q WHERE b <= 4
+            UNION ALL
+            SELECT 'p3_clone_latest', COUNT(*), CAST(SUM(v) AS BIGINT)
+            FROM q WHERE (b <= 4 OR b = 7) AND k % 3 <> 0
+            ORDER BY label"""))
+
   /** Versioned-table MERGE + CDC ([[graft.operators.VersionedTable]]
     * merge/changesBetween): two commits build the table, one merge
     * upserts/deletes/inserts in a single copy-on-write commit (v3), a
@@ -1533,7 +1584,7 @@ object ExtQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_versioned_time_travel, q_versioned_merge, q_versioned_evolve,
-    q_versioned_constraints,
+    q_versioned_constraints, q_versioned_clone,
     q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
     q_union_fusion_rule, q_agg_route, q_agg_route_having,

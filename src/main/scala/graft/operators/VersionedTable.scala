@@ -465,6 +465,46 @@ object VersionedTable {
     StructType(cur.fields ++ added)
   }
 
+  /** A manifest dir entry's identity as file paths report it:
+    * `data/<name>`. Ordinary entries ARE that form already; a shallow
+    * clone's entries are absolute paths into the SOURCE table, whose
+    * identity is still their last two components (dir names are
+    * UUIDs/keyed commits — unique across any set of roots a table can
+    * reference). Touched-dir detection matches `input_file_name()`
+    * against this key, so predicate CoW works identically on cloned
+    * and native dirs. */
+  private def dirKey(d: String): String =
+    "data/" + new Path(d).getName
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` semantics):
+    * `dstRoot` becomes a table whose v1 manifest references the SOURCE
+    * snapshot's data dirs IN PLACE (absolute paths) — zero data copied,
+    * metadata-only, O(manifest) time at any table size. The clone
+    * carries the source snapshot's schema and CHECK constraints.
+    * Writes to the clone land under the clone's own root: appends add
+    * local dirs alongside the absolute references; merge/delete/update
+    * rewrite only touched dirs (local copies); [[compact]] rewrites
+    * everything locally and thereby SEVERS the source dependency.
+    *
+    * Caveat (identical to Delta's): [[vacuum]] on the SOURCE reclaims
+    * dirs a clone may still reference — source retention must outlive
+    * clones, or compact the clone to sever. Returns the clone's v1. */
+  def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
+      asOf: Option[Long] = None): Long = {
+    val fSrc = fs(spark, srcRoot)
+    val v = asOf.getOrElse(versions(spark, srcRoot).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $srcRoot")))
+    val (dirs, _, cons) = readManifestFull(fSrc, srcRoot, v).getOrElse(
+      throw new IllegalArgumentException(s"version $v not committed"))
+    val schema = snapshotSchema(spark, srcRoot, v)
+      .getOrElse(schemaOfVersion(spark, srcRoot, v, dirs))
+    val absolute = dirs.map(d =>
+      fSrc.makeQualified(new Path(srcRoot, d)).toString)
+    commitManifest(spark, dstRoot, _ => absolute,
+      _ => Some(schema), _ => cons)
+  }
+
   /** Read the table at `asOf` (a committed version) or, by default,
     * the latest committed snapshot. The returned frame is pinned to
     * that snapshot's immutable dirs — later commits never leak in —
@@ -856,12 +896,14 @@ object VersionedTable {
           regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
         .join(srcKeys, keys, "left_semi")
         .select("__dir").distinct().collect().map(_.getString(0)).toSet
-    val untouched = dirs.filterNot(touched)
+    // dirKey matching: shallow-clone entries are absolute source paths
+    val untouched = dirs.filterNot(d => touched(dirKey(d)))
     val target =
       if (touched.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
-      else readDirsAs(spark, root, tableSchema, dirs.filter(touched))
+      else readDirsAs(spark, root, tableSchema,
+        dirs.filter(d => touched(dirKey(d))))
     val targetKeys = target.select(keys.map(col): _*).distinct()
     val keptTarget = target.join(srcKeys, keys, "left_anti")
     val matchedSrc = alignedSource.join(targetKeys, keys, "left_semi")
@@ -934,9 +976,12 @@ object VersionedTable {
         .as("__dir"))
       .distinct().collect().map(_.getString(0)).toSet
     if (touched.isEmpty) return baseV
-    val untouched = dirs.filterNot(touched)
+    // match by dirKey, not raw entry: a shallow clone's entries are
+    // absolute source paths while input_file_name reports data/<name>
+    val untouched = dirs.filterNot(d => touched(dirKey(d)))
     val newRows = rewrite(
-      readDirsAs(spark, root, tableSchema, dirs.filter(touched)))
+      readDirsAs(spark, root, tableSchema,
+        dirs.filter(d => touched(dirKey(d)))))
     require(normalize(newRows.schema) == tableSchema,
       s"rewrite changed the table schema (" +
         s"${normalize(newRows.schema).catalogString} vs " +

@@ -650,6 +650,55 @@ class VersionedTableSpec extends SparkSuite {
     }
   }
 
+  test("shallow clone: zero-copy, isolated writes, CoW over cloned dirs, compact severs") {
+    val src = tmpDir("vtabsrc")
+    val dst = tmpDir("vtabdst")
+    VersionedTable.commit(spark, src,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    VersionedTable.commit(spark, src, Seq((3L, "c")).toDF("id", "s"))
+    VersionedTable.addConstraint(spark, src, "id_pos", "id > 0")
+    def rows(root: String) = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(VersionedTable.cloneShallow(spark, src, dst) == 1L)
+    // metadata-only: the source snapshot reads through, constraints
+    // travel, and NO data lands under the clone root
+    assert(rows(dst) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(VersionedTable.constraintsOf(spark, dst) ==
+      Seq("id_pos" -> "id > 0"))
+    assert(!new java.io.File(s"$dst/data").exists(),
+      "shallow clone must copy zero data")
+    // writes are isolated both ways
+    VersionedTable.commit(spark, dst, Seq((4L, "d")).toDF("id", "s"))
+    VersionedTable.commit(spark, src, Seq((9L, "z")).toDF("id", "s"))
+    assert(rows(dst).map(_._1) == Set(1L, 2L, 3L, 4L))
+    assert(rows(src).map(_._1) == Set(1L, 2L, 3L, 9L))
+    // the cloned constraint enforces on the clone
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, dst, Seq((-1L, "x")).toDF("id", "s"))
+    }
+    // predicate CoW and merge rewrite CLONED dirs correctly (dirKey
+    // matching between absolute manifest entries and input_file_name)
+    VersionedTable.deleteWhere(spark, dst, col("id") === 2L)
+    VersionedTable.updateWhere(spark, dst, col("id") === 1L,
+      Map("s" -> lit("A")))
+    VersionedTable.merge(spark, dst,
+      Seq((3L, "C"), (5L, "e")).toDF("id", "s"), keys = Seq("id"))
+    assert(rows(dst) ==
+      Set((1L, "A"), (3L, "C"), (4L, "d"), (5L, "e")))
+    // ...with the source untouched by any of it
+    assert(rows(src) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")))
+    // compact rewrites locally and severs the source dependency:
+    // orphan the source dirs and vacuum them away, clone still reads
+    VersionedTable.compact(spark, dst)
+    VersionedTable.commit(spark, src,
+      Seq((7L, "w")).toDF("id", "s"), overwrite = true)
+    VersionedTable.vacuum(spark, src, keepVersions = 1)
+    assert(rows(dst) ==
+      Set((1L, "A"), (3L, "C"), (4L, "d"), (5L, "e")),
+      "compacted clone must survive source vacuum")
+  }
+
   test("NOT NULL sugar; constraint survives additive schema evolution") {
     val root = tmpDir("vtabnn")
     VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
