@@ -1019,6 +1019,41 @@ object TextQueries {
                    CAST(100 * (1 + doc_id % 50) AS BIGINT) AS max_abs
             FROM documents ORDER BY media_id"""))
 
+  /** Audio SIGNAL features ([[Multimodal.audioToneFeatures]]): per
+    * document a planted mono square wave — half-period H = 1+id%8,
+    * amplitude 500+(id%5)*250, n = 320+(id%7)*32 samples at 8 kHz —
+    * and the operator recovers (a) the zero-crossing count, integer
+    * exact, closed form (n-1)//H, and (b) the DOMINANT TONE via a
+    * Goertzel probe bank over all eight candidate fundamentals
+    * (DTMF-style detection; the fundamental beats any odd harmonic
+    * pickup by ≥9× in power and leakage by ≥80×, so the argmax is the
+    * planted index). Raw double powers never leave the executor —
+    * only integer outputs surface, so DuckDB states both columns in
+    * closed form. */
+  val q_multimodal_audio_features = QuerySpec(
+    "q_multimodal_audio_features", Seq("E-mm"),
+    (s, d) => {
+      val mkWav = udf { id: Long =>
+        val h = (1 + id % 8).toInt
+        val amp = (500 + (id % 5) * 250).toShort
+        val n = (320 + (id % 7) * 32).toInt
+        val samples = Array.tabulate[Short](n)(i =>
+          if ((i / h) % 2 == 0) amp else (-amp).toShort)
+        MediaCodec.encodeWavPcm16(8000, 1, samples)
+      }
+      val media = Engine.table(s, d, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        mkWav(col("doc_id")).as("payload"))
+      Multimodal.audioToneFeatures(media,
+          (1 to 8).map(h => 8000.0 / (2 * h)))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CAST((320 + (doc_id % 7) * 32 - 1)
+                        // (1 + doc_id % 8) AS BIGINT) AS zcr,
+                   CAST(doc_id % 8 AS BIGINT) AS dominant
+            FROM documents ORDER BY media_id"""))
+
   /** Perceptual near-dup IMAGE dedup end-to-end across ALL THREE
     * containers: plant one real image per document whose CONTENT is
     * keyed by `doc_id % 25` — each class is a grayscale gradient with
@@ -1120,5 +1155,6 @@ object TextQueries {
     q_multimodal_frames, q_multimodal_decode_bmp,
     q_multimodal_decode_png, q_multimodal_decode_jpeg,
     q_multimodal_decode_video, q_multimodal_decode_wav,
+    q_multimodal_audio_features,
     q_multimodal_phash_dedup, q_multimodal_audio_dedup)
 }

@@ -653,6 +653,54 @@ object MediaCodec {
       hash
     }
 
+  /** Zero-crossing count over channel 0 — the classic integer-exact
+    * audio activity feature (speech/music/noise discrimination): the
+    * number of adjacent sample pairs whose signs differ. Zero samples
+    * carry the previous sign (no crossing until the signal actually
+    * changes side). None for anything that is not PCM-16 WAV. */
+  def wavZeroCrossings(bytes: Array[Byte]): Option[Long] =
+    wavGeom(bytes).map { case (_, channels, dataOff, n) =>
+      val frames = n / channels
+      var z = 0L
+      var prevPos = false
+      var started = false
+      var k = 0
+      while (k < frames) {
+        val v = u16(bytes, dataOff + (k * channels) * 2).toShort.toInt
+        if (v != 0) {
+          val pos = v > 0
+          if (started && pos != prevPos) z += 1
+          prevPos = pos
+          started = true
+        }
+        k += 1
+      }
+      z
+    }
+
+  /** Single-bin DFT power at `freqHz` over channel 0 — the Goertzel
+    * algorithm (Goertzel 1958, the standard tone-detection kernel; the
+    * DTMF decoder's workhorse). Double-valued, so consumers should
+    * COMPARE powers (argmax over a probe bank) rather than export raw
+    * magnitudes to an oracle. */
+  def wavGoertzelPower(bytes: Array[Byte], freqHz: Double)
+      : Option[Double] =
+    wavGeom(bytes).map { case (rate, channels, dataOff, n) =>
+      val frames = n / channels
+      val coeff = 2.0 * math.cos(2.0 * math.Pi * freqHz / rate)
+      var s1 = 0.0
+      var s2 = 0.0
+      var k = 0
+      while (k < frames) {
+        val v = u16(bytes, dataOff + (k * channels) * 2).toShort.toInt
+        val s0 = v + coeff * s1 - s2
+        s2 = s1
+        s1 = s0
+        k += 1
+      }
+      s1 * s1 + s2 * s2 - coeff * s1 * s2
+    }
+
   // ----------------------------------------------- AVI (MJPEG in RIFF)
 
   /** Validated MJPEG/AVI geometry. */

@@ -146,6 +146,39 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio signal features beyond the decode summary: per payload the
+    * integer-exact zero-crossing count
+    * ([[MediaCodec.wavZeroCrossings]]) and the DOMINANT TONE as an
+    * argmax over a Goertzel probe bank ([[MediaCodec.wavGoertzelPower]]
+    * at each candidate Hz — DTMF-style detection). The raw Goertzel
+    * powers are doubles and never leave the executor; only the probe
+    * INDEX (ties → lowest index) and the crossing count surface, so
+    * results are engine-exact. NULL columns for payloads that are not
+    * PCM-16 WAV. Map-only at any corpus size, same batch shape as
+    * [[perceptualHash]]. */
+  def audioToneFeatures(media: DataFrame,
+      candidatesHz: Seq[Double]): DataFrame = {
+    require(candidatesHz.nonEmpty, "audioToneFeatures needs probes")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("zcr", LongType, nullable = true),
+      StructField("dominant", LongType, nullable = true)))
+    val enc = ExpressionEncoder(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val zcr = MediaCodec.wavZeroCrossings(payload)
+        val dom = zcr.map { _ =>
+          val powers = candidatesHz.map(hz =>
+            MediaCodec.wavGoertzelPower(payload, hz).getOrElse(0.0))
+          powers.indexOf(powers.max).toLong
+        }
+        Row(r.getLong(0), zcr.map(java.lang.Long.valueOf).orNull,
+          dom.map(java.lang.Long.valueOf).orNull)
+      }
+    }(enc)
+  }
+
   /** Perceptual near-dup image dedup: keep the smallest media_id per
     * dHash class; rows whose payload is not a decodable image keep
     * themselves (null hash never groups). min_by-style single

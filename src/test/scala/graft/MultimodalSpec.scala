@@ -618,4 +618,23 @@ class MultimodalSpec extends SparkSuite {
     assert(feats(2L) == Seq(2f, 8000f, 1f, 2f, 14f, 7f))
     assert(feats(3L).length == 16) // stub histogram fallback
   }
+
+  test("wavZeroCrossings + Goertzel tone detection on known signals") {
+    // 8 kHz mono, 400 samples, 1 kHz square wave (half-period 4)
+    val sq = Array.tabulate[Short](400)(i =>
+      if ((i / 4) % 2 == 0) 1000 else -1000)
+    val wav = MediaCodec.encodeWavPcm16(8000, 1, sq)
+    assert(MediaCodec.wavZeroCrossings(wav).contains(399L / 4))
+    // the 1 kHz probe beats probes at 500 Hz and 2 kHz
+    val p = Seq(500.0, 1000.0, 2000.0)
+      .map(hz => MediaCodec.wavGoertzelPower(wav, hz).get)
+    assert(p(1) > p(0) * 5 && p(1) > p(2) * 5, p.toString)
+    // zeros carry the previous sign: +A, 0, -A is ONE crossing
+    val z = MediaCodec.encodeWavPcm16(8000, 1,
+      Array[Short](1000, 0, -1000, 0, 0, 1000))
+    assert(MediaCodec.wavZeroCrossings(z).contains(2L))
+    // strictness: non-WAV bytes feature as null, never throw
+    assert(MediaCodec.wavZeroCrossings("nope".getBytes).isEmpty)
+    assert(MediaCodec.wavGoertzelPower("nope".getBytes, 1000.0).isEmpty)
+  }
 }
