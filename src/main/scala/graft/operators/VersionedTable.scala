@@ -60,6 +60,13 @@ object VersionedTable {
       name.stripPrefix("v").stripSuffix(".manifest").toLongOption
     else None
 
+  /** Parsed committed manifest: data dirs, schema json, CHECK
+    * constraints, and (operation name, commit epoch-millis) — the
+    * latter two None/empty on manifests predating their format line. */
+  private[operators] final case class ManifestData(
+      dirs: Seq[String], schema: Option[String],
+      constraints: Seq[(String, String)], op: Option[(String, Long)])
+
   /** Committed manifests are IMMUTABLE — publish is create-only
     * (nothing ever writes into an existing slot) and slot numbers are
     * never reused (claims go strictly upward; vacuum only deletes) —
@@ -89,28 +96,31 @@ object VersionedTable {
     * bounded by commit count and never consulted again. */
   private val committedCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, Long, Long, Long),
-      (Seq[String], Option[String], Seq[(String, String)])]()
+      (String, Long, Long, Long), ManifestData]()
 
   /** Data dirs of a committed manifest; None if absent or torn. */
   private def readManifest(f: FileSystem, root: String,
       v: Long): Option[Seq[String]] =
-    readManifestFull(f, root, v).map(_._1)
+    readManifestFull(f, root, v).map(_.dirs)
 
   private val schemaMark = "#SCHEMA:"
   private val constraintMark = "#CONSTRAINT:"
+  private val opMark = "#OP:"
 
-  /** (data dirs, schema json, constraints) of a committed manifest. The
-    * schema line (written first, `#SCHEMA:<StructType.json>`) is the
-    * snapshot's authoritative column set — carried IN the commit point,
-    * so it is atomic with the dir list and immune to write/validate
-    * races; a manifest without one predates schema tracking (readers
-    * fall back to parquet schema merging). `#CONSTRAINT:<name>:<expr>`
-    * lines carry the snapshot's CHECK constraints the same way (atomic
-    * with the data they gate — the same format-version caveat as the
-    * schema line applies). The END count covers data dirs only. */
+  /** Parse a committed manifest. The schema line (written first,
+    * `#SCHEMA:<StructType.json>`) is the snapshot's authoritative
+    * column set — carried IN the commit point, so it is atomic with
+    * the dir list and immune to write/validate races; a manifest
+    * without one predates schema tracking (readers fall back to
+    * parquet schema merging). `#CONSTRAINT:<name>:<expr>` lines carry
+    * the snapshot's CHECK constraints, `#OP:<name>:<epochMillis>` the
+    * committing operation and wall-clock time (history/time-travel
+    * metadata only — never a correctness input) the same way. Any
+    * future `#`-prefixed line is likewise ignored by the dir parse
+    * (the same format-version caveat as the schema line applies to
+    * all of them). The END count covers data dirs only. */
   private def readManifestFull(f: FileSystem, root: String,
-      v: Long): Option[(Seq[String], Option[String], Seq[(String, String)])] = {
+      v: Long): Option[ManifestData] = {
     val p = manifestPath(root, v)
     val st = try f.getFileStatus(p) catch {
       case _: java.io.FileNotFoundException => return None
@@ -130,15 +140,23 @@ object VersionedTable {
       val cut = body.indexOf(':')
       (body.take(cut), body.drop(cut + 1))
     }
-    val dirs = lines.dropRight(1).filterNot(l =>
-      l.startsWith(schemaMark) || l.startsWith(constraintMark))
+    val op = lines.find(_.startsWith(opMark)).flatMap { l =>
+      val body = l.stripPrefix(opMark)
+      val cut = body.lastIndexOf(':')
+      if (cut < 0) None
+      else body.drop(cut + 1).toLongOption.map(t => (body.take(cut), t))
+    }
+    // data dirs never start with '#': every marked line (known or from
+    // a future format rev) stays out of the dir list and END count
+    val dirs = lines.dropRight(1).filterNot(_.startsWith("#"))
     // END line is "#END:<count>" (legacy) or "#END:<count>:<nonce>"
     // (the nonce varies the file length across table generations)
     val count = lines.last.stripPrefix(endMark)
       .takeWhile(_ != ':').toIntOption
     if (count.contains(dirs.size)) {
-      committedCache.put(key, (dirs, schema, cons))
-      Some((dirs, schema, cons))
+      val md = ManifestData(dirs, schema, cons, op)
+      committedCache.put(key, md)
+      Some(md)
     } else None
   }
 
@@ -152,7 +170,7 @@ object VersionedTable {
   def snapshotSchema(spark: SparkSession, root: String,
       v: Long): Option[StructType] = {
     val f = fs(spark, root)
-    readManifestFull(f, root, v).flatMap(_._2).map(j =>
+    readManifestFull(f, root, v).flatMap(_.schema).map(j =>
       DataType.fromJson(j).asInstanceOf[StructType])
   }
 
@@ -169,6 +187,49 @@ object VersionedTable {
       .sorted
   }
 
+
+  /** DESCRIBE HISTORY (Delta semantics): one row per committed
+    * version — (version, ts, operation, n_dirs), newest last.
+    * Operation and timestamp come from the manifest's `#OP` line
+    * (null on manifests predating it). Driver-side manifest reads
+    * only: O(commits), no data touched, cache-served after first
+    * parse. */
+  def describeHistory(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val f = fs(spark, root)
+    val rows = versions(spark, root).flatMap { v =>
+      readManifestFull(f, root, v).map { md =>
+        Row(v, md.op.map(o => new java.sql.Timestamp(o._2)).orNull,
+          md.op.map(_._1).orNull, md.dirs.size.toLong)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("ts", TimestampType, nullable = true),
+        StructField("operation", StringType, nullable = true),
+        StructField("n_dirs", LongType, nullable = false))))
+  }
+
+  /** `TIMESTAMP AS OF` resolution (Delta semantics): the newest
+    * committed version whose recorded commit time is <= `tsMillis`;
+    * None when every version is newer. Versions without an `#OP` line
+    * (pre-provenance manifests) have no timestamp and are skipped. */
+  def versionAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): Option[Long] = {
+    val f = fs(spark, root)
+    versions(spark, root).reverseIterator.find(v =>
+      readManifestFull(f, root, v).flatMap(_.op).exists(_._2 <= tsMillis))
+  }
+
+  /** [[read]] at the snapshot current as of a wall-clock time. */
+  def readAsOfTimestamp(spark: SparkSession, root: String,
+      tsMillis: Long): DataFrame =
+    read(spark, root, Some(versionAsOf(spark, root, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version committed at or before $tsMillis under $root"))))
 
   /** Claim the next version number and install a manifest whose dir
     * list is `dirsFor(latestCommittedVersion)`. The create-if-absent is
@@ -200,14 +261,15 @@ object VersionedTable {
   private def commitManifest(spark: SparkSession, root: String,
       dirsFor: Option[Long] => Seq[String],
       schemaFor: Option[Long] => Option[StructType] = _ => None,
-      constraintsFor: Option[Long] => Seq[(String, String)] = null): Long = {
+      constraintsFor: Option[Long] => Seq[(String, String)] = null,
+      op: String = "commit"): Long = {
     val f = fs(spark, root)
     f.mkdirs(new Path(root, logDir))
     // default: CARRY the latest committed snapshot's constraint set
     // forward — a write path never silently sheds table constraints
     val consFor = Option(constraintsFor).getOrElse(
       (l: Option[Long]) => l.flatMap(readManifestFull(f, root, _))
-        .map(_._3).getOrElse(Seq.empty))
+        .map(_.constraints).getOrElse(Seq.empty))
     var committed = -1L
     while (committed < 0) {
       val latest = versions(spark, root).lastOption
@@ -222,6 +284,9 @@ object VersionedTable {
         .map(s => s"$schemaMark${s.json}\n").getOrElse("")
       val consLines = consFor(latest)
         .map { case (n, e) => s"$constraintMark$n:$e\n" }.mkString
+      // provenance only — never consulted for correctness, so the
+      // wall clock here is safe
+      val opLine = s"$opMark$op:${System.currentTimeMillis()}\n"
       // random-LENGTH nonce (1..64 hex chars): makes the manifest's
       // byte length a generation discriminator for the committed-
       // manifest cache (see its scaladoc) — dir names are fixed-width,
@@ -231,7 +296,7 @@ object VersionedTable {
         java.util.UUID.randomUUID().toString).replace("-", "")
         .take(1 + scala.util.Random.nextInt(64))
       val end = s"$endMark${dirs.size}:$nonce\n"
-      val body = (schemaLine + consLines + (if (dirs.isEmpty) end
+      val body = (schemaLine + consLines + opLine + (if (dirs.isEmpty) end
         else dirs.mkString("\n") + s"\n$end"))
         .getBytes("UTF-8")
       var v = latest.getOrElse(0L) + 1
@@ -344,7 +409,7 @@ object VersionedTable {
     val entryLatest = versions(spark, root).lastOption
     gate(entryLatest)
     val entryCons = entryLatest.flatMap(readManifestFull(f, root, _))
-      .map(_._3).getOrElse(Seq.empty)
+      .map(_.constraints).getOrElse(Seq.empty)
     // data first, fully, into an immutable dir nobody references yet —
     // CHECK constraints enforced as observed metrics of this write
     writeDataDir(spark, root, dataDir, df, entryCons)
@@ -366,7 +431,7 @@ object VersionedTable {
       latest => {
         import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
         val cons = latest.flatMap(readManifestFull(f, root, _))
-          .map(_._3).getOrElse(Seq.empty)
+          .map(_.constraints).getOrElse(Seq.empty)
         val newcomers = cons.filterNot(entryCons.toSet)
         if (newcomers.nonEmpty) {
           val back = spark.read.parquet(new Path(root, dataDir).toString)
@@ -382,7 +447,8 @@ object VersionedTable {
           }
         }
         cons
-      })
+      },
+      op = if (overwrite) "overwrite" else "append")
   }
 
   // ------------------------------------------------ snapshot schema
@@ -495,14 +561,15 @@ object VersionedTable {
     val v = asOf.getOrElse(versions(spark, srcRoot).lastOption.getOrElse(
       throw new IllegalStateException(
         s"no committed version under $srcRoot")))
-    val (dirs, _, cons) = readManifestFull(fSrc, srcRoot, v).getOrElse(
+    val md = readManifestFull(fSrc, srcRoot, v).getOrElse(
       throw new IllegalArgumentException(s"version $v not committed"))
+    val (dirs, cons) = (md.dirs, md.constraints)
     val schema = snapshotSchema(spark, srcRoot, v)
       .getOrElse(schemaOfVersion(spark, srcRoot, v, dirs))
     val absolute = dirs.map(d =>
       fSrc.makeQualified(new Path(srcRoot, d)).toString)
     commitManifest(spark, dstRoot, _ => absolute,
-      _ => Some(schema), _ => cons)
+      _ => Some(schema), _ => cons, op = "clone")
   }
 
   /** Read the table at `asOf` (a committed version) or, by default,
@@ -542,7 +609,7 @@ object VersionedTable {
     // the current set may reject rows the restored snapshot contains)
     commitManifest(spark, root, _ => dirs,
       _ => snapshotSchema(spark, root, v),
-      _ => constraintsOf(spark, root, Some(v)))
+      _ => constraintsOf(spark, root, Some(v)), op = "restore")
   }
 
   // ------------------------------------------------- CHECK constraints
@@ -554,7 +621,7 @@ object VersionedTable {
     val f = fs(spark, root)
     val v = asOf.orElse(versions(spark, root).lastOption)
       .getOrElse(return Seq.empty)
-    readManifestFull(f, root, v).map(_._3).getOrElse(Seq.empty)
+    readManifestFull(f, root, v).map(_.constraints).getOrElse(Seq.empty)
   }
 
   /** Add a table-level CHECK constraint (Delta `ALTER TABLE ... ADD
@@ -588,7 +655,7 @@ object VersionedTable {
       latest => latest.flatMap(v => snapshotSchema(spark, root, v)),
       latest => {
         val cur = latest.flatMap(readManifestFull(f, root, _))
-          .map(_._3).getOrElse(Seq.empty)
+          .map(_.constraints).getOrElse(Seq.empty)
         require(!cur.exists(_._1 == name),
           s"constraint '$name' already exists")
         latest.foreach { v =>
@@ -600,7 +667,7 @@ object VersionedTable {
               " — clean the data first (deleteWhere/updateWhere)")
         }
         cur :+ (name -> exprSql)
-      })
+      }, op = "add-constraint")
   }
 
   /** NOT NULL constraint sugar: `addConstraint("nn_<col>", "<col> IS
@@ -620,10 +687,10 @@ object VersionedTable {
       latest => latest.flatMap(v => snapshotSchema(spark, root, v)),
       latest => {
         val cur = latest.flatMap(readManifestFull(f, root, _))
-          .map(_._3).getOrElse(Seq.empty)
+          .map(_.constraints).getOrElse(Seq.empty)
         require(cur.exists(_._1 == name), s"no constraint named '$name'")
         cur.filterNot(_._1 == name)
-      })
+      }, op = "drop-constraint")
   }
 
   // ------------------------------------------------- per-dir column stats
@@ -926,7 +993,7 @@ object VersionedTable {
         throw new java.util.ConcurrentModificationException(
           s"merge read v$baseV but table is now at v$latest — rerun")
       untouched :+ newDir
-    }, _ => Some(tableSchema), _ => consBase)
+    }, _ => Some(tableSchema), _ => consBase, op = "merge")
   }
 
   /** Predicate DELETE with the same dir-granularity copy-on-write as
@@ -938,7 +1005,7 @@ object VersionedTable {
     * current one when nothing matches — no empty commit). */
   def deleteWhere(spark: SparkSession, root: String,
       cond: org.apache.spark.sql.Column): Long =
-    rewriteTouched(spark, root, cond)(df => df.filter(!cond))
+    rewriteTouched(spark, root, cond, "delete")(df => df.filter(!cond))
 
   /** Predicate UPDATE (`SET col = expr` for each assignment), dir-
     * granularity copy-on-write like [[deleteWhere]]. Assignment
@@ -947,7 +1014,7 @@ object VersionedTable {
       cond: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long = {
     import org.apache.spark.sql.functions.when
-    rewriteTouched(spark, root, cond) { df =>
+    rewriteTouched(spark, root, cond, "update") { df =>
       set.foldLeft(df) { case (acc, (name, expr)) =>
         acc.withColumn(name,
           when(cond, expr).otherwise(org.apache.spark.sql.functions.col(name)))
@@ -960,7 +1027,7 @@ object VersionedTable {
     * exactly those dirs' rows, commit untouched dirs + the rewrite as
     * the next version iff the table hasn't moved. */
   private def rewriteTouched(spark: SparkSession, root: String,
-      cond: org.apache.spark.sql.Column)(
+      cond: org.apache.spark.sql.Column, op: String)(
       rewrite: DataFrame => DataFrame): Long = {
     import org.apache.spark.sql.functions._
     val f = fs(spark, root)
@@ -997,7 +1064,7 @@ object VersionedTable {
         throw new java.util.ConcurrentModificationException(
           s"rewrite read v$baseV but table is now at v$latest — rerun")
       untouched :+ newDir
-    }, _ => Some(tableSchema), _ => consBase)
+    }, _ => Some(tableSchema), _ => consBase, op = op)
   }
 
   /** Row-level CHANGES between two committed versions (CDC read):
@@ -1091,7 +1158,7 @@ object VersionedTable {
         throw new java.util.ConcurrentModificationException(
           s"compact read v$baseV but table is now at v$latest — rerun")
       Seq(newDir)
-    }, _ => Some(tableSchema), _ => consBase)
+    }, _ => Some(tableSchema), _ => consBase, op = "compact")
   }
 
   /** OPTIMIZE ZORDER: rewrite the latest snapshot into one data dir
@@ -1133,7 +1200,7 @@ object VersionedTable {
         throw new java.util.ConcurrentModificationException(
           s"optimize read v$baseV but table is now at v$latest — rerun")
       Seq(newDir)
-    }, _ => Some(tableSchema), _ => consBase)
+    }, _ => Some(tableSchema), _ => consBase, op = "optimize")
   }
 
   /** Incremental CDC consumer: process every version committed since

@@ -650,6 +650,37 @@ class VersionedTableSpec extends SparkSuite {
     }
   }
 
+  test("describeHistory + TIMESTAMP AS OF resolve commit provenance") {
+    val root = tmpDir("vtabhist")
+    val before = System.currentTimeMillis() - 1
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    Thread.sleep(15)
+    val betweenV1V2 = System.currentTimeMillis()
+    Thread.sleep(15)
+    VersionedTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"))
+    VersionedTable.deleteWhere(spark, root, col("id") === 1L)
+    val hist = VersionedTable.describeHistory(spark, root)
+      .orderBy("version").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(hist.map(_.getString(2)).toSeq ==
+      Seq("append", "append", "delete"))
+    val times = hist.map(_.getTimestamp(1).getTime)
+    assert(times.sorted.sameElements(times), "commit times nondecreasing")
+    assert(times.forall(_ >= before))
+    // TIMESTAMP AS OF: between v1 and v2 resolves to v1; before
+    // everything resolves to nothing; now resolves to latest
+    assert(VersionedTable.versionAsOf(spark, root, betweenV1V2)
+      .contains(1L))
+    assert(VersionedTable.versionAsOf(spark, root, before - 10).isEmpty)
+    assert(VersionedTable.versionAsOf(spark, root,
+      System.currentTimeMillis()).contains(3L))
+    assert(VersionedTable.readAsOfTimestamp(spark, root, betweenV1V2)
+      .select("id").head().getLong(0) == 1L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOfTimestamp(spark, root, before - 10)
+    }
+  }
+
   test("shallow clone: zero-copy, isolated writes, CoW over cloned dirs, compact severs") {
     val src = tmpDir("vtabsrc")
     val dst = tmpDir("vtabdst")
