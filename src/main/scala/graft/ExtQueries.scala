@@ -1337,19 +1337,21 @@ object ExtQueries {
         .createTempDirectory("graft_vtab_cl").toString
       val src = s"$parent/src"
       val dst = s"$parent/clone"
-      VersionedTable.commit(s, src, o.filter(b <= 4))        // src v1
-      VersionedTable.cloneShallow(s, src, dst)               // dst v1
-      VersionedTable.commit(s, dst, o.filter(b === 7))       // dst v2
-      VersionedTable.deleteWhere(s, dst, col("k") % 3 === 0) // dst v3
-      VersionedTable.commit(s, src, o.filter(b === 9))       // src v2
+      VersionedTable.commit(s, src, o.filter(b <= 4))
+      val vClone = VersionedTable.cloneShallow(s, src, dst)
+      VersionedTable.commit(s, dst, o.filter(b === 7))
+      // use RETURNED versions: a predicate delete that matches nothing
+      // (the zero-row robustness corpus) no-ops without committing
+      val vDel = VersionedTable.deleteWhere(s, dst, col("k") % 3 === 0)
+      val vSrc = VersionedTable.commit(s, src, o.filter(b === 9))
       def agg(root: String, v: Long, label: String) =
         VersionedTable.read(s, root, Some(v))
           .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
           .select(lit(label).as("label"), col("n"), col("sum_v"))
       Engine.collectAndClean(
-        agg(src, 2L, "p1_source_latest")
-          .unionByName(agg(dst, 1L, "p2_clone_v1"))
-          .unionByName(agg(dst, 3L, "p3_clone_latest"))
+        agg(src, vSrc, "p1_source_latest")
+          .unionByName(agg(dst, vClone, "p2_clone_v1"))
+          .unionByName(agg(dst, vDel, "p3_clone_latest"))
           .orderBy("label"), parent)
     },
     Some("""WITH q AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
