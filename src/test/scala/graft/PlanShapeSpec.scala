@@ -637,4 +637,38 @@ class PlanShapeSpec extends SparkSuite {
       s"gap-fill must not globally sort:\n$plan")
     assert(plan.contains("Window"), plan)
   }
+
+  test("LM scoring: count tables broadcast, corpus scans bounded") {
+    val plan = executedPlan(CurationQueries.q_lm_score.run(spark, sf))
+    // the c12/c1 count frames must reach the doc-side joins as
+    // broadcasts (they are vocabulary-sized dimensions), and the only
+    // nested-loop join is the intended 1-row V broadcast cross —
+    // nothing corpus-sized ever goes all-pairs
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // corpus reads stay bounded: train counts (2: bigrams + vocab) +
+    // doc scoring (2: bigram tf + the keep-empty-docs left join) — the
+    // AQE string repeats every node under "== Initial Plan ==", so
+    // count only the final section
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(scans <= 5,
+      s"LM scoring re-reads the corpus ($scans scans):\n$finalPlan")
+  }
+
+  test("fuzzy linkage: candidate join is a block-key equi-join, " +
+      "never a cross product") {
+    val plan = executedPlan(TextQueries.q_dedup_fuzzy.run(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy linkage must never go all-pairs:\n$plan")
+  }
+
+  test("hybrid RRF: both legs stay TakeOrdered, fusion never sorts " +
+      "the corpus") {
+    val plan = executedPlan(CurationQueries.q_hybrid_rrf.run(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"RRF fused a corpus-wide sort:\n$plan")
+  }
 }

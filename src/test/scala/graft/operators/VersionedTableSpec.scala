@@ -133,6 +133,34 @@ class VersionedTableSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("CHECK constraints gate the streaming sink: a violating " +
+      "micro-batch fails the query, no version published") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("vtabstreamck2")
+    VersionedTable.commit(spark, root, Seq(1L).toDF("id"))
+    VersionedTable.addConstraint(spark, root, "id_pos", "id > 0")
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.StreamOps.versionedTableSink(
+      mem.toDF.withColumnRenamed("value", "id"),
+      root, tmpDir("vtabstreamck2ck"), intervalMs = 50)
+    try {
+      mem.addData(2L, 3L)
+      q.processAllAvailable() // valid batch commits
+      val good = VersionedTable.versions(spark, root)
+      mem.addData(-7L)
+      val ex = intercept[Exception](q.processAllAvailable())
+      assert(String.valueOf(ex.getMessage).contains("id_pos") ||
+        Option(ex.getCause).exists(c =>
+          String.valueOf(c.getMessage).contains("id_pos")),
+        s"stream must fail with the constraint error: $ex")
+      assert(VersionedTable.versions(spark, root) == good,
+        "a violating micro-batch must not publish a version")
+      assert(VersionedTable.read(spark, root)
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("merge: upsert + matched-delete, copy-on-write at dir granularity") {
     val root = tmpDir("vtabmerge")
     // v1 and v2 land in separate data dirs; the merge's keys all live
