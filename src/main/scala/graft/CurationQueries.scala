@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.quantizedCosine
 import graft.operators.{Sampling, Similarity, TextOps}
 
 /** Round-4 corpus-curation conformance queries: repetition filtering,
@@ -176,14 +175,7 @@ object CurationQueries {
           k1 = bm25K1, b = bm25B)
         .select(col("doc_id").as("id"), row_number().over(
           Window.orderBy(desc("score"), asc("doc_id"))).as("rank"))
-      val q0 = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"))
-      val r2 = emb.crossJoin(broadcast(q0))
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"),
-          quantizedCosine(col("embedding"), col("qv")).as("cos"))
-        .orderBy(desc("cos"), asc("vec_id"))
-        .limit(20)
+      val r2 = TextQueries.embedTopKBruteforce(emb, 20)
         .select(col("vec_id").as("id"), row_number().over(
           Window.orderBy(desc("cos"), asc("vec_id"))).as("rank"))
       Similarity.rrfFuse(Seq(r1, r2), kConst = 60)
@@ -193,23 +185,7 @@ object CurationQueries {
     Some(s"""WITH r1 AS (SELECT doc_id AS id, row_number() OVER
                            (ORDER BY score DESC, doc_id) AS rank
                          FROM (${bm25OracleSqlOver(duckTok, 20)})),
-             qz AS (SELECT vec_id,
-                      list_transform(embedding,
-                        x -> round(x::DOUBLE * 1000)::BIGINT) AS q
-                    FROM embeddings),
-             cs AS (SELECT e.vec_id,
-                      CASE WHEN sqrt(na::DOUBLE)*sqrt(nb::DOUBLE) = 0
-                           THEN 0.0
-                           ELSE dot::DOUBLE /
-                                (sqrt(na::DOUBLE)*sqrt(nb::DOUBLE)) END AS cos
-                    FROM (SELECT e.vec_id,
-                            list_sum(list_transform(range(1, len(e.q)+1),
-                              i -> e.q[i] * q0.q[i]))::BIGINT AS dot,
-                            list_sum(list_transform(e.q, x -> x*x))::BIGINT AS na,
-                            list_sum(list_transform(q0.q, x -> x*x))::BIGINT AS nb
-                          FROM qz e, (SELECT q FROM qz WHERE vec_id=0) q0
-                          WHERE e.vec_id <> 0) e
-                    ORDER BY cos DESC, vec_id LIMIT 20),
+             cs AS (SELECT * FROM (${TextQueries.duckEmbedTopKSql(20)})),
              r2 AS (SELECT vec_id AS id, row_number() OVER
                       (ORDER BY cos DESC, vec_id) AS rank FROM cs),
              u AS (SELECT id, 1000000000 // (60 + CAST(rank AS BIGINT)) AS rrf_q

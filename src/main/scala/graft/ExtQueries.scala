@@ -1284,9 +1284,9 @@ object ExtQueries {
           .select(lit(label).as("label"), col("n"), col("sum_v"),
             lit(cons).as("n_cons"))
       }
-      val p4 = snap(3L, "p4_rejected")
-        .select(col("label"), lit(rejected).as("n"),
-          lit(0L).as("sum_v"), lit(1L).as("n_cons"))
+      // literal row — no point aggregating a snapshot just to discard it
+      val p4 = s.range(1).select(lit("p4_rejected").as("label"),
+        lit(rejected).as("n"), lit(0L).as("sum_v"), lit(1L).as("n_cons"))
       Engine.collectAndClean(
         snap(1L, "p1_initial").unionByName(snap(2L, "p2_constrained"))
           .unionByName(snap(3L, "p3_appended")).unionByName(p4)

@@ -459,37 +459,48 @@ object TextQueries {
 
   // ----------------------------------------------------------- similarity
 
+  /** Shared quantized-cosine brute-force top-`k` leg against query
+    * vector 0 — the Spark side of q_embed_topk_bruteforce, reused by
+    * the hybrid-RRF fusion query (same one-source-of-truth contract as
+    * the parameterized BM25 oracle in [[CurationQueries]]). */
+  private[graft] def embedTopKBruteforce(
+      emb: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        quantizedCosine(col("embedding"), col("qv")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Its DuckDB oracle, parameterized by limit. */
+  private[graft] def duckEmbedTopKSql(limit: Int): String =
+    s"""WITH qz AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> round(x::DOUBLE * 1000)::BIGINT) AS q
+           FROM embeddings)
+        SELECT e.vec_id,
+               CASE WHEN sqrt(na::DOUBLE)*sqrt(nb::DOUBLE) = 0 THEN 0.0
+                    ELSE dot::DOUBLE /
+                         (sqrt(na::DOUBLE)*sqrt(nb::DOUBLE)) END AS cos
+        FROM (SELECT e.vec_id,
+                list_sum(list_transform(range(1, len(e.q)+1),
+                  i -> e.q[i] * q0.q[i]))::BIGINT AS dot,
+                list_sum(list_transform(e.q, x -> x*x))::BIGINT AS na,
+                list_sum(list_transform(q0.q, x -> x*x))::BIGINT AS nb
+              FROM qz e, (SELECT q FROM qz WHERE vec_id=0) q0
+              WHERE e.vec_id <> 0) e
+        ORDER BY cos DESC, vec_id LIMIT $limit"""
+
   /** Brute-force cosine top-k vs the vec_id=0 query vector, on quantized
     * vectors so scores are bitwise identical to the oracle. */
   val q_embed_topk_bruteforce = QuerySpec(
     "q_embed_topk_bruteforce", Seq("E-sim"),
-    (s, d) => {
-      val emb = Engine.table(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"))
-      emb.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"),
-          quantizedCosine(col("embedding"), col("qv")).as("cos"))
-        .orderBy(desc("cos"), asc("vec_id"))
-        .limit(10)
-    },
-    Some("""WITH qz AS (SELECT vec_id,
-                 list_transform(embedding,
-                   x -> round(x::DOUBLE * 1000)::BIGINT) AS q
-               FROM embeddings)
-            SELECT e.vec_id,
-                   CASE WHEN sqrt(na::DOUBLE)*sqrt(nb::DOUBLE) = 0 THEN 0.0
-                        ELSE dot::DOUBLE /
-                             (sqrt(na::DOUBLE)*sqrt(nb::DOUBLE)) END AS cos
-            FROM (SELECT e.vec_id,
-                    list_sum(list_transform(range(1, len(e.q)+1),
-                      i -> e.q[i] * q0.q[i]))::BIGINT AS dot,
-                    list_sum(list_transform(e.q, x -> x*x))::BIGINT AS na,
-                    list_sum(list_transform(q0.q, x -> x*x))::BIGINT AS nb
-                  FROM qz e, (SELECT q FROM qz WHERE vec_id=0) q0
-                  WHERE e.vec_id <> 0) e
-            ORDER BY cos DESC, vec_id LIMIT 10"""))
+    (s, d) => embedTopKBruteforce(Engine.table(s, d, "embeddings"), 10),
+    Some(duckEmbedTopKSql(10)))
 
   /** Planted ANN ground truth: for every query id q in 0..9, ten
     * near-duplicates of vector q planted at ids 200000 + q*100 + i

@@ -678,28 +678,46 @@ object MediaCodec {
       z
     }
 
-  /** Single-bin DFT power at `freqHz` over channel 0 — the Goertzel
-    * algorithm (Goertzel 1958, the standard tone-detection kernel; the
-    * DTMF decoder's workhorse). Double-valued, so consumers should
-    * COMPARE powers (argmax over a probe bank) rather than export raw
-    * magnitudes to an oracle. */
-  def wavGoertzelPower(bytes: Array[Byte], freqHz: Double)
-      : Option[Double] =
+  /** Single-bin DFT powers at each of `freqsHz` over channel 0 — the
+    * Goertzel algorithm (Goertzel 1958, the standard tone-detection
+    * kernel; the DTMF decoder's workhorse), run as a BANK: one pass
+    * over the samples updates every probe's resonator state, so B
+    * probes cost one header parse and one sample scan, not B+1.
+    * Double-valued, so consumers should COMPARE powers (argmax) rather
+    * than export raw magnitudes to an oracle. */
+  def wavGoertzelPowers(bytes: Array[Byte], freqsHz: Seq[Double])
+      : Option[Array[Double]] =
     wavGeom(bytes).map { case (rate, channels, dataOff, n) =>
       val frames = n / channels
-      val coeff = 2.0 * math.cos(2.0 * math.Pi * freqHz / rate)
-      var s1 = 0.0
-      var s2 = 0.0
+      val b = freqsHz.length
+      val coeff = new Array[Double](b)
+      var j = 0
+      while (j < b) {
+        coeff(j) = 2.0 * math.cos(2.0 * math.Pi * freqsHz(j) / rate)
+        j += 1
+      }
+      val s1 = new Array[Double](b)
+      val s2 = new Array[Double](b)
       var k = 0
       while (k < frames) {
         val v = u16(bytes, dataOff + (k * channels) * 2).toShort.toInt
-        val s0 = v + coeff * s1 - s2
-        s2 = s1
-        s1 = s0
+        j = 0
+        while (j < b) {
+          val s0 = v + coeff(j) * s1(j) - s2(j)
+          s2(j) = s1(j)
+          s1(j) = s0
+          j += 1
+        }
         k += 1
       }
-      s1 * s1 + s2 * s2 - coeff * s1 * s2
+      Array.tabulate(b)(i =>
+        s1(i) * s1(i) + s2(i) * s2(i) - coeff(i) * s1(i) * s2(i))
     }
+
+  /** Single-probe convenience over [[wavGoertzelPowers]]. */
+  def wavGoertzelPower(bytes: Array[Byte], freqHz: Double)
+      : Option[Double] =
+    wavGoertzelPowers(bytes, Seq(freqHz)).map(_(0))
 
   // ----------------------------------------------- AVI (MJPEG in RIFF)
 

@@ -168,11 +168,9 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val zcr = MediaCodec.wavZeroCrossings(payload)
-        val dom = zcr.map { _ =>
-          val powers = candidatesHz.map(hz =>
-            MediaCodec.wavGoertzelPower(payload, hz).getOrElse(0.0))
-          powers.indexOf(powers.max).toLong
-        }
+        // one Goertzel BANK pass for all probes, not one scan per probe
+        val dom = MediaCodec.wavGoertzelPowers(payload, candidatesHz)
+          .map(p => p.indexOf(p.max).toLong)
         Row(r.getLong(0), zcr.map(java.lang.Long.valueOf).orNull,
           dom.map(java.lang.Long.valueOf).orNull)
       }

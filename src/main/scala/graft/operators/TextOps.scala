@@ -348,13 +348,21 @@ object TextOps {
 
     // greatest(..,1): a corpus past ~1e9 train tokens can floor an
     // unseen bigram's scaled probability to 0; clamp so log2 stays
-    // defined (the NLL saturates at the 1e-9 quantization floor)
+    // defined (the NLL saturates at the 1e-9 quantization floor).
+    // The numerator guard THROWS before the long multiply can wrap
+    // (c12 past ~9.2e9 under non-ANSI arithmetic would otherwise
+    // silently invert the score of the corpus's most fluent bigram —
+    // same overflow discipline as pageRankExact/katzCentralityExact).
     val scored = db
       .join(c12, Seq("bg"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vstats))
       .withColumn("__pq", greatest(
-        expr("(1000000000L * (coalesce(c12, 0L) + 1L)) div (coalesce(c1, 0L) + v)"),
+        expr("""(1000000000L * (CASE WHEN coalesce(c12, 0L) > 9000000000L
+                  THEN raise_error('ngramLmScore: bigram count past the
+ 1e-9-quantization long range; rescale the probability unit')
+                  ELSE coalesce(c12, 0L) END + 1L))
+                div (coalesce(c1, 0L) + v)"""),
         lit(1L)))
       .withColumn("__nll",
         (lit(Log2OneE9Q1024) - mitchellLog2Q1024(col("__pq"))) * col("tf"))

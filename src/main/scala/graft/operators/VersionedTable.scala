@@ -394,7 +394,9 @@ object VersionedTable {
       .getOrElse(java.util.UUID.randomUUID().toString)
     if (idempotencyKey.isDefined) {
       val already = versions(spark, root).find(v =>
-        readManifest(f, root, v).exists(_.contains(dataDir)))
+        // dirKey identity: a shallow clone rewrites a keyed dir as an
+        // absolute source path, and re-delivery must still no-op there
+        readManifest(f, root, v).exists(_.exists(dirKey(_) == dataDir)))
       already.foreach(v => return v)
       // crash orphan from a previous attempt: unreferenced, rewrite
       f.delete(new Path(root, dataDir), true)
@@ -557,6 +559,10 @@ object VersionedTable {
     * clones, or compact the clone to sever. Returns the clone's v1. */
   def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
       asOf: Option[Long] = None): Long = {
+    // Delta errors on an existing target too: a clone must never
+    // wholesale-replace a table that already has committed versions
+    require(versions(spark, dstRoot).isEmpty,
+      s"cloneShallow target $dstRoot already has committed versions")
     val fSrc = fs(spark, srcRoot)
     val v = asOf.getOrElse(versions(spark, srcRoot).lastOption.getOrElse(
       throw new IllegalStateException(
@@ -892,7 +898,8 @@ object VersionedTable {
       val f = fs(spark, root)
       val dir = s"data/k-$k"
       val already = versions(spark, root).find(v =>
-        readManifest(f, root, v).exists(_.contains(dir)))
+        // dirKey identity — same clone-entry caveat as [[commit]]'s check
+        readManifest(f, root, v).exists(_.exists(dirKey(_) == dir)))
       already.foreach(v => return v)
       // crash orphan from a previous attempt: unreferenced, rewrite
       f.delete(new Path(root, dir), true)

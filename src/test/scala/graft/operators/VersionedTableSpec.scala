@@ -747,6 +747,24 @@ class VersionedTableSpec extends SparkSuite {
     // ...with the source untouched by any of it
     assert(rows(src) ==
       Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")))
+    // a cloned KEYED dir keeps its idempotency identity: re-offering
+    // the same logical commit against the clone is a no-op (the clone
+    // entry is an absolute path, matched by dirKey, not raw string)
+    val src2 = tmpDir("vtabsrck")
+    val dst2 = tmpDir("vtabdstk")
+    VersionedTable.commit(spark, src2, Seq((1L, "a")).toDF("id", "s"),
+      idempotencyKey = Some("batch-7"))
+    VersionedTable.cloneShallow(spark, src2, dst2)
+    val beforeRedeliver = VersionedTable.versions(spark, dst2)
+    VersionedTable.commit(spark, dst2, Seq((9L, "dup")).toDF("id", "s"),
+      idempotencyKey = Some("batch-7"))
+    assert(VersionedTable.versions(spark, dst2) == beforeRedeliver,
+      "re-delivered keyed commit must no-op on a clone")
+    assert(VersionedTable.read(spark, dst2).count() == 1L)
+    // cloning INTO an existing table is refused, never an overwrite
+    intercept[IllegalArgumentException] {
+      VersionedTable.cloneShallow(spark, src2, dst)
+    }
     // compact rewrites locally and severs the source dependency:
     // orphan the source dirs and vacuum them away, clone still reads
     VersionedTable.compact(spark, dst)
