@@ -63,15 +63,33 @@ object Dedup {
     * the threshold form of `levenshtein` (early-exits once the running
     * distance exceeds `maxDist` — O(maxDist·n) per pair instead of
     * O(n²)), and exact integer edit distance makes the pair set
-    * engine-independent (DuckDB's `levenshtein` is the oracle). */
+    * engine-independent (DuckDB's `levenshtein` is the oracle).
+    *
+    * HOT-BLOCK GUARD: within-block pairing is quadratic in block
+    * OCCUPANCY, and real entity tables always grow a few junk-key hot
+    * blocks (empty names, placeholder defaults, a celebrity entity
+    * cloned millions of times) — measured at the 30× replica, cloned
+    * names push the whole operator superlinear (SCALE.md). `maxBlock`
+    * applies the standard ER mitigation (skip oversized blocks — they
+    * are near-always junk keys, and anything genuine inside them needs
+    * a more selective key anyway): blocks with more than `maxBlock`
+    * members are excluded from pairing, costing one partial-aggregated
+    * block-size frame per pass. Default unlimited, preserving exact
+    * all-pairs-within-block semantics. */
   def fuzzyNearDupPairs(recs: DataFrame, idCol: String, nameCol: String,
       maxDist: Int = 1,
-      blockers: Seq[Column => Column] = Seq(nm => substring(nm, -3, 3)))
-      : DataFrame = {
+      blockers: Seq[Column => Column] = Seq(nm => substring(nm, -3, 3)),
+      maxBlock: Int = Int.MaxValue): DataFrame = {
     val base = recs.select(col(idCol).as("__id"), col(nameCol).as("__nm"))
     val passes = blockers.map { bk =>
-      val keyed = base.select(col("__id"), col("__nm"),
+      val keyed0 = base.select(col("__id"), col("__nm"),
         bk(col("__nm")).as("__blk"))
+      val keyed =
+        if (maxBlock == Int.MaxValue) keyed0
+        else keyed0.join(
+          keyed0.groupBy("__blk").agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") <= maxBlock).select("__blk"),
+          Seq("__blk"))
       val a = keyed.select(col("__blk"), col("__id").as("id_a"),
         col("__nm").as("__nm_a"))
       val b = keyed.select(col("__blk"), col("__id").as("id_b"),

@@ -264,5 +264,16 @@ class DedupSpec extends SparkSuite {
       nm => substring(nm, 1, 5))) == Set((1L, 2L), (3L, 4L)))
     // maxDist is exact: distance-4 bucket-mates never pair
     assert(!pairs(Seq(nm => substring(nm, 1, 5)))((5L, 6L)))
+    // hot-block guard: a junk key flooding one block is excluded from
+    // pairing, other blocks unaffected
+    val flooded = recs.unionByName(
+      spark.range(100, 140).toDF("rid")
+        .withColumn("nm", lit("unknown-0999")))
+    val capped = Dedup.fuzzyNearDupPairs(flooded, "rid", "nm",
+        maxDist = 1, blockers = Seq(nm => substring(nm, -3, 3)),
+        maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)),
+      s"flooded block must be skipped, real pair kept: $capped")
   }
 }
