@@ -288,6 +288,41 @@ object TextQueries {
             WHERE a.rid < b.rid AND levenshtein(a.name, b.name) <= 1
             ORDER BY id_a, id_b"""))
 
+  /** The hot-block occupancy cap as oracle-gated semantics
+    * ([[Dedup.fuzzyNearDupPairs]] with `maxBlock`): a junk-key flood —
+    * 200 records all named alike, the empty-default hazard every real
+    * entity table grows — lands in one block; with the cap at 50 that
+    * block is excluded from pairing entirely while every
+    * normal-occupancy block still pairs, and DuckDB replays the
+    * identical size-filtered blocked join. */
+  val q_dedup_fuzzy_capped = QuerySpec(
+    "q_dedup_fuzzy_capped", Seq("E-dedup", "J1", "A8"),
+    (s, d) => {
+      val cust = Engine.table(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("rid"),
+          col("c_name").as("name"))
+      val flood = cust.filter(col("rid") < 200)
+        .select((col("rid") + 700000).as("rid"),
+          lit("placeholder-entity-xyz").as("name"))
+      Dedup.fuzzyNearDupPairs(cust.unionByName(flood), "rid", "name",
+          maxDist = 1, maxBlock = 50)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS rid,
+                            c_name AS name FROM customer),
+            flood AS (SELECT rid + 700000 AS rid,
+                        'placeholder-entity-xyz' AS name
+                      FROM base WHERE rid < 200),
+            recs AS (SELECT rid, name, right(name, 3) AS blk FROM
+                       (SELECT * FROM base UNION ALL SELECT * FROM flood)),
+            ok AS (SELECT blk FROM recs GROUP BY blk
+                   HAVING COUNT(*) <= 50),
+            kept AS (SELECT recs.* FROM recs JOIN ok USING (blk))
+            SELECT DISTINCT a.rid AS id_a, b.rid AS id_b
+            FROM kept a JOIN kept b ON a.blk = b.blk
+            WHERE a.rid < b.rid AND levenshtein(a.name, b.name) <= 1
+            ORDER BY id_a, id_b"""))
+
   /** Incremental ingestion dedup ([[Dedup.dedupAgainstCorpus]]): the
     * doc_id%10==0 slice arrives as a "new batch" against the rest as
     * corpus; survivors = batch minus exact corpus copies, minus
@@ -1156,7 +1191,7 @@ object TextQueries {
     q_text_langid, q_text_fingerprint, q_text_normalize,
     q_corpus_clean, q_decontaminate,
     q_dedup_exact, q_dedup_minhash_lsh, q_dedup_ngram_block,
-    q_dedup_fuzzy,
+    q_dedup_fuzzy, q_dedup_fuzzy_capped,
     q_dedup_incremental, q_dedup_embed_incremental, q_dedup_simhash,
     q_dedup_winnow,
     q_dedup_embedding, q_embed_topk_bruteforce, q_embed_knn_lsh,
