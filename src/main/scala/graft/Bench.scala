@@ -196,18 +196,24 @@ object Bench {
       baseline.get("__calib_io_scan").forall(_ == (if (calibIoScan) 1.0 else 0.0))
     val ioAdj = if (ioShapeMatches) legAdj("__calib_io", calibIo) else 1.0
     val adj = math.max(legAdj("__calib", calib), ioAdj)
+    // absolute floor on top of the 2x ratio: keeps 0.1s->0.25s jitter
+    // out of the gate. TIERED (r14 verdict item 5): the flat +1s floor
+    // let a 3.6x drift on a 0.17s baseline pass unflagged — sub-300ms
+    // baselines get a +0.5s floor so a genuine multi-x drift on a tiny
+    // query still has to answer to the isolated recheck.
+    def floor(b: Double): Double = if (b < 0.3) 0.5 else 1.0
     val rawRegressions = results.collect {
       case (n, t) if t >= 0 && baseline.get(n).exists(b =>
-        t > 2 * b * adj && t > b * adj + 1.0) => (n, t, baseline(n))
+        t > 2 * b * adj && t > b * adj + floor(b)) => (n, t, baseline(n))
     }
     // report-only drift visibility: queries past 2x their baseline that
-    // ONLY the +1s absolute floor exempted from the gate (sub-second
+    // ONLY the absolute floor exempted from the gate (sub-second
     // queries can silently triple under the floor — r13's phash did
     // 2.17x for three rounds before anyone looked). Empty on a clean
     // run; never flags, only surfaces.
     val floorExempted = results.collect {
       case (n, t) if t >= 0 && baseline.get(n).exists(b =>
-        t > 2 * b * adj && !(t > b * adj + 1.0)) => (n, t, baseline(n))
+        t > 2 * b * adj && !(t > b * adj + floor(b))) => (n, t, baseline(n))
     }
 
     // ---- SELF-ADJUDICATION: a shared-JVM breach is re-measured in a

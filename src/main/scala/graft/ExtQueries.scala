@@ -288,6 +288,54 @@ object ExtQueries {
     Some("""SELECT user_id, count(*) AS n FROM events
             GROUP BY user_id ORDER BY user_id"""))
 
+  /** O3 dialect: DISTRIBUTE BY + SORT BY — the classic Hive
+    * partition-then-locally-sort idiom, verbatim HiveQL text through
+    * spark.sql. Partition-local order is not SQL-observable, so the
+    * oracle is the plain aggregate; the hash exchange + NON-global
+    * sort pair is pinned in PlanShapeSpec (a global sort here would be
+    * the wrong plan — SORT BY exists to avoid the range-partition
+    * step at cluster scale). */
+  val q_sort_by = QuerySpec(
+    "q_sort_by", Seq("O3", "O1"),
+    (s, d) => sql(s, d,
+      """SELECT user_id, event_type, n FROM
+         (SELECT user_id, event_type, count(*) AS n FROM events
+          GROUP BY user_id, event_type
+          DISTRIBUTE BY user_id SORT BY user_id, event_type)
+         ORDER BY user_id, event_type"""),
+    Some("""SELECT user_id, event_type, count(*) AS n FROM events
+            GROUP BY user_id, event_type
+            ORDER BY user_id, event_type"""))
+
+  /** O3 dialect: CLUSTER BY — shorthand for DISTRIBUTE BY x SORT BY x,
+    * verbatim HiveQL text through spark.sql; same oracle/plan-pin
+    * discipline as [[q_sort_by]]. */
+  val q_cluster_by = QuerySpec(
+    "q_cluster_by", Seq("O3", "O1"),
+    (s, d) => sql(s, d,
+      """SELECT user_id, n FROM
+         (SELECT user_id, count(*) AS n FROM events
+          GROUP BY user_id CLUSTER BY user_id)
+         ORDER BY user_id"""),
+    Some("""SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY user_id"""))
+
+  /** X3 dialect: LATERAL VIEW explode — the HiveQL generator syntax
+    * (the DataFrame explode() path is covered by q_range_join and the
+    * token pipeline; this pins the verbatim SQL surface). Top-20 token
+    * frequency over the documents corpus; (n DESC, tok) is a total
+    * order so the LIMIT is deterministic. */
+  val q_lateral_view = QuerySpec(
+    "q_lateral_view", Seq("X3"),
+    (s, d) => sql(s, d,
+      """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS docs
+         FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
+         GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""),
+    Some("""SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS docs
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""))
+
   /** X1: the `spark.udf.register` user surface (docs/实时数仓.md:42) —
     * a scalar Scala UDF invoked from SQL text; oracle replicates the
     * logic as a CASE expression. (Perf-critical built-ins stay native
@@ -1593,6 +1641,7 @@ object ExtQueries {
     q_agg_route_incremental, q_agg_route_distinct,
     q_audience_bitmap, q_bitmap_cd_rollup, q_global_dict_bitmap,
     q_cd_materialize, q_ordinal_sort, q_distribute_by,
+    q_sort_by, q_cluster_by, q_lateral_view,
     q_udf_register, q_udaf_sumsq, q_correlated_scalar,
     q_csv_roundtrip, q_json_roundtrip, q_orc_roundtrip, q_xml_roundtrip,
     q_topk_per_group, q_asof_join,

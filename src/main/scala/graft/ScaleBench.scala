@@ -36,6 +36,45 @@ object ScaleBench {
   private val defaults = Seq("q_bm25_index_maint", "q_versioned_merge",
     "q_embed_ivf_upsert", "q_dedup_ngram_block", "q_cube_maintain")
 
+  /** Probe-only entries with no oracle form: operator calls whose
+    * SCALE evidence must be measured on the DEFAULT arguments (the
+    * catalog queries pin explicit settings). Resolved before
+    * [[SparkEntry.queries]]. */
+  private val extraProbes: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      // the default-argument fuzzy-linkage call: finite DefaultMaxBlock
+      // must keep the cloned-name replica (every block densified by the
+      // factor) sublinear — the round-14 uncapped form went quadratic
+      "probe_fuzzy_default" -> ((s, d) => {
+        val cust = Engine.table(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("rid"),
+            col("c_name").as("name"))
+        graft.operators.Dedup.fuzzyNearDupPairs(cust, "rid", "name")
+      }),
+      // the streaming substring-dedup store lifecycle (r14 verdict
+      // item 7): 4 sequential micro-batches of the documents table
+      // through substringDedupBatch into a fresh store, compactEvery=2
+      // so a mid-stream compaction fires — the full write/read/compact
+      // cost a long-lived stream pays, not just the per-batch kernel
+      "probe_stream_substr" -> ((s, d) => {
+        val store = "target/scalebench/fpstore_probe"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(store))
+        val docs = Engine.table(s, d, "documents")
+        var total = 0L
+        (0 until 4).foreach { b =>
+          graft.streaming.StreamOps.substringDedupBatch(
+            docs.filter(col("doc_id") % 4 === b), b.toLong, store,
+            k = 8, textCol = "text", idCol = "doc_id", compactEvery = 2) {
+            cleaned => total += cleaned.count()
+          }
+        }
+        s.sql(s"SELECT ${total}L AS cleaned_docs")
+      }))
+
+  private def resolve(n: String): (SparkSession, String) => DataFrame =
+    extraProbes.getOrElse(n, SparkEntry.queries(n))
+
   private def force(df: DataFrame): Unit = {
     df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
     ()
@@ -78,22 +117,35 @@ object ScaleBench {
     }
     copies("embeddings") { (df, i) =>
       val d = df.withColumn("vec_id", col("vec_id") + i * 10000000L)
-      // rotation (63 distinct) × global negation (2) = 126 distinct
-      // isometries; a bare `i % 63` made copies i and i+63 bit-identical
-      // at factor > 63, planting exact-duplicate vectors — the precise
-      // artifact this replication exists to avoid. Both moves preserve
-      // norms and the pairwise-distance distribution within a copy.
+      // isometry family: stride permutation (32 odd strides, each a
+      // coordinate permutation i -> s·i mod 64 — a permutation matrix,
+      // so norms and within-copy pairwise distances are preserved
+      // exactly like rotations) × rotation (63) × global negation (2)
+      // = 4032 distinct isometries; a bare `i % 63` made copies i and
+      // i+63 bit-identical at factor > 63, planting exact-duplicate
+      // vectors — the precise artifact this replication exists to
+      // avoid. All three moves preserve the pairwise-distance
+      // distribution within a copy.
       val rot = i % 63 // rotation must stay inside the 64-dim vector
       val neg = (i / 63) % 2 == 1
-      require(i < 126, "embedding replica: only 126 distinct isometries " +
-        "(rotation x negation); raise the family before factor > 126")
+      val stride = 2 * ((i / 126) % 32) + 1 // odd => coprime with 64
+      require(i < 4032, "embedding replica: only 4032 distinct " +
+        "isometries (stride x rotation x negation); raise the family " +
+        "before factor > 4032")
       val rotated = if (rot == 0) d
       else d.withColumn("embedding", concat(
         slice(col("embedding"), rot + 1, 64 - rot),
         slice(col("embedding"), 1, rot)))
-      if (!neg) rotated
+      val negated = if (!neg) rotated
       else rotated.withColumn("embedding",
         transform(col("embedding"), x => -x))
+      if (stride == 1) negated
+      else negated.withColumn("embedding",
+        // element j of the output reads input index (stride*j) mod 64
+        // (1-based SQL indexing via element_at)
+        transform(sequence(lit(0), lit(63)),
+          j => element_at(col("embedding"), (lit(stride) * j % 64 + 1)
+            .cast("int"))))
     }
     copies("orders") { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + i * 1000000000L)
@@ -160,7 +212,7 @@ object ScaleBench {
     // JIT/codegen warm at tiny scale
     val warm = "/root/testdata/sf0.001"
     names.foreach { n =>
-      try force(SparkEntry.queries(n)(spark, warm))
+      try force(resolve(n)(spark, warm))
       catch { case _: Throwable => () }
     }
 
@@ -170,7 +222,7 @@ object ScaleBench {
           .foreach(_.unpersist(blocking = false))
         System.gc()
         val t0 = System.nanoTime()
-        force(SparkEntry.queries(n)(spark, d))
+        force(resolve(n)(spark, d))
         (System.nanoTime() - t0) / 1e9
       }.min
 

@@ -269,8 +269,12 @@ object TextQueries {
         .select((col("rid") + 600000).as("rid"),
           concat(substring(col("name"), 1, 10),
             substring(col("name"), 12, 1000)).as("name"))
+      // explicit opt-out of the finite DefaultMaxBlock: this oracle
+      // pins the UNCAPPED all-pairs-within-block semantics (the
+      // customer-name suffix keys keep occupancy bounded here); the
+      // capped default's semantics are pinned by q_dedup_fuzzy_capped
       Dedup.fuzzyNearDupPairs(cust.unionByName(subst).unionByName(del),
-          "rid", "name", maxDist = 1)
+          "rid", "name", maxDist = 1, maxBlock = Int.MaxValue)
         .orderBy("id_a", "id_b")
     },
     Some("""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS rid,

@@ -20,6 +20,19 @@ import graft.functions._
   */
 object Dedup {
 
+  /** Default hot-block occupancy cap for [[fuzzyNearDupPairs]],
+    * derived from a per-record comparison budget: with blocks capped
+    * at B members, each record is Levenshtein-compared against at most
+    * B-1 bucket-mates per blocking pass, so total verify cost is
+    * <= N·B per pass — LINEAR in N even when every key collapses onto
+    * one junk value. 256 keeps genuine entity blocks (real selective
+    * keys put a handful to a few dozen records per block) while
+    * excluding the junk-key floods (empty names, placeholder defaults,
+    * mass-cloned entities) that are the quadratic hazard; anything
+    * genuine inside a 256+-member block needs a more selective
+    * blocking key regardless. */
+  val DefaultMaxBlock: Int = 256
+
   /** Exact dedup: keep the first (min `idCol`) row per identical text.
     * GroupBy on the md5 fingerprint, not the text, so the shuffle key
     * is 16 bytes — and the keeper is `min_by(struct(row), id)` under
@@ -74,12 +87,21 @@ object Dedup {
     * are near-always junk keys, and anything genuine inside them needs
     * a more selective key anyway): blocks with more than `maxBlock`
     * members are excluded from pairing, costing one partial-aggregated
-    * block-size frame per pass. Default unlimited, preserving exact
-    * all-pairs-within-block semantics. */
+    * block-size frame per pass.
+    *
+    * The default cap is [[DefaultMaxBlock]] — FINITE, so the
+    * default-argument call is scale-safe by construction: a capped
+    * block contributes at most `maxBlock` comparisons per member, so
+    * total verify work is <= N·DefaultMaxBlock — linear in N no matter
+    * how degenerate the key distribution gets (measured at the 30×
+    * cloned-name replica in SCALE.md, where the uncapped form went
+    * quadratic). Pass `maxBlock = Int.MaxValue` to opt out and get
+    * exact all-pairs-within-block semantics — correct only when the
+    * caller can vouch the blocking keys keep occupancy bounded. */
   def fuzzyNearDupPairs(recs: DataFrame, idCol: String, nameCol: String,
       maxDist: Int = 1,
       blockers: Seq[Column => Column] = Seq(nm => substring(nm, -3, 3)),
-      maxBlock: Int = Int.MaxValue): DataFrame = {
+      maxBlock: Int = DefaultMaxBlock): DataFrame = {
     val base = recs.select(col(idCol).as("__id"), col(nameCol).as("__nm"))
     val passes = blockers.map { bk =>
       val keyed0 = base.select(col("__id"), col("__nm"),

@@ -188,22 +188,48 @@ object VersionedTable {
   }
 
 
+  /** Effective (monotonized) commit time per version, in version
+    * order. Raw time = the manifest's `#OP` epoch, falling back to the
+    * manifest file's mtime for pre-provenance manifests (so every
+    * committed version has SOME timestamp and stays reachable by
+    * `TIMESTAMP AS OF`); then a running max over version order —
+    * Delta's commit-timestamp clamping, applied at RESOLUTION time
+    * since committed manifests are immutable. Guarantees ts is
+    * non-decreasing in version, so timestamp resolution can never
+    * contradict version order even when a multi-writer raw timeline
+    * regresses (clock skew, NTP step). */
+  private def effectiveCommitTimes(f: FileSystem, root: String,
+      vs: Seq[Long]): Seq[(Long, Long)] = {
+    var running = Long.MinValue
+    vs.map { v =>
+      val raw = readManifestFull(f, root, v).flatMap(_.op).map(_._2)
+        .getOrElse(
+          f.getFileStatus(manifestPath(root, v)).getModificationTime)
+      running = math.max(running, raw)
+      (v, running)
+    }
+  }
+
   /** DESCRIBE HISTORY (Delta semantics): one row per committed
-    * version — (version, ts, operation, n_dirs), newest last.
-    * Operation and timestamp come from the manifest's `#OP` line
-    * (null on manifests predating it). Driver-side manifest reads
-    * only: O(commits), no data touched, cache-served after first
-    * parse. */
+    * version — (version, ts, operation, n_dirs), NEWEST FIRST (Delta's
+    * DESCRIBE HISTORY order: code that takes the first row gets the
+    * latest commit). `ts` is the effective (mtime-fallback,
+    * monotonized) commit time — exactly what `TIMESTAMP AS OF`
+    * resolves against; `operation` comes from the manifest's `#OP`
+    * line (null on manifests predating it). Driver-side manifest
+    * reads only: O(commits), no data touched, cache-served after
+    * first parse. */
   def describeHistory(spark: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val f = fs(spark, root)
-    val rows = versions(spark, root).flatMap { v =>
-      readManifestFull(f, root, v).map { md =>
-        Row(v, md.op.map(o => new java.sql.Timestamp(o._2)).orNull,
-          md.op.map(_._1).orNull, md.dirs.size.toLong)
+    val rows = effectiveCommitTimes(f, root, versions(spark, root))
+      .reverse.flatMap { case (v, ts) =>
+        readManifestFull(f, root, v).map { md =>
+          Row(v, new java.sql.Timestamp(ts),
+            md.op.map(_._1).orNull, md.dirs.size.toLong)
+        }
       }
-    }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(
@@ -214,14 +240,17 @@ object VersionedTable {
   }
 
   /** `TIMESTAMP AS OF` resolution (Delta semantics): the newest
-    * committed version whose recorded commit time is <= `tsMillis`;
-    * None when every version is newer. Versions without an `#OP` line
-    * (pre-provenance manifests) have no timestamp and are skipped. */
+    * committed version whose EFFECTIVE commit time (see
+    * [[effectiveCommitTimes]]: mtime fallback for pre-provenance
+    * manifests, running-max monotonization) is <= `tsMillis`; None
+    * when every version is newer. Monotonization makes the answer
+    * consistent with version order under writer clock regression, and
+    * the mtime fallback keeps versions predating `#OP` reachable. */
   def versionAsOf(spark: SparkSession, root: String,
       tsMillis: Long): Option[Long] = {
     val f = fs(spark, root)
-    versions(spark, root).reverseIterator.find(v =>
-      readManifestFull(f, root, v).flatMap(_.op).exists(_._2 <= tsMillis))
+    effectiveCommitTimes(f, root, versions(spark, root))
+      .reverseIterator.find(_._2 <= tsMillis).map(_._1)
   }
 
   /** [[read]] at the snapshot current as of a wall-clock time. */
@@ -436,7 +465,13 @@ object VersionedTable {
           .map(_.constraints).getOrElse(Seq.empty)
         val newcomers = cons.filterNot(entryCons.toSet)
         if (newcomers.nonEmpty) {
-          val back = spark.read.parquet(new Path(root, dataDir).toString)
+          // read back under the gated commit schema (the snapshot-schema
+          // read contract used everywhere else): schema-inferring
+          // spark.read.parquet would die on an EMPTY append's dir (no
+          // part files -> inference AnalysisException) where the
+          // re-validation should trivially pass, and explicit-schema
+          // reads also null-fill evolved columns by name
+          val back = readDirsAs(spark, root, gate(latest), Seq(dataDir))
           newcomers.foreach { case (n, e) =>
             val bad = back.filter(not(coalesce(expr(e), lit(true))))
               .limit(1).count()
@@ -574,8 +609,18 @@ object VersionedTable {
       .getOrElse(schemaOfVersion(spark, srcRoot, v, dirs))
     val absolute = dirs.map(d =>
       fSrc.makeQualified(new Path(srcRoot, d)).toString)
-    commitManifest(spark, dstRoot, _ => absolute,
-      _ => Some(schema), _ => cons, op = "clone")
+    // the emptiness REQUIRE above is a fast-fail, not the guard: it is
+    // check-then-act against a racing writer. The real guard runs
+    // inside the CAS closure — a commit that lands between the check
+    // and our claim makes the clone THROW (like every other write
+    // path's ConcurrentModificationException discipline) instead of
+    // installing a dir list that silently ignores the racer's data.
+    commitManifest(spark, dstRoot, latest => {
+      if (latest.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"cloneShallow target $dstRoot gained committed version " +
+          s"${latest.get} during the clone — target must stay empty")
+      absolute
+    }, _ => Some(schema), _ => cons, op = "clone")
   }
 
   /** Read the table at `asOf` (a committed version) or, by default,

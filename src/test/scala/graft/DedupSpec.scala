@@ -275,5 +275,22 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((1L, 2L)),
       s"flooded block must be skipped, real pair kept: $capped")
+    // the DEFAULT cap is finite (DefaultMaxBlock): a junk flood past it
+    // is excluded without the caller opting in, while Int.MaxValue is
+    // the explicit opt-out restoring exact all-pairs-within-block
+    val bigFlood = recs.unionByName(
+      spark.range(100, 100 + Dedup.DefaultMaxBlock + 50).toDF("rid")
+        .withColumn("nm", lit("unknown-0999")))
+    val defCapped = Dedup.fuzzyNearDupPairs(bigFlood, "rid", "nm",
+        maxDist = 1, blockers = Seq(nm => substring(nm, -3, 3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defCapped == Set((1L, 2L)),
+      s"default cap must skip the flooded block: $defCapped")
+    val optOut = Dedup.fuzzyNearDupPairs(bigFlood, "rid", "nm",
+        maxDist = 1, blockers = Seq(nm => substring(nm, -3, 3)),
+        maxBlock = Int.MaxValue)
+      .select("id_a", "id_b").count()
+    assert(optOut > defCapped.size,
+      "Int.MaxValue opt-out must restore all-pairs within the flood")
   }
 }

@@ -150,6 +150,35 @@ class PlanShapeSpec extends SparkSuite {
       s"expected a hash exchange on user_id:\n$plan")
   }
 
+  test("SORT BY stays partition-local: hash exchange + NON-global sort, " +
+      "no range partitioning (O3/O1)") {
+    Engine.registerAll(spark, sf)
+    // the inner block of q_sort_by, without the outer ORDER BY that
+    // would legitimately add a global sort
+    val df = spark.sql(
+      """SELECT user_id, event_type, count(*) AS n FROM events
+         GROUP BY user_id, event_type
+         DISTRIBUTE BY user_id SORT BY user_id, event_type""")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"expected a hash exchange on user_id:\n$plan")
+    assert("Sort \\[".r.findAllIn(plan).nonEmpty &&
+      plan.contains("false, 0"),
+      s"expected a partition-local (global=false) sort:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"SORT BY must not range-partition (that is ORDER BY's job):\n$plan")
+    // CLUSTER BY x == DISTRIBUTE BY x SORT BY x: same plan discipline
+    val cb = spark.sql(
+      """SELECT user_id, count(*) AS n FROM events
+         GROUP BY user_id CLUSTER BY user_id""")
+    cb.collect()
+    val cbPlan = cb.queryExecution.executedPlan.toString
+    assert(cbPlan.contains("hashpartitioning(user_id") &&
+      !cbPlan.contains("rangepartitioning"),
+      s"CLUSTER BY must hash-partition, never range-partition:\n$cbPlan")
+  }
+
   test("AQE coalesces shuffle partitions (docs/sql调优.md:157-163)") {
     val df = Engine.table(spark, sf, "lineitem")
       .groupBy("l_returnflag").agg(count(lit(1)))

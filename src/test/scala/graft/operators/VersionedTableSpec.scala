@@ -687,6 +687,13 @@ class VersionedTableSpec extends SparkSuite {
     Thread.sleep(15)
     VersionedTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"))
     VersionedTable.deleteWhere(spark, root, col("id") === 1L)
+    // Delta's DESCRIBE HISTORY order: newest FIRST — code that takes
+    // the first row gets the latest commit
+    val histRaw = VersionedTable.describeHistory(spark, root).collect()
+    assert(histRaw.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    // every row carries a timestamp (mtime fallback covers manifests
+    // predating #OP), and effective times are monotone in version
+    assert(histRaw.forall(_.getTimestamp(1) != null))
     val hist = VersionedTable.describeHistory(spark, root)
       .orderBy("version").collect()
     assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
