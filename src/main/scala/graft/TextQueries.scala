@@ -327,6 +327,43 @@ object TextQueries {
             WHERE a.rid < b.rid AND levenshtein(a.name, b.name) <= 1
             ORDER BY id_a, id_b"""))
 
+  /** The DEFAULT-argument cap semantics ([[Dedup.DefaultMaxBlock]]):
+    * same construction as [[q_dedup_fuzzy_capped]] but the flood is
+    * 300 clones and the Spark side passes NO maxBlock — what a caller
+    * gets out of the box must be the finite-cap behavior, oracle-
+    * replayed with the literal DefaultMaxBlock threshold (the SQL is
+    * built from the constant, so the two can never drift). At
+    * sf0.001 the flood (150 rows) sits UNDER the cap and pairs
+    * all-ways; at sf0.01+ it exceeds the cap and is excluded — both
+    * regimes replay identically in DuckDB. */
+  val q_dedup_fuzzy_default = QuerySpec(
+    "q_dedup_fuzzy_default", Seq("E-dedup", "J1", "A8"),
+    (s, d) => {
+      val cust = Engine.table(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("rid"),
+          col("c_name").as("name"))
+      val flood = cust.filter(col("rid") < 300)
+        .select((col("rid") + 700000).as("rid"),
+          lit("placeholder-entity-xyz").as("name"))
+      Dedup.fuzzyNearDupPairs(cust.unionByName(flood), "rid", "name",
+          maxDist = 1)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS rid,
+                            c_name AS name FROM customer),
+            flood AS (SELECT rid + 700000 AS rid,
+                        'placeholder-entity-xyz' AS name
+                      FROM base WHERE rid < 300),
+            recs AS (SELECT rid, name, right(name, 3) AS blk FROM
+                       (SELECT * FROM base UNION ALL SELECT * FROM flood)),
+            ok AS (SELECT blk FROM recs GROUP BY blk
+                   HAVING COUNT(*) <= ${Dedup.DefaultMaxBlock}),
+            kept AS (SELECT recs.* FROM recs JOIN ok USING (blk))
+            SELECT DISTINCT a.rid AS id_a, b.rid AS id_b
+            FROM kept a JOIN kept b ON a.blk = b.blk
+            WHERE a.rid < b.rid AND levenshtein(a.name, b.name) <= 1
+            ORDER BY id_a, id_b"""))
+
   /** Incremental ingestion dedup ([[Dedup.dedupAgainstCorpus]]): the
     * doc_id%10==0 slice arrives as a "new batch" against the rest as
     * corpus; survivors = batch minus exact corpus copies, minus
@@ -1195,7 +1232,7 @@ object TextQueries {
     q_text_langid, q_text_fingerprint, q_text_normalize,
     q_corpus_clean, q_decontaminate,
     q_dedup_exact, q_dedup_minhash_lsh, q_dedup_ngram_block,
-    q_dedup_fuzzy, q_dedup_fuzzy_capped,
+    q_dedup_fuzzy, q_dedup_fuzzy_capped, q_dedup_fuzzy_default,
     q_dedup_incremental, q_dedup_embed_incremental, q_dedup_simhash,
     q_dedup_winnow,
     q_dedup_embedding, q_embed_topk_bruteforce, q_embed_knn_lsh,

@@ -716,6 +716,50 @@ class VersionedTableSpec extends SparkSuite {
     }
   }
 
+  test("TIMESTAMP AS OF under writer clock regression: effective times " +
+      "are monotonized, pre-provenance manifests reachable via mtime") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("vtabclock")
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    Thread.sleep(15)
+    VersionedTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"))
+    VersionedTable.commit(spark, root, Seq((3L, "c")).toDF("id", "s"))
+    def manifest(v: Long) = Paths.get(root, "_vlog", f"v$v%05d.manifest")
+    def lines(v: Long) = Files.readAllLines(manifest(v)).asScala.toSeq
+    def opEpoch(v: Long): Long = lines(v).find(_.startsWith("#OP:"))
+      .map(_.split(":").last.toLong).get
+    val t1 = opEpoch(1)
+    // simulate a second writer with a regressed clock: rewrite v2's
+    // recorded commit time to BEFORE v1's (raw bytes a skewed-clock
+    // writer would genuinely produce; manifests stay structurally valid)
+    val regressed = lines(2).map(l =>
+      if (l.startsWith("#OP:")) {
+        val cut = l.lastIndexOf(':')
+        l.take(cut + 1) + (t1 - 60000L)
+      } else l)
+    Files.write(manifest(2), regressed.asJava)
+    // ...and simulate a pre-provenance manifest: v3 loses its #OP line
+    Files.write(manifest(3),
+      lines(3).filterNot(_.startsWith("#OP:")).asJava)
+    // resolution at exactly t1 must follow VERSION order, not the
+    // regressed raw time: v2's effective time clamps up to t1, and the
+    // newest version at-or-before t1 is v2 (not v1)
+    assert(VersionedTable.versionAsOf(spark, root, t1).contains(2L))
+    assert(VersionedTable.versionAsOf(spark, root, t1 - 1).isEmpty,
+      "clamped v2 must not resolve BEFORE v1's commit time")
+    // v3 (no #OP) stays reachable via its manifest mtime fallback
+    assert(VersionedTable.versionAsOf(spark, root,
+      System.currentTimeMillis() + 60000).contains(3L))
+    // describeHistory: newest first, timestamps non-null and monotone
+    // non-decreasing in version order even with the regressed raw time
+    val hist = VersionedTable.describeHistory(spark, root).collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    val byVersion = hist.sortBy(_.getLong(0)).map(_.getTimestamp(1).getTime)
+    assert(byVersion.sorted.sameElements(byVersion),
+      s"effective history times must be monotone: ${byVersion.toSeq}")
+  }
+
   test("shallow clone: zero-copy, isolated writes, CoW over cloned dirs, compact severs") {
     val src = tmpDir("vtabsrc")
     val dst = tmpDir("vtabdst")
