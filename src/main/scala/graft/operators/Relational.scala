@@ -268,18 +268,28 @@ object Relational {
     * group that bracket each requested rank.
     *
     * Groups larger than `hugeGroupMin` additionally leave the window
-    * shape (whose per-group sort is one task) for a per-group
-    * distributed rank ([[rankHugeGroups]]) — range-repartitioned
-    * sub-sorts + driver-side prefix offsets, the same two-phase move
-    * as [[graft.operators.Behavior.ntileExact]] — so ONE giant group
-    * no longer means one giant task. Routing is by an exact group
-    * count (one narrow aggregate over the input); by pigeonhole at
-    * most n / hugeGroupMin groups can be huge, which is what bounds
-    * the driver-side offset state. Both paths produce identical
-    * (group, value, rank, n) rows, so results are bitwise those of
-    * the single-path form (pinned against the built-in `percentile`
-    * in RewriteEquivalenceSpec/PropertySpec). `hugeGroupMin` is a
-    * test hook; production callers keep the default.
+    * shape (whose per-group sort is one task) for SELECTION BY
+    * FILTERING ([[selectionBrackets]]) — the classic distributed exact
+    * quantile: a percentile_approx pass brackets each target's VALUE
+    * window (sketch rank error <= n/accuracy, so a 3x-margin window
+    * provably contains the target ranks), one counting scan anchors
+    * each window's global rank offset and proves the guard, and one
+    * collect scan sorts only the tiny candidate set — three linear
+    * map-side-combined scans, no checkpoint, no full shuffle, no
+    * full sort, and no single-task group. If the runtime guard ever
+    * fails (sketch bound violated, or a giant duplicate run makes a
+    * window exceed [[selectionCandCap]]), the huge groups fall back
+    * to the full distributed rank ([[rankHugeGroups]]) — range-
+    * repartitioned sub-sorts + driver-side prefix offsets, the same
+    * two-phase move as [[graft.operators.Behavior.ntileExact]].
+    * Routing is by an exact group count (one narrow aggregate over
+    * the input); by pigeonhole at most n / hugeGroupMin groups can be
+    * huge, which is what bounds the driver-side window/offset state.
+    * All paths produce identical bracket values, so results are
+    * bitwise those of the single-path form (pinned against the
+    * built-in `percentile` in RewriteEquivalenceSpec/PropertySpec).
+    * `hugeGroupMin` is a test hook; production callers keep the
+    * default.
     *
     * Nulls are excluded per SQL percentile semantics; a group whose
     * values are ALL null is dropped (built-in would emit a null row).
@@ -301,33 +311,54 @@ object Relational {
         .withColumn("__n", count(lit(1)).over(wAll))
     }
 
-    // route by exact group size: one narrow (group, count) aggregate;
-    // its max is one row back. maxN is null on empty input.
-    val nByG = base.groupBy(gs: _*).agg(count(lit(1)).as("__n"))
-    val maxN = nByG.agg(max(col("__n"))).head()
-    val ranked =
-      if (maxN.isNullAt(0) || maxN.getLong(0) <= hugeGroupMin)
-        windowRanked(base)
-      else {
-        val huge = nByG.filter(col("__n") > hugeGroupMin)
-        val hugeKeys = huge.select(gs: _*) // ≤ n / hugeGroupMin rows
-        val small = base.join(broadcast(hugeKeys), groupCols, "left_anti")
-        val big = base.join(broadcast(hugeKeys), groupCols, "left_semi")
-        windowRanked(small)
-          .unionByName(rankHugeGroups(big, groupCols, huge))
-      }
     def target(i: Int): Column =
       lit(ps(i)._1) * (col("__n") - 1).cast("double")
-    val needed = ps.indices.map(i =>
-      col("__rn") === floor(target(i)).cast("long") ||
-        col("__rn") === ceil(target(i)).cast("long")).reduce(_ || _)
-    val aggs = ps.indices.flatMap(i => Seq(
-      min(when(col("__rn") === floor(target(i)).cast("long"), col("__v")))
-        .as(s"__lo_$i"),
-      min(when(col("__rn") === ceil(target(i)).cast("long"), col("__v")))
-        .as(s"__hi_$i"))) :+ first(col("__n")).as("__n")
-    val bracketed = ranked.filter(needed)
-      .groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+
+    // (group, __lo_i, __hi_i, __n) from a fully ranked frame
+    def bracketsFromRanked(ranked: DataFrame): DataFrame = {
+      val needed = ps.indices.map(i =>
+        col("__rn") === floor(target(i)).cast("long") ||
+          col("__rn") === ceil(target(i)).cast("long")).reduce(_ || _)
+      val aggs = ps.indices.flatMap(i => Seq(
+        min(when(col("__rn") === floor(target(i)).cast("long"), col("__v")))
+          .as(s"__lo_$i"),
+        min(when(col("__rn") === ceil(target(i)).cast("long"), col("__v")))
+          .as(s"__hi_$i"))) :+ first(col("__n")).as("__n")
+      ranked.filter(needed).groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+    // route by exact group size: one narrow (group, count) aggregate;
+    // one row back carries max group size + total/huge group counts
+    // (maxN is null on empty input). Knowing the huge count up front
+    // lets the all-huge case skip the provably-empty small branch —
+    // two whole input scans (the anti-join + its window) at exactly
+    // the scale where scans are the cost.
+    val nByG = base.groupBy(gs: _*).agg(count(lit(1)).as("__n"))
+    val stats = nByG.agg(max(col("__n")), count(lit(1)),
+      sum(when(col("__n") > hugeGroupMin, 1L).otherwise(0L))).head()
+    val bracketed =
+      if (stats.isNullAt(0) || stats.getLong(0) <= hugeGroupMin) {
+        lastPercentilePath = "window"
+        bracketsFromRanked(windowRanked(base))
+      } else {
+        val allHuge = stats.getLong(1) == stats.getLong(2)
+        val huge = nByG.filter(col("__n") > hugeGroupMin)
+        val hugeKeys = huge.select(gs: _*) // ≤ n / hugeGroupMin rows
+        val big =
+          if (allHuge) base
+          else base.join(broadcast(hugeKeys), groupCols, "left_semi")
+        val hugeBrackets = selectionBrackets(big, groupCols, huge, ps) match {
+          case Some(b) => lastPercentilePath = "selection"; b
+          case None =>
+            lastPercentilePath = "rank-fallback"
+            bracketsFromRanked(rankHugeGroups(big, groupCols, huge))
+        }
+        if (allHuge) hugeBrackets
+        else {
+          val small = base.join(broadcast(hugeKeys), groupCols, "left_anti")
+          bracketsFromRanked(windowRanked(small)).unionByName(hugeBrackets)
+        }
+      }
     val outs = gs ++ ps.zipWithIndex.map { case ((_, name), i) =>
       // Hive/Spark `percentile` interpolation form, bitwise:
       // (ceil(t) - t) * v_lo + (t - floor(t)) * v_hi, no interpolation
@@ -338,6 +369,124 @@ object Relational {
           (t - floor(t).cast("double")) * col(s"__hi_$i")).as(name)
     }
     bracketed.select(outs: _*)
+  }
+
+  /** Per-target candidate-window cap for [[selectionBrackets]]: a
+    * window that catches more rows than this (a giant duplicate run
+    * straddling the window edge) would make the per-group collected
+    * array the memory hazard the selection path exists to avoid, so
+    * the whole huge-group batch falls back to the full distributed
+    * rank instead. 2^22 doubles = 32 MB per group per target, one
+    * group per reduce task — the same budget as the window path's
+    * per-task sort. */
+  private val selectionCandCap: Long = 1L << 22
+
+  /** Test/probe diagnostic only — which huge-group strategy the last
+    * [[sortedPercentiles]] call used ("window", "selection", or
+    * "rank-fallback"); never a correctness input. */
+  @volatile private[graft] var lastPercentilePath: String = ""
+
+  @volatile private var selectionDisabled = false
+
+  /** Test hook: [[sortedPercentiles]] with the selection strategy
+    * disabled, so the rank fallback's correctness (the guard's safety
+    * net) stays independently pinned. */
+  private[graft] def sortedPercentilesForceRank(df: DataFrame,
+      groupCols: Seq[String], valueCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    selectionDisabled = true
+    try sortedPercentiles(df, groupCols, valueCol, ps, hugeGroupMin = 0L)
+    finally selectionDisabled = false
+  }
+
+  /** Exact percentile brackets for the HUGE groups of
+    * [[sortedPercentiles]] by SELECTION (filtering), the distributed
+    * exact-quantile shape that avoids ranking every row:
+    *
+    *  1. `percentile_approx` at fractions p ± 3/accuracy brackets each
+    *     target's VALUE window; the sketch's rank error is
+    *     <= n/accuracy, so the window provably contains every rank in
+    *     [floor(p(n-1)), ceil(p(n-1))].
+    *  2. One counting scan per group: rows strictly below each window
+    *     (the window's global rank anchor) and rows inside it. The
+    *     driver VERIFIES the containment guard and the
+    *     [[selectionCandCap]] bound from these exact counts — the
+    *     sketch guarantee is checked, never trusted.
+    *  3. One collect scan: `sort_array(collect_list(...))` of just the
+    *     in-window values per group; the value at global rank r is
+    *     element r - below + 1 of that sorted array (duplicate-safe:
+    *     equal values make rank order irrelevant to the VALUE at a
+    *     position).
+    *
+    * Three linear, map-side-combined scans; per-group driver state is
+    * bounded by the pigeonhole bound on huge-group count. Returns None
+    * when the guard fails (caller falls back to [[rankHugeGroups]]),
+    * so a sketch-bound violation can only cost time, never
+    * correctness. */
+  private def selectionBrackets(in: DataFrame, groupCols: Seq[String],
+      hugeN: DataFrame, ps: Seq[(Double, String)]): Option[DataFrame] = {
+    if (selectionDisabled) return None
+    val gs = groupCols.map(col)
+    val accuracy = 10000
+    val nOf = hugeN.collect().map(r =>
+      groupCols.indices.map(r.get) -> r.getLong(groupCols.length)).toMap
+    if (nOf.isEmpty) return None
+    // margin: 3x the sketch's rank-error bound, but never under ~4
+    // RANKS of the smallest huge group — at small n (test-forced huge
+    // routing) a pure fractional margin is less than one rank and the
+    // window can exclude the target; at production sizes
+    // (n > 2^22) the fractional bound dominates and this is 3e-4
+    val margin = math.max(3.0 / accuracy, 4.0 / nOf.values.min)
+    val wfr = ps.flatMap { case (p, _) =>
+      Seq(math.max(0.0, p - margin), math.min(1.0, p + margin)) }
+    // PIN the windows: the sketch's merge order (and so the exact
+    // window values) is not deterministic across recomputations, and
+    // the guard below is only a proof about the windows it counted —
+    // collect once (tiny: one row per huge group) and rebuild a
+    // literal frame, so the guard pass and the collect pass see
+    // byte-identical windows
+    val approxJoined = in.groupBy(gs: _*)
+      .agg(percentile_approx(col("__v"),
+        array(wfr.map(lit): _*), lit(accuracy)).as("__w"))
+      .join(hugeN, groupCols)
+    val spark = in.sparkSession
+    val winDF = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(approxJoined.collect().toSeq, 1),
+      approxJoined.schema))
+    def wLo(i: Int) = element_at(col("__w"), 2 * i + 1)
+    def wHi(i: Int) = element_at(col("__w"), 2 * i + 2)
+    def inWin(i: Int) = col("__v") >= wLo(i) && col("__v") <= wHi(i)
+    val joined = in.join(winDF, groupCols)
+    val countAggs = ps.indices.flatMap(i => Seq(
+      sum(when(col("__v") < wLo(i), 1L).otherwise(0L)).as(s"__below_$i"),
+      sum(when(inWin(i), 1L).otherwise(0L)).as(s"__nc_$i")))
+    val counts = joined.groupBy(gs: _*)
+      .agg(countAggs.head, countAggs.tail: _*).collect()
+    val ok = counts.forall { r =>
+      val k = groupCols.indices.map(r.get)
+      val n = nOf(k)
+      ps.indices.forall { i =>
+        val below = r.getLong(groupCols.length + 2 * i)
+        val nc = r.getLong(groupCols.length + 2 * i + 1)
+        val rLo = math.floor(ps(i)._1 * (n - 1)).toLong
+        val rHi = math.ceil(ps(i)._1 * (n - 1)).toLong
+        below <= rLo && rHi < below + nc && nc <= selectionCandCap
+      }
+    }
+    if (!ok) return None
+    val candAggs = ps.indices.flatMap(i => Seq(
+      sum(when(col("__v") < wLo(i), 1L).otherwise(0L)).as(s"__below_$i"),
+      sort_array(collect_list(when(inWin(i), col("__v"))))
+        .as(s"__cand_$i"))) :+ count(lit(1)).as("__n")
+    def t(i: Int) = lit(ps(i)._1) * (col("__n") - 1).cast("double")
+    val outs = gs ++ ps.indices.flatMap(i => Seq(
+      element_at(col(s"__cand_$i"), (floor(t(i)).cast("long") -
+        col(s"__below_$i") + 1).cast("int")).as(s"__lo_$i"),
+      element_at(col(s"__cand_$i"), (ceil(t(i)).cast("long") -
+        col(s"__below_$i") + 1).cast("int")).as(s"__hi_$i"))) :+
+      col("__n")
+    Some(joined.groupBy(gs: _*).agg(candAggs.head, candAggs.tail: _*)
+      .select(outs: _*))
   }
 
   /** Per-group 0-based value rank for the HUGE groups of

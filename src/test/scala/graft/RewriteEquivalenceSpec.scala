@@ -51,16 +51,27 @@ class RewriteEquivalenceSpec extends SparkSuite {
       0.9 -> "p90", 1.0 -> "p100")
     val window = Relational.sortedPercentiles(li, Seq("l_returnflag"),
       "l_extendedprice", ps) // all groups under the default threshold
-    // force EVERY group through rankHugeGroups
+    // force EVERY group through the huge path, and pin that the
+    // SELECTION (filtering) strategy actually served it — a silent
+    // fall back to the full rank would hide a broken guard
     val allHuge = Relational.sortedPercentiles(li, Seq("l_returnflag"),
       "l_extendedprice", ps, hugeGroupMin = 0L)
     assertSameRows(allHuge, window)
+    assert(Relational.lastPercentilePath == "selection",
+      s"huge groups should use selection, took: " +
+        Relational.lastPercentilePath)
     // mixed routing: group 'A' (the largest) over the threshold, the
     // others under it — both paths' outputs union into one result
     val mid = li.filter(col("l_returnflag") === "A").count() - 1
     val mixed = Relational.sortedPercentiles(li, Seq("l_returnflag"),
       "l_extendedprice", ps, hugeGroupMin = mid)
     assertSameRows(mixed, window)
+    // the rank fallback stays correct too (it is the guard's safety
+    // net): force it by making every candidate window "too big"
+    val viaRank = Relational.sortedPercentilesForceRank(li,
+      Seq("l_returnflag"), "l_extendedprice", ps)
+    assertSameRows(viaRank, window)
+    assert(Relational.lastPercentilePath == "rank-fallback")
   }
 
   test("union-fused join == two joins unioned (docs/sql调优.md:59-71)") {
