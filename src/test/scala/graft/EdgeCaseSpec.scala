@@ -17,6 +17,33 @@ class EdgeCaseSpec extends SparkSuite {
     (3L, "x", "a"),
     (4L, "solo", "b")).toDF("doc_id", "text", "source")
 
+  test("sortedPercentiles: a giant duplicate run trips the selection " +
+      "candidate cap into the rank fallback, values exact") {
+    // 5M identical values in one group: every selection window is
+    // [c, c] and catches ALL rows (> the 2^22 candidate cap), so the
+    // guard must refuse selection and the rank fallback must still
+    // return the exact (constant) percentiles
+    val n = (1L << 22) + (1L << 20)
+    val df = spark.range(n).select(lit("g").as("g"),
+      lit(7.5).as("v"))
+    val got = Relational.sortedPercentiles(df, Seq("g"), "v",
+      Seq(0.5 -> "p50", 0.9 -> "p90"))
+    val row = got.collect()(0)
+    assert(Relational.lastPercentilePath == "rank-fallback",
+      s"cap breach must fall back, took: ${Relational.lastPercentilePath}")
+    assert(row.getDouble(1) == 7.5 && row.getDouble(2) == 7.5)
+    // mixed duplicates straddling a window edge stay exact on the
+    // selection path: half the group is one value, half another
+    val df2 = spark.range(100).select(lit("g").as("g"),
+      when(col("id") < 50, 1.0).otherwise(2.0).as("v"))
+    val got2 = Relational.sortedPercentiles(df2, Seq("g"), "v",
+      Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"), hugeGroupMin = 0L)
+    val r2 = got2.collect()(0)
+    assert(r2.getDouble(1) == 1.0 && r2.getDouble(3) == 2.0)
+    // p50 at rank 49.5 interpolates between v[49]=1.0 and v[50]=2.0
+    assert(r2.getDouble(2) == 1.5, s"p50 = ${r2.getDouble(2)}")
+  }
+
   test("dedup operators on an empty table return empty") {
     assert(Dedup.exactDupGroups(emptyDocs).count() == 0)
     assert(Dedup.minHashLshPairs(emptyDocs).count() == 0)

@@ -118,6 +118,34 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     })
   }
 
+  test("sortedPercentiles huge routing (selection + guard) matches " +
+      "built-in on duplicate-heavy random data") {
+    // tiny value domain => heavy ties at every window edge, the case
+    // where selection's rank arithmetic could slip by one; forced-huge
+    // routing (hugeGroupMin = 0) sends every group through the
+    // selection path or its guard fallback
+    val valsGen: Gen[List[(String, Double)]] =
+      Gen.nonEmptyListOf(for {
+        g <- Gen.oneOf("x", "y")
+        v <- Gen.chooseNum(0, 5)
+      } yield (g, v.toDouble))
+    check(forAll(valsGen) { rows =>
+      val df = rows.toDF("g", "v")
+      val sorted = Relational.sortedPercentiles(df, Seq("g"), "v",
+          Seq(0.0 -> "p0", 0.5 -> "p50", 1.0 -> "p100"),
+          hugeGroupMin = 0L)
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      val builtin = df.groupBy("g").agg(
+          expr("percentile(v, 0.0)").as("p0"),
+          expr("percentile(v, 0.5)").as("p50"),
+          expr("percentile(v, 1.0)").as("p100"))
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      sorted == builtin
+    })
+  }
+
   test("union-all row counts are additive; union-distinct bounded") {
     check(forAll(rowsGen, rowsGen) { (ra, rb) =>
       val a = ra.toDF("k", "s", "v")
