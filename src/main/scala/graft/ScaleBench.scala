@@ -70,7 +70,15 @@ object ScaleBench {
           }
         }
         s.sql(s"SELECT ${total}L AS cleaned_docs")
-      }))
+      }),
+      // the documented production dial for hot-vocabulary corpora:
+      // 3-token shingles sharpen the PPJoin prefix filter when bigram
+      // prefixes are hot (q_dedup_ngram_block's replica exponent 0.92
+      // is the 2-shingle adversarial case; this measures the dial)
+      "probe_ngram3" -> ((s, d) =>
+        graft.operators.Dedup.ngramJaccardPairs(
+          Engine.table(s, d, "documents"), blockCol = "source",
+          shingleSize = 3, threshold = 0.5)))
 
   private def resolve(n: String): (SparkSession, String) => DataFrame =
     extraProbes.getOrElse(n, SparkEntry.queries(n))
