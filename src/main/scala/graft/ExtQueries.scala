@@ -220,6 +220,38 @@ object ExtQueries {
                    quantile_cont(l_extendedprice, 0.25) AS p25_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Huge-group exact percentile: the SELECTION-BY-FILTERING strategy
+    * of [[Relational.sortedPercentiles]] under the driver's oracle
+    * gate. At 100 TB a single group can exceed 2^22 rows, where the
+    * window shape's one-task-per-group sort is the bottleneck; the
+    * selection path brackets each target with a percentile_approx
+    * sketch, verifies the bracket with an exact counting scan, and
+    * collects only the tiny in-window candidate set — three linear
+    * scans, no full sort. Test SFs can't produce a naturally huge
+    * group, so `hugeGroupMin = 0` forces EVERY group down the path the
+    * production threshold reserves for >2^22-row groups; the oracle is
+    * the same quantile_cont comparison as q_percentile, and
+    * RoutingSpec pins `lastPercentilePath == "selection"`. Includes a
+    * null group key: the all-huge shortcut must emit it (SQL GROUP BY
+    * keeps null groups). */
+  val q_percentile_huge = QuerySpec(
+    "q_percentile_huge", Seq("A6", "A11"),
+    (s, d) => {
+      val li = Engine.table(s, d, "lineitem")
+        .withColumn("rf", when(col("l_linenumber") === 7,
+          lit(null: String)).otherwise(col("l_returnflag")))
+      Relational.sortedPercentiles(li, Seq("rf"), "l_extendedprice",
+          Seq(0.25 -> "p25_price", 0.5 -> "med_price", 0.9 -> "p90_price"),
+          hugeGroupMin = 0L)
+        .orderBy(col("rf").asc_nulls_first)
+    },
+    Some("""SELECT CASE WHEN l_linenumber = 7 THEN NULL
+                        ELSE l_returnflag END AS rf,
+                   quantile_cont(l_extendedprice, 0.25) AS p25_price,
+                   quantile_cont(l_extendedprice, 0.5) AS med_price,
+                   quantile_cont(l_extendedprice, 0.9) AS p90_price
+            FROM lineitem GROUP BY 1 ORDER BY rf NULLS FIRST"""))
+
   /** Approximate percentile (t-digest-style sketch, the scale path for
     * quantiles over 100 TB): oracle pins the exact side; the approx
     * side is asserted in-engine within 1%% of exact (same pattern as
@@ -1635,7 +1667,8 @@ object ExtQueries {
   val all: Seq[QuerySpec] = Seq(
     q_versioned_time_travel, q_versioned_merge, q_versioned_evolve,
     q_versioned_constraints, q_versioned_clone,
-    q_approx_distinct, q_percentile, q_approx_percentile, q_moments,
+    q_approx_distinct, q_percentile, q_percentile_huge,
+    q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,
     q_union_fusion_rule, q_agg_route, q_agg_route_having,
     q_agg_route_incremental, q_agg_route_distinct,

@@ -334,14 +334,25 @@ object Relational {
     // two whole input scans (the anti-join + its window) at exactly
     // the scale where scans are the cost.
     val nByG = base.groupBy(gs: _*).agg(count(lit(1)).as("__n"))
+    // A huge group whose key contains a null can NOT take the all-huge
+    // shortcut: selectionBrackets/rankHugeGroups re-join on groupCols
+    // with null-unsafe equality, which would silently drop the group.
+    // Routing it through the window branch (null never matches the
+    // semi/anti split below) keeps SQL's null-group semantics intact.
+    val nullKeyHugeAgg =
+      if (groupCols.isEmpty) lit(0L)
+      else sum(when(col("__n") > hugeGroupMin &&
+        groupCols.map(c => col(c).isNull).reduce(_ || _), 1L).otherwise(0L))
     val stats = nByG.agg(max(col("__n")), count(lit(1)),
-      sum(when(col("__n") > hugeGroupMin, 1L).otherwise(0L))).head()
+      sum(when(col("__n") > hugeGroupMin, 1L).otherwise(0L)),
+      nullKeyHugeAgg).head()
     val bracketed =
       if (stats.isNullAt(0) || stats.getLong(0) <= hugeGroupMin) {
         lastPercentilePath = "window"
         bracketsFromRanked(windowRanked(base))
       } else {
-        val allHuge = stats.getLong(1) == stats.getLong(2)
+        val allHuge =
+          stats.getLong(1) == stats.getLong(2) && stats.getLong(3) == 0L
         val huge = nByG.filter(col("__n") > hugeGroupMin)
         val hugeKeys = huge.select(gs: _*) // ≤ n / hugeGroupMin rows
         val big =
@@ -382,22 +393,31 @@ object Relational {
   private val selectionCandCap: Long = 1L << 22
 
   /** Test/probe diagnostic only — which huge-group strategy the last
-    * [[sortedPercentiles]] call used ("window", "selection", or
-    * "rank-fallback"); never a correctness input. */
-  @volatile private[graft] var lastPercentilePath: String = ""
+    * [[sortedPercentiles]] call ON THIS THREAD used ("window",
+    * "selection", or "rank-fallback"); never a correctness input.
+    * Thread-local so concurrent callers (e.g. the JDBC serve endpoint)
+    * don't interleave each other's diagnostics. */
+  private val lastPercentilePathTL = new scala.util.DynamicVariable[String]("")
+  private[graft] def lastPercentilePath: String = lastPercentilePathTL.value
+  private def lastPercentilePath_=(v: String): Unit =
+    lastPercentilePathTL.value = v
 
-  @volatile private var selectionDisabled = false
+  /** Thread-confined strategy override: `selectionDisabled.withValue`
+    * in [[sortedPercentilesForceRank]] affects only the calling
+    * thread, so a concurrent production [[sortedPercentiles]] on
+    * another thread can never be silently re-routed to the rank
+    * fallback by an in-flight force-rank test call. */
+  private val selectionDisabled = new scala.util.DynamicVariable[Boolean](false)
 
   /** Test hook: [[sortedPercentiles]] with the selection strategy
     * disabled, so the rank fallback's correctness (the guard's safety
     * net) stays independently pinned. */
   private[graft] def sortedPercentilesForceRank(df: DataFrame,
       groupCols: Seq[String], valueCol: String,
-      ps: Seq[(Double, String)]): DataFrame = {
-    selectionDisabled = true
-    try sortedPercentiles(df, groupCols, valueCol, ps, hugeGroupMin = 0L)
-    finally selectionDisabled = false
-  }
+      ps: Seq[(Double, String)]): DataFrame =
+    selectionDisabled.withValue(true) {
+      sortedPercentiles(df, groupCols, valueCol, ps, hugeGroupMin = 0L)
+    }
 
   /** Exact percentile brackets for the HUGE groups of
     * [[sortedPercentiles]] by SELECTION (filtering), the distributed
@@ -425,7 +445,7 @@ object Relational {
     * correctness. */
   private def selectionBrackets(in: DataFrame, groupCols: Seq[String],
       hugeN: DataFrame, ps: Seq[(Double, String)]): Option[DataFrame] = {
-    if (selectionDisabled) return None
+    if (selectionDisabled.value) return None
     val gs = groupCols.map(col)
     val accuracy = 10000
     val nOf = hugeN.collect().map(r =>

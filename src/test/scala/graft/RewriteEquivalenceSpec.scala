@@ -74,6 +74,32 @@ class RewriteEquivalenceSpec extends SparkSuite {
     assert(Relational.lastPercentilePath == "rank-fallback")
   }
 
+  test("sortedPercentiles keeps null group keys when every group is huge") {
+    // SQL GROUP BY retains the null group; the all-huge shortcut must
+    // not lose it to the null-unsafe re-joins inside the selection/rank
+    // paths (it routes null-key rows through the window branch instead)
+    import spark.implicits._
+    val df = Seq(
+      (Option.empty[String], 1.0), (None, 2.0), (None, 3.0),
+      (Some("a"), 10.0), (Some("a"), 20.0), (Some("a"), 30.0))
+      .toDF("k", "v")
+    val ps = Seq(0.5 -> "p50")
+    val forced = Relational.sortedPercentiles(df, Seq("k"), "v", ps,
+      hugeGroupMin = 0L)
+    val builtin = df.groupBy("k")
+      .agg(expr("percentile(v, 0.5)").as("p50"))
+    assertSameRows(forced, builtin)
+    assert(forced.count() == 2, "null-key group must be emitted")
+  }
+
+  test("q_percentile_huge is served by the selection strategy") {
+    val out = ExtQueries.q_percentile_huge.run(spark, sf)
+    assert(out.count() == 4) // R, N, A + the null group
+    assert(Relational.lastPercentilePath == "selection",
+      s"huge-group query should route to selection, took: " +
+        Relational.lastPercentilePath)
+  }
+
   test("union-fused join == two joins unioned (docs/sql调优.md:59-71)") {
     val li = Engine.table(spark, sf, "lineitem")
     val p = Engine.table(spark, sf, "part").select("p_partkey", "p_brand")
