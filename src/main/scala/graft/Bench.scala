@@ -32,6 +32,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // the app-status stores retain per-execution metrics and plan
@@ -199,9 +200,10 @@ object Bench {
     // absolute floor on top of the 2x ratio: keeps 0.1s->0.25s jitter
     // out of the gate. TIERED (r14 verdict item 5): the flat +1s floor
     // let a 3.6x drift on a 0.17s baseline pass unflagged — sub-300ms
-    // baselines get a +0.5s floor so a genuine multi-x drift on a tiny
-    // query still has to answer to the isolated recheck.
-    def floor(b: Double): Double = if (b < 0.3) 0.5 else 1.0
+    // baselines get a +0.3s floor (0.17s baseline gates at ~2.8x), so a
+    // genuine multi-x drift on a tiny query answers to the isolated
+    // recheck; a recheck on jitter costs one fork, never a false flag.
+    def floor(b: Double): Double = if (b < 0.3) 0.3 else 1.0
     val rawRegressions = results.collect {
       case (n, t) if t >= 0 && baseline.get(n).exists(b =>
         t > 2 * b * adj && t > b * adj + floor(b)) => (n, t, baseline(n))
@@ -227,8 +229,28 @@ object Bench {
     // recheck cannot run (spawn failure), the breach stays flagged
     // (conservative). Both numbers always land in bench_result.json
     // under "isolated_recheck".
+    // ---- cross-round isolated-drift ledger (DRIFT.json, committed):
+    // slow creep under the 2x gate (phash r13, dd_incremental r14, bm25
+    // r14-r15: 4.73 -> 5.62s isolated with no code cause) was caught by
+    // prose notes for three rounds; this makes it mechanical. Every
+    // bench run at the contract scale also fresh-JVM-profiles a
+    // committed watchlist, appends the bests as a ledger record, and
+    // flags any watched query whose isolated best rose >= 1.25x vs its
+    // previous record — far below the regression gate's threshold.
+    val driftPath = java.nio.file.Paths.get("DRIFT.json")
+    val driftText =
+      if (java.nio.file.Files.exists(driftPath))
+        java.nio.file.Files.readString(driftPath) else ""
+    val driftWatch: Seq[String] =
+      if (!sfDir.endsWith("sf0.1") || driftText.isEmpty) Seq.empty
+      else "\"watch\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(driftText)
+        .map(_.group(1)).toSeq
+        .flatMap("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1)))
+        .filter(SparkEntry.queries.contains)
+    val isolateSet =
+      (rawRegressions.map(_._1) ++ driftWatch).distinct
     val isolatedTimes: Map[String, Double] =
-      if (rawRegressions.isEmpty) Map.empty
+      if (isolateSet.isEmpty) Map.empty
       else try {
         // the fork must not compete with this JVM's 130+-query heap:
         // stop the session and drain garbage BEFORE forking, or the
@@ -250,7 +272,7 @@ object Bench {
         }
         val cmd = (Seq(javaBin) ++ args ++ Seq("-cp",
           sys.props("java.class.path"), "graft.Profile", sfDir) ++
-          rawRegressions.map(_._1)).toArray
+          isolateSet).toArray
         val pb = new ProcessBuilder(cmd: _*)
         pb.redirectErrorStream(true)
         val p = pb.start()
@@ -268,7 +290,7 @@ object Bench {
         })
         drain.setDaemon(true)
         drain.start()
-        val budgetSec = 120L + 90L * rawRegressions.size
+        val budgetSec = 120L + 90L * isolateSet.size
         if (!p.waitFor(budgetSec, java.util.concurrent.TimeUnit.SECONDS))
           p.destroyForcibly()
         drain.join(5000)
@@ -276,8 +298,47 @@ object Bench {
         "PROFILE\\s+(\\S+)\\s+best=([0-9.]+)s".r.findAllMatchIn(out)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // append this run's watchlist bests to the ledger and diff against
+    // each query's most recent prior record. Records are line-oriented
+    // JSON so the no-deps regex parse stays honest; capped at the last
+    // 60 records.
+    val driftFlags: Map[String, (Double, Double)] =
+      if (driftWatch.isEmpty) Map.empty
+      else try {
+        val recRe =
+          "\\{\"label\":\"([^\"]+)\",\"isolated\":\\{([^}]*)\\}\\}".r
+        val pairRe = "\"([^\"]+)\":([0-9.]+)".r
+        val prior = recRe.findAllMatchIn(driftText).map { m =>
+          (m.group(1), pairRe.findAllMatchIn(m.group(2))
+            .map(p => p.group(1) -> p.group(2).toDouble).toMap)
+        }.toVector
+        val nowRec = driftWatch.flatMap(n =>
+          isolatedTimes.get(n).map(n -> _)).toMap
+        val flags = nowRec.flatMap { case (n, t) =>
+          prior.reverse.collectFirst {
+            case (_, m) if m.contains(n) => m(n)
+          }.collect { case prev if prev > 0 && t >= 1.25 * prev =>
+            n -> (prev, t)
+          }
+        }
+        val label = sys.env.getOrElse("SPARK_GRAFT_ROUND",
+          "b" + new java.text.SimpleDateFormat("MMddHHmm")
+            .format(new java.util.Date()))
+        val kept = (prior :+ (label, nowRec)).takeRight(60)
+        val watchJson = driftWatch.map("\"" + _ + "\"").mkString(", ")
+        val recJson = kept.map { case (l, m) =>
+          "  {\"label\":\"" + l + "\",\"isolated\":{" +
+            m.toSeq.sortBy(_._1).map { case (k, v) =>
+              "\"" + k + "\":" + "%.2f".format(v)
+            }.mkString(",") + "}}"
+        }.mkString(",\n")
+        java.nio.file.Files.writeString(driftPath,
+          s"""{"watch": [$watchJson],\n "records": [\n$recJson\n ]}\n""")
+        flags
+      } catch { case _: Throwable => Map.empty }
     val regressions = rawRegressions.filter { case (n, _, b) =>
-      isolatedTimes.get(n).forall(t => t > 2 * b * adj && t > b * adj + 1.0)
+      isolatedTimes.get(n).forall(t =>
+        t > 2 * b * adj && t > b * adj + floor(b))
     }
     // isolation is systematically FASTER than the shared JVM (the
     // 3-5x GC-contamination factor), so an isolated time that merely
@@ -287,7 +348,7 @@ object Bench {
     // for the next round's Profile pass.
     val isolatedWarn = rawRegressions.collect {
       case (n, _, b) if isolatedTimes.get(n).exists(t =>
-        t > 1.5 * b * adj && !(t > 2 * b * adj && t > b * adj + 1.0)) =>
+        t > 1.5 * b * adj && !(t > 2 * b * adj && t > b * adj + floor(b))) =>
         (n, isolatedTimes(n), b)
     }
     // The driver keeps only the last ~2000 chars of stdout and parses
@@ -324,7 +385,8 @@ object Bench {
           // breach was harness noise)
           val rc = if (rawRegressions.isEmpty) ""
             else s""","rechecked":${rawRegressions.size}"""
-          rc + (if (regressions.isEmpty) "" else s""","regr":${regressions.size}""")
+          rc + (if (regressions.isEmpty) "" else s""","regr":${regressions.size}""") +
+            (if (driftFlags.isEmpty) "" else s""","drift":${driftFlags.size}""")
         }
         else regressions.map { case (n, t, b) =>
           "\"" + n + "\":[" + fmt(t, 2) + "," + fmt(b, 2) + "]"
@@ -339,7 +401,14 @@ object Bench {
           }.mkString(""","isolated_warn":{""", ",", "}")) +
           floorExempted.map { case (n, t, b) =>
             "\"" + n + "\":[" + fmt(t, 2) + "," + fmt(b, 2) + "]"
-          }.mkString(""","floor_exempted":{""", ",", "}")
+          }.mkString(""","floor_exempted":{""", ",", "}") +
+          (if (driftWatch.isEmpty) "" else
+            driftWatch.flatMap(n => isolatedTimes.get(n).map(t =>
+              "\"" + n + "\":" + fmt(t, 2)))
+              .mkString(""","drift_isolated":{""", ",", "}") +
+            driftFlags.map { case (n, (prev, now)) =>
+              "\"" + n + "\":[" + fmt(prev, 2) + "," + fmt(now, 2) + "]"
+            }.mkString(""","drift_flags":{""", ",", "}"))
       val extra = gate + (if (short) "" else
         s""","unit":"sec","sf":"$sfDir","calib":${fmt(calib, 2)}""" +
           s""","calib_io":${fmt(calibIo, 2)},"calib_io_scan":${if (calibIoScan) 1 else 0},"calib_adjust":${fmt(adj, 2)}""")
@@ -371,7 +440,8 @@ object Bench {
         // gate verdicts must survive this degraded format too
         val gateBits = (if (rawRegressions.isEmpty) ""
           else s""","rechecked":${rawRegressions.size}""") +
-          (if (regressions.isEmpty) "" else s""","regr":${regressions.size}""")
+          (if (regressions.isEmpty) "" else s""","regr":${regressions.size}""") +
+          (if (driftFlags.isEmpty) "" else s""","drift":${driftFlags.size}""")
         val head = s"""{"metric":"total","value":$tot,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}$gateBits,"sf":${"\"" + sfDir + "\""},"slowest":{"""
         val entries = results.sortBy(-_._2).map { case (k, v) =>
           val base = k.stripPrefix("q_")
