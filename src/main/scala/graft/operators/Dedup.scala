@@ -252,14 +252,68 @@ object Dedup {
     * position filter both tighten with t), and (c) a real blocking key
     * (lang × length-band × domain, 10³-10⁵ values — `source` here has
     * 5). For corpus-wide low-threshold dedup without a caller-owned
-    * block key, [[minHashLshPairs]] is the right operator. */
+    * block key, [[minHashLshPairs]] is the right operator.
+    *
+    * `shingleSize = 0` (the default) is AUTO: shingles start at 2 and
+    * ESCALATE to 3 when the measured prefix-bucket profile predicts
+    * more than [[NgramAutoPairBudget]] candidate pairs per document —
+    * the scaling rule above applied by the operator itself instead of
+    * by a scaladoc dial (same polarity lesson as
+    * [[fuzzyNearDupPairs]]' DefaultMaxBlock: scale defaults must not
+    * depend on the caller reading the docs). The profile comes from
+    * the size-2 prefix rows the operator checkpoints anyway, so the
+    * steady-state (no escalation) cost is one tiny aggregate; an
+    * escalated run re-tokenizes at size 3 — far cheaper than the
+    * near-quadratic pairing it avoids (measured at the 300x hot-
+    * vocabulary replica: 413.6s/exponent 0.92 pinned at 2 vs
+    * 81.9s/0.66 at 3). Escalation changes which similarity is
+    * computed (Jaccard over 3-shingles, the sharper production
+    * measure for hot-vocabulary corpora) — pass an explicit
+    * `shingleSize` to pin the measure. */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String,
       textCol: String = "text", idCol: String = "doc_id",
-      shingleSize: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      wordShingles(col(textCol), shingleSize).as("sh"))
-    verifyPairs(ngramCandidates(base, threshold),
-      base.select(col("id"), col("sh")), threshold)
+      shingleSize: Int = 0, threshold: Double = 0.5,
+      autoPairBudget: Long = NgramAutoPairBudget): DataFrame = {
+    def baseAt(sz: Int) = docs.select(col(blockCol).as("blk"),
+      col(idCol).as("id"), wordShingles(col(textCol), sz).as("sh"))
+    if (shingleSize > 0) {
+      val base = baseAt(shingleSize)
+      verifyPairs(ngramCandidates(base, threshold),
+        base.select(col("id"), col("sh")), threshold)
+    } else {
+      val base2 = baseAt(2)
+      val pfx2 = ngramPrefix(base2, threshold).localCheckpoint()
+      val (base, pfx) =
+        if (ngramPrefixPairsPerDoc(pfx2) <= autoPairBudget)
+          (base2, pfx2)
+        else (baseAt(3), ngramPrefix(baseAt(3), threshold).localCheckpoint())
+      verifyPairs(ngramCandidatesFromPrefix(pfx, threshold),
+        base.select(col("id"), col("sh")), threshold)
+    }
+  }
+
+  /** AUTO-escalation budget for [[ngramJaccardPairs]]: predicted
+    * prefix-bucket candidate pairs per document above which the
+    * operator escalates from 2- to 3-token shingles. The conformance
+    * corpus at sf0.1 profiles at ~44 post-filter candidates per doc
+    * (219,865 / 5,000 — the oracle-pinned bigram regime); the 300x
+    * hot-vocabulary replica predicts tens of thousands per doc. 512
+    * sits an order of magnitude above the former and two below the
+    * latter, so the flip is far from both measured operating points. */
+  val NgramAutoPairBudget: Long = 512L
+
+  /** Predicted candidate pairs per document from a checkpointed prefix
+    * frame: sum of C(bucket,2) over (blk, tok) prefix buckets — the
+    * SMJ pair volume BEFORE the PPJoin size/position filters (an upper
+    * bound on true candidates, which is the conservative side for an
+    * escalation guard), divided by the document count. One aggregate
+    * over the tiny checkpointed prefix rows. */
+  private[graft] def ngramPrefixPairsPerDoc(pfx: DataFrame): Long = {
+    val r = pfx.groupBy("blk", "tok").agg(count(lit(1)).as("c"))
+      .agg(sum((col("c") * (col("c") - 1) / 2).cast("long"))
+        .as("pairs")).head()
+    val nDocs = pfx.select("id").distinct().count()
+    if (nDocs == 0 || r.isNullAt(0)) 0L else r.getLong(0) / nDocs
   }
 
   /** Prefix-row derivation of [[ngramCandidates]] — (blk, tok, id, sz,
@@ -293,9 +347,17 @@ object Dedup {
     * ([[graft.ScaleProbe]]): candidate growth vs corpus growth is the
     * empirical subquadraticity evidence. Input schema (blk, id, sh). */
   private[graft] def ngramCandidates(base: DataFrame,
+      threshold: Double): DataFrame =
+    ngramCandidatesFromPrefix(
+      ngramPrefix(base, threshold).localCheckpoint(), threshold)
+
+  /** Pairing stage of [[ngramCandidates]] over an ALREADY-CHECKPOINTED
+    * prefix frame — split out so the AUTO shingle escalation in
+    * [[ngramJaccardPairs]] can profile the checkpointed prefix rows
+    * before committing to the pairing. */
+  private[graft] def ngramCandidatesFromPrefix(pfx: DataFrame,
       threshold: Double): DataFrame = {
-    val par = base.sparkSession.sparkContext.defaultParallelism
-    val prefix = ngramPrefix(base, threshold)
+    val par = pfx.sparkSession.sparkContext.defaultParallelism
     // SPILLABLE bucket-mate pairing: checkpoint the prefix rows (only
     // (blk, tok, id, sz, rn) — 8-40 B columns, never payloads) and
     // sort-merge self-join on (blk, tok). The checkpoint means the
@@ -315,7 +377,6 @@ object Dedup {
     // additionally sweeps persistent RDDs between queries); note the
     // checkpoint also makes CONSTRUCTING this frame run the prefix
     // derivation eagerly.
-    val pfx = prefix.localCheckpoint()
     // J>=t needs overlap o >= t/(1+t)*(|A|+|B|) (PPJoin, Xiao et al.
     // WWW 2008); both pruning filters below are necessary conditions,
     // so candidate recall stays 100%:

@@ -100,6 +100,37 @@ class DedupSpec extends SparkSuite {
       "cross-block pair emitted")
   }
 
+  test("ngramJaccardPairs AUTO: cool prefix profile stays at bigrams") {
+    // on the conformance corpus the default (auto) must be
+    // result-identical to an explicit shingleSize = 2 — this is what
+    // keeps the bigram DuckDB oracle valid for q_dedup_ngram_block
+    val auto = Dedup.ngramJaccardPairs(docs, blockCol = "source",
+      threshold = 0.5)
+    val pinned = Dedup.ngramJaccardPairs(docs, blockCol = "source",
+      shingleSize = 2, threshold = 0.5)
+    assertSameRows(auto, pinned)
+  }
+
+  test("ngramJaccardPairs AUTO: hot prefix profile escalates to 3-shingles") {
+    // every doc shares the same tiny vocabulary, so every 2-shingle
+    // prefix bucket is hot; with the budget forced low the operator
+    // must escalate and match the explicit 3-shingle result
+    val hotDocs = (0L until 40L).map { i =>
+      (i, s"alpha beta gamma delta alpha beta word$i gamma", "s0")
+    }.toDF("doc_id", "text", "source")
+    val pfx2 = Dedup.ngramPrefix(
+      hotDocs.select(col("source").as("blk"), col("doc_id").as("id"),
+        Dedup.wordShingles(col("text"), 2).as("sh")), 0.5)
+      .localCheckpoint()
+    assert(Dedup.ngramPrefixPairsPerDoc(pfx2) > 4,
+      "fixture's 2-shingle prefix profile should read hot")
+    val auto = Dedup.ngramJaccardPairs(hotDocs, blockCol = "source",
+      threshold = 0.5, autoPairBudget = 4L)
+    val pinned3 = Dedup.ngramJaccardPairs(hotDocs, blockCol = "source",
+      shingleSize = 3, threshold = 0.5)
+    assertSameRows(auto, pinned3)
+  }
+
   test("embeddingNearDupPairs finds planted near-identical vectors") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => math.sin(i).toFloat)),
