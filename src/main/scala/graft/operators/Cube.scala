@@ -105,16 +105,52 @@ object Cube {
       case c => "_x%04x_".format(c.toInt)
     }).mkString("_d")
 
+  /** Base-dim reduction contract for [[build]]: a lattice only earns
+    * its keep when the BASE cuboid is much smaller than the fact —
+    * every routing win and every incremental-maintenance win is
+    * proportional to that reduction. When the base grain is nearly
+    * row-unique (the 300x probe measured growth exponent 0.93 for
+    * maintenance exactly in that regime — the "summary" IS the fact,
+    * so every derive rescans fact-sized data), materializing the
+    * lattice burns storage and shuffle for nothing. [[build]] refuses
+    * above this sketched base-groups/fact-rows fraction; pass
+    * `maxBaseRatio = 1.0` to opt out (and accept fact-sized
+    * summaries), or pick lower-cardinality base dims. */
+  val DefaultMaxBaseRatio: Double = 0.5
+
+  /** Facts below this row count skip the reduction guard: a tiny
+    * fixture legitimately has near-unique dim tuples, and the guard
+    * exists to stop 100 TB mistakes, not unit tests. */
+  val BaseRatioGuardMinRows: Long = 1L << 20
+
   /** Materialize `cuboids` (each a subset of fact columns) as managed
     * tables `<tablePrefix><dims joined by _>`, building each from its
     * smallest materialized ancestor, and register every one as a
     * routing summary. Existing tables are overwritten. Returns the
-    * build manifest in build order (descending dim count). */
+    * build manifest in build order (descending dim count).
+    *
+    * Refuses (see [[DefaultMaxBaseRatio]]) when one sketch pass over
+    * the fact (count + HLL of the widest dim tuple, map-side partial,
+    * no shuffle growth) shows the base cuboid would not reduce the
+    * fact by at least `1 - maxBaseRatio`. */
   def build(fact: DataFrame, measures: Seq[MeasureDef],
       cuboids: Seq[Seq[String]], tablePrefix: String,
-      register: Boolean = true): Seq[Built] = {
+      register: Boolean = true,
+      maxBaseRatio: Double = DefaultMaxBaseRatio): Seq[Built] = {
     require(cuboids.nonEmpty, "no cuboids requested")
     require(measures.nonEmpty, "no measures declared")
+    if (maxBaseRatio < 1.0) {
+      val widest = cuboids.maxBy(_.length)
+      val r = fact.agg(count(lit(1)),
+        approx_count_distinct(struct(widest.map(col): _*))).head()
+      val (n, g) = (r.getLong(0), r.getLong(1))
+      require(n < BaseRatioGuardMinRows || g <= maxBaseRatio * n,
+        s"base cuboid (${widest.mkString(",")}) sketches ~$g groups over " +
+          s"$n fact rows (${"%.2f".format(g.toDouble / n)} > " +
+          s"$maxBaseRatio): the lattice would not reduce the fact — " +
+          "pick lower-cardinality base dims, or pass maxBaseRatio = 1.0 " +
+          "to build fact-sized summaries anyway")
+    }
     // mangle is injective, so mangled-name uniqueness == dim-list
     // uniqueness; a duplicated dim list would silently overwrite its
     // twin's table mid-build
@@ -312,6 +348,13 @@ object Cube {
     * costs aggregations over summaries, exactly like the build; and
     * because every measure combines exactly, maintained lattice ==
     * lattice rebuilt from the full fact, row for row.
+    *
+    * Cost model inherits [[build]]'s reduction contract: maintenance
+    * is summary-sized ONLY when the base cuboid reduces the fact
+    * (guarded at build time by [[DefaultMaxBaseRatio]]); against a
+    * near-row-unique base grain each derive is fact-sized and the
+    * maintenance growth exponent was measured at 0.93 per fact growth
+    * (300x probe) — rebuild-equivalent cost, no incremental win.
     *
     * @param baseDims    the base cuboid's dims (must cover every
     *                    requested cuboid)

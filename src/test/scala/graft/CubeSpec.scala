@@ -38,6 +38,29 @@ class CubeSpec extends SparkSuite {
     assert(ex.getMessage.contains("duplicate cuboid"))
   }
 
+  test("build refuses a non-reducing base grain (reduction contract)") {
+    // adversarial shape from the 300x probe: a near-row-unique base
+    // dim tuple makes every summary fact-sized and maintenance
+    // rebuild-equivalent (measured exponent 0.93) — the guard must
+    // refuse before materializing anything
+    val fact = spark.range(Cube.BaseRatioGuardMinRows + 1).select(
+      col("id").as("k"), (col("id") % 97).as("d"),
+      lit(1L).as("v"))
+    val m = Seq(Cube.MeasureDef("n", Cube.MCountAll))
+    val ex = intercept[IllegalArgumentException] {
+      Cube.build(fact, m, Seq(Seq("k", "d"), Seq("d")),
+        "cube_guard_t_", register = false)
+    }
+    assert(ex.getMessage.contains("would not reduce the fact"),
+      ex.getMessage)
+    // tiny fixtures skip the guard even with row-unique dims — the
+    // contract polices 100 TB mistakes, not unit-test facts
+    val tiny = spark.range(1000).select(col("id").as("k"), lit(1L).as("v"))
+    val built = Cube.build(tiny, m, Seq(Seq("k")),
+      "cube_guard_tiny_t_", register = false)
+    assert(built.nonEmpty && built.head.rows == 1000)
+  }
+
   test("only the base cuboid reads the fact; parents shrink monotonically") {
     val base = manifest.head
     assert(base.parentDims.isEmpty, "widest cuboid must scan the fact")
