@@ -197,14 +197,35 @@ object VersionedTable {
     * since committed manifests are immutable. Guarantees ts is
     * non-decreasing in version, so timestamp resolution can never
     * contradict version order even when a multi-writer raw timeline
-    * regresses (clock skew, NTP step). */
+    * regresses (clock skew, NTP step).
+    *
+    * RELOCATION caveat, and why the fallback is BOUNDED: an mtime is
+    * not a commit record — copy/rsync/restore the table and every
+    * manifest's mtime becomes "now". Unbounded, one refreshed
+    * pre-provenance mtime would clamp every later version's effective
+    * time up to it and break historical `TIMESTAMP AS OF` even for
+    * versions that DO carry recorded `#OP` epochs. So each fallback is
+    * capped at the next recorded `#OP` epoch (version i committed
+    * before version i+1, so true time(i) <= any later recorded time —
+    * the cap only ever moves a corrupted mtime TOWARD the truth).
+    * Trailing pre-provenance versions (no later `#OP`) keep their raw
+    * mtime — nothing after them to poison, and a refreshed mtime there
+    * only makes them resolve as newer than they are. */
   private def effectiveCommitTimes(f: FileSystem, root: String,
       vs: Seq[Long]): Seq[(Long, Long)] = {
+    val ops: Seq[Option[Long]] =
+      vs.map(v => readManifestFull(f, root, v).flatMap(_.op).map(_._2))
+    // nextRec(i) = first recorded #OP epoch at any index > i
+    val nextRec = new Array[Long](vs.length)
+    var nr = Long.MaxValue
+    for (i <- vs.indices.reverse) {
+      nextRec(i) = nr
+      ops(i).foreach(t => nr = t)
+    }
     var running = Long.MinValue
-    vs.map { v =>
-      val raw = readManifestFull(f, root, v).flatMap(_.op).map(_._2)
-        .getOrElse(
-          f.getFileStatus(manifestPath(root, v)).getModificationTime)
+    vs.zipWithIndex.map { case (v, i) =>
+      val raw = ops(i).getOrElse(math.min(nextRec(i),
+        f.getFileStatus(manifestPath(root, v)).getModificationTime))
       running = math.max(running, raw)
       (v, running)
     }
@@ -1292,22 +1313,52 @@ object VersionedTable {
     latest
   }
 
+  /** In-flight-commit grace for [[vacuum]]: a data dir referenced by
+    * NO manifest at all is EITHER debris from a crashed write OR a
+    * commit in flight ([[commit]] lands its data dir before the
+    * manifest CAS) — deleting the latter would corrupt the commit the
+    * instant its manifest wins the race. Never-referenced dirs younger
+    * than this are left for a later vacuum; dirs referenced by a
+    * DROPPED manifest are provably superseded and reclaimed regardless
+    * of age. Same design as Delta's VACUUM file-age retention, scoped
+    * to whole dirs. */
+  val DefaultOrphanGraceMs: Long = 10L * 60 * 1000
+
   /** Reclaim data dirs referenced by NO retained manifest, keeping the
     * last `keepVersions` manifests (older manifests are dropped first,
-    * which is what bounds time travel). Returns deleted dir count. */
+    * which is what bounds time travel). Returns deleted dir count.
+    *
+    * Concurrency contract (the race law in VersionedTableSpec): a
+    * concurrent commit is safe ([[DefaultOrphanGraceMs]] protects its
+    * in-flight dirs; its manifest CAS never references dropped state);
+    * concurrent time-travel readers and CDC tailers of RETAINED
+    * versions are safe; a reader/tailer positioned on a version this
+    * call drops gets a clean error (missing manifest / missing-file
+    * scan failure), never silently partial data — retention must
+    * outlive reader and consumer lag, the Delta/Kafka contract. */
   def vacuum(spark: SparkSession, root: String,
-      keepVersions: Int = 2): Int = {
+      keepVersions: Int = 2,
+      orphanGraceMs: Long = DefaultOrphanGraceMs): Int = {
     require(keepVersions >= 1, "must retain at least the latest version")
     val f = fs(spark, root)
     val all = versions(spark, root)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
+    // read the manifests being dropped BEFORE deleting them: a dir
+    // they reference is superseded-by-construction and safe to
+    // reclaim immediately, age notwithstanding
+    val dropped = drop.flatMap(readManifest(f, root, _)).flatten.toSet
     drop.foreach(v => f.delete(manifestPath(root, v), false))
     val live = keep.flatMap(readManifest(f, root, _)).flatten.toSet
     val dataRoot = new Path(root, "data")
     if (!f.exists(dataRoot)) return 0
+    val now = System.currentTimeMillis()
     val orphans = f.listStatus(dataRoot).toSeq
+      .filter { st =>
+        val rel = s"data/${st.getPath.getName}"
+        !live.contains(rel) && (dropped.contains(rel) ||
+          now - st.getModificationTime >= orphanGraceMs)
+      }
       .map(_.getPath)
-      .filterNot(p => live.contains(s"data/${p.getName}"))
     orphans.foreach(p => f.delete(p, true))
     orphans.size
   }

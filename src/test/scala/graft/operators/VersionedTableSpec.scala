@@ -760,6 +760,126 @@ class VersionedTableSpec extends SparkSuite {
       s"effective history times must be monotone: ${byVersion.toSeq}")
   }
 
+  test("TIMESTAMP AS OF after relocation: a refreshed pre-provenance " +
+      "mtime is bounded by the next recorded #OP epoch") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("vtabreloc")
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    Thread.sleep(15)
+    VersionedTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"))
+    Thread.sleep(15)
+    VersionedTable.commit(spark, root, Seq((3L, "c")).toDF("id", "s"))
+    def manifest(v: Long) = Paths.get(root, "_vlog", f"v$v%05d.manifest")
+    def opEpoch(v: Long): Long = Files.readAllLines(manifest(v)).asScala
+      .find(_.startsWith("#OP:")).map(_.split(":").last.toLong).get
+    val (t2, t3) = (opEpoch(2), opEpoch(3))
+    // simulate copy/rsync/restore: v1 predates provenance (no #OP) and
+    // its manifest mtime becomes "now" — far newer than v2/v3's
+    // recorded commit epochs
+    Files.write(manifest(1), Files.readAllLines(manifest(1)).asScala
+      .filterNot(_.startsWith("#OP:")).asJava)
+    Files.setLastModifiedTime(manifest(1),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 3600000L))
+    // v2/v3 must still resolve on their OWN recorded epochs: the
+    // refreshed v1 mtime is capped at v2's epoch instead of clamping
+    // the whole timeline up to "now"
+    assert(VersionedTable.versionAsOf(spark, root, t2).contains(2L))
+    assert(VersionedTable.versionAsOf(spark, root, t3 - 1).contains(2L))
+    assert(VersionedTable.versionAsOf(spark, root, t3).contains(3L))
+    assert(VersionedTable.readAsOfTimestamp(spark, root, t2)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("race law: concurrent writer + vacuum + time-travel reads + " +
+      "CDC tail — correct data or a clean retention error, never " +
+      "silent partials") {
+    import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+    val root = tmpDir("vtabracelaw")
+    val cursor = s"$root/_cdc/cursor"
+    val totalVersions = 14
+    val keep = 4
+    VersionedTable.commit(spark, root, Seq((1L, 1L)).toDF("id", "v"))
+    val committed = new AtomicLong(1L)
+    val writerDone = new AtomicBoolean(false)
+    val violations = new ConcurrentLinkedQueue[String]()
+    val cdcSeen =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val cdcRetentionErr = new AtomicBoolean(false)
+    val pool = Executors.newFixedThreadPool(4)
+    pool.submit(new Runnable { def run(): Unit = {
+      try (2 to totalVersions).foreach { v =>
+        VersionedTable.commit(spark, root,
+          Seq((v.toLong, v.toLong)).toDF("id", "v"))
+        committed.set(v.toLong)
+      } catch { case e: Throwable =>
+        violations.add(s"writer threw: $e")
+      } finally writerDone.set(true)
+    }})
+    pool.submit(new Runnable { def run(): Unit = {
+      while (!writerDone.get()) {
+        try VersionedTable.vacuum(spark, root, keepVersions = keep)
+        catch { case e: Throwable => violations.add(s"vacuum threw: $e") }
+        Thread.sleep(20)
+      }
+    }})
+    pool.submit(new Runnable { def run(): Unit = {
+      val rnd = new scala.util.Random(7)
+      while (!writerDone.get()) {
+        val c0 = committed.get()
+        val v = 1L + rnd.nextInt(c0.toInt).toLong
+        try {
+          val got = VersionedTable.read(spark, root, Some(v))
+            .select("id").collect().map(_.getLong(0)).toSet
+          // a read that RETURNS must return the exact snapshot —
+          // a missing dir must fail the scan, never shrink it
+          if (got != (1L to v).toSet)
+            violations.add(s"read v$v returned $got")
+        } catch { case _: Throwable =>
+          // acceptable only for versions vacuum was allowed to drop
+          // (+1: a commit may have landed before its counter update,
+          // making one more version drop-eligible than `committed` shows)
+          val c1 = committed.get()
+          if (v > c1 + 1 - keep)
+            violations.add(s"read of retained v$v failed (latest $c1)")
+        }
+      }
+    }})
+    pool.submit(new Runnable { def run(): Unit = {
+      while (!writerDone.get()) {
+        try VersionedTable.processNewVersions(spark, root, cursor) {
+          (changes, _) =>
+            changes.filter(col("change") === "insert").select("id")
+              .collect().foreach(r => cdcSeen.add(r.getLong(0)))
+        } catch { case _: Throwable =>
+          // cursor fell behind retention — the documented contract
+          cdcRetentionErr.set(true)
+          return
+        }
+        Thread.sleep(15)
+      }
+    }})
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS), "race law hung")
+    assert(violations.isEmpty, violations.toArray.mkString("; "))
+    // final state: the full table, regardless of interleaving
+    assert(VersionedTable.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet ==
+      (1L to totalVersions).toSet)
+    // the tail either hit the retention contract or saw every insert
+    // it consumed correctly (at-least-once, appends only — the seen
+    // set must be a prefix-closed subset of the true inserts)
+    if (!cdcRetentionErr.get()) {
+      import scala.jdk.CollectionConverters._
+      val seen = cdcSeen.asScala.toSet
+      assert(seen.subsetOf((1L to totalVersions).toSet),
+        s"CDC emitted rows that were never committed: $seen")
+      assert(seen.nonEmpty, "CDC tail consumed nothing")
+    }
+  }
+
   test("shallow clone: zero-copy, isolated writes, CoW over cloned dirs, compact severs") {
     val src = tmpDir("vtabsrc")
     val dst = tmpDir("vtabdst")
