@@ -1266,6 +1266,52 @@ object ExtQueries {
                    CAST(SUM(q) AS BIGINT) FROM q WHERE q <= 10
             ORDER BY version"""))
 
+  /** SQL-TEXT time travel ([[graft.plans.VTabTimeTravelRule]]): the
+    * reference's surface is SQL-first, so `VERSION AS OF` /
+    * `TIMESTAMP AS OF` / bare-latest must work as `spark.sql(...)`
+    * text over `vtab.`/path`` identifiers, not only through the Scala
+    * API. Spark's parser natively produces the time-travel relation
+    * (SPARK-37219); the injected resolution rule resolves it through
+    * the SAME `versionAsOf` effective-commit-time rules as the Scala
+    * path, so this query is the SQL twin of q_versioned_time_travel.
+    * The timestamp leg reads `describeHistory` for v2's commit time —
+    * resolution at exactly that wall-clock time must pick v2. */
+  val q_versioned_sql_asof = QuerySpec(
+    "q_versioned_sql_asof", Seq("S9", "S4"),
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val li = Engine.table(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vtab_sql").toString
+      VersionedTable.commit(s, root, li.filter(col("l_quantity") <= 10))
+      VersionedTable.commit(s, root, li.filter(col("l_quantity") >= 45))
+      val t2 = VersionedTable.describeHistory(s, root)
+        .filter(col("version") === 2L).head().getTimestamp(1)
+      def agg(label: String, from: String) = s.sql(
+        s"""SELECT '$label' AS leg, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM $from""")
+      Engine.collectAndClean(
+        agg("v1", s"vtab.`$root` VERSION AS OF 1")
+          .unionByName(agg("ts2",
+            s"vtab.`$root` TIMESTAMP AS OF '$t2'"))
+          .unionByName(agg("latest", s"vtab.`$root`"))
+          .orderBy("leg"), root)
+    },
+    Some("""WITH q AS (SELECT CAST(l_quantity AS BIGINT) AS q
+                       FROM lineitem)
+            SELECT 'latest' AS leg, COUNT(*) AS n,
+                   CAST(SUM(q) AS BIGINT) AS qty FROM q
+            WHERE q <= 10 OR q >= 45
+            UNION ALL
+            SELECT 'ts2', COUNT(*), CAST(SUM(q) AS BIGINT) FROM q
+            WHERE q <= 10 OR q >= 45
+            UNION ALL
+            SELECT 'v1', COUNT(*), CAST(SUM(q) AS BIGINT) FROM q
+            WHERE q <= 10
+            ORDER BY leg"""))
+
   /** Versioned-table ADDITIVE SCHEMA EVOLUTION
     * ([[graft.operators.VersionedTable.commit]] with mergeSchema):
     * commit a narrow (k, v) snapshot, evolve it with an added `w`
@@ -1665,8 +1711,8 @@ object ExtQueries {
             ORDER BY label"""))
 
   val all: Seq[QuerySpec] = Seq(
-    q_versioned_time_travel, q_versioned_merge, q_versioned_evolve,
-    q_versioned_constraints, q_versioned_clone,
+    q_versioned_time_travel, q_versioned_sql_asof, q_versioned_merge,
+    q_versioned_evolve, q_versioned_constraints, q_versioned_clone,
     q_approx_distinct, q_percentile, q_percentile_huge,
     q_approx_percentile, q_moments,
     q_group_by_all, q_setops_all, q_sessionize_batch,

@@ -72,6 +72,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     import graft.functions.{BpeEncode, HyperplaneLSH, MinHashSig,
       SimHash64, TokenChunks, UnitNorm, VectorSim, Winnow, WordShingles}
+    ext.injectResolutionRule(s => VTabTimeTravelRule(s))
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => UnionFusedJoinRewrite)
     ext.injectOptimizerRule(_ => AggRouteRewrite)

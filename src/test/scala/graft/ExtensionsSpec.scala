@@ -8,6 +8,24 @@ import org.apache.spark.sql.functions._
   * reference docs/olap.md:46). */
 class ExtensionsSpec extends SparkSuite {
 
+  test("vtab SQL time travel: VERSION AS OF / TIMESTAMP AS OF / latest") {
+    import graft.operators.VersionedTable
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtab_sqlspec").toString
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    Thread.sleep(15)
+    VersionedTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"))
+    def ids(sql: String): Set[Long] =
+      spark.sql(sql).collect().map(_.getLong(0)).toSet
+    assert(ids(s"SELECT id FROM vtab.`$root` VERSION AS OF 1") == Set(1L))
+    assert(ids(s"SELECT id FROM vtab.`$root`") == Set(1L, 2L))
+    val t1 = VersionedTable.describeHistory(spark, root)
+      .filter(col("version") === 1L).head().getTimestamp(1)
+    assert(ids(s"SELECT id FROM vtab.`$root` TIMESTAMP AS OF '$t1'")
+      == Set(1L))
+  }
+
   test("approx-distinct rule rewrites count(distinct) to HLL++ when enabled") {
     val events = Engine.table(spark, sf, "events")
     def q = events.groupBy("event_type")
