@@ -78,7 +78,74 @@ object ScaleBench {
       "probe_ngram3" -> ((s, d) =>
         graft.operators.Dedup.ngramJaccardPairs(
           Engine.table(s, d, "documents"), blockCol = "source",
-          shingleSize = 3, threshold = 0.5)))
+          shingleSize = 3, threshold = 0.5)),
+      // AUTO-escalation as shipped: the same call q_dedup_ngram_block
+      // makes (no shingle argument) — at replica scale the operator
+      // must derive the 3-shingle regime itself from its prefix
+      // profile (the manual probe_ngram3 dial proved the target:
+      // 81.9s / exponent 0.66 at factor 300)
+      "probe_ngram_auto" -> ((s, d) =>
+        graft.operators.Dedup.ngramJaccardPairs(
+          Engine.table(s, d, "documents"), blockCol = "source",
+          threshold = 0.5)),
+      // streaming lattice-maintenance lifecycle (the foreachBatch body
+      // of StreamOps.latticeMaintenanceSink): 4 sequential micro-
+      // batches fold into the base cuboid and re-derive descendants,
+      // each committed as a VersionedTable version — the steady-state
+      // cost a real-time cube pays per trigger, at replica scale
+      "probe_stream_lattice" -> ((s, d) => {
+        import graft.operators.{Cube, VersionedTable}
+        val root = "target/scalebench/lattice_probe"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(root))
+        val li = Engine.table(s, d, "lineitem").select(
+          col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          col("l_shipmode").as("sm"),
+          col("l_quantity").cast("long").as("q"),
+          col("l_orderkey").as("ok"))
+        val baseDims = Seq("rf", "ls", "sm")
+        val cuboids = Seq(Seq("rf", "ls"), Seq("sm"))
+        val measures = Seq(Cube.MeasureDef("n", Cube.MCountAll),
+          Cube.MeasureDef("qty", Cube.MSum, col("q")))
+        def rootOf(dims: Seq[String]) = root + "/" + Cube.mangle(dims)
+        (0 until 4).foreach { b =>
+          val batch = li.filter(col("ok") % 4 === b).drop("ok")
+          val lattice =
+            if (b == 0) {
+              val base = batch.groupBy(baseDims.map(col): _*)
+                .agg(measures.head.base, measures.tail.map(_.base): _*)
+              Map(baseDims -> base) ++
+                cuboids.map(c => c -> Cube.derive(base, c, measures))
+            } else Cube.maintainLattice(baseDims,
+              VersionedTable.read(s, rootOf(baseDims)), batch,
+              measures, cuboids)
+          (cuboids :+ baseDims).foreach { c =>
+            VersionedTable.commit(s, rootOf(c), lattice(c),
+              overwrite = true, idempotencyKey = Some(s"cub-$b"))
+          }
+        }
+        VersionedTable.read(s, rootOf(baseDims))
+      }),
+      // streaming search-index maintenance lifecycle (the foreachBatch
+      // body of StreamOps.searchIndexSink): build once, then 3 CDC
+      // upsert batches into the persisted inverted index
+      "probe_stream_search" -> ((s, d) => {
+        val dir = "target/scalebench/searchidx_probe"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir))
+        val docs = Engine.table(s, d, "documents")
+        graft.operators.TextOps.buildInvertedIndex(
+          docs.filter(col("doc_id") % 4 === 0), dir, shards = 8)
+        (1 until 4).foreach { b =>
+          val batch = docs.filter(col("doc_id") % 4 === b)
+            .select(col("doc_id"), col("text"))
+            .withColumn("change", lit("insert"))
+          graft.operators.TextOps.invertedIndexUpsert(s, dir, batch,
+            shards = 8)
+        }
+        graft.operators.TextOps.bm25TopKIndexed(s, dir,
+          Seq("join", "scan", "filter"), k = 10, shards = 8)
+      }))
 
   private def resolve(n: String): (SparkSession, String) => DataFrame =
     extraProbes.getOrElse(n, SparkEntry.queries(n))
@@ -206,6 +273,7 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "8")
