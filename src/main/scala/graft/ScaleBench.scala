@@ -100,11 +100,11 @@ object ScaleBench {
           new java.io.File(root))
         val li = Engine.table(s, d, "lineitem").select(
           col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
-          col("l_shipmode").as("sm"),
+          col("l_shipdate").as("sd"),
           col("l_quantity").cast("long").as("q"),
           col("l_orderkey").as("ok"))
-        val baseDims = Seq("rf", "ls", "sm")
-        val cuboids = Seq(Seq("rf", "ls"), Seq("sm"))
+        val baseDims = Seq("rf", "ls", "sd")
+        val cuboids = Seq(Seq("rf", "ls"), Seq("sd"))
         val measures = Seq(Cube.MeasureDef("n", Cube.MCountAll),
           Cube.MeasureDef("qty", Cube.MSum, col("q")))
         def rootOf(dims: Seq[String]) = root + "/" + Cube.mangle(dims)

@@ -256,20 +256,19 @@ object Dedup {
     *
     * `shingleSize = 0` (the default) is AUTO: shingles start at 2 and
     * ESCALATE to 3 when the measured prefix-bucket profile predicts
-    * more than [[NgramAutoPairBudget]] candidate pairs per document —
-    * the scaling rule above applied by the operator itself instead of
-    * by a scaladoc dial (same polarity lesson as
-    * [[fuzzyNearDupPairs]]' DefaultMaxBlock: scale defaults must not
-    * depend on the caller reading the docs). The profile comes from
-    * the size-2 prefix rows the operator checkpoints anyway, so the
-    * steady-state (no escalation) cost is one tiny aggregate; an
-    * escalated run re-tokenizes at size 3 — far cheaper than the
-    * near-quadratic pairing it avoids (measured at the 300x hot-
-    * vocabulary replica: 413.6s/exponent 0.92 pinned at 2 vs
-    * 81.9s/0.66 at 3). Escalation changes which similarity is
-    * computed (Jaccard over 3-shingles, the sharper production
-    * measure for hot-vocabulary corpora) — pass an explicit
-    * `shingleSize` to pin the measure. */
+    * more than [[NgramAutoPairBudget]] TOTAL candidate pairs — the
+    * scaling rule above applied by the operator itself instead of by
+    * a scaladoc dial (same polarity lesson as [[fuzzyNearDupPairs]]'
+    * DefaultMaxBlock: scale defaults must not depend on the caller
+    * reading the docs). The profile comes from the size-2 prefix rows
+    * the operator checkpoints anyway, so the steady-state (no
+    * escalation) cost is one tiny aggregate; an escalated run
+    * re-tokenizes at size 3 — far cheaper than the pairing it avoids
+    * (measured at the 300x hot-vocabulary replica: 413.6s pinned at 2
+    * vs 81.9s at 3). Escalation changes which similarity is computed
+    * (Jaccard over 3-shingles, the sharper production measure for
+    * hot-vocabulary corpora) — pass an explicit `shingleSize` to pin
+    * the measure. */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String,
       textCol: String = "text", idCol: String = "doc_id",
       shingleSize: Int = 0, threshold: Double = 0.5,
@@ -282,38 +281,45 @@ object Dedup {
         base.select(col("id"), col("sh")), threshold)
     } else {
       val base2 = baseAt(2)
-      val pfx2 = ngramPrefix(base2, threshold).localCheckpoint()
-      val (base, pfx) =
-        if (ngramPrefixPairsPerDoc(pfx2) <= autoPairBudget)
-          (base2, pfx2)
-        else (baseAt(3), ngramPrefix(baseAt(3), threshold).localCheckpoint())
-      verifyPairs(ngramCandidatesFromPrefix(pfx, threshold),
+      val base =
+        if (ngramDfPredictedPairs(base2) <= autoPairBudget) base2
+        else baseAt(3)
+      verifyPairs(ngramCandidates(base, threshold),
         base.select(col("id"), col("sh")), threshold)
     }
   }
 
-  /** AUTO-escalation budget for [[ngramJaccardPairs]]: predicted
-    * prefix-bucket candidate pairs per document above which the
-    * operator escalates from 2- to 3-token shingles. The conformance
-    * corpus at sf0.1 profiles at ~44 post-filter candidates per doc
-    * (219,865 / 5,000 — the oracle-pinned bigram regime); the 300x
-    * hot-vocabulary replica predicts tens of thousands per doc. 512
-    * sits an order of magnitude above the former and two below the
-    * latter, so the flip is far from both measured operating points. */
-  val NgramAutoPairBudget: Long = 512L
+  /** AUTO-escalation budget for [[ngramJaccardPairs]]: TOTAL predicted
+    * bucket pairs (from the df profile, [[ngramDfPredictedPairs]])
+    * above which the operator escalates from 2- to 3-token shingles.
+    * Total, not per-document: on a copy-structured corpus the per-doc
+    * intensity is SCALE-INVARIANT (measured 136 prefix pairs/doc at
+    * both sf0.1 and the 300x replica — new sources add new vocabulary,
+    * Heaps-law style), while the absolute pairing work is what
+    * dominates the wall clock. Measured operating points of the df
+    * bound: sf0.01 = 17,654, sf0.1 = 1,817,835 (both must stay in the
+    * oracle-pinned bigram regime), 300x replica = 545,350,500 (must
+    * escalate: 413.6s at 2-shingles vs 81.9s at 3). 2^25 = 33.5M sits
+    * 18x above sf0.1 and 16x below the replica. */
+  val NgramAutoPairBudget: Long = 1L << 25
 
-  /** Predicted candidate pairs per document from a checkpointed prefix
-    * frame: sum of C(bucket,2) over (blk, tok) prefix buckets — the
-    * SMJ pair volume BEFORE the PPJoin size/position filters (an upper
-    * bound on true candidates, which is the conservative side for an
-    * escalation guard), divided by the document count. One aggregate
-    * over the tiny checkpointed prefix rows. */
-  private[graft] def ngramPrefixPairsPerDoc(pfx: DataFrame): Long = {
-    val r = pfx.groupBy("blk", "tok").agg(count(lit(1)).as("c"))
+  /** Escalation signal for [[ngramJaccardPairs]]: sum of C(df, 2)
+    * over (blk, tok) shingle buckets across ALL occurrences — an
+    * upper bound on the prefix-bucket SMJ pair volume (prefix rows are
+    * a rarest-first subset; measured within 2.7x of the exact prefix
+    * count at every operating point), and the conservative side for
+    * an escalation guard. Deliberately computed from the RAW df
+    * profile — one map-side-combined aggregate, no window, no join,
+    * no checkpoint — so the decision never pays the prefix-derivation
+    * cost of the size it is about to reject (deciding from the exact
+    * 2-shingle PREFIX profile measured 261s at the 300x replica vs
+    * ~97s deciding from this bound). */
+  private[graft] def ngramDfPredictedPairs(base: DataFrame): Long = {
+    val r = base.select(col("blk"), explode(col("sh")).as("tok"))
+      .groupBy("blk", "tok").agg(count(lit(1)).as("c"))
       .agg(sum((col("c") * (col("c") - 1) / 2).cast("long"))
         .as("pairs")).head()
-    val nDocs = pfx.select("id").distinct().count()
-    if (nDocs == 0 || r.isNullAt(0)) 0L else r.getLong(0) / nDocs
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Prefix-row derivation of [[ngramCandidates]] — (blk, tok, id, sz,
@@ -352,9 +358,8 @@ object Dedup {
       ngramPrefix(base, threshold).localCheckpoint(), threshold)
 
   /** Pairing stage of [[ngramCandidates]] over an ALREADY-CHECKPOINTED
-    * prefix frame — split out so the AUTO shingle escalation in
-    * [[ngramJaccardPairs]] can profile the checkpointed prefix rows
-    * before committing to the pairing. */
+    * prefix frame — split out so probes and tests can exercise the
+    * pairing against a pre-materialized prefix. */
   private[graft] def ngramCandidatesFromPrefix(pfx: DataFrame,
       threshold: Double): DataFrame = {
     val par = pfx.sparkSession.sparkContext.defaultParallelism

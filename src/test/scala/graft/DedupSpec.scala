@@ -118,12 +118,10 @@ class DedupSpec extends SparkSuite {
     val hotDocs = (0L until 40L).map { i =>
       (i, s"alpha beta gamma delta alpha beta word$i gamma", "s0")
     }.toDF("doc_id", "text", "source")
-    val pfx2 = Dedup.ngramPrefix(
-      hotDocs.select(col("source").as("blk"), col("doc_id").as("id"),
-        Dedup.wordShingles(col("text"), 2).as("sh")), 0.5)
-      .localCheckpoint()
-    assert(Dedup.ngramPrefixPairsPerDoc(pfx2) > 4,
-      "fixture's 2-shingle prefix profile should read hot")
+    val base2 = hotDocs.select(col("source").as("blk"),
+      col("doc_id").as("id"), Dedup.wordShingles(col("text"), 2).as("sh"))
+    assert(Dedup.ngramDfPredictedPairs(base2) > 4,
+      "fixture's 2-shingle df profile should read hot")
     val auto = Dedup.ngramJaccardPairs(hotDocs, blockCol = "source",
       threshold = 0.5, autoPairBudget = 4L)
     val pinned3 = Dedup.ngramJaccardPairs(hotDocs, blockCol = "source",
