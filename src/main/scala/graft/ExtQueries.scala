@@ -1312,6 +1312,48 @@ object ExtQueries {
             WHERE q <= 10
             ORDER BY leg"""))
 
+  /** SQL-text CDC + history ([[graft.plans.VTabTimeTravelRule]]):
+    * `vtab_changes.`/path` VERSION AS OF n` = every change since
+    * version n (Delta's table_changes as an identifier + AS OF
+    * clause, resolved through the same
+    * [[graft.operators.VersionedTable.changesBetween]] dir-diff as
+    * the Scala API), and `vtab_history.`/path`` = DESCRIBE HISTORY.
+    * Three append commits; the CDC leg anchored at v1 must see
+    * exactly the rows of v2+v3 as inserts, and the history leg's
+    * version arithmetic is closed-form. */
+  val q_versioned_cdc_sql = QuerySpec(
+    "q_versioned_cdc_sql", Seq("S9", "S4"),
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val li = Engine.table(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vtab_cdc").toString
+      VersionedTable.commit(s, root, li.filter(col("l_quantity") <= 10))
+      VersionedTable.commit(s, root, li.filter(col("l_quantity") >= 45))
+      VersionedTable.commit(s, root,
+        li.filter(col("l_quantity").between(20, 25)))
+      val cdc = s.sql(
+        s"""SELECT CONCAT('cdc_', change) AS leg, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM vtab_changes.`$root` VERSION AS OF 1
+            GROUP BY change""")
+      val hist = s.sql(
+        s"""SELECT 'history' AS leg, COUNT(*) AS n,
+                   CAST(SUM(version) AS BIGINT) AS qty
+            FROM vtab_history.`$root`""")
+      Engine.collectAndClean(
+        cdc.unionByName(hist).orderBy("leg"), root)
+    },
+    Some("""WITH q AS (SELECT CAST(l_quantity AS BIGINT) AS q
+                       FROM lineitem)
+            SELECT 'cdc_insert' AS leg, COUNT(*) AS n,
+                   CAST(SUM(q) AS BIGINT) AS qty FROM q
+            WHERE q >= 45 OR q BETWEEN 20 AND 25
+            UNION ALL
+            SELECT 'history', 3, 6
+            ORDER BY leg"""))
+
   /** Versioned-table ADDITIVE SCHEMA EVOLUTION
     * ([[graft.operators.VersionedTable.commit]] with mergeSchema):
     * commit a narrow (k, v) snapshot, evolve it with an added `w`
@@ -1711,7 +1753,8 @@ object ExtQueries {
             ORDER BY label"""))
 
   val all: Seq[QuerySpec] = Seq(
-    q_versioned_time_travel, q_versioned_sql_asof, q_versioned_merge,
+    q_versioned_time_travel, q_versioned_sql_asof, q_versioned_cdc_sql,
+    q_versioned_merge,
     q_versioned_evolve, q_versioned_constraints, q_versioned_clone,
     q_approx_distinct, q_percentile, q_percentile_huge,
     q_approx_percentile, q_moments,

@@ -24,6 +24,22 @@ class ExtensionsSpec extends SparkSuite {
       .filter(col("version") === 1L).head().getTimestamp(1)
     assert(ids(s"SELECT id FROM vtab.`$root` TIMESTAMP AS OF '$t1'")
       == Set(1L))
+    // history and CDC identifiers resolve through the same rule
+    assert(spark.sql(s"SELECT version FROM vtab_history.`$root`")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val cdc = spark.sql(
+      s"SELECT id, change FROM vtab_changes.`$root` VERSION AS OF 1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cdc == Set((2L, "insert")), cdc.toString)
+    // CDC since a TIMESTAMP anchor resolves via versionAsOf
+    assert(spark.sql(s"SELECT id FROM vtab_changes.`$root` " +
+        s"TIMESTAMP AS OF '$t1'")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    // a changes read without an anchor is refused with a usable hint
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM vtab_changes.`$root`").collect()
+    }
+    assert(e.getMessage.contains("needs an anchor"), e.getMessage)
   }
 
   test("approx-distinct rule rewrites count(distinct) to HLL++ when enabled") {
