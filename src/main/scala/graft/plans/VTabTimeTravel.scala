@@ -74,6 +74,36 @@ case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     import graft.operators.VersionedTable
+    // WRITE statements are refused BEFORE the bottom-up substitution
+    // below can resolve their target relation: an INSERT that resolved
+    // to the snapshot's parquet relation could append files straight
+    // past the manifest — data invisible to every versioned read, or
+    // worse. Writes go through commit/merge/updateWhere/deleteWhere
+    // (or their streaming sinks), which is what makes them versions.
+    // the target may sit under alias/wrapper nodes (MERGE INTO t ...,
+    // DELETE FROM tbl alias) — scan the whole target subtree
+    def refuseWrite(target: LogicalPlan, verb: String): Unit =
+      target.collectFirst {
+        case u: UnresolvedRelation if idOf(u).isDefined => u
+      }.foreach { u =>
+        throw new IllegalArgumentException(
+          s"${u.multipartIdentifier.mkString(".")}: SQL $verb would " +
+            "bypass the version manifest — write through " +
+            "VersionedTable.commit/merge/updateWhere/deleteWhere " +
+            "(or the streaming sinks), which is what makes a write " +
+            "a version")
+      }
+    plan.foreach {
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+        refuseWrite(i.table, "INSERT")
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+        refuseWrite(d.table, "DELETE")
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+        refuseWrite(u.table, "UPDATE")
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+        refuseWrite(m.targetTable, "MERGE")
+      case _ =>
+    }
     plan.resolveOperatorsUp {
       case RelationTimeTravel(u: UnresolvedRelation, ts, version)
           if idOf(u).isDefined =>

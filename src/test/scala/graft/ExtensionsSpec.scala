@@ -40,6 +40,20 @@ class ExtensionsSpec extends SparkSuite {
       spark.sql(s"SELECT * FROM vtab_changes.`$root`").collect()
     }
     assert(e.getMessage.contains("needs an anchor"), e.getMessage)
+    // SQL writes are refused BEFORE the relation can resolve: an
+    // INSERT that reached the snapshot's parquet relation would append
+    // files past the manifest
+    Seq(s"INSERT INTO vtab.`$root` VALUES (9, 'z')",
+      s"DELETE FROM vtab.`$root` WHERE id = 1",
+      s"UPDATE vtab.`$root` SET s = 'x' WHERE id = 1",
+      s"""MERGE INTO vtab.`$root` t USING (SELECT 1 AS id) s
+          ON t.id = s.id WHEN MATCHED THEN DELETE""").foreach { stmt =>
+      val we = intercept[Exception](spark.sql(stmt).collect())
+      assert(we.getMessage.contains("bypass the version manifest"),
+        s"$stmt -> ${we.getMessage.take(200)}")
+    }
+    // and the table is bit-for-bit untouched afterwards
+    assert(ids(s"SELECT id FROM vtab.`$root`") == Set(1L, 2L))
   }
 
   test("approx-distinct rule rewrites count(distinct) to HLL++ when enabled") {
