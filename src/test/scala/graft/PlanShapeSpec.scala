@@ -23,6 +23,29 @@ class PlanShapeSpec extends SparkSuite {
       plan.contains("GreaterThan(l_quantity"), s"quantity filter not pushed:\n$plan")
   }
 
+  test("vtab SQL time travel keeps pushdown: the substituted snapshot " +
+      "is a plain pruned parquet scan") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtab_plan").toString
+    VersionedTable.commit(spark, root,
+      (1L to 100L).map(i => (i, s"s$i", i * 2.0)).toDF("id", "s", "v"))
+    VersionedTable.commit(spark, root,
+      (101L to 200L).map(i => (i, s"s$i", i * 2.0)).toDF("id", "s", "v"))
+    val df = spark.sql(
+      s"SELECT id, v FROM vtab.`$root` VERSION AS OF 1 WHERE id = 7")
+    val plan = df.queryExecution.executedPlan.toString
+    // the WHERE reaches the parquet scan as a pushed filter, and the
+    // 2-column projection prunes the read schema — SQL-text time
+    // travel costs nothing over the Scala read path
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("EqualTo(id,7)"), s"id filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:double>"),
+      s"projection not pruned:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
   test("column pruning reaches the scan: 2-col projection reads 2 cols (P1)") {
     val df = Engine.table(spark, sf, "lineitem")
       .select("l_orderkey", "l_quantity")
