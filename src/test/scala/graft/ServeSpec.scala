@@ -72,6 +72,30 @@ class ServeSpec extends SparkSuite {
           .orderBy("l_suppkey").limit(5)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toList
         assert(routed == naive, s"routed $routed != naive $naive")
+        // 2b) the vtab SQL surface over JDBC: a BI tool can time-travel
+        // and tail CDC with plain SQL — the serve session shares the
+        // suite session (singleSession), so the injected resolution
+        // rule answers these exactly like the Scala API
+        locally {
+          import spark.implicits._
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_vtab_jdbc").toString
+          graft.operators.VersionedTable.commit(spark, root,
+            Seq((1L, "a")).toDF("id", "s"))
+          graft.operators.VersionedTable.commit(spark, root,
+            Seq((2L, "b")).toDF("id", "s"))
+          val rsT = st.executeQuery(
+            s"SELECT id FROM vtab.`$root` VERSION AS OF 1")
+          val v1 = Iterator.continually(rsT).takeWhile(_.next())
+            .map(_.getLong(1)).toList
+          assert(v1 == List(1L), s"vtab over JDBC: $v1")
+          val rsC = st.executeQuery(
+            s"SELECT id, change FROM vtab_changes.`$root` VERSION AS OF 1")
+          val cdc = Iterator.continually(rsC).takeWhile(_.next())
+            .map(r => (r.getLong(1), r.getString(2))).toList
+          assert(cdc == List((2L, "insert")), s"vtab_changes over JDBC: $cdc")
+        }
+
         // 3) concurrent dashboards: N parallel connections, each its
         // own statement, all answered correctly (the daemon's only
         // per-query state is Spark's scheduler — this pins that the
