@@ -260,12 +260,13 @@ object Dedup {
     * scaling rule above applied by the operator itself instead of by
     * a scaladoc dial (same polarity lesson as [[fuzzyNearDupPairs]]'
     * DefaultMaxBlock: scale defaults must not depend on the caller
-    * reading the docs). The profile comes from the size-2 prefix rows
-    * the operator checkpoints anyway, so the steady-state (no
-    * escalation) cost is one tiny aggregate; an escalated run
-    * re-tokenizes at size 3 — far cheaper than the pairing it avoids
-    * (measured at the 300x hot-vocabulary replica: 413.6s pinned at 2
-    * vs 81.9s at 3). Escalation changes which similarity is computed
+    * reading the docs). The profile is one map-side-combined
+    * aggregate over the SAME checkpointed tokenized frame the prefix
+    * derivation and the verify join read, so the steady-state (no
+    * escalation) path tokenizes the corpus exactly once; an escalated
+    * run re-tokenizes once at size 3 — far cheaper than the pairing
+    * it avoids (measured at the 300x hot-vocabulary replica: 413.6s
+    * pinned at 2 vs 81.9s at 3). Escalation changes which similarity is computed
     * (Jaccard over 3-shingles, the sharper production measure for
     * hot-vocabulary corpora) — pass an explicit `shingleSize` to pin
     * the measure. */
@@ -273,19 +274,28 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       shingleSize: Int = 0, threshold: Double = 0.5,
       autoPairBudget: Long = NgramAutoPairBudget): DataFrame = {
+    // ONE tokenize pass per shingle size: the tokenized (blk, id, sh)
+    // frame is localCheckpointed so the AUTO decision profile, the
+    // prefix derivation, and the verify join all read the same
+    // materialized rows instead of each re-running
+    // split+transform+filter over the whole corpus (the r16 AUTO
+    // default made the steady-state path tokenize THREE times —
+    // profile, prefix, verify — an extra full corpus scan per extra
+    // pass at 100 TB). Same trade the pairing stage already makes for
+    // prefix rows; blocks are freed by the async ContextCleaner once
+    // the returned frame is unreferenced.
     def baseAt(sz: Int) = docs.select(col(blockCol).as("blk"),
       col(idCol).as("id"), wordShingles(col(textCol), sz).as("sh"))
-    if (shingleSize > 0) {
-      val base = baseAt(shingleSize)
-      verifyPairs(ngramCandidates(base, threshold),
-        base.select(col("id"), col("sh")), threshold)
-    } else {
+      .localCheckpoint()
+    def run(base: DataFrame) = verifyPairs(ngramCandidates(base, threshold),
+      base.select(col("id"), col("sh")), threshold)
+    if (shingleSize > 0) run(baseAt(shingleSize))
+    else {
       val base2 = baseAt(2)
-      val base =
-        if (ngramDfPredictedPairs(base2) <= autoPairBudget) base2
-        else baseAt(3)
-      verifyPairs(ngramCandidates(base, threshold),
-        base.select(col("id"), col("sh")), threshold)
+      if (ngramDfPredictedPairs(base2) <= autoPairBudget) run(base2)
+      // an escalated run re-tokenizes once at size 3 — far cheaper
+      // than the pairing it avoids (see scaladoc measurements)
+      else run(baseAt(3))
     }
   }
 
@@ -309,17 +319,32 @@ object Dedup {
     * a rarest-first subset; measured within 2.7x of the exact prefix
     * count at every operating point), and the conservative side for
     * an escalation guard. Deliberately computed from the RAW df
-    * profile — one map-side-combined aggregate, no window, no join,
-    * no checkpoint — so the decision never pays the prefix-derivation
-    * cost of the size it is about to reject (deciding from the exact
-    * 2-shingle PREFIX profile measured 261s at the 300x replica vs
-    * ~97s deciding from this bound). */
+    * profile — one map-side-combined aggregate, no window, no join —
+    * so the decision never pays the prefix-derivation cost of the
+    * size it is about to reject (deciding from the exact 2-shingle
+    * PREFIX profile measured 261s at the 300x replica vs ~97s
+    * deciding from this bound).
+    *
+    * The per-bucket C(c,2) term and the sum run in DECIMAL, not
+    * LongType: a single stopword-like (blk, tok) bucket above ~3e9
+    * occurrences would overflow a long partial to a NEGATIVE value
+    * and silently disable escalation in exactly the hot regime the
+    * guard exists for. A sum past Long.MaxValue (or any overflow
+    * null) clamps to Long.MaxValue = escalate. */
   private[graft] def ngramDfPredictedPairs(base: DataFrame): Long = {
+    val c = col("c").cast("decimal(20,0)")
     val r = base.select(col("blk"), explode(col("sh")).as("tok"))
       .groupBy("blk", "tok").agg(count(lit(1)).as("c"))
-      .agg(sum((col("c") * (col("c") - 1) / 2).cast("long"))
-        .as("pairs")).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+      .agg(sum((c * (c - 1) / 2).cast("decimal(38,0)")).as("pairs"),
+        count(lit(1)).as("buckets")).head()
+    val d = r.getDecimal(0)
+    if (d == null)
+      // null sum over a NON-empty profile is decimal overflow under
+      // ANSI-off — unrepresentably hot, so: escalate. Empty = cold.
+      (if (r.getLong(1) == 0L) 0L else Long.MaxValue)
+    else if (d.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) > 0)
+      Long.MaxValue
+    else d.longValueExact()
   }
 
   /** Prefix-row derivation of [[ngramCandidates]] — (blk, tok, id, sz,
