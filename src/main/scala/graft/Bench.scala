@@ -301,39 +301,108 @@ object Bench {
     // append this run's watchlist bests to the ledger and diff against
     // each query's most recent prior record. Records are line-oriented
     // JSON so the no-deps regex parse stays honest; capped at the last
-    // 60 records.
+    // 60 records. ALL numeric renders go through Locale.ROOT — a
+    // comma-decimal default locale (de_DE) would write an unparseable
+    // ledger that the blanket catch silently degrades to empty.
+    //
+    // SELF-EXTENDING WATCHLIST: the ledger only adjudicated
+    // hand-committed names until r17 (r16's dd_semantic/dd_simhash
+    // shared upticks went unwatched). Each contract-scale run now also
+    // records which queries read > 1.5x their committed baseline in
+    // the SHARED suite (weather-normalized by calib adj); a query
+    // seen in TWO CONSECUTIVE records auto-joins the watch (isolated
+    // profiling starts next run), and a watched query whose last 3
+    // isolated records all sit <= 1.25x its baseline auto-retires.
+    // Every mutation lands in "watch_log" with its reason.
     val driftFlags: Map[String, (Double, Double)] =
-      if (driftWatch.isEmpty) Map.empty
+      if (!sfDir.endsWith("sf0.1") || driftText.isEmpty) Map.empty
       else try {
         val recRe =
-          "\\{\"label\":\"([^\"]+)\",\"isolated\":\\{([^}]*)\\}\\}".r
+          "\\{\"label\":\"([^\"]+)\",\"isolated\":\\{([^}]*)\\}".r
         val pairRe = "\"([^\"]+)\":([0-9.]+)".r
-        val prior = recRe.findAllMatchIn(driftText).map { m =>
-          (m.group(1), pairRe.findAllMatchIn(m.group(2))
-            .map(p => p.group(1) -> p.group(2).toDouble).toMap)
+        val overRe = "\"shared_over\":\\{([^}]*)\\}".r
+        def pairs(s: String): Map[String, Double] =
+          pairRe.findAllMatchIn(s)
+            .map(p => p.group(1) -> p.group(2).toDouble).toMap
+        // (label, isolated, shared_over) per record, line-oriented
+        val prior = driftText.linesIterator.flatMap { line =>
+          recRe.findFirstMatchIn(line).map { m =>
+            (m.group(1), pairs(m.group(2)),
+              overRe.findFirstMatchIn(line).map(o => pairs(o.group(1)))
+                .getOrElse(Map.empty[String, Double]))
+          }
         }.toVector
         val nowRec = driftWatch.flatMap(n =>
           isolatedTimes.get(n).map(n -> _)).toMap
         val flags = nowRec.flatMap { case (n, t) =>
           prior.reverse.collectFirst {
-            case (_, m) if m.contains(n) => m(n)
+            case (_, m, _) if m.contains(n) => m(n)
           }.collect { case prev if prev > 0 && t >= 1.25 * prev =>
             n -> (prev, t)
           }
         }
+        // shared readings past 1.5x baseline this run (weather-
+        // normalized), recorded so the NEXT run can see "two in a row"
+        val nowOver = results.collect {
+          case (n, t) if t >= 0 && baseline.get(n).exists(b =>
+            b > 0 && t > 1.5 * b * adj) =>
+            n -> (t / (baseline(n) * adj))
+        }.toMap
+        val prevOver = prior.lastOption.map(_._3.keySet)
+          .getOrElse(Set.empty[String])
+        val adds = nowOver.keySet.intersect(prevOver)
+          .diff(driftWatch.toSet)
+          .filter(SparkEntry.queries.contains).toSeq.sorted
+        // retire: last 3 isolated records (incl. this run) all clean
+        // vs the committed baseline
+        val isoSeries: Map[String, Seq[Double]] = driftWatch.map { n =>
+          n -> ((prior.map(_._2) :+ nowRec)
+            .flatMap(_.get(n)))
+        }.toMap
+        val retires = driftWatch.filter { n =>
+          baseline.get(n).exists { b =>
+            val s = isoSeries.getOrElse(n, Seq.empty)
+            b > 0 && s.length >= 3 && s.takeRight(3).forall(_ <= 1.25 * b)
+          }
+        }.sorted
+        val newWatch =
+          (driftWatch.filterNot(retires.contains) ++ adds).distinct
         val label = sys.env.getOrElse("SPARK_GRAFT_ROUND",
           "b" + new java.text.SimpleDateFormat("MMddHHmm")
             .format(new java.util.Date()))
-        val kept = (prior :+ (label, nowRec)).takeRight(60)
-        val watchJson = driftWatch.map("\"" + _ + "\"").mkString(", ")
-        val recJson = kept.map { case (l, m) =>
-          "  {\"label\":\"" + l + "\",\"isolated\":{" +
-            m.toSeq.sortBy(_._1).map { case (k, v) =>
-              "\"" + k + "\":" + "%.2f".format(v)
-            }.mkString(",") + "}}"
+        def f2(v: Double): String =
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        def mapJson(m: Map[String, Double]): String =
+          m.toSeq.sortBy(_._1).map { case (k, v) =>
+            "\"" + k + "\":" + f2(v)
+          }.mkString(",")
+        val kept = (prior :+ ((label, nowRec, nowOver))).takeRight(60)
+        val recJson = kept.map { case (l, iso, over) =>
+          "  {\"label\":\"" + l + "\",\"isolated\":{" + mapJson(iso) +
+            "}" + (if (over.isEmpty) ""
+              else ",\"shared_over\":{" + mapJson(over) + "}") + "}"
         }.mkString(",\n")
+        // mutation log: prior entries survive verbatim, capped at 40
+        val logRe = "\\{\"label\":\"[^\"]*\",\"op\":[^}]*\\}".r
+        val priorLog = "\"watch_log\"\\s*:\\s*\\[([\\s\\S]*?)\\]".r
+          .findFirstMatchIn(driftText)
+          .map(m => logRe.findAllIn(m.group(1)).toVector)
+          .getOrElse(Vector.empty)
+        val newLog = priorLog ++
+          adds.map(n => "{\"label\":\"" + label + "\",\"op\":\"add\"," +
+            "\"q\":\"" + n + "\",\"reason\":\"shared > 1.5x baseline " +
+            "in two consecutive runs (now " +
+            f2(nowOver.getOrElse(n, 0.0)) + "x)\"}") ++
+          retires.map(n => "{\"label\":\"" + label +
+            "\",\"op\":\"retire\",\"q\":\"" + n + "\",\"reason\":" +
+            "\"last 3 isolated records <= 1.25x baseline (" +
+            isoSeries(n).takeRight(3).map(f2).mkString(",") + " vs " +
+            f2(baseline(n)) + ")\"}")
+        val watchJson = newWatch.map("\"" + _ + "\"").mkString(", ")
+        val logJson = newLog.takeRight(40).map("  " + _).mkString(",\n")
         java.nio.file.Files.writeString(driftPath,
-          s"""{"watch": [$watchJson],\n "records": [\n$recJson\n ]}\n""")
+          s"""{"watch": [$watchJson],\n "watch_log": [\n$logJson\n ],\n""" +
+            s""" "records": [\n$recJson\n ]}\n""")
         flags
       } catch { case _: Throwable => Map.empty }
     val regressions = rawRegressions.filter { case (n, _, b) =>
@@ -356,7 +425,10 @@ object Bench {
     // `parsed:null` because the line overflowed it). Keep the stdout
     // line compact: strip the shared "q_" prefix, round to 2 decimals,
     // no note. The full-precision variant goes to bench_result.json.
-    def fmt(v: Double, p: Int): String = s"%.${p}f".format(v)
+    // Locale.ROOT: a comma-decimal default locale must not corrupt the
+    // JSON contract line or bench_result.json
+    def fmt(v: Double, p: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
     // stdout-only family-prefix abbreviations (applied after the q_
     // strip) so the full per-query map keeps fitting the driver's tail
     // as the suite grows: tpch_q→t, ref_→r_, dedup_→dd_, embed_→em_,

@@ -113,6 +113,19 @@ object Engine {
       df.sparkSession.sparkContext.parallelize(rows.toSeq), df.schema)
   }
 
+  /** Render a wall-clock instant as a SQL timestamp literal in the
+    * SESSION timezone. `Timestamp.toString` renders in the JVM
+    * default zone, but `TIMESTAMP AS OF '<literal>'` (and any SQL
+    * timestamp cast) parses in `spark.sql.session.timeZone` — on a
+    * non-UTC host the naive round-trip resolves hours off (wrong
+    * version, or 'no version committed at or before'). */
+  def tsLiteral(spark: SparkSession, ts: java.sql.Timestamp): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone))
+      .format(ts.toInstant)
+
   /** Read one testdata table, normalizing types the raw files can't
     * express in Spark (ns-precision timestamps → microsecond TIMESTAMP,
     * truncating like DuckDB's TIMESTAMP_NS→TIMESTAMP cast does).

@@ -1286,8 +1286,12 @@ object ExtQueries {
         .createTempDirectory("graft_vtab_sql").toString
       VersionedTable.commit(s, root, li.filter(col("l_quantity") <= 10))
       VersionedTable.commit(s, root, li.filter(col("l_quantity") >= 45))
-      val t2 = VersionedTable.describeHistory(s, root)
-        .filter(col("version") === 2L).head().getTimestamp(1)
+      // the literal must render in the SESSION zone (Engine.tsLiteral):
+      // Timestamp.toString uses the JVM default zone while the AS OF
+      // cast parses with spark.sql.session.timeZone — hours off on any
+      // non-UTC host
+      val t2 = Engine.tsLiteral(s, VersionedTable.describeHistory(s, root)
+        .filter(col("version") === 2L).head().getTimestamp(1))
       def agg(label: String, from: String) = s.sql(
         s"""SELECT '$label' AS leg, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
@@ -1313,11 +1317,12 @@ object ExtQueries {
             ORDER BY leg"""))
 
   /** SQL-text CDC + history ([[graft.plans.VTabTimeTravelRule]]):
-    * `vtab_changes.`/path` VERSION AS OF n` = every change since
-    * version n (Delta's table_changes as an identifier + AS OF
-    * clause, resolved through the same
+    * `vtab_changes.`/path` VERSION AS OF n` = every change STRICTLY
+    * AFTER version n (exclusive of the anchor — NOT Delta's inclusive
+    * startingVersion; see the rule's scaladoc hazard note), resolved
+    * through the same
     * [[graft.operators.VersionedTable.changesBetween]] dir-diff as
-    * the Scala API), and `vtab_history.`/path`` = DESCRIBE HISTORY.
+    * the Scala API; `vtab_history.`/path`` = DESCRIBE HISTORY.
     * Three append commits; the CDC leg anchored at v1 must see
     * exactly the rows of v2+v3 as inserts, and the history leg's
     * version arithmetic is closed-form. */
@@ -1352,6 +1357,96 @@ object ExtQueries {
             WHERE q >= 45 OR q BETWEEN 20 AND 25
             UNION ALL
             SELECT 'history', 3, 6
+            ORDER BY leg"""))
+
+  /** SQL-text WRITE routing ([[graft.plans.VTabInsertCommand]]): the
+    * reference's surface is SQL-first, so a SQL-only user must be able
+    * to WRITE a version, not only read one — `INSERT INTO vtab.`/p``
+    * appends as the next version and `INSERT OVERWRITE` replaces the
+    * snapshot, both routed through
+    * [[graft.operators.VersionedTable.commit]] (manifest CAS, schema
+    * gate) instead of resolving to the snapshot's parquet relation
+    * (which would write files past the manifest). Three versions: a
+    * Scala commit, a SQL append, a SQL replace — each read back via
+    * SQL time travel; DuckDB recomputes all three snapshots
+    * closed-form. */
+  val q_versioned_sql_insert = QuerySpec(
+    "q_versioned_sql_insert", Seq("S9", "S4"),
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val li = Engine.table(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vtab_ins").toString
+      VersionedTable.commit(s, root, li.filter(col("l_quantity") <= 10))
+      li.createOrReplaceTempView("vtab_ins_src")
+      s.sql(s"""INSERT INTO vtab.`$root`
+                SELECT l_orderkey, l_linenumber, l_quantity
+                FROM vtab_ins_src WHERE l_quantity >= 45""")
+      s.sql(s"""INSERT OVERWRITE vtab.`$root`
+                SELECT l_orderkey, l_linenumber, l_quantity
+                FROM vtab_ins_src WHERE l_quantity BETWEEN 20 AND 25""")
+      def agg(v: Long) = s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM vtab.`$root` VERSION AS OF $v""")
+      Engine.collectAndClean(
+        agg(1).unionByName(agg(2)).unionByName(agg(3))
+          .orderBy("version"), root)
+    },
+    Some("""WITH q AS (SELECT CAST(l_quantity AS BIGINT) AS q
+                       FROM lineitem)
+            SELECT CAST(1 AS BIGINT) AS version,
+                   COUNT(*) AS n,
+                   CAST(SUM(q) AS BIGINT) AS qty FROM q WHERE q <= 10
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), COUNT(*),
+                   CAST(SUM(q) AS BIGINT) FROM q
+            WHERE q <= 10 OR q >= 45
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), COUNT(*),
+                   CAST(SUM(q) AS BIGINT) FROM q
+            WHERE q BETWEEN 20 AND 25
+            ORDER BY version"""))
+
+  /** BOUNDED SQL CDC (`table_changes('/path', from[, to])`, registered
+    * by [[graft.plans.GraftExtensions]]): the TVF pins the SAME
+    * from/to semantics as the Scala
+    * [[graft.operators.VersionedTable.changesBetween]] — exclusive of
+    * `from`, inclusive of `to`, defaulting `to` to the latest commit.
+    * Three appends; the bounded leg (1, 2) must see exactly v2's
+    * inserts, and the open 2-arg leg (1) must equal the AS-OF
+    * identifier form (v2 + v3). DuckDB recomputes both closed-form. */
+  val q_versioned_cdc_bounded = QuerySpec(
+    "q_versioned_cdc_bounded", Seq("S9", "S4"),
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val li = Engine.table(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vtab_tvf").toString
+      VersionedTable.commit(s, root, li.filter(col("l_quantity") <= 10))
+      VersionedTable.commit(s, root, li.filter(col("l_quantity") >= 45))
+      VersionedTable.commit(s, root,
+        li.filter(col("l_quantity").between(20, 25)))
+      val bounded = s.sql(
+        s"""SELECT CONCAT('v2_', change) AS leg, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM table_changes('$root', 1, 2) GROUP BY change""")
+      val open = s.sql(
+        s"""SELECT CONCAT('all_', change) AS leg, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM table_changes('$root', 1) GROUP BY change""")
+      Engine.collectAndClean(
+        bounded.unionByName(open).orderBy("leg"), root)
+    },
+    Some("""WITH q AS (SELECT CAST(l_quantity AS BIGINT) AS q
+                       FROM lineitem)
+            SELECT 'v2_insert' AS leg, COUNT(*) AS n,
+                   CAST(SUM(q) AS BIGINT) AS qty FROM q WHERE q >= 45
+            UNION ALL
+            SELECT 'all_insert', COUNT(*), CAST(SUM(q) AS BIGINT) FROM q
+            WHERE q >= 45 OR q BETWEEN 20 AND 25
             ORDER BY leg"""))
 
   /** Versioned-table ADDITIVE SCHEMA EVOLUTION
@@ -1754,6 +1849,7 @@ object ExtQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_versioned_time_travel, q_versioned_sql_asof, q_versioned_cdc_sql,
+    q_versioned_sql_insert, q_versioned_cdc_bounded,
     q_versioned_merge,
     q_versioned_evolve, q_versioned_constraints, q_versioned_clone,
     q_approx_distinct, q_percentile, q_percentile_huge,

@@ -130,9 +130,10 @@ object Cube {
     * build manifest in build order (descending dim count).
     *
     * Refuses (see [[DefaultMaxBaseRatio]]) when one sketch pass over
-    * the fact (count + HLL of the widest dim tuple, map-side partial,
-    * no shuffle growth) shows the base cuboid would not reduce the
-    * fact by at least `1 - maxBaseRatio`. */
+    * the fact (count + HLL of the UNION of all requested cuboid dims
+    * — the true base grain — map-side partial, no shuffle growth)
+    * shows the base would not reduce the fact by at least
+    * `1 - maxBaseRatio`. */
   def build(fact: DataFrame, measures: Seq[MeasureDef],
       cuboids: Seq[Seq[String]], tablePrefix: String,
       register: Boolean = true,
@@ -140,13 +141,23 @@ object Cube {
     require(cuboids.nonEmpty, "no cuboids requested")
     require(measures.nonEmpty, "no measures declared")
     if (maxBaseRatio < 1.0) {
-      val widest = cuboids.maxBy(_.length)
+      // sketch the TRUE base grain: the union of every requested
+      // cuboid's dims, not an arbitrary widest cuboid — with two
+      // same-length disjoint cuboids, maxBy picked one winner and a
+      // non-reducing co-base slipped through unexamined. The union's
+      // distinct count upper-bounds every cuboid's (each cuboid is a
+      // projection of it), so one sketch pass still guards them all,
+      // and it is exactly the grain an incremental-maintenance base
+      // would carry.
+      val unionDims = cuboids.flatten.distinct
       val r = fact.agg(count(lit(1)),
-        approx_count_distinct(struct(widest.map(col): _*))).head()
+        approx_count_distinct(struct(unionDims.map(col): _*))).head()
       val (n, g) = (r.getLong(0), r.getLong(1))
       require(n < BaseRatioGuardMinRows || g <= maxBaseRatio * n,
-        s"base cuboid (${widest.mkString(",")}) sketches ~$g groups over " +
-          s"$n fact rows (${"%.2f".format(g.toDouble / n)} > " +
+        s"base grain (${unionDims.mkString(",")} — the union of all " +
+          s"requested cuboid dims) sketches ~$g groups over " +
+          s"$n fact rows (${String.format(java.util.Locale.ROOT,
+            "%.2f", Double.box(g.toDouble / n))} > " +
           s"$maxBaseRatio): the lattice would not reduce the fact — " +
           "pick lower-cardinality base dims, or pass maxBaseRatio = 1.0 " +
           "to build fact-sized summaries anyway")

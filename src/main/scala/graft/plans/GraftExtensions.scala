@@ -35,6 +35,11 @@ import org.apache.spark.sql.internal.SQLConf
   *    cosine_sim / qcos_sim / hyperplane_lsh / token_chunks /
   *    bpe_encode / earliest_events) — the dedup/ANN/tokenizer/funnel
   *    building blocks as plain SQL functions.
+  *  - [[VTabTimeTravelRule]]: the versioned-table SQL surface —
+  *    `vtab.`/path`` time travel, `vtab_history`, `vtab_changes`,
+  *    routed INSERT INTO/OVERWRITE — plus the bounded-CDC TVF
+  *    `table_changes('/path', from[, to])` (== the Scala
+  *    `changesBetween`: exclusive from, inclusive to).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -122,6 +127,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bpe_encode: bad merge entry '$p' (want 'left right')")
           (ab(0), ab(1))
         }))
+    // table_changes('/path', from[, to]): BOUNDED row-level CDC over a
+    // versioned table as a table-valued function — the SQL twin of
+    // VersionedTable.changesBetween(from, to), with IDENTICAL anchor
+    // semantics: changes strictly AFTER `from` (exclusive) up to and
+    // including `to` (default: the latest commit). Resolution builds
+    // the dir-diff plan read-only (manifest reads only — same posture
+    // as the vtab.` identifier rule), execution reads only the
+    // changed dirs.
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[VTabTimeTravelRule].getName,
+        "table_changes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "table_changes expects ('/path', fromVersion[, toVersion])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = litStr(args(0), "table_changes")
+        val from = litInt(args(1), "table_changes").toLong
+        val to = if (args.length == 3) litInt(args(2), "table_changes").toLong
+          else graft.operators.VersionedTable.versions(spark, root)
+            .lastOption.getOrElse(throw new IllegalArgumentException(
+              s"table_changes('$root'): table has no committed versions"))
+        graft.operators.VersionedTable
+          .changesBetween(spark, root, from, to)
+          .queryExecution.analyzed
+      }))
   }
 }
 

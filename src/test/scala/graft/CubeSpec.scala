@@ -61,6 +61,33 @@ class CubeSpec extends SparkSuite {
     assert(built.nonEmpty && built.head.rows == 1000)
   }
 
+  test("reduction guard sketches the union grain: two same-length " +
+      "disjoint cuboids where only the union is non-reducing") {
+    // each single-dim cuboid reduces fine on its own (~1k groups over
+    // 1M rows), but their UNION grain (a, b) is row-unique — both are
+    // fact-scanning bases, so the lattice as requested would still
+    // materialize fact-sized work. The earlier maxBy(_.length) guard
+    // sketched one arbitrary winner and let this shape through.
+    val n = graft.operators.Cube.BaseRatioGuardMinRows + 1
+    val fact = spark.range(n).select(
+      (col("id") % 1024).as("a"), (col("id") / 1024).as("b"),
+      lit(1L).as("v"))
+    val m = Seq(Cube.MeasureDef("n", Cube.MCountAll))
+    val ex = intercept[IllegalArgumentException] {
+      Cube.build(fact, m, Seq(Seq("a"), Seq("b")),
+        "cube_guard_union_t_", register = false)
+    }
+    assert(ex.getMessage.contains("union of all requested cuboid dims"),
+      ex.getMessage)
+    // the same disjoint pair over a REDUCING union grain still builds
+    val ok = spark.range(n).select(
+      (col("id") % 64).as("a"), (col("id") % 97).as("b"),
+      lit(1L).as("v"))
+    val built = Cube.build(ok, m, Seq(Seq("a"), Seq("b")),
+      "cube_guard_union_ok_t_", register = false)
+    assert(built.size == 2)
+  }
+
   test("only the base cuboid reads the fact; parents shrink monotonically") {
     val base = manifest.head
     assert(base.parentDims.isEmpty, "widest cuboid must scan the fact")

@@ -20,8 +20,12 @@ class ExtensionsSpec extends SparkSuite {
       spark.sql(sql).collect().map(_.getLong(0)).toSet
     assert(ids(s"SELECT id FROM vtab.`$root` VERSION AS OF 1") == Set(1L))
     assert(ids(s"SELECT id FROM vtab.`$root`") == Set(1L, 2L))
-    val t1 = VersionedTable.describeHistory(spark, root)
-      .filter(col("version") === 1L).head().getTimestamp(1)
+    // literal rendered in the SESSION zone (Engine.tsLiteral), not
+    // Timestamp.toString's JVM-default zone — the AS OF cast parses
+    // with spark.sql.session.timeZone
+    val t1 = Engine.tsLiteral(spark, VersionedTable
+      .describeHistory(spark, root)
+      .filter(col("version") === 1L).head().getTimestamp(1))
     assert(ids(s"SELECT id FROM vtab.`$root` TIMESTAMP AS OF '$t1'")
       == Set(1L))
     // history and CDC identifiers resolve through the same rule
@@ -40,11 +44,10 @@ class ExtensionsSpec extends SparkSuite {
       spark.sql(s"SELECT * FROM vtab_changes.`$root`").collect()
     }
     assert(e.getMessage.contains("needs an anchor"), e.getMessage)
-    // SQL writes are refused BEFORE the relation can resolve: an
-    // INSERT that reached the snapshot's parquet relation would append
-    // files past the manifest
-    Seq(s"INSERT INTO vtab.`$root` VALUES (9, 'z')",
-      s"DELETE FROM vtab.`$root` WHERE id = 1",
+    // unrouted SQL writes are refused BEFORE the relation can resolve:
+    // an UPDATE that reached the snapshot's parquet relation would
+    // mutate files past the manifest
+    Seq(s"DELETE FROM vtab.`$root` WHERE id = 1",
       s"UPDATE vtab.`$root` SET s = 'x' WHERE id = 1",
       s"""MERGE INTO vtab.`$root` t USING (SELECT 1 AS id) s
           ON t.id = s.id WHEN MATCHED THEN DELETE""").foreach { stmt =>
@@ -54,6 +57,110 @@ class ExtensionsSpec extends SparkSuite {
     }
     // and the table is bit-for-bit untouched afterwards
     assert(ids(s"SELECT id FROM vtab.`$root`") == Set(1L, 2L))
+  }
+
+  test("vtab SQL INSERT routes through VersionedTable.commit: append, " +
+      "overwrite, positional cast, unsupported shapes refused") {
+    import graft.operators.VersionedTable
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtab_insspec").toString
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    // EXPLAIN must NOT write — the routed statement is a
+    // RunnableCommand, committed at execution time only
+    spark.sql(s"EXPLAIN INSERT INTO vtab.`$root` VALUES (9, 'z')")
+      .collect()
+    assert(VersionedTable.versions(spark, root) == Seq(1L),
+      "EXPLAIN of a routed INSERT must not commit")
+    // VALUES append: positional — col names (col1, col2) and the int
+    // literal are renamed/cast to the target's (id LONG, s STRING)
+    spark.sql(s"INSERT INTO vtab.`$root` VALUES (9, 'z')")
+    def ids(v: Long): Set[Long] = spark.sql(
+      s"SELECT id FROM vtab.`$root` VERSION AS OF $v")
+      .collect().map(_.getLong(0)).toSet
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
+    assert(ids(2) == Set(1L, 9L))
+    // SELECT append reading the SAME versioned table (read substitution
+    // and write routing coexist in one statement)
+    spark.sql(s"""INSERT INTO vtab.`$root`
+                  SELECT id + 100, s FROM vtab.`$root` VERSION AS OF 1""")
+    assert(ids(3) == Set(1L, 9L, 101L))
+    // INSERT OVERWRITE replaces the snapshot as the next version;
+    // history keeps every prior version readable
+    spark.sql(s"INSERT OVERWRITE vtab.`$root` VALUES (7, 'w')")
+    assert(ids(4) == Set(7L))
+    assert(ids(2) == Set(1L, 9L))
+    // arity mismatch is a clear error, not a silent null-fill
+    val arity = intercept[Exception] {
+      spark.sql(s"INSERT INTO vtab.`$root` VALUES (1, 'x', 99)")
+    }
+    assert(arity.getMessage.contains("column"), arity.getMessage)
+    // unsupported INSERT shapes are refused with a usable message
+    val part = intercept[Exception] {
+      spark.sql(
+        s"INSERT INTO vtab.`$root` PARTITION (s='a') VALUES (5)")
+    }
+    assert(part.getMessage.contains("not supported"), part.getMessage)
+    // derived views stay read-only
+    val hist = intercept[Exception] {
+      spark.sql(s"INSERT INTO vtab_history.`$root` VALUES (1)")
+    }
+    assert(hist.getMessage.contains("read-only"), hist.getMessage)
+  }
+
+  test("vtab namespace guard: only path-shaped identifiers are " +
+      "claimed; a catalog database named vtab keeps working") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS vtab")
+    try {
+      Seq((42L, "ok")).toDF("id", "s").write.mode("overwrite")
+        .saveAsTable("vtab.real_table")
+      // resolves through the CATALOG, not the versioned-table rule
+      assert(spark.sql("SELECT id FROM vtab.real_table").head()
+        .getLong(0) == 42L)
+      // a relative (non-path) vtab name that does NOT exist falls
+      // through to the catalog's own not-found error, not a manifest
+      // read of a directory literally named "nope"
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM vtab.nope").collect()
+      }
+      assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+        e.getMessage.toLowerCase.contains("cannot be found"),
+        e.getMessage.take(200))
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS vtab CASCADE")
+      ()
+    }
+  }
+
+  test("table_changes TVF: bounded CDC == Scala changesBetween, " +
+      "2-arg form defaults to latest") {
+    import graft.operators.VersionedTable
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtab_tvfspec").toString
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    VersionedTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"))
+    VersionedTable.commit(spark, root,
+      Seq((3L, "c")).toDF("id", "s"), overwrite = true)
+    // bounded (1, 2): exclusive from, inclusive to — exactly the
+    // Scala API's contract, pinned by direct comparison
+    assertSameRows(
+      spark.sql(s"SELECT * FROM table_changes('$root', 1, 2)"),
+      VersionedTable.changesBetween(spark, root, 1L, 2L))
+    val b = spark.sql(
+      s"SELECT id, change FROM table_changes('$root', 1, 2)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(b == Set((2L, "insert")), b.toString)
+    // 2-arg: to defaults to the latest commit (the overwrite at v3
+    // deletes v1+v2's rows and inserts v3's)
+    assertSameRows(
+      spark.sql(s"SELECT * FROM table_changes('$root', 1)"),
+      VersionedTable.changesBetween(spark, root, 1L, 3L))
+    // ... and equals the AS-OF identifier form
+    assertSameRows(
+      spark.sql(s"SELECT * FROM table_changes('$root', 1)"),
+      spark.sql(s"SELECT * FROM vtab_changes.`$root` VERSION AS OF 1"))
   }
 
   test("approx-distinct rule rewrites count(distinct) to HLL++ when enabled") {

@@ -94,6 +94,22 @@ class ServeSpec extends SparkSuite {
           val cdc = Iterator.continually(rsC).takeWhile(_.next())
             .map(r => (r.getLong(1), r.getString(2))).toList
           assert(cdc == List((2L, "insert")), s"vtab_changes over JDBC: $cdc")
+          // bounded CDC via the table_changes TVF — same from/to
+          // contract as changesBetween (exclusive from, inclusive to)
+          val rsB = st.executeQuery(
+            s"SELECT id, change FROM table_changes('$root', 1, 2)")
+          val bounded = Iterator.continually(rsB).takeWhile(_.next())
+            .map(r => (r.getLong(1), r.getString(2))).toList
+          assert(bounded == List((2L, "insert")),
+            s"table_changes over JDBC: $bounded")
+          // a SQL-first user can WRITE a version over JDBC too: the
+          // routed INSERT commits v3, readable by version immediately
+          st.executeUpdate(s"INSERT INTO vtab.`$root` VALUES (3, 'c')")
+          val rsI = st.executeQuery(
+            s"SELECT id FROM vtab.`$root` VERSION AS OF 3 ORDER BY id")
+          val v3 = Iterator.continually(rsI).takeWhile(_.next())
+            .map(_.getLong(1)).toList
+          assert(v3 == List(1L, 2L, 3L), s"routed INSERT over JDBC: $v3")
         }
 
         // 3) concurrent dashboards: N parallel connections, each its
