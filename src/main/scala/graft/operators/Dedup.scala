@@ -260,13 +260,14 @@ object Dedup {
     * scaling rule above applied by the operator itself instead of by
     * a scaladoc dial (same polarity lesson as [[fuzzyNearDupPairs]]'
     * DefaultMaxBlock: scale defaults must not depend on the caller
-    * reading the docs). The profile is one map-side-combined
-    * aggregate over the SAME checkpointed tokenized frame the prefix
-    * derivation and the verify join read, so the steady-state (no
-    * escalation) path tokenizes the corpus exactly once; an escalated
-    * run re-tokenizes once at size 3 — far cheaper than the pairing
-    * it avoids (measured at the 300x hot-vocabulary replica: 413.6s
-    * pinned at 2 vs 81.9s at 3). Escalation changes which similarity is computed
+    * reading the docs). The profile is one STREAMED map-side-combined
+    * aggregate pass (nothing materialized — an escalated run must not
+    * pay a corpus-sized checkpoint of the size it rejects), then only
+    * the SELECTED size is tokenized once more into a localCheckpoint
+    * that the prefix derivation and the verify join share — down from
+    * three full tokenize scans in the r16 shape. Escalation itself is
+    * far cheaper than the pairing it avoids (measured at the 300x
+    * hot-vocabulary replica: 413.6s pinned at 2 vs 81.9s at 3). Escalation changes which similarity is computed
     * (Jaccard over 3-shingles, the sharper production measure for
     * hot-vocabulary corpora) — pass an explicit `shingleSize` to pin
     * the measure. */
@@ -274,10 +275,9 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       shingleSize: Int = 0, threshold: Double = 0.5,
       autoPairBudget: Long = NgramAutoPairBudget): DataFrame = {
-    // ONE tokenize pass per shingle size: the tokenized (blk, id, sh)
-    // frame is localCheckpointed so the AUTO decision profile, the
-    // prefix derivation, and the verify join all read the same
-    // materialized rows instead of each re-running
+    // ONE materialized tokenize per run: the CHOSEN (blk, id, sh)
+    // frame is localCheckpointed so the prefix derivation and the
+    // verify join read the same stored rows instead of each re-running
     // split+transform+filter over the whole corpus (the r16 AUTO
     // default made the steady-state path tokenize THREE times —
     // profile, prefix, verify — an extra full corpus scan per extra
@@ -286,17 +286,23 @@ object Dedup {
     // the returned frame is unreferenced.
     def baseAt(sz: Int) = docs.select(col(blockCol).as("blk"),
       col(idCol).as("id"), wordShingles(col(textCol), sz).as("sh"))
-      .localCheckpoint()
-    def run(base: DataFrame) = verifyPairs(ngramCandidates(base, threshold),
-      base.select(col("id"), col("sh")), threshold)
-    if (shingleSize > 0) run(baseAt(shingleSize))
-    else {
-      val base2 = baseAt(2)
-      if (ngramDfPredictedPairs(base2) <= autoPairBudget) run(base2)
-      // an escalated run re-tokenizes once at size 3 — far cheaper
-      // than the pairing it avoids (see scaladoc measurements)
-      else run(baseAt(3))
+    def run(base: DataFrame) = {
+      val ck = base.localCheckpoint()
+      verifyPairs(ngramCandidates(ck, threshold),
+        ck.select(col("id"), col("sh")), threshold)
     }
+    if (shingleSize > 0) run(baseAt(shingleSize))
+    // the AUTO decision profile STREAMS over an uncheckpointed
+    // size-2 pass and only the SELECTED size is checkpointed:
+    // checkpointing size 2 before deciding would materialize a
+    // corpus-sized frame that an escalated run immediately discards —
+    // measured at the 300x hot-vocabulary replica: 128.8s with the
+    // eager pre-decision checkpoint vs 68.8s pinned-3 in the same
+    // session; the streamed profile costs one aggregate-only pass
+    // (r16 measured that shape's escalated exponent at 0.55)
+    else if (ngramDfPredictedPairs(baseAt(2)) <= autoPairBudget)
+      run(baseAt(2))
+    else run(baseAt(3))
   }
 
   /** AUTO-escalation budget for [[ngramJaccardPairs]]: TOTAL predicted
