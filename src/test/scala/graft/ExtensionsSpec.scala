@@ -90,6 +90,10 @@ class ExtensionsSpec extends SparkSuite {
     spark.sql(s"INSERT OVERWRITE vtab.`$root` VALUES (7, 'w')")
     assert(ids(4) == Set(7L))
     assert(ids(2) == Set(1L, 9L))
+    // BY NAME maps by column name regardless of query order
+    spark.sql(s"""INSERT INTO vtab.`$root` BY NAME
+                  SELECT 'n' AS s, 8 AS id""")
+    assert(ids(5) == Set(7L, 8L))
     // arity mismatch is a clear error, not a silent null-fill
     val arity = intercept[Exception] {
       spark.sql(s"INSERT INTO vtab.`$root` VALUES (1, 'x', 99)")
