@@ -1449,6 +1449,97 @@ object ExtQueries {
             WHERE q >= 45 OR q BETWEEN 20 AND 25
             ORDER BY leg"""))
 
+  /** SQL-text DML routing ([[graft.plans.VTabDeleteCommand]] /
+    * [[graft.plans.VTabUpdateCommand]] / [[graft.plans.VTabMergeCommand]]):
+    * the full write surface as SQL — UPDATE with an alias-qualified
+    * expression, predicate DELETE, and the canonical MERGE upsert
+    * (composite ON keys, matched-delete flag, whole-row update,
+    * insert) — each routed through the matching manifest-writing API
+    * (updateWhere / deleteWhere / merge: dir-granularity copy-on-write,
+    * first-writer-wins), every intermediate version still readable via
+    * SQL time travel. Built on orders — the synthetic testdata's ONE
+    * unique-key table (o_orderkey; lineitem's (okey, lnum) pairs
+    * duplicate here) — so key-based upsert semantics band-decompose
+    * over o_orderkey arithmetic and DuckDB replays all four snapshots
+    * closed-form. */
+  val q_versioned_sql_dml = QuerySpec(
+    "q_versioned_sql_dml", Seq("S9", "S4"),
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val o = Engine.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vtab_dml").toString
+      // each leg reads the version ACTUALLY committed by its
+      // statement: deleteWhere/updateWhere deliberately skip the
+      // empty commit when nothing matches (a no-op DML on a quiet
+      // partition must not mint versions), so on a degenerate corpus
+      // a leg re-reads the prior snapshot instead of throwing
+      def latest = VersionedTable.versions(s, root).last
+      VersionedTable.commit(s, root,
+        o.filter(col("o_orderkey") % 10 <= 3))
+      val v1 = latest
+      s.sql(s"""UPDATE vtab.`$root` t
+                SET o_orderstatus = concat(t.o_orderstatus, '!')
+                WHERE t.o_orderkey % 10 = 0""")
+      val v2 = latest
+      s.sql(s"DELETE FROM vtab.`$root` WHERE o_orderkey % 10 = 1")
+      val v3 = latest
+      // merge source: %10=2 keys are matched (delete the %100=2
+      // subset via the source-side flag, whole-row update the rest),
+      // %10=4 keys are fresh inserts
+      o.select(col("o_orderkey"),
+          when(col("o_orderkey") % 100 === 2, lit("D"))
+            .otherwise(lit("M")).as("o_orderstatus"))
+        .filter(col("o_orderkey") % 10 === 2 ||
+          col("o_orderkey") % 10 === 4)
+        .createOrReplaceTempView("vtab_dml_merge_src")
+      s.sql(s"""MERGE INTO vtab.`$root` t USING vtab_dml_merge_src s
+                ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED AND s.o_orderstatus = 'D' THEN DELETE
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+      val v4 = latest
+      def agg(label: Long, v: Long) = s.sql(
+        s"""SELECT CAST($label AS BIGINT) AS version, COUNT(*) AS n,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS ks,
+                   COUNT(*) FILTER (WHERE o_orderstatus LIKE '%!')
+                     AS bang,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'M') AS m
+            FROM vtab.`$root` VERSION AS OF $v""")
+      Engine.collectAndClean(
+        agg(1, v1).unionByName(agg(2, v2)).unionByName(agg(3, v3))
+          .unionByName(agg(4, v4)).orderBy("version"), root)
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st
+                       FROM orders),
+                 v1 AS (SELECT k, st FROM o WHERE k % 10 <= 3),
+                 v2 AS (SELECT k, CASE WHEN k % 10 = 0 THEN st || '!'
+                                       ELSE st END AS st FROM v1),
+                 v3 AS (SELECT k, st FROM v2 WHERE k % 10 <> 1),
+                 v4 AS (SELECT k, CASE WHEN k % 10 = 2 THEN 'M'
+                                       ELSE st END AS st
+                        FROM v3 WHERE k % 100 <> 2
+                        UNION ALL
+                        SELECT k, 'M' FROM o WHERE k % 10 = 4)
+            SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+                   CAST(SUM(k) AS BIGINT) AS ks,
+                   COUNT(*) FILTER (st LIKE '%!') AS bang,
+                   COUNT(*) FILTER (st = 'M') AS m FROM v1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(k) AS BIGINT),
+                   COUNT(*) FILTER (st LIKE '%!'),
+                   COUNT(*) FILTER (st = 'M') FROM v2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), COUNT(*), CAST(SUM(k) AS BIGINT),
+                   COUNT(*) FILTER (st LIKE '%!'),
+                   COUNT(*) FILTER (st = 'M') FROM v3
+            UNION ALL
+            SELECT CAST(4 AS BIGINT), COUNT(*), CAST(SUM(k) AS BIGINT),
+                   COUNT(*) FILTER (st LIKE '%!'),
+                   COUNT(*) FILTER (st = 'M') FROM v4
+            ORDER BY version"""))
+
   /** Versioned-table ADDITIVE SCHEMA EVOLUTION
     * ([[graft.operators.VersionedTable.commit]] with mergeSchema):
     * commit a narrow (k, v) snapshot, evolve it with an added `w`
@@ -1849,7 +1940,7 @@ object ExtQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q_versioned_time_travel, q_versioned_sql_asof, q_versioned_cdc_sql,
-    q_versioned_sql_insert, q_versioned_cdc_bounded,
+    q_versioned_sql_insert, q_versioned_cdc_bounded, q_versioned_sql_dml,
     q_versioned_merge,
     q_versioned_evolve, q_versioned_constraints, q_versioned_clone,
     q_approx_distinct, q_percentile, q_percentile_huge,

@@ -62,13 +62,31 @@ import org.apache.spark.sql.types.TimestampType
   * contract as the Scala `changesBetween(from, to)`.
   *
   * Reads are READ-ONLY at analysis: no side effects, so repeated
-  * analysis (EXPLAIN, retries) is safe. SQL INSERT is ROUTED, not
-  * resolved: the statement becomes a [[VTabInsertCommand]] that calls
-  * `VersionedTable.commit` at EXECUTION time (EXPLAIN shows the
-  * command without committing). UPDATE/DELETE/MERGE remain refused
-  * until each is deliberately routed through
-  * updateWhere/deleteWhere/merge — a resolved write against the
-  * snapshot's parquet relation would bypass the manifest. */
+  * analysis (EXPLAIN, retries) is safe. SQL writes are ROUTED, not
+  * resolved — a resolved write against the snapshot's parquet
+  * relation would bypass the manifest. Each DML verb becomes a
+  * RunnableCommand that calls the matching manifest-writing API at
+  * EXECUTION time (EXPLAIN shows the command without writing):
+  *
+  *  - INSERT INTO / INSERT OVERWRITE → [[VTabInsertCommand]] →
+  *    `VersionedTable.commit` (append / replace as a new version);
+  *  - DELETE FROM … WHERE → [[VTabDeleteCommand]] →
+  *    `VersionedTable.deleteWhere` (dir-granularity copy-on-write);
+  *  - UPDATE … SET … WHERE → [[VTabUpdateCommand]] →
+  *    `VersionedTable.updateWhere`;
+  *  - MERGE INTO — the canonical whole-row upsert shape only:
+  *    `ON` a conjunction of same-name column equalities, optional
+  *    `WHEN MATCHED [AND c] THEN DELETE`, then
+  *    `WHEN MATCHED THEN UPDATE SET *`, and a mandatory
+  *    `WHEN NOT MATCHED THEN INSERT *` → [[VTabMergeCommand]] →
+  *    `VersionedTable.merge` (same dir-pruned copy-on-write, same
+  *    first-writer-wins). Column-level SET lists, BY-SOURCE clauses,
+  *    and schema evolution don't map onto the whole-row upsert —
+  *    refused with a pointer to the Scala API.
+  *
+  * Subqueries inside DML conditions are refused (the routed commands
+  * re-resolve conditions against the bare snapshot at run time, where
+  * a correlated subquery has no frame to bind to). */
 case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val kinds = Set("vtab", "vtab_history", "vtab_changes")
@@ -106,41 +124,64 @@ case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+    import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+      DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction,
+      MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal, SubqueryExpression}
     import graft.operators.VersionedTable
     // Write-target scan BEFORE the bottom-up substitution below can
-    // resolve a write's target relation: an UPDATE/DELETE/MERGE (or an
-    // unroutable INSERT shape) that resolved to the snapshot's parquet
-    // relation could mutate files straight past the manifest — data
-    // invisible to every versioned read, or worse. Routable INSERT
-    // targets are collected BY IDENTITY so the read-substitution cases
-    // skip them and the whole statement reaches the routing case
-    // intact. The target may sit under alias/wrapper nodes (MERGE INTO
-    // t ..., DELETE FROM tbl alias) — scan the whole target subtree.
+    // resolve a write's target relation: a DML statement whose target
+    // resolved to the snapshot's parquet relation could mutate files
+    // straight past the manifest — data invisible to every versioned
+    // read, or worse. Routable write targets are collected BY IDENTITY
+    // so the read-substitution cases skip them and the whole statement
+    // reaches its routing case intact; unroutable shapes are refused
+    // here with a usable message. The target may sit under
+    // alias/wrapper nodes (MERGE INTO t ..., DELETE FROM tbl alias) —
+    // scan the whole target subtree.
     def vtabIn(target: LogicalPlan): Option[UnresolvedRelation] =
       target.collectFirst {
         case u: UnresolvedRelation if idOf(u).isDefined => u
       }
-    def refuseWrite(target: LogicalPlan, verb: String): Unit =
-      vtabIn(target).foreach { u =>
-        throw new IllegalArgumentException(
-          s"${u.multipartIdentifier.mkString(".")}: SQL $verb would " +
-            "bypass the version manifest — write through " +
-            "VersionedTable.merge/updateWhere/deleteWhere " +
-            "(or the streaming sinks), which is what makes a write " +
-            "a version")
+    // vtab DML target = the base table only; derived views are
+    // read-only. Returns the root for a routable target.
+    def writeRoot(target: LogicalPlan, verb: String): Option[String] =
+      vtabIn(target).map { u =>
+        val (kind, root) = idOf(u).get
+        if (kind != "vtab")
+          throw new IllegalArgumentException(
+            s"$kind.`$root` is a derived read-only view — $verb " +
+              "would bypass the version manifest; write the base " +
+              s"table: $verb … vtab.`$root`")
+        root
       }
-    val insertTargets = java.util.Collections.newSetFromMap(
+    def targetAlias(target: LogicalPlan): Option[String] =
+      target.collectFirst { case a: SubqueryAlias => a.alias }
+    // conditions re-resolve against the bare snapshot frame at run
+    // time: strip the statement's table alias off qualified refs, and
+    // refuse subqueries (nothing to bind a correlated frame to there)
+    def stripAlias(e: Expression, alias: Option[String]): Expression =
+      alias.fold(e)(al => e.transform {
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            a.nameParts.head.equalsIgnoreCase(al) =>
+          UnresolvedAttribute(a.nameParts.tail)
+      })
+    def refuseSubquery(root: String, verb: String, es: Seq[Expression]): Unit =
+      es.foreach { e =>
+        if (e.exists(_.isInstanceOf[SubqueryExpression]))
+          throw new IllegalArgumentException(
+            s"vtab.`$root`: $verb with a subquery in a condition is " +
+              "not supported — materialize the predicate into the " +
+              "source first, or use the Scala VersionedTable API")
+      }
+    val writeTargets = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[UnresolvedRelation, java.lang.Boolean]())
+    def claim(target: LogicalPlan): Unit =
+      vtabIn(target).foreach(writeTargets.add)
     plan.foreach {
       case i: InsertIntoStatement =>
-        vtabIn(i.table).foreach { u =>
-          val (kind, root) = idOf(u).get
-          if (kind != "vtab")
-            throw new IllegalArgumentException(
-              s"$kind.`$root` is a derived read-only view — INSERT " +
-                "would bypass the version manifest; write the base " +
-                s"table: INSERT INTO vtab.`$root`")
+        writeRoot(i.table, "INSERT").foreach { root =>
           if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty ||
               i.ifPartitionNotExists)
             throw new IllegalArgumentException(
@@ -148,27 +189,143 @@ case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 "VersionedTable.commit — PARTITION specs, column " +
                 "lists, and IF NOT EXISTS are not supported; " +
                 "INSERT INTO/OVERWRITE vtab.`<path>` SELECT … only")
-          insertTargets.add(u)
+          claim(i.table)
         }
-      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
-        refuseWrite(d.table, "DELETE")
-      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
-        refuseWrite(u.table, "UPDATE")
-      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
-        refuseWrite(m.targetTable, "MERGE")
+      case d: DeleteFromTable =>
+        writeRoot(d.table, "DELETE").foreach { root =>
+          refuseSubquery(root, "DELETE", Seq(d.condition))
+          claim(d.table)
+        }
+      case u: UpdateTable =>
+        writeRoot(u.table, "UPDATE").foreach { root =>
+          refuseSubquery(root, "UPDATE",
+            u.condition.toSeq ++ u.assignments.map(_.value))
+          claim(u.table)
+        }
+      case m: MergeIntoTable =>
+        writeRoot(m.targetTable, "MERGE").foreach { root =>
+          // only the canonical whole-row upsert maps onto
+          // VersionedTable.merge; anything else must be refused, not
+          // approximated (a column-level SET or a BY SOURCE clause
+          // silently treated as whole-row would corrupt data)
+          val shapeMsg =
+            s"vtab.`$root`: MERGE routes through VersionedTable.merge" +
+              " (whole-row upsert by key) and supports exactly: ON a " +
+              "conjunction of same-name column equalities, optional " +
+              "WHEN MATCHED [AND c] THEN DELETE, then WHEN MATCHED " +
+              "THEN UPDATE SET *, and WHEN NOT MATCHED THEN INSERT * " +
+              "— use the Scala API for other shapes"
+          m.matchedActions match {
+            case Seq(UpdateStarAction(None)) =>
+            case Seq(DeleteAction(_), UpdateStarAction(None)) =>
+            case _ => throw new IllegalArgumentException(shapeMsg)
+          }
+          m.notMatchedActions match {
+            case Seq(InsertStarAction(None)) =>
+            case _ => throw new IllegalArgumentException(shapeMsg)
+          }
+          if (m.notMatchedBySourceActions.nonEmpty ||
+              m.withSchemaEvolution)
+            throw new IllegalArgumentException(shapeMsg)
+          refuseSubquery(root, "MERGE", Seq(m.mergeCondition) ++
+            m.matchedActions.collect { case DeleteAction(Some(c)) => c })
+          claim(m.targetTable)
+        }
       case _ =>
     }
+    def claimed(target: LogicalPlan): Boolean =
+      vtabIn(target).exists(writeTargets.contains)
+    def rootOf(target: LogicalPlan): String =
+      idOf(vtabIn(target).get).get._2
     plan.resolveOperatorsUp {
-      // routed append/replace: becomes a command that commits at
-      // execution time (the query child — which may itself read other
-      // vtab tables — was already substituted by the cases below,
-      // children first; the TARGET relation was skipped by identity)
-      case i: InsertIntoStatement if i.query.resolved &&
-          vtabIn(i.table).exists(insertTargets.contains) =>
-        val root = idOf(vtabIn(i.table).get).get._2
-        VTabInsertCommand(root, i.query, i.overwrite, i.byName)
+      // routed writes: each becomes a command that calls the matching
+      // manifest-writing API at execution time (a query/source child —
+      // which may itself read other vtab tables — was already
+      // substituted by the read cases below, children first; the
+      // TARGET relation was skipped by identity)
+      case i: InsertIntoStatement
+          if claimed(i.table) && i.query.resolved =>
+        VTabInsertCommand(rootOf(i.table), i.query, i.overwrite, i.byName)
+      case d: DeleteFromTable if claimed(d.table) =>
+        VTabDeleteCommand(rootOf(d.table),
+          VTabExpr(stripAlias(d.condition, targetAlias(d.table))))
+      case u: UpdateTable if claimed(u.table) =>
+        val alias = targetAlias(u.table)
+        val root = rootOf(u.table)
+        val set = u.assignments.map { case Assignment(k, v) =>
+          val key = stripAlias(k, alias) match {
+            case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+              a.nameParts.head
+            case other => throw new IllegalArgumentException(
+              s"vtab.`$root`: UPDATE SET targets whole columns, got " +
+                s"$other — struct-field assignment is not supported")
+          }
+          key -> VTabExpr(stripAlias(v, alias))
+        }
+        require(set.map(_._1.toLowerCase).distinct.size == set.size,
+          s"vtab.`$root`: duplicate assignment target in UPDATE SET")
+        VTabUpdateCommand(root, set, VTabExpr(
+          stripAlias(u.condition.getOrElse(Literal.TrueLiteral), alias)))
+      case m: MergeIntoTable
+          if claimed(m.targetTable) && m.sourceTable.resolved =>
+        val root = rootOf(m.targetTable)
+        val tAlias = targetAlias(m.targetTable)
+        val sAlias = m.sourceTable.collectFirst {
+          case a: SubqueryAlias => a.alias }
+        val srcCols = m.sourceTable.output.map(_.name)
+        val srcLower = srcCols.map(_.toLowerCase).toSet
+        // keys from the ON conjunction: every conjunct must be an
+        // equality of two same-name column refs (one per side)
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conjuncts(l) ++ conjuncts(r)
+          case x => Seq(x)
+        }
+        def lastName(e: Expression): Option[String] = e match {
+          case a: UnresolvedAttribute => Some(a.nameParts.last)
+          case a: AttributeReference => Some(a.name)
+          case _ => None
+        }
+        val keys = conjuncts(m.mergeCondition).map {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+            (lastName(l), lastName(r)) match {
+              case (Some(a), Some(b)) if a.equalsIgnoreCase(b) =>
+                srcCols.find(_.equalsIgnoreCase(a)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"vtab.`$root`: MERGE key $a is not a source column"))
+              case _ => throw new IllegalArgumentException(
+                s"vtab.`$root`: MERGE ON must equate same-name columns " +
+                  s"(t.k = s.k — VersionedTable.merge upserts whole " +
+                  s"rows by key), got: $l = $r")
+            }
+          case other => throw new IllegalArgumentException(
+            s"vtab.`$root`: MERGE ON must be a conjunction of column " +
+              s"equalities (the VersionedTable.merge keys), got: $other")
+        }
+        // the matched-delete condition filters ALIGNED SOURCE rows in
+        // VersionedTable.merge — it may reference source columns only
+        val deleteMatched = m.matchedActions.collectFirst {
+          case DeleteAction(c) =>
+            val raw = c.getOrElse(Literal.TrueLiteral)
+            val norm = stripAlias(raw, sAlias).transform {
+              case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+            }
+            norm.foreach {
+              case a: UnresolvedAttribute =>
+                val head = a.nameParts.head
+                if (tAlias.exists(head.equalsIgnoreCase) ||
+                    !srcLower.contains(head.toLowerCase))
+                  throw new IllegalArgumentException(
+                    s"vtab.`$root`: MERGE's WHEN MATCHED AND <c> THEN " +
+                      s"DELETE condition may reference SOURCE columns " +
+                      s"only (filters the incoming row), got: $a")
+              case _ =>
+            }
+            VTabExpr(norm)
+        }
+        VTabMergeCommand(root, m.sourceTable, keys, deleteMatched)
       case RelationTimeTravel(u: UnresolvedRelation, ts, version)
-          if idOf(u).isDefined && !insertTargets.contains(u) =>
+          if idOf(u).isDefined && !writeTargets.contains(u) =>
         val (kind, root) = idOf(u).get
         val df = kind match {
           case "vtab" =>
@@ -190,7 +347,7 @@ case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         df.queryExecution.analyzed
       case u: UnresolvedRelation
-          if idOf(u).isDefined && !insertTargets.contains(u) =>
+          if idOf(u).isDefined && !writeTargets.contains(u) =>
         val (kind, root) = idOf(u).get
         val df = kind match {
           case "vtab" => VersionedTable.read(spark, root)
@@ -252,3 +409,74 @@ case class VTabInsertCommand(root: String, query: LogicalPlan,
     Seq.empty
   }
 }
+
+/** Routed SQL DELETE: `DELETE FROM vtab.`/path`` [alias] WHERE cond`
+  * → [[graft.operators.VersionedTable.deleteWhere]] — the same
+  * dir-granularity copy-on-write as the Scala API (untouched dirs are
+  * never rewritten), committed as the next version at EXECUTION time.
+  * The condition is re-resolved by name against the snapshot frame
+  * inside deleteWhere (the statement's table alias was stripped at
+  * routing; subqueries were refused there). */
+case class VTabDeleteCommand(root: String,
+    cond: VTabExpr) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.VersionedTable.deleteWhere(spark, root,
+      org.apache.spark.sql.graft.Bridge.column(cond.e))
+    Seq.empty
+  }
+}
+
+/** Routed SQL UPDATE: `UPDATE vtab.`/path`` [alias] SET a = e, …
+  * [WHERE cond]` → [[graft.operators.VersionedTable.updateWhere]].
+  * Assignment targets must be existing whole columns of the table —
+  * checked against the live schema here, because updateWhere's
+  * `withColumn` would otherwise silently ADD a misspelled column
+  * instead of failing. */
+case class VTabUpdateCommand(root: String,
+    set: Seq[(String, VTabExpr)],
+    cond: VTabExpr) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.VersionedTable
+    val fields = VersionedTable.read(spark, root).schema.fieldNames
+    val setCols = set.map { case (k, v) =>
+      val actual = fields.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"UPDATE vtab.`$root`: SET target `$k` is not a column of " +
+            s"the table (${fields.mkString(", ")})"))
+      actual -> org.apache.spark.sql.graft.Bridge.column(v.e)
+    }.toMap
+    VersionedTable.updateWhere(spark, root,
+      org.apache.spark.sql.graft.Bridge.column(cond.e), setCols)
+    Seq.empty
+  }
+}
+
+/** Routed SQL MERGE (canonical whole-row upsert only — shape
+  * validated at routing): `MERGE INTO vtab.`/path`` t USING src s ON
+  * t.k = s.k [WHEN MATCHED [AND c] THEN DELETE] WHEN MATCHED THEN
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` →
+  * [[graft.operators.VersionedTable.merge]] with `keys` from the ON
+  * conjunction and `deleteMatched` from the delete clause (source
+  * columns only — it filters the aligned incoming row). Same
+  * dir-pruned copy-on-write and first-writer-wins semantics as the
+  * Scala API. */
+case class VTabMergeCommand(root: String, source: LogicalPlan,
+    keys: Seq[String],
+    deleteMatched: Option[VTabExpr]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.graft.Bridge
+    graft.operators.VersionedTable.merge(spark, root,
+      Bridge.ofRows(spark, source), keys,
+      deleteMatched.map(h => Bridge.column(h.e)))
+    Seq.empty
+  }
+}
+
+/** Opaque carrier for a deliberately-UNRESOLVED condition riding on a
+  * routed DML command: a bare `Expression` field would surface in the
+  * command's `expressions` traversal and CheckAnalysis would reject
+  * its unresolved column refs — but these conditions are MEANT to
+  * resolve later, by name, against the snapshot frame the command
+  * builds at execution time. */
+case class VTabExpr(e: Expression)

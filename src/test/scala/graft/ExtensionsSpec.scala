@@ -44,19 +44,99 @@ class ExtensionsSpec extends SparkSuite {
       spark.sql(s"SELECT * FROM vtab_changes.`$root`").collect()
     }
     assert(e.getMessage.contains("needs an anchor"), e.getMessage)
-    // unrouted SQL writes are refused BEFORE the relation can resolve:
-    // an UPDATE that reached the snapshot's parquet relation would
-    // mutate files past the manifest
-    Seq(s"DELETE FROM vtab.`$root` WHERE id = 1",
-      s"UPDATE vtab.`$root` SET s = 'x' WHERE id = 1",
-      s"""MERGE INTO vtab.`$root` t USING (SELECT 1 AS id) s
-          ON t.id = s.id WHEN MATCHED THEN DELETE""").foreach { stmt =>
+    // DML shapes the manifest-writing APIs can't express are refused
+    // with a usable message — and the table is bit-for-bit untouched
+    Seq(
+      // column-level SET list doesn't map onto whole-row upsert
+      s"""MERGE INTO vtab.`$root` t USING (SELECT 1 AS id, 'x' AS s) s
+          ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.s = s.s
+          WHEN NOT MATCHED THEN INSERT *""",
+      // no NOT MATCHED INSERT *: merge always inserts unmatched rows
+      s"""MERGE INTO vtab.`$root` t USING (SELECT 1 AS id, 'x' AS s) s
+          ON t.id = s.id WHEN MATCHED THEN DELETE""",
+      // non-equi ON
+      s"""MERGE INTO vtab.`$root` t USING (SELECT 1 AS id, 'x' AS s) s
+          ON t.id < s.id WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""").foreach { stmt =>
       val we = intercept[Exception](spark.sql(stmt).collect())
-      assert(we.getMessage.contains("bypass the version manifest"),
+      assert(we.getMessage.contains("VersionedTable.merge"),
         s"$stmt -> ${we.getMessage.take(200)}")
     }
-    // and the table is bit-for-bit untouched afterwards
+    // subqueries in DML conditions are refused (the routed command
+    // re-resolves the condition against the bare snapshot)
+    val sub = intercept[Exception] {
+      spark.sql(s"""DELETE FROM vtab.`$root`
+                    WHERE id IN (SELECT 1)""").collect()
+    }
+    assert(sub.getMessage.contains("subquery"), sub.getMessage)
     assert(ids(s"SELECT id FROM vtab.`$root`") == Set(1L, 2L))
+  }
+
+  test("vtab SQL DELETE/UPDATE/MERGE route through the manifest-" +
+      "writing APIs: copy-on-write versions, alias handling, " +
+      "time travel intact") {
+    import graft.operators.VersionedTable
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtab_dmlspec").toString
+    VersionedTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))     // v1
+    def snap(v: Long): Set[(Long, String)] = spark.sql(
+      s"SELECT id, s FROM vtab.`$root` VERSION AS OF $v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // UPDATE with a table alias and an alias-qualified value expr
+    spark.sql(s"""UPDATE vtab.`$root` t SET s = concat(t.s, '!')
+                  WHERE t.id >= 2""")                            // v2
+    assert(snap(2) == Set((1L, "a"), (2L, "b!"), (3L, "c!")))
+    // EXPLAIN of a routed DELETE must not write
+    spark.sql(s"EXPLAIN DELETE FROM vtab.`$root` WHERE id = 1").collect()
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
+    spark.sql(s"DELETE FROM vtab.`$root` WHERE id = 1")          // v3
+    assert(snap(3) == Set((2L, "b!"), (3L, "c!")))
+    // canonical MERGE: delete-by-source-flag, whole-row update, insert
+    Seq((2L, "B"), (3L, "DEL"), (4L, "d")).toDF("id", "s")
+      .createOrReplaceTempView("vtab_dml_src")
+    spark.sql(s"""MERGE INTO vtab.`$root` t USING vtab_dml_src s
+                  ON t.id = s.id
+                  WHEN MATCHED AND s.s = 'DEL' THEN DELETE
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *""")             // v4
+    assert(snap(4) == Set((2L, "B"), (4L, "d")))
+    // SQL answers == Scala answers: replay the same DML via the API
+    // on a twin table and diff
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft_vtab_dmltwin").toString
+    VersionedTable.commit(spark, twin,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    VersionedTable.updateWhere(spark, twin, col("id") >= 2,
+      Map("s" -> concat(col("s"), lit("!"))))
+    VersionedTable.deleteWhere(spark, twin, col("id") === 1)
+    VersionedTable.merge(spark, twin,
+      Seq((2L, "B"), (3L, "DEL"), (4L, "d")).toDF("id", "s"),
+      Seq("id"), deleteMatched = Some(col("s") === "DEL"))
+    assertSameRows(VersionedTable.read(spark, root),
+      VersionedTable.read(spark, twin))
+    // every pre-DML version stays readable (copy-on-write, not
+    // in-place mutation)
+    assert(snap(1) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // delete-condition referencing the TARGET side is refused (the
+    // filter runs on aligned source rows in VersionedTable.merge)
+    val tgtRef = intercept[Exception] {
+      spark.sql(s"""MERGE INTO vtab.`$root` t USING vtab_dml_src s
+                    ON t.id = s.id
+                    WHEN MATCHED AND t.s = 'x' THEN DELETE
+                    WHEN MATCHED THEN UPDATE SET *
+                    WHEN NOT MATCHED THEN INSERT *""").collect()
+    }
+    assert(tgtRef.getMessage.contains("SOURCE columns"),
+      tgtRef.getMessage.take(200))
+    // misspelled UPDATE target is an error, not a silently added column
+    val badCol = intercept[Exception] {
+      spark.sql(s"UPDATE vtab.`$root` SET nope = 'x' WHERE id = 2")
+        .collect()
+    }
+    assert(badCol.getMessage.contains("not a column"),
+      badCol.getMessage.take(200))
   }
 
   test("vtab SQL INSERT routes through VersionedTable.commit: append, " +
