@@ -131,7 +131,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // versioned table as a table-valued function — the SQL twin of
     // VersionedTable.changesBetween(from, to), with IDENTICAL anchor
     // semantics: changes strictly AFTER `from` (exclusive) up to and
-    // including `to` (default: the latest commit). Resolution builds
+    // including `to` (default: the latest commit). Each anchor is a
+    // version number or a TIMESTAMP string/literal — timestamps
+    // resolve through the SAME effective-commit-time rules as
+    // `TIMESTAMP AS OF` (VersionedTable.versionAsOf: the version at
+    // or before the instant, session timezone). Resolution builds
     // the dir-diff plan read-only (manifest reads only — same posture
     // as the vtab.` identifier rule), execution reads only the
     // changed dirs.
@@ -140,11 +144,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "table_changes"),
       (args: Seq[Expression]) => {
         require(args.length == 2 || args.length == 3,
-          "table_changes expects ('/path', fromVersion[, toVersion])")
+          "table_changes expects ('/path', from[, to]) — version " +
+            "numbers or timestamps")
         val spark = org.apache.spark.sql.SparkSession.active
         val root = litStr(args(0), "table_changes")
-        val from = litInt(args(1), "table_changes").toLong
-        val to = if (args.length == 3) litInt(args(2), "table_changes").toLong
+        def anchor(e: Expression): Long = {
+          require(e.foldable, s"table_changes('$root'): anchors must " +
+            s"be literals, got $e")
+          e.eval() match {
+            case i: Int => i.toLong
+            case l: Long => l
+            case s: org.apache.spark.unsafe.types.UTF8String
+                if s.toString.trim.matches("\\d+") =>
+              s.toString.trim.toLong
+            case _ =>
+              import org.apache.spark.sql.catalyst.expressions.Cast
+              import org.apache.spark.sql.types.TimestampType
+              val micros = Cast(e, TimestampType, Some(spark
+                .sessionState.conf.sessionLocalTimeZone)).eval()
+              require(micros != null, s"table_changes('$root'): " +
+                s"anchor is neither a version nor a timestamp: $e")
+              graft.operators.VersionedTable.versionAsOf(spark, root,
+                micros.asInstanceOf[Long] / 1000L).getOrElse(
+                throw new IllegalArgumentException(
+                  s"table_changes('$root'): no version committed at " +
+                    s"or before $e"))
+          }
+        }
+        val from = anchor(args(1))
+        val to = if (args.length == 3) anchor(args(2))
           else graft.operators.VersionedTable.versions(spark, root)
             .lastOption.getOrElse(throw new IllegalArgumentException(
               s"table_changes('$root'): table has no committed versions"))

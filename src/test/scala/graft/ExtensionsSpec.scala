@@ -245,6 +245,18 @@ class ExtensionsSpec extends SparkSuite {
     assertSameRows(
       spark.sql(s"SELECT * FROM table_changes('$root', 1)"),
       spark.sql(s"SELECT * FROM vtab_changes.`$root` VERSION AS OF 1"))
+    // timestamp anchors resolve through the SAME versionAsOf rules as
+    // TIMESTAMP AS OF: anchor at v1's commit instant == anchor at v1
+    val t1 = Engine.tsLiteral(spark, VersionedTable
+      .describeHistory(spark, root)
+      .filter(col("version") === 1L).head().getTimestamp(1))
+    assertSameRows(
+      spark.sql(s"SELECT * FROM table_changes('$root', '$t1', 2)"),
+      VersionedTable.changesBetween(spark, root, 1L, 2L))
+    // and a numeric string is a version, not a timestamp
+    assertSameRows(
+      spark.sql(s"SELECT * FROM table_changes('$root', '1', '2')"),
+      VersionedTable.changesBetween(spark, root, 1L, 2L))
   }
 
   test("approx-distinct rule rewrites count(distinct) to HLL++ when enabled") {
