@@ -102,14 +102,30 @@ class ServeSpec extends SparkSuite {
             .map(r => (r.getLong(1), r.getString(2))).toList
           assert(bounded == List((2L, "insert")),
             s"table_changes over JDBC: $bounded")
-          // a SQL-first user can WRITE a version over JDBC too: the
-          // routed INSERT commits v3, readable by version immediately
+          // a SQL-first user can WRITE versions over JDBC too: every
+          // routed DML verb commits through the manifest APIs
           st.executeUpdate(s"INSERT INTO vtab.`$root` VALUES (3, 'c')")
           val rsI = st.executeQuery(
             s"SELECT id FROM vtab.`$root` VERSION AS OF 3 ORDER BY id")
           val v3 = Iterator.continually(rsI).takeWhile(_.next())
             .map(_.getLong(1)).toList
           assert(v3 == List(1L, 2L, 3L), s"routed INSERT over JDBC: $v3")
+          st.executeUpdate(
+            s"UPDATE vtab.`$root` SET s = 'upd' WHERE id = 2")   // v4
+          st.executeUpdate(
+            s"""MERGE INTO vtab.`$root` t
+                USING (SELECT 3 AS id, 'x' AS s
+                       UNION ALL SELECT 9, 'new') s
+                ON t.id = s.id
+                WHEN MATCHED AND s.s = 'x' THEN DELETE
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")               // v5
+          val rsD = st.executeQuery(
+            s"SELECT id, s FROM vtab.`$root` ORDER BY id")
+          val latest = Iterator.continually(rsD).takeWhile(_.next())
+            .map(r => (r.getLong(1), r.getString(2))).toList
+          assert(latest == List((1L, "a"), (2L, "upd"), (9L, "new")),
+            s"routed UPDATE+MERGE over JDBC: $latest")
         }
 
         // 3) concurrent dashboards: N parallel connections, each its
