@@ -44,6 +44,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("ReadSchema: struct<id:bigint,v:double>"),
       s"projection not pruned:\n$plan")
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // the bounded-CDC TVF substitutes the same analyzed dir-diff plan,
+    // so a filtered projection over table_changes keeps pushdown too
+    // (only the v2-only dir is diffed; the WHERE reaches its scan)
+    val cdc = spark.sql(s"""SELECT id, v FROM table_changes('$root', 1, 2)
+                            WHERE id = 150""")
+    val cdcPlan = cdc.queryExecution.executedPlan.toString
+    assert(cdcPlan.contains("PushedFilters: ["), cdcPlan)
+    assert(cdcPlan.contains("EqualTo(id,150)"),
+      s"id filter not pushed through table_changes:\n$cdcPlan")
+    assert(cdc.collect().map(_.getLong(0)).toSeq == Seq(150L))
   }
 
   test("column pruning reaches the scan: 2-col projection reads 2 cols (P1)") {
