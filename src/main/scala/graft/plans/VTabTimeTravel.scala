@@ -374,7 +374,16 @@ case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * columns are cast and renamed to the target's current schema by
   * position (arity must match); `INSERT INTO … BY NAME` maps by name
   * instead. The first INSERT into an empty root keeps the query's own
-  * schema (it creates version 1). */
+  * schema (it creates version 1).
+  *
+  * Additive schema evolution: with
+  * `spark.graft.vtab.mergeSchema=true` a BY NAME insert carrying
+  * EXTRA columns evolves the table additively through
+  * `commit(mergeSchema = true)` (prior rows read back null-filled,
+  * prior versions keep their narrow schema — the q_versioned_evolve
+  * semantics, from SQL). Without the flag, extra columns are an
+  * ERROR naming it — never a silent drop. Positional inserts stay
+  * strict either way (positional evolution is ambiguous). */
 case class VTabInsertCommand(root: String, query: LogicalPlan,
     overwrite: Boolean, byName: Boolean) extends LeafRunnableCommand {
 
@@ -384,6 +393,8 @@ case class VTabInsertCommand(root: String, query: LogicalPlan,
     import org.apache.spark.sql.functions.col
     import graft.operators.VersionedTable
     val src = org.apache.spark.sql.graft.Bridge.ofRows(spark, query)
+    val evolve = spark.conf
+      .get("spark.graft.vtab.mergeSchema", "false").toBoolean
     val df =
       if (VersionedTable.versions(spark, root).isEmpty) src
       else {
@@ -393,19 +404,30 @@ case class VTabInsertCommand(root: String, query: LogicalPlan,
           require(missing.isEmpty,
             s"INSERT INTO vtab.`$root` BY NAME: query is missing " +
               s"column(s) ${missing.mkString(", ")}")
+          val extras = src.columns.toSeq.filterNot(c =>
+            tgt.fieldNames.exists(_.equalsIgnoreCase(c)))
+          require(evolve || extras.isEmpty,
+            s"INSERT INTO vtab.`$root` BY NAME: query carries " +
+              s"column(s) [${extras.mkString(", ")}] not in the " +
+              "table — set spark.graft.vtab.mergeSchema=true to " +
+              "evolve the schema additively")
           src.select(tgt.fields.toSeq.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)): _*)
+            col(f.name).cast(f.dataType).as(f.name)) ++
+            extras.map(col): _*)
         } else {
           require(src.columns.length == tgt.fields.length,
             s"INSERT INTO vtab.`$root`: target has " +
               s"${tgt.fields.length} column(s), query produces " +
-              s"${src.columns.length}")
+              s"${src.columns.length}" + (if (evolve)
+                " (schema evolution needs BY NAME — positional " +
+                  "evolution is ambiguous)" else ""))
           src.select(src.columns.toSeq.zip(tgt.fields.toSeq).map {
             case (c, f) => col(c).cast(f.dataType).as(f.name)
           }: _*)
         }
       }
-    VersionedTable.commit(spark, root, df, overwrite = overwrite)
+    VersionedTable.commit(spark, root, df, overwrite = overwrite,
+      mergeSchema = evolve)
     Seq.empty
   }
 }

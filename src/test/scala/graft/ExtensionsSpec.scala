@@ -174,9 +174,31 @@ class ExtensionsSpec extends SparkSuite {
     spark.sql(s"""INSERT INTO vtab.`$root` BY NAME
                   SELECT 'n' AS s, 8 AS id""")
     assert(ids(5) == Set(7L, 8L))
-    // arity mismatch is a clear error, not a silent null-fill
+    // extra BY NAME columns are an ERROR by default — never dropped
+    val extra = intercept[Exception] {
+      spark.sql(s"""INSERT INTO vtab.`$root` BY NAME
+                    SELECT 9 AS id, 'e' AS s, 1.5 AS w""")
+    }
+    assert(extra.getMessage.contains("mergeSchema"),
+      extra.getMessage.take(200))
+    // ... and EVOLVE the schema additively with the session flag on
+    // (prior rows null-fill; prior versions keep the narrow schema)
+    withSQLConf("spark.graft.vtab.mergeSchema" -> "true") {
+      spark.sql(s"""INSERT INTO vtab.`$root` BY NAME
+                    SELECT 9 AS id, 'e' AS s, 1.5 AS w""")
+    }
+    val latest = spark.sql(
+      s"SELECT id, CAST(w AS DOUBLE) AS w FROM vtab.`$root` ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toList
+    assert(latest == List((7L, None), (8L, None), (9L, Some(1.5))),
+      latest.toString)
+    assert(spark.sql(s"SELECT * FROM vtab.`$root` VERSION AS OF 5")
+      .columns.toSeq == Seq("id", "s"),
+      "pre-evolution version must keep its narrow schema")
+    // arity mismatch is a clear error, not a silent null-fill (the
+    // table is 3 columns wide after the evolution above)
     val arity = intercept[Exception] {
-      spark.sql(s"INSERT INTO vtab.`$root` VALUES (1, 'x', 99)")
+      spark.sql(s"INSERT INTO vtab.`$root` VALUES (1, 'x', 99, 'z')")
     }
     assert(arity.getMessage.contains("column"), arity.getMessage)
     // unsupported INSERT shapes are refused with a usable message
