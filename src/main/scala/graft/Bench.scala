@@ -334,10 +334,17 @@ object Bench {
         }.toVector
         val nowRec = driftWatch.flatMap(n =>
           isolatedTimes.get(n).map(n -> _)).toMap
+        // weather-normalized tripwire: records store RAW isolated
+        // bests (truth), but the flag threshold scales by the run's
+        // calibration adjustment — r17x measured a 21%-slow box
+        // (calib 1.21) flip q_periodic_snapshot 0.48 -> 0.69 while
+        // the clean-box shared reading sat at 1.09x baseline; a
+        // box-weather rise the calib legs independently corroborate
+        // is not code drift
         val flags = nowRec.flatMap { case (n, t) =>
           prior.reverse.collectFirst {
             case (_, m, _) if m.contains(n) => m(n)
-          }.collect { case prev if prev > 0 && t >= 1.25 * prev =>
+          }.collect { case prev if prev > 0 && t >= 1.25 * prev * adj =>
             n -> (prev, t)
           }
         }
