@@ -318,33 +318,39 @@ object Bench {
       if (!sfDir.endsWith("sf0.1") || driftText.isEmpty) Map.empty
       else try {
         val recRe =
-          "\\{\"label\":\"([^\"]+)\",\"isolated\":\\{([^}]*)\\}".r
+          ("\\{\"label\":\"([^\"]+)\"," +
+            "(?:\"adj\":([0-9.]+),)?\"isolated\":\\{([^}]*)\\}").r
         val pairRe = "\"([^\"]+)\":([0-9.]+)".r
         val overRe = "\"shared_over\":\\{([^}]*)\\}".r
         def pairs(s: String): Map[String, Double] =
           pairRe.findAllMatchIn(s)
             .map(p => p.group(1) -> p.group(2).toDouble).toMap
-        // (label, isolated, shared_over) per record, line-oriented
+        // (label, calibAdj, isolated, shared_over) per record,
+        // line-oriented; records predating the adj field read as 1.0
         val prior = driftText.linesIterator.flatMap { line =>
           recRe.findFirstMatchIn(line).map { m =>
-            (m.group(1), pairs(m.group(2)),
+            (m.group(1),
+              Option(m.group(2)).map(_.toDouble).getOrElse(1.0),
+              pairs(m.group(3)),
               overRe.findFirstMatchIn(line).map(o => pairs(o.group(1)))
                 .getOrElse(Map.empty[String, Double]))
           }
         }.toVector
         val nowRec = driftWatch.flatMap(n =>
           isolatedTimes.get(n).map(n -> _)).toMap
-        // weather-normalized tripwire: records store RAW isolated
-        // bests (truth), but the flag threshold scales by the run's
-        // calibration adjustment — r17x measured a 21%-slow box
-        // (calib 1.21) flip q_periodic_snapshot 0.48 -> 0.69 while
-        // the clean-box shared reading sat at 1.09x baseline; a
-        // box-weather rise the calib legs independently corroborate
-        // is not code drift
+        // weather-normalized tripwire, BOTH SIDES: records store RAW
+        // isolated bests (truth) PLUS the run's calibration adjustment,
+        // and the comparison normalizes each reading by ITS OWN run's
+        // adj (t/adj vs prev/prevAdj). Normalizing only the current
+        // side (the r17 form) let a slow-box run both escape flagging
+        // AND write its inflated raw reading as the next run's prev —
+        // readings ratcheted upward and a real regression landed on a
+        // slow box was permanently absorbed into the rolling baseline.
         val flags = nowRec.flatMap { case (n, t) =>
           prior.reverse.collectFirst {
-            case (_, m, _) if m.contains(n) => m(n)
-          }.collect { case prev if prev > 0 && t >= 1.25 * prev * adj =>
+            case (_, pAdj, m, _) if m.contains(n) => (m(n), pAdj)
+          }.collect { case (prev, pAdj)
+              if prev > 0 && t / adj >= 1.25 * (prev / pAdj) =>
             n -> (prev, t)
           }
         }
@@ -355,16 +361,19 @@ object Bench {
             b > 0 && t > 1.5 * b * adj) =>
             n -> (t / (baseline(n) * adj))
         }.toMap
-        val prevOver = prior.lastOption.map(_._3.keySet)
+        val prevOver = prior.lastOption.map(_._4.keySet)
           .getOrElse(Set.empty[String])
         val adds = nowOver.keySet.intersect(prevOver)
           .diff(driftWatch.toSet)
           .filter(SparkEntry.queries.contains).toSeq.sorted
         // retire: last 3 isolated records (incl. this run) all clean
-        // vs the committed baseline
+        // vs the committed baseline — each reading normalized by its
+        // own run's calib adj, so a slow-box record doesn't block a
+        // genuinely clean retire (the baseline itself is a clean-box
+        // number, adj 1.0 by construction)
         val isoSeries: Map[String, Seq[Double]] = driftWatch.map { n =>
-          n -> ((prior.map(_._2) :+ nowRec)
-            .flatMap(_.get(n)))
+          n -> ((prior.map(r => (r._2, r._3)) :+ ((adj, nowRec)))
+            .flatMap { case (a, m) => m.get(n).map(_ / a) })
         }.toMap
         val retires = driftWatch.filter { n =>
           baseline.get(n).exists { b =>
@@ -383,9 +392,10 @@ object Bench {
           m.toSeq.sortBy(_._1).map { case (k, v) =>
             "\"" + k + "\":" + f2(v)
           }.mkString(",")
-        val kept = (prior :+ ((label, nowRec, nowOver))).takeRight(60)
-        val recJson = kept.map { case (l, iso, over) =>
-          "  {\"label\":\"" + l + "\",\"isolated\":{" + mapJson(iso) +
+        val kept = (prior :+ ((label, adj, nowRec, nowOver))).takeRight(60)
+        val recJson = kept.map { case (l, a, iso, over) =>
+          "  {\"label\":\"" + l + "\",\"adj\":" + f2(a) +
+            ",\"isolated\":{" + mapJson(iso) +
             "}" + (if (over.isEmpty) ""
               else ",\"shared_over\":{" + mapJson(over) + "}") + "}"
         }.mkString(",\n")
@@ -402,7 +412,8 @@ object Bench {
             f2(nowOver.getOrElse(n, 0.0)) + "x)\"}") ++
           retires.map(n => "{\"label\":\"" + label +
             "\",\"op\":\"retire\",\"q\":\"" + n + "\",\"reason\":" +
-            "\"last 3 isolated records <= 1.25x baseline (" +
+            "\"last 3 isolated records <= 1.25x baseline, " +
+            "adj-normalized (" +
             isoSeries(n).takeRight(3).map(f2).mkString(",") + " vs " +
             f2(baseline(n)) + ")\"}")
         val watchJson = newWatch.map("\"" + _ + "\"").mkString(", ")
@@ -427,47 +438,12 @@ object Bench {
         t > 1.5 * b * adj && !(t > 2 * b * adj && t > b * adj + floor(b))) =>
         (n, isolatedTimes(n), b)
     }
-    // The driver keeps only the last ~2000 chars of stdout and parses
-    // the JSON line out of that tail (r1/r2 BENCH both came back
-    // `parsed:null` because the line overflowed it). Keep the stdout
-    // line compact: strip the shared "q_" prefix, round to 2 decimals,
-    // no note. The full-precision variant goes to bench_result.json.
-    // Locale.ROOT: a comma-decimal default locale must not corrupt the
-    // JSON contract line or bench_result.json
-    def fmt(v: Double, p: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
-    // stdout-only family-prefix abbreviations (applied after the q_
-    // strip) so the full per-query map keeps fitting the driver's tail
-    // as the suite grows: tpch_q→t, ref_→r_, dedup_→dd_, embed_→em_,
-    // text_→tx_, window_→w_. bench_result.json always carries the
-    // full names.
-    val abbrevs = Seq("tpch_q" -> "t", "ref_" -> "r_", "dedup_" -> "dd_",
-      "embed_" -> "em_", "text_" -> "tx_", "window_" -> "w_")
-    def line(p: Int, short: Boolean, abbrev: Boolean = false): String = {
+    def line(p: Int): String = {
       val qs = results.map { case (k, v) =>
-        val base = if (short) k.stripPrefix("q_") else k
-        val name = if (!abbrev) base
-          else abbrevs.foldLeft(base) { case (n, (from, to)) =>
-            if (n.startsWith(from)) to + n.stripPrefix(from) else n
-          }
-        "\"" + name + "\":" + fmt(v, p)
+        "\"" + k + "\":" + fmt(v, p)
       }.mkString("{", ",", "}")
-      // the short stdout variant drops "sf" and "unit" — the driver
-      // records the scale factor itself and seconds are the contract
-      // default; every byte counts against its 2000-char tail. The
-      // per-query gate detail goes to the file; stdout carries only the
-      // regression count (and only when nonzero).
       val gate =
-        if (short) {
-          // rechecked = shared-JVM breaches adjudicated in a fresh JVM;
-          // regr = breaches the ISOLATED run confirmed (zero when every
-          // breach was harness noise)
-          val rc = if (rawRegressions.isEmpty) ""
-            else s""","rechecked":${rawRegressions.size}"""
-          rc + (if (regressions.isEmpty) "" else s""","regr":${regressions.size}""") +
-            (if (driftFlags.isEmpty) "" else s""","drift":${driftFlags.size}""")
-        }
-        else regressions.map { case (n, t, b) =>
+        regressions.map { case (n, t, b) =>
           "\"" + n + "\":[" + fmt(t, 2) + "," + fmt(b, 2) + "]"
         }.mkString(""","regressions":{""", ",", "}") +
           rawRegressions.map { case (n, t, b) =>
@@ -488,9 +464,9 @@ object Bench {
             driftFlags.map { case (n, (prev, now)) =>
               "\"" + n + "\":[" + fmt(prev, 2) + "," + fmt(now, 2) + "]"
             }.mkString(""","drift_flags":{""", ",", "}"))
-      val extra = gate + (if (short) "" else
+      val extra = gate +
         s""","unit":"sec","sf":"$sfDir","calib":${fmt(calib, 2)}""" +
-          s""","calib_io":${fmt(calibIo, 2)},"calib_io_scan":${if (calibIoScan) 1 else 0},"calib_adjust":${fmt(adj, 2)}""")
+          s""","calib_io":${fmt(calibIo, 2)},"calib_io_scan":${if (calibIoScan) 1 else 0},"calib_adjust":${fmt(adj, 2)}"""
       val errs = if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
@@ -503,38 +479,80 @@ object Bench {
         .mkString(""","error_details":{""", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"),
-      line(4, short = false).stripSuffix("}") + details + "}\n")
-    // ~1915 chars is the budget: 2000-char tail minus sbt's trailing
-    // "[success] Total time: … completed <date>" line (~76 chars).
-    // Degrade precision before overflowing.
-    val out = Seq(line(2, short = true), line(1, short = true),
-        line(1, short = true, abbrev = true))
+      line(4).stripSuffix("}") + details + "}\n")
+    // gate verdicts that must reach the driver's stdout tail:
+    // rechecked = shared-JVM breaches adjudicated in a fresh JVM;
+    // regr = breaches the ISOLATED run confirmed (zero when every
+    // breach was harness noise)
+    val gateBits = (if (rawRegressions.isEmpty) ""
+      else s""","rechecked":${rawRegressions.size}""") +
+      (if (regressions.isEmpty) "" else s""","regr":${regressions.size}""") +
+      (if (driftFlags.isEmpty) "" else s""","drift":${driftFlags.size}""")
+    println(stdoutLine(results, failed, gateBits, sfDir))
+    spark.stop()
+  }
+
+  // Locale.ROOT: a comma-decimal default locale must not corrupt the
+  // JSON contract line or bench_result.json
+  private def fmt(v: Double, p: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
+
+  /** stdout-only family-prefix abbreviations (applied after the q_
+    * strip) so the full per-query map keeps fitting the driver's tail
+    * as the suite grows: tpch_q→t, ref_→r_, dedup_→dd_, embed_→em_,
+    * text_→tx_, window_→w_. bench_result.json always carries the
+    * full names. */
+  private val abbrevs = Seq("tpch_q" -> "t", "ref_" -> "r_",
+    "dedup_" -> "dd_", "embed_" -> "em_", "text_" -> "tx_",
+    "window_" -> "w_")
+
+  /** The driver-facing stdout contract line. The driver keeps only the
+    * last ~2000 chars of stdout and parses the JSON line out of that
+    * tail (r1/r2 BENCH both came back `parsed:null` because the line
+    * overflowed it); ~1915 chars is the budget — 2000 minus sbt's
+    * trailing "[success] Total time: …" line (~76 chars). Strategy:
+    * strip the shared "q_" prefix and drop "sf"/"unit" (the driver
+    * records the scale factor itself; seconds are the contract
+    * default), then degrade 2-decimals → 1-decimal → abbreviated
+    * names → slowest-first packing, stopping at the first variant
+    * that fits. Factored out of main and BenchSpec-pinned at 225
+    * synthetic queries so suite growth can't silently overflow the
+    * tail again. */
+  private[graft] def stdoutLine(results: Seq[(String, Double)],
+      failed: Seq[String], gateBits: String, sfDir: String): String = {
+    val errs = if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    def shortName(k: String, abbrev: Boolean): String = {
+      val base = k.stripPrefix("q_")
+      if (!abbrev) base
+      else abbrevs.foldLeft(base) { case (n, (from, to)) =>
+        if (n.startsWith(from)) to + n.stripPrefix(from) else n
+      }
+    }
+    def shortLine(p: Int, abbrev: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + shortName(k, abbrev) + "\":" + fmt(v, p)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, p)},"queries":$qs$errs$gateBits}"""
+    }
+    Seq(shortLine(2, abbrev = false), shortLine(1, abbrev = false),
+        shortLine(1, abbrev = true))
       .find(_.length <= 1915)
       .getOrElse {
         // full map no longer fits: keep the SLOWEST queries (the only
         // ones a round-over-round diff can learn from), abbreviated,
         // packing as many as the tail budget allows; total + n_queries
-        // still cover the fast remainder
-        val tot = fmt(results.map(_._2).filter(_ >= 0).sum, 2)
-        // gate verdicts must survive this degraded format too
-        val gateBits = (if (rawRegressions.isEmpty) ""
-          else s""","rechecked":${rawRegressions.size}""") +
-          (if (regressions.isEmpty) "" else s""","regr":${regressions.size}""") +
-          (if (driftFlags.isEmpty) "" else s""","drift":${driftFlags.size}""")
-        val head = s"""{"metric":"total","value":$tot,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}$gateBits,"sf":${"\"" + sfDir + "\""},"slowest":{"""
+        // still cover the fast remainder. Gate verdicts must survive
+        // this degraded format too.
+        val head = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size}$gateBits,"sf":${"\"" + sfDir + "\""},"slowest":{"""
         val entries = results.sortBy(-_._2).map { case (k, v) =>
-          val base = k.stripPrefix("q_")
-          val name = abbrevs.foldLeft(base) { case (n, (from, to)) =>
-            if (n.startsWith(from)) to + n.stripPrefix(from) else n
-          }
-          "\"" + name + "\":" + fmt(v, 1)
+          "\"" + shortName(k, abbrev = true) + "\":" + fmt(v, 1)
         }
         val budget = 1915 - head.length - 2
         val packed = entries.scanLeft(0)(_ + _.length + 1)
           .tail.zip(entries).takeWhile(_._1 <= budget).map(_._2)
         head + packed.mkString(",") + "}}"
       }
-    println(out)
-    spark.stop()
   }
 }

@@ -1047,7 +1047,12 @@ object VersionedTable {
     val targetKeys = target.select(keys.map(col): _*).distinct()
     val keptTarget = target.join(srcKeys, keys, "left_anti")
     val matchedSrc = alignedSource.join(targetKeys, keys, "left_semi")
-    val updates = deleteMatched.fold(matchedSrc)(c => matchedSrc.filter(!c))
+    // WHEN MATCHED AND c THEN DELETE deletes only where c is TRUE: a
+    // NULL verdict falls through to the update clause (filter(!c)
+    // would silently delete NULL-verdict rows — same three-valued
+    // hazard as deleteWhere)
+    val updates = deleteMatched.fold(matchedSrc)(c =>
+      matchedSrc.filter(!coalesce(c, lit(false))))
     val inserts = alignedSource.join(targetKeys, keys, "left_anti")
     val newRows = keptTarget
       .unionByName(updates.select(target.columns.map(col): _*))
@@ -1075,23 +1080,47 @@ object VersionedTable {
     * predicate itself finds the touched dirs via one column-pruned
     * scan, so a selective delete on a 100 TB table rewrites only the
     * dirs it hits. First-writer-wins. Returns the new version (or the
-    * current one when nothing matches — no empty commit). */
+    * current one when nothing matches — no empty commit).
+    *
+    * SQL three-valued semantics: only rows where `cond` is TRUE are
+    * deleted — a NULL verdict KEEPS the row. (`filter(!cond)` would
+    * silently drop NULL-cond rows, and only in dirs that also contain
+    * a TRUE row — a dir-dependent data loss.) */
   def deleteWhere(spark: SparkSession, root: String,
-      cond: org.apache.spark.sql.Column): Long =
-    rewriteTouched(spark, root, cond, "delete")(df => df.filter(!cond))
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    rewriteTouched(spark, root, cond, "delete")(df =>
+      df.filter(!coalesce(cond, lit(false))))
+  }
 
   /** Predicate UPDATE (`SET col = expr` for each assignment), dir-
     * granularity copy-on-write like [[deleteWhere]]. Assignment
-    * expressions may reference any table column. */
+    * expressions may reference any table column.
+    *
+    * SQL simultaneous-assignment semantics: every RHS evaluates
+    * against the PRE-update row — all assignments land in ONE select
+    * over the original frame, so `SET a = b, b = a` swaps (a
+    * sequential foldLeft would make b's RHS see the already-updated a,
+    * with Map iteration order deciding which — nondeterministic). */
   def updateWhere(spark: SparkSession, root: String,
       cond: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.when
+    import org.apache.spark.sql.functions.{col, when}
     rewriteTouched(spark, root, cond, "update") { df =>
-      set.foldLeft(df) { case (acc, (name, expr)) =>
-        acc.withColumn(name,
-          when(cond, expr).otherwise(org.apache.spark.sql.functions.col(name)))
-      }
+      val byLower = set.map { case (k, v) => k.toLowerCase -> v }
+      require(byLower.size == set.size,
+        "updateWhere: duplicate SET targets (differing only in case)")
+      val unknown = set.keys.filterNot(k =>
+        df.columns.exists(_.equalsIgnoreCase(k)))
+      require(unknown.isEmpty,
+        s"updateWhere: SET target(s) [${unknown.mkString(", ")}] are " +
+          "not columns of the table — an UPDATE may not add columns")
+      df.select(df.columns.map { c =>
+        byLower.get(c.toLowerCase) match {
+          case Some(e) => when(cond, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
     }
   }
 
@@ -1152,6 +1181,11 @@ object VersionedTable {
   def changesBetween(spark: SparkSession, root: String,
       vFrom: Long, vTo: Long): DataFrame = {
     import org.apache.spark.sql.functions._
+    // reversed anchors would silently return an INVERTED diff (inserts
+    // reported as deletes and vice versa) — fail loudly instead
+    require(vFrom <= vTo,
+      s"changesBetween: from-version $vFrom is after to-version $vTo " +
+        "— anchors are (exclusive-from, inclusive-to) and must ascend")
     val f = fs(spark, root)
     def dirsOf(v: Long) = readManifest(f, root, v).getOrElse(
       throw new IllegalArgumentException(s"version $v not committed"))

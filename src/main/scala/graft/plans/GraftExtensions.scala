@@ -131,7 +131,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // versioned table as a table-valued function — the SQL twin of
     // VersionedTable.changesBetween(from, to), with IDENTICAL anchor
     // semantics: changes strictly AFTER `from` (exclusive) up to and
-    // including `to` (default: the latest commit). Each anchor is a
+    // including `to` (default: the latest commit). Change rows carry
+    // change ∈ insert|delete ONLY: an UPDATE (or a MERGE's matched
+    // update) surfaces as a delete+insert PAIR — there is no
+    // update_preimage/update_postimage row kind (the dir-diff has no
+    // primary-key knowledge to coalesce on), so consumers porting
+    // Delta CDF readers must fold pairs themselves. Each anchor is a
     // version number or a TIMESTAMP string/literal — timestamps
     // resolve through the SAME effective-commit-time rules as
     // `TIMESTAMP AS OF` (VersionedTable.versionAsOf: the version at
@@ -176,6 +181,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else graft.operators.VersionedTable.versions(spark, root)
             .lastOption.getOrElse(throw new IllegalArgumentException(
               s"table_changes('$root'): table has no committed versions"))
+        // reversed anchors would be an INVERTED diff — refuse here
+        // with the TVF's own wording (changesBetween guards too)
+        require(from <= to,
+          s"table_changes('$root', $from, $to): from must be <= to " +
+            "(changes strictly after `from`, up to and including `to`)")
         graft.operators.VersionedTable
           .changesBetween(spark, root, from, to)
           .queryExecution.analyzed

@@ -400,7 +400,11 @@ case class VTabInsertCommand(root: String, query: LogicalPlan,
       else {
         val tgt = VersionedTable.read(spark, root).schema
         if (byName) {
-          val missing = tgt.fieldNames.filterNot(src.columns.contains)
+          // case-INSENSITIVE both ways (Spark's default resolution):
+          // a query column named ID for target id must neither read as
+          // "missing column id" nor double-count as an extra
+          val missing = tgt.fieldNames.filterNot(f =>
+            src.columns.exists(_.equalsIgnoreCase(f)))
           require(missing.isEmpty,
             s"INSERT INTO vtab.`$root` BY NAME: query is missing " +
               s"column(s) ${missing.mkString(", ")}")

@@ -214,6 +214,29 @@ class ExtensionsSpec extends SparkSuite {
     assert(hist.getMessage.contains("read-only"), hist.getMessage)
   }
 
+  test("vtab SQL INSERT BY NAME resolves case-insensitively; " +
+      "table_changes refuses reversed anchors") {
+    import graft.operators.VersionedTable
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtab_ci").toString
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    // Spark's default resolution is case-insensitive: a query column
+    // named ID for target id must neither read as "missing column id"
+    // nor double-count as an extra
+    spark.sql(s"""INSERT INTO vtab.`$root` BY NAME
+                  SELECT 'b' AS S, 2 AS ID""")
+    assert(spark.sql(s"SELECT id, s FROM vtab.`$root` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList ==
+      List((1L, "a"), (2L, "b")))
+    // reversed CDC anchors are an error, never an inverted diff
+    val rev = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$root', 2, 1)").collect()
+    }
+    assert(rev.getMessage.contains("from must be <= to"),
+      rev.getMessage.take(200))
+  }
+
   test("vtab namespace guard: only path-shaped identifiers are " +
       "claimed; a catalog database named vtab keeps working") {
     import spark.implicits._

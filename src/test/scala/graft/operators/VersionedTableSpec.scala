@@ -976,4 +976,65 @@ class VersionedTableSpec extends SparkSuite {
       Seq(Tuple1(5L)).toDF("id"), overwrite = true)
     assert(VersionedTable.read(spark, root).columns.toSeq == Seq("id"))
   }
+
+  test("deleteWhere keeps NULL-condition rows (three-valued logic)") {
+    val root = tmpDir("vtabnulldel")
+    // one dir holding BOTH a cond=TRUE row and a cond=NULL row: the
+    // dir is touched (it has a true match), and the rewrite must keep
+    // the NULL-verdict row — SQL deletes only cond=TRUE rows
+    VersionedTable.commit(spark, root, Seq(
+      (1L, Some("x")), (2L, None), (3L, Some("y"))).toDF("id", "s"))
+    VersionedTable.deleteWhere(spark, root, col("s") === "x")
+    assert(VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet ==
+      Set((2L, None), (3L, Some("y"))),
+      "a NULL WHERE verdict must KEEP the row, not delete it")
+  }
+
+  test("updateWhere SET assignments all read the pre-update row") {
+    val root = tmpDir("vtabswap")
+    VersionedTable.commit(spark, root,
+      Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("id", "a", "b"))
+    // SET a = b, b = a must SWAP — b's RHS sees the ORIGINAL a
+    VersionedTable.updateWhere(spark, root, col("id") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet == Set((1L, 100L, 10L), (2L, 20L, 200L)))
+    // a SET target that is not a column is refused (withColumn would
+    // silently ADD a misspelled column)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, root, col("id") === 1L,
+        Map("nope" -> lit(1L)))
+    }
+    assert(ex.getMessage.contains("nope"))
+  }
+
+  test("merge: NULL deleteMatched verdict falls through to update") {
+    val root = tmpDir("vtabnullmerge")
+    VersionedTable.commit(spark, root,
+      Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "s"))
+    // source: id=1 flag true (delete), id=2 flag NULL (must UPDATE,
+    // not vanish), id=3 flag false (update)
+    val src = Seq((1L, "n1", Some(true)), (2L, "n2", None),
+      (3L, "n3", Some(false))).toDF("id", "s", "del")
+    VersionedTable.merge(spark, root, src.select("id", "s"), Seq("id"),
+      deleteMatched = Some(col("id") === 1L ||
+        (when(col("id") === 2L, lit(null).cast("boolean"))
+          .otherwise(lit(false)))))
+    assert(VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "n2"), (3L, "n3")),
+      "NULL delete verdict = not deleted = updated by the source row")
+  }
+
+  test("changesBetween refuses reversed anchors") {
+    val root = tmpDir("vtabrev")
+    VersionedTable.commit(spark, root, Seq(Tuple1(1L)).toDF("id"))
+    VersionedTable.commit(spark, root, Seq(Tuple1(2L)).toDF("id"))
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.changesBetween(spark, root, 2L, 1L)
+    }
+    assert(ex.getMessage.contains("ascend"))
+  }
 }
