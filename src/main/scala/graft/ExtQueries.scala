@@ -1859,6 +1859,81 @@ object ExtQueries {
       FROM o JOIN dim ON o_custkey = k AND od >= vf AND od < vt
       GROUP BY seg ORDER BY seg"""))
 
+  /** CATALOG-NAMED versioned table ([[graft.operators.VTabCatalog]] +
+    * the name legs of [[graft.plans.VTabTimeTravelRule]]): the
+    * reference's usage shape addresses NAMED tables in layered
+    * databases (reference docs/HiveSQL.md:21,42-55), not filesystem
+    * paths — so register a name, then drive the ENTIRE SQL surface by
+    * name: INSERT (v1, v2), routed UPDATE (v3), time travel, bounded
+    * CDC (the update surfacing as its delete+insert pair), and
+    * history. DROP TABLE afterwards unregisters WITHOUT touching data
+    * (spec-pinned in ExtensionsSpec; here the legs replay closed-form
+    * in DuckDB). */
+  val q_versioned_named = QuerySpec(
+    "q_versioned_named", Seq("S9", "S3", "S4"),
+    (s, d) => {
+      val o = Engine.table(s, d, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("v"))
+      val b = col("k") % 10
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vtab_nm").toString
+      s.sql(s"SELECT vtab_register('dws_q.named_inv', '$root')").collect()
+      o.filter(b <= 3).createOrReplaceTempView("vtab_named_src1")
+      o.filter(b === 8).createOrReplaceTempView("vtab_named_src2")
+      s.sql("INSERT INTO dws_q.named_inv SELECT * FROM vtab_named_src1")
+      s.sql("INSERT INTO dws_q.named_inv SELECT * FROM vtab_named_src2")
+      s.sql("UPDATE dws_q.named_inv SET v = v + 1000 WHERE k % 10 = 0")
+      def agg(label: String, from: String) = s.sql(
+        s"""SELECT '$label' AS leg, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sv FROM $from""")
+      val legs = agg("v1", "dws_q.named_inv VERSION AS OF 1")
+        .unionByName(agg("latest", "dws_q.named_inv"))
+        .unionByName(s.sql(
+          """SELECT CONCAT('cdc12_', change) AS leg, COUNT(*) AS n,
+                    CAST(SUM(v) AS BIGINT) AS sv
+             FROM table_changes('dws_q.named_inv', 1, 2)
+             GROUP BY change"""))
+        .unionByName(s.sql(
+          """SELECT CONCAT('cdc23_', change) AS leg, COUNT(*) AS n,
+                    CAST(SUM(v) AS BIGINT) AS sv
+             FROM table_changes('dws_q.named_inv', 2, 3)
+             GROUP BY change"""))
+        .unionByName(s.sql(
+          """SELECT 'history' AS leg, COUNT(*) AS n,
+                    CAST(SUM(version) AS BIGINT) AS sv
+             FROM vtab_history.`dws_q.named_inv`"""))
+        .orderBy("leg")
+      // the legs hold ANALYZED snapshot plans, so unregistering first
+      // is safe; collectAndClean then reclaims the table root
+      s.sql("DROP TABLE dws_q.named_inv")
+      Engine.collectAndClean(legs, root)
+    },
+    Some("""WITH q AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                              CAST(o_custkey AS BIGINT) AS v,
+                              o_orderkey % 10 AS b
+                       FROM orders)
+            SELECT 'v1' AS leg, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sv FROM q WHERE b <= 3
+            UNION ALL
+            SELECT 'latest', COUNT(*),
+                   CAST(SUM(CASE WHEN b = 0 THEN v + 1000 ELSE v END)
+                     AS BIGINT)
+            FROM q WHERE b <= 3 OR b = 8
+            UNION ALL
+            SELECT 'cdc12_insert', COUNT(*), CAST(SUM(v) AS BIGINT)
+            FROM q WHERE b = 8
+            UNION ALL
+            SELECT 'cdc23_delete', COUNT(*), CAST(SUM(v) AS BIGINT)
+            FROM q WHERE b = 0
+            UNION ALL
+            SELECT 'cdc23_insert', COUNT(*),
+                   CAST(SUM(v + 1000) AS BIGINT)
+            FROM q WHERE b = 0
+            UNION ALL
+            SELECT 'history', 3, 6
+            ORDER BY leg"""))
+
   val q_versioned_merge = QuerySpec(
     "q_versioned_merge", Seq("S9", "J5", "J6"),
     (s, d) => {
@@ -1941,7 +2016,7 @@ object ExtQueries {
   val all: Seq[QuerySpec] = Seq(
     q_versioned_time_travel, q_versioned_sql_asof, q_versioned_cdc_sql,
     q_versioned_sql_insert, q_versioned_cdc_bounded, q_versioned_sql_dml,
-    q_versioned_merge,
+    q_versioned_named, q_versioned_merge,
     q_versioned_evolve, q_versioned_constraints, q_versioned_clone,
     q_approx_distinct, q_percentile, q_percentile_huge,
     q_approx_percentile, q_moments,

@@ -127,6 +127,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bpe_encode: bad merge entry '$p' (want 'left right')")
           (ab(0), ab(1))
         }))
+    // vtab_register('dws.inventory', '/path') binds a catalog-style
+    // NAME to a versioned-table root (VTabCatalog), after which the
+    // whole vtab SQL surface — time travel, routed DML, table_changes,
+    // the derived views — resolves the name through the same machinery
+    // as the path form. vtab_unregister drops the binding (data
+    // untouched; DROP TABLE <name> routes to the same). Both take
+    // literals and register at RESOLUTION time: the binding is
+    // idempotent session metadata (like CREATE TEMP VIEW), so repeated
+    // analysis (EXPLAIN, retries) is harmless. Returns the root /
+    // whether the name was bound.
+    reg(ext, "vtab_register", 2) { a =>
+      val name = litStr(a(0), "vtab_register")
+      val root = litStr(a(1), "vtab_register")
+      graft.operators.VTabCatalog.register(name, root)
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(root),
+        org.apache.spark.sql.types.StringType)
+    }
+    reg(ext, "vtab_unregister", 1) { a =>
+      val name = litStr(a(0), "vtab_unregister")
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        graft.operators.VTabCatalog.unregister(name),
+        org.apache.spark.sql.types.BooleanType)
+    }
     // table_changes('/path', from[, to]): BOUNDED row-level CDC over a
     // versioned table as a table-valued function — the SQL twin of
     // VersionedTable.changesBetween(from, to), with IDENTICAL anchor
@@ -152,7 +176,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "table_changes expects ('/path', from[, to]) — version " +
             "numbers or timestamps")
         val spark = org.apache.spark.sql.SparkSession.active
-        val root = litStr(args(0), "table_changes")
+        // path or registered name — same split as the identifier rule
+        val rootArg = litStr(args(0), "table_changes")
+        val root = if (rootArg.contains("/")) rootArg
+          else graft.operators.VTabCatalog.resolve(rootArg).getOrElse(
+            throw new IllegalArgumentException(
+              s"table_changes('$rootArg'): not a path and not a " +
+                "registered vtab name (vtab_register first)"))
         def anchor(e: Expression): Long = {
           require(e.foldable, s"table_changes('$root'): anchors must " +
             s"be literals, got $e")

@@ -89,16 +89,32 @@ import org.apache.spark.sql.types.TimestampType
   * a correlated subquery has no frame to bind to). */
 case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private val kinds = Set("vtab", "vtab_history", "vtab_changes")
+  private val kinds = graft.operators.VTabCatalog.reservedKinds
 
+  /** (kind, root) for an identifier this rule claims — two addressing
+    * forms, resolved through the same downstream machinery:
+    *
+    *  - PATH form: `vtab.`/p``, `vtab_history.`/p``, … — a 2-part
+    *    identifier with a reserved first part and a path-shaped
+    *    ('/'-containing) second part. A catalog database named vtab
+    *    (or `vtab.relative`) is the catalog's.
+    *  - NAME form ([[graft.operators.VTabCatalog]]): any identifier
+    *    REGISTERED via `vtab_register('dws.inventory', '/p')` — bare
+    *    (`dws.inventory`, kind vtab) or kind-prefixed for the derived
+    *    views (`vtab_history.`dws.inventory``). An UNREGISTERED name
+    *    is never claimed: it falls through to the session catalog
+    *    untouched (real tables keep resolving; missing ones get the
+    *    catalog's own error).
+    */
   private def idOf(u: UnresolvedRelation): Option[(String, String)] = {
+    import graft.operators.VTabCatalog
     val parts = u.multipartIdentifier
-    // path-shaped second part only: `vtab.`/p`` is ours; a catalog
-    // database named vtab (or `vtab.relative`) is the catalog's
-    if (parts.length == 2 && kinds.contains(parts.head.toLowerCase) &&
-        parts(1).contains("/"))
-      Some((parts.head.toLowerCase, parts(1)))
-    else None
+    if (parts.length >= 2 && kinds.contains(parts.head.toLowerCase)) {
+      val rest = parts.tail.mkString(".")
+      if (parts.length == 2 && rest.contains("/"))
+        Some((parts.head.toLowerCase, rest))
+      else VTabCatalog.resolve(rest).map(r => (parts.head.toLowerCase, r))
+    } else VTabCatalog.resolve(parts.mkString(".")).map(r => ("vtab", r))
   }
 
   private def tsToMillis(root: String, e: Expression): Long = {
@@ -125,9 +141,11 @@ case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-      DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction,
-      MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement,
+      InsertStarAction, MergeIntoTable, SubqueryAlias, UpdateStarAction,
+      UpdateTable}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+      UnresolvedIdentifier, UnresolvedTableOrView}
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal, SubqueryExpression}
     import graft.operators.VersionedTable
     // Write-target scan BEFORE the bottom-up substitution below can
@@ -237,7 +255,27 @@ case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       vtabIn(target).exists(writeTargets.contains)
     def rootOf(target: LogicalPlan): String =
       idOf(vtabIn(target).get).get._2
+    // DROP TABLE on a REGISTERED vtab name unregisters the binding and
+    // NEVER touches table data (the manifest protocol has no concept
+    // of dropping — data lifecycle is vacuum's). Unregistered names
+    // fall through to the catalog's own DROP.
+    def dropName(child: LogicalPlan): Option[String] = {
+      val parts = child match {
+        case u: UnresolvedIdentifier => Some(u.nameParts)
+        case u: UnresolvedTableOrView => Some(u.multipartIdentifier)
+        // the analyzer's own identifier resolution may run before this
+        // rule within the resolution batch — a session-catalog
+        // ResolvedIdentifier still names a registered binding
+        case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+          Some(r.identifier.namespace.toSeq :+ r.identifier.name)
+        case _ => None
+      }
+      parts.map(_.mkString(".")).filter(n =>
+        graft.operators.VTabCatalog.resolve(n).isDefined)
+    }
     plan.resolveOperatorsUp {
+      case DropTable(child, _, _) if dropName(child).isDefined =>
+        VTabUnregisterCommand(dropName(child).get)
       // routed writes: each becomes a command that calls the matching
       // manifest-writing API at execution time (a query/source child —
       // which may itself read other vtab tables — was already
@@ -495,6 +533,18 @@ case class VTabMergeCommand(root: String, source: LogicalPlan,
     graft.operators.VersionedTable.merge(spark, root,
       Bridge.ofRows(spark, source), keys,
       deleteMatched.map(h => Bridge.column(h.e)))
+    Seq.empty
+  }
+}
+
+/** Routed `DROP TABLE <registered-name>`: removes the
+  * [[graft.operators.VTabCatalog]] binding at EXECUTION time (EXPLAIN
+  * shows the command without unregistering). Table DATA is never
+  * touched — the name is metadata; reclaiming data dirs is
+  * [[graft.operators.VersionedTable.vacuum]]'s job. */
+case class VTabUnregisterCommand(name: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.VTabCatalog.unregister(name)
     Seq.empty
   }
 }

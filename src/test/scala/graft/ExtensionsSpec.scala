@@ -237,6 +237,77 @@ class ExtensionsSpec extends SparkSuite {
       rev.getMessage.take(200))
   }
 
+  test("catalog-named vtab: register -> SQL DML/time-travel/CDC by " +
+      "name; DROP unregisters without deleting; unregistered names " +
+      "fall through") {
+    import graft.operators.{VTabCatalog, VersionedTable}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtab_named").toString
+    // register via SQL text; the function returns the bound root
+    assert(spark.sql(
+      s"SELECT vtab_register('dws_spec.inventory', '$root')")
+      .head().getString(0) == root)
+    try {
+      // INSERT by name creates v1; append creates v2
+      spark.sql("INSERT INTO dws_spec.inventory SELECT 1 AS id, 'a' AS s")
+      spark.sql("INSERT INTO dws_spec.inventory SELECT 2 AS id, 'b' AS s")
+      assert(VersionedTable.versions(spark, root) == Seq(1L, 2L),
+        "named INSERTs must land as manifest commits on the bound root")
+      // time travel by name; latest by name
+      assert(spark.sql(
+        "SELECT id FROM dws_spec.inventory VERSION AS OF 1")
+        .collect().map(_.getInt(0)).toSet == Set(1))
+      assert(spark.sql("SELECT id FROM dws_spec.inventory ORDER BY id")
+        .collect().map(_.getInt(0)).toList == List(1, 2))
+      // routed UPDATE and MERGE by name
+      spark.sql(
+        "UPDATE dws_spec.inventory SET s = concat(s, '!') WHERE id = 1")
+      Seq((2, "b2"), (3, "c")).toDF("id", "s")
+        .createOrReplaceTempView("named_merge_src")
+      spark.sql("""MERGE INTO dws_spec.inventory t USING named_merge_src s
+                   ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.sql("SELECT id, s FROM dws_spec.inventory ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toList ==
+        List((1, "a!"), (2, "b2"), (3, "c")))
+      // bounded CDC by name == by path; derived views by name
+      assertSameRows(
+        spark.sql("SELECT * FROM table_changes('dws_spec.inventory', 1, 2)"),
+        spark.sql(s"SELECT * FROM table_changes('$root', 1, 2)"))
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM vtab_history.`dws_spec.inventory`")
+        .head().getLong(0) == 4L)
+      // EXPLAIN DROP shows the command without unregistering
+      spark.sql("EXPLAIN DROP TABLE dws_spec.inventory").collect()
+      assert(VTabCatalog.resolve("dws_spec.inventory").isDefined,
+        "EXPLAIN of DROP must not unregister")
+      // DROP TABLE unregisters the NAME; data and versions stay
+      spark.sql("DROP TABLE dws_spec.inventory")
+      assert(VTabCatalog.resolve("dws_spec.inventory").isEmpty)
+      assert(VersionedTable.versions(spark, root).size == 4,
+        "DROP must not touch table data")
+      // the unregistered name now falls through to the catalog
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM dws_spec.inventory").collect()
+      }
+      assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+        e.getMessage.toLowerCase.contains("cannot be found"),
+        e.getMessage.take(200))
+      // reserved first parts and path-shaped roots are validated
+      intercept[IllegalArgumentException] {
+        VTabCatalog.register("vtab.sneaky", root)
+      }
+      intercept[IllegalArgumentException] {
+        VTabCatalog.register("no_path_root", "not-a-path")
+      }
+    } finally {
+      VTabCatalog.unregister("dws_spec.inventory")
+      ()
+    }
+  }
+
   test("vtab namespace guard: only path-shaped identifiers are " +
       "claimed; a catalog database named vtab keeps working") {
     import spark.implicits._

@@ -126,6 +126,30 @@ class ServeSpec extends SparkSuite {
             .map(r => (r.getLong(1), r.getString(2))).toList
           assert(latest == List((1L, "a"), (2L, "upd"), (9L, "new")),
             s"routed UPDATE+MERGE over JDBC: $latest")
+          // 2c) by NAME: a dashboard registers once, then every query
+          // addresses the table like any catalog table — no temp
+          // paths pasted into BI SQL (the reference's bi.md shape)
+          st.executeQuery(
+            s"SELECT vtab_register('dws_jdbc.inv', '$root')").next()
+          val rsN = st.executeQuery(
+            "SELECT id FROM dws_jdbc.inv VERSION AS OF 1")
+          val n1 = Iterator.continually(rsN).takeWhile(_.next())
+            .map(_.getLong(1)).toList
+          assert(n1 == List(1L), s"named vtab over JDBC: $n1")
+          st.executeUpdate(
+            "INSERT INTO dws_jdbc.inv VALUES (11, 'named')")   // v6
+          val rsN2 = st.executeQuery(
+            "SELECT id, change FROM table_changes('dws_jdbc.inv', 5, 6)")
+          val nCdc = Iterator.continually(rsN2).takeWhile(_.next())
+            .map(r => (r.getLong(1), r.getString(2))).toList
+          assert(nCdc == List((11L, "insert")),
+            s"named table_changes over JDBC: $nCdc")
+          // DROP over JDBC unregisters; data (all 6 versions) stays
+          st.executeUpdate("DROP TABLE dws_jdbc.inv")
+          assert(graft.operators.VTabCatalog.resolve("dws_jdbc.inv").isEmpty)
+          assert(graft.operators.VersionedTable
+            .versions(spark, root).size == 6,
+            "DROP by name must not touch the table's versions")
         }
 
         // 3) concurrent dashboards: N parallel connections, each its
