@@ -1934,6 +1934,141 @@ object ExtQueries {
             SELECT 'history', 3, 6
             ORDER BY leg"""))
 
+  /** Column-level MERGE UPDATE SET over COMPOSITE keys (the routed
+    * SQL shape → [[graft.operators.VersionedTable.merge]] with
+    * `updateSet`): the accumulating-snapshot fact pattern (reference
+    * docs/数据模型.md:21-25 — facts updatable after load) as one SQL
+    * MERGE: matched rows ACCUMULATE (`SET v = t.v + s.v` — RHS sees
+    * the pre-update target row), a source flag deletes, unmatched
+    * source rows insert, unmatched target rows stay untouched.
+    * Composite key (k1, k2) = (o_orderkey mod 97, floor(o_orderkey /
+    * 97)) — unique per order since o_orderkey is unique — so DuckDB
+    * replays both snapshots closed-form. */
+  val q_versioned_merge_set = QuerySpec(
+    "q_versioned_merge_set", Seq("S9", "J1", "J5"),
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val o = Engine.table(s, d, "orders")
+        .select((col("o_orderkey") % 97).cast("long").as("k1"),
+          floor(col("o_orderkey") / 97).cast("long").as("k2"),
+          col("o_custkey").cast("long").as("v"),
+          (col("o_orderkey") % 10).as("b"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vtab_ms").toString
+      VersionedTable.commit(s, root,
+        o.filter(col("b") <= 4).drop("b"))                      // v1
+      o.filter(col("b").isin(0, 1, 2, 7))
+        .select(col("k1"), col("k2"),
+          when(col("b") === 2, lit(-1L))
+            .otherwise(col("v") + 1000).as("v"))
+        .createOrReplaceTempView("vtab_mset_src")
+      s.sql(s"""MERGE INTO vtab.`$root` t USING vtab_mset_src s
+                ON t.k1 = s.k1 AND t.k2 = s.k2
+                WHEN MATCHED AND s.v = -1 THEN DELETE
+                WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+                WHEN NOT MATCHED THEN INSERT *""")              // v2
+      def agg(label: String, v: Long) = s.sql(
+        s"""SELECT '$label' AS leg, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sv,
+                   CAST(SUM(k1) AS BIGINT) AS sk1
+            FROM vtab.`$root` VERSION AS OF $v""")
+      Engine.collectAndClean(
+        agg("v1", 1L).unionByName(agg("v2_merged", 2L))
+          .orderBy("leg"), root)
+    },
+    Some("""WITH q AS (SELECT CAST(o_orderkey % 97 AS BIGINT) AS k1,
+                              CAST(o_custkey AS BIGINT) AS v,
+                              o_orderkey % 10 AS b
+                       FROM orders)
+            SELECT 'v1' AS leg, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sv,
+                   CAST(SUM(k1) AS BIGINT) AS sk1
+            FROM q WHERE b <= 4
+            UNION ALL
+            SELECT 'v2_merged',
+                   COUNT(*) FILTER (b IN (0, 1, 3, 4, 7)),
+                   CAST(SUM(CASE WHEN b IN (0, 1) THEN 2 * v + 1000
+                                 WHEN b IN (3, 4) THEN v
+                                 WHEN b = 7 THEN v + 1000 END)
+                     AS BIGINT),
+                   CAST(SUM(k1) FILTER (b IN (0, 1, 3, 4, 7))
+                     AS BIGINT)
+            FROM q
+            ORDER BY leg"""))
+
+  /** CDC ACROSS DML COMMITS ([[graft.operators.VersionedTable
+    * .changesBetween]] / the table_changes TVF): r17 pinned CDC over
+    * append commits only — this pins the change feed across a version
+    * history containing an UPDATE (v2), a DELETE (v3), and a MERGE
+    * (v4). Contract under test: an update/merge-matched row surfaces
+    * as a DELETE+INSERT PAIR (no update_pre/postimage kinds — the
+    * dir-diff has no key knowledge to coalesce on), a deleted row as
+    * a bare delete, an insert as a bare insert, and untouched rows of
+    * rewritten dirs CANCEL (exceptAll bag semantics). Spans: each
+    * adjacent pair plus the cumulative (1,4) window, all replayed
+    * closed-form by DuckDB. */
+  val q_versioned_cdc_dml = QuerySpec(
+    "q_versioned_cdc_dml", Seq("S9", "S4"),
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val o = Engine.table(s, d, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("v"))
+      val b = col("k") % 10
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vtab_cdcdml").toString
+      VersionedTable.commit(s, root, o.filter(b <= 4))          // v1
+      s.sql(s"UPDATE vtab.`$root` SET v = v + 1000 WHERE k % 10 = 2")
+      s.sql(s"DELETE FROM vtab.`$root` WHERE k % 10 = 3")       // v3
+      o.filter(b === 4).select(col("k"), (-col("k")).as("v"))
+        .unionByName(o.filter(b === 5))
+        .createOrReplaceTempView("vtab_cdcdml_src")
+      s.sql(s"""MERGE INTO vtab.`$root` t USING vtab_cdcdml_src s
+                ON t.k = s.k
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")              // v4
+      def span(label: String, from: Long, to: Long) = s.sql(
+        s"""SELECT CONCAT('$label', change) AS leg, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sv
+            FROM table_changes('$root', $from, $to)
+            GROUP BY change""")
+      Engine.collectAndClean(
+        span("cdc12_", 1, 2).unionByName(span("cdc23_", 2, 3))
+          .unionByName(span("cdc34_", 3, 4))
+          .unionByName(span("cdc14_", 1, 4))
+          .orderBy("leg"), root)
+    },
+    Some("""WITH q AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                              CAST(o_custkey AS BIGINT) AS v,
+                              o_orderkey % 10 AS b
+                       FROM orders)
+            SELECT 'cdc12_delete' AS leg, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sv FROM q WHERE b = 2
+            UNION ALL
+            SELECT 'cdc12_insert', COUNT(*),
+                   CAST(SUM(v + 1000) AS BIGINT) FROM q WHERE b = 2
+            UNION ALL
+            SELECT 'cdc23_delete', COUNT(*),
+                   CAST(SUM(v) AS BIGINT) FROM q WHERE b = 3
+            UNION ALL
+            SELECT 'cdc34_delete', COUNT(*),
+                   CAST(SUM(v) AS BIGINT) FROM q WHERE b = 4
+            UNION ALL
+            SELECT 'cdc34_insert', COUNT(*),
+                   CAST(SUM(CASE WHEN b = 4 THEN -k ELSE v END)
+                     AS BIGINT)
+            FROM q WHERE b IN (4, 5)
+            UNION ALL
+            SELECT 'cdc14_delete', COUNT(*),
+                   CAST(SUM(v) AS BIGINT) FROM q WHERE b IN (2, 3, 4)
+            UNION ALL
+            SELECT 'cdc14_insert', COUNT(*),
+                   CAST(SUM(CASE WHEN b = 2 THEN v + 1000
+                                 WHEN b = 4 THEN -k
+                                 ELSE v END) AS BIGINT)
+            FROM q WHERE b IN (2, 4, 5)
+            ORDER BY leg"""))
+
   val q_versioned_merge = QuerySpec(
     "q_versioned_merge", Seq("S9", "J5", "J6"),
     (s, d) => {
@@ -2016,7 +2151,8 @@ object ExtQueries {
   val all: Seq[QuerySpec] = Seq(
     q_versioned_time_travel, q_versioned_sql_asof, q_versioned_cdc_sql,
     q_versioned_sql_insert, q_versioned_cdc_bounded, q_versioned_sql_dml,
-    q_versioned_named, q_versioned_merge,
+    q_versioned_named, q_versioned_merge, q_versioned_merge_set,
+    q_versioned_cdc_dml,
     q_versioned_evolve, q_versioned_constraints, q_versioned_clone,
     q_approx_distinct, q_percentile, q_percentile_huge,
     q_approx_percentile, q_moments,

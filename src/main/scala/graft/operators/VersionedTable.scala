@@ -955,11 +955,29 @@ object VersionedTable {
     * already referenced by a committed manifest is a no-op returning
     * the original version (what a streaming upsert sink needs —
     * foreachBatch is at-least-once). Keyed merges are for sequential
-    * re-delivery, not concurrent writers sharing a key. */
+    * re-delivery, not concurrent writers sharing a key.
+    *
+    * `updateSet` switches matched rows from whole-row replacement to
+    * COLUMN-LEVEL assignment (`WHEN MATCHED THEN UPDATE SET col =
+    * expr`) — the accumulating-snapshot fact shape (reference
+    * docs/数据模型.md:21-25: facts updatable after load). Assignment
+    * expressions resolve against a joined (matched-target × source)
+    * frame under the FIXED aliases `t` (the target row, pre-update)
+    * and `s` (the source row, its ORIGINAL columns only — referencing
+    * a column the source doesn't carry is an analysis error, never a
+    * silent NULL): e.g. `Map("qty" -> expr("t.qty + s.qty"))`. Every
+    * RHS sees the pre-update row (one select — SQL simultaneous
+    * assignment), is cast to the column's type (SQL store-assignment),
+    * and unassigned columns keep the target's value. Unmatched source
+    * rows still INSERT whole rows; `deleteMatched` still deletes. On
+    * an EMPTY table updateSet is vacuously inapplicable (every row
+    * inserts). */
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keys: Seq[String],
       deleteMatched: Option[org.apache.spark.sql.Column] = None,
-      idempotencyKey: Option[String] = None): Long = {
+      idempotencyKey: Option[String] = None,
+      updateSet: Option[Seq[(String, org.apache.spark.sql.Column)]] = None)
+      : Long = {
     idempotencyKey.foreach { k =>
       val f = fs(spark, root)
       val dir = s"data/k-$k"
@@ -975,7 +993,7 @@ object VersionedTable {
         commit(spark, root, source, idempotencyKey = idempotencyKey)
       case Some(v) =>
         mergeFrom(spark, root, v, source, keys, deleteMatched,
-          idempotencyKey)
+          idempotencyKey, updateSet)
     }
   }
 
@@ -986,7 +1004,9 @@ object VersionedTable {
   private[operators] def mergeFrom(spark: SparkSession, root: String,
       baseV: Long, source: DataFrame, keys: Seq[String],
       deleteMatched: Option[org.apache.spark.sql.Column],
-      idempotencyKey: Option[String] = None): Long = {
+      idempotencyKey: Option[String] = None,
+      updateSet: Option[Seq[(String, org.apache.spark.sql.Column)]] = None)
+      : Long = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
     val f = fs(spark, root)
@@ -1046,16 +1066,46 @@ object VersionedTable {
         dirs.filter(d => touched(dirKey(d))))
     val targetKeys = target.select(keys.map(col): _*).distinct()
     val keptTarget = target.join(srcKeys, keys, "left_anti")
-    val matchedSrc = alignedSource.join(targetKeys, keys, "left_semi")
     // WHEN MATCHED AND c THEN DELETE deletes only where c is TRUE: a
     // NULL verdict falls through to the update clause (filter(!c)
     // would silently delete NULL-verdict rows — same three-valued
     // hazard as deleteWhere)
-    val updates = deleteMatched.fold(matchedSrc)(c =>
-      matchedSrc.filter(!coalesce(c, lit(false))))
+    val updates = updateSet match {
+      case None => // whole-row replacement (UPDATE SET *)
+        val matchedSrc = alignedSource.join(targetKeys, keys, "left_semi")
+        deleteMatched.fold(matchedSrc)(c =>
+            matchedSrc.filter(!coalesce(c, lit(false))))
+          .select(target.columns.map(col): _*)
+      case Some(assigns) => // column-level UPDATE SET col = expr
+        val byLower = assigns.map { case (k, v) =>
+          k.toLowerCase -> v }.toMap
+        require(byLower.size == assigns.size,
+          "merge updateSet: duplicate assignment targets")
+        val unknown = assigns.map(_._1).filterNot(k =>
+          tableSchema.fieldNames.exists(_.equalsIgnoreCase(k)))
+        require(unknown.isEmpty,
+          s"merge updateSet: target(s) [${unknown.mkString(", ")}] " +
+            "are not columns of the table")
+        // RAW source columns under alias `s` (a ref to a column the
+        // source doesn't carry must be an analysis ERROR, which the
+        // null-filled aligned frame would mask), matched target rows
+        // under alias `t`
+        val srcMatched = source.join(targetKeys, keys, "left_semi")
+        val srcUpd = deleteMatched.fold(srcMatched)(c =>
+          srcMatched.filter(!coalesce(c, lit(false))))
+        val joined = target.alias("t").join(srcUpd.alias("s"),
+          keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+          "inner")
+        joined.select(tableSchema.fields.map { fd =>
+          byLower.get(fd.name.toLowerCase) match {
+            case Some(e) => e.cast(fd.dataType).as(fd.name)
+            case None => col(s"t.${fd.name}").as(fd.name)
+          }
+        }.toSeq: _*)
+    }
     val inserts = alignedSource.join(targetKeys, keys, "left_anti")
     val newRows = keptTarget
-      .unionByName(updates.select(target.columns.map(col): _*))
+      .unionByName(updates)
       .unionByName(inserts.select(target.columns.map(col): _*))
     val newDir = "data/" + idempotencyKey.map(k => s"k-$k")
       .getOrElse(java.util.UUID.randomUUID().toString)

@@ -74,15 +74,19 @@ import org.apache.spark.sql.types.TimestampType
   *    `VersionedTable.deleteWhere` (dir-granularity copy-on-write);
   *  - UPDATE … SET … WHERE → [[VTabUpdateCommand]] →
   *    `VersionedTable.updateWhere`;
-  *  - MERGE INTO — the canonical whole-row upsert shape only:
-  *    `ON` a conjunction of same-name column equalities, optional
+  *  - MERGE INTO — key-based upsert shapes: `ON` a conjunction of
+  *    same-name column equalities, optional
   *    `WHEN MATCHED [AND c] THEN DELETE`, then
-  *    `WHEN MATCHED THEN UPDATE SET *`, and a mandatory
-  *    `WHEN NOT MATCHED THEN INSERT *` → [[VTabMergeCommand]] →
-  *    `VersionedTable.merge` (same dir-pruned copy-on-write, same
-  *    first-writer-wins). Column-level SET lists, BY-SOURCE clauses,
-  *    and schema evolution don't map onto the whole-row upsert —
-  *    refused with a pointer to the Scala API.
+  *    `WHEN MATCHED THEN UPDATE SET *` (whole-row replacement) OR
+  *    `UPDATE SET col = expr, …` (column-level assignment — the
+  *    accumulating-snapshot fact shape; unassigned columns keep the
+  *    target's value, every RHS sees the pre-update row), and a
+  *    mandatory `WHEN NOT MATCHED THEN INSERT *` →
+  *    [[VTabMergeCommand]] → `VersionedTable.merge` (same dir-pruned
+  *    copy-on-write, same first-writer-wins). CONDITIONED updates
+  *    (`WHEN MATCHED AND c THEN UPDATE`), BY-SOURCE clauses, and
+  *    schema evolution don't map onto the key-based upsert — refused
+  *    with a pointer to the Scala API.
   *
   * Subqueries inside DML conditions are refused (the routed commands
   * re-resolve conditions against the bare snapshot at run time, where
@@ -142,8 +146,8 @@ case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
       DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement,
-      InsertStarAction, MergeIntoTable, SubqueryAlias, UpdateStarAction,
-      UpdateTable}
+      InsertStarAction, MergeIntoTable, SubqueryAlias, UpdateAction,
+      UpdateStarAction, UpdateTable}
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
       UnresolvedIdentifier, UnresolvedTableOrView}
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal, SubqueryExpression}
@@ -222,20 +226,24 @@ case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case m: MergeIntoTable =>
         writeRoot(m.targetTable, "MERGE").foreach { root =>
-          // only the canonical whole-row upsert maps onto
-          // VersionedTable.merge; anything else must be refused, not
-          // approximated (a column-level SET or a BY SOURCE clause
-          // silently treated as whole-row would corrupt data)
+          // only shapes that map onto VersionedTable.merge are
+          // routed; anything else must be refused, not approximated
+          // (a BY SOURCE clause or a CONDITIONED update silently
+          // treated as the canonical shape would corrupt data)
           val shapeMsg =
             s"vtab.`$root`: MERGE routes through VersionedTable.merge" +
-              " (whole-row upsert by key) and supports exactly: ON a " +
+              " (key-based upsert) and supports exactly: ON a " +
               "conjunction of same-name column equalities, optional " +
               "WHEN MATCHED [AND c] THEN DELETE, then WHEN MATCHED " +
-              "THEN UPDATE SET *, and WHEN NOT MATCHED THEN INSERT * " +
-              "— use the Scala API for other shapes"
+              "THEN UPDATE SET * or UPDATE SET col = expr, …, and " +
+              "WHEN NOT MATCHED THEN INSERT * — use the Scala API " +
+              "for other shapes"
           m.matchedActions match {
             case Seq(UpdateStarAction(None)) =>
             case Seq(DeleteAction(_), UpdateStarAction(None)) =>
+            case Seq(UpdateAction(None, as, false)) if as.nonEmpty =>
+            case Seq(DeleteAction(_), UpdateAction(None, as, false))
+                if as.nonEmpty =>
             case _ => throw new IllegalArgumentException(shapeMsg)
           }
           m.notMatchedActions match {
@@ -246,7 +254,9 @@ case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
               m.withSchemaEvolution)
             throw new IllegalArgumentException(shapeMsg)
           refuseSubquery(root, "MERGE", Seq(m.mergeCondition) ++
-            m.matchedActions.collect { case DeleteAction(Some(c)) => c })
+            m.matchedActions.collect { case DeleteAction(Some(c)) => c } ++
+            m.matchedActions.collect {
+              case UpdateAction(_, as, _) => as.map(_.value) }.flatten)
           claim(m.targetTable)
         }
       case _ =>
@@ -361,7 +371,44 @@ case class VTabTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             VTabExpr(norm)
         }
-        VTabMergeCommand(root, m.sourceTable, keys, deleteMatched)
+        // column-level UPDATE SET list: LHS must be a whole target
+        // column; RHS refs are rewritten onto the CANONICAL aliases
+        // the runtime joined frame uses — resolved attrs can only be
+        // source-side (the target is this unresolved vtab relation)
+        // → s.<col>; statement-alias-qualified refs map t→t, s→s;
+        // unqualified refs resolve on the joined frame (ambiguity
+        // errors loudly at run, same as SQL)
+        val updateSet = m.matchedActions.collectFirst {
+          case UpdateAction(None, assigns, false) if assigns.nonEmpty =>
+            assigns.map { case Assignment(k, v) =>
+              val key = stripAlias(k, tAlias) match {
+                case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+                  a.nameParts.head
+                case other => throw new IllegalArgumentException(
+                  s"vtab.`$root`: MERGE UPDATE SET targets whole " +
+                    s"columns, got $other — struct-field assignment " +
+                    "is not supported")
+              }
+              val norm = v.transform {
+                case a: AttributeReference =>
+                  UnresolvedAttribute(Seq("s", a.name))
+                case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+                    sAlias.exists(a.nameParts.head.equalsIgnoreCase) =>
+                  UnresolvedAttribute("s" +: a.nameParts.tail)
+                case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+                    tAlias.exists(a.nameParts.head.equalsIgnoreCase) =>
+                  UnresolvedAttribute("t" +: a.nameParts.tail)
+              }
+              key -> VTabExpr(norm)
+            }
+        }
+        updateSet.foreach { set =>
+          require(set.map(_._1.toLowerCase).distinct.size == set.size,
+            s"vtab.`$root`: duplicate assignment target in MERGE " +
+              "UPDATE SET")
+        }
+        VTabMergeCommand(root, m.sourceTable, keys, deleteMatched,
+          updateSet)
       case RelationTimeTravel(u: UnresolvedRelation, ts, version)
           if idOf(u).isDefined && !writeTargets.contains(u) =>
         val (kind, root) = idOf(u).get
@@ -515,24 +562,30 @@ case class VTabUpdateCommand(root: String,
   }
 }
 
-/** Routed SQL MERGE (canonical whole-row upsert only — shape
-  * validated at routing): `MERGE INTO vtab.`/path`` t USING src s ON
-  * t.k = s.k [WHEN MATCHED [AND c] THEN DELETE] WHEN MATCHED THEN
-  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` →
+/** Routed SQL MERGE (shape validated at routing): `MERGE INTO
+  * vtab.`/path`` t USING src s ON t.k = s.k [WHEN MATCHED [AND c]
+  * THEN DELETE] WHEN MATCHED THEN UPDATE SET <* | col = expr, …>
+  * WHEN NOT MATCHED THEN INSERT *` →
   * [[graft.operators.VersionedTable.merge]] with `keys` from the ON
-  * conjunction and `deleteMatched` from the delete clause (source
-  * columns only — it filters the aligned incoming row). Same
-  * dir-pruned copy-on-write and first-writer-wins semantics as the
-  * Scala API. */
+  * conjunction, `deleteMatched` from the delete clause (source
+  * columns only — it filters the aligned incoming row), and
+  * `updateSet` from a column-level SET list (RHS refs normalized at
+  * routing onto merge's canonical `t`/`s` aliases; every RHS sees the
+  * pre-update target row). Same dir-pruned copy-on-write and
+  * first-writer-wins semantics as the Scala API. */
 case class VTabMergeCommand(root: String, source: LogicalPlan,
     keys: Seq[String],
-    deleteMatched: Option[VTabExpr]) extends LeafRunnableCommand {
+    deleteMatched: Option[VTabExpr],
+    updateSet: Option[Seq[(String, VTabExpr)]] = None)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.graft.Bridge
     graft.operators.VersionedTable.merge(spark, root,
       Bridge.ofRows(spark, source), keys,
-      deleteMatched.map(h => Bridge.column(h.e)))
+      deleteMatched.map(h => Bridge.column(h.e)),
+      updateSet = updateSet.map(_.map { case (k, h) =>
+        k -> Bridge.column(h.e) }))
     Seq.empty
   }
 }

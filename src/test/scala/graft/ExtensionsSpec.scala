@@ -139,6 +139,94 @@ class ExtensionsSpec extends SparkSuite {
       badCol.getMessage.take(200))
   }
 
+  test("vtab SQL MERGE with column-level UPDATE SET: pre-update RHS, " +
+      "composite keys, unassigned columns kept, refusals retained") {
+    import graft.operators.VersionedTable
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtab_mset").toString
+    VersionedTable.commit(spark, root,
+      Seq((1L, 1L, 10L, "new"), (1L, 2L, 20L, "new"),
+        (2L, 1L, 30L, "new")).toDF("k1", "k2", "qty", "st"))     // v1
+    Seq((1L, 1L, 5L), (1L, 2L, 7L), (3L, 1L, 99L))
+      .toDF("k1", "k2", "qty").createOrReplaceTempView("mset_src")
+    // EXPLAIN must not write
+    spark.sql(s"""EXPLAIN MERGE INTO vtab.`$root` t USING mset_src s
+                  ON t.k1 = s.k1 AND t.k2 = s.k2
+                  WHEN MATCHED THEN UPDATE SET qty = t.qty + s.qty
+                  WHEN NOT MATCHED THEN INSERT *""").collect()
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    spark.sql(s"""MERGE INTO vtab.`$root` t USING mset_src s
+                  ON t.k1 = s.k1 AND t.k2 = s.k2
+                  WHEN MATCHED THEN UPDATE SET
+                    qty = t.qty + s.qty, st = 'upd'
+                  WHEN NOT MATCHED THEN INSERT *""")              // v2
+    val rows = spark.sql(
+      s"SELECT k1, k2, qty, st FROM vtab.`$root` ORDER BY k1, k2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toList
+    assert(rows == List(
+      (1L, 1L, 15L, Some("upd")),   // 10 + 5, assigned st
+      (1L, 2L, 27L, Some("upd")),   // 20 + 7
+      (2L, 1L, 30L, Some("new")),   // unmatched target: untouched
+      (3L, 1L, 99L, None)),         // INSERT *: source has no st -> null
+      rows.toString)
+    // Scala twin: same merge through the API's t/s aliases
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft_vtab_msettwin").toString
+    VersionedTable.commit(spark, twin,
+      Seq((1L, 1L, 10L, "new"), (1L, 2L, 20L, "new"),
+        (2L, 1L, 30L, "new")).toDF("k1", "k2", "qty", "st"))
+    VersionedTable.merge(spark, twin,
+      Seq((1L, 1L, 5L), (1L, 2L, 7L), (3L, 1L, 99L))
+        .toDF("k1", "k2", "qty"),
+      Seq("k1", "k2"),
+      updateSet = Some(Seq(
+        "qty" -> expr("t.qty + s.qty"), "st" -> lit("upd"))))
+    assertSameRows(VersionedTable.read(spark, root),
+      VersionedTable.read(spark, twin))
+    // simultaneous assignment: SET a = t.b, b = t.a swaps
+    val swap = java.nio.file.Files
+      .createTempDirectory("graft_vtab_msetswap").toString
+    VersionedTable.commit(spark, swap,
+      Seq((1L, 10L, 100L)).toDF("id", "a", "b"))
+    Seq(Tuple1(1L)).toDF("id").createOrReplaceTempView("mset_swap_src")
+    spark.sql(s"""MERGE INTO vtab.`$swap` t USING mset_swap_src s
+                  ON t.id = s.id
+                  WHEN MATCHED THEN UPDATE SET a = t.b, b = t.a
+                  WHEN NOT MATCHED THEN INSERT *""")
+    assert(VersionedTable.read(spark, swap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList == List((1L, 100L, 10L)),
+      "MERGE SET a = t.b, b = t.a must swap (pre-update RHS)")
+    // refusals retained: CONDITIONED update, BY SOURCE, dup targets
+    val conded = intercept[Exception] {
+      spark.sql(s"""MERGE INTO vtab.`$root` t USING mset_src s
+                    ON t.k1 = s.k1 AND t.k2 = s.k2
+                    WHEN MATCHED AND s.qty > 5 THEN UPDATE SET qty = s.qty
+                    WHEN NOT MATCHED THEN INSERT *""").collect()
+    }
+    assert(conded.getMessage.contains("Scala API"),
+      conded.getMessage.take(200))
+    val bySrc = intercept[Exception] {
+      spark.sql(s"""MERGE INTO vtab.`$root` t USING mset_src s
+                    ON t.k1 = s.k1 AND t.k2 = s.k2
+                    WHEN MATCHED THEN UPDATE SET qty = s.qty
+                    WHEN NOT MATCHED THEN INSERT *
+                    WHEN NOT MATCHED BY SOURCE THEN DELETE""").collect()
+    }
+    assert(bySrc.getMessage.contains("Scala API"),
+      bySrc.getMessage.take(200))
+    val dup = intercept[Exception] {
+      spark.sql(s"""MERGE INTO vtab.`$root` t USING mset_src s
+                    ON t.k1 = s.k1 AND t.k2 = s.k2
+                    WHEN MATCHED THEN UPDATE SET qty = s.qty, qty = 0
+                    WHEN NOT MATCHED THEN INSERT *""").collect()
+    }
+    assert(dup.getMessage.toLowerCase.contains("duplicate"),
+      dup.getMessage.take(200))
+  }
+
   test("vtab SQL INSERT routes through VersionedTable.commit: append, " +
       "overwrite, positional cast, unsupported shapes refused") {
     import graft.operators.VersionedTable

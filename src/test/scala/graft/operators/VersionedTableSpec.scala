@@ -1028,6 +1028,54 @@ class VersionedTableSpec extends SparkSuite {
       "NULL delete verdict = not deleted = updated by the source row")
   }
 
+  test("merge updateSet: delete+assign combo, missing source column " +
+      "errors, unknown target refused") {
+    val root = tmpDir("vtabmset")
+    VersionedTable.commit(spark, root,
+      Seq((1L, 10L, "x"), (2L, 20L, "y"), (3L, 30L, "z"))
+        .toDF("id", "qty", "note"))
+    // source: id=1 accumulates, id=2 deletes (flagged), id=9 inserts
+    val src = Seq((1L, 5L, false), (2L, 0L, true), (9L, 7L, false))
+      .toDF("id", "qty", "del")
+    intercept[IllegalArgumentException] {
+      // `del` is not a table column — the aligned-insert contract
+      // still rejects extra source columns under updateSet
+      VersionedTable.merge(spark, root, src, Seq("id"),
+        updateSet = Some(Seq("qty" -> expr("t.qty + s.qty"))))
+    }
+    VersionedTable.merge(spark, root,
+      src.withColumn("del2", col("del")).drop("del")
+        .withColumnRenamed("del2", "note")
+        .select(col("id"), col("qty"), col("note").cast("string")),
+      Seq("id"),
+      deleteMatched = Some(col("note") === "true"),
+      updateSet = Some(Seq("qty" -> expr("t.qty + s.qty"))))
+    assert(VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet ==
+      Set((1L, 15L, Some("x")),          // assigned qty, kept note
+        (3L, 30L, Some("z")),            // unmatched target untouched
+        (9L, 7L, Some("false"))),        // insert carries source row
+      "delete+assign merge mismatch")
+    // referencing a column the source doesn't carry is an analysis
+    // error, never a silent NULL (raw source under alias s)
+    val miss = intercept[Exception] {
+      VersionedTable.merge(spark, root,
+        Seq(Tuple1(1L)).toDF("id"), Seq("id"),
+        updateSet = Some(Seq("qty" -> expr("s.qty + 1"))))
+    }
+    assert(miss.getMessage.toLowerCase.contains("cannot be resolved") ||
+      miss.getMessage.contains("UNRESOLVED_COLUMN"),
+      miss.getMessage.take(200))
+    // unknown assignment target refused
+    val bad = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root,
+        Seq(Tuple1(1L)).toDF("id"), Seq("id"),
+        updateSet = Some(Seq("nope" -> lit(1L))))
+    }
+    assert(bad.getMessage.contains("nope"))
+  }
+
   test("changesBetween refuses reversed anchors") {
     val root = tmpDir("vtabrev")
     VersionedTable.commit(spark, root, Seq(Tuple1(1L)).toDF("id"))
