@@ -78,6 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import graft.functions.{BpeEncode, HyperplaneLSH, MinHashSig,
       SimHash64, TokenChunks, UnitNorm, VectorSim, Winnow, WordShingles}
     ext.injectResolutionRule(s => VTabTimeTravelRule(s))
+    // VACUUM / OPTIMIZE for versioned tables — grammar Spark lacks;
+    // everything else delegates to Spark's parser untouched
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => UnionFusedJoinRewrite)
     ext.injectOptimizerRule(_ => AggRouteRewrite)

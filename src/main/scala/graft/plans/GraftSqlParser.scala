@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Delegating SQL parser adding the versioned-table MAINTENANCE verbs
+  * Spark's grammar lacks — the last Scala-only lifecycle operations on
+  * the SQL-first surface (reference docs/数据湖.md's managed-lake
+  * maintenance: retention + compaction):
+  *
+  * {{{
+  *   VACUUM vtab.`/p`                      -- keep last 2 versions
+  *   VACUUM vtab.`/p` RETAIN 5 VERSIONS    -- explicit retention
+  *   OPTIMIZE vtab.`/p`                    -- compact to one data dir
+  *   OPTIMIZE vtab.`/p` INTO 8 FILES       -- compact + file-count target
+  *   OPTIMIZE vtab.`/p` ZORDER BY (a, b)   -- Z-order rewrite
+  *   EXPLAIN VACUUM vtab.`/p`              -- shows the command, no-op
+  * }}}
+  *
+  * The target is a `vtab.`/path`` identifier or a registered name
+  * ([[graft.operators.VTabCatalog]]). Everything else — including the
+  * first token not being VACUUM/OPTIMIZE — delegates to Spark's own
+  * parser untouched, so this parser adds grammar without shadowing
+  * any. The verbs become [[VTabVacuumCommand]]/[[VTabOptimizeCommand]]
+  * (LeafRunnableCommands, same pattern as the routed DML): work
+  * happens at EXECUTION time, so EXPLAIN — claimed here and wrapped in
+  * Spark's own ExplainCommand — never deletes or rewrites anything.
+  * Retention safety lives in [[graft.operators.VersionedTable.vacuum]]
+  * (keepVersions >= 1, the in-flight-commit orphan grace, and
+  * dropped-manifest-first reclamation), which these verbs call
+  * unchanged. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val identP = "(vtab\\.`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)"
+  private val vacuumRe = ("(?is)^\\s*VACUUM\\s+" + identP +
+    "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$").r
+  private val optimizeRe = ("(?is)^\\s*OPTIMIZE\\s+" + identP +
+    "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?" +
+    "(?:\\s+INTO\\s+(\\d+)\\s+FILES)?\\s*;?\\s*$").r
+  private val explainRe =
+    "(?is)^\\s*EXPLAIN\\s+((?:VACUUM|OPTIMIZE)\\b[\\s\\S]*)$".r
+
+  private def rootOf(ident: String): String =
+    if (ident.startsWith("vtab.`"))
+      ident.stripPrefix("vtab.`").stripSuffix("`")
+    else graft.operators.VTabCatalog.resolve(ident).getOrElse(
+      throw new IllegalArgumentException(
+        s"VACUUM/OPTIMIZE: '$ident' is neither a vtab.`/path` " +
+          "identifier nor a registered vtab name (vtab_register first)"))
+
+  private def claimed(sqlText: String): Option[LogicalPlan] =
+    explainRe.findFirstMatchIn(sqlText) match {
+      case Some(m) =>
+        claimed(m.group(1)).map(inner =>
+          org.apache.spark.sql.execution.command.ExplainCommand(
+            inner, org.apache.spark.sql.execution.SimpleMode))
+      case None =>
+        vacuumRe.findFirstMatchIn(sqlText).map { m =>
+          VTabVacuumCommand(rootOf(m.group(1)),
+            Option(m.group(2)).map(_.toInt).getOrElse(2))
+        }.orElse(optimizeRe.findFirstMatchIn(sqlText).map { m =>
+          val cols = Option(m.group(2)).toSeq
+            .flatMap(_.split(',').iterator)
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty)
+          VTabOptimizeCommand(rootOf(m.group(1)), cols,
+            Option(m.group(3)).map(_.toInt).getOrElse(0))
+        })
+    }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    claimed(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(
+      sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

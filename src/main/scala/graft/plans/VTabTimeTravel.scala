@@ -590,6 +590,53 @@ case class VTabMergeCommand(root: String, source: LogicalPlan,
   }
 }
 
+/** SQL `VACUUM vtab.`/p`` [RETAIN n VERSIONS]` (parsed by
+  * [[GraftSqlParser]]) → [[graft.operators.VersionedTable.vacuum]]:
+  * drops all but the last n manifests (default 2 — vacuum's own
+  * default) and reclaims data dirs no retained manifest references.
+  * All retention safety is vacuum's, unchanged: n >= 1 enforced, the
+  * in-flight-commit orphan grace protects concurrent writers, and
+  * only dropped-manifest dirs are reclaimed age-blind. Returns the
+  * deleted-dir count as a row. */
+case class VTabVacuumCommand(root: String,
+    keepVersions: Int) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.LongType
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted_dirs", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = graft.operators.VersionedTable.vacuum(spark, root,
+      keepVersions = keepVersions)
+    Seq(Row(n.toLong))
+  }
+}
+
+/** SQL `OPTIMIZE vtab.`/p`` [ZORDER BY (c, …)] [INTO n FILES]`
+  * (parsed by [[GraftSqlParser]]) →
+  * [[graft.operators.VersionedTable.compact]] (no ZORDER clause) or
+  * [[graft.operators.VersionedTable.optimizeZOrder]] — a
+  * content-identical new version, history intact, first-writer-wins.
+  * ZORDER without an explicit file count targets the session's
+  * shuffle parallelism (one output file per shuffle partition — the
+  * same width the rewrite's range exchange runs at). Returns the new
+  * version. */
+case class VTabOptimizeCommand(root: String, zCols: Seq[String],
+    nFiles: Int) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.LongType
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.VersionedTable
+    val v =
+      if (zCols.isEmpty) VersionedTable.compact(spark, root, nFiles)
+      else VersionedTable.optimizeZOrder(spark, root, zCols,
+        if (nFiles > 0) nFiles
+        else spark.sessionState.conf.numShufflePartitions)
+    Seq(Row(v))
+  }
+}
+
 /** Routed `DROP TABLE <registered-name>`: removes the
   * [[graft.operators.VTabCatalog]] binding at EXECUTION time (EXPLAIN
   * shows the command without unregistering). Table DATA is never

@@ -47,9 +47,10 @@ class ExtensionsSpec extends SparkSuite {
     // DML shapes the manifest-writing APIs can't express are refused
     // with a usable message — and the table is bit-for-bit untouched
     Seq(
-      // column-level SET list doesn't map onto whole-row upsert
+      // CONDITIONED update doesn't map onto the key-based upsert
+      // (column-level SET itself routes now — own spec below)
       s"""MERGE INTO vtab.`$root` t USING (SELECT 1 AS id, 'x' AS s) s
-          ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.s = s.s
+          ON t.id = s.id WHEN MATCHED AND s.s = 'x' THEN UPDATE SET t.s = s.s
           WHEN NOT MATCHED THEN INSERT *""",
       // no NOT MATCHED INSERT *: merge always inserts unmatched rows
       s"""MERGE INTO vtab.`$root` t USING (SELECT 1 AS id, 'x' AS s) s
@@ -394,6 +395,70 @@ class ExtensionsSpec extends SparkSuite {
       VTabCatalog.unregister("dws_spec.inventory")
       ()
     }
+  }
+
+  test("SQL VACUUM / OPTIMIZE for vtab: retention guard, EXPLAIN " +
+      "no-op, ZORDER rewrite, named form, plain SQL untouched") {
+    import graft.operators.{VTabCatalog, VersionedTable}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtab_maint").toString
+    VersionedTable.commit(spark, root,
+      (1L to 50L).map(i => (i, i % 7)).toDF("id", "g"))          // v1
+    VersionedTable.commit(spark, root,
+      (51L to 80L).map(i => (i, i % 7)).toDF("id", "g"))         // v2
+    VersionedTable.commit(spark, root,
+      (81L to 100L).map(i => (i, i % 7)).toDF("id", "g"))        // v3
+    def nDirs = new java.io.File(s"$root/data").listFiles().length
+    assert(nDirs == 3)
+    // EXPLAIN shows the command WITHOUT executing
+    val plan = spark.sql(s"EXPLAIN OPTIMIZE vtab.`$root`")
+      .head().getString(0)
+    assert(plan.contains("VTabOptimizeCommand"), plan.take(300))
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L))
+    spark.sql(s"EXPLAIN VACUUM vtab.`$root`").collect()
+    assert(nDirs == 3, "EXPLAIN VACUUM must not delete")
+    // OPTIMIZE compacts to ONE dir as a NEW version, content-identical
+    val v4 = spark.sql(s"OPTIMIZE vtab.`$root`").head().getLong(0)
+    assert(v4 == 4L)
+    assert(VersionedTable.read(spark, root).count() == 100)
+    // VACUUM RETAIN keeps the last n versions' dirs; earlier manifests
+    // drop, their exclusively-referenced dirs are reclaimed
+    val deleted = spark
+      .sql(s"VACUUM vtab.`$root` RETAIN 1 VERSIONS").head().getLong(0)
+    assert(deleted == 3L, s"expected the 3 pre-compact dirs, got $deleted")
+    assert(VersionedTable.versions(spark, root) == Seq(4L))
+    assert(VersionedTable.read(spark, root).count() == 100)
+    // retention guard: RETAIN 0 refused by vacuum's own require
+    val zero = intercept[Exception] {
+      spark.sql(s"VACUUM vtab.`$root` RETAIN 0 VERSIONS").collect()
+    }
+    assert(zero.getMessage.contains("at least"), zero.getMessage.take(200))
+    // ZORDER BY rewrites into the requested file count, new version
+    val v5 = spark
+      .sql(s"OPTIMIZE vtab.`$root` ZORDER BY (g, id) INTO 4 FILES")
+      .head().getLong(0)
+    assert(v5 == 5L)
+    assert(VersionedTable.read(spark, root).count() == 100)
+    assert(VersionedTable.read(spark, root)
+      .select("id").distinct().count() == 100)
+    // named form routes identically
+    VTabCatalog.register("maint_spec.t", root)
+    try {
+      val v6 = spark.sql("OPTIMIZE maint_spec.t INTO 1 FILES")
+        .head().getLong(0)
+      assert(v6 == 6L)
+      assert(spark.sql("VACUUM maint_spec.t RETAIN 2 VERSIONS")
+        .head().getLong(0) >= 1L)
+    } finally VTabCatalog.unregister("maint_spec.t")
+    // unclaimed targets: clear error naming vtab_register, and plain
+    // SQL still parses through the delegate untouched
+    val unk = intercept[Exception] {
+      spark.sql("VACUUM not_registered_name").collect()
+    }
+    assert(unk.getMessage.contains("vtab_register"),
+      unk.getMessage.take(200))
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
   }
 
   test("vtab namespace guard: only path-shaped identifiers are " +
