@@ -707,7 +707,8 @@ object Queries {
 
   def all: Seq[QuerySpec] =
     relational ++ RefConformance.all ++ ExtQueries.all ++
-      TpchQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
+      TpchQueries.all ++ TpcdsQueries.all ++ TextQueries.all ++
+      PipelineQueries.all ++
       CurationQueries.all ++ ModelQueries.all ++ BehaviorQueries.all ++
       GraphQueries.all ++ CubeQueries.all
 

@@ -15,6 +15,28 @@ class PlanShapeSpec extends SparkSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("TPC-DS-shape rollup unions scan the fact ONCE (A10): grouping " +
+      "sets Expand, no per-branch rescans") {
+    // Q77/Q5 shape: the per-channel/per-year/total report must come
+    // from one orders scan expanded per grouping set — a UNION-of-
+    // rollups formulation would rescan the fact per branch, which is
+    // the difference between 1x and Nx the IO at 100 TB
+    val plan = executedPlan(
+      TpcdsQueries.q_tpcds_channel_union.run(spark, sf))
+      .split("== Initial Plan ==")(0) // AQE echoes the pre-plan too
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).size
+    assert(ordersScans == 1,
+      s"expected ONE orders scan, saw $ordersScans:\n${plan.take(800)}")
+    assert(plan.contains("Expand"),
+      "grouping sets should plan as Expand over the single scan")
+    // same property for the lochierarchy rollup report
+    val plan2 = executedPlan(
+      TpcdsQueries.q_tpcds_rollup_report.run(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert("orders\\.parquet".r.findAllIn(plan2).size == 1,
+      "rollup report must scan orders once")
+  }
+
   test("filters are pushed to the parquet scan (P3/S2)") {
     val plan = Queries.q_filter_range.run(spark, sf)
       .queryExecution.executedPlan.toString
