@@ -1879,25 +1879,33 @@ object ExtQueries {
       val root = java.nio.file.Files
         .createTempDirectory("graft_vtab_nm").toString
       s.sql(s"SELECT vtab_register('dws_q.named_inv', '$root')").collect()
+      // anchor CDC spans on the versions ACTUALLY committed: a
+      // predicate UPDATE that matches nothing (the zero-row
+      // robustness corpus) deliberately mints no version
+      def latest = graft.operators.VersionedTable
+        .versions(s, root).last
       o.filter(b <= 3).createOrReplaceTempView("vtab_named_src1")
       o.filter(b === 8).createOrReplaceTempView("vtab_named_src2")
       s.sql("INSERT INTO dws_q.named_inv SELECT * FROM vtab_named_src1")
+      val v1 = latest
       s.sql("INSERT INTO dws_q.named_inv SELECT * FROM vtab_named_src2")
+      val v2 = latest
       s.sql("UPDATE dws_q.named_inv SET v = v + 1000 WHERE k % 10 = 0")
+      val v3 = latest
       def agg(label: String, from: String) = s.sql(
         s"""SELECT '$label' AS leg, COUNT(*) AS n,
                    CAST(SUM(v) AS BIGINT) AS sv FROM $from""")
-      val legs = agg("v1", "dws_q.named_inv VERSION AS OF 1")
+      val legs = agg("v1", s"dws_q.named_inv VERSION AS OF $v1")
         .unionByName(agg("latest", "dws_q.named_inv"))
         .unionByName(s.sql(
-          """SELECT CONCAT('cdc12_', change) AS leg, COUNT(*) AS n,
+          s"""SELECT CONCAT('cdc12_', change) AS leg, COUNT(*) AS n,
                     CAST(SUM(v) AS BIGINT) AS sv
-             FROM table_changes('dws_q.named_inv', 1, 2)
+             FROM table_changes('dws_q.named_inv', $v1, $v2)
              GROUP BY change"""))
         .unionByName(s.sql(
-          """SELECT CONCAT('cdc23_', change) AS leg, COUNT(*) AS n,
+          s"""SELECT CONCAT('cdc23_', change) AS leg, COUNT(*) AS n,
                     CAST(SUM(v) AS BIGINT) AS sv
-             FROM table_changes('dws_q.named_inv', 2, 3)
+             FROM table_changes('dws_q.named_inv', $v2, $v3)
              GROUP BY change"""))
         .unionByName(s.sql(
           """SELECT 'history' AS leg, COUNT(*) AS n,
@@ -2017,25 +2025,33 @@ object ExtQueries {
       val b = col("k") % 10
       val root = java.nio.file.Files
         .createTempDirectory("graft_vtab_cdcdml").toString
-      VersionedTable.commit(s, root, o.filter(b <= 4))          // v1
+      // anchor every span on the versions ACTUALLY committed: a
+      // predicate UPDATE/DELETE that matches nothing (the zero-row
+      // robustness corpus) deliberately mints no version
+      def latest = VersionedTable.versions(s, root).last
+      VersionedTable.commit(s, root, o.filter(b <= 4))
+      val v1 = latest
       s.sql(s"UPDATE vtab.`$root` SET v = v + 1000 WHERE k % 10 = 2")
-      s.sql(s"DELETE FROM vtab.`$root` WHERE k % 10 = 3")       // v3
+      val v2 = latest
+      s.sql(s"DELETE FROM vtab.`$root` WHERE k % 10 = 3")
+      val v3 = latest
       o.filter(b === 4).select(col("k"), (-col("k")).as("v"))
         .unionByName(o.filter(b === 5))
         .createOrReplaceTempView("vtab_cdcdml_src")
       s.sql(s"""MERGE INTO vtab.`$root` t USING vtab_cdcdml_src s
                 ON t.k = s.k
                 WHEN MATCHED THEN UPDATE SET *
-                WHEN NOT MATCHED THEN INSERT *""")              // v4
+                WHEN NOT MATCHED THEN INSERT *""")
+      val v4 = latest
       def span(label: String, from: Long, to: Long) = s.sql(
         s"""SELECT CONCAT('$label', change) AS leg, COUNT(*) AS n,
                    CAST(SUM(v) AS BIGINT) AS sv
             FROM table_changes('$root', $from, $to)
             GROUP BY change""")
       Engine.collectAndClean(
-        span("cdc12_", 1, 2).unionByName(span("cdc23_", 2, 3))
-          .unionByName(span("cdc34_", 3, 4))
-          .unionByName(span("cdc14_", 1, 4))
+        span("cdc12_", v1, v2).unionByName(span("cdc23_", v2, v3))
+          .unionByName(span("cdc34_", v3, v4))
+          .unionByName(span("cdc14_", v1, v4))
           .orderBy("leg"), root)
     },
     Some("""WITH q AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
