@@ -438,13 +438,19 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     case class Upsert(rows: List[(Long, Long)]) extends Op
     case class Delete(mod: Long) extends Op
     case class Update(mod: Long, add: Long) extends Op
+    // column-level merge: matched rows ACCUMULATE (v := t.v + s.v),
+    // unmatched insert — the updateSet path interleaved with every
+    // other DML shape
+    case class Accumulate(rows: List[(Long, Long)]) extends Op
+    val rowsGen = Gen.nonEmptyListOf(for {
+      k <- Gen.chooseNum(0L, 12L)
+      v <- Gen.chooseNum(-50L, 50L)
+    } yield (k, v)).map(rs =>
+      // one source row per key (merge's contract)
+      rs.groupBy(_._1).map(_._2.head).toList)
     val opGen: Gen[Op] = Gen.oneOf(
-      Gen.nonEmptyListOf(for {
-        k <- Gen.chooseNum(0L, 12L)
-        v <- Gen.chooseNum(-50L, 50L)
-      } yield (k, v)).map(rs =>
-        // one source row per key (merge's contract)
-        Upsert(rs.groupBy(_._1).map(_._2.head).toList)),
+      rowsGen.map(Upsert(_)),
+      rowsGen.map(Accumulate(_)),
       Gen.chooseNum(2L, 5L).map(Delete(_)),
       for {
         m <- Gen.chooseNum(2L, 5L)
@@ -462,6 +468,12 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
           graft.operators.VersionedTable.merge(spark, root,
             rows.toDF("id", "v"), Seq("id"))
           model ++= rows
+        case Accumulate(rows) =>
+          graft.operators.VersionedTable.merge(spark, root,
+            rows.toDF("id", "v"), Seq("id"),
+            updateSet = Some(Seq("v" -> expr("t.v + s.v"))))
+          rows.foreach { case (k, v) =>
+            model += (k -> (model.getOrElse(k, 0L) + v)) }
         case Delete(m) =>
           graft.operators.VersionedTable.deleteWhere(spark, root,
             col("id") % m === 0)

@@ -1074,6 +1074,21 @@ class VersionedTableSpec extends SparkSuite {
         updateSet = Some(Seq("nope" -> lit(1L))))
     }
     assert(bad.getMessage.contains("nope"))
+    // degenerate-equivalence law: assigning EVERY column from the
+    // source row must equal the whole-row SET * path bit for bit
+    val rootA = tmpDir("vtabmseq_a")
+    val rootB = tmpDir("vtabmseq_b")
+    val base = Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("id", "qty", "note")
+    val src2 = Seq((2L, 99L, "upd"), (5L, 1L, "new"))
+      .toDF("id", "qty", "note")
+    VersionedTable.commit(spark, rootA, base)
+    VersionedTable.commit(spark, rootB, base)
+    VersionedTable.merge(spark, rootA, src2, Seq("id"))  // SET *
+    VersionedTable.merge(spark, rootB, src2, Seq("id"),
+      updateSet = Some(Seq("id" -> expr("s.id"),
+        "qty" -> expr("s.qty"), "note" -> expr("s.note"))))
+    assertSameRows(VersionedTable.read(spark, rootA),
+      VersionedTable.read(spark, rootB))
   }
 
   test("changesBetween refuses reversed anchors") {
