@@ -40,8 +40,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val optimizeRe = ("(?is)^\\s*OPTIMIZE\\s+" + identP +
     "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?" +
     "(?:\\s+INTO\\s+(\\d+)\\s+FILES)?\\s*;?\\s*$").r
+  // CREATE TABLE <name> USING vtab [LOCATION '<path>'] — claimed here
+  // because Spark's ResolveSessionCatalog validates the provider
+  // against the DataSource registry (and rejects `vtab`) before any
+  // injected resolution rule can route the statement. Group 2 captures
+  // whatever sits between the name and USING (a column list — refused
+  // with a real message: the manifest records the schema per commit).
+  private val createVtabRe = ("(?is)^\\s*CREATE\\s+TABLE\\s+" +
+    "(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)\\s*" +
+    "(\\([^)]*\\))?\\s*USING\\s+vtab\\b([\\s\\S]*?);?\\s*$").r
+  private val locationRe = "(?is)LOCATION\\s+'([^']+)'".r
   private val explainRe =
-    "(?is)^\\s*EXPLAIN\\s+((?:VACUUM|OPTIMIZE)\\b[\\s\\S]*)$".r
+    "(?is)^\\s*EXPLAIN\\s+((?:VACUUM|OPTIMIZE|CREATE)\\b[\\s\\S]*)$".r
 
   private def rootOf(ident: String): String =
     if (ident.startsWith("vtab.`"))
@@ -68,6 +78,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             .filter(_.nonEmpty)
           VTabOptimizeCommand(rootOf(m.group(1)), cols,
             Option(m.group(3)).map(_.toInt).getOrElse(0))
+        }).orElse(createVtabRe.findFirstMatchIn(sqlText).map { m =>
+          val name = m.group(1)
+          require(m.group(2) == null,
+            s"CREATE TABLE $name USING vtab: column lists are not " +
+              "supported — the versioned manifest records the schema " +
+              "per commit (the first INSERT defines it)")
+          val loc = locationRe.findFirstMatchIn(m.group(3))
+            .map(_.group(1)).getOrElse(
+              throw new IllegalArgumentException(
+                s"CREATE TABLE $name USING vtab needs LOCATION " +
+                  "'<path>' (the versioned-table root)"))
+          VTabRegisterCommand(name, loc)
         })
     }
 

@@ -637,6 +637,22 @@ case class VTabOptimizeCommand(root: String, zCols: Seq[String],
   }
 }
 
+/** Routed `CREATE TABLE <name> USING vtab LOCATION '/p'` (claimed by
+  * [[GraftSqlParser]] — Spark's ResolveSessionCatalog would otherwise
+  * reject the unknown `vtab` provider before any resolution rule
+  * runs): binds the name in [[graft.operators.VTabCatalog]] at
+  * EXECUTION time (EXPLAIN shows the command without binding) — the
+  * DDL twin of `vtab_register`. Creating is metadata-only: the
+  * location may already hold committed versions (an attach) or be
+  * empty (the first INSERT creates v1). */
+case class VTabRegisterCommand(name: String,
+    root: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.VTabCatalog.register(name, root)
+    Seq.empty
+  }
+}
+
 /** Routed `DROP TABLE <registered-name>`: removes the
   * [[graft.operators.VTabCatalog]] binding at EXECUTION time (EXPLAIN
   * shows the command without unregistering). Table DATA is never

@@ -391,6 +391,33 @@ class ExtensionsSpec extends SparkSuite {
       intercept[IllegalArgumentException] {
         VTabCatalog.register("no_path_root", "not-a-path")
       }
+      // DDL-first registration: CREATE TABLE ... USING vtab LOCATION
+      // rebinds the SAME machinery (attach to an existing history)
+      spark.sql(
+        s"EXPLAIN CREATE TABLE dws_spec.inv2 USING vtab LOCATION '$root'")
+        .collect()
+      assert(VTabCatalog.resolve("dws_spec.inv2").isEmpty,
+        "EXPLAIN of CREATE must not bind")
+      spark.sql(
+        s"CREATE TABLE dws_spec.inv2 USING vtab LOCATION '$root'")
+      assert(spark.sql("SELECT COUNT(*) FROM dws_spec.inv2 VERSION AS OF 1")
+        .head().getLong(0) == 1L,
+        "attached name must read the existing history")
+      spark.sql("DROP TABLE dws_spec.inv2")
+      assert(VTabCatalog.resolve("dws_spec.inv2").isEmpty)
+      // a column list is an unenforced promise — refused
+      val colList = intercept[Exception] {
+        spark.sql(s"CREATE TABLE dws_spec.inv3 (id BIGINT) USING vtab " +
+          s"LOCATION '$root'").collect()
+      }
+      assert(colList.getMessage.contains("column lists"),
+        colList.getMessage.take(200))
+      // LOCATION is mandatory (a vtab IS its root)
+      val noLoc = intercept[Exception] {
+        spark.sql("CREATE TABLE dws_spec.inv4 USING vtab").collect()
+      }
+      assert(noLoc.getMessage.contains("LOCATION"),
+        noLoc.getMessage.take(200))
     } finally {
       VTabCatalog.unregister("dws_spec.inventory")
       ()
