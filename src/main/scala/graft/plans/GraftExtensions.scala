@@ -154,6 +154,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.VTabCatalog.unregister(name),
         org.apache.spark.sql.types.BooleanType)
     }
+    // vtab_tables(): the registered name -> root bindings as a table —
+    // BI-tool discovery for the named surface (SHOW TABLES for vtabs).
+    // Resolution-time snapshot of the registry; read-only.
+    ext.injectTableFunction((FunctionIdentifier("vtab_tables"),
+      new ExpressionInfo(classOf[VTabTimeTravelRule].getName,
+        "vtab_tables"),
+      (args: Seq[Expression]) => {
+        require(args.isEmpty, "vtab_tables takes no arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        graft.operators.VTabCatalog.registered.toSeq.sorted
+          .toDF("name", "root").queryExecution.analyzed
+      }))
     // table_changes('/path', from[, to]): BOUNDED row-level CDC over a
     // versioned table as a table-valued function — the SQL twin of
     // VersionedTable.changesBetween(from, to), with IDENTICAL anchor

@@ -17,6 +17,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   OPTIMIZE vtab.`/p`                    -- compact to one data dir
   *   OPTIMIZE vtab.`/p` INTO 8 FILES       -- compact + file-count target
   *   OPTIMIZE vtab.`/p` ZORDER BY (a, b)   -- Z-order rewrite
+  *   DESCRIBE HISTORY vtab.`/p`            -- one row per version
+  *   CREATE TABLE dws.inv USING vtab LOCATION '/p'  -- bind a name
   *   EXPLAIN VACUUM vtab.`/p`              -- shows the command, no-op
   * }}}
   *
@@ -50,8 +52,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)\\s*" +
     "(\\([^)]*\\))?\\s*USING\\s+vtab\\b([\\s\\S]*?);?\\s*$").r
   private val locationRe = "(?is)LOCATION\\s+'([^']+)'".r
-  private val explainRe =
-    "(?is)^\\s*EXPLAIN\\s+((?:VACUUM|OPTIMIZE|CREATE)\\b[\\s\\S]*)$".r
+  // DESCRIBE HISTORY <target> — Delta's verb; Spark's DESCRIBE
+  // grammar has no HISTORY form, so an unclaimed target would be a
+  // parse error either way (claiming only vtab-resolvable targets
+  // keeps the clearer vtab_register hint for names)
+  private val historyRe = ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" +
+    identP + "\\s*;?\\s*$").r
+  private val explainRe = ("(?is)^\\s*EXPLAIN\\s+" +
+    "((?:VACUUM|OPTIMIZE|CREATE|DESC(?:RIBE)?\\s+HISTORY)\\b[\\s\\S]*)$").r
 
   private def rootOf(ident: String): String =
     if (ident.startsWith("vtab.`"))
@@ -78,6 +86,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             .filter(_.nonEmpty)
           VTabOptimizeCommand(rootOf(m.group(1)), cols,
             Option(m.group(3)).map(_.toInt).getOrElse(0))
+        }).orElse(historyRe.findFirstMatchIn(sqlText).map { m =>
+          VTabHistoryCommand(rootOf(m.group(1)))
         }).orElse(createVtabRe.findFirstMatchIn(sqlText).map { m =>
           val name = m.group(1)
           require(m.group(2) == null,

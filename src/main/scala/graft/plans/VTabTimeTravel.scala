@@ -590,6 +590,26 @@ case class VTabMergeCommand(root: String, source: LogicalPlan,
   }
 }
 
+/** SQL `DESCRIBE HISTORY vtab.`/p``` / `DESCRIBE HISTORY <name>`
+  * (parsed by [[GraftSqlParser]] — Spark's DESCRIBE grammar has no
+  * HISTORY form) → [[graft.operators.VersionedTable.describeHistory]]:
+  * one row per committed version, newest first — (version, ts,
+  * operation, n_dirs), the same frame the `vtab_history` view
+  * returns, as the Delta-style verb. Runs at execution time;
+  * driver-side manifest reads only. */
+case class VTabHistoryCommand(root: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("ts", TimestampType, nullable = true)(),
+    AttributeReference("operation", StringType, nullable = true)(),
+    AttributeReference("n_dirs", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.operators.VersionedTable.describeHistory(spark, root)
+      .collect().toSeq
+}
+
 /** SQL `VACUUM vtab.`/p`` [RETAIN n VERSIONS]` (parsed by
   * [[GraftSqlParser]]) → [[graft.operators.VersionedTable.vacuum]]:
   * drops all but the last n manifests (default 2 — vacuum's own

@@ -486,6 +486,23 @@ class ExtensionsSpec extends SparkSuite {
     assert(unk.getMessage.contains("vtab_register"),
       unk.getMessage.take(200))
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
+    // DESCRIBE HISTORY: the Delta-style verb over path and name,
+    // newest first, same frame as the vtab_history view
+    val hist = spark.sql(s"DESCRIBE HISTORY vtab.`$root`")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(hist.head._1 == 6L && hist.length == 2,
+      s"post-vacuum history should be v5..v6 newest-first: ${hist.toList}")
+    assert(hist.map(_._2).toSet == Set("compact", "optimize"),
+      hist.toList.toString)
+    // vtab_tables(): BI discovery of the name bindings
+    VTabCatalog.register("maint_spec.t2", root)
+    try {
+      val listed = spark.sql(
+        "SELECT name, root FROM vtab_tables() WHERE name = 'maint_spec.t2'")
+        .collect().map(r => (r.getString(0), r.getString(1))).toList
+      assert(listed == List(("maint_spec.t2", root)), listed.toString)
+      assert(spark.sql("DESCRIBE HISTORY maint_spec.t2").count() == 2)
+    } finally VTabCatalog.unregister("maint_spec.t2")
   }
 
   test("vtab namespace guard: only path-shaped identifiers are " +
