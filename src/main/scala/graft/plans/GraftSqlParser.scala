@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   OPTIMIZE vtab.`/p` INTO 8 FILES       -- compact + file-count target
   *   OPTIMIZE vtab.`/p` ZORDER BY (a, b)   -- Z-order rewrite
   *   DESCRIBE HISTORY vtab.`/p`            -- one row per version
+  *   RESTORE vtab.`/p` TO VERSION AS OF 3  -- rollback as a NEW version
+  *   ALTER TABLE dws.inv ADD CONSTRAINT c CHECK (v >= 0)
+  *   ALTER TABLE dws.inv DROP CONSTRAINT c
   *   CREATE TABLE dws.inv USING vtab LOCATION '/p'  -- bind a name
   *   EXPLAIN VACUUM vtab.`/p`              -- shows the command, no-op
   * }}}
@@ -58,8 +61,27 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // keeps the clearer vtab_register hint for names)
   private val historyRe = ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" +
     identP + "\\s*;?\\s*$").r
+  // RESTORE [TABLE] <target> [TO] VERSION AS OF n — Delta's verb,
+  // absent from Spark's grammar (any unclaimed target would be a
+  // parse error either way, like VACUUM)
+  private val restoreRe = ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?" +
+    identP + "\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
+  // ALTER TABLE <target> ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT
+  // n — claimed ONLY when the target is vtab-resolvable (a path form
+  // or a registered name): every other ALTER TABLE belongs to Spark's
+  // own grammar and delegates untouched.
+  private val alterAddRe = ("(?is)^\\s*ALTER\\s+TABLE\\s+" + identP +
+    "\\s+ADD\\s+CONSTRAINT\\s+([A-Za-z0-9_]+)\\s+CHECK\\s*" +
+    "\\(([\\s\\S]+)\\)\\s*;?\\s*$").r
+  private val alterDropRe = ("(?is)^\\s*ALTER\\s+TABLE\\s+" + identP +
+    "\\s+DROP\\s+CONSTRAINT\\s+([A-Za-z0-9_]+)\\s*;?\\s*$").r
   private val explainRe = ("(?is)^\\s*EXPLAIN\\s+" +
-    "((?:VACUUM|OPTIMIZE|CREATE|DESC(?:RIBE)?\\s+HISTORY)\\b[\\s\\S]*)$").r
+    "((?:VACUUM|OPTIMIZE|CREATE|RESTORE|ALTER|" +
+    "DESC(?:RIBE)?\\s+HISTORY)\\b[\\s\\S]*)$").r
+
+  private def vtabTarget(ident: String): Boolean =
+    ident.startsWith("vtab.`") ||
+      graft.operators.VTabCatalog.resolve(ident).isDefined
 
   private def rootOf(ident: String): String =
     if (ident.startsWith("vtab.`"))
@@ -88,6 +110,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             Option(m.group(3)).map(_.toInt).getOrElse(0))
         }).orElse(historyRe.findFirstMatchIn(sqlText).map { m =>
           VTabHistoryCommand(rootOf(m.group(1)))
+        }).orElse(restoreRe.findFirstMatchIn(sqlText).map { m =>
+          VTabRestoreCommand(rootOf(m.group(1)), m.group(2).toLong)
+        }).orElse(alterAddRe.findFirstMatchIn(sqlText)
+          .filter(m => vtabTarget(m.group(1))).map { m =>
+            VTabConstraintCommand(rootOf(m.group(1)), m.group(2),
+              Some(m.group(3).trim))
+        }).orElse(alterDropRe.findFirstMatchIn(sqlText)
+          .filter(m => vtabTarget(m.group(1))).map { m =>
+            VTabConstraintCommand(rootOf(m.group(1)), m.group(2), None)
         }).orElse(createVtabRe.findFirstMatchIn(sqlText).map { m =>
           val name = m.group(1)
           require(m.group(2) == null,

@@ -590,6 +590,47 @@ case class VTabMergeCommand(root: String, source: LogicalPlan,
   }
 }
 
+/** SQL `RESTORE [TABLE] <target> [TO] VERSION AS OF n` (parsed by
+  * [[GraftSqlParser]] — Delta's verb, absent from Spark's grammar) →
+  * [[graft.operators.VersionedTable.rollback]]: commits a NEW version
+  * with version n's dir list, schema, and constraint set — history
+  * stays append-only, every "undone" version remains readable.
+  * Returns the new version. */
+case class VTabRestoreCommand(root: String,
+    toVersion: Long) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.LongType
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.operators.VersionedTable.rollback(spark, root,
+      toVersion)))
+}
+
+/** SQL `ALTER TABLE <vtab-target> ADD CONSTRAINT <name> CHECK (expr)`
+  * / `… DROP CONSTRAINT <name>` (parsed by [[GraftSqlParser]], claimed
+  * ONLY for vtab-resolvable targets — every other ALTER TABLE
+  * delegates to Spark untouched) →
+  * [[graft.operators.VersionedTable.addConstraint]]/`dropConstraint`:
+  * existing data validated first, the constraint enforced by every
+  * later write path as an observed metric, Delta semantics (NULL
+  * passes, only FALSE violates). Returns the new version. */
+case class VTabConstraintCommand(root: String, name: String,
+    exprSql: Option[String]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.LongType
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.VersionedTable
+    val v = exprSql match {
+      case Some(e) => VersionedTable.addConstraint(spark, root, name, e)
+      case None => VersionedTable.dropConstraint(spark, root, name)
+    }
+    Seq(Row(v))
+  }
+}
+
 /** SQL `DESCRIBE HISTORY vtab.`/p``` / `DESCRIBE HISTORY <name>`
   * (parsed by [[GraftSqlParser]] — Spark's DESCRIBE grammar has no
   * HISTORY form) → [[graft.operators.VersionedTable.describeHistory]]:

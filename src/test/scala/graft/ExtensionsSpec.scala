@@ -505,6 +505,79 @@ class ExtensionsSpec extends SparkSuite {
     } finally VTabCatalog.unregister("maint_spec.t2")
   }
 
+  test("SQL RESTORE and ALTER TABLE ADD/DROP CONSTRAINT for vtab: " +
+      "append-only rollback, enforced checks, non-vtab ALTER untouched") {
+    import graft.operators.{VTabCatalog, VersionedTable}
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtab_restore").toString
+    VersionedTable.commit(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))               // v1
+    VersionedTable.commit(spark, root,
+      Seq((3L, -5L)).toDF("id", "v"))                          // v2
+    // RESTORE is a NEW version with v1's content; v2 stays readable
+    val v3 = spark.sql(s"RESTORE vtab.`$root` TO VERSION AS OF 1")
+      .head().getLong(0)
+    assert(v3 == 3L)
+    assert(spark.sql(s"SELECT id FROM vtab.`$root`")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(spark.sql(s"SELECT COUNT(*) FROM vtab.`$root` VERSION AS OF 2")
+      .head().getLong(0) == 3L, "history must stay append-only")
+    // ADD CONSTRAINT validates existing data, then gates writes
+    val v4 = spark
+      .sql(s"ALTER TABLE vtab.`$root` ADD CONSTRAINT v_pos CHECK (v >= 0)")
+      .head().getLong(0)
+    assert(v4 == 4L)
+    val rej = intercept[Exception] {
+      spark.sql(s"INSERT INTO vtab.`$root` VALUES (9, -1)")
+    }
+    assert(rej.getMessage.contains("v_pos"), rej.getMessage.take(200))
+    // RESTORE to a pre-constraint version reinstates that version's
+    // state WHOLESALE — content AND (empty) constraint set (rollback's
+    // documented contract: the current set may reject restored rows)
+    val v5 = spark.sql(s"RESTORE vtab.`$root` TO VERSION AS OF 2")
+      .head().getLong(0)
+    assert(v5 == 5L)
+    assert(VersionedTable.constraintsOf(spark, root).isEmpty,
+      "restore must reinstate the restored version's constraint set")
+    spark.sql(s"INSERT INTO vtab.`$root` VALUES (9, -1)")       // v6
+    assert(spark.sql(s"SELECT COUNT(*) FROM vtab.`$root` WHERE v < 0")
+      .head().getLong(0) == 2L)
+    // re-adding the constraint over now-violating data is refused
+    val overViol = intercept[Exception] {
+      spark.sql(
+        s"ALTER TABLE vtab.`$root` ADD CONSTRAINT v_pos CHECK (v >= 0)")
+        .collect()
+    }
+    assert(overViol.getMessage.contains("violate"),
+      overViol.getMessage.take(200))
+    // DROP CONSTRAINT by name mints a version and stops enforcement
+    spark.sql(s"ALTER TABLE vtab.`$root` ADD CONSTRAINT id_pos " +
+      "CHECK (id > 0)")
+    assert(VersionedTable.constraintsOf(spark, root).map(_._1) ==
+      Seq("id_pos"))
+    spark.sql(s"ALTER TABLE vtab.`$root` DROP CONSTRAINT id_pos")
+    assert(VersionedTable.constraintsOf(spark, root).isEmpty)
+    // named form
+    VTabCatalog.register("restore_spec.t", root)
+    try {
+      val vBack = spark
+        .sql("RESTORE TABLE restore_spec.t TO VERSION AS OF 1")
+        .head().getLong(0)
+      assert(VersionedTable.versions(spark, root).last == vBack)
+    } finally VTabCatalog.unregister("restore_spec.t")
+    // a non-vtab ALTER TABLE delegates to Spark untouched (its own
+    // grammar/behavior, not our error)
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite")
+      .saveAsTable("alter_delegate_t")
+    try {
+      spark.sql(
+        "ALTER TABLE alter_delegate_t SET TBLPROPERTIES ('k' = 'v')")
+      assert(spark.sql("SELECT COUNT(*) FROM alter_delegate_t")
+        .head().getLong(0) == 1L)
+    } finally { spark.sql("DROP TABLE IF EXISTS alter_delegate_t"); () }
+  }
+
   test("vtab namespace guard: only path-shaped identifiers are " +
       "claimed; a catalog database named vtab keeps working") {
     import spark.implicits._
