@@ -233,10 +233,10 @@ object TpcdsQueries {
 
   /** TPC-DS Q6 shape: rows above 1.03x their category's average
     * (the synthetic retailprice spread is only ~900-1000, so TPC-DS's
-    * 1.2x would select nothing) —
-    * expressed as exact `price * count >= 1.2 * sum` DECIMAL
-    * arithmetic (DuckDB's AVG returns DOUBLE, and a float boundary
-    * must not decide membership differently per engine). */
+    * 1.2x would select nothing) — expressed as exact
+    * `price * count >= 1.03 * sum` DECIMAL arithmetic (DuckDB's AVG
+    * returns DOUBLE, and a float boundary must not decide membership
+    * differently per engine). */
   val q_tpcds_avg_correlated = both("q_tpcds_avg_correlated",
     Seq("P11", "A6", "A1"), """
     SELECT p_brand, COUNT(*) AS n_premium,

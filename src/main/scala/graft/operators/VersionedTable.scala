@@ -1023,18 +1023,26 @@ object VersionedTable {
     // rows WHOLESALE, so a source lacking an evolved column upserts
     // NULL for it, and a pure-insert batch predating an evolution
     // keeps committing (it reads back null-filled, same as read())
+    // all alignment is case-INSENSITIVE (Spark's default resolution):
+    // a source column named ID for table column id is the same column,
+    // not an extra — matching the INSERT BY NAME and updateSet checks
     val srcCols = source.columns.toSet
-    val extraSrc = srcCols -- tableSchema.fieldNames
+    val extraSrc = srcCols.filterNot(c =>
+      tableSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(extraSrc.isEmpty,
       s"merge source carries column(s) [${extraSrc.mkString(", ")}] " +
         "not in the table schema — evolve via commit(mergeSchema = " +
         "true) first")
-    require(keys.forall(srcCols),
+    val missingKeys = keys.filterNot(k =>
+      srcCols.exists(_.equalsIgnoreCase(k)))
+    require(missingKeys.isEmpty,
       s"merge source is missing key column(s) " +
-        s"[${keys.filterNot(srcCols).mkString(", ")}]")
+        s"[${missingKeys.mkString(", ")}]")
     val alignedSource = source.select(tableSchema.fields.map(fd =>
-      if (srcCols(fd.name)) col(fd.name)
-      else lit(null).cast(fd.dataType).as(fd.name)): _*)
+      srcCols.find(_.equalsIgnoreCase(fd.name)) match {
+        case Some(c) => col(c).as(fd.name)
+        case None => lit(null).cast(fd.dataType).as(fd.name)
+      }): _*)
     val srcKeys = alignedSource.select(keys.map(col): _*).distinct()
     // stats sidecars first: dirs whose key range can't intersect the
     // source's are never opened at all (manifest-level data skipping).

@@ -52,13 +52,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // whatever sits between the name and USING (a column list — refused
   // with a real message: the manifest records the schema per commit).
   private val createVtabRe = ("(?is)^\\s*CREATE\\s+TABLE\\s+" +
-    "(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)\\s*" +
+    "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)\\s*" +
     "(\\([^)]*\\))?\\s*USING\\s+vtab\\b([\\s\\S]*?);?\\s*$").r
-  private val locationRe = "(?is)LOCATION\\s+'([^']+)'".r
-  // DESCRIBE HISTORY <target> — Delta's verb; Spark's DESCRIBE
-  // grammar has no HISTORY form, so an unclaimed target would be a
-  // parse error either way (claiming only vtab-resolvable targets
-  // keeps the clearer vtab_register hint for names)
+  private val locationRe = "(?is)^\\s*LOCATION\\s+'([^']+)'\\s*$".r
+  // DESCRIBE HISTORY <target> — Delta's verb. Claimed ONLY for
+  // vtab-resolvable targets: `DESC history <col>` is VALID Spark
+  // syntax (describe a column of a table literally named `history`),
+  // so an unconditional claim would hijack it.
   private val historyRe = ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" +
     identP + "\\s*;?\\s*$").r
   // RESTORE [TABLE] <target> [TO] VERSION AS OF n — Delta's verb,
@@ -88,7 +88,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ident.stripPrefix("vtab.`").stripSuffix("`")
     else graft.operators.VTabCatalog.resolve(ident).getOrElse(
       throw new IllegalArgumentException(
-        s"VACUUM/OPTIMIZE: '$ident' is neither a vtab.`/path` " +
+        s"'$ident' is neither a vtab.`/path` " +
           "identifier nor a registered vtab name (vtab_register first)"))
 
   private def claimed(sqlText: String): Option[LogicalPlan] =
@@ -108,8 +108,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             .filter(_.nonEmpty)
           VTabOptimizeCommand(rootOf(m.group(1)), cols,
             Option(m.group(3)).map(_.toInt).getOrElse(0))
-        }).orElse(historyRe.findFirstMatchIn(sqlText).map { m =>
-          VTabHistoryCommand(rootOf(m.group(1)))
+        }).orElse(historyRe.findFirstMatchIn(sqlText)
+          .filter(m => vtabTarget(m.group(1))).map { m =>
+            VTabHistoryCommand(rootOf(m.group(1)))
         }).orElse(restoreRe.findFirstMatchIn(sqlText).map { m =>
           VTabRestoreCommand(rootOf(m.group(1)), m.group(2).toLong)
         }).orElse(alterAddRe.findFirstMatchIn(sqlText)
@@ -120,17 +121,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           .filter(m => vtabTarget(m.group(1))).map { m =>
             VTabConstraintCommand(rootOf(m.group(1)), m.group(2), None)
         }).orElse(createVtabRe.findFirstMatchIn(sqlText).map { m =>
-          val name = m.group(1)
-          require(m.group(2) == null,
+          val ifNotExists = m.group(1) != null
+          val name = m.group(2)
+          require(m.group(3) == null,
             s"CREATE TABLE $name USING vtab: column lists are not " +
               "supported — the versioned manifest records the schema " +
               "per commit (the first INSERT defines it)")
-          val loc = locationRe.findFirstMatchIn(m.group(3))
+          // the tail must be EXACTLY a LOCATION clause: anything else
+          // (AS SELECT, PARTITIONED BY, TBLPROPERTIES) must be a loud
+          // refusal, never a silently-dropped clause
+          val loc = locationRe.findFirstMatchIn(m.group(4))
             .map(_.group(1)).getOrElse(
               throw new IllegalArgumentException(
-                s"CREATE TABLE $name USING vtab needs LOCATION " +
-                  "'<path>' (the versioned-table root)"))
-          VTabRegisterCommand(name, loc)
+                s"CREATE TABLE $name USING vtab supports exactly one " +
+                  "clause: LOCATION '<path>' (the versioned-table " +
+                  "root) — got: USING vtab" + m.group(4).trim.take(80) +
+                  ". CTAS/PARTITIONED BY/TBLPROPERTIES are not " +
+                  "supported; INSERT INTO the table after binding it"))
+          VTabRegisterCommand(name, loc, ifNotExists)
         })
     }
 

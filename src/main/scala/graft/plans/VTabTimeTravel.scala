@@ -706,10 +706,21 @@ case class VTabOptimizeCommand(root: String, zCols: Seq[String],
   * DDL twin of `vtab_register`. Creating is metadata-only: the
   * location may already hold committed versions (an attach) or be
   * empty (the first INSERT creates v1). */
-case class VTabRegisterCommand(name: String,
-    root: String) extends LeafRunnableCommand {
+case class VTabRegisterCommand(name: String, root: String,
+    ifNotExists: Boolean = false) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    graft.operators.VTabCatalog.register(name, root)
+    graft.operators.VTabCatalog.resolve(name) match {
+      // CREATE TABLE semantics, not vtab_register's repoint: an
+      // existing binding is an ERROR (or a no-op under IF NOT EXISTS)
+      // — silently repointing a name to a different root would make
+      // every later query read a different table
+      case Some(cur) if ifNotExists => ()
+      case Some(cur) => throw new IllegalArgumentException(
+        s"CREATE TABLE $name USING vtab: the name is already bound " +
+          s"(to '$cur') — DROP TABLE $name first, use IF NOT EXISTS, " +
+          "or repoint explicitly with vtab_register")
+      case None => graft.operators.VTabCatalog.register(name, root)
+    }
     Seq.empty
   }
 }

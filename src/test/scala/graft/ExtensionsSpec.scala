@@ -324,6 +324,17 @@ class ExtensionsSpec extends SparkSuite {
     }
     assert(rev.getMessage.contains("from must be <= to"),
       rev.getMessage.take(200))
+    // MERGE source alignment is case-insensitive too: upper-cased
+    // source columns are the SAME columns, not extras
+    spark.sql(s"""MERGE INTO vtab.`$root` t
+                  USING (SELECT 2 AS ID, 'b2' AS S
+                         UNION ALL SELECT 3, 'c') s
+                  ON t.id = s.ID
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql(s"SELECT id, s FROM vtab.`$root` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList ==
+      List((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
   test("catalog-named vtab: register -> SQL DML/time-travel/CDC by " +
@@ -418,6 +429,36 @@ class ExtensionsSpec extends SparkSuite {
       }
       assert(noLoc.getMessage.contains("LOCATION"),
         noLoc.getMessage.take(200))
+      // any clause beyond LOCATION (CTAS, PARTITIONED BY, …) is a
+      // LOUD refusal, never silently dropped
+      val ctas = intercept[Exception] {
+        spark.sql(s"CREATE TABLE dws_spec.inv5 USING vtab LOCATION " +
+          s"'$root' AS SELECT 1 AS id").collect()
+      }
+      assert(ctas.getMessage.contains("exactly one clause"),
+        ctas.getMessage.take(200))
+      // CREATE TABLE semantics on an existing binding: error without
+      // IF NOT EXISTS, no-op (NO repoint) with it
+      spark.sql(s"CREATE TABLE dws_spec.inv6 USING vtab LOCATION '$root'")
+      val dup2 = intercept[Exception] {
+        spark.sql(
+          s"CREATE TABLE dws_spec.inv6 USING vtab LOCATION '/elsewhere'")
+          .collect()
+      }
+      assert(dup2.getMessage.contains("already bound"),
+        dup2.getMessage.take(200))
+      spark.sql("CREATE TABLE IF NOT EXISTS dws_spec.inv6 " +
+        "USING vtab LOCATION '/elsewhere'")
+      assert(VTabCatalog.resolve("dws_spec.inv6").contains(root),
+        "IF NOT EXISTS must no-op, not repoint")
+      spark.sql("DROP TABLE dws_spec.inv6")
+      // DESC <table> <col> for a real table named `history` keeps
+      // parsing through the delegate (no hijack of valid syntax)
+      Seq((1L, "a")).toDF("event_id", "s").write.mode("overwrite")
+        .saveAsTable("history")
+      try {
+        assert(spark.sql("DESC history event_id").count() >= 1)
+      } finally { spark.sql("DROP TABLE IF EXISTS history"); () }
     } finally {
       VTabCatalog.unregister("dws_spec.inventory")
       ()
