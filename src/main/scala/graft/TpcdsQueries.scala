@@ -268,9 +268,28 @@ object TpcdsQueries {
     FROM rev
     ORDER BY p_type, p_brand""")
 
+  /** Q34/Q73 shape: frequent-buyer HAVING band — per-customer order
+    * counts in a period filtered to a count RANGE (the between-N-and-M
+    * basket shape), then rolled up by segment over the qualifying
+    * set. */
+  val q_tpcds_count_having = both("q_tpcds_count_having",
+    Seq("A8", "A1", "J1", "F9"), """
+    WITH freq AS (
+      SELECT o_custkey, COUNT(*) AS cnt
+      FROM orders
+      WHERE YEAR(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+      GROUP BY o_custkey
+      HAVING COUNT(*) BETWEEN 2 AND 5)
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(cnt) AS BIGINT) AS n_orders
+    FROM freq JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment""")
+
   val all: Seq[QuerySpec] = Seq(
     q_tpcds_rollup_report, q_tpcds_channel_union,
     q_tpcds_window_over_agg, q_tpcds_yoy, q_tpcds_multi_cte,
     q_tpcds_bucket_counts, q_tpcds_cross_channel,
-    q_tpcds_avg_correlated, q_tpcds_class_ratio)
+    q_tpcds_avg_correlated, q_tpcds_class_ratio,
+    q_tpcds_count_having)
 }

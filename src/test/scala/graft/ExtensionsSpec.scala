@@ -372,6 +372,15 @@ class ExtensionsSpec extends SparkSuite {
       assert(spark.sql("SELECT id, s FROM dws_spec.inventory ORDER BY id")
         .collect().map(r => (r.getInt(0), r.getString(1))).toList ==
         List((1, "a!"), (2, "b2"), (3, "c")))
+      // TIMESTAMP AS OF resolves by name through the same
+      // effective-commit-time rules as the path form
+      val t1n = Engine.tsLiteral(spark, VersionedTable
+        .describeHistory(spark, root)
+        .filter(col("version") === 1L).head().getTimestamp(1))
+      assertSameRows(
+        spark.sql(
+          s"SELECT * FROM dws_spec.inventory TIMESTAMP AS OF '$t1n'"),
+        spark.sql("SELECT * FROM dws_spec.inventory VERSION AS OF 1"))
       // bounded CDC by name == by path; derived views by name
       assertSameRows(
         spark.sql("SELECT * FROM table_changes('dws_spec.inventory', 1, 2)"),
