@@ -78,6 +78,15 @@ object AggRouting {
 
   def clear(): Unit = routes.clear()
 
+  /** Run `f` with [[DecimalSum128Rewrite]] disabled, restoring after. */
+  private def withDecimalSum128Off[T](f: => T): T = {
+    val key = "spark.graft.decimalSum128.enabled"
+    val conf = SQLConf.get
+    val prev = conf.getConfString(key, "true")
+    conf.setConfString(key, "false")
+    try f finally conf.setConfString(key, prev)
+  }
+
   /** Root paths of the (single) file relation a DataFrame scans. */
   private def scanPaths(df: DataFrame): Set[String] =
     df.queryExecution.analyzed.collect {
@@ -95,7 +104,15 @@ object AggRouting {
     * so the canonical must be folded the same way or semantic
     * equality never fires. */
   private def canonical(fact: DataFrame, c: Column): AggregateExpression = {
-    val optimized = fact.groupBy().agg(c).queryExecution.optimizedPlan
+    // canonicals must be phrased over BUILTIN aggregates: the
+    // DecimalSum128 rewrite would otherwise replace Sum with an
+    // aggregate over a projected unscaled column whose attribute can
+    // never semanticEquals a later query's tree. Routing itself is
+    // unaffected (it runs before the 128-bit rewrite in the same
+    // optimizer batch, so it always sees builtin Sums first).
+    val optimized = withDecimalSum128Off {
+      fact.groupBy().agg(c).queryExecution.optimizedPlan
+    }
     val aggExprs = optimized.collect {
       case a: Aggregate => a.aggregateExpressions }.head
     val found = aggExprs.head.collect { case ae: AggregateExpression => ae }

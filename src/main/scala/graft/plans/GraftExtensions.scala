@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => UnionFusedJoinRewrite)
     ext.injectOptimizerRule(_ => AggRouteRewrite)
+    // registered AFTER AggRouteRewrite: routing matches builtin Sum
+    // nodes, so the 128-bit rewrite must see each Aggregate only once
+    // routing has had first pass at it (same-batch rule order)
+    ext.injectOptimizerRule(_ => DecimalSum128Rewrite)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     reg(ext, "bitmap_build", 1)(a => BitmapBuildAgg(a.head))
     reg(ext, "bitmap_merge", 1)(a => BitmapMergeAgg(a.head))
