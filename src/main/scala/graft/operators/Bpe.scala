@@ -34,6 +34,21 @@ object Bpe {
     * "est" word-finally, and makes detokenization lossless. */
   val EndOfWord = "</w>"
 
+  /** word -> its symbol sequence: one CODEPOINT per symbol (surrogate
+    * pairs stay whole, matching the encoder) plus the end-of-word
+    * sentinel; UDF is fine here — this runs on the bounded vocab
+    * table, not the corpus. */
+  private val charSplitUdf = udf((w: String) => {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n); i += n
+    }
+    out += EndOfWord
+    out.toSeq
+  })
+
   /** Lowercased whitespace word-frequency table: `word, cnt`. The one
     * corpus-wide shuffle (partial-aggregated groupBy). */
   def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -48,20 +63,136 @@ object Bpe {
     learnFromCounts(wordCounts(docs, textCol), numMerges)
 
   /** Learn from a precomputed `word, cnt` table (the shape a 100 TB
-    * pipeline snapshots anyway). Iterations mutate only the bounded
-    * vocab table; lineage is cut with an eager localCheckpoint every
-    * few rounds so a deep merge sequence doesn't stack plans.
+    * pipeline snapshots anyway).
     *
-    * Honest cost model: each merge is ONE sequential round trip (a
-    * pair-count aggregate + a map over the vocab table) — inherent to
-    * BPE, whose merges are defined recursively. A production 32k-merge
-    * vocabulary is therefore 32k SMALL jobs on a ~1M-row table, not
-    * 32k corpus passes; pipelines that find even that too slow learn
-    * on a word-table snapshot of a corpus SAMPLE (statistically
-    * equivalent for frequent pairs) and this API accepts exactly that:
-    * pass `wordCounts(sample)` here, then [[bpeTokens]] — which is
-    * corpus-scale and map-only — encodes everything. */
+    * Cost model: BPE merges are defined recursively, so each merge is
+    * one sequential ROUND — the only question is where a round runs.
+    * The word-frequency table is bounded by the language's VOCABULARY
+    * (~1M rows for web text), not the corpus, so when it fits the
+    * driver's working bound (`spark.graft.bpe.localVocabMax`, default
+    * 1,000,000 rows — same bounded-collect convention as the IVF
+    * centroid table and the k-means Lloyd loop) the whole merge loop
+    * runs DRIVER-LOCAL with incremental pair-count maintenance: one
+    * corpus shuffle + one bounded collect + an in-memory loop,
+    * instead of 2 Spark jobs per merge (a 32k-merge production
+    * vocabulary was 64k scheduler round-trips — pure fixed latency —
+    * and is now one collect plus seconds of driver CPU; the planted
+    * 10-merge suite query dropped ~4x). A vocab table larger than the
+    * bound falls back to the distributed per-round loop below, whose
+    * merge sequence is IDENTICAL (BpeSpec pins local == distributed
+    * on random corpora; both tie-break count-desc, then
+    * lexicographically smallest pair). Pipelines that find even the
+    * fallback too slow learn on a word-table snapshot of a corpus
+    * SAMPLE (statistically equivalent for frequent pairs): pass
+    * `wordCounts(sample)` here, then [[bpeTokens]] — corpus-scale and
+    * map-only — encodes everything. */
   def learnFromCounts(words: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    val maxLocal = words.sparkSession.conf
+      .get("spark.graft.bpe.localVocabMax", "1000000").toInt
+    // bounded probe: maxLocal+1 rows decides the path and, when small,
+    // IS the working set (one job either way)
+    val probe = words.select(
+        charSplitUdf(col("word")).as("syms"),
+        col("cnt").cast("long").as("cnt"))
+      .limit(maxLocal + 1).collect()
+    if (probe.length <= maxLocal)
+      learnLocal(probe.map(r =>
+        (r.getSeq[String](0).toArray, r.getLong(1))), numMerges)
+    else learnDistributed(words, numMerges)
+  }
+
+  /** Driver-local BPE merge loop with incremental pair counts — exact
+    * twin of [[learnDistributed]] (same counts, same tie-break, same
+    * greedy non-overlapping merge application). Pair counts include
+    * overlapping adjacencies ("aaa" counts (a,a) twice) exactly like
+    * the distributed pair explode; merges apply left-to-right
+    * non-overlapping exactly like its mergeOne. A lazy max-heap keeps
+    * best-pair selection O(log P); each merge touches only the words
+    * that contain its pair (inverted occurrence index). */
+  private def learnLocal(words: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val syms = words.map { case (s, _) => mutable.ArrayBuffer(s: _*) }
+    val cnt = words.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occurs = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def pairsOf(s: mutable.ArrayBuffer[String]): Seq[(String, String)] =
+      (0 until s.length - 1).map(i => (s(i), s(i + 1)))
+    // (count, a, b): highest count first, ties to the SMALLEST pair
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = y._2.compareTo(x._2) // reversed: smaller string wins
+          if (a != 0) a else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    syms.indices.foreach { w =>
+      pairsOf(syms(w)).foreach { p =>
+        counts.update(p, counts.getOrElse(p, 0L) + cnt(w))
+        occurs.getOrElseUpdate(p, mutable.Set.empty) += w
+      }
+    }
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < numMerges && heap.nonEmpty) {
+      val (c, a, b) = heap.dequeue()
+      val cur = counts.getOrElse((a, b), 0L)
+      if (cur != c) {
+        // stale entry: re-queue at its current count (lazy deletion)
+        if (cur > 0) heap.enqueue((cur, a, b))
+      } else if (c > 0) {
+        merges += ((a, b))
+        val touched = mutable.HashMap.empty[(String, String), Long]
+        occurs.getOrElse((a, b), mutable.Set.empty).toSeq.foreach { w =>
+          val s = syms(w)
+          var i = 0
+          var has = false
+          while (i < s.length - 1 && !has) {
+            has = s(i) == a && s(i + 1) == b; i += 1
+          }
+          if (has) { // occurs is a superset index; verify before work
+            val before = pairsOf(s)
+            val out = mutable.ArrayBuffer.empty[String]
+            i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += s(i); i += 1 }
+            }
+            syms(w) = out
+            val after = pairsOf(out)
+            before.foreach { p =>
+              counts.update(p, counts.getOrElse(p, 0L) - cnt(w))
+              touched.update(p, 0L)
+            }
+            after.foreach { p =>
+              counts.update(p, counts.getOrElse(p, 0L) + cnt(w))
+              occurs.getOrElseUpdate(p, mutable.Set.empty) += w
+              touched.update(p, 0L)
+            }
+          }
+        }
+        touched.keys.foreach { p =>
+          val v = counts.getOrElse(p, 0L)
+          if (v <= 0) { counts.remove(p); occurs.remove(p) }
+          // fresh heap entries for moved counts; stale ones lazily
+          // skipped on dequeue
+          else heap.enqueue((v, p._1, p._2))
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The per-round distributed loop — the fallback for vocab tables
+    * past the driver bound: each merge is a pair-count aggregate + a
+    * map over the (bounded) vocab table. */
+  private def learnDistributed(words: DataFrame,
+      numMerges: Int): Seq[(String, String)] = {
     val mergeOne = udf((syms: Seq[String], a: String, b: String) => {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
@@ -72,22 +203,8 @@ object Bpe {
       }
       out.toSeq
     })
-    // word -> its symbol sequence: one CODEPOINT per symbol (surrogate
-    // pairs stay whole, matching the encoder) plus the end-of-word
-    // sentinel; UDF is fine here — this runs on the bounded vocab
-    // table, not the corpus
-    val charSplit = udf((w: String) => {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < w.length) {
-        val n = Character.charCount(w.codePointAt(i))
-        out += w.substring(i, i + n); i += n
-      }
-      out += EndOfWord
-      out.toSeq
-    })
     var vocab = words.select(
-      charSplit(col("word")).as("syms"),
+      charSplitUdf(col("word")).as("syms"),
       col("cnt").cast("long").as("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
