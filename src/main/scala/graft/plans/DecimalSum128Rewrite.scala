@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.DecimalSum128
+import graft.functions.{DecimalSum128, DecimalSum192, Unscaled192}
 
 /** Rewrite `Sum` over `DECIMAL(p<=18, s)` inputs to the result-identical
   * [[graft.functions.DecimalSum128]] 128-bit-integer accumulator.
@@ -52,7 +52,7 @@ object DecimalSum128Rewrite extends Rule[LogicalPlan] {
 
   private def eligible(e: Expression): Boolean = e.dataType match {
     case d: DecimalType =>
-      d.precision <= 18 && d.scale >= 0 && d.scale <= d.precision
+      d.precision <= 38 && d.scale >= 0 && d.scale <= d.precision
     case _ => false
   }
 
@@ -60,21 +60,35 @@ object DecimalSum128Rewrite extends Rule[LogicalPlan] {
     if (!enabled || SQLConf.get.ansiEnabled) plan
     else plan.transform {
       case agg @ Aggregate(groupings, aggExprs, child, hint) =>
-        // one unscaled-long column per DISTINCT eligible sum input
+        // one unscaled-long column set per DISTINCT eligible sum input
         // (q_tpch_q1 sums l_quantity twice: one cast, two sums)
-        val unscaled = mutable.LinkedHashMap.empty[Expression, Alias]
+        val unscaled = mutable.LinkedHashMap.empty[Expression, Seq[Alias]]
         val newAggExprs = aggExprs.map(_.transform {
           case ae @ AggregateExpression(Sum(c, ctx), _, false, _, _)
               if ctx.evalMode == EvalMode.LEGACY && eligible(c) &&
                 c.deterministic =>
             val d = c.dataType.asInstanceOf[DecimalType]
-            val a = unscaled.getOrElseUpdate(c.canonicalized,
-              Alias(UnscaledValue(c), "unscaled")())
-            ae.copy(aggregateFunction =
-              DecimalSum128(a.toAttribute, d.precision, d.scale))
+            if (d.precision <= 18) {
+              // long-backed: one projected word, sign-extended in-agg
+              val Seq(a) = unscaled.getOrElseUpdate(c.canonicalized,
+                Seq(Alias(UnscaledValue(c), "unscaled")()))
+              ae.copy(aggregateFunction =
+                DecimalSum128(a.toAttribute, d.precision, d.scale))
+            } else {
+              // wide: three projected 64-bit words (the BigDecimal
+              // extraction is paid once per row in the Project; the
+              // cast subtree is shared across words by projection CSE)
+              val ws = unscaled.getOrElseUpdate(c.canonicalized,
+                Seq(Alias(Unscaled192(c, 2), "u_hi")(),
+                  Alias(Unscaled192(c, 1), "u_mid")(),
+                  Alias(Unscaled192(c, 0), "u_lo")()))
+              ae.copy(aggregateFunction = DecimalSum192(
+                ws(0).toAttribute, ws(1).toAttribute, ws(2).toAttribute,
+                d.precision, d.scale))
+            }
         }.asInstanceOf[NamedExpression])
         if (unscaled.isEmpty) agg
         else Aggregate(groupings, newAggExprs,
-          Project(child.output ++ unscaled.values, child), hint)
+          Project(child.output ++ unscaled.values.flatten, child), hint)
     }
 }

@@ -91,19 +91,66 @@ class DecSum128Spec extends SparkSuite {
     }
   }
 
-  test("rule leaves DISTINCT sums and wide decimals to the builtin") {
+  test("rule leaves DISTINCT sums to the builtin; wide goes 192-bit") {
     val df = (1 to 10).map(i => (1, i.toDouble)).toDF("g", "v")
     withRule(true) {
       val distinctPlan = df.groupBy("g")
         .agg(sum_distinct(col("v").cast("decimal(18,2)")))
         .queryExecution.optimizedPlan.toString
       assert(!distinctPlan.contains("decimal_sum128"))
-      // dec12 = DecimalType(30,12): unscaled no longer long-backed
+      assert(!distinctPlan.contains("decimal_sum192"))
+      // dec12 = DecimalType(30,12): unscaled beyond one long ->
+      // three-word accumulator
       val widePlan = df.groupBy("g")
         .agg(sum(col("v").cast("decimal(30,12)")))
         .queryExecution.optimizedPlan.toString
-      assert(!widePlan.contains("decimal_sum128"))
+      assert(widePlan.contains("decimal_sum192"))
     }
+  }
+
+  test("parity with builtin Sum on WIDE decimals (p > 18)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000).map { i =>
+      val v: java.lang.Double =
+        if (i % 23 == 0) null
+        else (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(14))
+      (i % 5, v)
+    }
+    val df = rows.toDF("g", "v")
+    for (dec <- Seq("decimal(22,4)", "decimal(30,12)", "decimal(38,6)",
+        "decimal(19,0)")) {
+      val (fast, builtin) = bothWays(df, dec)
+      assert(fast == builtin, s"mismatch for $dec")
+    }
+  }
+
+  test("wide parity past 2^64 and past 2^128 in the accumulator") {
+    // decimal(30,12): unscaled per row ~9e27 needs >1 word itself;
+    // 4000 rows -> ~3.6e31, exercising the mid/hi words
+    val df = (1 to 4000).map(i => (1, 9.0e15 + i)).toDF("g", "v")
+    val (fast, builtin) = bothWays(df, "decimal(30,12)")
+    assert(fast == builtin)
+    assert(fast.head.getDouble(1) > 3.5e19)
+  }
+
+  test("toDecimal192: words, signs, overflow") {
+    import graft.functions.DecSum128._
+    val mask = (BigInt(1) << 64) - 1
+    def words(v: BigInt): (Long, Long, Long) =
+      ((v >> 128).toLong, ((v >> 64) & mask).toLong, (v & mask).toLong)
+    // 2^100 + 3 (~1.3e30, within decimal(38)) round-trips exactly
+    val pos = (BigInt(1) << 100) + 3
+    val (ph, pm, pl) = words(pos)
+    assert(toDecimal192(ph, pm, pl, 38, 0).toBigDecimal.toBigInt == pos)
+    // negative two's complement across all three words
+    val neg = -((BigInt(1) << 100) + 5)
+    val (nh, nm, nl) = words(neg)
+    assert(toDecimal192(nh, nm, nl, 38, 0).toBigDecimal.toBigInt == neg)
+    // precision overflow nulls: 2^100 has 31 digits > 20
+    assert(toDecimal192(ph, pm, pl, 20, 2) == null)
+    // long-fits fast path agrees with the 128 finisher
+    assert(toDecimal192(0L, 0L, 77L, 28, 4) ==
+      DecSum128.toDecimal(0L, 77L, 28, 4))
   }
 
   test("toDecimal: overflow boundary and 128-bit reconstruction") {
