@@ -332,32 +332,29 @@ object Relational {
     // (maxN is null on empty input). Knowing the huge count up front
     // lets the all-huge case skip the provably-empty small branch —
     // two whole input scans (the anti-join + its window) at exactly
-    // the scale where scans are the cost.
+    // the scale where scans are the cost. Null group keys route by
+    // SIZE like any other group: every group re-join on this path
+    // (the semi/anti split, the selection windows, the rank-fallback
+    // offsets) is NULL-SAFE (<=>), so SQL's null-group semantics hold
+    // on all three strategies. (Until r18-opt a null-key huge group
+    // was detoured through the window branch, costing the mixed-path
+    // semi/anti scans plus a one-task window sort exactly when a
+    // forced-huge probe planted a null group.)
     val nByG = base.groupBy(gs: _*).agg(count(lit(1)).as("__n"))
-    // A huge group whose key contains a null can NOT take the all-huge
-    // shortcut: selectionBrackets/rankHugeGroups re-join on groupCols
-    // with null-unsafe equality, which would silently drop the group.
-    // Routing it through the window branch (null never matches the
-    // semi/anti split below) keeps SQL's null-group semantics intact.
-    val nullKeyHugeAgg =
-      if (groupCols.isEmpty) lit(0L)
-      else sum(when(col("__n") > hugeGroupMin &&
-        groupCols.map(c => col(c).isNull).reduce(_ || _), 1L).otherwise(0L))
     val stats = nByG.agg(max(col("__n")), count(lit(1)),
-      sum(when(col("__n") > hugeGroupMin, 1L).otherwise(0L)),
-      nullKeyHugeAgg).head()
+      sum(when(col("__n") > hugeGroupMin, 1L).otherwise(0L))).head()
     val bracketed =
       if (stats.isNullAt(0) || stats.getLong(0) <= hugeGroupMin) {
         lastPercentilePath = "window"
         bracketsFromRanked(windowRanked(base))
       } else {
-        val allHuge =
-          stats.getLong(1) == stats.getLong(2) && stats.getLong(3) == 0L
+        val allHuge = stats.getLong(1) == stats.getLong(2)
         val huge = nByG.filter(col("__n") > hugeGroupMin)
         val hugeKeys = huge.select(gs: _*) // ≤ n / hugeGroupMin rows
         val big =
           if (allHuge) base
-          else base.join(broadcast(hugeKeys), groupCols, "left_semi")
+          else nullSafeEquiJoin(base, broadcast(hugeKeys), groupCols,
+            "left_semi")
         val hugeBrackets = selectionBrackets(big, groupCols, huge, ps) match {
           case Some(b) => lastPercentilePath = "selection"; b
           case None =>
@@ -366,7 +363,8 @@ object Relational {
         }
         if (allHuge) hugeBrackets
         else {
-          val small = base.join(broadcast(hugeKeys), groupCols, "left_anti")
+          val small = nullSafeEquiJoin(base, broadcast(hugeKeys),
+            groupCols, "left_anti")
           bracketsFromRanked(windowRanked(small)).unionByName(hugeBrackets)
         }
       }
@@ -380,6 +378,26 @@ object Relational {
           (t - floor(t).cast("double")) * col(s"__hi_$i")).as(name)
     }
     bracketed.select(outs: _*)
+  }
+
+  /** Equi-join with NULL-SAFE key equality (`<=>`) — SQL group
+    * identity, where a null key matches itself. The right side's key
+    * columns are renamed before the join (fresh exprIds), so a right
+    * frame derived from the left (hugeKeys from base) can never trip
+    * ambiguous-self-join resolution. Output columns: the left frame's
+    * for semi/anti; left ++ renamed-right for inner. */
+  private def nullSafeEquiJoin(left: DataFrame, right: DataFrame,
+      cols: Seq[String], how: String): DataFrame = {
+    val rn = cols.map(c => c -> s"__r_$c")
+    val r2 = rn.foldLeft(right)((df, p) =>
+      df.withColumnRenamed(p._1, p._2))
+    val cond = rn.map { case (c, rc) => col(c) <=> col(rc) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = left.join(r2, cond, how)
+    how match {
+      case "left_semi" | "left_anti" => joined // left columns only
+      case _ => joined.drop(rn.map(_._2): _*) // shed the key copies
+    }
   }
 
   /** Per-target candidate-window cap for [[selectionBrackets]]: a
@@ -465,18 +483,18 @@ object Relational {
     // collect once (tiny: one row per huge group) and rebuild a
     // literal frame, so the guard pass and the collect pass see
     // byte-identical windows
-    val approxJoined = in.groupBy(gs: _*)
+    val approxWin = in.groupBy(gs: _*)
       .agg(percentile_approx(col("__v"),
         array(wfr.map(lit): _*), lit(accuracy)).as("__w"))
-      .join(hugeN, groupCols)
     val spark = in.sparkSession
     val winDF = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(approxJoined.collect().toSeq, 1),
-      approxJoined.schema))
+      spark.sparkContext.parallelize(approxWin.collect().toSeq, 1),
+      approxWin.schema))
     def wLo(i: Int) = element_at(col("__w"), 2 * i + 1)
     def wHi(i: Int) = element_at(col("__w"), 2 * i + 2)
     def inWin(i: Int) = col("__v") >= wLo(i) && col("__v") <= wHi(i)
-    val joined = in.join(winDF, groupCols)
+    // null-safe attach: a NULL group key is a group like any other
+    val joined = nullSafeEquiJoin(in, winDF, groupCols, "inner")
     val countAggs = ps.indices.flatMap(i => Seq(
       sum(when(col("__v") < wLo(i), 1L).otherwise(0L)).as(s"__below_$i"),
       sum(when(inWin(i), 1L).otherwise(0L)).as(s"__nc_$i")))
@@ -484,13 +502,15 @@ object Relational {
       .agg(countAggs.head, countAggs.tail: _*).collect()
     val ok = counts.forall { r =>
       val k = groupCols.indices.map(r.get)
-      val n = nOf(k)
-      ps.indices.forall { i =>
-        val below = r.getLong(groupCols.length + 2 * i)
-        val nc = r.getLong(groupCols.length + 2 * i + 1)
-        val rLo = math.floor(ps(i)._1 * (n - 1)).toLong
-        val rHi = math.ceil(ps(i)._1 * (n - 1)).toLong
-        below <= rLo && rHi < below + nc && nc <= selectionCandCap
+      nOf.get(k) match {
+        case None => false // group outside hugeN: fall back, never guess
+        case Some(n) => ps.indices.forall { i =>
+          val below = r.getLong(groupCols.length + 2 * i)
+          val nc = r.getLong(groupCols.length + 2 * i + 1)
+          val rLo = math.floor(ps(i)._1 * (n - 1)).toLong
+          val rHi = math.ceil(ps(i)._1 * (n - 1)).toLong
+          below <= rLo && rHi < below + nc && nc <= selectionCandCap
+        }
       }
     }
     if (!ok) return None
@@ -553,10 +573,18 @@ object Relational {
       spark.sparkContext.parallelize(offRows.toSeq, 1), offSchema)
     val win = Window.partitionBy((col("__p") +: gs): _*)
       .orderBy(col("__v"), col("__salt"))
-    withP.join(broadcast(offDf), "__p" +: groupCols)
+    // both attaches NULL-SAFE on the group key (a null group is a
+    // group); hugeN is materialized to a literal frame first — its
+    // lineage shares attribute ids with `in`, which an explicit join
+    // condition would otherwise resolve ambiguously
+    val hugeLocal = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(hugeN.collect().toSeq, 1),
+      hugeN.schema))
+    val ranked = nullSafeEquiJoin(
+      withP, broadcast(offDf), "__p" +: groupCols, "inner")
       .withColumn("__rn",
         (col("__off") + row_number().over(win) - 1).cast("long"))
-      .join(broadcast(hugeN), groupCols)
+    nullSafeEquiJoin(ranked, hugeLocal, groupCols, "inner")
       .select((gs :+ col("__v") :+ col("__rn") :+ col("__n")): _*)
   }
 

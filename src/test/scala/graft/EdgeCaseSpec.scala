@@ -44,6 +44,34 @@ class EdgeCaseSpec extends SparkSuite {
     assert(r2.getDouble(2) == 1.5, s"p50 = ${r2.getDouble(2)}")
   }
 
+  test("sortedPercentiles: a NULL group key rides the selection path " +
+      "and matches the window path bitwise") {
+    // r18-opt: the selection/rank re-joins are null-safe, so a null
+    // group no longer detours through the window branch (which cost
+    // the mixed-path semi/anti scans). Values must equal the window
+    // path's for every group including the null one.
+    val df = spark.range(3000).select(
+      when(col("id") % 3 === 0, null).otherwise(concat(lit("g"),
+        (col("id") % 3).cast("string"))).as("g"),
+      (col("id") * 37 % 1001).cast("double").as("v"))
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90")
+    val sel = Relational.sortedPercentiles(df, Seq("g"), "v", ps,
+      hugeGroupMin = 0L)
+    val selRows = sel.orderBy(asc_nulls_first("g")).collect()
+    assert(Relational.lastPercentilePath == "selection",
+      s"expected selection, took: ${Relational.lastPercentilePath}")
+    val win = Relational.sortedPercentiles(df, Seq("g"), "v", ps)
+    val winRows = win.orderBy(asc_nulls_first("g")).collect()
+    assert(Relational.lastPercentilePath == "window")
+    assert(selRows.length == 3 && selRows.head.isNullAt(0))
+    assert(selRows.map(_.toString).toSeq == winRows.map(_.toString).toSeq)
+    // the rank fallback agrees too (null group included)
+    val rank = Relational.sortedPercentilesForceRank(df, Seq("g"), "v", ps)
+      .orderBy(asc_nulls_first("g")).collect()
+    assert(Relational.lastPercentilePath == "rank-fallback")
+    assert(rank.map(_.toString).toSeq == winRows.map(_.toString).toSeq)
+  }
+
   test("dedup operators on an empty table return empty") {
     assert(Dedup.exactDupGroups(emptyDocs).count() == 0)
     assert(Dedup.minHashLshPairs(emptyDocs).count() == 0)
