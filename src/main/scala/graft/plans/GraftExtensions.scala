@@ -23,6 +23,11 @@ import org.apache.spark.sql.internal.SQLConf
   *    registered materialized summary (the Kylin cube-routing
   *    capability, reference docs/olap.md:24). Opt-in via
   *    `spark.graft.aggRouting.enabled`.
+  *  - [[DecimalSum128Rewrite]]: result-identical 128/192-bit integer
+  *    accumulation for decimal SUMs (the engine's deterministic-
+  *    decimal convention made Sum's BigDecimal buffer the hottest
+  *    scalar kernel). ON by default — it preserves results bitwise;
+  *    kill switch `spark.graft.decimalSum128.enabled`.
   *  - [[TopKPerGroupStrategy]]: plans the [[TopKPerGroup]] custom
   *    logical operator (bounded-heap top-k per group, no sort).
   *  - SQL names for the [[graft.functions.Bitmap64]] family
