@@ -381,8 +381,17 @@ object Cube {
     require(cuboids.forall(_.forall(baseDims.contains)),
       "every cuboid must be a subset of the base dims")
     val canonical = measures.map(m => m.canonical -> m.name).toMap
-    val base = graft.plans.AggRouting.maintainSummary(
+    // the maintained base feeds EVERY derived cuboid's plan: left lazy,
+    // a k-cuboid maintenance re-runs the whole base maintenance (delta
+    // agg + summary combine — at 100 TB the delta scan) k times, once
+    // per output branch (measured: q_cube_maintain spent 3× the base
+    // agg's task time across its 3 derives). One eager localCheckpoint
+    // materializes the summary-sized base once; every derive then
+    // re-aggregates stored summary rows. Base-only maintenance (no
+    // cuboids) keeps the lazy frame — nothing re-derives it here.
+    val base0 = graft.plans.AggRouting.maintainSummary(
       baseSummary, delta, baseDims, canonical)
+    val base = if (cuboids.nonEmpty) base0.localCheckpoint() else base0
     val done = scala.collection.mutable.LinkedHashMap[Seq[String],
       DataFrame](baseDims -> base)
     // derive small-from-small: among the maintained frames, pick the
