@@ -813,7 +813,8 @@ object VersionedTable {
         .as(s"viol:$n")
     }
     if (statable.isEmpty && consAggs.isEmpty) {
-      df.write.mode(SaveMode.ErrorIfExists).parquet(path)
+      graft.Engine.label(spark, s"vtab write $dir")(
+        df.write.mode(SaveMode.ErrorIfExists).parquet(path))
       return
     }
     val obs = new org.apache.spark.sql.Observation(
@@ -821,8 +822,9 @@ object VersionedTable {
     val aggs = statable.flatMap(f => Seq(
       min(col(f.name)).cast("string").as(s"min:${f.name}"),
       max(col(f.name)).cast("string").as(s"max:${f.name}"))) ++ consAggs
-    df.observe(obs, aggs.head, aggs.tail: _*)
-      .write.mode(SaveMode.ErrorIfExists).parquet(path)
+    graft.Engine.label(spark, s"vtab write+stats $dir")(
+      df.observe(obs, aggs.head, aggs.tail: _*)
+        .write.mode(SaveMode.ErrorIfExists).parquet(path))
     val metrics = obs.get
     // constraints verdict FIRST: a rejected dir is deleted before any
     // sidecar lands, so nothing ever references or half-describes it
@@ -898,7 +900,8 @@ object VersionedTable {
     val aggs = keys.flatMap(k => Seq(
       min(col(k)).cast("string").as(s"min:$k"),
       max(col(k)).cast("string").as(s"max:$k")))
-    val row = source.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = graft.Engine.label(spark, "vtab merge: key-range prune")(
+      source.agg(aggs.head, aggs.tail: _*).collect()(0))
     val srcRange = keys.zipWithIndex.map { case (k, i) =>
       k -> (row.getString(2 * i), row.getString(2 * i + 1))
     }.toMap
@@ -1058,12 +1061,13 @@ object VersionedTable {
     // then one key-column-pruned scan over the candidates → touched dirs
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else readDirsAs(spark, root, tableSchema, candidates)
-        .select(keys.map(col): _*)
-        .withColumn("__dir",
-          regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
-        .join(srcKeys, keys, "left_semi")
-        .select("__dir").distinct().collect().map(_.getString(0)).toSet
+      else graft.Engine.label(spark, "vtab merge: touched-dir scan")(
+        readDirsAs(spark, root, tableSchema, candidates)
+          .select(keys.map(col): _*)
+          .withColumn("__dir",
+            regexp_extract(input_file_name(), "/(data/[^/]+)/", 1))
+          .join(srcKeys, keys, "left_semi")
+          .select("__dir").distinct().collect().map(_.getString(0)).toSet)
     // dirKey matching: shallow-clone entries are absolute source paths
     val untouched = dirs.filterNot(d => touched(dirKey(d)))
     val target =
@@ -1197,11 +1201,12 @@ object VersionedTable {
     // snapshot-schema reads, as in merge: a rewrite spanning an
     // additive evolution must carry the full table schema through
     val tableSchema = schemaOfVersion(spark, root, baseV, dirs)
-    val touched = readDirsAs(spark, root, tableSchema, dirs)
-      .filter(cond)
-      .select(regexp_extract(input_file_name(), "/(data/[^/]+)/", 1)
-        .as("__dir"))
-      .distinct().collect().map(_.getString(0)).toSet
+    val touched = graft.Engine.label(spark, s"vtab $op: touched-dir scan")(
+      readDirsAs(spark, root, tableSchema, dirs)
+        .filter(cond)
+        .select(regexp_extract(input_file_name(), "/(data/[^/]+)/", 1)
+          .as("__dir"))
+        .distinct().collect().map(_.getString(0)).toSet)
     if (touched.isEmpty) return baseV
     // match by dirKey, not raw entry: a shallow clone's entries are
     // absolute source paths while input_file_name reports data/<name>
@@ -1286,9 +1291,36 @@ object VersionedTable {
       case (added, removed) =>
         val a = added.orElse(removed.map(_.limit(0))).get
         val r = removed.orElse(added.map(_.limit(0))).get
-        a.exceptAll(r).withColumn("change", lit("insert"))
-          .unionByName(
-            r.exceptAll(a).withColumn("change", lit("delete")))
+        // ONE-SHUFFLE bag diff. The textbook form — a.exceptAll(r) ∪
+        // r.exceptAll(a) — plans as TWO aggregates, each over the
+        // union of both sides (Spark's RewriteExceptAll), so every
+        // changed-dir row is shuffled twice. The signed-count
+        // aggregate below computes BOTH directions in one exchange:
+        // net = count_a − count_r per distinct row; net > 0 emits
+        // `net` inserts (exactly exceptAll's max(count_a − count_r,
+        // 0) multiplicity), net < 0 emits −net deletes, net = 0
+        // (rows present equally in both snapshots) vanishes. NULLs
+        // group as equal, the same rule exceptAll uses. At 100 TB
+        // this halves the shuffle of every CDC read.
+        // Replication is CHUNKED (outer × inner generate, arrays ≤
+        // 4096): a single sequence(1, net) would materialize one
+        // net-element array per row — exceptAll's ReplicateRows
+        // streams, and a changed dir CAN legally hold millions of
+        // copies of one row.
+        val cols = a.columns.toSeq
+        a.withColumn("__sign", lit(1L))
+          .unionByName(r.withColumn("__sign", lit(-1L)))
+          .groupBy(cols.map(col): _*)
+          .agg(sum(col("__sign")).as("__net"))
+          .filter(col("__net") =!= 0L)
+          .select(cols.map(col) :+
+            when(col("__net") > 0L, lit("insert")).otherwise(lit("delete"))
+              .as("change") :+ abs(col("__net")).as("__n"): _*)
+          .withColumn("__c",
+            explode(expr("sequence(0L, (__n - 1L) div 4096L)")))
+          .withColumn("__dup",
+            explode(expr("sequence(1L, least(__n - __c * 4096L, 4096L))")))
+          .select(cols.map(col) :+ col("change"): _*)
     }
   }
 
