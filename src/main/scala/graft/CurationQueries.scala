@@ -268,7 +268,7 @@ object CurationQueries {
       // contract; 85 dead index trees had accumulated over 12 rounds.
       Engine.collectAndClean(
         s.createDataFrame(
-            s.sparkContext.parallelize(maintained.toSeq),
+            s.sparkContext.parallelize(maintained.toSeq, 1),
             compactedDf.schema)
           .unionByName(compactedDf)
           .orderBy("phase", "doc_id"), dir)

@@ -94,6 +94,17 @@ object Engine {
       new java.util.WeakHashMap[SparkSession,
         scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
+  /** Run `f` with a Spark job description (guide §1.5): labels every
+    * job `f` schedules so the UI / JobProbe attribute lifecycle
+    * operators' many small jobs to their protocol step. Thread-local,
+    * restored after; driver-side only — zero cost in the jobs. */
+  def label[T](spark: SparkSession, desc: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
+  }
+
   /** Finish a lifecycle query that staged state under a per-run temp
     * dir: collect the (small) result, DELETE the dir, and return the
     * rows as a local frame with the original schema. Lifecycle
@@ -110,7 +121,12 @@ object Engine {
     }
     rmrf(new java.io.File(tmpDir))
     df.sparkSession.createDataFrame(
-      df.sparkSession.sparkContext.parallelize(rows.toSeq), df.schema)
+      // one slice: these are bounded collected row sets (tens to a few
+      // thousand rows), and the default 32-slice parallelize makes
+      // every downstream stage of every consumer pay 32 task launches
+      // to move a handful of rows (JobProbe: 32-task 1.5s-tasktime
+      // force jobs on 11-row lifecycle results)
+      df.sparkSession.sparkContext.parallelize(rows.toSeq, 1), df.schema)
   }
 
   /** Render a wall-clock instant as a SQL timestamp literal in the

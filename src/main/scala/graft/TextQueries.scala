@@ -724,7 +724,7 @@ object TextQueries {
         .withColumn("phase", lit("compacted"))
       Engine.collectAndClean(
         compacted.sparkSession.createDataFrame(
-            compacted.sparkSession.sparkContext.parallelize(live.toSeq),
+            compacted.sparkSession.sparkContext.parallelize(live.toSeq, 1),
             compacted.schema)
           .unionByName(compacted)
           .orderBy("phase", "vec_id"), dir)

@@ -202,7 +202,8 @@ object Similarity {
       Seq("_maint", "tombstones", "vectors_delta"))
     val bucketed = embeddings.select(col(idCol), col(vecCol),
       hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
-    writePartitionedBase(bucketed, "bucket", s"$indexDir/vectors")
+    graft.Engine.label(embeddings.sparkSession, "ivf build: vectors write")(
+      writePartitionedBase(bucketed, "bucket", s"$indexDir/vectors"))
     // centroid = per-bucket vector mean as ONE typed aggregate
     // ([[graft.functions.VecSumCountAgg]], map-side partial combine):
     // the shuffle carries one (dim·8B + count) buffer per bucket per
@@ -210,16 +211,17 @@ object Similarity {
     // posexplode/groupBy(bucket, pos) formulation, and never an
     // in-memory materialization of a whole bucket
     val spark = embeddings.sparkSession
-    spark.read.parquet(baseWithSwapFallback(s"$indexDir/vectors"))
-      .select(col("bucket"),
-        transform(col(vecCol), _.cast("double")).as("dv"))
-      .groupBy("bucket")
-      .agg(graft.functions.VecSumCountAgg.vecSumCount(col("dv"), dim)
-        .as("sc"))
-      .filter(col("sc.n") > 0)
-      .select(col("bucket"),
-        transform(col("sc.sums"), x => x / col("sc.n")).as("centroid"))
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    graft.Engine.label(spark, "ivf build: centroids")(
+      spark.read.parquet(baseWithSwapFallback(s"$indexDir/vectors"))
+        .select(col("bucket"),
+          transform(col(vecCol), _.cast("double")).as("dv"))
+        .groupBy("bucket")
+        .agg(graft.functions.VecSumCountAgg.vecSumCount(col("dv"), dim)
+          .as("sc"))
+        .filter(col("sc.n") > 0)
+        .select(col("bucket"),
+          transform(col("sc.sums"), x => x / col("sc.n")).as("centroid"))
+        .write.mode("overwrite").parquet(s"$indexDir/centroids"))
     markBuilt(indexDir)
   }
 
@@ -634,15 +636,17 @@ object Similarity {
     val ins = changes.filter(col(changeCol) === "insert")
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         normalized(col(vecCol)).as("nv"))
-    assignNearestC(ins, cents)
-      .select(col("id").as(idCol), col("v").as(vecCol), col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$indexDir/vectors_delta/__batch=$seq")
+    graft.Engine.label(spark, "ivf upsert: vectors delta")(
+      assignNearestC(ins, cents)
+        .select(col("id").as(idCol), col("v").as(vecCol), col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$indexDir/vectors_delta/__batch=$seq"))
     // every changed id is superseded at this seq (deletes die; the
     // batch's own inserts survive the <= comparison)
-    changes.select(col(idCol)).distinct()
-      .write.mode("overwrite")
-      .parquet(s"$indexDir/tombstones/__batch=$seq")
+    graft.Engine.label(spark, "ivf upsert: tombstones")(
+      changes.select(col(idCol)).distinct()
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/tombstones/__batch=$seq"))
     // commit point: the counter names the highest COMPLETE batch
     writeSeq(indexDir, seq)
     seq
@@ -923,8 +927,9 @@ object Similarity {
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String = "vec_id"): Unit = {
     recoverCompactSwap(s"$indexDir/vectors")
-    writePartitionedBase(resolvedVectors(spark, indexDir, idCol),
-      "bucket", s"$indexDir/vectors_compacting")
+    graft.Engine.label(spark, "ivf compact: vectors rewrite")(
+      writePartitionedBase(resolvedVectors(spark, indexDir, idCol),
+        "bucket", s"$indexDir/vectors_compacting"))
     swapCompactedBase(s"$indexDir/vectors")
     rmrfDir(new java.io.File(s"$indexDir/_maint"))
     rmrfDir(new java.io.File(s"$indexDir/tombstones"))

@@ -472,13 +472,14 @@ object TextOps {
     // lengths. Only the id column is re-read from the corpus (a
     // column-pruned scan, no text bytes) to restore zero-token docs,
     // which have no postings rows but must still count in n_docs.
-    Similarity.writePartitionedBase(
-      docs.select(col(idCol), explode(wordTokens(col(textCol))).as("token"))
-        .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-        .withColumn("shard",
-          pmod(xxhash64(col("token")), lit(shards.toLong)))
-        .repartition(col("shard")),
-      "shard", s"$indexDir/postings")
+    graft.Engine.label(spark, "bm25 build: postings write")(
+      Similarity.writePartitionedBase(
+        docs.select(col(idCol), explode(wordTokens(col(textCol))).as("token"))
+          .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+          .withColumn("shard",
+            pmod(xxhash64(col("token")), lit(shards.toLong)))
+          .repartition(col("shard")),
+        "shard", s"$indexDir/postings"))
     // the corpus stats (n_docs, sum_dl) RIDE the doclen write as
     // observed metrics and land from the driver — the previous shape
     // (localCheckpoint + write + separate stats-agg job) scheduled two
@@ -490,8 +491,9 @@ object TextOps {
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__dl"), lit(0L))
         .cast("long").as("dl"))
-    writeDoclenWithStats(spark, dl, s"$indexDir/doclen",
-      s"$indexDir/stats")
+    graft.Engine.label(spark, "bm25 build: doclen+stats")(
+      writeDoclenWithStats(spark, dl, s"$indexDir/doclen",
+        s"$indexDir/stats"))
     Similarity.markBuilt(indexDir, "invidx")
   }
 
@@ -593,13 +595,14 @@ object TextOps {
     // One tokenize pass, like the build: doclen rows derive from the
     // WRITTEN postings delta (+ an id-only re-read for zero-token
     // inserts) instead of re-tokenizing the batch.
-    ins.select(col(idCol),
-        explode(wordTokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .withColumn("shard", pmod(xxhash64(col("token")), lit(shards.toLong)))
-      .repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$indexDir/postings_delta/__batch=$seq")
+    graft.Engine.label(spark, "bm25 upsert: postings delta")(
+      ins.select(col(idCol),
+          explode(wordTokens(col(textCol))).as("token"))
+        .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+        .withColumn("shard", pmod(xxhash64(col("token")), lit(shards.toLong)))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$indexDir/postings_delta/__batch=$seq"))
     val postingsDelta = s"$indexDir/postings_delta/__batch=$seq"
     // an empty/all-zero-token batch writes NO parquet into the delta
     // dir (delta dirs get no schema backstop by design) — skip the
@@ -613,11 +616,13 @@ object TextOps {
           .select(col(idCol), coalesce(col("__dl"), lit(0L))
             .cast("long").as("dl"))
       else ins.select(col(idCol), lit(0L).as("dl"))
-    dlRows.write.mode("overwrite")
-      .parquet(s"$indexDir/doclen_delta/__batch=$seq")
-    changes.select(col(idCol)).distinct()
-      .write.mode("overwrite")
-      .parquet(s"$indexDir/tombstones/__batch=$seq")
+    graft.Engine.label(spark, "bm25 upsert: doclen delta")(
+      dlRows.write.mode("overwrite")
+        .parquet(s"$indexDir/doclen_delta/__batch=$seq"))
+    graft.Engine.label(spark, "bm25 upsert: tombstones")(
+      changes.select(col(idCol)).distinct()
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/tombstones/__batch=$seq"))
     Similarity.writeSeq(indexDir, seq) // atomic commit point
     seq
   }
@@ -647,10 +652,10 @@ object TextOps {
       Similarity.recoverCompactSwap(base)
       val staged = s"${base}_compacting"
       val live = resolveLive(spark, indexDir, base, idCol)
-      partBy match {
+      graft.Engine.label(spark, s"bm25 compact: $sub rewrite")(partBy match {
         case Some(p) => Similarity.writePartitionedBase(live, p, staged)
         case None => live.write.mode("overwrite").parquet(staged)
-      }
+      })
       Similarity.swapCompactedBase(base)
     }
     rewrite("postings", Some("shard"))
@@ -662,9 +667,10 @@ object TextOps {
     locally {
       val base = s"$indexDir/doclen"
       Similarity.recoverCompactSwap(base)
-      writeDoclenWithStats(spark,
-        resolveLive(spark, indexDir, base, idCol),
-        s"${base}_compacting", s"$indexDir/stats")
+      graft.Engine.label(spark, "bm25 compact: doclen+stats rewrite")(
+        writeDoclenWithStats(spark,
+          resolveLive(spark, indexDir, base, idCol),
+          s"${base}_compacting", s"$indexDir/stats"))
       Similarity.swapCompactedBase(base)
     }
     Similarity.rmrfDir(new java.io.File(s"$indexDir/_maint"))
