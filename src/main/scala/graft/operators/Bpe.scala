@@ -36,9 +36,9 @@ object Bpe {
 
   /** word -> its symbol sequence: one CODEPOINT per symbol (surrogate
     * pairs stay whole, matching the encoder) plus the end-of-word
-    * sentinel; UDF is fine here — this runs on the bounded vocab
-    * table, not the corpus. */
-  private val charSplitUdf = udf((w: String) => {
+    * sentinel. Shared by the distributed loop's UDF and the local
+    * path's driver-side split. */
+  private def charSplit(w: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < w.length) {
@@ -47,7 +47,29 @@ object Bpe {
     }
     out += EndOfWord
     out.toSeq
-  })
+  }
+
+  /** UDF form for the distributed loop — runs on the bounded vocab
+    * table, not the corpus. */
+  private val charSplitUdf = udf((w: String) => charSplit(w))
+
+  /** CODE-POINT string order — the order Spark's UTF8String binary
+    * comparison (and therefore [[learnDistributed]]'s
+    * `orderBy(asc(a), asc(b))` tie-break) realizes. String.compareTo
+    * is UTF-16 code-unit order, which DISAGREES for BMP chars in
+    * U+E000..U+FFFF tied against supplementary characters (emoji): a
+    * count tie between such pairs would make the local and
+    * distributed paths pick different merges. */
+  private[operators] def cpCompare(x: String, y: String): Int = {
+    val xn = x.length; val yn = y.length
+    var i = 0; var j = 0
+    while (i < xn && j < yn) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    Integer.compare(xn - i, yn - j)
+  }
 
   /** Lowercased whitespace word-frequency table: `word, cnt`. The one
     * corpus-wide shuffle (partial-aggregated groupBy). */
@@ -87,17 +109,32 @@ object Bpe {
     * `wordCounts(sample)` here, then [[bpeTokens]] — corpus-scale and
     * map-only — encodes everything. */
   def learnFromCounts(words: DataFrame, numMerges: Int): Seq[(String, String)] = {
-    val maxLocal = words.sparkSession.conf
+    val conf = words.sparkSession.conf
+    val maxLocal = conf
       .get("spark.graft.bpe.localVocabMax", "1000000").toInt
-    // bounded probe: maxLocal+1 rows decides the path and, when small,
-    // IS the working set (one job either way)
-    val probe = words.select(
-        charSplitUdf(col("word")).as("syms"),
-        col("cnt").cast("long").as("cnt"))
+    // BYTE-aware second bound: the local loop's working set is the
+    // per-codepoint symbol arrays plus pair/occurrence indexes —
+    // proportional to total word LENGTH, not row count, so a
+    // long-word corpus (URLs, DNA, agglutinative text) must fall back
+    // to the distributed loop even under the row cap. Chars (UTF-16
+    // units) proxy bytes here; the in-memory blow-up per char is the
+    // ~20-40x of one boxed String per codepoint, so the 32 MiB
+    // default keeps the loop's footprint ~1 GiB worst-case on the 8g
+    // driver.
+    val maxChars = conf
+      .get("spark.graft.bpe.localVocabMaxChars", "33554432").toLong
+    // bounded probe: maxLocal+1 RAW (word, cnt) rows decide the path
+    // and, when small, ARE the working set (one job either way). The
+    // codepoint split happens driver-side only once the local path is
+    // chosen — the previous form collected fully char-split symbol
+    // ARRAYS, several times the payload, and discarded them on the
+    // distributed path.
+    val probe = words.select(col("word"), col("cnt").cast("long").as("cnt"))
       .limit(maxLocal + 1).collect()
-    if (probe.length <= maxLocal)
+    val chars = probe.foldLeft(0L)((s, r) => s + r.getString(0).length)
+    if (probe.length <= maxLocal && chars <= maxChars)
       learnLocal(probe.map(r =>
-        (r.getSeq[String](0).toArray, r.getLong(1))), numMerges)
+        (charSplit(r.getString(0)).toArray, r.getLong(1))), numMerges)
     else learnDistributed(words, numMerges)
   }
 
@@ -118,14 +155,17 @@ object Bpe {
     val occurs = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
     def pairsOf(s: mutable.ArrayBuffer[String]): Seq[(String, String)] =
       (0 until s.length - 1).map(i => (s(i), s(i + 1)))
-    // (count, a, b): highest count first, ties to the SMALLEST pair
+    // (count, a, b): highest count first, ties to the SMALLEST pair —
+    // in CODE-POINT order ([[cpCompare]]), the order the distributed
+    // loop's UTF8String sort realizes, so the two paths pick the same
+    // merge on ties involving supplementary characters
     val ord = new Ordering[(Long, String, String)] {
       def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
         val c = java.lang.Long.compare(x._1, y._1)
         if (c != 0) c
         else {
-          val a = y._2.compareTo(x._2) // reversed: smaller string wins
-          if (a != 0) a else y._3.compareTo(x._3)
+          val a = cpCompare(y._2, x._2) // reversed: smaller string wins
+          if (a != 0) a else cpCompare(y._3, x._3)
         }
       }
     }
