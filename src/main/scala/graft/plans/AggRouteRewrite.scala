@@ -78,13 +78,15 @@ object AggRouting {
 
   def clear(): Unit = routes.clear()
 
-  /** Run `f` with [[DecimalSum128Rewrite]] disabled, restoring after. */
+  /** Run `f` with [[DecimalSum128Rewrite]] disabled on THIS thread,
+    * restoring after. Thread-confined (a ThreadLocal the rewrite
+    * checks) — mutating the shared session conf here was a race: two
+    * overlapping canonical() calls could interleave save/restore and
+    * leave the rewrite off for the whole session. */
   private def withDecimalSum128Off[T](f: => T): T = {
-    val key = "spark.graft.decimalSum128.enabled"
-    val conf = SQLConf.get
-    val prev = conf.getConfString(key, "true")
-    conf.setConfString(key, "false")
-    try f finally conf.setConfString(key, prev)
+    val prev = DecimalSum128Rewrite.suppressed.get()
+    DecimalSum128Rewrite.suppressed.set(true)
+    try f finally DecimalSum128Rewrite.suppressed.set(prev)
   }
 
   /** Root paths of the (single) file relation a DataFrame scans. */

@@ -45,10 +45,23 @@ import graft.functions.{DecimalSum128, DecimalSum192, Unscaled192}
   */
 object DecimalSum128Rewrite extends Rule[LogicalPlan] {
 
+  /** THREAD-CONFINED suppression for canonical-plan construction
+    * ([[AggRouting]] phrases route canonicals over builtin Sum trees,
+    * so it optimizes them with this rewrite off). A thread-local
+    * instead of a session-conf toggle: two overlapping canonical()
+    * calls mutating the shared SQLConf could interleave save/restore
+    * and leave the rewrite disabled for the whole session — and any
+    * query planned concurrently on another thread would silently skip
+    * it too. */
+  private[plans] val suppressed = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   private def enabled: Boolean =
-    SQLConf.get
-      .getConfString("spark.graft.decimalSum128.enabled", "true")
-      .toBoolean
+    !suppressed.get() &&
+      SQLConf.get
+        .getConfString("spark.graft.decimalSum128.enabled", "true")
+        .toBoolean
 
   private def eligible(e: Expression): Boolean = e.dataType match {
     case d: DecimalType =>

@@ -213,6 +213,26 @@ class CubeSpec extends SparkSuite {
       s"expected the {l_suppkey} cuboid scan ($want), got $paths")
   }
 
+  test("routing and the decimal-sum kernel COEXIST in one plan: the " +
+      "routed query scans the cuboid AND re-aggregates via decimal_sum") {
+    // pins the optimizer-batch ordering contract (AggRouteRewrite
+    // before DecimalSum128Rewrite in the same fixed-point batch): if a
+    // future rule reorders them — or delays the Aggregate's final
+    // shape to a later iteration, where the 128-bit rewrite has
+    // already replaced builtin Sum and routing's canonicals can no
+    // longer semanticEquals — one of the two features silently drops.
+    // The routed re-aggregation sums the cuboid's DECIMAL(28,2)
+    // measure, so the eligible plan carries the 192-bit kernel.
+    manifest
+    val df = CubeQueries.q_cube_route.run(spark, sf)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(scannedPaths.forall(_.contains("cube_")),
+      "routed summary scan missing")
+    assert(planStr.contains("decimal_sum192") ||
+      planStr.contains("decimal_sum128"),
+      s"decimal-sum kernel missing from the routed plan:\n$planStr")
+  }
+
   test("q_cube_budget routes onto the budget-selected lattice: zero " +
       "fact scans") {
     val df = CubeQueries.q_cube_budget.run(spark, sf)
