@@ -69,6 +69,18 @@ object Engine {
     spark.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       "1000000")
+    // Bucket/shard-partitioned index tables (IVF vectors, BM25
+    // postings) have at most a few hundred partition dirs (bounded by
+    // 2^planes / the shard count), but Spark's default threshold of 32
+    // schedules a WHOLE distributed listing job for every read of one
+    // (JobProbe: four 64-task listing jobs per IVF upsert lifecycle —
+    // pure scheduling overhead). Driver-side serial listing is cheaper
+    // up to hundreds of dirs on any filesystem; genuinely huge
+    // partitioned tables (thousands of dirs on object stores) still
+    // take the parallel path. A/B (one JVM, alternating): ivf_upsert
+    // 4.74s -> 4.24s, ivf_batch 0.81s -> 0.76s.
+    spark.conf.set(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
     // rollup/cube after a join trips the ambiguous-self-join guard (the
     // Expand node duplicates grouping attributes); our self-joins all
     // rename columns first, so the guard only produces false positives.
