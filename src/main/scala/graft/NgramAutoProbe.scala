@@ -25,7 +25,7 @@ object NgramAutoProbe {
         graft.operators.Dedup.wordShingles(col("text"), 2).as("sh"))
       val pfx = graft.operators.Dedup.ngramPrefix(base, 0.5)
         .localCheckpoint()
-      val r = pfx.groupBy("blk", "tok").agg(count(lit(1)).as("c"))
+      val r = pfx.groupBy("blk", "th").agg(count(lit(1)).as("c"))
         .agg(sum((col("c") * (col("c") - 1) / 2).cast("long")).as("p"),
           max(col("c")).as("maxc"), count(lit(1)).as("buckets")).head()
       val nDocs = pfx.select("id").distinct().count()

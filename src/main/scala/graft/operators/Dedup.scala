@@ -359,8 +359,21 @@ object Dedup {
     * aggregation, the only window per-document). */
   private[graft] def ngramPrefix(base: DataFrame,
       threshold: Double): DataFrame = {
+    // shingle TEXT never leaves this derivation: document frequency
+    // and the downstream pairing bucket are functions of the
+    // shingle's IDENTITY, for which the 8-byte xxhash64 `th` stands
+    // in (guide §2.3, narrower shuffle keys) — the df exchange, the
+    // join back, the prefix checkpoint, and both pairing-SMJ sides
+    // all shed the multi-word shingle strings. A hash collision
+    // merely merges two shingles' df counts and pairing buckets:
+    // the rarest-first ranking below stays a consistent total order
+    // across documents (ordered by (df(th), tok) — tok itself is the
+    // tiebreak), so the prefix-filter recall proof is untouched, and
+    // a merged pairing bucket only ADDS candidates, which the exact
+    // Jaccard verify discards.
     val toks = base.select(col("blk"), col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
     val prefixLen = col("sz") - ceil(col("sz") * threshold) + 1
     // document frequency via groupBy (map-side partial aggregation) and
     // a join back — NOT a count-over-window: a window partitioned on
@@ -369,14 +382,14 @@ object Dedup {
     // while the partial-agg count never materializes a hot key's rows
     // together and the many-to-one join back is AQE-skew-splittable
     // (and broadcastable when the df table is small)
-    val dfreq = toks.groupBy("blk", "tok")
+    val dfreq = toks.groupBy("blk", "th")
       .agg(count(lit(1)).as("df"))
     toks
-      .join(dfreq, Seq("blk", "tok"))
+      .join(dfreq, Seq("blk", "th"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("blk", "id").orderBy(col("df"), col("tok"))))
       .filter(col("rn") <= prefixLen)
-      .select("blk", "tok", "id", "sz", "rn")
+      .select("blk", "th", "id", "sz", "rn")
   }
 
   /** Candidate stage of [[ngramJaccardPairs]] (prefix filter + PPJoin
@@ -427,12 +440,12 @@ object Dedup {
     // O(df²) pair expansion + PPJoin filters nearly single-threaded.
     // A user-specified repartition is exempt from AQE coalescing and
     // already satisfies the join's clustering, so no extra exchange.
-    pfx.select(col("blk"), col("tok"), col("id").as("id_a"),
+    pfx.select(col("blk"), col("th"), col("id").as("id_a"),
         col("sz").as("sz_a"), col("rn").as("p_a"))
-      .repartition(par, col("blk"), col("tok"))
-      .join(pfx.select(col("blk"), col("tok"), col("id").as("id_b"),
+      .repartition(par, col("blk"), col("th"))
+      .join(pfx.select(col("blk"), col("th"), col("id").as("id_b"),
         col("sz").as("sz_b"), col("rn").as("p_b"))
-        .repartition(par, col("blk"), col("tok")), Seq("blk", "tok"))
+        .repartition(par, col("blk"), col("th")), Seq("blk", "th"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("sz_a"), col("sz_b")) >=
         ceil(greatest(col("sz_a"), col("sz_b")) * threshold))
