@@ -128,22 +128,24 @@ object Graph {
       if (salted) Seq(col("id"), col("nsh")) else Seq(col("id"))
   }
 
-  /** `materialize = false` skips the weighted/nodes checkpoints: a
-    * caller whose whole iteration recurrence compiles into ONE final
-    * plan (pageRankExact, ≤4 rounds by the scale guard) re-reads both
-    * frames only within that single job, where Spark's exchange reuse
-    * computes each canonical subplan once — the two checkpoint jobs
-    * are pure fixed overhead there. The raw edge list is checkpointed
-    * INSTEAD (one job in place of two): weighted and nodes are then
-    * derived views of one frozen snapshot, so a nondeterministic or
-    * concurrently-changing edge source (a sample, a live table) cannot
-    * be observed differently by the two scans — the old per-frame
-    * checkpoints gave exactly that guarantee and bit-exact PageRank
-    * must keep it. Loops that checkpoint PER ITERATION (pageRank /
-    * pageRankConverged) keep materialize = true or every iteration job
-    * re-runs the edge shuffle. The deg checkpoint always materializes
-    * — the salting decision needs its histogram before any plan is
-    * built. */
+  /** `materialize = false` is the one-plan shape (pageRankExact, ≤4
+    * rounds by the scale guard): the raw edge list is checkpointed
+    * (one frozen snapshot, so a nondeterministic or concurrently-
+    * changing edge source cannot be observed differently by the
+    * weighted and nodes scans — bit-exact PageRank needs that), and
+    * `weighted` stays a lazy view WITHOUT the explicit repartition:
+    * REPARTITION_BY_NUM exchanges are exempt from AQE partition
+    * coalescing by contract, so inside the single recurrence plan
+    * each round paid a full-width 32-task exchange over tiny data;
+    * the rounds' joins install their own AQE-coalescible
+    * ENSURE_REQUIREMENTS exchanges instead (probe best-of-3: 1.32s →
+    * 1.01s for 3 rounds at sf0.1). Loops that checkpoint PER
+    * ITERATION (pageRank / pageRankConverged) keep materialize = true
+    * — the frozen src partitioning is what lets every iteration reuse
+    * the edge shuffle. `nodes` is checkpointed in both modes (see the
+    * note at its construction), and the deg checkpoint always
+    * materializes — the salting decision needs its histogram before
+    * any plan is built. */
   private[graft] def prep(edges: DataFrame, srcCol: String,
       dstCol: String, saltThreshold: Long,
       materialize: Boolean = true): Prepped = {
@@ -192,28 +194,50 @@ object Graph {
     val nodes0 = deg.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
+    // nodes is checkpointed in BOTH modes (below): the one-plan exact
+    // consumers reference it once per round plus the init (4+ scans),
+    // and the union+distinct re-derivation is NOT deduplicated across
+    // those references (each reference is re-instanced with fresh
+    // exprIds, and AQE stage reuse measurably did not collapse them:
+    // probe best-of-3 1.01s lazy vs 0.71s checkpointed for a 3-round
+    // recurrence). One bounded eager job buys 4 re-derivations.
     if (maxDeg <= saltThreshold) {
-      // partitioned on src once; every iteration's join reuses it
-      val weighted = ckpt(e.join(deg, Seq("src"))
-        .repartition(par, col("src")))
-      return Prepped(weighted, ckpt(nodes0), deg,
+      // materialize=true (per-iteration loops): partitioned on src
+      // once and frozen by the checkpoint; every iteration's join
+      // reuses it. materialize=false (one-plan exact mode): NO
+      // explicit repartition — REPARTITION_BY_NUM exchanges are
+      // exempt from AQE partition coalescing BY CONTRACT, so each of
+      // the 3 rounds paid a full-width 32-task exchange on tiny data;
+      // the SMJ's own ENSURE_REQUIREMENTS exchange coalesces instead
+      // (probe best-of-3: 1.32s -> 1.01s).
+      val weighted =
+        if (materialize) ckpt(e.join(deg, Seq("src"))
+          .repartition(par, col("src")))
+        else e.join(deg, Seq("src"))
+      return Prepped(weighted, nodes0.localCheckpoint(), deg,
         salted = false, degHist)
     }
     // shards per source: 1 for everyone below the threshold, capped at
     // the parallelism (more shards than tasks buys nothing)
     val nsh = least(ceil(col("deg").cast("double") / saltThreshold),
       lit(par.toLong)).cast("long")
-    // partitioned on (src, salt) once; every iteration's join reuses it
-    val weighted = ckpt(e.join(deg, Seq("src"))
+    // same repartition split as the unsalted branch: frozen (src, salt)
+    // partitioning for per-iteration loops; AQE-coalescible exchanges
+    // for the one-plan exact mode
+    val weighted0 = e.join(deg, Seq("src"))
       .withColumn("nsh", nsh)
       .withColumn("salt", pmod(xxhash64(col("dst")), col("nsh")))
-      .repartition(par, col("src"), col("salt")))
+    val weighted =
+      if (materialize)
+        ckpt(weighted0.repartition(par, col("src"), col("salt")))
+      else weighted0
     // nodes carry their shard count (1 for dst-only nodes) so the loop
     // can expand rank rows without a per-iteration join against deg
-    val nodes = ckpt(nodes0
+    val nodes = nodes0
       .join(deg.select(col("src").as("id"), nsh.as("nsh")), Seq("id"),
         "left")
-      .select(col("id"), coalesce(col("nsh"), lit(1L)).as("nsh")))
+      .select(col("id"), coalesce(col("nsh"), lit(1L)).as("nsh"))
+      .localCheckpoint()
     Prepped(weighted, nodes, deg, salted = true, degHist)
   }
 
@@ -307,11 +331,35 @@ object Graph {
     * exactness impossible. `damping` is a ratio of small integers,
     * e.g. (85, 100). Output pr is DOUBLE cast from the exact decimal
     * (equal decimals cast to equal doubles). */
+  /** Edge count at or below which the EXACT recurrences run driver-
+    * local (same bounded-collect convention as the BPE merge loop and
+    * the k-means Lloyd loop): the exact modes are ≤4-round validation
+    * paths whose distributed plans are pure fixed job overhead at
+    * bounded graph sizes (~10 exchange-stage jobs for 45k edges), and
+    * exact decimal arithmetic is ORDER-INDEPENDENT by construction, so
+    * a driver loop reproduces the distributed result bit for bit
+    * (differential-pinned in GraphSpec, incl. null keys, parallel
+    * edges, and every overflow/precondition throw). Set to 0 to force
+    * the distributed path. */
+  private def localEdgeMax(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.graph.localEdgeMax", "1000000").toLong
+
   def pageRankExact(edges: DataFrame, iterations: Int,
       damping: (Int, Int) = (85, 100),
       srcCol: String = "src", dstCol: String = "dst",
       saltThreshold: Long = hotOutDegreeShard): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    val sparkL = edges.sparkSession
+    val maxLocal = localEdgeMax(sparkL)
+    if (maxLocal > 0) {
+      // bounded probe: maxLocal+1 rows decide the path and, when the
+      // graph fits, ARE the working set (one job either way)
+      val probe = edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .limit((maxLocal + 1).toInt).collect()
+      if (probe.length <= maxLocal)
+        return pageRankExactLocal(sparkL, probe, iterations, damping)
+    }
     // materialize = false: the whole ≤4-round recurrence below compiles
     // into ONE plan (no per-iteration checkpoints), so weighted/nodes
     // are re-read only inside that single job where exchange reuse
@@ -423,6 +471,130 @@ object Graph {
     ranks.select(col("id"), col("pr").cast("double").as("pr"))
   }
 
+  /** Driver-local twin of [[pageRankExact]]'s distributed recurrence —
+    * bit-identical BY ARITHMETIC (every step is exact decimal, so
+    * evaluation order cannot matter) with the same SQL semantics
+    * replicated join-for-join:
+    *  - deg groups include a null-src group (its count participates in
+    *    the degree lcm, as the distributed groupBy's null group does);
+    *  - null-src edges never contribute mass (the src equi-join drops
+    *    them); mass to a null dst is lost (the null-keyed contrib
+    *    group matches no node in the left join — and is therefore
+    *    never overflow-checked either);
+    *  - sum overflow past the decimal sum's precision, or a null pr
+    *    feeding a reached mass group, THROWS the in-aggregate message;
+    *    an mTight/pr cast overflow propagates a null rank caught by
+    *    the post-loop scan — exactly the distributed escalation. */
+  private def pageRankExactLocal(spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row], iterations: Int,
+      damping: (Int, Int)): DataFrame = {
+    import java.math.{BigDecimal => JBD, BigInteger}
+    import scala.collection.mutable
+    val overflowInAgg = "pageRankExact: decimal overflow (mass sum " +
+      "or a prior rank exceeded its integer-digit headroom); " +
+      "use pageRank (double)"
+    val edges: Array[(Option[Long], Option[Long])] = edgeRows.map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val deg = mutable.HashMap.empty[Option[Long], Long]
+    edges.foreach { case (s, _) => deg.update(s, deg.getOrElse(s, 0L) + 1) }
+    val degs = deg.values.toSeq.distinct
+    require(degs.length <= 1000,
+      "pageRankExact: > 1000 distinct out-degrees; use pageRank (double)")
+    if (degs.isEmpty) // no edges: empty node universe, pr stays init
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pr",
+            org.apache.spark.sql.types.DoubleType))))
+    val s = degs.reduce(lcm)
+    require(s > 0 && s <= 1000000L,
+      s"pageRankExact: degree lcm $s too large for exact weights; " +
+        "use pageRank (double)")
+    val (dNum, dDen) = damping
+    require(dNum > 0 && dDen > dNum, "damping must be in (0, 1)")
+    val dOverS = {
+      val exact = BigDecimal(dNum) / BigDecimal(dDen * s)
+      require((exact * BigDecimal(dDen * s)).toBigIntExact
+          .contains(BigInt(dNum)),
+        s"pageRankExact: $dNum/(${dDen}*$s) is not a terminating decimal")
+      exact.underlying.stripTrailingZeros
+    }
+    val oneMinusD = (BigDecimal(dDen - dNum) / BigDecimal(dDen)).underlying
+    val inc = dOverS.scale.max(1)
+    val finalScale = 2 + inc * iterations
+    require(finalScale <= 18,
+      s"pageRankExact: $iterations iterations need scale $finalScale > 18")
+    // nodes = src groups ∪ dst values (null included once, like the
+    // distributed union+distinct)
+    val nodes = mutable.LinkedHashSet.empty[Option[Long]]
+    deg.keys.foreach(nodes += _)
+    edges.foreach { case (_, d) => nodes += d }
+    // integer weight w = S / deg, exact by construction of S
+    val w: Map[Option[Long], JBD] =
+      deg.iterator.map { case (k, dg) => k -> JBD.valueOf(s / dg) }.toMap
+    // Decimal overflow rule: unscaled |value| must stay below 10^p
+    def fits(x: JBD, p: Int): Boolean =
+      x.unscaledValue.abs.compareTo(BigInteger.TEN.pow(p)) < 0
+    var prScale = 2
+    val ranks = mutable.HashMap.empty[Option[Long], JBD]
+    nodes.foreach(ranks.update(_, JBD.ONE.setScale(2)))
+    for (_ <- 1 to iterations) {
+      // mass per non-null dst reached from a non-null src
+      val m = mutable.HashMap.empty[Long, JBD]
+      val poisoned = mutable.HashSet.empty[Long]
+      edges.foreach {
+        case (srcOpt @ Some(_), Some(d)) =>
+          ranks(srcOpt) match {
+            case null => poisoned += d // nn < nc in the distributed agg
+            case pr => m.update(d,
+              m.getOrElse(d, JBD.ZERO.setScale(prScale))
+                .add(pr.multiply(w(srcOpt))))
+          }
+        case _ => () // null src: dropped by the equi-join
+      }
+      // decimal sum result precision: (prScale+14)+10 capped at 38
+      val sumPrec = math.min(38, prScale + 24)
+      val nextScale = prScale + inc
+      nodes.foreach { v =>
+        val matched = v.flatMap(id =>
+          if (poisoned.contains(id)) throw new IllegalArgumentException(
+            overflowInAgg)
+          else m.get(id))
+        val pr = matched match {
+          case Some(mass) =>
+            if (!fits(mass, sumPrec)) // the mass sum itself overflowed
+              throw new IllegalArgumentException(overflowInAgg)
+            if (!fits(mass, prScale + 12)) null // mTight cast overflow
+            else {
+              val next = oneMinusD.add(dOverS.multiply(mass))
+                .setScale(nextScale)
+              if (fits(next, nextScale + 6)) next else null
+            }
+          case None =>
+            oneMinusD.add(dOverS.multiply(JBD.ZERO.setScale(prScale)))
+              .setScale(nextScale)
+        }
+        ranks.update(v, pr)
+      }
+      prScale = nextScale
+    }
+    require(!ranks.values.exists(_ == null),
+      "pageRankExact: decimal overflow (a rank exceeded its " +
+        "integer-digit headroom); use pageRank (double)")
+    val rows = nodes.iterator.map(v => org.apache.spark.sql.Row(
+      v.map(Long.box).orNull, ranks(v).doubleValue)).toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pr",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** Bit-exact truncated Katz centrality (Katz 1953, "A new status
     * index derived from sociometric analysis"): x_k = 1 + α · Aᵀ x_{k-1}
     * over integer edge weights, run for a fixed small number of rounds.
@@ -468,14 +640,36 @@ object Graph {
     require(2 + inc * iterations <= 8,
       s"katzCentralityExact: $iterations rounds at alpha scale $inc " +
         "exceed decimal scale 8")
+    // the node-id type is the src∪dst union's coerced type — derived
+    // by ANALYSIS only (no job); probing and joining on it mirrors the
+    // distributed union+join coercions
+    val idType = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).schema.head.dataType
+    val maxLocal = localEdgeMax(edges.sparkSession)
+    if (maxLocal > 0) {
+      // bounded probe, one job either way: the weight CAST rides the
+      // probe select so the local loop sees exactly Spark's cast
+      // values (incl. its rounding and overflow-null)
+      val probe = edges.select(col(srcCol).cast(idType).as("src"),
+          col(dstCol).cast(idType).as("dst"),
+          col(weightCol).cast(DecimalType(12, 0)).as("w"))
+        .limit((maxLocal + 1).toInt).collect()
+      if (probe.length <= maxLocal)
+        return katzExactLocal(edges.sparkSession, probe, iterations,
+          aExact, inc, idType)
+    }
     // w at (12,0): pr (s+12, s) * w (12, 0) -> (s+25, s) <= 31 for
     // s <= 6, sum caps precision at 38 with scale PRESERVED; a long
     // (20,0) weight would push the multiply past the cap
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast(DecimalType(12, 0)).as("w"))
       .localCheckpoint(true)
+    // checkpointed: referenced by the init ranks plus every round's
+    // left join, and the union+distinct re-derivation is not
+    // deduplicated across references (same evidence as Graph.prep)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
     var prScale = 2
     var ranks = nodes.withColumn("pr",
       lit(java.math.BigDecimal.ONE).cast(DecimalType(8, 2)))
@@ -516,6 +710,84 @@ object Graph {
       "katzCentralityExact: decimal overflow (a score exceeded its " +
         "integer-digit headroom); lower alpha or iterations")
     ranks
+  }
+
+  /** Driver-local twin of [[katzCentralityExact]]'s distributed
+    * recurrence — bit-identical by the same exact-arithmetic argument
+    * as [[pageRankExactLocal]]. Replicated SQL semantics: null-src
+    * edges drop at the equi-join; mass to a null dst is lost (and
+    * never overflow-checked — its contrib group matches no node); a
+    * null weight (or a weight the (12,0) cast overflowed — the cast
+    * happened Spark-side in the probe) makes pr*w null, so any REACHED
+    * group containing one throws the in-aggregate message. */
+  private def katzExactLocal(spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row], iterations: Int,
+      aExact: java.math.BigDecimal, inc: Int,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import java.math.{BigDecimal => JBD, BigInteger}
+    import scala.collection.mutable
+    val overflowInAgg = "katzCentralityExact: decimal overflow; " +
+      "lower alpha or iterations"
+    // ids collected AS SPARK VALUES (coerced to the union type in the
+    // probe select): equality below is the equi-join's equality
+    val edges: Array[(Option[Any], Option[Any], JBD)] = edgeRows.map(r =>
+      (Option(r.get(0)), Option(r.get(1)),
+        if (r.isNullAt(2)) null else r.getDecimal(2)))
+    val nodes = mutable.LinkedHashSet.empty[Option[Any]]
+    edges.foreach { case (s, d, _) => nodes += s; nodes += d }
+    def fits(x: JBD, p: Int): Boolean =
+      x.unscaledValue.abs.compareTo(BigInteger.TEN.pow(p)) < 0
+    var prScale = 2
+    val ranks = mutable.HashMap.empty[Option[Any], JBD]
+    nodes.foreach(ranks.update(_, JBD.ONE.setScale(2)))
+    for (_ <- 1 to iterations) {
+      val m = mutable.HashMap.empty[Any, JBD]
+      val poisoned = mutable.HashSet.empty[Any]
+      edges.foreach {
+        case (srcOpt @ Some(_), Some(d), w) =>
+          val pr = ranks(srcOpt)
+          if (pr == null || w == null) poisoned += d
+          else m.update(d, m.getOrElse(d, JBD.ZERO.setScale(prScale))
+            .add(pr.multiply(w)))
+        case _ => () // null src: dropped by the equi-join
+      }
+      // decimal sum result precision: (prScale+25)+10 capped at 38
+      val sumPrec = math.min(38, prScale + 35)
+      val nextScale = prScale + inc
+      nodes.foreach { v =>
+        val matched = v.flatMap(id =>
+          if (poisoned.contains(id))
+            throw new IllegalArgumentException(overflowInAgg)
+          else m.get(id))
+        val pr = matched match {
+          case Some(mass) =>
+            if (!fits(mass, sumPrec))
+              throw new IllegalArgumentException(overflowInAgg)
+            if (!fits(mass, prScale + 18)) null // mTight cast overflow
+            else {
+              val next = JBD.ONE.add(aExact.multiply(mass))
+                .setScale(nextScale)
+              if (fits(next, nextScale + 12)) next else null
+            }
+          case None =>
+            JBD.ONE.add(aExact.multiply(JBD.ZERO.setScale(prScale)))
+              .setScale(nextScale)
+        }
+        ranks.update(v, pr)
+      }
+      prScale = nextScale
+    }
+    require(!ranks.values.exists(_ == null),
+      "katzCentralityExact: decimal overflow (a score exceeded its " +
+        "integer-digit headroom); lower alpha or iterations")
+    val rows = nodes.iterator.map(v => org.apache.spark.sql.Row(
+      v.orNull, ranks(v).setScale(prScale))).toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("pr",
+          DecimalType(prScale + 12, prScale)))))
   }
 
   /** The planted link graph both conformance sides construct from the

@@ -219,6 +219,62 @@ class GraphSpec extends SparkSuite {
     assert(seen == Seq(2L, 9L))
   }
 
+  test("pageRankExact: driver-local twin == distributed, bit for bit " +
+      "(random graphs, parallel edges, null keys, planted)") {
+    val rnd = new scala.util.Random(11)
+    val randoms = (1 to 3).map { _ =>
+      // out-degrees drawn from {1,2,4,5} (lcm 20 terminates) via
+      // duplicated rows; some null src/dst rows; parallel edges
+      val base = (0 until 40).flatMap { i =>
+        val deg = Seq(1, 2, 4, 5)(rnd.nextInt(4))
+        (1 to deg).map(_ => (Long.box(i.toLong),
+          Long.box(rnd.nextInt(50).toLong)))
+      }
+      // null src (drops at the join) and a null dst on a DEDICATED
+      // source whose degree stays in the terminating set (the null-dst
+      // row still counts toward its out-degree)
+      val withNulls = base ++ Seq(
+        (null.asInstanceOf[java.lang.Long], Long.box(3L)),
+        (Long.box(1000L), null.asInstanceOf[java.lang.Long]),
+        (Long.box(1000L), Long.box(7L)))
+      withNulls.toDF("src", "dst")
+    } :+ planted.toDF()
+    randoms.zipWithIndex.foreach { case (df, i) =>
+      def run() = Graph.pageRankExact(df, 3).orderBy("id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          r.getDouble(1)))
+      val local = run() // default bound: local path
+      val dist = withSQLConf("spark.graft.graph.localEdgeMax" -> "0") {
+        run() // forced distributed
+      }
+      assert(local.sameElements(dist), s"graph $i: local != distributed")
+    }
+  }
+
+  test("katzCentralityExact: driver-local twin == distributed, " +
+      "bit for bit (string ids, weights, count ties)") {
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val toks = Seq("alpha", "beta", "gamma", "delta", "eps")
+      val e = (1 to 25).map { _ =>
+        (toks(rnd.nextInt(5)), toks(rnd.nextInt(5)),
+          (1 + rnd.nextInt(3)).toLong)
+      }.filter(p => p._1 != p._2).toDF("src", "dst", "w")
+      def run() = Graph.katzCentralityExact(e, 3, alpha = (1, 100))
+        .orderBy("id").collect()
+        .map(r => (r.getString(0), r.getDecimal(1)))
+      val local = run()
+      val dist = withSQLConf("spark.graft.graph.localEdgeMax" -> "0") {
+        run()
+      }
+      assert(local.length == dist.length, s"trial $trial size")
+      local.zip(dist).foreach { case ((li, lp), (di, dp)) =>
+        assert(li == di && lp.compareTo(dp) == 0 &&
+          lp.scale == dp.scale, s"trial $trial: ($li,$lp) vs ($di,$dp)")
+      }
+    }
+  }
+
   test("katzCentralityExact: hand-computed 2-round recurrence, exact") {
     import spark.implicits._
     // undirected triangle-less graph: a-b (w=2), a-c (w=1)
