@@ -1046,7 +1046,12 @@ object VersionedTable {
         case Some(c) => col(c).as(fd.name)
         case None => lit(null).cast(fd.dataType).as(fd.name)
       }): _*)
-    val srcKeys = alignedSource.select(keys.map(col): _*).distinct()
+    // NO .distinct(): every consumer is distinct-insensitive — the
+    // left_semi/left_anti probes and the min/max range aggregate give
+    // identical results over a keyed bag — and the distinct cost a
+    // full exchange + two aggregates inside both the touched-dir scan
+    // job and the rewrite job's plan
+    val srcKeys = alignedSource.select(keys.map(col): _*)
     // stats sidecars first: dirs whose key range can't intersect the
     // source's are never opened at all (manifest-level data skipping).
     // Range pruning costs one source-range aggregate job, which only
@@ -1076,7 +1081,7 @@ object VersionedTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
       else readDirsAs(spark, root, tableSchema,
         dirs.filter(d => touched(dirKey(d))))
-    val targetKeys = target.select(keys.map(col): _*).distinct()
+    val targetKeys = target.select(keys.map(col): _*) // semi/anti only
     val keptTarget = target.join(srcKeys, keys, "left_anti")
     // WHEN MATCHED AND c THEN DELETE deletes only where c is TRUE: a
     // NULL verdict falls through to the update clause (filter(!c)
