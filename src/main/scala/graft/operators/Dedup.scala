@@ -669,6 +669,28 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 30): DataFrame = {
     val spark = pairs.sparkSession
+    // bounded-collect twin (same convention as the BPE merge loop and
+    // the exact graph recurrences): every path of this operator —
+    // label propagation, and the star-contraction fallback — computes
+    // the SAME function, cluster_id = min node id per component, so a
+    // driver-side union-find over a bounded pair list is exactly
+    // equal (differential-pinned in DedupSpec). A near-dup pair graph
+    // is many orders of magnitude smaller than its corpus (256 pairs
+    // at sf0.1), and the distributed loop pays per-round
+    // join+aggregate+checkpoint jobs that dwarf the data; past the
+    // bound (or with null ids, whose three-valued join semantics the
+    // local twin does not replicate) the distributed loop runs
+    // unchanged.
+    val maxLocal = spark.conf
+      .get("spark.graft.graph.localEdgeMax", "1000000").toLong
+    if (maxLocal > 0) {
+      val probe = pairs.select(col(idA).cast("long").as("src"),
+          col(idB).cast("long").as("dst"))
+        .limit((maxLocal + 1).toInt).collect()
+      if (probe.length <= maxLocal &&
+          !probe.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return ccLocal(spark, probe)
+    }
     val par = spark.sparkContext.defaultParallelism
     val half = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
@@ -727,6 +749,42 @@ object Dedup {
     }
     if (!converged) starContractionComponents(pairs, idA, idB)
     else labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Driver-local union-find twin of [[connectedComponents]]: union by
+    * MIN ROOT VALUE (so every component's root is its minimum id —
+    * the exact fixed point label propagation converges to and star
+    * contraction roots at) with path compression. Output rows: one per
+    * distinct node of the pair list, (id, cluster_id), matching the
+    * distributed paths' node universe (self-pairs keep their node). */
+  private def ccLocal(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent.update(c, r); c = n }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+      }
+    }
+    val out = parent.keysIterator.map(id =>
+      org.apache.spark.sql.Row(id, find(id))).toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType))))
   }
 
   /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et

@@ -153,11 +153,35 @@ class DedupSpec extends SparkSuite {
       "falls back to star contraction instead of aborting") {
     val chain = (0 until 199).map(i => (i.toLong, i.toLong + 1))
       .toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(chain, maxIter = 10)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // force the DISTRIBUTED path — this test pins the star-contraction
+    // fallback, which the bounded union-find twin would bypass
+    val labels = withSQLConf("spark.graft.graph.localEdgeMax" -> "0") {
+      Dedup.connectedComponents(chain, maxIter = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     assert(labels.size == 200)
     assert(labels.values.forall(_ == 0L),
       s"chain must contract to min id 0: ${labels.toSeq.sortBy(_._1).take(5)}")
+  }
+
+  test("connectedComponents: driver-local union-find twin == " +
+      "distributed label propagation (random graphs, self-pairs, dups)") {
+    val rng = new scala.util.Random(17)
+    (1 to 3).foreach { trial =>
+      val edges = ((1 to 120).map(_ => (rng.nextInt(80).toLong,
+        rng.nextInt(80).toLong)) ++
+        Seq((5L, 5L), (5L, 5L), (901L, 902L))) // self-pairs + isolate
+        .toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = withSQLConf("spark.graft.graph.localEdgeMax" -> "0") {
+        Dedup.connectedComponents(edges)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(local == dist, s"trial $trial: " +
+        s"${(local.toSet diff dist.toSet).take(5)} / " +
+        s"${(dist.toSet diff local.toSet).take(5)}")
+    }
   }
 
   test("starContractionComponents agrees with label propagation on a " +
